@@ -1,0 +1,661 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{RelOps, SimOps, TextOps}
+
+/** One named query: the Spark plan plus (when SQL-expressible) the exact
+  * DuckDB oracle the driver hash-compares against.
+  *
+  * Invariants that keep the oracle comparison deterministic:
+  *  - every result has a total ordering (ORDER BY a unique key) in BOTH
+  *    the Spark plan and the SQL;
+  *  - aggregate/computed columns carry identical aliases on both sides;
+  *  - floating-point aggregates are computed exactly (decimal-cast before
+  *    summing) and only converted to double after rounding, so both
+  *    engines produce bit-identical values.
+  */
+final case class QueryDef(
+    name: String,
+    doc: String,
+    oracle: Option[String],
+    fn: (SparkSession, String) => DataFrame)
+
+/** The full query inventory (SURVEY.md §2 operators + training-data ops). */
+object Catalog {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Exact decimal cast used on both sides before summing doubles. */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  // ---------------------------------------------------------------------
+  // Relational core (SURVEY §2.2-§2.7)
+  // ---------------------------------------------------------------------
+
+  val relational: Seq[QueryDef] = Seq(
+
+    QueryDef("q01_pruned_scan",
+      "P1/P3: projection + predicate pushdown to the parquet scan " +
+        "(reference: subgraphQueryBuilder.ts:116-126,131-198).",
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem
+             |WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00' AND l_quantity < 5
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1995-06-01 00:00:00").cast("timestamp")
+          && col("l_quantity") < 5)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    QueryDef("q02_agg_pricing",
+      "A3/A6: grouped aggregation with exact decimal arithmetic " +
+        "(TPC-H Q1 shape; reference rollups §2.4).",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+             |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |        (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc,
+             |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+             |  count(*) AS n
+             |FROM lineitem
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base"),
+          round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))), 2)
+            .cast("double").as("sum_disc"),
+          round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 6).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    QueryDef("q03_topk",
+      "O1/A1: orderBy desc + limit, planned as TakeOrderedAndProject " +
+        "(no global sort; reference subgraphQueryBuilder.ts:174-198).",
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+      (s, dir) => RelOps.topK(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        10, col("o_totalprice").desc, col("o_orderkey"))),
+
+    QueryDef("q04_keyset_page",
+      "P4/O2: keyset pagination (id_gt cursor + page size) — the scale-safe " +
+        "alternative to OFFSET (reference subgraphSyncer.ts:88-133).",
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+             |FROM orders WHERE o_orderkey > 1000
+             |ORDER BY o_orderkey LIMIT 100""".stripMargin),
+      (s, dir) => RelOps.keysetPage(
+        t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        "o_orderkey", 1000L, 100)),
+
+    QueryDef("q05_in_filter",
+      "P5: IN-list predicate (reference rawState IN (...) — " +
+        "blockProposalStateStrategy.ts:20-27).",
+      Some("""SELECT o_orderkey, o_orderpriority FROM orders
+             |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")),
+
+    QueryDef("q06_semi_join",
+      "P6: existence semi-join (reference keeps only entities present in " +
+        "the schema map — blockChangeLogStrategy.ts:106-107).",
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+      (s, dir) => RelOps.semiJoin(
+        t(s, dir, "customer"),
+        t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"))
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    QueryDef("q07_anti_join",
+      "P6: anti-join (reference excludes already-existing tables — " +
+        "dbCreator.ts:199-203).",
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+      (s, dir) => RelOps.antiJoin(
+        t(s, dir, "customer"),
+        t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"))
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    QueryDef("q08_lookup_join",
+      "J1: big-fact x small-dim broadcast lookup join (reference joins DB " +
+        "proposals to an RPC multicall map — blockProposalStateStrategy.ts:110-131).",
+      Some("""SELECT o.o_orderkey, c.c_custkey, c.c_name, c.c_mktsegment
+             |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |WHERE o.o_orderstatus = 'O' AND c.c_acctbal < 0
+             |ORDER BY o.o_orderkey""".stripMargin),
+      (s, dir) => RelOps.lookupJoin(
+        t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+          .select(col("o_orderkey"), col("o_custkey").as("c_custkey")),
+        t(s, dir, "customer").filter(col("c_acctbal") < 0),
+        Seq("c_custkey"))
+        .select("o_orderkey", "c_custkey", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey")),
+
+    QueryDef("q09_fk_graph",
+      "§2.3: multi-way equi-join over the FK graph (region-nation-customer-" +
+        "orders-lineitem) with exact revenue rollup — the serving-side " +
+        "analytics the reference delegates to Postgres.",
+      Some("""SELECT r.r_name,
+             |  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+             |        (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+             |  count(*) AS n_items
+             |FROM region r
+             |JOIN nation n ON n.n_regionkey = r.r_regionkey
+             |JOIN customer c ON c.c_nationkey = n.n_nationkey
+             |JOIN orders o ON o.o_custkey = c.c_custkey
+             |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin),
+      (s, dir) => {
+        val r = broadcast(t(s, dir, "region"))
+        val n = broadcast(t(s, dir, "nation"))
+        val c = broadcast(t(s, dir, "customer"))
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(
+            round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))), 2)
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("r_name")
+      }),
+
+    QueryDef("q10_distinct",
+      "A2: distinct (reference dedups updated-entity names — " +
+        "blockChangeLogStrategy.ts:94).",
+      Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"),
+      (s, dir) => t(s, dir, "customer").select("c_mktsegment").distinct()
+        .orderBy("c_mktsegment")),
+
+    QueryDef("q11_hwm_max",
+      "A1/T5: high-water mark (max) read back from the sink before an " +
+        "incremental fetch (utils.ts:4-15).",
+      Some("SELECT max(event_id) AS hwm, count(*) AS n FROM events"),
+      (s, dir) => t(s, dir, "events")
+        .agg(max(col("event_id")).as("hwm"), count(lit(1)).as("n"))),
+
+    QueryDef("q12_union_all",
+      "O3: union-all of two source slices then re-aggregate (reference " +
+        "accumulates page results — subgraphSyncer.ts:124-127).",
+      Some("""SELECT event_type, count(*) AS n FROM (
+             |  SELECT * FROM events WHERE value < 10
+             |  UNION ALL
+             |  SELECT * FROM events WHERE value >= 10
+             |) GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        e.filter(col("value") < 10).unionAll(e.filter(col("value") >= 10))
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .orderBy("event_type")
+      }),
+
+    QueryDef("q13_daily_rollup",
+      "A6: time rollup to daily grain (reference DailyAllocation — " +
+        "config/default.yml:288-298).",
+      Some("""SELECT CAST(ts AS DATE) AS day,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+             |  count(*) AS n
+             |FROM events GROUP BY day ORDER BY day""".stripMargin),
+      (s, dir) => t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"),
+          count(lit(1)).as("n"))
+        .orderBy("day")),
+
+    QueryDef("q14_upsert_latest",
+      "K1: last-write-wins upsert semantics in batch form — newest row per " +
+        "primary key (reference INSERT..ON CONFLICT DO UPDATE — dbUpsert.ts:66-84).",
+      Some("""SELECT user_id, event_id, event_type FROM (
+             |  SELECT user_id, event_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id
+             |                       ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events
+             |) WHERE rn = 1 ORDER BY user_id""".stripMargin),
+      (s, dir) => RelOps.latestByKey(t(s, dir, "events"), Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select("user_id", "event_id", "event_type").orderBy("user_id")),
+
+    QueryDef("q15_cdc_changed",
+      "T4/A2: CDC-driven selective sync — distinct affected keys since a " +
+        "high-water mark (blockChangeLogStrategy.ts:14-116).",
+      Some("""SELECT DISTINCT user_id FROM events
+             |WHERE event_type = 'error'
+             |  AND event_id > (SELECT max(event_id) - 500 FROM events)
+             |ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        RelOps.aboveHighWaterMark(e, e, "event_id", 500L)
+          .filter(col("event_type") === "error")
+          .select("user_id").distinct().orderBy("user_id")
+      }),
+
+    QueryDef("q16_json_props",
+      "F6: JSON decode of a wire-format payload column " +
+        "(subgraphProvider.ts:192).",
+      Some("""SELECT event_id, CAST(props->>'k' AS INTEGER) AS k
+             |FROM events WHERE event_id <= 500 ORDER BY event_id""".stripMargin),
+      (s, dir) => t(s, dir, "events")
+        .filter(col("event_id") <= 500)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")),
+
+    QueryDef("q17_enum_decode",
+      "F7: enum decode via literal mapping (proposal state labels — " +
+        "blockProposalStateStrategy.ts:9-18).",
+      Some("""SELECT event_id,
+             |  CASE event_type WHEN 'signup' THEN 0 WHEN 'click' THEN 1
+             |    WHEN 'view' THEN 2 WHEN 'purchase' THEN 3 WHEN 'error' THEN 4
+             |    ELSE -1 END AS type_code
+             |FROM events WHERE event_id <= 1000 ORDER BY event_id""".stripMargin),
+      (s, dir) => t(s, dir, "events")
+        .filter(col("event_id") <= 1000)
+        .select(col("event_id"),
+          coalesce(RelOps.enumDecode(col("event_type"),
+            Seq("signup" -> 0, "click" -> 1, "view" -> 2, "purchase" -> 3,
+              "error" -> 4)), lit(-1)).as("type_code"))
+        .orderBy("event_id")),
+
+    QueryDef("q18_decimal_arith",
+      "F8/§1.2: uint256-policy decimal(38,0) arithmetic on key columns " +
+        "(the reference's NUMERIC(78,0) block math — types.ts:17-20).",
+      Some("""SELECT l_orderkey,
+             |  CAST(l_orderkey AS DECIMAL(38,0)) * 1000000000000000000
+             |    + CAST(l_partkey AS DECIMAL(38,0)) AS wei
+             |FROM lineitem WHERE l_linenumber = 1 AND l_orderkey <= 2000
+             |ORDER BY l_orderkey""".stripMargin),
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_linenumber") === 1 && col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"),
+          (col("l_orderkey").cast("decimal(38,0)") * lit(1000000000000000000L)
+            + col("l_partkey").cast("decimal(38,0)")).as("wei"))
+        .orderBy("l_orderkey")),
+
+    QueryDef("q19_sliding_window",
+      "T6: sliding re-fetch window relative to the head (reference re-pulls " +
+        "the last 25,000 blocks — blockProposalStrategy.ts:19-20).",
+      Some("""SELECT event_type, count(*) AS n FROM events
+             |WHERE event_id > (SELECT max(event_id) - 1000 FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        RelOps.slidingWindow(e, "event_id", 1000L)
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .orderBy("event_type")
+      }),
+
+    QueryDef("q20_rollup",
+      "Serving-side grouping-set rollup over the FK dimension hierarchy " +
+        "(region > nation), with explicit null ordering on both engines.",
+      Some("""SELECT r.r_name, n.n_name, count(*) AS n_cust
+             |FROM customer c
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |JOIN region r ON n.n_regionkey = r.r_regionkey
+             |GROUP BY ROLLUP(r.r_name, n.n_name)
+             |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin),
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val n = broadcast(t(s, dir, "nation"))
+        val r = broadcast(t(s, dir, "region"))
+        c.join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_cust"))
+          .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+      }),
+
+    QueryDef("q21_window_lag",
+      "Window navigation per key ordered by event time — prior-event " +
+        "linkage for incremental history tables (§1.5).",
+      Some("""SELECT user_id, event_id,
+             |  lag(event_id) OVER (PARTITION BY user_id
+             |                      ORDER BY ts, event_id) AS prev_event_id,
+             |  row_number() OVER (PARTITION BY user_id
+             |                     ORDER BY ts, event_id) AS rn
+             |FROM events WHERE user_id < 20 ORDER BY user_id, event_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events").filter(col("user_id") < 20)
+          .select(col("user_id"), col("event_id"),
+            lag(col("event_id"), 1).over(w).as("prev_event_id"),
+            row_number().over(w).as("rn"))
+          .orderBy("user_id", "event_id")
+      }),
+
+    QueryDef("q22_asof_join",
+      "As-of join: each event matched to the user's most recent order at or " +
+        "before the event time (composed from join + window; a dedicated " +
+        "custom plan is unnecessary at these cardinalities).",
+      Some("""SELECT event_id, user_id, o_orderkey FROM (
+             |  SELECT e.event_id, e.user_id, o.o_orderkey,
+             |    row_number() OVER (PARTITION BY e.event_id
+             |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+             |  FROM events e
+             |  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+             |  WHERE e.event_id <= 2000
+             |) WHERE rn = 1 ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val e = t(s, dir, "events").filter(col("event_id") <= 2000)
+          .select("event_id", "user_id", "ts")
+        val o = t(s, dir, "orders")
+        val w = Window.partitionBy("event_id")
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        e.join(o, o("o_custkey") === e("user_id") && o("o_orderdate") <= e("ts"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("event_id", "user_id", "o_orderkey")
+          .orderBy("event_id")
+      }),
+
+    QueryDef("q23_hex_roundtrip",
+      "F4: binary/hex identifier round trip (convertDbIdToHash — " +
+        "reorgCleanupStrategy.ts:12-14).",
+      Some("""SELECT doc_id, lower(hex(CAST(substr(text, 1, 16) AS BLOB))) AS hx
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          lower(hex(encode(substring(col("text"), 1, 16), "UTF-8"))).as("hx"))
+        .orderBy("doc_id"))
+  )
+
+  // ---------------------------------------------------------------------
+  // Training-data pipeline: text analysis (TextOps)
+  // ---------------------------------------------------------------------
+
+  /** DuckDB fragment for lowercase word tokens — mirrors TextOps.tokens. */
+  private val sqlToks = "regexp_extract_all(lower(text), '[a-z]+')"
+
+  val textual: Seq[QueryDef] = Seq(
+
+    QueryDef("q24_token_stats",
+      "Token counting: whitespace tokens + a BPE-ish subword count, " +
+        "all codegen'd regexp expressions.",
+      Some(s"""SELECT doc_id, length(text) AS chars,
+             |  len(regexp_extract_all(text, '\\S+')) AS ws_tokens,
+             |  len(regexp_extract_all(lower(text),
+             |      '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\\s]')) AS subwords
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("chars"),
+          TextOps.tokenCount(col("text")).as("ws_tokens"),
+          TextOps.subwordCount(col("text")).as("subwords"))
+        .orderBy("doc_id")),
+
+    QueryDef("q25_quality_score",
+      "Quality scoring: length / punctuation / stopword-ratio heuristic in " +
+        "pure integer arithmetic (oracle-reproducible).",
+      Some(s"""SELECT doc_id,
+             |  CAST(floor(1000 * (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+             |       / greatest(length(text), 1)) AS BIGINT) AS punct_mil,
+             |  CAST(floor(1000 * len(list_filter($sqlToks,
+             |         w -> w IN ('the','a','and','of','to','in','is')))
+             |       / greatest(len($sqlToks), 1)) AS BIGINT) AS stop_mil,
+             |  CAST(greatest(0, least(1000,
+             |    least(length(text), 400)
+             |    + least(CAST(floor(1000 * len(list_filter($sqlToks,
+             |          w -> w IN ('the','a','and','of','to','in','is')))
+             |        / greatest(len($sqlToks), 1)) AS BIGINT) * 3, 300)
+             |    + 300
+             |    - least(CAST(floor(1000 * (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+             |        / greatest(length(text), 1)) AS BIGINT), 300))) AS BIGINT) AS quality_mil
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.punctRatioMil(col("text")).as("punct_mil"),
+          TextOps.stopwordRatioMil(col("text")).as("stop_mil"),
+          TextOps.qualityScoreMil(col("text")).as("quality_mil"))
+        .orderBy("doc_id")),
+
+    QueryDef("q26_langid",
+      "Language-ID n-gram/stopword heuristic with deterministic argmax.",
+      Some {
+        val langs = TextOps.langMarkers.keys.toSeq.sorted
+        val hitExprs = langs.map { l =>
+          val in = TextOps.langMarkers(l).map(w => s"'$w'").mkString(", ")
+          s"len(list_filter($sqlToks, w -> w IN ($in))) AS h_$l"
+        }.mkString(",\n  ")
+        val maxExpr = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+        val nWin = langs.map(l => s"CASE WHEN h_$l = mx THEN 1 ELSE 0 END").mkString(" + ")
+        val firstWin = langs.reverse.foldLeft("NULL") { (acc, l) =>
+          s"CASE WHEN h_$l = mx THEN '$l' ELSE $acc END"
+        }
+        s"""WITH h AS (SELECT doc_id, lang, $hitExprs FROM documents),
+           |m AS (SELECT *, $maxExpr AS mx FROM h)
+           |SELECT doc_id, lang, CASE WHEN mx = 0 OR ($nWin) > 1
+           |  THEN 'und' ELSE ($firstWin) END AS guess
+           |FROM m ORDER BY doc_id""".stripMargin
+      },
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.langId(col("text")).as("guess"))
+        .orderBy("doc_id")),
+
+    QueryDef("q27_fingerprint",
+      "Document fingerprinting: md5 of whitespace-normalized text (stable " +
+        "across engines).",
+      Some("""SELECT doc_id,
+             |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    QueryDef("q28_dedup_exact",
+      "Exact dedup: hash-groupBy on the content fingerprint; keeper = " +
+        "min doc_id per group (one shuffle on the hash).",
+      Some("""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+             |  min(doc_id) AS keeper, count(*) AS n
+             |FROM documents GROUP BY fp ORDER BY fp""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+        .orderBy("fp")),
+
+    QueryDef("q29_dedup_minhash",
+      "Near-dup detection: MinHash(128) -> 32 LSH bands -> candidate pairs " +
+        "-> exact 3-gram-shingle Jaccard >= 0.5. The oracle computes " +
+        "exhaustive Jaccard; the planted near-dups sit at j>=0.9 with the " +
+        "organic background at j<=0.07, so band recall is exact here " +
+        "(miss probability (1-0.9^4)^32 ~ 1e-15).",
+      Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') w
+             |  FROM documents),
+             |sh AS (SELECT doc_id, CASE WHEN len(w) < 3
+             |    THEN [array_to_string(w, ' ')]
+             |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |                        for i in range(1, len(w) - 1)]) END AS s
+             |  FROM toks),
+             |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |      / len(list_distinct(list_concat(a.s, b.s))) AS j
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+             |SELECT a_id, b_id, round(j, 4) AS jac FROM p
+             |WHERE j >= 0.5 ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sigs = TextOps.minhashSignatures(docs, "doc_id", col("text"), 3, 128)
+        val banded = sigs.select(col("doc_id"),
+          explode(TextOps.minhashBands(32, 4)).as("band"))
+        val cands = banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+        val sets = docs.select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
+        val a = sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+        val b = sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+        cands.join(a, "a_id").join(b, "b_id")
+          .withColumn("j", TextOps.jaccard(col("a_sh"), col("b_sh")))
+          .filter(col("j") >= 0.5)
+          .select(col("a_id"), col("b_id"), round(col("j"), 4).as("jac"))
+          .orderBy("a_id", "b_id")
+      }),
+
+    QueryDef("q30_simhash",
+      "SimHash document signatures (16-bit, md5-derived word hashes so the " +
+        "SQL oracle reproduces every bit).",
+      Some("""WITH w AS (SELECT doc_id,
+             |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+             |  FROM documents),
+             |wc AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word),
+             |h AS (SELECT doc_id, cnt,
+             |    CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS hv
+             |  FROM wc),
+             |bits AS (SELECT doc_id, t.b,
+             |    sum(CASE WHEN (hv >> CAST(t.b AS INTEGER)) & 1 = 1
+             |             THEN cnt ELSE -cnt END) AS sgn
+             |  FROM h, range(16) t(b) GROUP BY doc_id, t.b)
+             |SELECT doc_id,
+             |  CAST(sum(CASE WHEN sgn >= 0
+             |       THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER) ELSE 0 END) AS BIGINT) AS simhash
+             |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => TextOps.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    QueryDef("q31_simhash_neardup",
+      "SimHash near-dup pairs: hamming distance <= 2 over the 16-bit " +
+        "signature. Spark prunes candidates by 4-bit bands (pigeonhole: " +
+        "hamming<=2 over 4 bands guarantees a shared band, so recall is " +
+        "exactly 1); the oracle compares all pairs.",
+      Some("""WITH w AS (SELECT doc_id,
+             |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+             |  FROM documents),
+             |wc AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word),
+             |h AS (SELECT doc_id, cnt,
+             |    CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS hv
+             |  FROM wc),
+             |bits AS (SELECT doc_id, t.b,
+             |    sum(CASE WHEN (hv >> CAST(t.b AS INTEGER)) & 1 = 1
+             |             THEN cnt ELSE -cnt END) AS sgn
+             |  FROM h, range(16) t(b) GROUP BY doc_id, t.b),
+             |sig AS (SELECT doc_id,
+             |    CAST(sum(CASE WHEN sgn >= 0
+             |         THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER) ELSE 0 END) AS BIGINT) AS sh
+             |  FROM bits GROUP BY doc_id)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS dist
+             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sh, b.sh)) <= 2
+             |ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => {
+        val sig = TextOps.simhash(t(s, dir, "documents"), "doc_id", "text")
+        // 4 bands of 4 bits; hamming<=2 with 4 bands => >=1 identical band
+        val banded = sig.withColumn("banded", explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L)).as("key"))): _*)))
+        val cands = banded.as("x").join(banded.as("y"),
+            col("x.banded") === col("y.banded")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("x.simhash").as("a_sh"),
+            col("y.doc_id").as("b_id"), col("y.simhash").as("b_sh"))
+          .distinct()
+        cands
+          .withColumn("dist", TextOps.hamming(col("a_sh"), col("b_sh")).cast("int"))
+          .filter(col("dist") <= 2)
+          .select("a_id", "b_id", "dist")
+          .orderBy("a_id", "b_id")
+      })
+  )
+
+  // ---------------------------------------------------------------------
+  // Training-data pipeline: similarity search + multimodal (SimOps)
+  // ---------------------------------------------------------------------
+
+  /** DuckDB fragment: exact double-precision dot product of two float
+    * lists in index order — mirrors SimOps.dot.
+    */
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def sqlCosine(a: String, b: String): String =
+    s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
+
+  val similarity: Seq[QueryDef] = Seq(
+
+    QueryDef("q32_cosine_topk",
+      "Similarity search baseline: exact cosine top-5 per query vector " +
+        "(query side broadcast; corpus never shuffles).",
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
+             |      WHERE vec_id % 100 = 0),
+             |p AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             |    ${sqlCosine("q.qv", "e.embedding")} AS c
+             |  FROM q JOIN e ON e.vec_id <> q.query_id),
+             |r AS (SELECT query_id, neighbor_id, c,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY c DESC, neighbor_id) AS rank
+             |  FROM p)
+             |SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        SimOps.bruteForceTopK(
+          e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding", 5)
+          .orderBy("query_id", "rank")
+      }),
+
+    QueryDef("q33_embed_neardup",
+      "Embedding-cosine near-dup pairs (threshold 0.45). Exact pair join " +
+        "here (oracle-checkable); at 100 TB the candidate set comes from " +
+        "SimOps.lshTopK bucketing instead.",
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |    ${sqlCosine("a.embedding", "b.embedding")} AS c
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             |SELECT a_id, b_id, round(c, 6) AS cosine FROM p
+             |WHERE round(c, 6) >= 0.45 ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => SimOps.cosineNearDupPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        .orderBy("a_id", "b_id")),
+
+    QueryDef("q34_ann_lsh",
+      "ANN scale path: random-hyperplane LSH bucketing + exact re-rank. " +
+        "Approximate by design -> no SQL oracle (driver rows-only check); " +
+        "recall vs the exact baseline is asserted in AnnSpec.",
+      None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        SimOps.lshTopK(e.filter(col("vec_id") % 100 === 0), e,
+          "vec_id", "embedding", 5)
+          .orderBy("query_id", "rank")
+      }),
+
+    QueryDef("q35_multimodal_meta",
+      "Multimodal plumbing: opaque binary payload column + typed metadata " +
+        "extraction (the decode itself is the deterministic stub in " +
+        "MultimodalOps; here the SQL-expressible byte-level metadata).",
+      Some("""SELECT doc_id, octet_length(CAST(text AS BLOB)) AS bytes,
+             |  octet_length(CAST(text AS BLOB)) % 640 AS fake_width,
+             |  (octet_length(CAST(text AS BLOB)) * 31) % 480 AS fake_height
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        .select(col("doc_id"), length(col("blob")).as("bytes"),
+          (length(col("blob")) % 640).as("fake_width"),
+          (length(col("blob")) * 31 % 480).as("fake_height"))
+        .orderBy("doc_id"))
+  )
+
+  // ---------------------------------------------------------------------
+  // Assembled inventory
+  // ---------------------------------------------------------------------
+
+  def all: Seq[QueryDef] = relational ++ textual ++ similarity
+
+  def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical SparkSession for the graft engine.
+  *
+  * - shuffle partitions sized to the local core count (not 200);
+  * - AQE on (runtime coalescing + skew-join handling at scale);
+  * - UTC session time zone for oracle parity;
+  * - nanosecond parquet timestamps surfaced as long (converted to
+  *   microsecond timestamps in [[Tables.load]] — the test data is
+  *   microsecond-resolution, so the conversion is lossless).
+  */
+object GraftSession {
+
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Session for driver entry points: core count from SPARK_GRAFT_CPUS. */
+  def create(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

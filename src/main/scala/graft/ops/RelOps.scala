@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational dataflow operators — the SURVEY.md §2 inventory re-expressed
+  * as composable `DataFrame => DataFrame` combinators.
+  *
+  * Each operator is declarative (Catalyst-optimizable): filters and
+  * projections push down to the parquet scan, small-side joins broadcast,
+  * aggregations get map-side partial combine. Nothing here collects to the
+  * driver, so every combinator scales with the cluster.
+  */
+object RelOps {
+
+  /** Column projection with pushdown (reference: request exactly the
+    * configured columns from the source — subgraphQueryBuilder.ts:116-126).
+    * In Spark this is a plain select; Catalyst prunes the scan.
+    */
+  def project(df: DataFrame, cols: String*): DataFrame =
+    df.select(cols.map(col): _*)
+
+  /** FK flatten: nested `{id}` struct column -> scalar id column
+    * (reference: dbUpsert.ts:13-21). Also drops columns not in `keep`.
+    */
+  def flattenRefs(df: DataFrame, refCols: Seq[String], keep: Seq[String]): DataFrame = {
+    val flattened = refCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, col(s"$c.id"))
+    }
+    flattened.select(keep.map(col): _*)
+  }
+
+  /** Keyset pagination page: the reference's `id_gt: lastId, first: n`
+    * incremental scan (subgraphSyncer.ts:88-133). At scale this is how a
+    * source is consumed without OFFSET (which re-reads skipped rows).
+    */
+  def keysetPage(df: DataFrame, keyCol: String, after: Long, pageSize: Int): DataFrame =
+    df.filter(col(keyCol) > lit(after)).orderBy(col(keyCol)).limit(pageSize)
+
+  /** Top-K: `orderBy X desc, first: N` pushed sort+limit
+    * (subgraphQueryBuilder.ts:174-198). Spark plans TakeOrderedAndProject —
+    * no global sort, each partition keeps K rows then the driver merges.
+    */
+  def topK(df: DataFrame, n: Int, sortCols: Column*): DataFrame =
+    df.orderBy(sortCols: _*).limit(n)
+
+  /** Existence semi-join (reference keeps only entity names present in the
+    * schema map — blockChangeLogStrategy.ts:106-107).
+    */
+  def semiJoin(df: DataFrame, other: DataFrame, keys: Seq[String]): DataFrame =
+    df.join(other, keys, "left_semi")
+
+  /** Anti-join (reference excludes LastProcessedBlock / already-existing
+    * tables — main.ts:23, dbCreator.ts:199-203).
+    */
+  def antiJoin(df: DataFrame, other: DataFrame, keys: Seq[String]): DataFrame =
+    df.join(other, keys, "left_anti")
+
+  /** Lookup join of a big fact against a small dimension (reference joins DB
+    * proposals to an RPC multicall result map — blockProposalStateStrategy
+    * .ts:110-131). Broadcast so the fact side never shuffles.
+    */
+  def lookupJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 joinType: String = "inner"): DataFrame =
+    big.join(broadcast(small), keys, joinType)
+
+  /** Last-write-wins dedup by primary key — the batch equivalent of the
+    * reference's `INSERT .. ON CONFLICT(pk) DO UPDATE` upsert
+    * (dbUpsert.ts:66-84): keep the newest version of each key.
+    * One shuffle on the PK; ties broken deterministically by `tieBreak`.
+    */
+  def latestByKey(df: DataFrame, partitionCols: Seq[String],
+                  orderDesc: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderDesc: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** High-water mark: `max(blockNumber)` read back from the sink before an
+    * incremental fetch (blockStakingHistoryStrategy.ts:32-38). Returns a
+    * 1-row DataFrame so it can be cross-joined (scalar subquery) without a
+    * driver round trip.
+    */
+  def highWaterMark(df: DataFrame, c: String): DataFrame =
+    df.agg(max(col(c)).as("hwm"))
+
+  /** Rows above a high-water mark computed from the same (or another)
+    * table — incremental sync (T5) without collecting the mark to the
+    * driver: a broadcast nested-loop join against the 1-row mark.
+    */
+  def aboveHighWaterMark(df: DataFrame, markOf: DataFrame, c: String,
+                         lookback: Long = 0L): DataFrame = {
+    val mark = broadcast(markOf.agg(max(col(c)).as("__hwm")))
+    df.join(mark, col(c) > col("__hwm") - lit(lookback)).drop("__hwm")
+  }
+
+  /** Sliding re-fetch window (reference re-pulls proposals from the last
+    * 25,000 blocks each run — blockProposalStrategy.ts:19-20,47-53).
+    */
+  def slidingWindow(df: DataFrame, c: String, width: Long): DataFrame =
+    aboveHighWaterMark(df, df, c, width)
+
+  /** Enum decode: uint8 state -> label lookup
+    * (blockProposalStateStrategy.ts:9-18,71-84).
+    */
+  def enumDecode(c: Column, mapping: Seq[(String, Int)]): Column =
+    mapping.foldLeft(lit(null).cast("int")) { case (acc, (label, code)) =>
+      when(c === lit(label), lit(code)).otherwise(acc)
+    }
+
+}

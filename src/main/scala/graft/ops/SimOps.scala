@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators over an embedding column (`array<float>`):
+  * exact cosine top-k (baseline), LSH-bucketed ANN (scale path), and
+  * cosine near-duplicate pair detection.
+  *
+  * Dot products are computed with `zip_with` + `aggregate` in index order
+  * and double precision, which keeps the arithmetic deterministic and
+  * matches a SQL oracle that sums elementwise products. All pair
+  * generation is expressed as joins so Spark distributes it; the
+  * brute-force variants are O(n^2) by construction and exist as the
+  * correctness baseline — the LSH path is what runs at 100 TB.
+  */
+object SimOps {
+
+  /** Elementwise dot product of two float arrays, in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k nearest neighbors (cosine) for each query vector.
+    *
+    * `queries` and `corpus` both carry (idCol, vecCol). Broadcasts the
+    * query side — at scale the query set is small relative to the corpus,
+    * so the corpus never shuffles; top-k per query uses a window over the
+    * (small) candidate set.
+    *
+    * Norms are precomputed once per vector below the join (a projection on
+    * each join child — CollapseProject cannot inline it into the pair
+    * expression across the join), so each pair costs one dot product, not
+    * three. The division `dot / (qn * cn)` keeps the exact arithmetic
+    * shape of the SQL oracle, so results stay bit-identical.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("__rn").as("rank"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates are corpus vectors sharing
+    * any of `tables` independent signatures with the query; exact cosine
+    * re-rank within candidates. Recall < 1 by design (measured in tests);
+    * the shuffle is by bucket key, never all-pairs.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, planes: Int = 12, tables: Int = 6): DataFrame = {
+    def sigs(df: DataFrame, id: String): DataFrame =
+      df.select(Seq(col(idCol).as(id), col(vecCol).as(s"__v_$id"),
+        norm(col(vecCol)).as(s"__n_$id")) ++
+        (0 until tables).map(tb =>
+          lshTableSignature(col(vecCol), planes, tb).as(s"__sig$tb")): _*)
+    val q = sigs(queries, "query_id")
+    val c = sigs(corpus, "neighbor_id")
+    val qe = q.select(col("query_id"), col("__v_query_id"), col("__n_query_id"),
+      explode(array((0 until tables).map(tb =>
+        struct(lit(tb).as("t"), col(s"__sig$tb").as("s"))): _*)).as("__b"))
+    val ce = c.select(col("neighbor_id"), col("__v_neighbor_id"), col("__n_neighbor_id"),
+      explode(array((0 until tables).map(tb =>
+        struct(lit(tb).as("t"), col(s"__sig$tb").as("s"))): _*)).as("__b"))
+    val cands = qe.join(ce, qe("__b") === ce("__b")
+        && col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "__v_query_id", "__n_query_id",
+        "neighbor_id", "__v_neighbor_id", "__n_neighbor_id")
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cands.withColumn("cosine", dot(col("__v_query_id"), col("__v_neighbor_id"))
+        / (col("__n_query_id") * col("__n_neighbor_id")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("__rn").as("rank"))
+  }
+
+  /** Signature for LSH table `tb` — planes seeded by (tb, p). */
+  def lshTableSignature(vec: Column, planes: Int, tb: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, i) => v.cast("double") *
+            when(pmod(xxhash64(lit(tb * 1000 + p), i), lit(2)) === 0, lit(1.0))
+              .otherwise(lit(-1.0))),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce[Column](_ + _)
+
+  /** All pairs (a < b) with cosine >= threshold — embedding near-dup
+    * detection. Exact join formulation (the oracle-checkable baseline);
+    * at 100 TB swap the cross join for `lshTopK`-style bucketing.
+    */
+  def cosineNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val a = vecs.select(col(idCol).as("a_id"), col(vecCol).as("__av"),
+      norm(col(vecCol)).as("__an"))
+    val b = vecs.select(col(idCol).as("b_id"), col(vecCol).as("__bv"),
+      norm(col(vecCol)).as("__bn"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cosine", dot(col("__av"), col("__bv")) / (col("__an") * col("__bn")))
+      .filter(round(col("cosine"), 6) >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
+  }
+}

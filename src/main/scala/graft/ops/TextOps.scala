@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, language ID, quality scoring, fingerprinting, shingling,
+  * MinHash, and SimHash.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * column expressions — no UDFs — so whole-stage codegen applies and the
+  * operators scale linearly with partitions. Where a value must also be
+  * reproducible by an external SQL oracle (fingerprints, SimHash), the
+  * hash is derived from md5 (stable across engines) rather than Spark's
+  * engine-specific xxhash64.
+  */
+object TextOps {
+
+  /** Lowercase word tokens (letter runs). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+
+  /** Whitespace-delimited token count (the cheap "token counting" pass). */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** A BPE-ish subword count: word-piece runs of <=4 chars. Approximates
+    * LLM token counts without a vocab file.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\\s]"),
+      lit(0)))
+
+  /** Stable 64-bit hash of a string, reproducible in ANSI SQL:
+    * first 15 hex digits of md5 parsed base-16 (60 bits, positive).
+    */
+  def stableHash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text
+    * (document fingerprinting; exact-dup key).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Punctuation ratio scaled by 1000 and truncated — integer arithmetic so
+    * any SQL oracle agrees bit-for-bit.
+    */
+  def punctRatioMil(text: Column): Column =
+    floor(lit(1000) * (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", "")))
+      / greatest(length(text), lit(1))).cast("long")
+
+  /** Stopword ratio (per-mille, integer) against a fixed tiny list. */
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  def stopwordRatioMil(text: Column): Column = {
+    val toks = tokens(text)
+    val stops = filter(toks, t => t.isInCollection(stopwords))
+    floor(lit(1000) * size(stops) / greatest(size(toks), lit(1))).cast("long")
+  }
+
+  /** Heuristic quality score in [0,1000]: penalizes too-short docs, heavy
+    * punctuation, and stopword-free (unnatural) text. Integer arithmetic.
+    */
+  def qualityScoreMil(text: Column): Column = {
+    val lenScore = least(length(text), lit(400)) // up to 400
+    val punctPenalty = least(punctRatioMil(text), lit(300)) // up to -300
+    val stopScore = least(stopwordRatioMil(text) * 3, lit(300)) // up to 300
+    greatest(lit(0), least(lit(1000), lenScore + stopScore + lit(300) - punctPenalty))
+      .cast("long")
+  }
+
+  /** N-gram (word) shingles as distinct strings: "w1 w2 .. wn".
+    *
+    * Built by zipping the token array with its own shifted copies —
+    * `zip_with` evaluates its array arguments once per ROW, whereas an
+    * index-lambda (`transform(sequence(..), i => slice(toks, i, n))`)
+    * re-evaluates the token expression per ELEMENT, which turns the
+    * upstream regex tokenizer into O(words^2) work.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val grams = (1 until n).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j + 1), size(toks)),
+        (a, b) => concat(a, lit(" "), b)) // concat -> null when b is null
+    }
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(filter(grams, g => g.isNotNull)))
+  }
+
+  /** MinHash signatures, relational formulation: explode shingles, then one
+    * groupBy(doc) with k `min(xxhash64(shingle, seed))` aggregates.
+    *
+    * This shape matters at scale: the shingle expression is evaluated once
+    * per document (the Generate node is a projection barrier), each
+    * aggregate gets map-side partial combine, and nothing ever holds a
+    * k-wide expression tree per row. The alternative — k `transform`
+    * lambdas over a shingle column — inlines the shingle expression k
+    * times after projection collapse and runs interpreted, O(k * words)
+    * regex evaluations per row.
+    *
+    * Output: (docCol, m0..m{k-1}: long minima). Permutation i is
+    * xxhash64(shingle, i) — engine-internal is fine because signatures only
+    * bucket candidates and are never compared against an oracle.
+    */
+  def minhashSignatures(df: DataFrame, docCol: String, text: Column, n: Int,
+                        k: Int): DataFrame = {
+    val exploded = df.select(col(docCol), explode(shingles(text, n)).as("__s"))
+    val aggs = (0 until k).map(i => min(xxhash64(col("__s"), lit(i))).as(s"m$i"))
+    exploded.groupBy(col(docCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band keys from the m0..m{k-1} signature columns of
+    * [[minhashSignatures]]: one hash per band of `rowsPerBand` minima.
+    */
+  def minhashBands(bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(concat_ws("_",
+        (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*), lit(b))
+    }: _*)
+
+  /** Exact Jaccard similarity of two pre-distinct shingle arrays. Integer
+    * size ratio — deterministic across engines.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Column-level SimHash vote for one bit of a word hash. */
+  private def bitVote(hv: Column, cnt: Column, bit: Int): Column =
+    when(shiftright(hv, bit).bitwiseAND(lit(1L)) === 1L, cnt).otherwise(-cnt)
+
+  /** Portable 16-bit SimHash over (word, count) pairs, md5-derived so a SQL
+    * oracle reproduces it exactly: bit j of the hash of each distinct word
+    * votes +count / -count; the sign of the tally sets bit j.
+    *
+    * Input: DataFrame with (docCol, textCol). Output: (docCol, simhash).
+    * Implemented as relational ops (explode -> groupBy) rather than one
+    * mega-expression: the shuffle key is (doc, word) and scales.
+    */
+  def simhash(df: DataFrame, docCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(docCol), explode(tokens(col(textCol))).as("__w"))
+      .groupBy(col(docCol), col("__w")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__hv", stableHash64(col("__w")))
+    val votes = (0 until 16).map(b =>
+      sum(bitVote(col("__hv"), col("__cnt"), b)).as(s"__s$b"))
+    val tallies = words.groupBy(col(docCol)).agg(votes.head, votes.tail: _*)
+    val hashExpr = (0 until 16).map(b =>
+      when(col(s"__s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tallies.select(col(docCol), hashExpr.cast("long").as("simhash"))
+  }
+
+  /** Hamming distance between two small hashes (for SimHash dedup). */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Language-ID heuristic: per-language stopword hit counts; argmax with
+    * deterministic tie-break on language code order. Counts are integers ->
+    * oracle-reproducible.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "de" -> Seq("der", "und", "die", "ist", "das"),
+    "es" -> Seq("el", "los", "que", "es", "las"),
+    "fr" -> Seq("le", "les", "est", "et", "dans"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo"))
+
+  def langHits(text: Column, markers: Seq[String]): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isInCollection(markers)))
+  }
+
+  /** Best-guess language: highest marker-hit count, ties -> 'und'ecided
+    * unless one language strictly wins.
+    */
+  def langId(text: Column): Column = {
+    val langs = langMarkers.keys.toSeq.sorted
+    val hits = langs.map(l => langHits(text, langMarkers(l)))
+    val maxHits = hits.reduce((a, b) => greatest(a, b))
+    val winners = langs.zip(hits).map { case (l, h) =>
+      when(h === maxHits && maxHits > 0, lit(l)).otherwise(lit(null))
+    }
+    val nWinners = winners.map(w => when(w.isNotNull, 1).otherwise(0)).reduce(_ + _)
+    when(maxHits === 0 || nWinners > 1, lit("und"))
+      .otherwise(coalesce(winners: _*))
+  }
+}

@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Dev-only pre-flight for the driver's correctness gate.
+
+Replicates the driver's t2 check locally: runs graft.Verify at a given
+scale factor (Spark results -> parquet + oracle_sql.json), then executes
+each oracle in DuckDB over the same source tables and compares values.
+
+Uses driver-side python deps (duckdb/pyarrow) — this script is tooling,
+not part of the Spark library.
+
+Usage: python3 tools/local_verify.py [sfdir] [outdir] [--skip-spark]
+"""
+import json
+import math
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def run_spark():
+    cmd = ["sbt", f'runMain graft.Verify {SF} {OUT}']
+    print(f"[local_verify] {' '.join(cmd)}")
+    r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stdout[-4000:])
+        print(r.stderr[-4000:])
+        sys.exit("spark verify failed")
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v!r}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    return str(v)
+
+
+def main():
+    if "--skip-spark" not in sys.argv:
+        run_spark()
+    oracles = json.loads((OUT / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        pq_dir = OUT / name
+        try:
+            oracle = con.execute(sql).fetchall()
+            ocols = [d[0] for d in con.description]
+            got_rel = con.execute(
+                f"SELECT * FROM '{pq_dir}/*.parquet'")
+            gcols = [d[0] for d in got_rel.description]
+            got = got_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        # driver sorts columns by name before hashing values
+        o_ix = sorted(range(len(ocols)), key=lambda i: ocols[i])
+        g_ix = sorted(range(len(gcols)), key=lambda i: gcols[i])
+        if sorted(ocols) != sorted(gcols):
+            print(f"FAIL {name}: columns differ spark={sorted(gcols)} "
+                  f"oracle={sorted(ocols)}")
+            n_fail += 1
+            continue
+        o_rows = [tuple(norm(r[i]) for i in o_ix) for r in oracle]
+        g_rows = [tuple(norm(r[i]) for i in g_ix) for r in got]
+        if len(o_rows) != len(g_rows):
+            print(f"FAIL {name}: rowcount spark={len(g_rows)} "
+                  f"oracle={len(o_rows)}")
+            n_fail += 1
+            continue
+        if o_rows != g_rows:
+            # also try order-insensitive compare to localize the issue
+            if sorted(o_rows) == sorted(g_rows):
+                print(f"WARN {name}: values match but row ORDER differs")
+            else:
+                diffs = [(a, b) for a, b in zip(o_rows, g_rows) if a != b][:3]
+                print(f"FAIL {name}: values differ, first diffs: {diffs}")
+                n_fail += 1
+                continue
+        n_pass += 1
+        print(f"PASS {name} ({len(g_rows)} rows)")
+    print(f"\n[local_verify] {n_pass} pass / {n_fail} fail "
+          f"({len(oracles)} oracles)")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
