@@ -630,8 +630,10 @@ object Catalog {
       None,
       (s, dir) => {
         val e = t(s, dir, "embeddings")
+        // short signatures / many tables: this corpus's neighbors are
+        // weakly similar (cos ~0.45) — see SimOpsSpec recall analysis
         SimOps.lshTopK(e.filter(col("vec_id") % 100 === 0), e,
-          "vec_id", "embedding", 5)
+          "vec_id", "embedding", 5, planes = 4, tables = 16)
           .orderBy("query_id", "rank")
       }),
 

