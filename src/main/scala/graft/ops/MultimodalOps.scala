@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing for a training-data pipeline: image/audio/
+  * video payloads travel as opaque `binary` columns next to typed
+  * metadata, and decode/feature-extraction runs per-partition over
+  * batches of payloads.
+  *
+  * The Spark-side plumbing — schema, partition sizing, batch shape,
+  * deterministic outputs — is real and tested. The decode itself is a
+  * STUB (`FakeCodec`): the real codec libraries (JPEG/PNG/ffmpeg) are not
+  * in this environment, so it derives deterministic pseudo-features from
+  * the bytes. Swapping in a real codec changes only `Codec.decode`.
+  *
+  * At 100 TB: payloads dominate row size, so `maxPartitionBytes` (not row
+  * count) sizes tasks; the mapPartitions boundary below is where a real
+  * pipeline amortizes model/codec initialization per task rather than
+  * per row — exactly the shape a Pandas-UDF/`mapInPandas` batch has in
+  * PySpark.
+  */
+object MultimodalOps {
+
+  /** Typed metadata produced by decoding one payload. */
+  final case class MediaMeta(
+      doc_id: Long,
+      bytes: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      durationMs: Long)
+
+  /** The codec boundary: bytes in, typed metadata + feature vector out. */
+  trait Codec extends Serializable {
+    def decode(id: Long, payload: Array[Byte]): MediaMeta
+    def features(payload: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** Deterministic stand-in for the real decoder (no codec libs in this
+    * container). Pseudo-features are a rolling byte hash — stable across
+    * runs and partitionings.
+    */
+  object FakeCodec extends Codec {
+    def decode(id: Long, payload: Array[Byte]): MediaMeta = {
+      val n = payload.length.toLong
+      MediaMeta(id, n, (n % 640).toInt, (n * 31 % 480).toInt,
+        channels = 3, durationMs = n % 3600)
+    }
+
+    def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < payload.length) {
+        h = 31 * h + payload(i)
+        out(i % dim) += ((h % 1000) / 1000.0f)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Attach an opaque payload column (here derived from text — the test
+    * corpus has no binary column; a real pipeline reads
+    * `spark.read.format("binaryFile")` or parquet with a binary field).
+    */
+  def withPayload(df: DataFrame, sourceCol: String): DataFrame =
+    df.withColumn("payload", encode(col(sourceCol), "UTF-8"))
+
+  /** Batch decode: one codec instance per PARTITION (the expensive init
+    * amortizes across the batch), typed Dataset out.
+    */
+  def decodeMeta(df: DataFrame, idCol: String, codec: Codec): Dataset[MediaMeta] = {
+    val rows = df.select(col(idCol).cast("long"), col("payload"))
+    rows.mapPartitions { it =>
+      // per-partition codec setup happens here in a real implementation
+      it.map(r => codec.decode(r.getLong(0), r.getAs[Array[Byte]](1)))
+    }(Encoders.product[MediaMeta])
+  }
+
+  /** (id, feature-vector) row. */
+  final case class Feature(id: Long, embedding: Array[Float])
+
+  /** Batch feature extraction -> (id, embedding) ready for SimOps. */
+  def extractFeatures(df: DataFrame, idCol: String, codec: Codec,
+                      dim: Int = 64): DataFrame = {
+    val rows = df.select(col(idCol).cast("long"), col("payload"))
+    rows.mapPartitions { it =>
+      it.map(r => Feature(r.getLong(0), codec.features(r.getAs[Array[Byte]](1), dim)))
+    }(Encoders.product[Feature])
+      .toDF(idCol, "embedding")
+  }
+}

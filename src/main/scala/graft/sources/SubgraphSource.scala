@@ -114,19 +114,22 @@ final class SubgraphSource(provider: ProviderConfig, transport: Transport) {
       orderBy = Some("id"), first = Some(pageSize))
 
     @tailrec
-    def loop(spec: QuerySpec, acc: Vector[Map[String, Any]]): Vector[Map[String, Any]] = {
+    def loop(spec: QuerySpec, cursor: String,
+             acc: Vector[Map[String, Any]]): Vector[Map[String, Any]] = {
       val res = execute(Seq(spec), withMetadata = false)
       val key = s"${SubgraphQueryBuilder.resultKey(entity.name)}_0"
       val page = res.records.getOrElse(key, Seq.empty)
       val all = acc ++ page
       if (page.size < pageSize) all
       else page.last.get("id") match {
-        case Some(last: String) =>
-          loop(SubgraphQueryBuilder.nextPage(spec, last), all)
+        // a non-advancing cursor means the server is misbehaving — stop
+        // rather than loop forever on the same page
+        case Some(last: String) if last > cursor =>
+          loop(SubgraphQueryBuilder.nextPage(spec, last), last, all)
         case _ => all
       }
     }
-    loop(base, Vector.empty)
+    loop(base, "0x00", Vector.empty)
   }
 }
 

@@ -1,0 +1,71 @@
+package graft.sync
+
+import org.apache.spark.sql.SparkSession
+
+import graft.model.{EntityDef, GraftConfig}
+import graft.sink.{Retry, UpsertSink}
+import graft.sources.{SubgraphSource, Transport}
+
+/** Batch ETL driver — the reference's initial-sync lifecycle (SURVEY
+  * §3.1, src/app/main.ts:9-34 + src/handlers/subgraphSyncer.ts):
+  *
+  *  1. entities are grouped by subgraph provider (G1) — one connector per
+  *     source;
+  *  2. each entity is scanned with batched, keyset-paginated GraphQL
+  *     (S1/O2) — pagination lives inside the connector, invisible here;
+  *  3. records flatten FK objects and coerce wire types into the resolved
+  *     StructType (P2/F6);
+  *  4. the sink merges by primary key with retry/backoff (K1/R1) —
+  *     re-running a sync is idempotent.
+  *
+  * `LastProcessedBlock` is excluded like the reference excludes it from
+  * entity sync (main.ts:23): progress bookkeeping belongs to the
+  * streaming layer, not the entity scan.
+  */
+final class Syncer(spark: SparkSession, config: GraftConfig,
+                   transport: Transport, sink: UpsertSink) {
+
+  private val sources: Map[String, SubgraphSource] =
+    config.providers.map { case (name, p) => name -> new SubgraphSource(p, transport) }
+
+  def syncableEntities: Seq[EntityDef] =
+    config.schema.entities.values.filterNot(_.name == "LastProcessedBlock").toSeq
+
+  /** Sync one entity end-to-end; returns rows upserted. */
+  def syncEntity(entity: EntityDef,
+                 where: Map[String, Any] = Map.empty): Long = {
+    val source = sources.getOrElse(entity.subgraphProvider,
+      throw new IllegalArgumentException(
+        s"${entity.name}: unknown provider ${entity.subgraphProvider}"))
+    val records = source.fetchAll(entity, where)
+    if (records.isEmpty) 0L
+    else {
+      val df = SubgraphSource.toDataFrame(spark, config.schema, entity, records)
+      Retry.withBackoff(config.database.maxRetries,
+        config.database.initialRetryDelay) { () =>
+        sink.merge(entity.name, df, entity.primaryKey)
+      }
+      records.size.toLong
+    }
+  }
+
+  /** Full initial sync: every entity, grouped by provider. Returns
+    * per-entity row counts (the reference's sync-status accounting, A4).
+    */
+  def syncAll(): Map[String, Long] =
+    syncableEntities
+      .groupBy(_.subgraphProvider) // G1: one source per provider
+      .flatMap { case (_, entities) =>
+        entities.map(e => e.name -> syncEntity(e))
+      }
+
+  /** Selective re-sync of the entities a CDC change log named (T4). */
+  def syncChanged(entityNames: Set[String], fromBlock: BigInt): Map[String, Long] =
+    syncableEntities.filter(e => entityNames.contains(e.name))
+      .map { e =>
+        // incremental predicate (P4): only rows changed since the block
+        val where: Map[String, Any] =
+          Map("_change_block" -> Map("number_gte" -> fromBlock))
+        e.name -> syncEntity(e, where)
+      }.toMap
+}
