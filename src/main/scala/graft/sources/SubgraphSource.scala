@@ -110,7 +110,13 @@ final class SubgraphSource(provider: ProviderConfig, transport: Transport) {
   def fetchAll(entity: EntityDef,
                where: Map[String, Any] = Map.empty): Seq[Map[String, Any]] = {
     val pageSize = provider.maxRowsPerRequest
-    val base = QuerySpec(entity, where = where + ("id_gt" -> "0x00"),
+    // don't clobber a caller-supplied id_gt (e.g. a pushed-down id > x
+    // filter): the keyset walk starts from it instead of from zero
+    val startCursor = where.get("id_gt") match {
+      case Some(s: String) => s
+      case _ => "0x00"
+    }
+    val base = QuerySpec(entity, where = where + ("id_gt" -> startCursor),
       orderBy = Some("id"), first = Some(pageSize))
 
     @tailrec
@@ -129,7 +135,7 @@ final class SubgraphSource(provider: ProviderConfig, transport: Transport) {
         case _ => all
       }
     }
-    loop(base, "0x00", Vector.empty)
+    loop(base, startCursor, Vector.empty)
   }
 }
 
@@ -143,7 +149,16 @@ object SubgraphSource {
   def toDataFrame(spark: SparkSession, schema: SchemaMap, entity: EntityDef,
                   records: Seq[Map[String, Any]]): DataFrame = {
     val struct = schema.structTypeOf(entity.name)
-    val rows = records.map { rec =>
+    spark.createDataFrame(toRows(records, struct).asJava, struct)
+  }
+
+  /** Row materialization against an arbitrary target struct (used by both
+    * the driver-side fetch and the DSv2 partition reader): fields are
+    * matched by name, FK objects flatten to their id, wire values coerce
+    * to the field's Spark type.
+    */
+  def toRows(records: Seq[Map[String, Any]], struct: StructType): Seq[Row] =
+    records.map { rec =>
       Row.fromSeq(struct.fields.map { f =>
         val raw = rec.get(f.name) match {
           case Some(m: Map[_, _]) => // FK nested object -> id
@@ -154,8 +169,6 @@ object SubgraphSource {
         coerce(raw, f.dataType)
       }.toSeq)
     }
-    spark.createDataFrame(rows.asJava, struct)
-  }
 
   /** Wire-value coercion per target Spark type (F6: JSON decode + bigint
     * coercion, subgraphProvider.ts:192).

@@ -1,0 +1,190 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+
+import graft.model.{ColumnType, EntityDef, ProviderConfig, SchemaMap}
+import graft.sources.SubgraphQueryBuilder.QuerySpec
+
+/** DataSource V2 face of the subgraph connector (SURVEY §4): Catalyst's
+  * standard pushdown interfaces mapped onto the GraphQL query generator —
+  *
+  *  - `SupportsPushDownRequiredColumns` -> the projected field list
+  *    (reference: request exactly the configured columns);
+  *  - `SupportsPushDownFilters` -> The-Graph `where` operators
+  *    (`_gt/_gte/_lt/_lte/_in`, equality);
+  *  - `SupportsPushDownLimit` -> `first: N`.
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("graft.sources.SubgraphTableProvider")
+  *   .option("config", registeredConfigKey)
+  *   .option("entity", "Builder")
+  *   .load()
+  *   .filter($"id" > "0x10")     // reaches the GraphQL where-clause
+  *   .select("id")                // prunes the GraphQL field list
+  * }}}
+  *
+  * DSv2 instantiates providers reflectively, so live objects (config +
+  * transport) are handed over through [[SubgraphTableProvider.registry]]
+  * under the `config` option key.
+  */
+object SubgraphTableProvider {
+  final case class Binding(schema: SchemaMap, provider: ProviderConfig,
+                           transport: Transport)
+  /** Bindings keyed by the `config` option. The TRANSPORT is resolved
+    * from this registry at reader-creation time — i.e. where the reader
+    * runs — so live connections are never serialized into task closures.
+    * On a multi-executor cluster the binding must be registered in
+    * executor startup (or the transport made a serializable config-built
+    * factory); in local mode the single JVM shares it.
+    */
+  val registry: TrieMap[String, Binding] = TrieMap.empty
+}
+
+final class SubgraphTableProvider extends TableProvider {
+
+  private def binding(options: CaseInsensitiveStringMap) =
+    SubgraphTableProvider.registry.getOrElse(options.get("config"),
+      throw new IllegalArgumentException(
+        s"no binding registered for config=${options.get("config")}"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    binding(options).schema.structTypeOf(options.get("entity"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val key = options.get("config")
+    new SubgraphTable(key, binding(options).schema(options.get("entity")), schema)
+  }
+}
+
+final class SubgraphTable(configKey: String, entity: EntityDef,
+                          fullSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"subgraph:${entity.name}"
+  override def schema(): StructType = fullSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SubgraphScanBuilder(configKey, entity, fullSchema)
+}
+
+final class SubgraphScanBuilder(configKey: String,
+                                entity: EntityDef, fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownLimit {
+
+  private var requiredSchema: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = required
+
+  /** The-Graph where-operator for one Catalyst source filter, or None if
+    * the filter can't be expressed (it stays a post-scan Spark filter).
+    */
+  private def toWhere(f: Filter): Option[(String, Any)] = f match {
+    case EqualTo(a, v) => Some(a -> v)
+    case GreaterThan(a, v) => Some(s"${a}_gt" -> v)
+    case GreaterThanOrEqual(a, v) => Some(s"${a}_gte" -> v)
+    case LessThan(a, v) => Some(s"${a}_lt" -> v)
+    case LessThanOrEqual(a, v) => Some(s"${a}_lte" -> v)
+    case In(a, vs) => Some(s"${a}_in" -> vs.toSeq)
+    case IsNotNull(_) => None // ids are non-null at the source
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, rejected) = filters.partition(toWhere(_).isDefined)
+    pushed = supported
+    // IsNotNull is satisfied trivially by the source; don't re-evaluate
+    rejected.filterNot(_.isInstanceOf[IsNotNull])
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+
+  override def build(): Scan = {
+    val where = pushed.flatMap(toWhere).toMap
+      .map { case (k, v) => k -> normalizeLiteral(v) }
+    new SubgraphScan(configKey, entity, requiredSchema, where, limit)
+  }
+
+  private def normalizeLiteral(v: Any): Any = v match {
+    case d: java.math.BigDecimal => BigDecimal(d)
+    case s: Seq[_] => s.map(normalizeLiteral)
+    case other => other
+  }
+}
+
+/** Single-partition scan: the subgraph endpoint is one upstream server, so
+  * the paginated fetch is inherently sequential on the cursor (the
+  * reference's loop, subgraphSyncer.ts:88-133). Parallelism at 100 TB
+  * comes from many entities/providers scanning concurrently, not from
+  * splitting one keyset walk.
+  */
+final class SubgraphScan(configKey: String, entity: EntityDef,
+                         schema: StructType, where: Map[String, Any],
+                         limit: Option[Int])
+    extends Scan with Batch with Serializable {
+
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(new InputPartition {})
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the reader runs on an executor; capture only what it needs
+    val entityDef = entity
+    val required = schema.fieldNames.toSet
+    val key = configKey
+    val w = where
+    val lim = limit
+    val readerSchema = schema
+    (_: InputPartition) => new PartitionReader[InternalRow] {
+      // resolved where the reader runs — never serialized (see registry doc)
+      private val b = SubgraphTableProvider.registry(key)
+      private val provider = b.provider
+      private val source = new SubgraphSource(provider, b.transport)
+      // fetch the required columns PLUS the primary key — keyset
+      // pagination needs the id cursor even when the query prunes it
+      private val fetchEntity = entityDef.copy(columns = entityDef.columns
+        .filter(c => required.contains(c.name) ||
+          entityDef.primaryKey.contains(c.name)))
+      private val rows: Iterator[InternalRow] = {
+        val fetched = lim match {
+          case Some(n) if n <= provider.maxRowsPerRequest =>
+            // limit fits one page: push `first: n` (O1 limit pushdown)
+            val spec = QuerySpec(fetchEntity, where = w, orderBy = Some("id"),
+              first = Some(n))
+            val key = s"${SubgraphQueryBuilder.resultKey(entityDef.name)}_0"
+            source.execute(Seq(spec), withMetadata = false)
+              .records.getOrElse(key, Seq.empty)
+          case _ =>
+            val all = source.fetchAll(fetchEntity, w)
+            lim.map(all.take).getOrElse(all)
+        }
+        val converter = CatalystTypeConverters.createToCatalystConverter(readerSchema)
+        SubgraphSource.toRows(fetched, readerSchema).iterator
+          .map(r => converter(r).asInstanceOf[InternalRow])
+      }
+      override def next(): Boolean = rows.hasNext
+      override def get(): InternalRow = rows.next()
+      override def close(): Unit = ()
+    }
+  }
+}

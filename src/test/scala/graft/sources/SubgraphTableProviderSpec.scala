@@ -1,0 +1,99 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import graft.SparkSpec
+import graft.model._
+
+/** DSv2 read path: schema inference, and filter/column/limit pushdown
+  * reaching the generated GraphQL text.
+  */
+class SubgraphTableProviderSpec extends SparkSpec {
+
+  private val builder = EntityDef("Builder", Seq(
+    ColumnDef("id", ColumnType.StringCol),
+    ColumnDef("name", ColumnType.StringCol),
+    ColumnDef("score", ColumnType.IntegerCol)), Seq("id"), "main")
+
+  /** Serves up to 30 builders whose ids honour id_gt/score_gte filters and
+    * first: N — a tiny in-memory "subgraph".
+    */
+  private final class MiniGraph extends Transport {
+    val requests: mutable.Buffer[String] = mutable.Buffer.empty
+    private val data = (1 to 30).map(i => (f"0x$i%02x", s"b$i", i))
+    def post(endpoint: String, body: String): String = {
+      requests += body
+      val first = """first: (\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
+        .getOrElse(Int.MaxValue)
+      val idGt = """id_gt: \\"([^"\\]+)\\"""".r.findFirstMatchIn(body).map(_.group(1))
+      val scoreGte = """score_gte: (\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
+      val rows = data
+        .filter { case (id, _, _) => idGt.forall(c => id > c) }
+        .filter { case (_, _, s) => scoreGte.forall(s >= _) }
+        .take(first)
+      val wantName = body.contains("name")
+      val json = rows.map { case (id, n, s) =>
+        val nameField = if (wantName) s""","name": "$n"""" else ""
+        s"""{"id": "$id"$nameField, "score": $s}"""
+      }.mkString(",")
+      s"""{"data": {"builders_0": [$json]}}"""
+    }
+  }
+
+  private def register(key: String, t: Transport): Unit =
+    SubgraphTableProvider.registry(key) = SubgraphTableProvider.Binding(
+      SchemaMap(Seq(builder)),
+      ProviderConfig("main", "http://x", "sub", "k", maxRowsPerRequest = 10), t)
+
+  private def read(key: String) =
+    spark.read.format("graft.sources.SubgraphTableProvider")
+      .option("config", key).option("entity", "Builder").load()
+
+  test("schema inference from the entity definition") {
+    register("t1", new MiniGraph)
+    assert(read("t1").schema.fieldNames.toSeq == Seq("id", "name", "score"))
+  }
+
+  test("full scan pages through the keyset (30 rows, pageSize 10)") {
+    val g = new MiniGraph
+    register("t2", g)
+    assert(read("t2").count() == 30)
+    assert(g.requests.size >= 3) // 3 full pages (+ the terminating short page)
+  }
+
+  test("filter pushdown reaches the GraphQL where clause") {
+    val g = new MiniGraph
+    register("t3", g)
+    import spark.implicits._
+    val got = read("t3").filter($"score" >= 25).select("id", "score")
+      .as[(String, Int)].collect().sortBy(_._2)
+    assert(got.map(_._2).toSeq == (25 to 30))
+    assert(g.requests.exists(_.contains("score_gte: 25")))
+  }
+
+  test("id > cursor pushdown composes with the keyset walk") {
+    val g = new MiniGraph
+    register("t4", g)
+    import spark.implicits._
+    val got = read("t4").filter($"id" > "0x14").select("id").as[String].collect()
+    assert(got.length == 10) // ids 0x15..0x1e
+    assert(g.requests.head.contains("""id_gt: \"0x14\""""))
+  }
+
+  test("column pruning drops unselected fields from the query text") {
+    val g = new MiniGraph
+    register("t5", g)
+    import spark.implicits._
+    val ids = read("t5").select("id").as[String].collect()
+    assert(ids.length == 30)
+    assert(!g.requests.exists(_.contains("name")), "pruned column still requested")
+  }
+
+  test("limit pushdown becomes first: N when it fits a page") {
+    val g = new MiniGraph
+    register("t6", g)
+    assert(read("t6").limit(5).count() == 5)
+    assert(g.requests.exists(_.contains("first: 5")))
+    assert(g.requests.size == 1) // no pagination for a pushed limit
+  }
+}
