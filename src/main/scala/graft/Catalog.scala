@@ -553,20 +553,23 @@ object Catalog {
              |ORDER BY a_id, b_id""".stripMargin),
       (s, dir) => {
         val sig = TextOps.simhash(t(s, dir, "documents"), "doc_id", "text")
-        // 4 bands of 4 bits; hamming<=2 with 4 bands => >=1 identical band
-        val banded = sig.withColumn("banded", explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"),
-              shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L)).as("key"))): _*)))
-        val cands = banded.as("x").join(banded.as("y"),
-            col("x.banded") === col("y.banded")
-              && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("x.simhash").as("a_sh"),
-            col("y.doc_id").as("b_id"), col("y.simhash").as("b_sh"))
-          .distinct()
-        cands
-          .withColumn("dist", TextOps.hamming(col("a_sh"), col("b_sh")).cast("int"))
-          .filter(col("dist") <= 2)
-          .select("a_id", "b_id", "dist")
+        // hamming-ball mask join: explode side A with the 137 XOR masks of
+        // weight <= 2 over 16 bits; an equi-join on (sh ^ mask) == sh then
+        // finds each qualifying pair EXACTLY once (the mask IS s1^s2), so
+        // no distinct pass — and the shuffle key is the signature value,
+        // never a many-to-many band bucket.
+        val masks: Seq[Long] = {
+          val bits = 0 until 16
+          Seq(0L) ++ bits.map(1L << _) ++
+            (for (i <- bits; j <- bits if i < j) yield (1L << i) | (1L << j))
+        }
+        val a = sig.withColumn("__m", explode(array(masks.map(lit): _*)))
+          .select(col("doc_id").as("a_id"), col("simhash").as("a_sh"),
+            col("simhash").bitwiseXOR(col("__m")).as("__key"))
+        val b = sig.select(col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+        a.join(b, col("__key") === col("b_sh") && col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            TextOps.hamming(col("a_sh"), col("b_sh")).cast("int").as("dist"))
           .orderBy("a_id", "b_id")
       })
   )

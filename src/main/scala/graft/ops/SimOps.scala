@@ -66,13 +66,14 @@ object SimOps {
     * the shuffle is by bucket key, never all-pairs.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, planes: Int = 12, tables: Int = 6): DataFrame = {
+              vecCol: String, k: Int, planes: Int = 12, tables: Int = 6,
+              dim: Int = 64): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
     def sigs(df: DataFrame, id: String): DataFrame =
       df.select(Seq(col(idCol).as(id), col(vecCol).as(s"__v_$id"),
         norm(col(vecCol)).as(s"__n_$id")) ++
         (0 until tables).map(tb =>
-          lshTableSignature(col(vecCol), planes, tb).as(s"__sig$tb")): _*)
+          lshTableSignature(col(vecCol), planes, tb, dim).as(s"__sig$tb")): _*)
     val q = sigs(queries, "query_id")
     val c = sigs(corpus, "neighbor_id")
     val qe = q.select(col("query_id"), col("__v_query_id"), col("__n_query_id"),
@@ -96,15 +97,24 @@ object SimOps {
         round(col("cosine"), 6).as("cosine"), col("__rn").as("rank"))
   }
 
-  /** Signature for LSH table `tb` — planes seeded by (tb, p). */
-  def lshTableSignature(vec: Column, planes: Int, tb: Int): Column =
+  /** Deterministic +/-1 hyperplane for (table, plane): a seeded xorshift
+    * PRNG — no global RNG state, every executor and run agrees.
+    */
+  private[ops] def plane(tb: Int, p: Int, dim: Int): Array[Float] = {
+    var s = (tb.toLong << 32) ^ (p.toLong * 0x9E3779B97F4A7C15L) ^ 0x5DEECE66DL
+    Array.fill(dim) {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      if ((s & 1L) == 0L) 1.0f else -1.0f
+    }
+  }
+
+  /** Signature for LSH table `tb`: each sign bit is the codegen'd dot
+    * product of the vector against a literal +/-1 plane — one tight loop
+    * per plane instead of an interpreted lambda fold per element.
+    */
+  def lshTableSignature(vec: Column, planes: Int, tb: Int, dim: Int): Column =
     (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, i) => v.cast("double") *
-            when(pmod(xxhash64(lit(tb * 1000 + p), i), lit(2)) === 0, lit(1.0))
-              .otherwise(lit(-1.0))),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dot(vec, typedLit(plane(tb, p, dim)))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce[Column](_ + _)
 

@@ -105,8 +105,22 @@ object TextOps {
     */
   def minhashSignatures(df: DataFrame, docCol: String, text: Column, n: Int,
                         k: Int): DataFrame = {
-    val exploded = df.select(col(docCol), explode(shingles(text, n)).as("__s"))
-    val aggs = (0 until k).map(i => min(xxhash64(col("__s"), lit(i))).as(s"m$i"))
+    // hash each shingle ONCE (xxhash64 over the string), then derive the k
+    // permutations by rotate-xor mixing — k-1 fewer string hashes per
+    // shingle, and only overflow-free bit ops (ANSI mode would throw on
+    // wrapping multiplication). Each map is a bijection of Z/2^64, which
+    // is what MinHash needs; candidates are exact-verified downstream, so
+    // the weaker (linear) family costs at most a few extra candidates.
+    val exploded = df
+      .select(col(docCol), explode(shingles(text, n)).as("__s"))
+      .select(col(docCol), xxhash64(col("__s")).as("__h"))
+    def rotl(c: Column, r: Int): Column =
+      shiftrightunsigned(c, 64 - r).bitwiseOR(shiftleft(c, r))
+    val aggs = (0 until k).map { i =>
+      val r = (i * 13 + 7) % 63 + 1
+      val b = (i + 1).toLong * 0x9E3779B97F4A7C15L // Scala-side wrap is fine
+      min(rotl(col("__h"), r).bitwiseXOR(lit(b))).as(s"m$i")
+    }
     exploded.groupBy(col(docCol)).agg(aggs.head, aggs.tail: _*)
   }
 
