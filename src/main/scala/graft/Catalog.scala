@@ -657,10 +657,83 @@ object Catalog {
   )
 
   // ---------------------------------------------------------------------
+  // Serving-side analytics beyond the reference's own surface
+  // ---------------------------------------------------------------------
+
+  val analytics: Seq[QueryDef] = Seq(
+
+    QueryDef("q36_quantiles",
+      "Exact percentiles per group (linear interpolation — identical " +
+        "definition in Spark `percentile` and DuckDB `quantile_cont`).",
+      Some("""SELECT event_type,
+             |  round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+             |  round(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90,
+             |  count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(CAST(value AS DOUBLE), 0.5)"), 6).as("p50"),
+          round(expr("percentile(CAST(value AS DOUBLE), 0.9)"), 6).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    QueryDef("q37_sessionize",
+      "Gap-based sessionization (30-min inactivity) via window functions — " +
+        "integer epoch arithmetic so both engines agree exactly.",
+      Some("""WITH e AS (SELECT user_id, event_id, ts,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events),
+             |f AS (SELECT user_id, event_id, ts,
+             |    CASE WHEN prev_ts IS NULL
+             |           OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+             |         THEN 1 ELSE 0 END AS is_new
+             |  FROM e),
+             |s AS (SELECT user_id, event_id,
+             |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                      ROWS UNBOUNDED PRECEDING) AS session_no
+             |  FROM f)
+             |SELECT user_id, session_no, count(*) AS n_events
+             |FROM s GROUP BY user_id, session_no
+             |ORDER BY user_id, session_no""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("is_new",
+            when(col("prev_us").isNull
+              || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_no",
+            sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_no")
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy("user_id", "session_no")
+      }),
+
+    QueryDef("q38_ngram_topk",
+      "Corpus n-gram statistics: top-20 trigram shingles by document " +
+        "frequency (explode -> count -> top-k).",
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+             |  FROM documents),
+             |g AS (SELECT doc_id,
+             |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |                          for i in range(1, len(w) - 1)])) AS s
+             |  FROM t WHERE len(w) >= 3)
+             |SELECT s AS shingle, count(*) AS df FROM g
+             |GROUP BY s ORDER BY df DESC, shingle LIMIT 20""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .filter(size(TextOps.tokens(col("text"))) >= 3)
+        .select(explode(TextOps.shingles(col("text"), 3)).as("shingle"))
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("shingle")).limit(20))
+  )
+
+  // ---------------------------------------------------------------------
   // Assembled inventory
   // ---------------------------------------------------------------------
 
-  def all: Seq[QueryDef] = relational ++ textual ++ similarity
+  def all: Seq[QueryDef] = relational ++ textual ++ similarity ++ analytics
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
