@@ -16,6 +16,10 @@ final case class Block(number: BigInt, hash: String, timestamp: BigInt)
 trait BlockSource {
   def latest(): Block
   def hashAt(number: BigInt): String
+  /** Full block at a height (S4); default derives from hashAt for
+    * sources that don't expose historical timestamps.
+    */
+  def blockAt(number: BigInt): Block = Block(number, hashAt(number), BigInt(0))
   /** Multicall of view functions -> id->value map (S5,
     * blockProposalStateStrategy.ts:29-69).
     */
