@@ -726,7 +726,68 @@ object Catalog {
         .filter(size(TextOps.tokens(col("text"))) >= 3)
         .select(explode(TextOps.shingles(col("text"), 3)).as("shingle"))
         .groupBy("shingle").agg(count(lit(1)).as("df"))
-        .orderBy(col("df").desc, col("shingle")).limit(20))
+        .orderBy(col("df").desc, col("shingle")).limit(20)),
+
+    QueryDef("q39_dedup_apply",
+      "End-to-end dedup application: drop every document that near-" +
+        "duplicates (3-gram jaccard >= 0.5) a lower-id keeper — the " +
+        "cleaned-corpus anti-join a training pipeline actually ships.",
+      Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+             |  FROM documents),
+             |sh AS (SELECT doc_id, CASE WHEN len(w) < 3
+             |    THEN [array_to_string(w, ' ')]
+             |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |                        for i in range(1, len(w) - 1)]) END AS s
+             |  FROM toks),
+             |dupes AS (SELECT DISTINCT b.doc_id AS dup_id
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5)
+             |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+             |WHERE NOT EXISTS (SELECT 1 FROM dupes WHERE dup_id = d.doc_id)
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => {
+        val pairs = byName("q29_dedup_minhash").fn(s, dir) // LSH + exact verify
+        val dupIds = pairs.select(col("b_id").as("doc_id")).distinct()
+        RelOps.antiJoin(t(s, dir, "documents"), dupIds, Seq("doc_id"))
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q40_quality_gate",
+      "Quality gating: per-language doc counts surviving the quality " +
+        "threshold with agreeing language-ID — the composed text-pipeline " +
+        "filter stage.",
+      Some {
+        val langs = TextOps.langMarkers.keys.toSeq.sorted
+        val hitExprs = langs.map { l =>
+          val in = TextOps.langMarkers(l).map(w => s"'$w'").mkString(", ")
+          s"len(list_filter($sqlToks, w -> w IN ($in))) AS h_$l"
+        }.mkString(",\n  ")
+        val maxExpr = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+        val nWin = langs.map(l => s"CASE WHEN h_$l = mx THEN 1 ELSE 0 END").mkString(" + ")
+        val firstWin = langs.reverse.foldLeft("NULL") { (acc, l) =>
+          s"CASE WHEN h_$l = mx THEN '$l' ELSE $acc END"
+        }
+        s"""WITH h AS (SELECT doc_id, lang, length(text) AS chars, $hitExprs
+           |  FROM documents),
+           |m AS (SELECT *, $maxExpr AS mx FROM h),
+           |g AS (SELECT doc_id, lang, chars, CASE WHEN mx = 0 OR ($nWin) > 1
+           |    THEN 'und' ELSE ($firstWin) END AS guess
+           |  FROM m)
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(chars) AS BIGINT) AS total_chars
+           |FROM g WHERE chars >= 150 AND guess = 'en'
+           |GROUP BY lang ORDER BY lang""".stripMargin
+      },
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("chars", length(col("text")))
+        .withColumn("guess", TextOps.langId(col("text")))
+        .filter(col("chars") >= 150 && col("guess") === "en")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("chars")).cast("long").as("total_chars"))
+        .orderBy("lang"))
   )
 
   // ---------------------------------------------------------------------
