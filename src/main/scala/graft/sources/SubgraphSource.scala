@@ -43,6 +43,19 @@ final class SubgraphSource(provider: ProviderConfig, transport: Transport) {
 
   private val mapper = new ObjectMapper()
 
+  /** Request accounting (A5 — the reference's metrics context,
+    * subgraphProvider.ts:27-62): logical queries vs HTTP requests; the
+    * difference is the batching win (5 -> 1 = 80% reduction).
+    */
+  final class Metrics {
+    @volatile var queries: Long = 0L
+    @volatile var httpRequests: Long = 0L
+    /** 1 - http/queries, the reference's logged "reduction %". */
+    def batchingReduction: Double =
+      if (queries == 0) 0.0 else 1.0 - httpRequests.toDouble / queries
+  }
+  val metrics: Metrics = new Metrics
+
   def endpoint: String =
     s"${provider.url}/${provider.apiKey}/subgraphs/id/${provider.id}"
 
@@ -54,10 +67,34 @@ final class SubgraphSource(provider: ProviderConfig, transport: Transport) {
     val doc = SubgraphQueryBuilder.batchQuery(specs, withMetadata)
     val body = mapper.createObjectNode()
     body.put("query", doc)
+    metrics.queries += specs.size
+    metrics.httpRequests += 1
     val raw =
       try transport.post(endpoint, mapper.writeValueAsString(body))
       catch { case _: Exception => return BatchResult(Map.empty, None) }
     parseResponse(raw)
+  }
+
+  /** Batched execution with individual fallback (R3 — the reference
+    * re-runs queries one by one when the batched request fails,
+    * batchExecutor.ts:150-156, 254-264): if the merged document comes
+    * back empty, each spec retries alone so one poisoned query can't
+    * starve the others. Individual results are re-keyed to their
+    * original batch alias positions.
+    */
+  def executeWithFallback(specs: Seq[QuerySpec],
+                          withMetadata: Boolean = true): BatchResult = {
+    val batched = execute(specs, withMetadata)
+    if (batched.records.nonEmpty || specs.isEmpty) batched
+    else {
+      val individual = specs.zipWithIndex.map { case (spec, i) =>
+        val res = execute(Seq(spec), withMetadata = false)
+        val key0 = s"${SubgraphQueryBuilder.resultKey(spec.entity.name)}_0"
+        val keyI = s"${SubgraphQueryBuilder.resultKey(spec.entity.name)}_$i"
+        keyI -> res.records.getOrElse(key0, Seq.empty)
+      }.toMap
+      BatchResult(individual.filter(_._2.nonEmpty), batched.meta)
+    }
   }
 
   private[sources] def parseResponse(raw: String): BatchResult = {

@@ -85,6 +85,32 @@ class SubgraphSourceSpec extends SparkSpec {
       || t.requests(1).contains("""id_gt: "3""""))
   }
 
+  test("batch failure falls back to individual queries (R3)") {
+    // batch request fails; each single query succeeds
+    val t = new Transport {
+      var calls = 0
+      def post(endpoint: String, body: String): String = {
+        calls += 1
+        if (body.contains("builders_1")) throw new RuntimeException("batch too big")
+        else """{"data": {"builders_0": [{"id": "x", "name": "n"}]}}"""
+      }
+    }
+    val src = new SubgraphSource(provider, t)
+    val res = src.executeWithFallback(Seq(
+      SubgraphQueryBuilder.QuerySpec(builder), SubgraphQueryBuilder.QuerySpec(builder)))
+    assert(res.records.keySet == Set("builders_0", "builders_1"))
+    assert(res.records.values.forall(_.nonEmpty))
+  }
+
+  test("metrics: batching reduction = 1 - http/queries (the 80% effect)") {
+    val t = new CannedTransport(Iterator.continually("""{"data": {"x_0": []}}""").take(5))
+    val src = new SubgraphSource(provider, t)
+    src.execute(Seq.fill(5)(SubgraphQueryBuilder.QuerySpec(builder)))
+    assert(src.metrics.queries == 5)
+    assert(src.metrics.httpRequests == 1)
+    assert(math.abs(src.metrics.batchingReduction - 0.8) < 1e-9)
+  }
+
   test("toDataFrame flattens FK objects and drops unknown fields") {
     val records = Seq(
       Map[String, Any]("id" -> "p1", "builder" -> Map("id" -> "b1"),
