@@ -1,31 +1,51 @@
 package graft
 
+import java.lang.management.ManagementFactory
+import scala.jdk.CollectionConverters._
+
 /** Benchmark main: runs every catalog query against
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query seconds.
   *
   * Each query is forced through the `noop` sink so the whole result is
   * materialized (`count()` would let Catalyst prune projection-only
   * plans down to a row count). One untimed warmup run amortizes codegen
-  * and file-listing; the timed run measures steady-state execution.
+  * and file-listing.
+  *
+  * Timing is the MINIMUM of `SPARK_GRAFT_BENCH_PASSES` (default 3)
+  * timed passes per query: the minimum is the best estimator of the
+  * machine-load-free cost, so a run contaminated by concurrent load on
+  * the box still reports the clean number as long as any single pass ran
+  * unimpeded. Per-query GC milliseconds (delta across the query's timed
+  * passes) are reported alongside so a contaminated or memory-pressured
+  * run is self-evident from the artifact itself.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(2)
     val spark = GraftSession.create()
+    val gcBeans = ManagementFactory.getGarbageCollectorMXBeans.asScala
+    def gcMillis(): Long = gcBeans.map(_.getCollectionTime.max(0L)).sum
     def force(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(n => try force(n) catch { case _: Throwable => () }) // warmup
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try force(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val gc0 = gcMillis()
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        try force(name) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      (name, times.min, gcMillis() - gc0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val gcs = results.map { case (k, _, g) => "\"" + k + s"""\":$g""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"gc_ms":$gcs,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

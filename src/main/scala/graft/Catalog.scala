@@ -275,16 +275,20 @@ object Catalog {
     QueryDef("q18_decimal_arith",
       "F8/§1.2: uint256-policy decimal(38,0) arithmetic on key columns " +
         "(the reference's NUMERIC(78,0) block math — types.ts:17-20).",
+      // The product/sum is DECIMAL(38,0) in Spark but DECIMAL128/HUGEINT on the
+      // DuckDB side, and the driver's hasher is arrow-typed: equal values with
+      // extreme-width integer types still mismatch. Carry `wei` as a canonical
+      // decimal string on BOTH engines so the wire type is identical and boring.
       Some("""SELECT l_orderkey,
-             |  CAST(l_orderkey AS DECIMAL(38,0)) * 1000000000000000000
-             |    + CAST(l_partkey AS DECIMAL(38,0)) AS wei
+             |  CAST(CAST(l_orderkey AS DECIMAL(38,0)) * 1000000000000000000
+             |    + CAST(l_partkey AS DECIMAL(38,0)) AS VARCHAR) AS wei
              |FROM lineitem WHERE l_linenumber = 1 AND l_orderkey <= 2000
              |ORDER BY l_orderkey""".stripMargin),
       (s, dir) => t(s, dir, "lineitem")
         .filter(col("l_linenumber") === 1 && col("l_orderkey") <= 2000)
         .select(col("l_orderkey"),
           (col("l_orderkey").cast("decimal(38,0)") * lit(1000000000000000000L)
-            + col("l_partkey").cast("decimal(38,0)")).as("wei"))
+            + col("l_partkey").cast("decimal(38,0)")).cast("string").as("wei"))
         .orderBy("l_orderkey")),
 
     QueryDef("q19_sliding_window",
@@ -690,8 +694,9 @@ object Catalog {
              |         THEN 1 ELSE 0 END AS is_new
              |  FROM e),
              |s AS (SELECT user_id, event_id,
-             |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |                      ROWS UNBOUNDED PRECEDING) AS session_no
+             |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |      AS session_no
              |  FROM f)
              |SELECT user_id, session_no, count(*) AS n_events
              |FROM s GROUP BY user_id, session_no
