@@ -34,6 +34,8 @@ object SubgraphQueryBuilder {
     require(depth < 16, "filter nesting too deep (possible cycle)")
     v match {
       case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      case b: Array[Byte] => // Bytes columns travel as canonical 0x-hex strings
+        "\"" + SubgraphSource.bytesToHex(b) + "\""
       case b: Boolean => b.toString
       case n: BigInt => n.toString
       case n: BigDecimal => n.bigDecimal.toPlainString

@@ -1,5 +1,7 @@
 package graft.sources
 
+import java.util.concurrent.atomic.AtomicLong
+
 import scala.annotation.tailrec
 import scala.jdk.CollectionConverters._
 
@@ -8,6 +10,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
 import graft.model.{EntityDef, ProviderConfig, SchemaMap}
+import graft.sink.Retry
 import graft.sources.SubgraphQueryBuilder.QuerySpec
 
 /** HTTP transport boundary — pluggable so the connector is fully testable
@@ -26,10 +29,19 @@ trait Transport {
   */
 final case class BlockMeta(number: BigInt, hash: String, timestamp: BigInt)
 
-/** Result of one batched request: per-alias record lists + metadata. */
+/** Result of one batched request: per-alias record lists + metadata.
+  *
+  * `failed` distinguishes an errored request (transport failure, GraphQL
+  * errors, unparseable body) from a legitimately empty result — callers
+  * must not commit a `failed` page as data (a short page that was really
+  * an error would otherwise read as a clean end-of-scan). `failedKeys`
+  * names the aliases that still failed after per-spec fallback.
+  */
 final case class BatchResult(
     records: Map[String, Seq[Map[String, Any]]],
-    meta: Option[BlockMeta])
+    meta: Option[BlockMeta],
+    failed: Boolean = false,
+    failedKeys: Set[String] = Set.empty)
 
 /** Subgraph scan connector: merged batch documents, alias demux, keyset
   * pagination, graceful degradation (SURVEY §2.1 S1, §2.6 O2, §2.11 R2).
@@ -39,20 +51,25 @@ final case class BatchResult(
   * DataSource V2 wrapper can layer on top — the pushdown surface
   * (filters/columns/limit) is already explicit in [[QuerySpec]].
   */
-final class SubgraphSource(provider: ProviderConfig, transport: Transport) {
+final class SubgraphSource(provider: ProviderConfig, transport: Transport,
+                           maxRetries: Int = 3, retryDelayMs: Long = 200,
+                           sleep: Long => Unit = Thread.sleep) {
 
   private val mapper = new ObjectMapper()
 
   /** Request accounting (A5 — the reference's metrics context,
     * subgraphProvider.ts:27-62): logical queries vs HTTP requests; the
-    * difference is the batching win (5 -> 1 = 80% reduction).
+    * difference is the batching win (5 -> 1 = 80% reduction). Atomic:
+    * one source may serve many threads (Transport is thread-safe).
     */
   final class Metrics {
-    @volatile var queries: Long = 0L
-    @volatile var httpRequests: Long = 0L
+    val queries = new AtomicLong(0L)
+    val httpRequests = new AtomicLong(0L)
     /** 1 - http/queries, the reference's logged "reduction %". */
-    def batchingReduction: Double =
-      if (queries == 0) 0.0 else 1.0 - httpRequests.toDouble / queries
+    def batchingReduction: Double = {
+      val q = queries.get
+      if (q == 0) 0.0 else 1.0 - httpRequests.get.toDouble / q
+    }
   }
   val metrics: Metrics = new Metrics
 
@@ -67,42 +84,49 @@ final class SubgraphSource(provider: ProviderConfig, transport: Transport) {
     val doc = SubgraphQueryBuilder.batchQuery(specs, withMetadata)
     val body = mapper.createObjectNode()
     body.put("query", doc)
-    metrics.queries += specs.size
-    metrics.httpRequests += 1
+    metrics.queries.addAndGet(specs.size.toLong)
+    metrics.httpRequests.incrementAndGet()
     val raw =
       try transport.post(endpoint, mapper.writeValueAsString(body))
-      catch { case _: Exception => return BatchResult(Map.empty, None) }
+      catch { case _: Exception => return BatchResult(Map.empty, None, failed = true) }
     parseResponse(raw)
   }
 
   /** Batched execution with individual fallback (R3 — the reference
     * re-runs queries one by one when the batched request fails,
-    * batchExecutor.ts:150-156, 254-264): if the merged document comes
-    * back empty, each spec retries alone so one poisoned query can't
-    * starve the others. Individual results are re-keyed to their
-    * original batch alias positions.
+    * batchExecutor.ts:150-156, 254-264): keyed off the explicit error
+    * signal (NOT emptiness — a genuinely empty table must not trigger N
+    * individual re-requests). Each spec then runs alone so one poisoned
+    * query can't starve the others; individual results are re-keyed to
+    * their original batch alias positions, and specs that still fail are
+    * named in `failedKeys` so callers can retry or abort rather than
+    * treat the hole as empty data.
     */
   def executeWithFallback(specs: Seq[QuerySpec],
                           withMetadata: Boolean = true): BatchResult = {
     val batched = execute(specs, withMetadata)
-    if (batched.records.nonEmpty || specs.isEmpty) batched
+    if (!batched.failed || specs.isEmpty) batched
     else {
       val individual = specs.zipWithIndex.map { case (spec, i) =>
         val res = execute(Seq(spec), withMetadata = false)
         val key0 = s"${SubgraphQueryBuilder.resultKey(spec.entity.name)}_0"
         val keyI = s"${SubgraphQueryBuilder.resultKey(spec.entity.name)}_$i"
-        keyI -> res.records.getOrElse(key0, Seq.empty)
-      }.toMap
-      BatchResult(individual.filter(_._2.nonEmpty), batched.meta)
+        (keyI, res.records.getOrElse(key0, Seq.empty), res.failed)
+      }
+      BatchResult(
+        individual.collect { case (k, recs, false) => k -> recs }.toMap,
+        batched.meta,
+        failed = individual.forall(_._3),
+        failedKeys = individual.collect { case (k, _, true) => k }.toSet)
     }
   }
 
   private[sources] def parseResponse(raw: String): BatchResult = {
     val root =
       try mapper.readTree(raw)
-      catch { case _: Exception => return BatchResult(Map.empty, None) }
+      catch { case _: Exception => return BatchResult(Map.empty, None, failed = true) }
     if (root == null || root.has("errors") || !root.has("data"))
-      return BatchResult(Map.empty, None)
+      return BatchResult(Map.empty, None, failed = true)
     val data = root.get("data")
     val meta = Option(data.get("_meta")).flatMap { m =>
       Option(m.get("block")).map { b =>
@@ -140,39 +164,109 @@ final class SubgraphSource(provider: ProviderConfig, transport: Transport) {
       })
     }.toMap
 
+  /** Keyset start cursor from a caller-supplied `id_gt` (e.g. a pushed
+    * `id > x` filter). Binary ids encode to the subgraph's canonical
+    * lowercase 0x-hex string; any other non-string cursor is a caller bug
+    * and fails loudly — silently restarting from zero would return rows
+    * the pushed filter promised to exclude.
+    */
+  private def startCursorOf(where: Map[String, Any]): String =
+    where.get("id_gt") match {
+      case Some(s: String) => s
+      case Some(b: Array[Byte]) => SubgraphSource.bytesToHex(b)
+      case Some(other) => throw new IllegalArgumentException(
+        s"id_gt cursor must be a hex string, got ${other.getClass.getName}: $other")
+      case None => "0x00"
+    }
+
+  /** One page with retry/backoff (R1): a failed request throws after
+    * `maxRetries` so an error mid-pagination can never masquerade as a
+    * short final page.
+    */
+  private def fetchPage(spec: QuerySpec, key: String): Seq[Map[String, Any]] =
+    Retry.withBackoff(maxRetries, retryDelayMs, sleep) { () =>
+      val res = execute(Seq(spec), withMetadata = false)
+      if (res.failed) throw new java.io.IOException(
+        s"subgraph fetch failed for ${spec.entity.name} after retries")
+      res.records.getOrElse(key, Seq.empty)
+    }
+
+  /** Single-page fetch with retry: `first: n` pushed (O1); failure throws
+    * instead of degrading to empty (used by the DSv2 limit-pushdown path).
+    */
+  def fetchFirstPage(entity: EntityDef, where: Map[String, Any],
+                     n: Int): Seq[Map[String, Any]] = {
+    val spec = QuerySpec(entity, where = where, orderBy = Some("id"),
+      first = Some(n))
+    fetchPage(spec, s"${SubgraphQueryBuilder.resultKey(entity.name)}_0")
+  }
+
+  @tailrec
+  private def pageLoop(spec: QuerySpec, key: String, cursor: String,
+                       acc: Vector[Map[String, Any]]): Vector[Map[String, Any]] = {
+    val page = fetchPage(spec, key)
+    val all = acc ++ page
+    if (page.size < provider.maxRowsPerRequest) all
+    else page.last.get("id") match {
+      // a non-advancing cursor means the server is misbehaving — stop
+      // rather than loop forever on the same page
+      case Some(last: String) if last > cursor =>
+        pageLoop(SubgraphQueryBuilder.nextPage(spec, last), key, last, all)
+      case _ => all
+    }
+  }
+
   /** Full keyset-paginated scan of one entity: `first: maxRows` ordered by
     * id; while a page comes back full, re-issue with `id_gt: lastId`
-    * (subgraphSyncer.ts:88-133). Accumulates pages (O3 union-all).
+    * (subgraphSyncer.ts:88-133). Accumulates pages (O3 union-all); a
+    * persistent transport/GraphQL failure mid-walk throws rather than
+    * committing the truncated prefix as a complete scan.
     */
   def fetchAll(entity: EntityDef,
                where: Map[String, Any] = Map.empty): Seq[Map[String, Any]] = {
-    val pageSize = provider.maxRowsPerRequest
-    // don't clobber a caller-supplied id_gt (e.g. a pushed-down id > x
-    // filter): the keyset walk starts from it instead of from zero
-    val startCursor = where.get("id_gt") match {
-      case Some(s: String) => s
-      case _ => "0x00"
-    }
-    val base = QuerySpec(entity, where = where + ("id_gt" -> startCursor),
-      orderBy = Some("id"), first = Some(pageSize))
+    val cursor = startCursorOf(where)
+    val base = QuerySpec(entity, where = where + ("id_gt" -> cursor),
+      orderBy = Some("id"), first = Some(provider.maxRowsPerRequest))
+    pageLoop(base, s"${SubgraphQueryBuilder.resultKey(entity.name)}_0",
+      cursor, Vector.empty)
+  }
 
-    @tailrec
-    def loop(spec: QuerySpec, cursor: String,
-             acc: Vector[Map[String, Any]]): Vector[Map[String, Any]] = {
-      val res = execute(Seq(spec), withMetadata = false)
-      val key = s"${SubgraphQueryBuilder.resultKey(entity.name)}_0"
-      val page = res.records.getOrElse(key, Seq.empty)
-      val all = acc ++ page
-      if (page.size < pageSize) all
-      else page.last.get("id") match {
-        // a non-advancing cursor means the server is misbehaving — stop
-        // rather than loop forever on the same page
-        case Some(last: String) if last > cursor =>
-          loop(SubgraphQueryBuilder.nextPage(spec, last), last, all)
-        case _ => all
-      }
+  /** Batched multi-entity scan: the first page of EVERY entity travels in
+    * ONE merged document (the reference's cross-entity batching win —
+    * subgraphProvider.ts:208-231, 5 queries -> 1 request), with
+    * batch-to-individual fallback (R3) keyed on the error signal. Entities
+    * whose first page came back full continue with the per-entity keyset
+    * walk; entities that still fail after fallback are retried with
+    * backoff and throw on persistent failure.
+    */
+  def fetchAllBatched(entities: Seq[(EntityDef, Map[String, Any])])
+      : Map[String, Seq[Map[String, Any]]] = {
+    if (entities.isEmpty) return Map.empty
+    val pageSize = provider.maxRowsPerRequest
+    val withCursors = entities.map { case (e, where) =>
+      (e, where, startCursorOf(where))
     }
-    loop(base, startCursor, Vector.empty)
+    val specs = withCursors.map { case (e, where, cursor) =>
+      QuerySpec(e, where = where + ("id_gt" -> cursor),
+        orderBy = Some("id"), first = Some(pageSize))
+    }
+    val first = executeWithFallback(specs, withMetadata = false)
+    specs.zip(withCursors).zipWithIndex.map { case ((spec, (e, _, cursor)), i) =>
+      val keyI = s"${SubgraphQueryBuilder.resultKey(e.name)}_$i"
+      val key0 = s"${SubgraphQueryBuilder.resultKey(e.name)}_0"
+      val page: Seq[Map[String, Any]] =
+        if (first.failed || first.failedKeys.contains(keyI)) fetchPage(spec, key0)
+        else first.records.getOrElse(keyI, Seq.empty)
+      val all =
+        if (page.size < pageSize) page.toVector
+        else page.last.get("id") match {
+          case Some(last: String) if last > cursor =>
+            pageLoop(SubgraphQueryBuilder.nextPage(spec, last), key0, last,
+              page.toVector)
+          case _ => page.toVector
+        }
+      e.name -> (all: Seq[Map[String, Any]])
+    }.toMap
   }
 }
 
@@ -223,6 +317,12 @@ object SubgraphSource {
     case (seq: Seq[_], ArrayType(et, _)) => seq.map(coerce(_, et))
     case (other, _) => other
   }
+
+  /** bytes -> canonical lowercase `0x`-hex (inverse of [[hexToBytes]]) —
+    * the subgraph wire form for Bytes-typed ids/addresses.
+    */
+  def bytesToHex(b: Array[Byte]): String =
+    "0x" + b.map(x => f"${x & 0xff}%02x").mkString
 
   /** `0x`-prefixed hex -> bytes (ids/addresses/hashes as BYTEA). */
   def hexToBytes(s: String): Array[Byte] = {

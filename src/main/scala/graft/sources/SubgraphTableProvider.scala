@@ -93,22 +93,49 @@ final class SubgraphScanBuilder(configKey: String,
   override def pruneColumns(required: StructType): Unit =
     requiredSchema = required
 
+  /** Only literals the GraphQL wire format can actually carry may be
+    * claimed: a claimed-but-unserializable filter would either crash the
+    * reader (formatValue throws) or — worse — be silently dropped while
+    * Spark trusts the scan to have applied it, returning unfiltered rows.
+    * Binary (Bytes-typed ids/addresses) is serializable via its canonical
+    * 0x-hex string form; timestamps/dates/etc. stay post-scan.
+    */
+  private def serializableLiteral(v: Any): Boolean = v match {
+    case null => false
+    case _: String | _: java.lang.Boolean | _: Number => true // Number covers BigInt/BigDecimal (ScalaNumber)
+    case _: Array[Byte] => true
+    case s: Seq[_] => s.nonEmpty && s.forall(serializableLiteral)
+    case a: Array[_] => a.nonEmpty && a.forall(serializableLiteral)
+    case _ => false
+  }
+
   /** The-Graph where-operator for one Catalyst source filter, or None if
     * the filter can't be expressed (it stays a post-scan Spark filter).
     */
   private def toWhere(f: Filter): Option[(String, Any)] = f match {
-    case EqualTo(a, v) => Some(a -> v)
-    case GreaterThan(a, v) => Some(s"${a}_gt" -> v)
-    case GreaterThanOrEqual(a, v) => Some(s"${a}_gte" -> v)
-    case LessThan(a, v) => Some(s"${a}_lt" -> v)
-    case LessThanOrEqual(a, v) => Some(s"${a}_lte" -> v)
-    case In(a, vs) => Some(s"${a}_in" -> vs.toSeq)
+    case EqualTo(a, v) if serializableLiteral(v) => Some(a -> v)
+    case GreaterThan(a, v) if serializableLiteral(v) => Some(s"${a}_gt" -> v)
+    case GreaterThanOrEqual(a, v) if serializableLiteral(v) => Some(s"${a}_gte" -> v)
+    case LessThan(a, v) if serializableLiteral(v) => Some(s"${a}_lt" -> v)
+    case LessThanOrEqual(a, v) if serializableLiteral(v) => Some(s"${a}_lte" -> v)
+    case In(a, vs) if vs.nonEmpty && vs.forall(serializableLiteral) =>
+      Some(s"${a}_in" -> vs.toSeq)
     case IsNotNull(_) => None // ids are non-null at the source
     case _ => None
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (supported, rejected) = filters.partition(toWhere(_).isDefined)
+    // claim at most ONE filter per where-key: two predicates mapping to
+    // the same (column, op) — e.g. `id > a AND id > b` — would collide in
+    // the where map and silently drop one; the duplicate stays a
+    // post-scan Spark filter instead
+    val claimedKeys = scala.collection.mutable.Set.empty[String]
+    val (supported, rejected) = filters.partition { f =>
+      toWhere(f) match {
+        case Some((key, _)) => claimedKeys.add(key)
+        case None => false
+      }
+    }
     pushed = supported
     // IsNotNull is satisfied trivially by the source; don't re-evaluate
     rejected.filterNot(_.isInstanceOf[IsNotNull])
@@ -126,7 +153,9 @@ final class SubgraphScanBuilder(configKey: String,
 
   private def normalizeLiteral(v: Any): Any = v match {
     case d: java.math.BigDecimal => BigDecimal(d)
+    case b: Array[Byte] => SubgraphSource.bytesToHex(b)
     case s: Seq[_] => s.map(normalizeLiteral)
+    case a: Array[_] => a.toSeq.map(normalizeLiteral)
     case other => other
   }
 }
@@ -168,12 +197,10 @@ final class SubgraphScan(configKey: String, entity: EntityDef,
       private val rows: Iterator[InternalRow] = {
         val fetched = lim match {
           case Some(n) if n <= provider.maxRowsPerRequest =>
-            // limit fits one page: push `first: n` (O1 limit pushdown)
-            val spec = QuerySpec(fetchEntity, where = w, orderBy = Some("id"),
-              first = Some(n))
-            val key = s"${SubgraphQueryBuilder.resultKey(entityDef.name)}_0"
-            source.execute(Seq(spec), withMetadata = false)
-              .records.getOrElse(key, Seq.empty)
+            // limit fits one page: push `first: n` (O1 limit pushdown);
+            // retries with backoff and throws on persistent failure so a
+            // failed request can't read as an empty table
+            source.fetchFirstPage(fetchEntity, w, n)
           case _ =>
             val all = source.fetchAll(fetchEntity, w)
             lim.map(all.take).getOrElse(all)

@@ -31,13 +31,13 @@ final class Syncer(spark: SparkSession, config: GraftConfig,
   def syncableEntities: Seq[EntityDef] =
     config.schema.entities.values.filterNot(_.name == "LastProcessedBlock").toSeq
 
-  /** Sync one entity end-to-end; returns rows upserted. */
-  def syncEntity(entity: EntityDef,
-                 where: Map[String, Any] = Map.empty): Long = {
-    val source = sources.getOrElse(entity.subgraphProvider,
+  private def sourceFor(entity: EntityDef): SubgraphSource =
+    sources.getOrElse(entity.subgraphProvider,
       throw new IllegalArgumentException(
         s"${entity.name}: unknown provider ${entity.subgraphProvider}"))
-    val records = source.fetchAll(entity, where)
+
+  /** Merge fetched records into the sink; returns rows upserted. */
+  private def upsert(entity: EntityDef, records: Seq[Map[String, Any]]): Long =
     if (records.isEmpty) 0L
     else {
       val df = SubgraphSource.toDataFrame(spark, config.schema, entity, records)
@@ -47,16 +47,24 @@ final class Syncer(spark: SparkSession, config: GraftConfig,
       }
       records.size.toLong
     }
-  }
 
-  /** Full initial sync: every entity, grouped by provider. Returns
-    * per-entity row counts (the reference's sync-status accounting, A4).
+  /** Sync one entity end-to-end; returns rows upserted. */
+  def syncEntity(entity: EntityDef,
+                 where: Map[String, Any] = Map.empty): Long =
+    upsert(entity, sourceFor(entity).fetchAll(entity, where))
+
+  /** Full initial sync: every entity, grouped by provider (G1), with each
+    * provider's first pages batched into ONE request (G2 — the
+    * reference's cross-entity batching, 80% request reduction) and
+    * batch-to-individual fallback isolation (R3).
     */
   def syncAll(): Map[String, Long] =
     syncableEntities
       .groupBy(_.subgraphProvider) // G1: one source per provider
-      .flatMap { case (_, entities) =>
-        entities.map(e => e.name -> syncEntity(e))
+      .flatMap { case (providerName, entities) =>
+        val fetched = sources(providerName)
+          .fetchAllBatched(entities.map(e => e -> Map.empty[String, Any]))
+        entities.map(e => e.name -> upsert(e, fetched.getOrElse(e.name, Seq.empty)))
       }
 
   /** Selective re-sync of the entities a CDC change log named (T4). */

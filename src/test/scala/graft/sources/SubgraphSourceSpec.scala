@@ -58,17 +58,20 @@ class SubgraphSourceSpec extends SparkSpec {
     assert(t.requests.head.contains("builders_4"))
   }
 
-  test("GraphQL errors / missing data / bad JSON degrade to empty") {
+  test("GraphQL errors / missing data / bad JSON degrade to empty AND flag failure") {
     val src = new SubgraphSource(provider, new CannedTransport(Iterator.empty))
-    assert(src.parseResponse("""{"data": {}, "errors": [{"message": "x"}]}""")
-      .records.isEmpty)
-    assert(src.parseResponse("""{"something": 1}""").records.isEmpty)
-    assert(src.parseResponse("not json").records.isEmpty)
+    val errored = src.parseResponse("""{"data": {}, "errors": [{"message": "x"}]}""")
+    assert(errored.records.isEmpty && errored.failed)
+    assert(src.parseResponse("""{"something": 1}""").failed)
+    assert(src.parseResponse("not json").failed)
+    // a genuinely empty data object is NOT a failure
+    assert(!src.parseResponse("""{"data": {}}""").failed)
   }
 
-  test("transport failure degrades to empty result (R2)") {
+  test("transport failure degrades to empty result with the failed flag (R2)") {
     val src = new SubgraphSource(provider, (_, _) => throw new RuntimeException("down"))
-    assert(src.execute(Seq(SubgraphQueryBuilder.QuerySpec(builder))).records.isEmpty)
+    val res = src.execute(Seq(SubgraphQueryBuilder.QuerySpec(builder)))
+    assert(res.records.isEmpty && res.failed)
   }
 
   test("keyset pagination: full pages chain via id_gt until a short page") {
@@ -100,14 +103,92 @@ class SubgraphSourceSpec extends SparkSpec {
       SubgraphQueryBuilder.QuerySpec(builder), SubgraphQueryBuilder.QuerySpec(builder)))
     assert(res.records.keySet == Set("builders_0", "builders_1"))
     assert(res.records.values.forall(_.nonEmpty))
+    assert(!res.failed && res.failedKeys.isEmpty)
+  }
+
+  test("legitimately empty batch does NOT trigger individual fallback") {
+    val t = new CannedTransport(Iterator("""{"data": {"builders_0": [], "builders_1": []}}"""))
+    val src = new SubgraphSource(provider, t)
+    val res = src.executeWithFallback(Seq(
+      SubgraphQueryBuilder.QuerySpec(builder), SubgraphQueryBuilder.QuerySpec(builder)),
+      withMetadata = false)
+    assert(t.requests.size == 1) // no N individual re-requests for an empty table
+    assert(!res.failed)
+  }
+
+  test("fallback names specs that still fail in failedKeys") {
+    // every request fails: batch AND both individuals
+    val src = new SubgraphSource(provider,
+      (_, _) => throw new RuntimeException("down"),
+      maxRetries = 0, sleep = _ => ())
+    val res = src.executeWithFallback(Seq(
+      SubgraphQueryBuilder.QuerySpec(builder), SubgraphQueryBuilder.QuerySpec(builder)))
+    assert(res.failed)
+    assert(res.failedKeys == Set("builders_0", "builders_1"))
+  }
+
+  test("mid-pagination failure retries, then throws — never truncates silently") {
+    def page(ids: Seq[Int]): String =
+      s"""{"data": {"builders_0": [${ids.map(i =>
+        s"""{"id": "$i", "name": "n$i"}""").mkString(",")}]}}"""
+    // page 1 full; page 2 fails forever -> fetchAll must throw, not
+    // return the 3-row prefix as a complete scan
+    var calls = 0
+    val t = new Transport {
+      def post(endpoint: String, body: String): String = {
+        calls += 1
+        if (calls == 1) page(Seq(1, 2, 3)) else throw new RuntimeException("down")
+      }
+    }
+    val src = new SubgraphSource(provider, t, maxRetries = 2, sleep = _ => ())
+    assertThrows[java.io.IOException] { src.fetchAll(builder) }
+    assert(calls == 4) // 1 good page + 1 failed + 2 retries
+
+    // transient failure: one error then recovery -> full result, no loss
+    var calls2 = 0
+    val t2 = new Transport {
+      def post(endpoint: String, body: String): String = {
+        calls2 += 1
+        calls2 match {
+          case 1 => page(Seq(1, 2, 3))
+          case 2 => throw new RuntimeException("blip")
+          case _ => page(Seq(4))
+        }
+      }
+    }
+    val src2 = new SubgraphSource(provider, t2, maxRetries = 2, sleep = _ => ())
+    assert(src2.fetchAll(builder).map(_("id")) == Seq("1", "2", "3", "4"))
+  }
+
+  test("fetchAllBatched: one request serves all entities' first pages, full pages paginate on") {
+    def rec(i: Int) = s"""{"id": "$i", "name": "n$i"}"""
+    val t = new CannedTransport(Iterator(
+      // batched doc: Builder full page (3 = maxRows), Proposal short page
+      s"""{"data": {"builders_0": [${rec(1)},${rec(2)},${rec(3)}],
+         |"proposals_1": [{"id": "p1", "builder": null}]}}""".stripMargin,
+      // Builder keyset continuation
+      s"""{"data": {"builders_0": [${rec(4)}]}}"""))
+    val src = new SubgraphSource(provider, t)
+    val res = src.fetchAllBatched(Seq(
+      builder -> Map.empty[String, Any], proposal -> Map.empty[String, Any]))
+    assert(res("Builder").map(_("id")) == Seq("1", "2", "3", "4"))
+    assert(res("Proposal").map(_("id")) == Seq("p1"))
+    assert(t.requests.size == 2) // 1 batched + 1 continuation, not 1-per-entity
+    assert(t.requests.head.contains("proposals_1"))
+  }
+
+  test("bytesToHex is the inverse of hexToBytes (canonical lowercase)") {
+    val bytes = Array(0x0a.toByte, 0xff.toByte, 0x00.toByte)
+    assert(SubgraphSource.bytesToHex(bytes) == "0x0aff00")
+    assert(SubgraphSource.hexToBytes(SubgraphSource.bytesToHex(bytes)).toSeq == bytes.toSeq)
   }
 
   test("metrics: batching reduction = 1 - http/queries (the 80% effect)") {
     val t = new CannedTransport(Iterator.continually("""{"data": {"x_0": []}}""").take(5))
     val src = new SubgraphSource(provider, t)
     src.execute(Seq.fill(5)(SubgraphQueryBuilder.QuerySpec(builder)))
-    assert(src.metrics.queries == 5)
-    assert(src.metrics.httpRequests == 1)
+    assert(src.metrics.queries.get == 5)
+    assert(src.metrics.httpRequests.get == 1)
     assert(math.abs(src.metrics.batchingReduction - 0.8) < 1e-9)
   }
 

@@ -96,4 +96,45 @@ class SubgraphTableProviderSpec extends SparkSpec {
     assert(g.requests.exists(_.contains("first: 5")))
     assert(g.requests.size == 1) // no pagination for a pushed limit
   }
+
+  // --- pushdown-claim unit tests (ADVICE r01: silent wrong results) ---
+
+  import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan}
+  import org.apache.spark.sql.types.StructType
+
+  private def scanBuilder() = new SubgraphScanBuilder("unused", builder,
+    new StructType().add("id", "string").add("name", "string").add("score", "int"))
+
+  test("binary literals push down as canonical 0x-hex strings") {
+    val bytesEntity = EntityDef("Builder", Seq(
+      ColumnDef("id", ColumnType.BytesCol),
+      ColumnDef("score", ColumnType.IntegerCol)), Seq("id"), "main")
+    val g = new MiniGraph
+    SubgraphTableProvider.registry("t7") = SubgraphTableProvider.Binding(
+      SchemaMap(Seq(bytesEntity)),
+      ProviderConfig("main", "http://x", "sub", "k", maxRowsPerRequest = 10), g)
+    import org.apache.spark.sql.functions.{col, lit}
+    val got = read("t7").filter(col("id") > lit(SubgraphSource.hexToBytes("0x14")))
+      .collect()
+    assert(got.length == 10) // ids 0x15..0x1e — NOT an unfiltered scan
+    assert(g.requests.head.contains("""id_gt: \"0x14\""""),
+      s"binary cursor not hex-encoded in: ${g.requests.head}")
+  }
+
+  test("duplicate (column, op) predicates: only one is claimed, the rest stay post-scan") {
+    val sb = scanBuilder()
+    val dup: Array[Filter] = Array(GreaterThan("id", "0x05"), GreaterThan("id", "0x14"))
+    val residual = sb.pushFilters(dup)
+    assert(sb.pushedFilters().length == 1, "claimed both colliding id_gt filters")
+    assert(residual.length == 1, "dropped a predicate Spark was told is handled")
+    assert((sb.pushedFilters() ++ residual).toSet == dup.toSet)
+  }
+
+  test("unserializable literals are not claimed (stay post-scan Spark filters)") {
+    val sb = scanBuilder()
+    val ts = EqualTo("name", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    val residual = sb.pushFilters(Array(ts, EqualTo("id", "0x01")))
+    assert(residual.toSeq == Seq(ts))
+    assert(sb.pushedFilters().toSeq == Seq(EqualTo("id", "0x01")))
+  }
 }

@@ -38,28 +38,35 @@ class SyncerSpec extends SparkSpec {
       |""".stripMargin
 
   /** Mock subgraph: serves builders (3 rows -> 2 pages at pageSize 2) and
-    * proposals with nested FK objects; records every request body.
+    * proposals with nested FK objects; answers EVERY alias present in the
+    * (possibly batched) document under its own alias key, and records
+    * every request body.
     */
   private final class FakeSubgraph extends Transport {
     val requests: mutable.Buffer[String] = mutable.Buffer.empty
+    private val alias = """(builders|proposals)_(\d+)""".r
     def post(endpoint: String, body: String): String = {
       requests += body
-      if (body.contains("builders_0")) {
-        if (!body.contains("""id_gt: \"b2\"""))
-          """{"data": {"builders_0": [
-            |{"id": "b1", "totalAllocation": "1000000000000000000"},
-            |{"id": "b2", "totalAllocation": "2000000000000000000"}]}}""".stripMargin
-        else """{"data": {"builders_0": [{"id": "b3", "totalAllocation": "3"}]}}"""
-      } else if (body.contains("proposals_0")) {
-        // exactly pageSize rows on page 1 -> the syncer MUST request a
-        // follow-up page; serve it empty (short page ends the loop)
-        if (body.contains("""id_gt: \"p2\""""))
-          """{"data": {"proposals_0": []}}"""
-        else
-          """{"data": {"proposals_0": [
-            |{"id": "p1", "builder": {"id": "b1"}, "ignored": 1},
-            |{"id": "p2", "builder": {"id": "b3"}}]}}""".stripMargin
-      } else """{"data": {}}"""
+      val parts = alias.findAllMatchIn(body).map { m =>
+        val payload = m.group(1) match {
+          case "builders" =>
+            if (body.contains("""id_gt: \"b2\""""))
+              """[{"id": "b3", "totalAllocation": "3"}]"""
+            else
+              """[{"id": "b1", "totalAllocation": "1000000000000000000"},
+                |{"id": "b2", "totalAllocation": "2000000000000000000"}]""".stripMargin
+          case "proposals" =>
+            // exactly pageSize rows on page 1 -> the syncer MUST request
+            // a follow-up page; serve it empty (short page ends the loop)
+            if (body.contains("""id_gt: \"p2\""""))
+              "[]"
+            else
+              """[{"id": "p1", "builder": {"id": "b1"}, "ignored": 1},
+                |{"id": "p2", "builder": {"id": "b3"}}]""".stripMargin
+        }
+        s""""${m.matched}": $payload"""
+      }.mkString(",")
+      s"""{"data": {$parts}}"""
     }
   }
 
@@ -83,7 +90,11 @@ class SyncerSpec extends SparkSpec {
       .collect().sortBy(_._1)
     assert(proposals.toSeq == Seq(("p1", "b1"), ("p2", "b3"))) // FK flattened
 
-    // keyset pagination: builders took 2 requests (full page then short)
+    // G2: the first request batches BOTH entities into one document
+    assert(transport.requests.head.contains("builders_0")
+      && transport.requests.head.contains("proposals_1"))
+    // keyset pagination: builders took 2 requests (batched first page,
+    // then the single-entity continuation)
     assert(transport.requests.count(_.contains("builders_0")) == 2)
   }
 
