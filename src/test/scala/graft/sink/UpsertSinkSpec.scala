@@ -63,6 +63,56 @@ class UpsertSinkSpec extends SparkSpec {
     assert(sink.read("t").as[(Long, String)].collect().toSeq == Seq((2L, "b")))
   }
 
+  test("incremental merge rewrites ONLY buckets containing updated keys") {
+    val root = Files.createTempDirectory("graft_sink_bkt")
+    val sink = new UpsertSink(spark, root.toString, numBuckets = 8)
+    // seed enough keys that several buckets are populated
+    sink.merge("t", (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+
+    // fingerprint every parquet file: path -> (size, mtime, hash)
+    def fileState(): Map[String, Long] = {
+      val s = Files.walk(root.resolve("t"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(p => p.toString ->
+            java.util.Arrays.hashCode(Files.readAllBytes(p)).toLong)
+          .toMap
+      } finally s.close()
+    }
+    val before = fileState()
+    assert(before.nonEmpty)
+
+    sink.merge("t", Seq((42L, "V42!")).toDF("id", "v"), Seq("id"))
+
+    val after = fileState()
+    val survivors = before.keySet.intersect(after.keySet)
+    // every surviving file is byte-identical; at least one bucket survived
+    assert(survivors.nonEmpty, "merge of 1 row rewrote every bucket")
+    assert(survivors.forall(k => before(k) == after(k)))
+    // most files should survive a 1-key merge (only 1 of 8 buckets touched)
+    assert(survivors.size >= before.size - before.size / 4,
+      s"too many files rewritten: ${before.size - survivors.size} of ${before.size}")
+    // and the data is correct
+    val got = sink.read("t").as[(Long, String)].collect().toMap
+    assert(got.size == 200 && got(42L) == "V42!" && got(41L) == "v41")
+  }
+
+  test("flat-layout table migrates to bucketed on first merge") {
+    val root = Files.createTempDirectory("graft_sink_mig")
+    val sink = new UpsertSink(spark, root.toString, numBuckets = 4)
+    sink.overwrite("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // flat (no pk)
+    sink.merge("t", Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    assert(sink.read("t").as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+    // layout is now bucketed: a second merge takes the incremental path
+    assert(Files.list(root.resolve("t")).iterator().hasNext)
+    sink.merge("t", Seq((1L, "A9")).toDF("id", "v"), Seq("id"))
+    assert(sink.read("t").as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "A9"), (2L, "B2"), (3L, "c")))
+  }
+
   test("retry: succeeds after transient failures, delays double") {
     var calls = 0
     val delays = scala.collection.mutable.Buffer.empty[Long]
