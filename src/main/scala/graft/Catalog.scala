@@ -617,9 +617,10 @@ object Catalog {
       }),
 
     QueryDef("q33_embed_neardup",
-      "Embedding-cosine near-dup pairs (threshold 0.45). Exact pair join " +
-        "here (oracle-checkable); at 100 TB the candidate set comes from " +
-        "SimOps.lshTopK bucketing instead.",
+      "Embedding-cosine near-dup pairs (threshold 0.45), exhaustive " +
+        "all-pairs formulation — kept ONLY as the oracle baseline; the " +
+        "default operator a user reaches for is q41 (SimOps.lshNearDupPairs, " +
+        "bucketed candidate gen + exact verify).",
       Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
              |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              |    ${sqlCosine("a.embedding", "b.embedding")} AS c
@@ -792,7 +793,24 @@ object Catalog {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("chars")).cast("long").as("total_chars"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    QueryDef("q41_embed_neardup_lsh",
+      "DEFAULT embedding near-dup op: LSH candidate generation (equi-join " +
+        "on (table, signature) buckets — no all-pairs join anywhere) + " +
+        "exact cosine verify. Oracle: the same exhaustive SQL as q33 — " +
+        "candidate recall is 1.0 on this data (params tuned for the weak " +
+        "0.45-cosine regime), so results match the all-pairs baseline " +
+        "bit-for-bit.",
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |    ${sqlCosine("a.embedding", "b.embedding")} AS c
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             |SELECT a_id, b_id, round(c, 6) AS cosine FROM p
+             |WHERE round(c, 6) >= 0.45 ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => SimOps.lshNearDupPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        .orderBy("a_id", "b_id"))
   )
 
   // ---------------------------------------------------------------------

@@ -118,9 +118,53 @@ object SimOps {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce[Column](_ + _)
 
-  /** All pairs (a < b) with cosine >= threshold — embedding near-dup
-    * detection. Exact join formulation (the oracle-checkable baseline);
-    * at 100 TB swap the cross join for `lshTopK`-style bucketing.
+  /** DEFAULT embedding near-dup operator: LSH-bucketed candidate
+    * generation + exact cosine verification >= threshold.
+    *
+    * Candidates are id pairs sharing a full signature in ANY of `tables`
+    * hyperplane tables — an equi-join on the (table, signature) key, so
+    * the shuffle is by bucket and nothing is all-pairs. Because every
+    * candidate is then verified with the exact cosine, precision is 1.0;
+    * recall is the probability a true pair collides in at least one
+    * table, which rises with `tables` and falls with `planes`. The
+    * defaults (48 tables x 4 planes) are sized for thresholds as weak as
+    * ~0.45 — the hardest regime for hyperplane LSH (bit-agreement
+    * probability 1 - arccos(c)/pi ~ 0.65); for the usual >= 0.9 near-dup
+    * threshold far fewer tables suffice. Verification re-joins the
+    * (small, pruned) id pairs against the vector table rather than
+    * dragging vectors through the distinct — the dedupe shuffles 16-byte
+    * id pairs, not embeddings.
+    *
+    * Matches [[cosineNearDupPairs]] exactly when recall is 1 (asserted in
+    * SimOpsSpec and oracle-checked against the exhaustive SQL in q41).
+    */
+  def lshNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, planes: Int = 4, tables: Int = 48,
+                      dim: Int = 64): DataFrame = {
+    VectorFunctions.register(vecs.sparkSession)
+    val sigCols = (0 until tables).map(tb =>
+      lshTableSignature(col(vecCol), planes, tb, dim).as(s"__sig$tb"))
+    val sigs = vecs.select(Seq(col(idCol).as("id")) ++ sigCols: _*)
+      .select(col("id"), explode(array((0 until tables).map(tb =>
+        struct(lit(tb).as("t"), col(s"__sig$tb").as("s"))): _*)).as("__b"))
+    val a = sigs.select(col("id").as("a_id"), col("__b").as("__ab"))
+    val b = sigs.select(col("id").as("b_id"), col("__b").as("__bb"))
+    val cand = a.join(b, col("__ab") === col("__bb") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val va = vecs.select(col(idCol).as("a_id"), col(vecCol).as("__av"),
+      norm(col(vecCol)).as("__an"))
+    val vb = vecs.select(col(idCol).as("b_id"), col(vecCol).as("__bv"),
+      norm(col(vecCol)).as("__bn"))
+    cand.join(va, "a_id").join(vb, "b_id")
+      .withColumn("cosine", dot(col("__av"), col("__bv")) / (col("__an") * col("__bn")))
+      .filter(round(col("cosine"), 6) >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** All pairs (a < b) with cosine >= threshold — the exhaustive
+    * formulation. O(n^2) by construction: kept ONLY as the correctness
+    * oracle for [[lshNearDupPairs]] (which is the operator users should
+    * reach for); never the default at scale.
     */
   def cosineNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {

@@ -65,4 +65,22 @@ class SimOpsSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(out.forall { case (a, b, c) => a < b && c >= 0.3 })
   }
+
+  test("lshNearDupPairs (default op) matches the exhaustive baseline exactly") {
+    val e = Tables.load(spark, sf, "embeddings")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.as[(Long, Long, Double)].collect().toSet
+    val exact = pairSet(SimOps.cosineNearDupPairs(e, "vec_id", "embedding", 0.45))
+    val lsh = pairSet(SimOps.lshNearDupPairs(e, "vec_id", "embedding", 0.45))
+    assert(exact.nonEmpty, "test data lost its planted near-dup pairs")
+    assert(lsh == exact, s"LSH path diverged: missing ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
+  test("lshNearDupPairs plans as equi-join candidate gen — no nested-loop join") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val plan = SimOps.lshNearDupPairs(e, "vec_id", "embedding", 0.45)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs join in the default near-dup plan:\n$plan")
+  }
 }
