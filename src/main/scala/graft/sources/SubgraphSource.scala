@@ -201,6 +201,12 @@ final class SubgraphSource(provider: ProviderConfig, transport: Transport,
     fetchPage(spec, s"${SubgraphQueryBuilder.resultKey(entity.name)}_0")
   }
 
+  /** One arbitrary-spec page with retry (e.g. a pushed TopN's
+    * orderBy/orderDirection/first); failure throws.
+    */
+  def fetchPageSpec(spec: QuerySpec): Seq[Map[String, Any]] =
+    fetchPage(spec, s"${SubgraphQueryBuilder.resultKey(spec.entity.name)}_0")
+
   @tailrec
   private def pageLoop(spec: QuerySpec, key: String, cursor: String,
                        acc: Vector[Map[String, Any]]): Vector[Map[String, Any]] = {

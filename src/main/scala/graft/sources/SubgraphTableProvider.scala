@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
@@ -84,11 +84,21 @@ final class SubgraphTable(configKey: String, entity: EntityDef,
 final class SubgraphScanBuilder(configKey: String,
                                 entity: EntityDef, fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var requiredSchema: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var topN: Option[(String, String, Int)] = None // (field, dir, n)
+
+  /** Inherited from BOTH SupportsPushDownLimit and SupportsPushDownTopN
+    * (same default in each): keep `true` so Spark still applies its own
+    * limit/TakeOrdered over the pruned scan output — null-ordering and
+    * collation stay Spark-defined while the row volume is cut at the
+    * source.
+    */
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(required: StructType): Unit =
     requiredSchema = required
@@ -145,10 +155,36 @@ final class SubgraphScanBuilder(configKey: String,
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
+  /** O1 TopN pushdown: `df.orderBy(col).limit(n)` maps to GraphQL
+    * `orderBy / orderDirection / first` (reference
+    * subgraphQueryBuilder.ts:174-198) when the sort is a single plain
+    * column and the limit fits one page — the scan then fetches exactly N
+    * rows instead of walking the whole entity and sorting locally.
+    * Partially pushed (the default): Spark still runs its TakeOrdered
+    * over the N returned rows, which keeps null/collation semantics
+    * Spark-defined while the *row volume* is already pruned at the source.
+    */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    val page = SubgraphTableProvider.registry.get(configKey)
+      .map(_.provider.maxRowsPerRequest).getOrElse(Int.MaxValue)
+    orders match {
+      case Array(o) if n <= page =>
+        o.expression() match {
+          case nr: NamedReference if nr.fieldNames.length == 1
+              && entity.columns.exists(_.name == nr.fieldNames()(0)) =>
+            val dir = if (o.direction() == SortDirection.DESCENDING) "desc" else "asc"
+            topN = Some((nr.fieldNames()(0), dir, n))
+            true
+          case _ => false
+        }
+      case _ => false
+    }
+  }
+
   override def build(): Scan = {
     val where = pushed.flatMap(toWhere).toMap
       .map { case (k, v) => k -> normalizeLiteral(v) }
-    new SubgraphScan(configKey, entity, requiredSchema, where, limit)
+    new SubgraphScan(configKey, entity, requiredSchema, where, limit, topN)
   }
 
   private def normalizeLiteral(v: Any): Any = v match {
@@ -168,7 +204,8 @@ final class SubgraphScanBuilder(configKey: String,
   */
 final class SubgraphScan(configKey: String, entity: EntityDef,
                          schema: StructType, where: Map[String, Any],
-                         limit: Option[Int])
+                         limit: Option[Int],
+                         topN: Option[(String, String, Int)] = None)
     extends Scan with Batch with Serializable {
 
   override def readSchema(): StructType = schema
@@ -183,6 +220,7 @@ final class SubgraphScan(configKey: String, entity: EntityDef,
     val key = configKey
     val w = where
     val lim = limit
+    val top = topN
     val readerSchema = schema
     (_: InputPartition) => new PartitionReader[InternalRow] {
       // resolved where the reader runs — never serialized (see registry doc)
@@ -195,8 +233,14 @@ final class SubgraphScan(configKey: String, entity: EntityDef,
         .filter(c => required.contains(c.name) ||
           entityDef.primaryKey.contains(c.name)))
       private val rows: Iterator[InternalRow] = {
-        val fetched = lim match {
-          case Some(n) if n <= provider.maxRowsPerRequest =>
+        val fetched = (top, lim) match {
+          case (Some((field, dir, n)), _) =>
+            // pushed TopN: the server sorts and truncates — one request,
+            // no full-entity fetch, no local sort of the whole table
+            source.fetchPageSpec(QuerySpec(fetchEntity, where = w,
+              orderBy = Some(field), orderDirection = Some(dir),
+              first = Some(n)))
+          case (None, Some(n)) if n <= provider.maxRowsPerRequest =>
             // limit fits one page: push `first: n` (O1 limit pushdown);
             // retries with backoff and throws on persistent failure so a
             // failed request can't read as an empty table

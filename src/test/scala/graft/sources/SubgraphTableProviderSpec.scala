@@ -27,10 +27,16 @@ class SubgraphTableProviderSpec extends SparkSpec {
         .getOrElse(Int.MaxValue)
       val idGt = """id_gt: \\"([^"\\]+)\\"""".r.findFirstMatchIn(body).map(_.group(1))
       val scoreGte = """score_gte: (\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
-      val rows = data
+      val orderBy = """orderBy: (\w+)""".r.findFirstMatchIn(body).map(_.group(1))
+      val desc = body.contains("orderDirection: desc")
+      val filtered = data
         .filter { case (id, _, _) => idGt.forall(c => id > c) }
         .filter { case (_, _, s) => scoreGte.forall(s >= _) }
-        .take(first)
+      val sorted = orderBy match {
+        case Some("score") => if (desc) filtered.sortBy(-_._3) else filtered.sortBy(_._3)
+        case _ => if (desc) filtered.sortBy(_._1).reverse else filtered.sortBy(_._1)
+      }
+      val rows = sorted.take(first)
       val wantName = body.contains("name")
       val json = rows.map { case (id, n, s) =>
         val nameField = if (wantName) s""","name": "$n"""" else ""
@@ -95,6 +101,31 @@ class SubgraphTableProviderSpec extends SparkSpec {
     assert(read("t6").limit(5).count() == 5)
     assert(g.requests.exists(_.contains("first: 5")))
     assert(g.requests.size == 1) // no pagination for a pushed limit
+  }
+
+  test("TopN pushdown: orderBy+limit becomes one orderBy/orderDirection/first request") {
+    val g = new MiniGraph
+    register("t8", g)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.desc
+    val got = read("t8").orderBy(desc("score")).limit(5)
+      .select("id", "score").as[(String, Int)].collect()
+    assert(got.map(_._2).toSeq == Seq(30, 29, 28, 27, 26))
+    assert(g.requests.size == 1, "TopN should be ONE request, not a full scan")
+    val req = g.requests.head
+    assert(req.contains("orderBy: score") && req.contains("orderDirection: desc")
+      && req.contains("first: 5"), s"TopN not pushed: $req")
+  }
+
+  test("TopN beyond one page is not claimed (falls back to full fetch + local sort)") {
+    val g = new MiniGraph
+    register("t9", g)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.desc
+    val got = read("t9").orderBy(desc("score")).limit(15)
+      .select("score").as[Int].collect()
+    assert(got.toSeq == (16 to 30).reverse) // pageSize 10 < 15 -> full scan path
+    assert(g.requests.size >= 3)
   }
 
   // --- pushdown-claim unit tests (ADVICE r01: silent wrong results) ---
