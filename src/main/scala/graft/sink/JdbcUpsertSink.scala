@@ -1,0 +1,89 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Minimal SQL execution boundary — pluggable like the connector's
+  * Transport so the writer is fully testable offline (the reference
+  * mock-patches knex the same way, dbUpsert.test.ts). One instance per
+  * partition; implementations need not be thread-safe.
+  */
+trait SqlConnection {
+  /** Execute one parameterized statement; returns affected-row count. */
+  def executeUpdate(sql: String, params: Seq[Any]): Int
+  def close(): Unit
+}
+
+/** Serializable factory shipped to executors; opens one connection per
+  * partition (the standard foreachPartition-JDBC shape).
+  */
+trait SqlConnectionFactory extends Serializable {
+  def connect(): SqlConnection
+}
+
+/** Postgres-parity upsert writer: the reference's actual sink is batched
+  * `INSERT .. ON CONFLICT(pk) DO UPDATE SET col = EXCLUDED.col` through
+  * knex (src/handlers/dbUpsert.ts:50-85, chunked by `batchSize` with
+  * retry/backoff per chunk). This is that statement shape verbatim,
+  * executed distributedly: `foreachPartition` opens one connection per
+  * partition and streams `batchSize`-row multi-VALUES statements through
+  * it — each executor writes its own partition concurrently, nothing
+  * funnels through the driver.
+  *
+  * Exposes the same `merge(table, df, pk)` surface as [[UpsertSink]], so
+  * pipelines swap between the parquet state store and a real Postgres by
+  * switching the sink object. Idempotence (T8) comes from the ON
+  * CONFLICT clause exactly as in the reference.
+  *
+  * At scale: batch inserts are bounded (`batchSize` rows per statement,
+  * default 10,000 like config/default.yml:5); retry with exponential
+  * backoff wraps each chunk (R1, dbUpsert.ts:25-48); a chunk that
+  * exhausts retries throws and fails the task, so Spark's task retry +
+  * the statement's idempotence give effectively-once delivery.
+  */
+final class JdbcUpsertSink(factory: SqlConnectionFactory,
+                           batchSize: Int = 10000,
+                           maxRetries: Int = 3,
+                           initialRetryDelayMs: Long = 200L)
+    extends Serializable {
+
+  def merge(table: String, df: DataFrame, pk: Seq[String]): Unit = {
+    require(pk.nonEmpty, s"merge into $table needs a primary key")
+    val cols = df.columns.toSeq
+    require(pk.forall(cols.contains), s"pk ${pk.mkString(",")} missing from ${cols.mkString(",")}")
+    val (f, bs, mr, delay) = (factory, batchSize, maxRetries, initialRetryDelayMs)
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val conn = f.connect()
+        try rows.grouped(bs).foreach { chunk =>
+          val sql = JdbcUpsertSink.upsertSql(table, cols, pk, chunk.size)
+          val params = chunk.iterator.flatMap(r => cols.map(c => r.getAs[Any](c))).toSeq
+          Retry.withBackoff(mr, delay) { () => conn.executeUpdate(sql, params) }
+        } finally conn.close()
+      }
+    }
+  }
+}
+
+object JdbcUpsertSink {
+
+  private def q(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+
+  /** The reference's knex `.insert(batch).onConflict(pk).merge()` SQL:
+    * multi-VALUES insert with DO UPDATE SET over every non-key column
+    * (DO NOTHING when the row is all key). Parameter order is row-major,
+    * matching the flattened row values.
+    */
+  def upsertSql(table: String, columns: Seq[String], pk: Seq[String],
+                rowCount: Int): String = {
+    require(rowCount > 0)
+    val valuesRow = columns.map(_ => "?").mkString("(", ", ", ")")
+    val values = Seq.fill(rowCount)(valuesRow).mkString(", ")
+    val nonKey = columns.filterNot(pk.contains)
+    val conflict =
+      if (nonKey.isEmpty) "DO NOTHING"
+      else "DO UPDATE SET " +
+        nonKey.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
+    s"INSERT INTO ${q(table)} (${columns.map(q).mkString(", ")}) " +
+      s"VALUES $values ON CONFLICT (${pk.map(q).mkString(", ")}) $conflict"
+  }
+}
