@@ -3,6 +3,7 @@ package graft.model
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
 import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
 
 /** YAML config loading — the reference's node-config pipeline
@@ -44,8 +45,62 @@ object ConfigLoader {
 
   private val mapper = new ObjectMapper(new YAMLFactory())
 
-  def load(yaml: String): GraftConfig = {
-    val root = mapper.readTree(yaml)
+  def load(yaml: String): GraftConfig = fromTree(mapper.readTree(yaml))
+
+  /** node-config-style layered load (reference src/config/config.ts:4-12):
+    * `default.yml` deep-merged with the `$NODE_ENV.yml` overlay (objects
+    * merge key-by-key recursively; scalars and arrays replace), then
+    * env-var overrides applied at the paths named by the mapping document
+    * (`config/custom-environment-variables.yml:1-9` — leaf values are env
+    * var NAMES; a set variable overrides the config value at that path).
+    */
+  def loadLayered(defaultYaml: String,
+                  overlayYaml: Option[String] = None,
+                  envMappingYaml: Option[String] = None,
+                  env: Map[String, String] = sys.env): GraftConfig = {
+    val base = mapper.readTree(defaultYaml)
+    val merged = overlayYaml
+      .map(o => deepMerge(base, mapper.readTree(o))).getOrElse(base)
+    envMappingYaml.foreach(m =>
+      applyEnvOverrides(merged, mapper.readTree(m), env))
+    fromTree(merged)
+  }
+
+  /** Overlay onto base, node-config semantics: object x object merges
+    * recursively, anything else is replaced by the overlay value.
+    */
+  private def deepMerge(base: JsonNode, overlay: JsonNode): JsonNode =
+    (base, overlay) match {
+      case (b: ObjectNode, o: ObjectNode) =>
+        o.properties().asScala.foreach { e =>
+          val existing = b.get(e.getKey)
+          if (existing != null && existing.isObject && e.getValue.isObject)
+            deepMerge(existing, e.getValue)
+          else b.set[JsonNode](e.getKey, e.getValue)
+        }
+        b
+      case _ => overlay
+    }
+
+  private def applyEnvOverrides(target: JsonNode, mapping: JsonNode,
+                                env: Map[String, String]): Unit =
+    (target, mapping) match {
+      case (t: ObjectNode, m: ObjectNode) =>
+        m.properties().asScala.foreach { e =>
+          if (e.getValue.isTextual)
+            env.get(e.getValue.asText).foreach(v => t.put(e.getKey, v))
+          else {
+            val child = t.get(e.getKey) match {
+              case c: ObjectNode => c
+              case _ => t.putObject(e.getKey)
+            }
+            applyEnvOverrides(child, e.getValue, env)
+          }
+        }
+      case _ => ()
+    }
+
+  private def fromTree(root: JsonNode): GraftConfig = {
     val db = Option(root.get("database")).map(parseDb).getOrElse(DatabaseConfig())
     val chain = Option(root.get("blockchain")).map(parseChain).getOrElse(BlockchainConfig())
     val providers = Option(root.get("subgraphProviders")).map(parseProviders)

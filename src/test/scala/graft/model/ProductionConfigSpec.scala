@@ -51,4 +51,50 @@ class ProductionConfigSpec extends AnyFunSuite {
     assert(st("builder").dataType == BinaryType)
     assert(st("builderState").dataType == BinaryType)
   }
+
+  // --- node-config-style environment overlays (reference config/) ---
+
+  private val defaultYaml =
+    """database: { batchSize: 10000, maxRetries: 3, initialRetryDelay: 1000 }
+      |blockchain: { network: testnet, blockIntervalThreshold: 3 }
+      |subgraphProviders:
+      |  collective-rewards:
+      |    url: "https://gw.example/api"
+      |    id: "deployments/id/QmDEFAULT"
+      |    maxRowsPerRequest: 1000
+      |""".stripMargin
+
+  // the reference's mainnet.yml shape: flips network + poll threshold
+  // and repoints the subgraph id, leaving everything else inherited
+  private val mainnetYaml =
+    """blockchain: { network: mainnet, blockIntervalThreshold: 1 }
+      |subgraphProviders:
+      |  collective-rewards:
+      |    id: "deployments/id/QmMAINNET"
+      |""".stripMargin
+
+  private val envMappingYaml =
+    """subgraphProviders:
+      |  collective-rewards:
+      |    apiKey: "THE_GRAPH_API_KEY_CR"
+      |""".stripMargin
+
+  test("mainnet overlay deep-merges: blockIntervalThreshold 3 -> 1, url inherited") {
+    val cfg = ConfigLoader.loadLayered(defaultYaml, Some(mainnetYaml),
+      Some(envMappingYaml), env = Map("THE_GRAPH_API_KEY_CR" -> "sekret"))
+    assert(cfg.blockchain.network == "mainnet")
+    assert(cfg.blockchain.blockIntervalThreshold == 1L) // was 3 in default
+    val p = cfg.providers("collective-rewards")
+    assert(p.id == "deployments/id/QmMAINNET")     // overlay replaced
+    assert(p.url == "https://gw.example/api")      // sibling key inherited
+    assert(p.maxRowsPerRequest == 1000)            // sibling key inherited
+    assert(p.apiKey == "sekret")                   // env-var override
+  }
+
+  test("no overlay / unset env vars leave defaults untouched") {
+    val cfg = ConfigLoader.loadLayered(defaultYaml,
+      envMappingYaml = Some(envMappingYaml), env = Map.empty)
+    assert(cfg.blockchain.blockIntervalThreshold == 3L)
+    assert(cfg.providers("collective-rewards").apiKey == "")
+  }
 }
