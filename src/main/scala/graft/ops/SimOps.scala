@@ -97,6 +97,65 @@ object SimOps {
         round(col("cosine"), 6).as("cosine"), col("__rn").as("rank"))
   }
 
+  /** IVF-FLAT approximate top-k: a coarse quantizer of `nlist` centroids
+    * partitions the corpus into inverted lists; each query probes its
+    * `nprobe` nearest centroids and exact-reranks only those lists.
+    *
+    * The quantizer is a deterministic sample of the corpus itself —
+    * `nlist` vectors in xxhash64(id) order (a seeded pseudo-random
+    * sample, stable across runs/executors; no iterative k-means, whose
+    * float accumulation order would make centroids nondeterministic).
+    * Centroids are collected to the driver (nlist x dim floats — tiny)
+    * and compiled into the plan as literal arrays, so both assignment
+    * and probing are codegen'd dot products; the argmax over centroids
+    * is relational (array_max over (score, idx) structs — struct
+    * ordering compares scores first).
+    *
+    * Scale shape: the corpus shuffles once on its list id (or is
+    * pre-bucketed by it at write time); a query touches nprobe lists —
+    * work scales with nprobe/nlist of the corpus, not all of it.
+    * Approximate by design: recall vs [[bruteForceTopK]] is asserted in
+    * tests, not oracle-checked.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              dim: Int = 64): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    // deterministic pseudo-random sample as the coarse quantizer
+    val cents: Array[Array[Float]] = corpus
+      .select(col(vecCol), col(idCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nlist)
+      .collect().map(_.getSeq[Float](0).toArray)
+    def centScores(vec: Column): Column = array(cents.zipWithIndex.map {
+      case (c, i) =>
+        val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
+        struct((dot(vec, typedLit(c)) / (norm(vec) * lit(cn))).as("s"),
+          lit(i).as("c"))
+    }: _*)
+    // corpus side: every vector lands in its single nearest list
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"),
+        array_max(centScores(col(vecCol))).getField("c").as("__list"))
+    // query side: probe the nprobe best lists
+    val probed = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"),
+        slice(sort_array(centScores(col(vecCol)), asc = false),
+          1, nprobe).as("__probes"))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        explode(col("__probes")).as("__p"))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        col("__p").getField("c").as("__list"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probed.join(assigned, Seq("__list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("__rn").as("rank"))
+  }
+
   /** Deterministic +/-1 hyperplane for (table, plane): a seeded xorshift
     * PRNG — no global RNG state, every executor and run agrees.
     */
@@ -130,10 +189,15 @@ object SimOps {
     * defaults (48 tables x 4 planes) are sized for thresholds as weak as
     * ~0.45 — the hardest regime for hyperplane LSH (bit-agreement
     * probability 1 - arccos(c)/pi ~ 0.65); for the usual >= 0.9 near-dup
-    * threshold far fewer tables suffice. Verification re-joins the
-    * (small, pruned) id pairs against the vector table rather than
-    * dragging vectors through the distinct — the dedupe shuffles 16-byte
-    * id pairs, not embeddings.
+    * threshold far fewer tables suffice and pruning is far stronger.
+    *
+    * Shuffle shape: vectors+norms ride the band explode (2 x tables x n
+    * rows keyed by (table, signature)); the exact-cosine verify runs
+    * PIPELINED on the equi-join output — a candidate pair never hits a
+    * shuffle — and only the rare survivors (>= threshold) pass through
+    * the final distinct. Total shuffle volume is O(tables x n x dim),
+    * independent of how many candidate collisions the buckets produce —
+    * the quantity that explodes when buckets are coarse.
     *
     * Matches [[cosineNearDupPairs]] exactly when recall is 1 (asserted in
     * SimOpsSpec and oracle-checked against the exhaustive SQL in q41).
@@ -144,21 +208,20 @@ object SimOps {
     VectorFunctions.register(vecs.sparkSession)
     val sigCols = (0 until tables).map(tb =>
       lshTableSignature(col(vecCol), planes, tb, dim).as(s"__sig$tb"))
-    val sigs = vecs.select(Seq(col(idCol).as("id")) ++ sigCols: _*)
-      .select(col("id"), explode(array((0 until tables).map(tb =>
-        struct(lit(tb).as("t"), col(s"__sig$tb").as("s"))): _*)).as("__b"))
-    val a = sigs.select(col("id").as("a_id"), col("__b").as("__ab"))
-    val b = sigs.select(col("id").as("b_id"), col("__b").as("__bb"))
-    val cand = a.join(b, col("__ab") === col("__bb") && col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    val va = vecs.select(col(idCol).as("a_id"), col(vecCol).as("__av"),
-      norm(col(vecCol)).as("__an"))
-    val vb = vecs.select(col(idCol).as("b_id"), col(vecCol).as("__bv"),
-      norm(col(vecCol)).as("__bn"))
-    cand.join(va, "a_id").join(vb, "b_id")
+    val sigs = vecs.select(Seq(col(idCol).as("id"), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__norm")) ++ sigCols: _*)
+      .select(col("id"), col("__v"), col("__norm"),
+        explode(array((0 until tables).map(tb =>
+          struct(lit(tb).as("t"), col(s"__sig$tb").as("s"))): _*)).as("__b"))
+    val a = sigs.select(col("id").as("a_id"), col("__v").as("__av"),
+      col("__norm").as("__an"), col("__b").as("__ab"))
+    val b = sigs.select(col("id").as("b_id"), col("__v").as("__bv"),
+      col("__norm").as("__bn"), col("__b").as("__bb"))
+    a.join(b, col("__ab") === col("__bb") && col("a_id") < col("b_id"))
       .withColumn("cosine", dot(col("__av"), col("__bv")) / (col("__an") * col("__bn")))
       .filter(round(col("cosine"), 6) >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
+      .distinct() // duplicate table hits of the same surviving pair
   }
 
   /** All pairs (a < b) with cosine >= threshold — the exhaustive
