@@ -810,7 +810,20 @@ object Catalog {
              |WHERE round(c, 6) >= 0.45 ORDER BY a_id, b_id""".stripMargin),
       (s, dir) => SimOps.lshNearDupPairs(
           t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
-        .orderBy("a_id", "b_id"))
+        .orderBy("a_id", "b_id")),
+
+    QueryDef("q42_ann_ivf",
+      "ANN scale path #2: IVF-FLAT — deterministic sampled coarse " +
+        "quantizer, inverted-list assignment, nprobe-list exact re-rank. " +
+        "Approximate by design -> no SQL oracle (driver rows-only check); " +
+        "recall vs the exact baseline is asserted in SimOpsSpec.",
+      None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        SimOps.ivfTopK(e.filter(col("vec_id") % 100 === 0), e,
+          "vec_id", "embedding", 5, nlist = 16, nprobe = 6)
+          .orderBy("query_id", "rank")
+      })
   )
 
   // ---------------------------------------------------------------------

@@ -66,6 +66,27 @@ class SimOpsSpec extends SparkSpec {
     assert(out.forall { case (a, b, c) => a < b && c >= 0.3 })
   }
 
+  test("ivfTopK: deterministic, and recall@3 vs exact baseline beats its coverage") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val queries = e.filter($"vec_id" % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(SimOps.bruteForceTopK(queries, e, "vec_id", "embedding", 3))
+    val ivf1 = pairs(SimOps.ivfTopK(queries, e, "vec_id", "embedding", 3,
+      nlist = 16, nprobe = 6))
+    val ivf2 = pairs(SimOps.ivfTopK(queries, e, "vec_id", "embedding", 3,
+      nlist = 16, nprobe = 6))
+    assert(ivf1 == ivf2, "IVF result not deterministic across runs")
+    val recall = (exact intersect ivf1).size.toDouble / exact.size
+    // probing 6/16 lists = 37.5% of the corpus; similarity-directed
+    // probing must beat random coverage
+    assert(recall >= 0.5, s"recall $recall below 0.5")
+    // full probe = exact: with nprobe == nlist every list is scanned
+    val full = pairs(SimOps.ivfTopK(queries, e, "vec_id", "embedding", 3,
+      nlist = 8, nprobe = 8))
+    assert(full == exact, "nprobe == nlist must equal the exhaustive result")
+  }
+
   test("lshNearDupPairs (default op) matches the exhaustive baseline exactly") {
     val e = Tables.load(spark, sf, "embeddings")
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
