@@ -110,4 +110,34 @@ object RelOps {
       when(c === lit(label), lit(code)).otherwise(acc)
     }
 
+  /** Skew-salted equi-join: when one join key dominates (a whale user, a
+    * zero address, a default enum), a plain shuffle join lands the whole
+    * key on one reducer and the stage runs at the speed of that task.
+    * Salting splits each `big`-side key across `buckets` sub-keys with a
+    * random-uniform salt, and replicates each `small`-side row once per
+    * bucket so every sub-key still finds its match — the classic
+    * replicate-the-dimension skew join, as an explicit operator for when
+    * AQE's runtime skew split can't see the skew (e.g. the skewed stage
+    * feeds an aggregation, or statistics are stale).
+    *
+    * `small` grows by `buckets`x, so use for genuinely smaller right
+    * sides (but too big / too dynamic to broadcast outright). Result
+    * equals `big.join(small, keys)` exactly; only the partitioning
+    * changes.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 buckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(buckets > 0)
+    // right/full joins would emit `buckets` null-padded copies of every
+    // unmatched small row (it was replicated); only big-preserving types
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports big-side-preserving join types only, got $joinType")
+    // rand() is fine here: the salt only routes rows, never shows in the
+    // result, so nondeterminism cannot leak into query output
+    val salted = big.withColumn("__salt", (rand(seed = 7) * buckets).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

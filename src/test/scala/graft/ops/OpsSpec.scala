@@ -93,4 +93,20 @@ class OpsSpec extends SparkSpec {
     assert(good > bad)
     assert(good <= 1000 && bad >= 0)
   }
+
+  test("saltedJoin equals the plain join on a skewed key (incl. misses)") {
+    // 10k rows of one whale key + a long tail; dimension misses key 99
+    val big = ((1 to 10000).map(_ => 1L) ++ (2L to 99L)).toDF("k")
+      .withColumn("v", $"k" * 10)
+    val dim = (1L to 98L).map(k => (k, s"d$k")).toDF("k", "name")
+    val plain = big.join(dim, Seq("k")).select("k", "v", "name")
+    val salted = RelOps.saltedJoin(big, dim, Seq("k"), buckets = 8)
+      .select("k", "v", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    // left-join misses survive exactly once per big row
+    val left = RelOps.saltedJoin(big, dim, Seq("k"), buckets = 8, joinType = "left")
+    assert(left.filter($"k" === 99L).count() == 1)
+    assert(left.count() == big.count())
+  }
 }
