@@ -1,0 +1,59 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.sink.UpsertSink
+
+/** Streaming exact dedup: first occurrence wins, duplicates are dropped
+  * by stream state (not sink conflicts), and a checkpoint restart does
+  * not resurrect them.
+  */
+class DedupPipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  test("streaming dedup keeps the first occurrence across batches and restarts") {
+    val root = Files.createTempDirectory("graft_sdedup")
+    val src = root.resolve("docs"); Files.createDirectories(src)
+    val sink = new UpsertSink(spark, root.resolve("sink").toString)
+    val checkpoint = root.resolve("chk").toString
+
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(src.toString)
+
+    // batch 1: "hello world" appears twice (normalized-equal), once unique
+    write(Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other doc")))
+    val q1 = DedupPipeline.exactDedupStream(spark, src.toString, schema,
+      sink, "Corpus", checkpoint)
+    q1.awaitTermination(60000)
+
+    def corpus(): Map[Long, String] =
+      sink.read("Corpus").select("doc_id", "text").as[(Long, String)]
+        .collect().toMap
+    val first = corpus()
+    assert(first.size == 2, s"expected 2 unique docs, got $first")
+    assert(first.contains(3L))
+    assert(first.keySet.intersect(Set(1L, 2L)).size == 1)
+
+    // batch 2 after restart: one replayed dup, one genuinely new doc —
+    // the dup must NOT replace the first occurrence
+    write(Seq((4L, "HELLO WORLD"), (5L, "brand new")))
+    val q2 = DedupPipeline.exactDedupStream(spark, src.toString, schema,
+      sink, "Corpus", checkpoint)
+    q2.awaitTermination(60000)
+
+    val second = corpus()
+    assert(second.size == 3)
+    assert(!second.contains(4L), "duplicate resurrected after restart")
+    assert(second.contains(5L))
+    assert(second.view.filterKeys(Set(1L, 2L)).toMap
+      == first.view.filterKeys(Set(1L, 2L)).toMap)
+  }
+}
