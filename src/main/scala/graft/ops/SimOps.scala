@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
+import graft.functions.{LshFunctions, LshPlanes, VectorFunctions}
 
 /** Similarity-search operators over an embedding column (`array<float>`):
   * exact cosine top-k (baseline), LSH-bucketed ANN (scale path), and
@@ -69,19 +69,20 @@ object SimOps {
               vecCol: String, k: Int, planes: Int = 12, tables: Int = 6,
               dim: Int = 64): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
+    LshFunctions.register(corpus.sparkSession)
+    // all table signatures come from ONE batched expression (array<long>)
+    // + posexplode — not tables x planes separate dot columns, whose fused
+    // codegen outgrows the JIT (see LshSignatures scaladoc)
     def sigs(df: DataFrame, id: String): DataFrame =
-      df.select(Seq(col(idCol).as(id), col(vecCol).as(s"__v_$id"),
-        norm(col(vecCol)).as(s"__n_$id")) ++
-        (0 until tables).map(tb =>
-          lshTableSignature(col(vecCol), planes, tb, dim).as(s"__sig$tb")): _*)
-    val q = sigs(queries, "query_id")
-    val c = sigs(corpus, "neighbor_id")
-    val qe = q.select(col("query_id"), col("__v_query_id"), col("__n_query_id"),
-      explode(array((0 until tables).map(tb =>
-        struct(lit(tb).as("t"), col(s"__sig$tb").as("s"))): _*)).as("__b"))
-    val ce = c.select(col("neighbor_id"), col("__v_neighbor_id"), col("__n_neighbor_id"),
-      explode(array((0 until tables).map(tb =>
-        struct(lit(tb).as("t"), col(s"__sig$tb").as("s"))): _*)).as("__b"))
+      df.select(col(idCol).as(id), col(vecCol).as(s"__v_$id"),
+          norm(col(vecCol)).as(s"__n_$id"),
+          LshFunctions.signatures(col(vecCol), planes, tables, dim).as("__sigs"))
+        .select(col(id), col(s"__v_$id"), col(s"__n_$id"),
+          posexplode(col("__sigs")).as(Seq("__t", "__s")))
+        .select(col(id), col(s"__v_$id"), col(s"__n_$id"),
+          struct(col("__t").as("t"), col("__s").as("s")).as("__b"))
+    val qe = sigs(queries, "query_id")
+    val ce = sigs(corpus, "neighbor_id")
     val cands = qe.join(ce, qe("__b") === ce("__b")
         && col("query_id") =!= col("neighbor_id"))
       .select("query_id", "__v_query_id", "__n_query_id",
@@ -156,26 +157,19 @@ object SimOps {
         round(col("cosine"), 6).as("cosine"), col("__rn").as("rank"))
   }
 
-  /** Deterministic +/-1 hyperplane for (table, plane): a seeded xorshift
-    * PRNG — no global RNG state, every executor and run agrees.
+  /** Deterministic +/-1 hyperplane for (table, plane) — shared with the
+    * batched [[graft.functions.LshSignatures]] expression so buckets are
+    * identical however the signature is computed.
     */
-  private[ops] def plane(tb: Int, p: Int, dim: Int): Array[Float] = {
-    var s = (tb.toLong << 32) ^ (p.toLong * 0x9E3779B97F4A7C15L) ^ 0x5DEECE66DL
-    Array.fill(dim) {
-      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
-      if ((s & 1L) == 0L) 1.0f else -1.0f
-    }
-  }
+  private[ops] def plane(tb: Int, p: Int, dim: Int): Array[Float] =
+    LshPlanes.plane(tb, p, dim)
 
-  /** Signature for LSH table `tb`: each sign bit is the codegen'd dot
-    * product of the vector against a literal +/-1 plane — one tight loop
-    * per plane instead of an interpreted lambda fold per element.
+  /** Signature for one LSH table, as a column — a thin slice of the
+    * batched [[graft.functions.LshSignatures]] expression (kept for tests
+    * and ad-hoc use; the operators take the whole array in one pass).
     */
   def lshTableSignature(vec: Column, planes: Int, tb: Int, dim: Int): Column =
-    (0 until planes).map { p =>
-      val proj = dot(vec, typedLit(plane(tb, p, dim)))
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce[Column](_ + _)
+    element_at(LshFunctions.signatures(vec, planes, tb + 1, dim), tb + 1)
 
   /** DEFAULT embedding near-dup operator: LSH-bucketed candidate
     * generation + exact cosine verification >= threshold.
@@ -206,18 +200,25 @@ object SimOps {
                       threshold: Double, planes: Int = 4, tables: Int = 48,
                       dim: Int = 64): DataFrame = {
     VectorFunctions.register(vecs.sparkSession)
-    val sigCols = (0 until tables).map(tb =>
-      lshTableSignature(col(vecCol), planes, tb, dim).as(s"__sig$tb"))
-    val sigs = vecs.select(Seq(col(idCol).as("id"), col(vecCol).as("__v"),
-        norm(col(vecCol)).as("__norm")) ++ sigCols: _*)
+    LshFunctions.register(vecs.sparkSession)
+    // one batched signature expression + posexplode (see LshSignatures)
+    val sigs = vecs.select(col(idCol).as("id"), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__norm"),
+        LshFunctions.signatures(col(vecCol), planes, tables, dim).as("__sigs"))
       .select(col("id"), col("__v"), col("__norm"),
-        explode(array((0 until tables).map(tb =>
-          struct(lit(tb).as("t"), col(s"__sig$tb").as("s"))): _*)).as("__b"))
+        posexplode(col("__sigs")).as(Seq("__t", "__s")))
+      .select(col("id"), col("__v"), col("__norm"),
+        struct(col("__t").as("t"), col("__s").as("s")).as("__b"))
     val a = sigs.select(col("id").as("a_id"), col("__v").as("__av"),
       col("__norm").as("__an"), col("__b").as("__ab"))
     val b = sigs.select(col("id").as("b_id"), col("__v").as("__bv"),
       col("__norm").as("__bn"), col("__b").as("__bb"))
-    a.join(b, col("__ab") === col("__bb") && col("a_id") < col("b_id"))
+    // SHUFFLE_HASH, not broadcast: both sides are the same exploded
+    // corpus (tables x n rows CARRYING vectors) — a broadcast would
+    // collect and rebroadcast all of it through the driver; hash-join
+    // per bucket partition is the scale shape
+    a.join(b.hint("shuffle_hash"),
+        col("__ab") === col("__bb") && col("a_id") < col("b_id"))
       .withColumn("cosine", dot(col("__av"), col("__bv")) / (col("__an") * col("__bn")))
       .filter(round(col("cosine"), 6) >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
