@@ -57,15 +57,42 @@ final class Syncer(spark: SparkSession, config: GraftConfig,
     * provider's first pages batched into ONE request (G2 — the
     * reference's cross-entity batching, 80% request reduction) and
     * batch-to-individual fallback isolation (R3).
+    *
+    * Providers are independent upstream endpoints, so their paginated
+    * fetches run CONCURRENTLY (up to `parallelism` driver threads — the
+    * keyset walk is I/O-bound wall-clock that need not serialize); each
+    * thread submits its merge jobs to the shared SparkSession, which is
+    * thread-safe, and the merged tables are disjoint across providers so
+    * no two threads touch the same sink path.
     */
-  def syncAll(): Map[String, Long] =
-    syncableEntities
-      .groupBy(_.subgraphProvider) // G1: one source per provider
-      .flatMap { case (providerName, entities) =>
-        val fetched = sources(providerName)
-          .fetchAllBatched(entities.map(e => e -> Map.empty[String, Any]))
-        entities.map(e => e.name -> upsert(e, fetched.getOrElse(e.name, Seq.empty)))
-      }
+  def syncAll(parallelism: Int = 4): Map[String, Long] = {
+    val groups = syncableEntities
+      .groupBy(_.subgraphProvider).toSeq // G1: one source per provider
+    if (groups.size <= 1 || parallelism <= 1)
+      groups.flatMap { case (providerName, entities) =>
+        syncProvider(providerName, entities)
+      }.toMap
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, groups.size))
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val perProvider = groups.map { case (providerName, entities) =>
+          Future(syncProvider(providerName, entities))
+        }
+        Await.result(Future.sequence(perProvider), Duration.Inf).flatten.toMap
+      } finally pool.shutdown()
+    }
+  }
+
+  private def syncProvider(providerName: String,
+                           entities: Seq[EntityDef]): Seq[(String, Long)] = {
+    val fetched = sources(providerName)
+      .fetchAllBatched(entities.map(e => e -> Map.empty[String, Any]))
+    entities.map(e => e.name -> upsert(e, fetched.getOrElse(e.name, Seq.empty)))
+  }
 
   /** Selective re-sync of the entities a CDC change log named (T4). */
   def syncChanged(entityNames: Set[String], fromBlock: BigInt): Map[String, Long] =

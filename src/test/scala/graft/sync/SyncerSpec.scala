@@ -44,7 +44,7 @@ class SyncerSpec extends SparkSpec {
     */
   private final class FakeSubgraph extends Transport {
     val requests: mutable.Buffer[String] = mutable.Buffer.empty
-    private val alias = """(builders|proposals)_(\d+)""".r
+    private val alias = """(builders|proposals|widgets)_(\d+)""".r
     def post(endpoint: String, body: String): String = {
       requests += body
       val parts = alias.findAllMatchIn(body).map { m =>
@@ -63,6 +63,7 @@ class SyncerSpec extends SparkSpec {
             else
               """[{"id": "p1", "builder": {"id": "b1"}, "ignored": 1},
                 |{"id": "p2", "builder": {"id": "b3"}}]""".stripMargin
+          case "widgets" => """[{"id": "w1", "name": "widget one"}]"""
         }
         s""""${m.matched}": $payload"""
       }.mkString(",")
@@ -96,6 +97,35 @@ class SyncerSpec extends SparkSpec {
     // keyset pagination: builders took 2 requests (batched first page,
     // then the single-entity continuation)
     assert(transport.requests.count(_.contains("builders_0")) == 2)
+  }
+
+  test("syncAll with several providers syncs each one's disjoint tables") {
+    val multiYaml =
+      """database:   { batchSize: 100, maxRetries: 1, initialRetryDelay: 1 }
+        |subgraphProviders:
+        |  main:  { url: "http://x", maxRowsPerRequest: 2, id: sub, apiKey: k }
+        |  other: { url: "http://y", maxRowsPerRequest: 2, id: sub2, apiKey: k2 }
+        |entities:
+        |  - name: Builder
+        |    primaryKey: [id]
+        |    subgraphProvider: main
+        |    columns:
+        |      - { name: id, type: String }
+        |      - { name: totalAllocation, type: BigInt }
+        |  - name: Widget
+        |    primaryKey: [id]
+        |    subgraphProvider: other
+        |    columns:
+        |      - { name: id, type: String }
+        |      - { name: name, type: String }
+        |""".stripMargin
+    val cfg = ConfigLoader.load(multiYaml)
+    val sink = new UpsertSink(spark, Files.createTempDirectory("graft_multi").toString)
+    val transport = new FakeSubgraph
+    val counts = new Syncer(spark, cfg, transport, sink).syncAll(parallelism = 2)
+    assert(counts == Map("Builder" -> 3L, "Widget" -> 1L))
+    assert(sink.read("Widget").count() == 1)
+    assert(sink.read("Builder").count() == 3)
   }
 
   test("re-running sync is idempotent; selective sync filters by change set") {
