@@ -1,0 +1,52 @@
+package graft
+
+/** Physical-plan regression guards: the scale-critical plan properties
+  * the catalog relies on, asserted so a refactor that silently loses a
+  * pushdown, a broadcast, or an equi-join fails here instead of only
+  * showing up as a benchmark regression. (The q41 broadcast regression
+  * that motivated this suite was exactly such a silent plan flip.)
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    Catalog.byName(name).fn(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: filters and projection reach the parquet scan") {
+    val plan = planOf("q01_pruned_scan")
+    assert(plan.contains("PushedFilters:") && plan.contains("l_shipdate"),
+      s"predicate not pushed:\n$plan")
+    assert(!plan.contains("l_comment"), "pruned column still read")
+  }
+
+  test("q02: aggregation has a map-side partial below the exchange") {
+    val plan = planOf("q02_agg_pricing")
+    val aggs = plan.split("HashAggregate").length - 1
+    assert(aggs >= 2, s"no partial aggregate:\n$plan")
+  }
+
+  test("q03: top-k plans as TakeOrdered, not a global sort") {
+    assert(planOf("q03_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q09: dimension joins broadcast (fact side never shuffles for them)") {
+    val plan = planOf("q09_fk_graph")
+    assert(plan.contains("BroadcastHashJoin"), s"dims not broadcast:\n$plan")
+  }
+
+  test("q41: near-dup candidates equi-join on bucket keys, never all-pairs") {
+    val plan = planOf("q41_embed_neardup_lsh")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs join:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"candidate join not hash-partitioned (a broadcast here funnels the " +
+        s"exploded corpus through the driver):\n$plan")
+  }
+
+  test("q29/q31: text near-dup joins are equi-joins, never cartesian") {
+    Seq("q29_dedup_minhash", "q31_simhash_neardup").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$q plans an all-pairs join:\n$plan")
+    }
+  }
+}
