@@ -153,13 +153,20 @@ final class UpsertSink(spark: SparkSession, root: String,
     }
   }
 
-  /** Last-write-wins within a batch: one row per PK. */
+  /** Last-write-wins within a batch: one row per PK. When every column is
+    * part of the key (pure link/band tables) rows with equal keys are
+    * identical, so a plain dropDuplicates suffices — a row_number window
+    * would have nothing to order by.
+    */
   private def dedupeLastWins(df: DataFrame, pk: Seq[String],
                              versionCol: Option[String]): DataFrame = {
     val order = versionCol.map(v => Seq(col(v).desc)).getOrElse(Seq.empty) ++
       df.columns.filterNot(pk.contains).map(c => col(c).desc).toSeq
-    val w = Window.partitionBy(pk.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    if (order.isEmpty) df.dropDuplicates(pk)
+    else {
+      val w = Window.partitionBy(pk.map(col): _*).orderBy(order: _*)
+      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
-import graft.ops.TextOps
+import graft.ops.{RelOps, TextOps}
 import graft.sink.UpsertSink
 
 /** Streaming exact deduplication for a training-data ingest: documents
@@ -47,6 +47,85 @@ object DedupPipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
           sink.merge(table, batch, Seq("fingerprint"))
+      }
+      .start()
+  }
+
+  /** Streaming NEAR-duplicate admission control: each micro-batch of new
+    * documents is screened against the ACCUMULATED corpus before
+    * admission — MinHash-LSH band keys equi-join the batch against a
+    * persisted band table (never all-pairs), candidates are verified with
+    * the exact n-gram Jaccard, and only documents with no near-dup
+    * already in the corpus (or earlier in the same batch, smallest doc_id
+    * wins) land. Admitted documents contribute their band keys to the
+    * band table, so the screen grows with the corpus.
+    *
+    * Scale shape: the per-batch cost is the batch's shingle/signature
+    * work plus one equi-join of batch bands (bands x batch rows) against
+    * the band table, partitioned by band key — candidate verification
+    * touches only colliding pairs. Re-delivered batches re-merge
+    * idempotently (doc_id keyed), so a checkpoint restart converges (T8).
+    */
+  def nearDupDedupStream(spark: SparkSession, sourceDir: String,
+                         schema: StructType, sink: UpsertSink,
+                         corpusTable: String, bandsTable: String,
+                         checkpoint: String, shingleN: Int = 3, k: Int = 128,
+                         bands: Int = 32, rowsPerBand: Int = 4,
+                         thresholdMil: Int = 500,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val docs = spark.readStream.schema(schema).parquet(sourceDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+        if (!rawBatch.isEmpty) {
+          val batch = rawBatch.dropDuplicates("doc_id")
+          def bandsOf(df: DataFrame): DataFrame =
+            TextOps.minhashSignatures(df, "doc_id", col("text"), shingleN, k)
+              .select(col("doc_id"),
+                explode(TextOps.minhashBands(bands, rowsPerBand)).as("band"))
+          def shinglesOf(df: DataFrame, idAs: String, shAs: String): DataFrame =
+            df.select(col("doc_id").as(idAs),
+              TextOps.shingles(col("text"), shingleN).as(shAs))
+          val batchBands = bandsOf(batch).cache()
+          val batchSh = shinglesOf(batch, "a_id", "__ash")
+
+          // exact verify >= threshold for candidate id pairs (a=batch side)
+          def verified(cand: DataFrame, otherSh: DataFrame): DataFrame =
+            cand.join(batchSh, "a_id").join(otherSh, "b_id")
+              .filter(floor(TextOps.jaccard(col("__ash"), col("__bsh")) * 1000)
+                >= thresholdMil)
+              .select("a_id").distinct()
+
+          // vs the accumulated corpus
+          val dupVsCorpus =
+            if (!sink.exists(bandsTable)) None
+            else {
+              val cand = batchBands
+                .join(sink.read(bandsTable).withColumnRenamed("doc_id", "b_id"), "band")
+                .select(col("doc_id").as("a_id"), col("b_id")).distinct()
+              Some(verified(cand,
+                shinglesOf(sink.read(corpusTable), "b_id", "__bsh")))
+            }
+          // within the batch: the smaller doc_id survives
+          val candInBatch = batchBands.select(col("doc_id").as("a_id"), col("band"))
+            .join(batchBands.select(col("doc_id").as("b_id"), col("band")), "band")
+            .filter(col("a_id") > col("b_id")) // a is the one at risk
+            .select("a_id", "b_id").distinct()
+          val dupInBatch = verified(candInBatch, shinglesOf(batch, "b_id", "__bsh"))
+
+          val dupIds = dupVsCorpus.map(_.unionByName(dupInBatch))
+            .getOrElse(dupInBatch)
+            .withColumnRenamed("a_id", "doc_id").distinct()
+          val fresh = RelOps.antiJoin(batch, dupIds, Seq("doc_id")).cache()
+          if (!fresh.isEmpty) {
+            sink.merge(corpusTable, fresh, Seq("doc_id"))
+            sink.merge(bandsTable, bandsOf(fresh), Seq("doc_id", "band"))
+          }
+          batchBands.unpersist()
+          fresh.unpersist()
+          ()
+        }
       }
       .start()
   }

@@ -56,4 +56,44 @@ class DedupPipelineSpec extends SparkSpec {
     assert(second.view.filterKeys(Set(1L, 2L)).toMap
       == first.view.filterKeys(Set(1L, 2L)).toMap)
   }
+
+  test("streaming NEAR-dup admission screens new docs against the corpus") {
+    val root = Files.createTempDirectory("graft_sneardup")
+    val src = root.resolve("docs"); Files.createDirectories(src)
+    val sink = new UpsertSink(spark, root.resolve("sink").toString)
+    val checkpoint = root.resolve("chk").toString
+
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cat watches from the warm windowsill in the morning sun"
+    val nearA = base.replace("morning", "evening") // high 3-gram jaccard
+    val unique = "completely different content about distributed query " +
+      "engines shuffling partitioned data across many executor nodes"
+    val nearA2 = base.replace("quick", "swift")
+
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(src.toString)
+    def run(): Unit =
+      DedupPipeline.nearDupDedupStream(spark, src.toString, schema, sink,
+        "Corpus", "CorpusBands", checkpoint).awaitTermination(120000)
+    def admitted(): Set[Long] =
+      sink.read("Corpus").select("doc_id").as[Long].collect().toSet
+
+    // batch 1: base doc, an in-batch near-dup of it, and a unique doc —
+    // the smaller doc_id of the near-dup pair survives
+    write(Seq((1L, base), (2L, nearA), (10L, unique)))
+    run()
+    assert(admitted() == Set(1L, 10L), s"got ${admitted()}")
+
+    // batch 2 (restart, same checkpoint): a near-dup of doc 1 arrives
+    // later plus a genuinely new doc — only the new doc is admitted
+    write(Seq((20L, nearA2), (21L, unique + " with a brand new suffix " +
+      "sentence making it long enough to stand alone and not be close " +
+      "to anything already present in the corpus tables today")))
+    run()
+    assert(admitted() == Set(1L, 10L, 21L), s"got ${admitted()}")
+    // the band table covers exactly the admitted docs
+    assert(sink.read("CorpusBands").select("doc_id").as[Long].collect().toSet
+      == Set(1L, 10L, 21L))
+  }
 }
