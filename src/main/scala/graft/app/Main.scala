@@ -34,17 +34,30 @@ final class HttpTransport(timeout: Duration = Duration.ofSeconds(30))
 }
 
 /** Application entry — the reference's main() lifecycle (main.ts:9-34):
-  * load YAML config, create missing tables, run the initial sync, print
-  * per-entity counts. The streaming watcher (production mode) attaches a
-  * chain-backed [[graft.streaming.BlockSource]] on top — not started here
-  * because this environment has no chain endpoint.
+  * load YAML config (node-config layering: an optional environment
+  * overlay named by `GRAFT_ENV` deep-merges over the default, and an
+  * optional `custom-environment-variables.yml` next to the config maps
+  * env vars onto config paths), create missing tables, run the initial
+  * sync, print per-entity counts. The streaming watcher (production
+  * mode) attaches a chain-backed [[graft.streaming.BlockSource]] on
+  * top — not started here because this environment has no chain
+  * endpoint.
   *
-  * Usage: Main <config.yml> <warehouseDir>
+  * Usage: Main <config.yml> <warehouseDir>   (GRAFT_ENV=mainnet picks
+  * `mainnet.yml` from the config's directory, like NODE_ENV)
   */
 object Main {
   def main(args: Array[String]): Unit = {
     val Array(configPath, warehouse) = args.take(2)
-    val config = ConfigLoader.load(Files.readString(Paths.get(configPath)))
+    val configDir = Paths.get(configPath).toAbsolutePath.getParent
+    def sibling(name: String): Option[String] = {
+      val p = configDir.resolve(name)
+      if (Files.exists(p)) Some(Files.readString(p)) else None
+    }
+    val config = ConfigLoader.loadLayered(
+      Files.readString(Paths.get(configPath)),
+      overlayYaml = sys.env.get("GRAFT_ENV").flatMap(e => sibling(s"$e.yml")),
+      envMappingYaml = sibling("custom-environment-variables.yml"))
     val spark = GraftSession.create()
     val sink = new UpsertSink(spark, warehouse)
     val syncer = new Syncer(spark, config, new HttpTransport(), sink)
