@@ -52,7 +52,11 @@ object SessionizePipeline {
     events.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
       cur match {
         case Some(s) if e.tsMicros - s.lastTs <= gapMicros =>
-          cur = Some(s.copy(lastTs = e.tsMicros, nEvents = s.nEvents + 1))
+          // a LATE event (carried-over state can be ahead of this batch's
+          // earliest rows) must never regress the session's end — the gap
+          // is measured from the latest event seen, not the latest arrival
+          cur = Some(s.copy(lastTs = math.max(s.lastTs, e.tsMicros),
+            nEvents = s.nEvents + 1))
         case Some(s) =>
           closed += s
           cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))

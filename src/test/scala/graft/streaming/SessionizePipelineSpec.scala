@@ -32,6 +32,15 @@ class SessionizePipelineSpec extends SparkSpec {
     // out-of-order arrivals within a batch sort by (ts, event_id)
     val (c3, o3) = foldEvents(Seq(Event(1, 6, 5 * MIN), Event(1, 5, MIN)), None, 30 * MIN)
     assert(c3.isEmpty && o3.contains(SessionState(MIN, 5 * MIN, 2)))
+    // a LATE event joining carried-over state must not regress lastTs:
+    // state ends at 10min, late event at 5min arrives, then 39min —
+    // 39-10 <= 30 so the session EXTENDS (it would wrongly close if the
+    // late event had dragged lastTs back to 5min)
+    val st = Some(SessionState(0, 10 * MIN, 2))
+    val (c4, o4) = foldEvents(Seq(Event(1, 9, 5 * MIN)), st, 30 * MIN)
+    assert(c4.isEmpty && o4.contains(SessionState(0, 10 * MIN, 3)))
+    val (c5, o5) = foldEvents(Seq(Event(1, 10, 39 * MIN)), o4, 30 * MIN)
+    assert(c5.isEmpty && o5.contains(SessionState(0, 39 * MIN, 4)))
   }
 
   test("streaming sessions finalize via watermark and survive a restart") {
