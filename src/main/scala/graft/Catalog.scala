@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.MinHashFunctions
 import graft.ops.{RelOps, SimOps, TextOps}
 
 /** One named query: the Spark plan plus (when SQL-expressible) the exact
@@ -492,9 +493,13 @@ object Catalog {
              |WHERE j >= 0.5 ORDER BY a_id, b_id""".stripMargin),
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val sigs = TextOps.minhashSignatures(docs, "doc_id", col("text"), 3, 128)
-        val banded = sigs.select(col("doc_id"),
-          explode(TextOps.minhashBands(32, 4)).as("band"))
+        // shuffle-free candidate generation: MinHashBandKeys computes all
+        // 128 minima + 32 band keys in one codegen pass per document, so
+        // the only shuffle in the query is the band equi-join itself
+        MinHashFunctions.register(s)
+        val banded = docs.select(col("doc_id"),
+          explode(MinHashFunctions.bandKeys(
+            TextOps.shingles(col("text"), 3), 128, 32)).as("band"))
         val cands = banded.as("x").join(banded.as("y"),
             col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))

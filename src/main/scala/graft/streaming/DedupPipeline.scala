@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
+import graft.functions.MinHashFunctions
 import graft.ops.{RelOps, TextOps}
 import graft.sink.UpsertSink
 
@@ -70,8 +71,7 @@ object DedupPipeline {
                          schema: StructType, sink: UpsertSink,
                          corpusTable: String, bandsTable: String,
                          checkpoint: String, shingleN: Int = 3, k: Int = 128,
-                         bands: Int = 32, rowsPerBand: Int = 4,
-                         thresholdMil: Int = 500,
+                         bands: Int = 32, thresholdMil: Int = 500,
                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val docs = spark.readStream.schema(schema).parquet(sourceDir)
     docs.writeStream
@@ -80,10 +80,13 @@ object DedupPipeline {
       .foreachBatch { (rawBatch: DataFrame, _: Long) =>
         if (!rawBatch.isEmpty) {
           val batch = rawBatch.dropDuplicates("doc_id")
+          MinHashFunctions.register(spark)
+          // shuffle-free band keys: one codegen pass over the shingle
+          // array per doc (see MinHashBandKeys) instead of the relational
+          // explode -> groupBy(doc) with k min-aggs
           def bandsOf(df: DataFrame): DataFrame =
-            TextOps.minhashSignatures(df, "doc_id", col("text"), shingleN, k)
-              .select(col("doc_id"),
-                explode(TextOps.minhashBands(bands, rowsPerBand)).as("band"))
+            df.select(col("doc_id"), explode(MinHashFunctions.bandKeys(
+              TextOps.shingles(col("text"), shingleN), k, bands)).as("band"))
           def shinglesOf(df: DataFrame, idAs: String, shAs: String): DataFrame =
             df.select(col("doc_id").as(idAs),
               TextOps.shingles(col("text"), shingleN).as(shAs))

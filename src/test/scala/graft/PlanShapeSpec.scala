@@ -49,4 +49,13 @@ class PlanShapeSpec extends SparkSpec {
         s"$q plans an all-pairs join:\n$plan")
     }
   }
+
+  test("q29: minhash signatures are computed map-side, not via a shuffle") {
+    val plan = planOf("q29_dedup_minhash")
+    assert(plan.toLowerCase.contains("minhashbandkeys"),
+      s"band keys not produced by the batched expression (a relational " +
+        s"explode->groupBy would shuffle the whole exploded corpus):\n$plan")
+    assert(!plan.contains(" m127"),
+      s"per-permutation min aggregates back in the plan:\n$plan")
+  }
 }
