@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.MinHashFunctions
+import graft.functions.{MinHashFunctions, WinnowFunctions}
 import graft.ops.{RelOps, SimOps, TextOps}
 
 /** One named query: the Spark plan plus (when SQL-expressible) the exact
@@ -828,8 +828,70 @@ object Catalog {
         SimOps.ivfTopK(e.filter(col("vec_id") % 100 === 0), e,
           "vec_id", "embedding", 5, nlist = 16, nprobe = 6)
           .orderBy("query_id", "rank")
-      })
+      }),
+
+    QueryDef("q43_winnow_fp",
+      "Rolling-hash document fingerprints (MOSS winnowing): Rabin-Karp " +
+        "8-gram hashes over the canonical char stream, min of each " +
+        "4-window, distinct. The mod-prime fold is reproduced exactly by " +
+        "the SQL oracle; summarized to scalars per doc.",
+      Some(s"""$winnowFpsCte
+             |SELECT doc_id, len(fps) AS n_fp, fps[1] AS fp_first,
+             |  fps[len(fps)] AS fp_last, CAST(list_sum(fps) AS BIGINT) AS fp_sum
+             |FROM f ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        WinnowFunctions.register(s)
+        t(s, dir, "documents")
+          .select(col("doc_id"), WinnowFunctions.fingerprints(
+            TextOps.canonText(col("text")), 8, 4).as("fps"))
+          .select(col("doc_id"), size(col("fps")).as("n_fp"),
+            element_at(col("fps"), 1).as("fp_first"),
+            element_at(col("fps"), -1).as("fp_last"),
+            aggregate(col("fps"), lit(0L), (acc, x) => acc + x).as("fp_sum"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q44_winnow_neardup",
+      "Winnowing near-dup pairs: shared-fingerprint equi-join candidates " +
+        "(hot fingerprints df-cut from candidate gen — the hottest gram " +
+        "alone would join toward all-pairs) + exact overlap verify on the " +
+        "full sets. Oracle compares ALL pairs exhaustively; the df cut is " +
+        "recall-exact here (every qualifying pair shares df<=4 prints).",
+      Some(s"""$winnowFpsCte
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  round(CAST(len(list_intersect(a.fps, b.fps)) AS DOUBLE)
+             |    / least(len(a.fps), len(b.fps)), 4) AS overlap
+             |FROM f a JOIN f b ON a.doc_id < b.doc_id
+             |WHERE CAST(len(list_intersect(a.fps, b.fps)) AS DOUBLE)
+             |    / least(len(a.fps), len(b.fps)) >= 0.6
+             |ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => TextOps.winnowNearDupPairs(s, t(s, dir, "documents"),
+          "doc_id", "text", k = 8, window = 4, threshold = 0.6, maxDf = 16)
+        .orderBy("a_id", "b_id"))
   )
+
+  /** Shared oracle CTE: winnowed fingerprint sets per document (k=8,
+    * window=4), the SQL replication of [[graft.functions.WinnowHash]] —
+    * same 0-seeded `(h*31 + code) mod 1e9+7` fold per gram, min per
+    * window, sorted distinct.
+    */
+  private def winnowFpsCte: String =
+    """WITH c AS (SELECT doc_id,
+      |    array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' ') AS s
+      |  FROM documents),
+      |g AS (SELECT doc_id, CASE WHEN len(s) < 8
+      |    THEN [list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           [CAST(ascii(s[i]) AS BIGINT) for i in range(1, len(s)+1)]),
+      |           (a,b) -> (a*31+b) % 1000000007)]
+      |    ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           [CAST(ascii(s[i+j]) AS BIGINT) for j in range(0, 8)]),
+      |           (a,b) -> (a*31+b) % 1000000007)
+      |          for i in range(1, len(s) - 8 + 2)] END AS gr
+      |  FROM c),
+      |w AS (SELECT doc_id, CASE WHEN len(gr) <= 4 THEN [list_min(gr)]
+      |    ELSE [list_min(gr[i:i+3]) for i in range(1, len(gr) - 4 + 2)] END AS wins
+      |  FROM g),
+      |f AS (SELECT doc_id, list_sort(list_distinct(wins)) AS fps FROM w)""".stripMargin
 
   // ---------------------------------------------------------------------
   // Assembled inventory

@@ -43,6 +43,13 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** Canonical character stream for rolling-hash fingerprinting: lowercase
+    * word tokens joined by single spaces — ASCII by construction, so
+    * byte-wise hashing (WinnowHash) and code-point hashing (a SQL oracle)
+    * agree.
+    */
+  def canonText(text: Column): Column = concat_ws(" ", tokens(text))
+
   /** Punctuation ratio scaled by 1000 and truncated — integer arithmetic so
     * any SQL oracle agrees bit-for-bit.
     */
@@ -168,6 +175,55 @@ object TextOps {
   /** Hamming distance between two small hashes (for SimHash dedup). */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Winnowing near-dup pairs: rolling-hash fingerprint sets
+    * ([[graft.functions.WinnowFingerprints]], computed map-side in one
+    * codegen pass), candidate pairs by equi-join on shared fingerprint
+    * values, exact overlap verify `|A n B| / min(|A|,|B|) >= threshold`.
+    *
+    * Hot (high-document-frequency) fingerprints — ubiquitous k-char grams
+    * like "and the " — are dropped from CANDIDATE GENERATION (`maxDf`):
+    * without the cut the hottest gram alone joins every pair of documents
+    * containing it, degenerating toward all-pairs. The verify still uses
+    * the FULL fingerprint sets, so results are exact for every pair that
+    * shares at least one sub-`maxDf` fingerprint; near-dup pairs share
+    * their content-specific (rare) grams by construction, which is what
+    * makes the cut recall-safe (measured: qualifying pairs on the test
+    * corpus all share fingerprints of df <= 4 at maxDf 16).
+    *
+    * Scale shape: one shuffle on fingerprint value for the df cut (hot
+    * keys REMOVED before the self-join can blow up), the bounded
+    * candidate equi-join, then id-keyed joins proportional to the
+    * candidate count.
+    *
+    * Output: (a_id, b_id, overlap), a_id < b_id, overlap rounded to 4.
+    */
+  def winnowNearDupPairs(spark: org.apache.spark.sql.SparkSession,
+                         df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, window: Int = 4,
+                         threshold: Double = 0.6,
+                         maxDf: Int = 16): DataFrame = {
+    graft.functions.WinnowFunctions.register(spark)
+    val fps = df.select(col(idCol).as("__id"),
+      graft.functions.WinnowFunctions.fingerprints(
+        canonText(col(textCol)), k, window).as("__fps"))
+    val ex = fps.select(col("__id"), explode(col("__fps")).as("__fp"))
+    val rare = ex.groupBy("__fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("__fp")
+    val keyed = ex.join(rare, "__fp")
+    val cands = keyed.as("x")
+      .join(keyed.as("y"),
+        col("x.__fp") === col("y.__fp") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"))
+      .distinct()
+    val a = fps.select(col("__id").as("a_id"), col("__fps").as("a_fps"))
+    val b = fps.select(col("__id").as("b_id"), col("__fps").as("b_fps"))
+    cands.join(a, "a_id").join(b, "b_id")
+      .withColumn("ov", size(array_intersect(col("a_fps"), col("b_fps")))
+        .cast("double") / least(size(col("a_fps")), size(col("b_fps"))))
+      .filter(col("ov") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("ov"), 4).as("overlap"))
+  }
 
   /** Language-ID heuristic: per-language stopword hit counts; argmax with
     * deterministic tie-break on language code order. Counts are integers ->
