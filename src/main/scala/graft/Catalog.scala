@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{MinHashFunctions, WinnowFunctions}
-import graft.ops.{RelOps, SimOps, TextOps}
+import graft.ops.{MultimodalOps, RelOps, SimOps, TextOps}
 
 /** One named query: the Spark plan plus (when SQL-expressible) the exact
   * DuckDB oracle the driver hash-compares against.
@@ -867,7 +867,29 @@ object Catalog {
              |ORDER BY a_id, b_id""".stripMargin),
       (s, dir) => TextOps.winnowNearDupPairs(s, t(s, dir, "documents"),
           "doc_id", "text", k = 8, window = 4, threshold = 0.6, maxDf = 16)
-        .orderBy("a_id", "b_id"))
+        .orderBy("a_id", "b_id")),
+
+    QueryDef("q45_frame_sample",
+      "Multimodal frame sampling: each binary payload fans out to one row " +
+        "per sampled frame through the per-partition codec boundary " +
+        "(streaming flatMap — no per-doc frame list on the heap). The " +
+        "oracle replicates the stub codec's deterministic arithmetic " +
+        "(duration = bytes % 3600 ms, frame = first <=256 bytes) to check " +
+        "the fan-out row counts and byte totals end-to-end.",
+      Some("""WITH m AS (SELECT doc_id,
+             |    octet_length(CAST(text AS BLOB)) AS n FROM documents)
+             |SELECT doc_id, CAST((n % 3600) // 500 + 1 AS BIGINT) AS n_frames,
+             |  CAST(((n % 3600) // 500 + 1) * least(n, 256) AS BIGINT) AS frame_bytes
+             |FROM m ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val withP = MultimodalOps.withPayload(t(s, dir, "documents"), "text")
+        MultimodalOps.sampleFrames(withP, "doc_id", MultimodalOps.FakeCodec,
+            everyMs = 500)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(length(col("frame"))).as("frame_bytes"))
+          .orderBy("doc_id")
+      })
   )
 
   /** Shared oracle CTE: winnowed fingerprint sets per document (k=8,

@@ -35,6 +35,12 @@ object MultimodalOps {
   trait Codec extends Serializable {
     def decode(id: Long, payload: Array[Byte]): MediaMeta
     def features(payload: Array[Byte], dim: Int): Array[Float]
+
+    /** Re-encode a payload at a target resolution. */
+    def resize(payload: Array[Byte], width: Int, height: Int): Array[Byte]
+
+    /** Sample one frame every `everyMs` of media time (index, bytes). */
+    def sampleFrames(payload: Array[Byte], everyMs: Int): Iterator[(Int, Array[Byte])]
   }
 
   /** Deterministic stand-in for the real decoder (no codec libs in this
@@ -59,6 +65,25 @@ object MultimodalOps {
       }
       out
     }
+
+    /** "Downsample" to at most width*height*3 bytes (prefix — a real codec
+      * re-encodes; the CAP is the tested contract: output size is bounded
+      * by the target resolution, not the input).
+      */
+    def resize(payload: Array[Byte], width: Int, height: Int): Array[Byte] =
+      java.util.Arrays.copyOf(payload, math.min(payload.length, width * height * 3))
+
+    /** One frame per `everyMs` of the fake duration (`bytes % 3600` ms,
+      * matching [[decode]]); each frame is the first <=256 payload bytes.
+      * Deterministic pure arithmetic so an SQL oracle can verify the
+      * plumbing's row counts and byte totals end-to-end.
+      */
+    def sampleFrames(payload: Array[Byte], everyMs: Int): Iterator[(Int, Array[Byte])] = {
+      val durationMs = payload.length.toLong % 3600
+      val n = (durationMs / everyMs).toInt + 1
+      val frame = java.util.Arrays.copyOf(payload, math.min(payload.length, 256))
+      Iterator.tabulate(n)(i => (i, frame))
+    }
   }
 
   /** Attach an opaque payload column (here derived from text — the test
@@ -77,6 +102,41 @@ object MultimodalOps {
       // per-partition codec setup happens here in a real implementation
       it.map(r => codec.decode(r.getLong(0), r.getAs[Array[Byte]](1)))
     }(Encoders.product[MediaMeta])
+  }
+
+  /** One sampled frame. */
+  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Resize every payload per-partition (same codec-amortizing boundary
+    * as [[decodeMeta]]); binary in, binary out.
+    */
+  def resizePayloads(df: DataFrame, idCol: String, codec: Codec,
+                     width: Int, height: Int): DataFrame = {
+    val rows = df.select(col(idCol).cast("long"), col("payload"))
+    rows.mapPartitions { it =>
+      it.map(r => (r.getLong(0), codec.resize(r.getAs[Array[Byte]](1), width, height)))
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF(idCol, "payload")
+  }
+
+  /** Frame sampling: one payload row fans out to one row per sampled
+    * frame — the one-to-many multimodal shape (video -> frames, audio ->
+    * windows). `flatMap` inside `mapPartitions` keeps the fan-out
+    * streaming (no per-doc frame list ever materializes on the heap),
+    * which is what lets a long video expand to thousands of rows without
+    * executor memory scaling in the video length.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, codec: Codec,
+                   everyMs: Int = 500): DataFrame = {
+    val rows = df.select(col(idCol).cast("long"), col("payload"))
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        codec.sampleFrames(r.getAs[Array[Byte]](1), everyMs)
+          .map { case (idx, bytes) => Frame(id, idx, bytes) }
+      }
+    }(Encoders.product[Frame])
+      .toDF(idCol, "frame_idx", "frame")
   }
 
   /** (id, feature-vector) row. */

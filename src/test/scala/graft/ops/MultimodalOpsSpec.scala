@@ -41,4 +41,43 @@ class MultimodalOpsSpec extends SparkSpec {
       feats.filter($"doc_id" === 0), feats, "doc_id", "embedding", 3)
     assert(top.count() == 3)
   }
+
+  test("resize caps payload size at the target resolution") {
+    val docs = Tables.load(spark, sf, "documents").limit(30)
+    val blob = MultimodalOps.withPayload(docs, "text")
+    val small = MultimodalOps.resizePayloads(blob, "doc_id",
+        MultimodalOps.FakeCodec, width = 4, height = 4)
+      .as[(Long, Array[Byte])].collect()
+    assert(small.length == 30)
+    assert(small.forall(_._2.length <= 4 * 4 * 3))
+    // resolution-preserving resize keeps short payloads intact
+    val orig = blob.select($"doc_id", $"payload")
+      .as[(Long, Array[Byte])].collect().toMap
+    val big = MultimodalOps.resizePayloads(blob, "doc_id",
+        MultimodalOps.FakeCodec, width = 640, height = 480)
+      .as[(Long, Array[Byte])].collect()
+    assert(big.forall { case (id, p) => p.sameElements(orig(id)) })
+  }
+
+  test("frame sampling fans out one row per frame, partition-invariant") {
+    val docs = Tables.load(spark, sf, "documents").limit(25)
+    val blob = MultimodalOps.withPayload(docs, "text")
+    def run(parts: Int): Map[(Long, Int), Int] =
+      MultimodalOps.sampleFrames(blob.repartition(parts), "doc_id",
+          MultimodalOps.FakeCodec, everyMs = 500)
+        .as[(Long, Int, Array[Byte])].collect()
+        .map(r => (r._1, r._2) -> r._3.length).toMap
+    val a = run(1)
+    assert(a == run(5))
+    val sizes = docs.select($"doc_id",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.encode($"text", "UTF-8")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    sizes.foreach { case (id, n) =>
+      val expectFrames = ((n % 3600) / 500 + 1).toInt
+      val got = a.keys.count(_._1 == id)
+      assert(got == expectFrames, s"doc $id: $got frames, expected $expectFrames")
+      assert(a.filter(_._1._1 == id).values.forall(_ == math.min(n, 256).toInt))
+    }
+  }
 }
