@@ -889,6 +889,20 @@ object Catalog {
           .agg(count(lit(1)).as("n_frames"),
             sum(length(col("frame"))).as("frame_bytes"))
           .orderBy("doc_id")
+      }),
+
+    QueryDef("q46_ann_ivf_trained",
+      "ANN scale path #3: IVF-FLAT with a TRAINED coarse quantizer — two " +
+        "Lloyd rounds over the corpus with decimal-exact (and therefore " +
+        "partitioning-independent) centroid sums. Approximate by design " +
+        "-> no SQL oracle (driver rows-only check); determinism and " +
+        "recall vs the exact baseline are asserted in SimOpsSpec.",
+      None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        SimOps.ivfTopKTrained(e.filter(col("vec_id") % 100 === 0), e,
+          "vec_id", "embedding", 5, nlist = 16, nprobe = 6, iters = 2)
+          .orderBy("query_id", "rank")
       })
   )
 

@@ -102,11 +102,11 @@ object SimOps {
     * partitions the corpus into inverted lists; each query probes its
     * `nprobe` nearest centroids and exact-reranks only those lists.
     *
-    * The quantizer is a deterministic sample of the corpus itself —
+    * The quantizer here is a deterministic sample of the corpus itself —
     * `nlist` vectors in xxhash64(id) order (a seeded pseudo-random
-    * sample, stable across runs/executors; no iterative k-means, whose
-    * float accumulation order would make centroids nondeterministic).
-    * Centroids are collected to the driver (nlist x dim floats — tiny)
+    * sample, stable across runs/executors); [[ivfTopKTrained]] refines it
+    * with decimal-summed (order-independent, still deterministic) Lloyd
+    * rounds. Centroids are collected to the driver (nlist x dim — tiny)
     * and compiled into the plan as literal arrays, so both assignment
     * and probing are codegen'd dot products; the argmax over centroids
     * is relational (array_max over (score, idx) structs — struct
@@ -122,25 +122,87 @@ object SimOps {
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
               dim: Int = 64): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
-    // deterministic pseudo-random sample as the coarse quantizer
-    val cents: Array[Array[Float]] = corpus
-      .select(col(vecCol), col(idCol))
+    ivfTopKWith(sampleCentroids(corpus, idCol, vecCol, nlist),
+      queries, corpus, idCol, vecCol, k, nprobe)
+  }
+
+  /** IVF-FLAT with a TRAINED coarse quantizer: `iters` Lloyd rounds
+    * refine the sampled centroids before probing. Better-balanced lists
+    * than the raw sample (tighter per-probe work, higher recall at equal
+    * nprobe); training costs `iters` extra passes over the corpus.
+    */
+  def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                     iters: Int = 2, dim: Int = 64): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    ivfTopKWith(trainCentroids(corpus, idCol, vecCol, nlist, iters),
+      queries, corpus, idCol, vecCol, k, nprobe)
+  }
+
+  /** Deterministic pseudo-random quantizer: `nlist` corpus vectors in
+    * xxhash64(id) order (stable across runs/executors/partitionings).
+    */
+  def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int): Array[Array[Float]] =
+    corpus.select(col(vecCol), col(idCol))
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(nlist)
       .collect().map(_.getSeq[Float](0).toArray)
-    def centScores(vec: Column): Column = array(cents.zipWithIndex.map {
-      case (c, i) =>
-        val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
-        struct((dot(vec, typedLit(c)) / (norm(vec) * lit(cn))).as("s"),
-          lit(i).as("c"))
+
+  /** Lloyd-refined quantizer, DETERMINISTIC at any parallelism: each
+    * round assigns every vector to its nearest centroid (codegen'd dots
+    * against plan literals) and recomputes centroids as component means —
+    * summed as DECIMALs, which are exact and therefore independent of
+    * partial-aggregation order (double sums would make the quantizer
+    * drift run-to-run). The per-round shuffle carries compact
+    * (list, component, value) triples; the collected result is
+    * nlist x dim — tiny. Empty lists keep their previous centroid.
+    */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int, iters: Int = 2): Array[Array[Float]] = {
+    VectorFunctions.register(corpus.sparkSession)
+    var cents = sampleCentroids(corpus, idCol, vecCol, nlist)
+    for (_ <- 1 to iters) {
+      val assigned = corpus.select(col(vecCol).as("__v"),
+        array_max(centScores(cents, col(vecCol))).getField("c").as("__list"))
+      val sums = assigned
+        .select(col("__list"), posexplode(col("__v")).as(Seq("__i", "__x")))
+        .groupBy("__list", "__i")
+        .agg(sum(col("__x").cast("decimal(30,12)")).as("__s"),
+          count(lit(1)).as("__n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        val (l, i) = (r.getInt(0), r.getInt(1))
+        next(l)(i) = (r.getDecimal(2).doubleValue() / r.getLong(3)).toFloat
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** (cosine-to-centroid, centroid-idx) structs for a vector — struct
+    * ordering compares scores first, so `array_max` is the argmax and a
+    * descending sort ranks probes. Centroids are plan literals: both
+    * assignment and probing stay codegen'd dot products.
+    */
+  private def centScores(cents: Array[Array[Float]], vec: Column): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
+      struct((dot(vec, typedLit(c)) / (norm(vec) * lit(cn))).as("s"),
+        lit(i).as("c"))
     }: _*)
+
+  private def ivfTopKWith(cents: Array[Array[Float]], queries: DataFrame,
+                          corpus: DataFrame, idCol: String, vecCol: String,
+                          k: Int, nprobe: Int): DataFrame = {
     // corpus side: every vector lands in its single nearest list
     val assigned = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"),
-        array_max(centScores(col(vecCol))).getField("c").as("__list"))
+        array_max(centScores(cents, col(vecCol))).getField("c").as("__list"))
     // query side: probe the nprobe best lists
     val probed = queries.select(col(idCol).as("query_id"),
         col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"),
-        slice(sort_array(centScores(col(vecCol)), asc = false),
+        slice(sort_array(centScores(cents, col(vecCol)), asc = false),
           1, nprobe).as("__probes"))
       .select(col("query_id"), col("__qv"), col("__qn"),
         explode(col("__probes")).as("__p"))

@@ -87,6 +87,28 @@ class SimOpsSpec extends SparkSpec {
     assert(full == exact, "nprobe == nlist must equal the exhaustive result")
   }
 
+  test("trainCentroids: partitioning-invariant, and training helps recall") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val c1 = SimOps.trainCentroids(e, "vec_id", "embedding", nlist = 8, iters = 2)
+    val c2 = SimOps.trainCentroids(e.repartition(13), "vec_id", "embedding",
+      nlist = 8, iters = 2)
+    assert(c1.length == 8)
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) },
+      "trained centroids depend on partitioning")
+    // Lloyd rounds must actually move the quantizer off the raw sample
+    val raw = SimOps.sampleCentroids(e, "vec_id", "embedding", 8)
+    assert(!c1.zip(raw).forall { case (a, b) => a.sameElements(b) },
+      "training was a no-op")
+    val queries = e.filter($"vec_id" % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(SimOps.bruteForceTopK(queries, e, "vec_id", "embedding", 3))
+    val trained = pairs(SimOps.ivfTopKTrained(queries, e, "vec_id", "embedding",
+      3, nlist = 16, nprobe = 6, iters = 2))
+    val recall = (exact intersect trained).size.toDouble / exact.size
+    assert(recall >= 0.5, s"trained-IVF recall $recall below 0.5")
+  }
+
   test("lshNearDupPairs (default op) matches the exhaustive baseline exactly") {
     val e = Tables.load(spark, sf, "embeddings")
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
