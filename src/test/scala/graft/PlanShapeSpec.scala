@@ -50,6 +50,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q44: winnow near-dup candidates equi-join on fingerprints, never cartesian") {
+    val plan = planOf("q44_winnow_neardup")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs join in the winnow near-dup plan:\n$plan")
+    assert(plan.toLowerCase.contains("winnowfingerprints"),
+      s"fingerprints not produced by the batched expression:\n$plan")
+  }
+
   test("q29: minhash signatures are computed map-side, not via a shuffle") {
     val plan = planOf("q29_dedup_minhash")
     assert(plan.toLowerCase.contains("minhashbandkeys"),
