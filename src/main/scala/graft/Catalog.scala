@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{MinHashFunctions, WinnowFunctions}
-import graft.ops.{MultimodalOps, RelOps, SimOps, TextOps}
+import graft.ops.{MultimodalOps, RelOps, SampleOps, SimOps, TextOps}
 
 /** One named query: the Spark plan plus (when SQL-expressible) the exact
   * DuckDB oracle the driver hash-compares against.
@@ -386,6 +386,43 @@ object Catalog {
   /** DuckDB fragment for lowercase word tokens — mirrors TextOps.tokens. */
   private val sqlToks = "regexp_extract_all(lower(text), '[a-z]+')"
 
+  /** SQL fragments mirroring [[TextOps.punctRatioMil]] /
+    * [[TextOps.stopwordRatioMil]] / [[TextOps.qualityScoreMil]], shared by
+    * q25 and the q52 curation pipeline.
+    */
+  private val sqlPunctMil: String =
+    """CAST(floor(1000 * (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
+      |       / greatest(length(text), 1)) AS BIGINT)""".stripMargin
+
+  private val sqlStopMil: String =
+    s"""CAST(floor(1000 * len(list_filter($sqlToks,
+       |         w -> w IN ('the','a','and','of','to','in','is')))
+       |       / greatest(len($sqlToks), 1)) AS BIGINT)""".stripMargin
+
+  private val sqlQualityMil: String =
+    s"""CAST(greatest(0, least(1000,
+       |    least(length(text), 400)
+       |    + least($sqlStopMil * 3, 300)
+       |    + 300
+       |    - least($sqlPunctMil, 300))) AS BIGINT)""".stripMargin
+
+  /** SQL pieces mirroring [[TextOps.langId]]: per-language hit exprs, the
+    * max, the winner count, and the deterministic first-winner CASE.
+    */
+  private def sqlLangPieces: (String, String, String, String) = {
+    val langs = TextOps.langMarkers.keys.toSeq.sorted
+    val hitExprs = langs.map { l =>
+      val in = TextOps.langMarkers(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter($sqlToks, w -> w IN ($in))) AS h_$l"
+    }.mkString(",\n  ")
+    val maxExpr = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+    val nWin = langs.map(l => s"CASE WHEN h_$l = mx THEN 1 ELSE 0 END").mkString(" + ")
+    val firstWin = langs.reverse.foldLeft("NULL") { (acc, l) =>
+      s"CASE WHEN h_$l = mx THEN '$l' ELSE $acc END"
+    }
+    (hitExprs, maxExpr, nWin, firstWin)
+  }
+
   val textual: Seq[QueryDef] = Seq(
 
     QueryDef("q24_token_stats",
@@ -406,19 +443,9 @@ object Catalog {
       "Quality scoring: length / punctuation / stopword-ratio heuristic in " +
         "pure integer arithmetic (oracle-reproducible).",
       Some(s"""SELECT doc_id,
-             |  CAST(floor(1000 * (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
-             |       / greatest(length(text), 1)) AS BIGINT) AS punct_mil,
-             |  CAST(floor(1000 * len(list_filter($sqlToks,
-             |         w -> w IN ('the','a','and','of','to','in','is')))
-             |       / greatest(len($sqlToks), 1)) AS BIGINT) AS stop_mil,
-             |  CAST(greatest(0, least(1000,
-             |    least(length(text), 400)
-             |    + least(CAST(floor(1000 * len(list_filter($sqlToks,
-             |          w -> w IN ('the','a','and','of','to','in','is')))
-             |        / greatest(len($sqlToks), 1)) AS BIGINT) * 3, 300)
-             |    + 300
-             |    - least(CAST(floor(1000 * (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
-             |        / greatest(length(text), 1)) AS BIGINT), 300))) AS BIGINT) AS quality_mil
+             |  $sqlPunctMil AS punct_mil,
+             |  $sqlStopMil AS stop_mil,
+             |  $sqlQualityMil AS quality_mil
              |FROM documents ORDER BY doc_id""".stripMargin),
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"),
@@ -430,16 +457,7 @@ object Catalog {
     QueryDef("q26_langid",
       "Language-ID n-gram/stopword heuristic with deterministic argmax.",
       Some {
-        val langs = TextOps.langMarkers.keys.toSeq.sorted
-        val hitExprs = langs.map { l =>
-          val in = TextOps.langMarkers(l).map(w => s"'$w'").mkString(", ")
-          s"len(list_filter($sqlToks, w -> w IN ($in))) AS h_$l"
-        }.mkString(",\n  ")
-        val maxExpr = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
-        val nWin = langs.map(l => s"CASE WHEN h_$l = mx THEN 1 ELSE 0 END").mkString(" + ")
-        val firstWin = langs.reverse.foldLeft("NULL") { (acc, l) =>
-          s"CASE WHEN h_$l = mx THEN '$l' ELSE $acc END"
-        }
+        val (hitExprs, maxExpr, nWin, firstWin) = sqlLangPieces
         s"""WITH h AS (SELECT doc_id, lang, $hitExprs FROM documents),
            |m AS (SELECT *, $maxExpr AS mx FROM h)
            |SELECT doc_id, lang, CASE WHEN mx = 0 OR ($nWin) > 1
@@ -903,6 +921,180 @@ object Catalog {
         SimOps.ivfTopKTrained(e.filter(col("vec_id") % 100 === 0), e,
           "vec_id", "embedding", 5, nlist = 16, nprobe = 6, iters = 2)
           .orderBy("query_id", "rank")
+      }),
+
+    QueryDef("q47_jaccard_neardup",
+      "Exact n-gram-Jaccard near-dup pairs via AllPairs prefix filtering: " +
+        "global rarest-first gram order, per-doc prefix of " +
+        "|s|-ceil(t|s|)+1 grams, candidate equi-join on prefix grams, " +
+        "exact verify. Recall is exactly 1 by the prefix-filter theorem — " +
+        "no signatures — so the exhaustive oracle must match bit-for-bit.",
+      Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') w
+             |  FROM documents),
+             |sh AS (SELECT doc_id, CASE WHEN len(w) < 3
+             |    THEN [array_to_string(w, ' ')]
+             |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |                        for i in range(1, len(w) - 1)]) END AS s
+             |  FROM toks),
+             |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |      / len(list_distinct(list_concat(a.s, b.s))) AS j
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+             |SELECT a_id, b_id, round(j, 4) AS jac FROM p
+             |WHERE j >= 0.5 ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => TextOps.jaccardNearDupPairs(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("a_id", "b_id")),
+
+    QueryDef("q48_hash_split",
+      "Deterministic train/val/test split (80/10/10) by portable md5 " +
+        "bucket of the id — reproducible across runs, engines, and " +
+        "corpus versions; a pure narrow projection, zero shuffles.",
+      Some("""WITH b AS (SELECT doc_id,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             |      AS BIGINT) % 100 AS bucket
+             |  FROM documents)
+             |SELECT doc_id, bucket,
+             |  CASE WHEN bucket < 80 THEN 'train'
+             |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+             |FROM b ORDER BY doc_id""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          SampleOps.bucket(col("doc_id"), 100).as("bucket"),
+          SampleOps.splitLabel(col("doc_id"),
+            Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+        .orderBy("doc_id")),
+
+    QueryDef("q49_decontaminate",
+      "Benchmark decontamination (GPT-3-style n-gram overlap): docs whose " +
+        "id % 17 == 0 act as the held-out eval set; every other doc " +
+        "reports how many distinct 5-gram hashes it shares with ANY eval " +
+        "doc. Grams travel as 8-byte md5 hashes; the distinct benchmark " +
+        "side stays broadcast-small, so the corpus is never shuffled.",
+      Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') w
+             |  FROM documents),
+             |sh AS (SELECT doc_id, CASE WHEN len(w) < 5
+             |    THEN [array_to_string(w, ' ')]
+             |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |                        || ' ' || w[i+3] || ' ' || w[i+4]
+             |                        for i in range(1, len(w) - 3)]) END AS s
+             |  FROM toks),
+             |h AS (SELECT doc_id,
+             |    CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS gh
+             |  FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+             |bench AS (SELECT DISTINCT gh FROM h WHERE doc_id % 17 = 0)
+             |SELECT doc_id, count(DISTINCT gh) AS hits
+             |FROM h JOIN bench USING (gh) WHERE doc_id % 17 <> 0
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextOps.contaminationHits(
+            docs.filter(col("doc_id") % 17 =!= 0),
+            docs.filter(col("doc_id") % 17 === 0),
+            "doc_id", "text", n = 5)
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q50_stratified_sample",
+      "Deterministic per-language stratified sampling: keep a doc iff its " +
+        "per-mille md5 bucket is under its language's rate (en down to " +
+        "100 per mille, the rest at 400) — the row-local, shuffle-free, " +
+        "reproducible counterpart of sampleBy for corpus rebalancing.",
+      Some("""WITH b AS (SELECT doc_id, lang,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             |      AS BIGINT) % 1000 AS bk
+             |  FROM documents)
+             |SELECT doc_id, lang FROM b
+             |WHERE bk < CASE lang WHEN 'en' THEN 100 ELSE 400 END
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => SampleOps.stratifiedSample(t(s, dir, "documents"),
+          "doc_id", "lang",
+          Map("en" -> 100, "de" -> 400, "es" -> 400, "fr" -> 400, "zh" -> 400))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    QueryDef("q51_repetition",
+      "Gopher-style repetition signals: duplicate-2-gram fraction (with " +
+        "multiplicity) and most-frequent-2-gram fraction, per-mille " +
+        "integer arithmetic. Relational shape: explode -> (doc,gram) " +
+        "count -> per-doc rollup; shuffle key is (doc,gram).",
+      Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') w
+             |  FROM documents),
+             |g AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+             |                             for i in range(1, len(w))]) AS gr
+             |  FROM toks WHERE len(w) >= 2),
+             |c AS (SELECT doc_id, gr, count(*) AS cnt FROM g GROUP BY doc_id, gr),
+             |st AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total,
+             |    count(*) AS uniq, max(cnt) AS maxc
+             |  FROM c GROUP BY doc_id)
+             |SELECT t.doc_id,
+             |  COALESCE(CAST(floor(1000 * (total - uniq) / total) AS BIGINT), 0) AS dup2_mil,
+             |  COALESCE(CAST(floor(1000 * maxc / total) AS BIGINT), 0) AS top2_mil
+             |FROM toks t LEFT JOIN st ON t.doc_id = st.doc_id
+             |ORDER BY t.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        val grams = toks.filter(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(zip_with(col("w"),
+            slice(col("w"), lit(2), size(col("w"))),
+            (a, b) => concat(a, lit(" "), b))).as("gr"))
+          .filter(col("gr").isNotNull)
+        val st = grams.groupBy("doc_id", "gr").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id").agg(sum("cnt").as("total"),
+            count(lit(1)).as("uniq"), max("cnt").as("maxc"))
+        toks.select("doc_id").join(st, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(floor(lit(1000) * (col("total") - col("uniq")) / col("total"))
+              .cast("long"), lit(0L)).as("dup2_mil"),
+            coalesce(floor(lit(1000) * col("maxc") / col("total"))
+              .cast("long"), lit(0L)).as("top2_mil"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q52_curation_pipeline",
+      "Flagship corpus-curation composition in ONE declarative plan: " +
+        "exact-dup keepers only -> quality gate (>=500 mil) -> language " +
+        "guess -> deterministic 80/10/10 split -> per-(lang,split) doc and " +
+        "token rollup. Every stage is an operator the catalog verifies " +
+        "individually; this proves they compose without driver-side glue.",
+      Some {
+        val (hitExprs, maxExpr, nWin, firstWin) = sqlLangPieces
+        s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+           |  GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+           |d AS (SELECT doc_id, text FROM documents
+           |  WHERE doc_id IN (SELECT doc_id FROM keep)
+           |    AND $sqlQualityMil >= 500),
+           |h AS (SELECT doc_id, text, $hitExprs FROM d),
+           |m AS (SELECT *, $maxExpr AS mx FROM h),
+           |g AS (SELECT doc_id,
+           |    CASE WHEN mx = 0 OR ($nWin) > 1 THEN 'und' ELSE ($firstWin) END AS glang,
+           |    len(regexp_extract_all(text, '\\S+')) AS ntok,
+           |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+           |      AS BIGINT) % 100 AS bucket
+           |  FROM m)
+           |SELECT glang,
+           |  CASE WHEN bucket < 80 THEN 'train'
+           |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS tok_sum
+           |FROM g GROUP BY glang, split ORDER BY glang, split""".stripMargin
+      },
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val keepers = docs
+          .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+          .agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        docs.join(keepers, "doc_id")
+          .filter(TextOps.qualityScoreMil(col("text")) >= 500)
+          .select(col("doc_id"),
+            TextOps.langId(col("text")).as("glang"),
+            TextOps.tokenCount(col("text")).as("ntok"),
+            SampleOps.splitLabel(col("doc_id"),
+              Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+          .groupBy("glang", "split")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tok_sum"))
+          .orderBy("glang", "split")
       })
   )
 

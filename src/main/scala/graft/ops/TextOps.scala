@@ -225,6 +225,101 @@ object TextOps {
       .select(col("a_id"), col("b_id"), round(col("ov"), 4).as("overlap"))
   }
 
+  /** Exact n-gram-Jaccard near-dup pairs via AllPairs prefix filtering
+    * (Bayardo et al., WWW'07) — no signatures, no probabilistic recall:
+    * order every document's shingles by a global total order (document
+    * frequency asc, then gram asc), keep only the first
+    * `|s| - ceil(t*|s|) + 1` grams of each document, and equi-join on
+    * those prefix grams. Any pair with Jaccard >= t shares at least
+    * `ceil(t*max(|a|,|b|))` grams, which cannot all fit in the suffixes,
+    * so every qualifying pair surfaces as a candidate — recall is exactly
+    * 1 by construction, and the final exact verify makes precision exact.
+    *
+    * Scale shape: the rarest-first order means the candidate join runs on
+    * LOW-document-frequency grams (the hot "and the" grams sort last and
+    * fall outside the prefixes of any document long enough to contain
+    * them), bounding posting-list fan-out the way [[winnowNearDupPairs]]'s
+    * df cut does, but without a recall assumption. Shuffles: df count,
+    * per-doc regroup, candidate equi-join, verify joins — all equi-keyed.
+    *
+    * Output: (a_id, b_id, jac), a_id < b_id, jac rounded to 4.
+    */
+  def jaccardNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // everything downstream of the single shingle pass runs on 8-byte gram
+    // hashes: the df count, the per-doc regroup, the candidate equi-join,
+    // AND the exact verify (set sizes are identical under the hash —
+    // a 64-bit collision inside one pair's union is ~1e-16; candidate-side
+    // collisions can only ADD candidates). Strings never shuffle.
+    val tok = df
+      .select(col(idCol).as("__id"), explode(shingles(col(textCol), n)).as("__g"))
+      .select(col("__id"), xxhash64(col("__g")).as("__gh"))
+    val dfreq = tok.groupBy("__gh").agg(count(lit(1)).as("__df"))
+    val ordered = tok.join(dfreq, "__gh")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("__gh")))).as("__ord"),
+        count(lit(1)).as("__n"))
+    val prefLen = (col("__n") - ceil(lit(threshold) * col("__n")) + lit(1)).cast("int")
+    val pref = ordered
+      .select(col("__id"), col("__n"),
+        explode(slice(col("__ord"), lit(1), prefLen)).as("__p"))
+      .select(col("__id"), col("__n"), col("__p.__gh").as("__gh"))
+    // PPJoin length filter inside the join: jaccard >= t forces
+    // t*|a| <= |b| <= |a|/t, so size-incompatible pairs never materialize
+    // (the 1e-9 slack only loosens the cut — verify below is exact).
+    val cands = pref.as("x")
+      .join(pref.as("y"),
+        col("x.__gh") === col("y.__gh") && col("x.__id") < col("y.__id")
+          && col("x.__n").cast("double") >= lit(threshold) * col("y.__n") - lit(1e-9)
+          && col("y.__n").cast("double") >= lit(threshold) * col("x.__n") - lit(1e-9))
+      .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"))
+      .distinct()
+    val hsets = ordered.select(col("__id"),
+      transform(col("__ord"), p => p.getField("__gh")).as("__hs"),
+      col("__n"))
+    val a = hsets.select(col("__id").as("a_id"), col("__hs").as("a_hs"), col("__n").as("a_n"))
+    val b = hsets.select(col("__id").as("b_id"), col("__hs").as("b_hs"), col("__n").as("b_n"))
+    cands.join(a, "a_id").join(b, "b_id")
+      .withColumn("__i", size(array_intersect(col("a_hs"), col("b_hs"))))
+      .withColumn("j", col("__i").cast("double") /
+        (col("a_n") + col("b_n") - col("__i")).cast("double"))
+      .filter(col("j") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("j"), 4).as("jac"))
+  }
+
+  /** Benchmark-contamination hits: for each corpus document, the number of
+    * distinct word n-grams it shares with ANY benchmark document (the
+    * GPT-3-style n-gram-overlap decontamination check).
+    *
+    * Grams travel as stable 64-bit md5 hashes, not strings — the shuffle
+    * key is 8 bytes regardless of n, and an external SQL engine computes
+    * the identical hash for auditing. The benchmark side is distinct-ed
+    * gram hashes only (small — eval sets are; Spark broadcasts it when it
+    * fits), so the corpus is never shuffled: hash, hash-join, per-doc
+    * count. Output: (idCol, hits) for contaminated docs only.
+    */
+  def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    def gramHashes(d: DataFrame): DataFrame = d
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("__g"))
+      .select(col(idCol), stableHash64(col("__g")).as("__gh"))
+    val bench = gramHashes(benchmark).select("__gh").distinct()
+    gramHashes(corpus).join(bench, "__gh")
+      .groupBy(idCol).agg(count_distinct(col("__gh")).as("hits"))
+  }
+
+  /** The decontaminated corpus: drop every document sharing at least
+    * `minHits` distinct n-grams with the benchmark set (anti-join on the
+    * contaminated-id set, which is at most |corpus| ids).
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 5,
+                    minHits: Long = 1): DataFrame = {
+    val bad = contaminationHits(corpus, benchmark, idCol, textCol, n)
+      .filter(col("hits") >= minHits).select(idCol)
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Language-ID heuristic: per-language stopword hit counts; argmax with
     * deterministic tie-break on language code order. Counts are integers ->
     * oracle-reproducible.

@@ -58,6 +58,24 @@ class PlanShapeSpec extends SparkSpec {
       s"fingerprints not produced by the batched expression:\n$plan")
   }
 
+  test("q47/q49: prefix-filter and decontamination join on equi-keys only") {
+    Seq("q47_jaccard_neardup", "q49_decontaminate").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$q plans an all-pairs join:\n$plan")
+    }
+  }
+
+  test("q48/q50: hash split and stratified sample stay shuffle-free") {
+    Seq("q48_hash_split", "q50_stratified_sample").foreach { q =>
+      val plan = planOf(q)
+      // the only exchange allowed is the final presentation orderBy's
+      // range partitioning — membership itself must be row-local
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$q shuffles to decide membership:\n$plan")
+    }
+  }
+
   test("q29: minhash signatures are computed map-side, not via a shuffle") {
     val plan = planOf("q29_dedup_minhash")
     assert(plan.toLowerCase.contains("minhashbandkeys"),

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Deterministic sampling/splitting + corpus-hygiene operators. */
+class SampleOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("splitLabel covers every row, roughly at the configured weights") {
+    val df = (1L to 10000L).toDF("id")
+      .select($"id", SampleOps.splitLabel($"id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+    val counts = df.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 10000L)
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 7500 && counts("train") < 8500)
+    assert(counts("val") > 700 && counts("val") < 1300)
+    assert(counts("test") > 700 && counts("test") < 1300)
+  }
+
+  test("splitLabel membership is stable under corpus growth") {
+    def labels(n: Long): Map[Long, String] = (1L to n).toDF("id")
+      .select($"id", SampleOps.splitLabel($"id", Seq("a" -> 50, "b" -> 50)).as("s"))
+      .as[(Long, String)].collect().toMap
+    val small = labels(100)
+    val big = labels(5000)
+    assert(small.forall { case (id, s) => big(id) == s })
+  }
+
+  test("stratifiedSample keeps per-stratum rates; unknown strata drop") {
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "xx"))
+      .toDF("id", "lang")
+    val kept = SampleOps.stratifiedSample(df, "id", "lang", Map("en" -> 250))
+      .as[(Long, String)].collect()
+    assert(kept.forall(_._2 == "en"))
+    assert(kept.length > 300 && kept.length < 700) // ~25% of 2000
+    // deterministic: same input -> same rows
+    val again = SampleOps.stratifiedSample(df, "id", "lang", Map("en" -> 250))
+      .as[(Long, String)].collect()
+    assert(kept.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("jaccardNearDupPairs matches exhaustive all-pairs Jaccard exactly") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc(): String = Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (1L to 30L).map(i => (i, doc()))
+    // plant two near-dup pairs: identical and one-word-edit copies
+    val docs = base ++ Seq((31L, base.head._2),
+      (32L, base(1)._2.replaceFirst("\\w+", "omega")))
+    val df = docs.toDF("doc_id", "text")
+
+    val got = TextOps.jaccardNearDupPairs(df, "doc_id", "text", 3, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+    // exhaustive reference on the driver
+    def sh(t: String): Set[String] = {
+      val w = t.split(" ").toSeq
+      if (w.size < 3) Set(w.mkString(" "))
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val exp = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      j = sh(ta).intersect(sh(tb)).size.toDouble / sh(ta).union(sh(tb)).size
+      if j >= 0.5
+    } yield (a, b)).toSet
+    assert(got == exp)
+    assert(exp.contains((1L, 31L))) // the planted identical pair qualifies
+  }
+
+  test("contaminationHits counts shared distinct 5-grams; decontaminate drops hits") {
+    val bench = Seq((100L, "one two three four five six")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "one two three four five seven"), // shares "one two three four five"
+      (2L, "totally unrelated words in this document here"),
+      (3L, "zzz one two three four five six yyy") // shares 2 distinct 5-grams
+    ).toDF("doc_id", "text")
+
+    val hits = TextOps.contaminationHits(corpus, bench, "doc_id", "text", 5)
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 1L, 3L -> 2L))
+
+    val clean = TextOps.decontaminate(corpus, bench, "doc_id", "text", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L))
+  }
+}
