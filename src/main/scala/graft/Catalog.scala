@@ -1095,7 +1095,31 @@ object Catalog {
           .groupBy("glang", "split")
           .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tok_sum"))
           .orderBy("glang", "split")
-      })
+      }),
+
+    QueryDef("q53_pack_sequences",
+      "Sequence packing: deterministic hash order, global running token " +
+        "sum, fixed 2048-token windows; per-bin doc/token rollup. The " +
+        "Spark plan computes the prefix sum two-level (parallel cumsum " +
+        "inside hash-range buckets + tiny per-bucket offsets) so no " +
+        "single-partition window exists; the oracle is the naive global " +
+        "window — results are identical by construction.",
+      Some("""WITH d AS (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS ntok,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             |      AS BIGINT) AS h
+             |  FROM documents),
+             |c AS (SELECT doc_id, ntok,
+             |    CAST(COALESCE(sum(ntok) OVER (ORDER BY h, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
+             |  FROM d)
+             |SELECT CAST(floor(pre / 2048) AS BIGINT) AS bin, count(*) AS n_docs,
+             |  CAST(sum(ntok) AS BIGINT) AS tok_sum
+             |FROM c GROUP BY bin ORDER BY bin""".stripMargin),
+      (s, dir) => SampleOps.packBins(t(s, dir, "documents"), "doc_id",
+          TextOps.tokenCount(col("text")), 2048)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tok_sum"))
+        .orderBy("bin"))
   )
 
   /** Shared oracle CTE: winnowed fingerprint sets per document (k=8,

@@ -38,6 +38,43 @@ object SampleOps {
     cases
   }
 
+  /** Sequence packing for training: lay documents out in a deterministic
+    * pseudo-random order (md5 hash of the id) and assign each to the
+    * fixed-size token window its start offset falls in — the contiguous
+    * greedy packing used to build training batches, as a pure relational
+    * plan.
+    *
+    * The global running token sum is the inherently sequential part; a
+    * single `Window.orderBy` would funnel the corpus through ONE
+    * partition. Instead: the hash is uniform, so its top bits are range
+    * buckets that preserve the global order. Cumsum within each bucket in
+    * parallel, roll the tiny per-bucket totals into global offsets
+    * (`buckets` rows — driver-scale), add back. Identical result to the
+    * naive global window, shuffle-parallel at any corpus size.
+    *
+    * Output: one row per input doc with (idCol, tokCol, bin).
+    */
+  def packBins(df: DataFrame, idCol: String, tokCol: Column,
+               windowTokens: Int, bucketBits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = TextOps.stableHash64(col(idCol).cast("string"))
+    val d = df.select(col(idCol), tokCol.as("__ntok"), h.as("__h"),
+      shiftrightunsigned(h, 60 - bucketBits).as("__bkt")) // hash is 60-bit
+    val inBkt = Window.partitionBy("__bkt").orderBy("__h", idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = d.withColumn("__pre_local",
+      coalesce(sum(col("__ntok")).over(inBkt), lit(0L)))
+    val offsets = d.groupBy("__bkt").agg(sum("__ntok").as("__bsum"))
+      .withColumn("__offset", coalesce(sum(col("__bsum")).over(
+        Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__bkt", "__offset")
+    withLocal.join(broadcast(offsets), "__bkt")
+      .select(col(idCol), col("__ntok").as("ntok"),
+        floor((col("__offset") + col("__pre_local")) / windowTokens)
+          .cast("long").as("bin"))
+  }
+
   /** Deterministic per-stratum sampling: keep a row iff its per-mille
     * bucket is below the rate configured for its stratum (default 0 —
     * unknown strata are dropped). The decision is row-local: no shuffle,

@@ -72,6 +72,25 @@ class SampleOpsSpec extends SparkSpec {
     assert(exp.contains((1L, 31L))) // the planted identical pair qualifies
   }
 
+  test("packBins two-level prefix sum matches the naive global cumsum") {
+    val df = (1L to 500L).map(i => (i, 30 + (i % 7) * 10)).toDF("id", "ntok")
+    val got = SampleOps.packBins(df, "id", $"ntok", 256, bucketBits = 4)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+
+    // naive reference: order by (hash, id), running pre-sum, floor-div
+    val hashes = df.select($"id",
+      TextOps.stableHash64($"id".cast("string")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    var acc = 0L
+    val exp = (1L to 500L).map(i => (i, 30 + (i % 7) * 10))
+      .sortBy { case (i, _) => (hashes(i), i) }
+      .map { case (i, n) => val b = acc / 256; acc += n; (i, b) }.toMap
+    assert(got == exp)
+    // bins are contiguous from 0
+    val bins = got.values.toSet
+    assert(bins.min == 0L && bins.max == bins.size - 1L)
+  }
+
   test("contaminationHits counts shared distinct 5-grams; decontaminate drops hits") {
     val bench = Seq((100L, "one two three four five six")).toDF("doc_id", "text")
     val corpus = Seq(
