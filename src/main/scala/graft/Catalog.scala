@@ -1119,7 +1119,36 @@ object Catalog {
           TextOps.tokenCount(col("text")), 2048)
         .groupBy("bin")
         .agg(count(lit(1)).as("n_docs"), sum("ntok").as("tok_sum"))
-        .orderBy("bin"))
+        .orderBy("bin")),
+
+    QueryDef("q54_quantile_sketch",
+      "Mergeable quantile sketch: percentile_approx (Greenwald-Khanna) — " +
+        "single-pass, map-side-combinable, fixed memory per group; the " +
+        "scale path next to q36's exact sort-based percentile. " +
+        "Approximate by design -> no SQL oracle (driver rows-only " +
+        "check); error vs the exact quantiles is bounded in SketchSpec.",
+      None,
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.9), lit(0.99)),
+            lit(10000)).as("price_q"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("qty_med"))
+        .orderBy("l_returnflag")),
+
+    QueryDef("q55_distinct_sketch",
+      "Cardinality sketch: approx_count_distinct (HyperLogLog++) per " +
+        "group — constant memory, one pass, no distinct shuffle; the " +
+        "scale path for count-distinct rollups. Approximate by design -> " +
+        "no SQL oracle (driver rows-only check); relative error vs exact " +
+        "is bounded in SketchSpec.",
+      None,
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("nd_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("nd_parts"))
+        .orderBy("l_returnflag"))
   )
 
   /** Shared oracle CTE: winnowed fingerprint sets per document (k=8,

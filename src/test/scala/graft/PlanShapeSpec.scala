@@ -76,6 +76,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q53: the corpus-side running sum is partitioned by hash bucket") {
+    val plan = planOf("q53_pack_sequences")
+    // the Window over the full corpus must carry the __bkt partition spec;
+    // only the driver-scale offsets rollup may be a global window
+    assert(plan.contains("__bkt"),
+      s"packing prefix sum lost its bucket partitioning (single-partition " +
+        s"window over the corpus):\n$plan")
+  }
+
   test("q29: minhash signatures are computed map-side, not via a shuffle") {
     val plan = planOf("q29_dedup_minhash")
     assert(plan.toLowerCase.contains("minhashbandkeys"),
