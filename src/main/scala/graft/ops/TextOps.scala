@@ -298,13 +298,18 @@ object TextOps {
     * fits), so the corpus is never shuffled: hash, hash-join, per-doc
     * count. Output: (idCol, hits) for contaminated docs only.
     */
+  /** Per-document distinct word-n-gram hashes: (idCol, __gh). The 8-byte
+    * md5-derived hash is what travels through joins — see
+    * [[contaminationHits]].
+    */
+  def gramHashes(d: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = d
+    .select(col(idCol), explode(shingles(col(textCol), n)).as("__g"))
+    .select(col(idCol), stableHash64(col("__g")).as("__gh"))
+
   def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
                         idCol: String, textCol: String, n: Int = 5): DataFrame = {
-    def gramHashes(d: DataFrame): DataFrame = d
-      .select(col(idCol), explode(shingles(col(textCol), n)).as("__g"))
-      .select(col(idCol), stableHash64(col("__g")).as("__gh"))
-    val bench = gramHashes(benchmark).select("__gh").distinct()
-    gramHashes(corpus).join(bench, "__gh")
+    val bench = gramHashes(benchmark, idCol, textCol, n).select("__gh").distinct()
+    gramHashes(corpus, idCol, textCol, n).join(bench, "__gh")
       .groupBy(idCol).agg(count_distinct(col("__gh")).as("hits"))
   }
 

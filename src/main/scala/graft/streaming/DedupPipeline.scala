@@ -52,6 +52,45 @@ object DedupPipeline {
       .start()
   }
 
+  /** Streaming benchmark-decontamination screen: micro-batches of
+    * incoming documents are checked against a STATIC held-out eval set
+    * (the GPT-3-style distinct-n-gram overlap of q49) and only documents
+    * sharing fewer than `minHits` distinct n-grams with ANY benchmark
+    * document are admitted to the corpus.
+    *
+    * The benchmark side is hashed ONCE outside the stream and cached —
+    * per batch the only work is the batch's own gram hashing plus one
+    * equi-join against the (broadcast-small) benchmark gram set, so the
+    * screen's cost scales with batch size, never with corpus size.
+    * Re-delivered batches re-merge idempotently on doc_id (T8).
+    */
+  def decontaminationScreenStream(spark: SparkSession, sourceDir: String,
+                                  schema: StructType, sink: UpsertSink,
+                                  benchmark: DataFrame, corpusTable: String,
+                                  checkpoint: String, n: Int = 5,
+                                  minHits: Long = 1,
+                                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val benchGrams = TextOps.gramHashes(benchmark, "doc_id", "text", n)
+      .select("__gh").distinct().cache()
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val contaminated = TextOps.gramHashes(batch, "doc_id", "text", n)
+            .join(benchGrams, "__gh")
+            .groupBy("doc_id").agg(count_distinct(col("__gh")).as("hits"))
+            .filter(col("hits") >= minHits)
+            .select("doc_id")
+          val clean = RelOps.antiJoin(batch, contaminated, Seq("doc_id"))
+          if (!clean.isEmpty) sink.merge(corpusTable, clean, Seq("doc_id"))
+          ()
+        }
+      }
+      .start()
+  }
+
   /** Streaming NEAR-duplicate admission control: each micro-batch of new
     * documents is screened against the ACCUMULATED corpus before
     * admission — MinHash-LSH band keys equi-join the batch against a
@@ -80,7 +119,11 @@ object DedupPipeline {
       .foreachBatch { (rawBatch: DataFrame, _: Long) =>
         if (!rawBatch.isEmpty) {
           val batch = rawBatch.dropDuplicates("doc_id")
-          MinHashFunctions.register(spark)
+          // register on the BATCH's session: foreachBatch plans resolve in
+          // the stream's cloned session, which only inherits functions
+          // registered before the stream started — the outer `spark` is
+          // the wrong registry here
+          MinHashFunctions.register(batch.sparkSession)
           // shuffle-free band keys: one codegen pass over the shingle
           // array per doc (see MinHashBandKeys) instead of the relational
           // explode -> groupBy(doc) with k min-aggs

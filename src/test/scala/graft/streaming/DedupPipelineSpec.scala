@@ -57,6 +57,36 @@ class DedupPipelineSpec extends SparkSpec {
       == first.view.filterKeys(Set(1L, 2L)).toMap)
   }
 
+  test("streaming decontamination screen blocks docs overlapping the benchmark") {
+    val root = Files.createTempDirectory("graft_sdecon")
+    val src = root.resolve("docs"); Files.createDirectories(src)
+    val sink = new UpsertSink(spark, root.resolve("sink").toString)
+    val checkpoint = root.resolve("chk").toString
+    val bench = Seq((100L, "one two three four five six"))
+      .toDF("doc_id", "text")
+
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(src.toString)
+
+    write(Seq(
+      (1L, "one two three four five seven"), // shares a 5-gram -> blocked
+      (2L, "totally unrelated words in this document here")))
+    DedupPipeline.decontaminationScreenStream(spark, src.toString, schema,
+      sink, bench, "Clean", checkpoint).awaitTermination(60000)
+    def corpus(): Set[Long] =
+      sink.read("Clean").select("doc_id").as[Long].collect().toSet
+    assert(corpus() == Set(2L))
+
+    // second batch after restart: another contaminated doc + a clean one
+    write(Seq(
+      (3L, "zzz one two three four five six yyy"), // 2 shared 5-grams
+      (4L, "fresh clean content with no benchmark overlap at all")))
+    DedupPipeline.decontaminationScreenStream(spark, src.toString, schema,
+      sink, bench, "Clean", checkpoint).awaitTermination(60000)
+    assert(corpus() == Set(2L, 4L))
+  }
+
   test("streaming NEAR-dup admission screens new docs against the corpus") {
     val root = Files.createTempDirectory("graft_sneardup")
     val src = root.resolve("docs"); Files.createDirectories(src)
