@@ -1148,7 +1148,29 @@ object Catalog {
         .agg(
           approx_count_distinct(col("l_orderkey"), 0.02).as("nd_orders"),
           approx_count_distinct(col("l_partkey"), 0.02).as("nd_parts"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    QueryDef("q56_embed_dedup_apply",
+      "Embedding dedup APPLIED (the q39 pattern for vectors): the cleaned " +
+        "embedding corpus after dropping every vector whose near-dup pair " +
+        "has a lower id, with pairs from the DEFAULT LSH operator (q41) — " +
+        "candidate gen stays bucketed, the kill set is an anti-join. " +
+        "Oracle recomputes the pairs exhaustively.",
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |    ${sqlCosine("a.embedding", "b.embedding")} AS c
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             |SELECT vec_id FROM embeddings
+             |WHERE vec_id NOT IN (SELECT DISTINCT b_id FROM p WHERE round(c, 6) >= 0.45)
+             |ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val dups = SimOps.lshNearDupPairs(
+            t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+          .select(col("b_id").as("vec_id")).distinct()
+        RelOps.antiJoin(t(s, dir, "embeddings").select("vec_id"), dups,
+            Seq("vec_id"))
+          .orderBy("vec_id")
+      })
   )
 
   /** Shared oracle CTE: winnowed fingerprint sets per document (k=8,

@@ -58,8 +58,9 @@ class PlanShapeSpec extends SparkSpec {
       s"fingerprints not produced by the batched expression:\n$plan")
   }
 
-  test("q47/q49: prefix-filter and decontamination join on equi-keys only") {
-    Seq("q47_jaccard_neardup", "q49_decontaminate").foreach { q =>
+  test("q47/q49/q56: curation joins stay on equi-keys, never cartesian") {
+    Seq("q47_jaccard_neardup", "q49_decontaminate",
+        "q56_embed_dedup_apply").foreach { q =>
       val plan = planOf(q)
       assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
         s"$q plans an all-pairs join:\n$plan")
