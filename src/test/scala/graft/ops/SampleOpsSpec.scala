@@ -91,6 +91,35 @@ class SampleOpsSpec extends SparkSpec {
     assert(bins.min == 0L && bins.max == bins.size - 1L)
   }
 
+  test("prefix-filter join equals brute force across thresholds and doc shapes") {
+    // tiny vocab + short docs force a dense jaccard spectrum (0..1) and
+    // exercise the <n-token fallback, the ceil boundary in the prefix
+    // length, and the PPJoin length filter at several thresholds
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    def sh(t: String): Set[String] = {
+      val w = t.split(" ").filter(_.nonEmpty).toSeq
+      if (w.size < 3) Set(w.mkString(" "))
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    for (seed <- Seq(11, 42); threshold <- Seq(0.4, 0.5, 0.7, 0.9)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 25L).map { i =>
+        val len = 1 + rnd.nextInt(14)
+        (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = TextOps.jaccardNearDupPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", 3, threshold)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val exp = (for {
+        (a, ta) <- docs; (b, tb) <- docs if a < b
+        j = sh(ta).intersect(sh(tb)).size.toDouble / sh(ta).union(sh(tb)).size
+        if j >= threshold
+      } yield (a, b)).toSet
+      assert(got == exp, s"seed=$seed t=$threshold: got ${got.size}, expected ${exp.size}; " +
+        s"missing=${exp -- got} extra=${got -- exp}")
+    }
+  }
+
   test("contaminationHits counts shared distinct 5-grams; decontaminate drops hits") {
     val bench = Seq((100L, "one two three four five six")).toDF("doc_id", "text")
     val corpus = Seq(
