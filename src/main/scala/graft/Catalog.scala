@@ -788,16 +788,7 @@ object Catalog {
         "threshold with agreeing language-ID — the composed text-pipeline " +
         "filter stage.",
       Some {
-        val langs = TextOps.langMarkers.keys.toSeq.sorted
-        val hitExprs = langs.map { l =>
-          val in = TextOps.langMarkers(l).map(w => s"'$w'").mkString(", ")
-          s"len(list_filter($sqlToks, w -> w IN ($in))) AS h_$l"
-        }.mkString(",\n  ")
-        val maxExpr = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
-        val nWin = langs.map(l => s"CASE WHEN h_$l = mx THEN 1 ELSE 0 END").mkString(" + ")
-        val firstWin = langs.reverse.foldLeft("NULL") { (acc, l) =>
-          s"CASE WHEN h_$l = mx THEN '$l' ELSE $acc END"
-        }
+        val (hitExprs, maxExpr, nWin, firstWin) = sqlLangPieces
         s"""WITH h AS (SELECT doc_id, lang, length(text) AS chars, $hitExprs
            |  FROM documents),
            |m AS (SELECT *, $maxExpr AS mx FROM h),
@@ -1005,7 +996,9 @@ object Catalog {
              |      AS BIGINT) % 1000 AS bk
              |  FROM documents)
              |SELECT doc_id, lang FROM b
-             |WHERE bk < CASE lang WHEN 'en' THEN 100 ELSE 400 END
+             |WHERE bk < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 400
+             |  WHEN 'es' THEN 400 WHEN 'fr' THEN 400 WHEN 'zh' THEN 400
+             |  ELSE 0 END
              |ORDER BY doc_id""".stripMargin),
       (s, dir) => SampleOps.stratifiedSample(t(s, dir, "documents"),
           "doc_id", "lang",

@@ -259,7 +259,12 @@ object TextOps {
       .groupBy("__id")
       .agg(sort_array(collect_list(struct(col("__df"), col("__gh")))).as("__ord"),
         count(lit(1)).as("__n"))
-    val prefLen = (col("__n") - ceil(lit(threshold) * col("__n")) + lit(1)).cast("int")
+    // the 1e-9 slack guards the ceil against double rounding: e.g.
+    // 0.56*25 = 14.000000000000002 in IEEE doubles, and ceil'ing that to
+    // 15 would shorten the prefix by one and silently drop a qualifying
+    // pair — the slack can only LENGTHEN the prefix, which is recall-safe
+    val prefLen = (col("__n")
+      - ceil(lit(threshold) * col("__n") - lit(1e-9)) + lit(1)).cast("int")
     val pref = ordered
       .select(col("__id"), col("__n"),
         explode(slice(col("__ord"), lit(1), prefLen)).as("__p"))
@@ -287,6 +292,14 @@ object TextOps {
       .select(col("a_id"), col("b_id"), round(col("j"), 4).as("jac"))
   }
 
+  /** Per-document distinct word-n-gram hashes: (idCol, __gh). The 8-byte
+    * md5-derived hash is what travels through joins — see
+    * [[contaminationHits]].
+    */
+  def gramHashes(d: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = d
+    .select(col(idCol), explode(shingles(col(textCol), n)).as("__g"))
+    .select(col(idCol), stableHash64(col("__g")).as("__gh"))
+
   /** Benchmark-contamination hits: for each corpus document, the number of
     * distinct word n-grams it shares with ANY benchmark document (the
     * GPT-3-style n-gram-overlap decontamination check).
@@ -298,14 +311,6 @@ object TextOps {
     * fits), so the corpus is never shuffled: hash, hash-join, per-doc
     * count. Output: (idCol, hits) for contaminated docs only.
     */
-  /** Per-document distinct word-n-gram hashes: (idCol, __gh). The 8-byte
-    * md5-derived hash is what travels through joins — see
-    * [[contaminationHits]].
-    */
-  def gramHashes(d: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = d
-    .select(col(idCol), explode(shingles(col(textCol), n)).as("__g"))
-    .select(col(idCol), stableHash64(col("__g")).as("__gh"))
-
   def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
                         idCol: String, textCol: String, n: Int = 5): DataFrame = {
     val bench = gramHashes(benchmark, idCol, textCol, n).select("__gh").distinct()

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.functions.MinHashFunctions
@@ -72,7 +72,7 @@ object DedupPipeline {
                                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val benchGrams = TextOps.gramHashes(benchmark, "doc_id", "text", n)
       .select("__gh").distinct().cache()
-    spark.readStream.schema(schema).parquet(sourceDir)
+    val query = spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -83,12 +83,27 @@ object DedupPipeline {
             .groupBy("doc_id").agg(count_distinct(col("__gh")).as("hits"))
             .filter(col("hits") >= minHits)
             .select("doc_id")
-          val clean = RelOps.antiJoin(batch, contaminated, Seq("doc_id"))
+          // cache: isEmpty and merge would otherwise each re-run the
+          // whole gram-hash + join + anti-join pipeline
+          val clean = RelOps.antiJoin(batch, contaminated, Seq("doc_id")).cache()
           if (!clean.isEmpty) sink.merge(corpusTable, clean, Seq("doc_id"))
+          clean.unpersist()
           ()
         }
       }
       .start()
+    // release the cached benchmark grams when THIS query terminates —
+    // restarted screens (a new call) cache their own copy
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          benchGrams.unpersist()
+          spark.streams.removeListener(this)
+        }
+    })
+    query
   }
 
   /** Streaming NEAR-duplicate admission control: each micro-batch of new

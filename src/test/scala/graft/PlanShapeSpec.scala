@@ -79,11 +79,15 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q53: the corpus-side running sum is partitioned by hash bucket") {
     val plan = planOf("q53_pack_sequences")
-    // the Window over the full corpus must carry the __bkt partition spec;
-    // only the driver-scale offsets rollup may be a global window
-    assert(plan.contains("__bkt"),
+    // the Window computing the per-doc running sum (over __ntok) must
+    // carry the __bkt partition spec in its own operator line; only the
+    // driver-scale offsets rollup (over __bsum) may be a global window
+    val corpusWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("__ntok")).toSeq
+    assert(corpusWindows.nonEmpty, s"no corpus-side Window found:\n$plan")
+    assert(corpusWindows.forall(_.contains("__bkt")),
       s"packing prefix sum lost its bucket partitioning (single-partition " +
-        s"window over the corpus):\n$plan")
+        s"window over the corpus):\n$corpusWindows\n$plan")
   }
 
   test("q29: minhash signatures are computed map-side, not via a shuffle") {

@@ -101,7 +101,10 @@ class SampleOpsSpec extends SparkSpec {
       if (w.size < 3) Set(w.mkString(" "))
       else w.sliding(3).map(_.mkString(" ")).toSet
     }
-    for (seed <- Seq(11, 42); threshold <- Seq(0.4, 0.5, 0.7, 0.9)) {
+    // 0.34 and 0.56 are rounding-hostile: t*n lands just above an integer
+    // in IEEE doubles (0.56*25 = 14.000000000000002), which would shorten
+    // the prefix by one without the epsilon guard in jaccardNearDupPairs
+    for (seed <- Seq(11, 42); threshold <- Seq(0.34, 0.4, 0.5, 0.56, 0.7, 0.9)) {
       val rnd = new scala.util.Random(seed)
       val docs = (1L to 25L).map { i =>
         val len = 1 + rnd.nextInt(14)
