@@ -861,11 +861,11 @@ object Catalog {
       }),
 
     QueryDef("q44_winnow_neardup",
-      "Winnowing near-dup pairs: shared-fingerprint equi-join candidates " +
-        "(hot fingerprints df-cut from candidate gen — the hottest gram " +
-        "alone would join toward all-pairs) + exact overlap verify on the " +
-        "full sets. Oracle compares ALL pairs exhaustively; the df cut is " +
-        "recall-exact here (every qualifying pair shares df<=4 prints).",
+      "Winnowing near-dup pairs: prefix-filtered candidates (each doc's " +
+        "rarest |s|-ceil(t|s|)+1 prints probe the full posting lists — " +
+        "recall exactly 1 by the prefix theorem, hot keys bounded because " +
+        "hot prints enter few prefixes) + exact overlap verify on the " +
+        "full sets. Oracle compares ALL pairs exhaustively.",
       Some(s"""$winnowFpsCte
              |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              |  round(CAST(len(list_intersect(a.fps, b.fps)) AS DOUBLE)
@@ -875,7 +875,7 @@ object Catalog {
              |    / least(len(a.fps), len(b.fps)) >= 0.6
              |ORDER BY a_id, b_id""".stripMargin),
       (s, dir) => TextOps.winnowNearDupPairs(s, t(s, dir, "documents"),
-          "doc_id", "text", k = 8, window = 4, threshold = 0.6, maxDf = 16)
+          "doc_id", "text", k = 8, window = 4, threshold = 0.6)
         .orderBy("a_id", "b_id")),
 
     QueryDef("q45_frame_sample",

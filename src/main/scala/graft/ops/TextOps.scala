@@ -178,43 +178,55 @@ object TextOps {
 
   /** Winnowing near-dup pairs: rolling-hash fingerprint sets
     * ([[graft.functions.WinnowFingerprints]], computed map-side in one
-    * codegen pass), candidate pairs by equi-join on shared fingerprint
-    * values, exact overlap verify `|A n B| / min(|A|,|B|) >= threshold`.
+    * codegen pass), prefix-filtered candidate generation, exact overlap
+    * verify `|A n B| / min(|A|,|B|) >= threshold`.
     *
-    * Hot (high-document-frequency) fingerprints — ubiquitous k-char grams
-    * like "and the " — are dropped from CANDIDATE GENERATION (`maxDf`):
-    * without the cut the hottest gram alone joins every pair of documents
-    * containing it, degenerating toward all-pairs. The verify still uses
-    * the FULL fingerprint sets, so results are exact for every pair that
-    * shares at least one sub-`maxDf` fingerprint; near-dup pairs share
-    * their content-specific (rare) grams by construction, which is what
-    * makes the cut recall-safe (measured: qualifying pairs on the test
-    * corpus all share fingerprints of df <= 4 at maxDf 16).
+    * Candidate generation is the AllPairs prefix filter adapted to the
+    * overlap measure: order every document's fingerprints by global
+    * document frequency (rarest first, ties on value), keep the first
+    * `|s| - ceil(t*|s|) + 1` as the PREFIX, and probe prefixes against
+    * the FULL posting lists. For any qualifying pair the smaller set s
+    * must share `>= ceil(t*|s|)` prints with its partner, which cannot
+    * all sit in s's suffix — so s's prefix hits the partner's full list
+    * and recall is exactly 1. An earlier version dropped
+    * high-df fingerprints from candidate gen entirely (a `maxDf` cut);
+    * that missed template-heavy pairs whose shared prints are ALL common
+    * (at sf0.1 one qualifying pair's rarest shared print has df 287).
+    * The prefix filter keeps the hot-key blow-up bounded the same way —
+    * a hot print enters a document's PREFIX only when the document has
+    * nothing rarer, so hot posting lists are probed by few documents —
+    * without the recall assumption.
     *
-    * Scale shape: one shuffle on fingerprint value for the df cut (hot
-    * keys REMOVED before the self-join can blow up), the bounded
-    * candidate equi-join, then id-keyed joins proportional to the
-    * candidate count.
+    * Scale shape: one shuffle for the df count, one per-doc regroup,
+    * the prefix-vs-full equi-join on fingerprint value, then id-keyed
+    * verify joins proportional to the candidate count.
     *
     * Output: (a_id, b_id, overlap), a_id < b_id, overlap rounded to 4.
     */
   def winnowNearDupPairs(spark: org.apache.spark.sql.SparkSession,
                          df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, window: Int = 4,
-                         threshold: Double = 0.6,
-                         maxDf: Int = 16): DataFrame = {
+                         threshold: Double = 0.6): DataFrame = {
     graft.functions.WinnowFunctions.register(spark)
     val fps = df.select(col(idCol).as("__id"),
       graft.functions.WinnowFunctions.fingerprints(
         canonText(col(textCol)), k, window).as("__fps"))
     val ex = fps.select(col("__id"), explode(col("__fps")).as("__fp"))
-    val rare = ex.groupBy("__fp").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf).select("__fp")
-    val keyed = ex.join(rare, "__fp")
-    val cands = keyed.as("x")
-      .join(keyed.as("y"),
-        col("x.__fp") === col("y.__fp") && col("x.__id") < col("y.__id"))
-      .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"))
+    val dfreq = ex.groupBy("__fp").agg(count(lit(1)).as("__df"))
+    val ordered = ex.join(dfreq, "__fp")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("__fp")))).as("__ord"),
+        count(lit(1)).as("__n"))
+    val prefLen = (col("__n")
+      - ceil(lit(threshold) * col("__n") - lit(1e-9)) + lit(1)).cast("int")
+    val pref = ordered
+      .select(col("__id"), explode(slice(col("__ord"), lit(1), prefLen)).as("__p"))
+      .select(col("__id"), col("__p.__fp").as("__fp"))
+    val cands = pref.as("x")
+      .join(ex.as("y"),
+        col("x.__fp") === col("y.__fp") && col("x.__id") =!= col("y.__id"))
+      .select(least(col("x.__id"), col("y.__id")).as("a_id"),
+        greatest(col("x.__id"), col("y.__id")).as("b_id"))
       .distinct()
     val a = fps.select(col("__id").as("a_id"), col("__fps").as("a_fps"))
     val b = fps.select(col("__id").as("b_id"), col("__fps").as("b_fps"))

@@ -82,7 +82,7 @@ class WinnowExpressionsSpec extends SparkSpec {
     }
   }
 
-  test("near-dup pairs: planted overlap found, hot-gram cut keeps recall") {
+  test("near-dup pairs: rare-print pairs AND template-only pairs both found") {
     val common = "the and of to in is that it with as " * 20 // one hot doc body
     val docs = (
       Seq(
@@ -92,19 +92,19 @@ class WinnowExpressionsSpec extends SparkSpec {
           "whistling across the high meadows every summer evening"), // ~dup of 1
         (3L, "an entirely different report concerning submarine volcanic " +
           "vents and the chemosynthetic ecosystems around them")
-      ) ++ (10L to 30L).map(i => (i, common)) // hot grams: df > maxDf
+      ) ++ (10L to 30L).map(i => (i, common)) // every print shared by 21 docs
     ).toDF("doc_id", "text")
     val pairs = TextOps.winnowNearDupPairs(spark, docs, "doc_id", "text",
-        threshold = 0.6, maxDf = 16)
+        threshold = 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)), "planted near-dup pair missed")
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
       "unrelated doc flagged as near-dup")
-    // the 21 identical hot docs exceed maxDf for every fingerprint they
-    // share, so candidate gen drops them: no pair among them is reported
-    // even though their true overlap is 1.0 — the documented df-cut
-    // trade-off (identical docs are exact-dedup's job, q28)
-    assert(!pairs.exists(p => p._1 >= 10L && p._2 >= 10L),
-      "df-cut should prune all-identical hot docs from candidate gen")
+    // the 21 identical template docs share only HOT fingerprints (df 21
+    // for every print they carry); a df cut in candidate gen would miss
+    // all of them — the prefix filter must report every one of the 210
+    // pairs, because each doc's prefix still holds SOME shared print
+    assert(pairs.count(p => p._1 >= 10L && p._2 >= 10L) == 21 * 20 / 2,
+      "template-only near-dup pairs missed by candidate generation")
   }
 }
