@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowed rolling-hash document fingerprints (the MOSS scheme:
@@ -134,9 +135,67 @@ case class WinnowFingerprints(child: Expression, k: Int, window: Int)
     copy(child = newChild)
 }
 
+/** Static merge-scan over two SORTED long arrays — the zero-allocation
+  * hot loop behind [[SortedIntersectCount]].
+  */
+object SortedLongOps {
+  def intersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** `|A n B|` of two sorted `array<long>` columns by two-pointer merge —
+  * O(|A|+|B|) with ZERO allocation per row, where `array_intersect`
+  * builds a hash set and an output array per row. On a near-dup verify
+  * of millions of candidate pairs the allocation delta is the
+  * difference between a GC-bound stage and a compute-bound one.
+  * Inputs MUST be sorted ascending (WinnowFingerprints emits sorted;
+  * anything else goes through `sort_array` first).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> columns, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedLongOps.intersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedLongOps.intersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object WinnowFunctions {
 
   val FingerprintsName = "graft_winnow_fps"
+  val IntersectCountName = "graft_sorted_intersect"
 
   private def litInt(e: Expression, what: String): Int = e.eval() match {
     case i: Int => i
@@ -154,6 +213,10 @@ object WinnowFunctions {
       registry.createOrReplaceTempFunction(FingerprintsName, exprs =>
         WinnowFingerprints(exprs(0), litInt(exprs(1), s"$FingerprintsName: k"),
           litInt(exprs(2), s"$FingerprintsName: window")), "built-in")
+    val iid = org.apache.spark.sql.catalyst.FunctionIdentifier(IntersectCountName)
+    if (registry.lookupFunctionBuilder(iid).isEmpty)
+      registry.createOrReplaceTempFunction(IntersectCountName, exprs =>
+        SortedIntersectCount(exprs(0), exprs(1)), "built-in")
   }
 
   /** Sorted distinct winnowed fingerprints of `canon` as `array<long>`.
@@ -161,4 +224,10 @@ object WinnowFunctions {
     */
   def fingerprints(canon: Column, k: Int, window: Int): Column =
     call_function(FingerprintsName, canon, lit(k), lit(window))
+
+  /** `|A n B|` of two SORTED array<long> columns (merge scan, no per-row
+    * allocation). Caller must have [[register]]ed on the session.
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function(IntersectCountName, a, b)
 }

@@ -230,8 +230,13 @@ object TextOps {
       .distinct()
     val a = fps.select(col("__id").as("a_id"), col("__fps").as("a_fps"))
     val b = fps.select(col("__id").as("b_id"), col("__fps").as("b_fps"))
+    // fingerprint arrays are sorted by construction -> merge-scan
+    // intersect count (codegen, zero allocation) instead of
+    // array_intersect's per-row hash set: the verify stage over millions
+    // of candidates is compute-bound, not GC-bound
     cands.join(a, "a_id").join(b, "b_id")
-      .withColumn("ov", size(array_intersect(col("a_fps"), col("b_fps")))
+      .withColumn("ov", graft.functions.WinnowFunctions
+        .sortedIntersectCount(col("a_fps"), col("b_fps"))
         .cast("double") / least(size(col("a_fps")), size(col("b_fps"))))
       .filter(col("ov") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("ov"), 4).as("overlap"))
@@ -291,13 +296,17 @@ object TextOps {
           && col("y.__n").cast("double") >= lit(threshold) * col("x.__n") - lit(1e-9))
       .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"))
       .distinct()
+    // value-sorted hash sets -> merge-scan intersect count (codegen, no
+    // per-row hash set); |A u B| = na + nb - |A n B|
+    graft.functions.WinnowFunctions.register(df.sparkSession)
     val hsets = ordered.select(col("__id"),
-      transform(col("__ord"), p => p.getField("__gh")).as("__hs"),
+      sort_array(transform(col("__ord"), p => p.getField("__gh"))).as("__hs"),
       col("__n"))
     val a = hsets.select(col("__id").as("a_id"), col("__hs").as("a_hs"), col("__n").as("a_n"))
     val b = hsets.select(col("__id").as("b_id"), col("__hs").as("b_hs"), col("__n").as("b_n"))
     cands.join(a, "a_id").join(b, "b_id")
-      .withColumn("__i", size(array_intersect(col("a_hs"), col("b_hs"))))
+      .withColumn("__i", graft.functions.WinnowFunctions
+        .sortedIntersectCount(col("a_hs"), col("b_hs")))
       .withColumn("j", col("__i").cast("double") /
         (col("a_n") + col("b_n") - col("__i")).cast("double"))
       .filter(col("j") >= threshold)

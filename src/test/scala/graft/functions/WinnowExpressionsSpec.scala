@@ -82,6 +82,20 @@ class WinnowExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("sortedIntersectCount equals array_intersect size on sorted arrays") {
+    WinnowFunctions.register(spark)
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      (a, b)
+    }
+    val out = rows.toDF("a", "b").select(
+      WinnowFunctions.sortedIntersectCount($"a", $"b").as("c"),
+      size(array_intersect($"a", $"b")).as("e")).collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("near-dup pairs: rare-print pairs AND template-only pairs both found") {
     val common = "the and of to in is that it with as " * 20 // one hot doc body
     val docs = (
