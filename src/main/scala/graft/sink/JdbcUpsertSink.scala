@@ -10,6 +10,15 @@ import org.apache.spark.sql.{DataFrame, Row}
 trait SqlConnection {
   /** Execute one parameterized statement; returns affected-row count. */
   def executeUpdate(sql: String, params: Seq[Any]): Int
+
+  /** Execute one parameterized query; returns rows as value sequences.
+    * Only admin paths ([[SchemaAdmin]]) need it, so writer-only fakes
+    * can keep the default.
+    */
+  def executeQuery(sql: String, params: Seq[Any]): Seq[Seq[Any]] =
+    throw new UnsupportedOperationException(
+      s"${getClass.getName} does not implement executeQuery")
+
   def close(): Unit
 }
 
