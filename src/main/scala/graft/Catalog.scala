@@ -1163,7 +1163,55 @@ object Catalog {
         RelOps.antiJoin(t(s, dir, "embeddings").select("vec_id"), dups,
             Seq("vec_id"))
           .orderBy("vec_id")
-      })
+      }),
+
+    QueryDef("q57_mixture_sample",
+      "Target-mixture sampling: derive each language's keep-rate from " +
+        "corpus counts so a 200-doc budget lands at the configured " +
+        "mixture (en 30% / de 25% / es 20% / fr 15% / zh 10%) however " +
+        "skewed the input is. Stats pass = map-side-combinable count per " +
+        "stratum (driver-scale result, broadcast back); keep decision = " +
+        "row-local md5 bucket. No corpus shuffle anywhere.",
+      Some("""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+             |r AS (SELECT lang, LEAST(1000, CAST(floor(200 * CASE lang
+             |      WHEN 'en' THEN 300 WHEN 'de' THEN 250 WHEN 'es' THEN 200
+             |      WHEN 'fr' THEN 150 WHEN 'zh' THEN 100 ELSE 0 END / cnt)
+             |    AS BIGINT)) AS rate
+             |  FROM c),
+             |b AS (SELECT doc_id, lang,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             |      AS BIGINT) % 1000 AS bk
+             |  FROM documents)
+             |SELECT doc_id, lang FROM b JOIN r USING (lang) WHERE bk < rate
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => SampleOps.mixtureSample(t(s, dir, "documents"),
+          "doc_id", "lang",
+          Map("en" -> 300, "de" -> 250, "es" -> 200, "fr" -> 150, "zh" -> 100),
+          budgetDocs = 200L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    QueryDef("q58_curriculum",
+      "Curriculum ordering: every doc's 1-based position in the " +
+        "(quality DESC, hash, id) training order — quality-first " +
+        "curriculum with a deterministic shuffle inside each quality " +
+        "class. The Spark plan avoids the single-partition global " +
+        "row_number: ranks are computed per (score, hash-range bucket) " +
+        "partition in parallel and shifted by driver-scale broadcast " +
+        "offsets (the q53 two-level trick keyed on the bounded score " +
+        "domain); the oracle IS the naive global window — identical " +
+        "output by construction.",
+      Some(s"""WITH q AS (SELECT doc_id, $sqlQualityMil AS score,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             |      AS BIGINT) AS h
+             |  FROM documents)
+             |SELECT doc_id, score,
+             |  CAST(row_number() OVER (ORDER BY score DESC, h, doc_id) AS BIGINT) AS pos
+             |FROM q ORDER BY doc_id""".stripMargin),
+      (s, dir) => SampleOps.curriculumRank(t(s, dir, "documents"),
+          "doc_id", TextOps.qualityScoreMil(col("text")))
+        .select(col("doc_id"), col("score"), col("rank").as("pos"))
+        .orderBy("doc_id"))
   )
 
   /** Shared oracle CTE: winnowed fingerprint sets per document (k=8,

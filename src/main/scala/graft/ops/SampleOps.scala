@@ -88,4 +88,68 @@ object SampleOps {
     }
     df.filter(b < rate)
   }
+
+  /** Target-MIXTURE sampling: where [[stratifiedSample]] takes fixed
+    * rates, this derives them — given per-mille target shares (the Pile/
+    * Dolma-style source mixture) and a document budget, keep each
+    * stratum at `rate_mil = min(1000, floor(budget * share_mil / n))`,
+    * so the sampled corpus approximates `budget` docs at the target
+    * composition regardless of how skewed the input is. An
+    * over-requested stratum (share demands more docs than exist) caps
+    * at keep-everything rather than oversampling.
+    *
+    * Scale shape: the stats pass is a map-side-combinable count per
+    * stratum (output rows = #strata — driver-scale), rates broadcast
+    * back, and the keep decision is the same row-local md5 bucket as
+    * every other sampler here — no corpus shuffle anywhere, and the
+    * membership stays reproducible and auditable in external SQL.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
+                    sharesMil: Map[String, Int], budgetDocs: Long): DataFrame = {
+    require(sharesMil.values.forall(_ >= 0) && sharesMil.values.sum <= 1000,
+      "mixture shares are per-mille and must sum to <= 1000")
+    val share = sharesMil.foldLeft(lit(0)) { case (acc, (s, m)) =>
+      when(col(stratumCol) === s, lit(m)).otherwise(acc)
+    }
+    val rates = df.groupBy(stratumCol).agg(count(lit(1)).as("__cnt"))
+      .select(col(stratumCol),
+        least(lit(1000L),
+          floor(lit(budgetDocs) * share / col("__cnt")).cast("long")).as("__rate"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(bucket(col(idCol), 1000) < col("__rate"))
+      .drop("__rate")
+  }
+
+  /** Global curriculum rank: every doc's 1-based position in the
+    * (score DESC, hash, id) training order — quality-ordered curriculum
+    * with a deterministic shuffle inside each score class.
+    *
+    * `row_number() OVER (ORDER BY ...)` funnels the corpus through one
+    * partition; instead this exploits the score domain being bounded
+    * (integer per-mille) the way [[packBins]] exploits hash uniformity:
+    * rank within each (score, hash-range bucket) partition in parallel,
+    * roll the per-partition counts into global offsets (#scores x
+    * #buckets rows — driver-scale, broadcast back), add. The hash
+    * bucket is the hash's TOP bits, so (score DESC, bucket, hash)
+    * equals the global (score DESC, hash) order and skewed score
+    * classes still spread over 2^bucketBits partitions. Identical
+    * output to the naive global window by construction.
+    */
+  def curriculumRank(df: DataFrame, idCol: String, scoreCol: Column,
+                     bucketBits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = TextOps.stableHash64(col(idCol).cast("string"))
+    val d = df.select(col(idCol), scoreCol.as("score"), h.as("__h"),
+      shiftrightunsigned(h, 60 - bucketBits).as("__bkt")) // hash is 60-bit
+    val within = Window.partitionBy("score", "__bkt").orderBy("__h", idCol)
+    val local = d.withColumn("__rn", row_number().over(within))
+    val offsets = d.groupBy("score", "__bkt").agg(count(lit(1)).as("__c"))
+      .withColumn("__offset", coalesce(sum(col("__c")).over(
+        Window.orderBy(col("score").desc, col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("score", "__bkt", "__offset")
+    local.join(broadcast(offsets), Seq("score", "__bkt"))
+      .select(col(idCol), col("score"),
+        (col("__offset") + col("__rn")).cast("long").as("rank"))
+  }
 }

@@ -90,6 +90,31 @@ class PlanShapeSpec extends SparkSpec {
         s"window over the corpus):\n$corpusWindows\n$plan")
   }
 
+  test("q57: mixture rates broadcast back; the corpus never hash-shuffles") {
+    val plan = planOf("q57_mixture_sample")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rates not broadcast (corpus shuffled to join its own stats):\n$plan")
+    // the one hash exchange allowed is the driver-scale stats rollup;
+    // the documents scan side must reach the join without repartitioning
+    val exchanges = plan.split("Exchange hashpartitioning").length - 1
+    assert(exchanges <= 1, s"corpus-side shuffle in mixture sampling:\n$plan")
+  }
+
+  test("q58: the corpus-side rank window is partitioned; offsets broadcast") {
+    val plan = planOf("q58_curriculum")
+    // row_number over the full corpus must carry the (score, __bkt)
+    // partition spec; only the driver-scale offsets rollup (over __c)
+    // may be a global window
+    val corpusWindows = plan.linesIterator
+      .filter(l => l.contains("row_number")).toSeq
+    assert(corpusWindows.nonEmpty, s"no rank window found:\n$plan")
+    assert(corpusWindows.forall(l => l.contains("__bkt")),
+      s"curriculum rank lost its bucket partitioning (single-partition " +
+        s"window over the corpus):\n$corpusWindows\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offsets not broadcast:\n$plan")
+  }
+
   test("q29: minhash signatures are computed map-side, not via a shuffle") {
     val plan = planOf("q29_dedup_minhash")
     assert(plan.toLowerCase.contains("minhashbandkeys"),

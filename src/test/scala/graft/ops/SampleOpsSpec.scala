@@ -123,6 +123,62 @@ class SampleOpsSpec extends SparkSpec {
     }
   }
 
+  test("mixtureSample lands near the budget at the target mixture") {
+    // 3000 en / 600 de / 400 fr — heavily skewed toward en
+    val df = ((1L to 3000L).map((_, "en")) ++ (3001L to 3600L).map((_, "de")) ++
+      (3601L to 4000L).map((_, "fr"))).toDF("id", "lang")
+    val kept = SampleOps.mixtureSample(df, "id", "lang",
+      Map("en" -> 500, "de" -> 300, "fr" -> 200), budgetDocs = 1000L)
+      .select("id", "lang").as[(Long, String)].collect()
+    val by = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // expected ~500 en, ~300 de, ~200 fr; md5 buckets are uniform-ish
+    assert(by("en") > 400 && by("en") < 600, s"en=${by("en")}")
+    assert(by("de") > 220 && by("de") < 380, s"de=${by("de")}")
+    assert(by("fr") > 140 && by("fr") < 260, s"fr=${by("fr")}")
+    // deterministic
+    val again = SampleOps.mixtureSample(df, "id", "lang",
+      Map("en" -> 500, "de" -> 300, "fr" -> 200), budgetDocs = 1000L)
+      .select("id").as[Long].collect().toSet
+    assert(kept.map(_._1).toSet == again)
+  }
+
+  test("mixtureSample caps over-requested strata at keep-everything") {
+    // de has only 50 docs but the mixture asks for 500 of them
+    val df = ((1L to 2000L).map((_, "en")) ++ (2001L to 2050L).map((_, "de")))
+      .toDF("id", "lang")
+    val kept = SampleOps.mixtureSample(df, "id", "lang",
+      Map("en" -> 500, "de" -> 500), budgetDocs = 1000L)
+      .select("id", "lang").as[(Long, String)].collect()
+    assert(kept.count(_._2 == "de") == 50) // rate capped at 1000 per-mille
+    val en = kept.count(_._2 == "en")
+    assert(en > 400 && en < 600)
+  }
+
+  test("curriculumRank equals the naive global row_number") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 800L).map(i => (i, s"doc $i " + ("x " * (i % 13).toInt)))
+      .toDF("doc_id", "text")
+    val score = TextOps.qualityScoreMil($"text")
+    val got = SampleOps.curriculumRank(df, "doc_id", score, bucketBits = 3)
+      .select("doc_id", "rank").as[(Long, Long)].collect().toMap
+    val naive = df.select($"doc_id", score.as("s"),
+        TextOps.stableHash64($"doc_id".cast("string")).as("h"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("s").desc, col("h"), col("doc_id"))).cast("long"))
+      .select("doc_id", "rank").as[(Long, Long)].collect().toMap
+    assert(got == naive)
+    // ranks are a permutation of 1..n
+    assert(got.values.toSeq.sorted == (1L to 800L))
+  }
+
+  test("curriculumRank is invariant to input partitioning") {
+    val df = (1L to 300L).map(i => (i, i % 5)).toDF("id", "q")
+    def run(parts: Int): Map[Long, Long] =
+      SampleOps.curriculumRank(df.repartition(parts), "id", $"q", bucketBits = 2)
+        .select("id", "rank").as[(Long, Long)].collect().toMap
+    assert(run(1) == run(13))
+  }
+
   test("contaminationHits counts shared distinct 5-grams; decontaminate drops hits") {
     val bench = Seq((100L, "one two three four five six")).toDF("doc_id", "text")
     val corpus = Seq(
