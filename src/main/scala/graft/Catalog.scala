@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{MinHashFunctions, WinnowFunctions}
-import graft.ops.{MultimodalOps, RelOps, SampleOps, SimOps, TextOps}
+import graft.ops.{GraphOps, MultimodalOps, RelOps, SampleOps, SimOps, TextOps}
 
 /** One named query: the Spark plan plus (when SQL-expressible) the exact
   * DuckDB oracle the driver hash-compares against.
@@ -578,26 +578,59 @@ object Catalog {
              |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.sh, b.sh)) <= 2
              |ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => TextOps.simhashNearDupPairs(
+          t(s, dir, "documents"), "doc_id", "text", maxDist = 2)
+        .orderBy("a_id", "b_id")),
+
+    QueryDef("q59_dup_clusters",
+      "Duplicate CLUSTERS from near-dup pairs: distributed connected " +
+        "components (min-label propagation + pointer jumping, O(log D) " +
+        "rounds, every shuffle equi-keyed on a node id) over the q31 " +
+        "SimHash pair graph; every doc gets its component's min id as " +
+        "cluster plus the cluster size. Pairwise kill rules over-delete " +
+        "on chains (a~b~c) — clusters are what dedup actually needs. " +
+        "Oracle: recursive-CTE transitive closure.",
+      Some("""WITH RECURSIVE w AS (SELECT doc_id,
+             |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+             |  FROM documents),
+             |wc AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word),
+             |h AS (SELECT doc_id, cnt,
+             |    CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS hv
+             |  FROM wc),
+             |bits AS (SELECT doc_id, t.b,
+             |    sum(CASE WHEN (hv >> CAST(t.b AS INTEGER)) & 1 = 1
+             |             THEN cnt ELSE -cnt END) AS sgn
+             |  FROM h, range(16) t(b) GROUP BY doc_id, t.b),
+             |sig AS (SELECT doc_id,
+             |    CAST(sum(CASE WHEN sgn >= 0
+             |         THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER) ELSE 0 END) AS BIGINT) AS sh
+             |  FROM bits GROUP BY doc_id),
+             |e AS (SELECT a.doc_id AS s, b.doc_id AS d
+             |  FROM sig a JOIN sig b
+             |  ON a.doc_id <> b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 2),
+             |reach(s, d) AS (
+             |  SELECT s, d FROM e
+             |  UNION
+             |  SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s),
+             |comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster
+             |  FROM reach GROUP BY s)
+             |SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster,
+             |  CAST(count(*) OVER (PARTITION BY COALESCE(c.cluster, d.doc_id))
+             |    AS BIGINT) AS csize
+             |FROM documents d LEFT JOIN comp c USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
       (s, dir) => {
-        val sig = TextOps.simhash(t(s, dir, "documents"), "doc_id", "text")
-        // hamming-ball mask join: explode side A with the 137 XOR masks of
-        // weight <= 2 over 16 bits; an equi-join on (sh ^ mask) == sh then
-        // finds each qualifying pair EXACTLY once (the mask IS s1^s2), so
-        // no distinct pass — and the shuffle key is the signature value,
-        // never a many-to-many band bucket.
-        val masks: Seq[Long] = {
-          val bits = 0 until 16
-          Seq(0L) ++ bits.map(1L << _) ++
-            (for (i <- bits; j <- bits if i < j) yield (1L << i) | (1L << j))
-        }
-        val a = sig.withColumn("__m", explode(array(masks.map(lit): _*)))
-          .select(col("doc_id").as("a_id"), col("simhash").as("a_sh"),
-            col("simhash").bitwiseXOR(col("__m")).as("__key"))
-        val b = sig.select(col("doc_id").as("b_id"), col("simhash").as("b_sh"))
-        a.join(b, col("__key") === col("b_sh") && col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"),
-            TextOps.hamming(col("a_sh"), col("b_sh")).cast("int").as("dist"))
-          .orderBy("a_id", "b_id")
+        val docs = t(s, dir, "documents")
+        val pairs = TextOps.simhashNearDupPairs(docs, "doc_id", "text", 2)
+        val cc = GraphOps.connectedComponents(pairs, "a_id", "b_id")
+          .select(col("node").as("doc_id"), col("comp"))
+        val labeled = docs.select("doc_id").join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("cluster"))
+        labeled
+          .withColumn("csize",
+            count(lit(1)).over(Window.partitionBy("cluster")))
+          .orderBy("doc_id")
       })
   )
 
@@ -986,6 +1019,38 @@ object Catalog {
           .orderBy("doc_id")
       }),
 
+    QueryDef("q60_bloom_decontaminate",
+      "q49's decontamination with the scale-path build side: the " +
+        "benchmark gram set is compressed into a FIXED-SIZE Bloom filter " +
+        "(Spark's own BloomFilterAggregate / BloomFilterMightContain, " +
+        "registered as callable functions), probed map-side in codegen; " +
+        "only might-contain survivors reach the exact verify join, so " +
+        "the result is bit-identical while the build side stays O(bits) " +
+        "however many grams the eval suite has. Oracle: q49's exact SQL.",
+      Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') w
+             |  FROM documents),
+             |sh AS (SELECT doc_id, CASE WHEN len(w) < 5
+             |    THEN [array_to_string(w, ' ')]
+             |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |                        || ' ' || w[i+3] || ' ' || w[i+4]
+             |                        for i in range(1, len(w) - 3)]) END AS s
+             |  FROM toks),
+             |h AS (SELECT doc_id,
+             |    CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS gh
+             |  FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+             |bench AS (SELECT DISTINCT gh FROM h WHERE doc_id % 17 = 0)
+             |SELECT doc_id, count(DISTINCT gh) AS hits
+             |FROM h JOIN bench USING (gh) WHERE doc_id % 17 <> 0
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        TextOps.bloomContaminationHits(
+            docs.filter(col("doc_id") % 17 =!= 0),
+            docs.filter(col("doc_id") % 17 === 0),
+            "doc_id", "text", n = 5)
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q50_stratified_sample",
       "Deterministic per-language stratified sampling: keep a doc iff its " +
         "per-mille md5 bucket is under its language's rate (en down to " +
@@ -1142,6 +1207,38 @@ object Catalog {
           approx_count_distinct(col("l_orderkey"), 0.02).as("nd_orders"),
           approx_count_distinct(col("l_partkey"), 0.02).as("nd_parts"))
         .orderBy("l_returnflag")),
+
+    QueryDef("q61_cms_heavy_hitters",
+      "Frequency sketch: count-min over 2-gram hashes (Spark's own " +
+        "count_min_sketch aggregate — single-pass, mergeable, fixed " +
+        "eps x delta memory per partition), decoded on the driver and " +
+        "probed for the exact top-20. Completes the mergeable-sketch " +
+        "family (q54 quantiles, q55 cardinality, q61 frequency). " +
+        "Estimates are engine-hash-specific -> rows-only check; the " +
+        "overestimate-only error bound is asserted in SketchSpec.",
+      None,
+      (s, dir) => TextOps.cmsHeavyHitters(t(s, dir, "documents"), "text", 20)),
+
+    QueryDef("q62_keyword_search",
+      "Corpus keyword search, integer-exact TF-IDF: tf = term " +
+        "occurrences, idf_mil = (N*1e6) div df (integer division, no " +
+        "ln() — bit-identical across engines), top-20 docs by score. " +
+        "The term filter runs in the scan projection, df is a " +
+        "terms-sized broadcast, top-k is TakeOrdered.",
+      Some("""WITH tok AS (SELECT doc_id,
+             |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             |  FROM documents),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+             |  WHERE w IN ('vector', 'merge', 'stream') GROUP BY doc_id, w),
+             |dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+             |n AS (SELECT count(*) * 1000000 AS nmil FROM documents)
+             |SELECT doc_id,
+             |  CAST(sum(tf * (n.nmil // dfr.df)) AS BIGINT) AS score
+             |FROM tf JOIN dfr USING (w) CROSS JOIN n
+             |GROUP BY doc_id
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+      (s, dir) => TextOps.keywordSearch(t(s, dir, "documents"),
+        "doc_id", "text", Seq("vector", "merge", "stream"), 20)),
 
     QueryDef("q56_embed_dedup_apply",
       "Embedding dedup APPLIED (the q39 pattern for vectors): the cleaned " +

@@ -176,6 +176,28 @@ object TextOps {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs within hamming distance `maxDist` over the
+    * 16-bit [[simhash]] signature, by hamming-ball mask join: explode side
+    * A with every XOR mask of weight <= maxDist (137 masks for d<=2 over
+    * 16 bits), then equi-join on `(sig ^ mask) == sig_b`. The mask IS
+    * `sig_a ^ sig_b`, so each qualifying pair is found EXACTLY once — no
+    * distinct pass, and the shuffle key is a signature value, never a
+    * many-to-many band bucket. Output: (a_id, b_id, dist), a_id < b_id.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxDist: Int = 2): DataFrame = {
+    val sig = simhash(df, idCol, textCol)
+    val masks: Seq[Long] =
+      (0L until (1L << 16)).filter(java.lang.Long.bitCount(_) <= maxDist)
+    val a = sig.withColumn("__m", explode(array(masks.map(lit): _*)))
+      .select(col(idCol).as("a_id"), col("simhash").as("a_sh"),
+        col("simhash").bitwiseXOR(col("__m")).as("__key"))
+    val b = sig.select(col(idCol).as("b_id"), col("simhash").as("b_sh"))
+    a.join(b, col("__key") === col("b_sh") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        hamming(col("a_sh"), col("b_sh")).cast("int").as("dist"))
+  }
+
   /** Winnowing near-dup pairs: rolling-hash fingerprint sets
     * ([[graft.functions.WinnowFingerprints]], computed map-side in one
     * codegen pass), prefix-filtered candidate generation, exact overlap
@@ -339,6 +361,45 @@ object TextOps {
       .groupBy(idCol).agg(count_distinct(col("__gh")).as("hits"))
   }
 
+  /** [[contaminationHits]] with a Bloom prefilter: the benchmark gram-hash
+    * set is first compressed into a FIXED-SIZE Bloom filter (built with a
+    * distributed aggregate, probed map-side in codegen —
+    * [[graft.functions.BloomFunctions]]), and only corpus grams the
+    * filter might contain reach the exact verify join.
+    *
+    * Same result as [[contaminationHits]] bit-for-bit: false positives
+    * survive the prefilter but die in the exact join; negatives are never
+    * false. The difference is scale posture — a broadcast of the full
+    * benchmark gram set stops working when eval suites reach billions of
+    * grams, while `numBits` stays constant and the corpus-side scan stays
+    * a pure map-side pass that ships only the ~fpp fraction of grams into
+    * the join.
+    */
+  def bloomContaminationHits(corpus: DataFrame, benchmark: DataFrame,
+                             idCol: String, textCol: String, n: Int = 5,
+                             numItems: Long = -1L,
+                             numBits: Long = -1L): DataFrame = {
+    // eagerly materialized (it is small by assumption — it fits a bloom
+    // build) so the sizing count, the filter build, and the verify join
+    // don't recompute it
+    val bench = gramHashes(benchmark, idCol, textCol, n)
+      .select("__gh").distinct().localCheckpoint()
+    // auto-size: 16 bits/key gives fpp ~5e-4 with the optimal hash count;
+    // capped so the serialized filter (a plan literal, broadcast with the
+    // task binary) never exceeds 8 MiB however large the benchmark grows —
+    // past the cap fpp degrades gracefully and the exact verify join
+    // still keeps the result exact
+    val items = if (numItems > 0) numItems else math.max(4096L, bench.count())
+    val bits = if (numBits > 0) numBits else math.min(items * 16L, 1L << 26)
+    val blob = graft.functions.BloomFunctions.build(
+      bench, col("__gh"), items, bits)
+    val pre = if (blob == null) lit(false) // empty benchmark: nothing hits
+      else graft.functions.BloomFunctions.mightContain(blob, col("__gh"))
+    gramHashes(corpus, idCol, textCol, n).filter(pre)
+      .join(bench, "__gh")
+      .groupBy(idCol).agg(count_distinct(col("__gh")).as("hits"))
+  }
+
   /** The decontaminated corpus: drop every document sharing at least
     * `minHits` distinct n-grams with the benchmark set (anti-join on the
     * contaminated-id set, which is at most |corpus| ids).
@@ -349,6 +410,66 @@ object TextOps {
     val bad = contaminationHits(corpus, benchmark, idCol, textCol, n)
       .filter(col("hits") >= minHits).select(idCol)
     corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /** Corpus keyword search with integer-exact TF-IDF ranking: per-doc
+    * score = sum over query terms of `tf * idf_mil`, where
+    * `idf_mil = (N * 1e6) div df` — integer division instead of `ln()`,
+    * so the ranking is bit-identical across engines (no libm in the
+    * hash-compared output) while preserving the rare-terms-weigh-more
+    * ordering.
+    *
+    * Scale shape: the `isin(terms)` filter runs in the scan projection —
+    * only rows containing a query term ever reach a shuffle; df is a
+    * terms-sized rollup broadcast back; top-k is TakeOrdered, never a
+    * global sort.
+    */
+  def keywordSearch(df: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[String], k: Int): DataFrame = {
+    val n = df.count()
+    val nMil = n * 1000000L
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .filter(col("__w").isInCollection(terms))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("__w").agg(count(lit(1)).as("__df"))
+    tf.join(broadcast(dfreq), "__w")
+      .withColumn("__idf_mil", expr(s"CAST($nMil AS BIGINT) div __df"))
+      .groupBy(idCol)
+      .agg(sum(col("__tf") * col("__idf_mil")).cast("long").as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Count-min-sketch frequency estimates for the exact top-`k` 2-grams:
+    * one single-pass, mergeable, fixed-memory `count_min_sketch`
+    * aggregate over gram hashes (Spark's own CountMinSketchAgg — the
+    * frequency member of the sketch family next to Greenwald-Khanna
+    * quantiles and HLL++ cardinality), decoded once on the driver and
+    * probed for the true top-k. At 100 TB the sketch replaces a full
+    * (gram, count) shuffle with an eps x delta-sized buffer per
+    * partition; estimates only ever OVERcount (bounded in SketchSpec).
+    *
+    * Output: (gram, cnt, est) — `est >= cnt` always.
+    */
+  def cmsHeavyHitters(df: DataFrame, textCol: String, k: Int,
+                      eps: Double = 0.0001, confidence: Double = 0.99,
+                      seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    val grams = df.select(explode(shingles(col(textCol), 2)).as("__g"))
+      .select(col("__g"), xxhash64(col("__g")).as("__gh"))
+    val blob = grams
+      .agg(count_min_sketch(col("__gh"), lit(eps), lit(confidence),
+        lit(seed)).as("cms"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(blob))
+    val top = grams.groupBy("__g", "__gh").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("__g")).limit(k).collect()
+    val rows = top.toSeq.map(r => (r.getString(0), r.getLong(2),
+      cms.estimateCount(java.lang.Long.valueOf(r.getLong(1)))))
+    import spark.implicits._
+    rows.toDF("gram", "cnt", "est").orderBy(col("cnt").desc, col("gram"))
   }
 
   /** Language-ID heuristic: per-language stopword hit counts; argmax with

@@ -115,6 +115,23 @@ class PlanShapeSpec extends SparkSpec {
       s"offsets not broadcast:\n$plan")
   }
 
+  test("q59: every connected-components join is equi-keyed, never cartesian") {
+    val plan = planOf("q59_dup_clusters")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs join inside connected components:\n$plan")
+  }
+
+  test("q60: bloom probe runs map-side BEFORE the exact verify join") {
+    val plan = planOf("q60_bloom_decontaminate")
+    assert(plan.contains("might_contain"),
+      s"bloom prefilter missing from the corpus scan:\n${plan.take(4000)}")
+    // the probe must sit in a Filter on the corpus side, not after the join
+    val filterLine = plan.linesIterator
+      .find(l => l.contains("Filter") && l.contains("might_contain"))
+    assert(filterLine.nonEmpty,
+      s"probe not a pre-join Filter:\n${plan.take(4000)}")
+  }
+
   test("q29: minhash signatures are computed map-side, not via a shuffle") {
     val plan = planOf("q29_dedup_minhash")
     assert(plan.toLowerCase.contains("minhashbandkeys"),

@@ -23,6 +23,31 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(a - e) / e < 0.01, s"$flag: approx $a vs exact $e")
   }
 
+  test("q61: count-min estimates only overcount, within the eps bound") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = Catalog.byName("q61_cms_heavy_hitters").fn(spark, sf).collect()
+    assert(rows.length == 20)
+    val totalGrams = docs
+      .select(explode(graft.ops.TextOps.shingles(col("text"), 2)).as("g"))
+      .count()
+    val epsBound = (0.0001 * totalGrams).ceil.toLong
+    rows.foreach { r =>
+      val (cnt, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= cnt, s"${r.getString(0)}: CMS undercounted $est < $cnt")
+      assert(est <= cnt + epsBound,
+        s"${r.getString(0)}: est $est exceeds cnt $cnt + eps*N $epsBound")
+    }
+  }
+
+  test("q62: integer TF-IDF ranks rarer terms higher at equal tf") {
+    val got = Catalog.byName("q62_keyword_search").fn(spark, sf).collect()
+    assert(got.length == 20)
+    // scores strictly ordered (desc, ties broken by id ascending)
+    val scores = got.map(_.getLong(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(scores.head > 0)
+  }
+
   test("q55: approx_count_distinct within 5% of exact distinct counts") {
     val li = Tables.load(spark, sf, "lineitem")
     val approx = Catalog.byName("q55_distinct_sketch").fn(spark, sf).collect()
