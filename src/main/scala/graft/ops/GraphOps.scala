@@ -30,14 +30,20 @@ object GraphOps {
     * non-increasing and bounded by the component minimum, so the
     * fixpoint labels every node with its component's minimum id.
     *
-    * Scale shape per round: two equi-joins plus one groupBy(node) min —
-    * every shuffle is keyed on a node id, so skew only arises from true
-    * high-degree nodes (and AQE skew-split applies). The symmetrized
-    * edge list is shuffled ONCE up front (persisted pre-partitioned on
-    * the probe key) and reused by every round's neighbor join;
+    * Scale shape per round: the labels table (nodes) broadcast-joins a
+    * CONTRACTED label-graph that shrinks geometrically — round r
+    * relabels round r-1's contracted edges, never the original edge
+    * list, so only the first round pays full-edge-volume cost (the
+    * edges-every-round formulation re-scans the whole graph per round;
+    * at 100 TB the edge list IS the data, and contraction is what keeps
+    * rounds 2+ cheap). Every shuffle is keyed on a node id, so skew only
+    * arises from true high-degree nodes (and AQE skew-split applies);
     * `localCheckpoint` truncates lineage each round so the plan stays
     * constant-size instead of growing by one join per iteration. The
-    * convergence check is one count over label rows (nodes, not edges).
+    * previous label rides inside the checkpointed frame, so convergence
+    * detection is a filter over cached label rows — no extra join, no
+    * extra shuffle. Initialization is fused with the first neighbor-min
+    * round (one groupBy replaces a distinct plus a propagation round).
     *
     * Returns (node: long, comp: long) for every node incident to an
     * edge; comp is the smallest node id in the node's component. Throws
@@ -53,27 +59,54 @@ object GraphOps {
     val sym = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
       .repartition(col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("comp"))
+    // init fused with the first neighbor-min round: label0(n) =
+    // min(n, min over neighbors) — one groupBy instead of a distinct
+    // plus a full propagation round
+    var labels = sym.groupBy(col("v").as("node"))
+      .agg(min("u").as("__nm"))
+      .select(col("node"), least(col("node"), col("__nm")).as("comp"))
       .localCheckpoint()
+    // Contracted label-graph: edges between the CURRENT labels of the
+    // original endpoints. Each round relabels the PREVIOUS contracted
+    // set, not the original edges — dense duplicate clusters collapse to
+    // nothing after a round or two, so per-round join volume shrinks
+    // geometrically instead of re-scanning the full edge list every
+    // round. Ordinary nodes keep converging through the pointer-jump
+    // term; at the fixpoint (no label changed) jump-stability makes
+    // every label a root and any surviving contracted edge (a < b)
+    // would have offered root b the smaller candidate a — so the
+    // contracted set is empty exactly at convergence, and each
+    // component's single root is its minimum id.
+    var ce = sym.filter(col("u") < col("v"))
+      .select(col("u").as("a"), col("v").as("b"))
     var round = 0
     var converged = labels.isEmpty
     while (!converged && round < maxIter) {
-      val byV = labels.select(col("node").as("v"), col("comp").as("vc"))
-      val nbrMin = sym.join(byV, "v").groupBy("u").agg(min("vc").as("nc"))
+      val la = labels.select(col("node").as("a"), col("comp").as("__la"))
+      val lb = labels.select(col("node").as("b"), col("comp").as("__lb"))
+      val nce = ce.join(la, "a").join(lb, "b")
+        .select(least(col("__la"), col("__lb")).as("a"),
+          greatest(col("__la"), col("__lb")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(eager = false) // materialized by this round's jobs
+      val nbrMin = nce.select(col("a").as("node"), col("b").as("__o"))
+        .union(nce.select(col("b").as("node"), col("a").as("__o")))
+        .groupBy("node").agg(min("__o").as("nc"))
       val jumped = labels.select(col("node").as("jnode"), col("comp").as("jc"))
+      // prev rides inside the checkpointed frame so convergence detection
+      // is a filter over the cached rows — no per-round shuffle join
       val next = labels
-        .join(nbrMin.select(col("u").as("node"), col("nc")), Seq("node"), "left")
+        .join(nbrMin, Seq("node"), "left")
         .join(jumped, col("comp") === col("jnode"))
-        .select(col("node"),
+        .select(col("node"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nc"), col("comp")), col("jc")).as("comp"))
-        .localCheckpoint()
-      converged = next
-        .join(labels.select(col("node"), col("comp").as("prev")), "node")
-        .filter(col("comp") =!= col("prev"))
-        .isEmpty
-      labels = next
+        .localCheckpoint(eager = false) // materialized by the filter below
+      converged = next.filter(col("comp") =!= col("prev")).isEmpty
+      labels = next.select("node", "comp")
+      ce = nce
       round += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $round converged=$converged t=${System.nanoTime()/1e9}")
     }
     sym.unpersist()
     if (!converged)

@@ -241,12 +241,30 @@ object TextOps {
         count(lit(1)).as("__n"))
     val prefLen = (col("__n")
       - ceil(lit(threshold) * col("__n") - lit(1e-9)) + lit(1)).cast("int")
+    // positions (1-based, rarest-first order) ride along so the PPJoin
+    // positional filter can drop match rows before the distinct: a match
+    // at position i of the prefix side / j of the full side witnesses an
+    // overlap of at most 1 + min(|a|-i, |b|-j), and overlap/min >= t
+    // needs ceil(t * min(|a|,|b|)). Any qualifying pair's FIRST shared
+    // print (in the global order) sits in the smaller set's prefix with
+    // every other shared print after it in both lists, so that match
+    // always passes — recall stays exactly 1.
     val pref = ordered
-      .select(col("__id"), explode(slice(col("__ord"), lit(1), prefLen)).as("__p"))
-      .select(col("__id"), col("__p.__fp").as("__fp"))
+      .select(col("__id"), col("__n"),
+        posexplode(slice(col("__ord"), lit(1), prefLen)))
+      .select(col("__id"), col("__n"), (col("pos") + 1).as("__i"),
+        col("col.__fp").as("__fp"))
+    val full = ordered
+      .select(col("__id"), col("__n"), posexplode(col("__ord")))
+      .select(col("__id"), col("__n"), (col("pos") + 1).as("__i"),
+        col("col.__fp").as("__fp"))
+    val oReq = ceil(lit(threshold)
+      * least(col("x.__n"), col("y.__n")) - lit(1e-9))
     val cands = pref.as("x")
-      .join(ex.as("y"),
-        col("x.__fp") === col("y.__fp") && col("x.__id") =!= col("y.__id"))
+      .join(full.as("y"),
+        col("x.__fp") === col("y.__fp") && col("x.__id") =!= col("y.__id")
+          && lit(1) + least(col("x.__n") - col("x.__i"),
+               col("y.__n") - col("y.__i")) >= oReq)
       .select(least(col("x.__id"), col("y.__id")).as("a_id"),
         greatest(col("x.__id"), col("y.__id")).as("b_id"))
       .distinct()
@@ -304,18 +322,34 @@ object TextOps {
     // pair — the slack can only LENGTHEN the prefix, which is recall-safe
     val prefLen = (col("__n")
       - ceil(lit(threshold) * col("__n") - lit(1e-9)) + lit(1)).cast("int")
+    // positions (1-based, within the global rarest-first order) ride along
+    // for the PPJoin positional filter below
     val pref = ordered
       .select(col("__id"), col("__n"),
-        explode(slice(col("__ord"), lit(1), prefLen)).as("__p"))
-      .select(col("__id"), col("__n"), col("__p.__gh").as("__gh"))
-    // PPJoin length filter inside the join: jaccard >= t forces
-    // t*|a| <= |b| <= |a|/t, so size-incompatible pairs never materialize
-    // (the 1e-9 slack only loosens the cut — verify below is exact).
+        posexplode(slice(col("__ord"), lit(1), prefLen)))
+      .select(col("__id"), col("__n"), (col("pos") + 1).as("__i"),
+        col("col.__gh").as("__gh"))
+    // Two match-level filters inside the join (both recall-safe, verify
+    // below is exact):
+    //  - PPJoin length filter: jaccard >= t forces t*|a| <= |b| <= |a|/t,
+    //    so size-incompatible pairs never materialize;
+    //  - PPJoin POSITIONAL filter (Xiao et al., WWW'08): a match on the
+    //    gram at position i of a / j of b can witness an overlap of at
+    //    most 1 + min(|a|-i, |b|-j); jaccard >= t needs overlap >=
+    //    ceil(t/(1+t) * (|a|+|b|)). For any qualifying pair, its FIRST
+    //    shared gram in the global order has every other shared gram
+    //    after it in BOTH lists, so that match passes — dropping the
+    //    match rows that fail loses no pair, only candidate volume
+    //    before the distinct.
+    val oReq = ceil(lit(threshold / (1 + threshold))
+      * (col("x.__n") + col("y.__n")) - lit(1e-9))
     val cands = pref.as("x")
       .join(pref.as("y"),
         col("x.__gh") === col("y.__gh") && col("x.__id") < col("y.__id")
           && col("x.__n").cast("double") >= lit(threshold) * col("y.__n") - lit(1e-9)
-          && col("y.__n").cast("double") >= lit(threshold) * col("x.__n") - lit(1e-9))
+          && col("y.__n").cast("double") >= lit(threshold) * col("x.__n") - lit(1e-9)
+          && lit(1) + least(col("x.__n") - col("x.__i"),
+               col("y.__n") - col("y.__i")) >= oReq)
       .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"))
       .distinct()
     // value-sorted hash sets -> merge-scan intersect count (codegen, no
