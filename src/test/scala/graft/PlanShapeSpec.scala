@@ -132,6 +132,14 @@ class PlanShapeSpec extends SparkSpec {
       s"probe not a pre-join Filter:\n${plan.take(4000)}")
   }
 
+  test("q62: keyword search broadcasts df and top-ks without a global sort") {
+    val plan = planOf("q62_keyword_search")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"term-df rollup not broadcast:\n$plan")
+  }
+
   test("q29: minhash signatures are computed map-side, not via a shuffle") {
     val plan = planOf("q29_dedup_minhash")
     assert(plan.toLowerCase.contains("minhashbandkeys"),
