@@ -17,13 +17,44 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
+  /** Relabel the contracted edge set by the current labels — pure plan
+    * construction (no checkpointing), factored out so the round's PLAN is
+    * testable: `connectedComponents` checkpoints every round, which
+    * truncates lineage and hides these joins from the final plan.
+    */
+  private[graft] def contractEdges(labels: DataFrame, ce: DataFrame): DataFrame = {
+    val la = labels.select(col("node").as("a"), col("comp").as("__la"))
+    val lb = labels.select(col("node").as("b"), col("comp").as("__lb"))
+    ce.join(la, "a").join(lb, "b")
+      .select(least(col("__la"), col("__lb")).as("a"),
+        greatest(col("__la"), col("__lb")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+  }
+
+  /** One label-propagation round over an (already materialized)
+    * contracted edge set: min of own label, contracted-neighbor labels,
+    * and the label's label (pointer jump). Returns (node, prev, comp).
+    * Pure plan construction — see [[contractEdges]].
+    */
+  private[graft] def propagateOnce(labels: DataFrame, nce: DataFrame): DataFrame = {
+    val nbrMin = nce.select(col("a").as("node"), col("b").as("__o"))
+      .union(nce.select(col("b").as("node"), col("a").as("__o")))
+      .groupBy("node").agg(min("__o").as("nc"))
+    val jumped = labels.select(col("node").as("jnode"), col("comp").as("jc"))
+    labels
+      .join(nbrMin, Seq("node"), "left")
+      .join(jumped, col("comp") === col("jnode"))
+      .select(col("node"), col("comp").as("prev"),
+        least(col("comp"), coalesce(col("nc"), col("comp")), col("jc")).as("comp"))
+  }
+
   /** Connected components over an undirected edge list, by min-label
     * propagation with pointer jumping (the hash-to-min family — Kiveris
     * et al., "Connected Components in MapReduce and Beyond", SoCC'14).
     *
     * Every round each node takes the minimum of three candidates:
     * its current label, its neighbors' labels (equi-join on the
-    * symmetrized edge list), and its label's label (a labels self-join —
+    * contracted label-graph), and its label's label (a labels self-join —
     * the pointer-jumping step, which halves chain depth every round so a
     * diameter-D component converges in O(log D) rounds instead of D).
     * Labels are always node ids from the same component, monotonically
@@ -36,7 +67,9 @@ object GraphOps {
     * list, so only the first round pays full-edge-volume cost (the
     * edges-every-round formulation re-scans the whole graph per round;
     * at 100 TB the edge list IS the data, and contraction is what keeps
-    * rounds 2+ cheap). Every shuffle is keyed on a node id, so skew only
+    * rounds 2+ cheap). The symmetrized input is unpersisted as soon as
+    * round 1 has materialized the first contracted set — it is not held
+    * across the loop. Every shuffle is keyed on a node id, so skew only
     * arises from true high-degree nodes (and AQE skew-split applies);
     * `localCheckpoint` truncates lineage each round so the plan stays
     * constant-size instead of growing by one join per iteration. The
@@ -44,6 +77,12 @@ object GraphOps {
     * detection is a filter over cached label rows — no extra join, no
     * extra shuffle. Initialization is fused with the first neighbor-min
     * round (one groupBy replaces a distinct plus a propagation round).
+    *
+    * Contraction stays correct at the fixpoint: jump-stability makes
+    * every label a root, and any surviving contracted edge (a < b)
+    * would have offered root b the smaller candidate a — so the
+    * contracted set is empty exactly at convergence, and each
+    * component's single root is its minimum id.
     *
     * Returns (node: long, comp: long) for every node incident to an
     * edge; comp is the smallest node id in the node's component. Throws
@@ -66,45 +105,23 @@ object GraphOps {
       .agg(min("u").as("__nm"))
       .select(col("node"), least(col("node"), col("__nm")).as("comp"))
       .localCheckpoint()
-    // Contracted label-graph: edges between the CURRENT labels of the
-    // original endpoints. Each round relabels the PREVIOUS contracted
-    // set, not the original edges — dense duplicate clusters collapse to
-    // nothing after a round or two, so per-round join volume shrinks
-    // geometrically instead of re-scanning the full edge list every
-    // round. Ordinary nodes keep converging through the pointer-jump
-    // term; at the fixpoint (no label changed) jump-stability makes
-    // every label a root and any surviving contracted edge (a < b)
-    // would have offered root b the smaller candidate a — so the
-    // contracted set is empty exactly at convergence, and each
-    // component's single root is its minimum id.
     var ce = sym.filter(col("u") < col("v"))
       .select(col("u").as("a"), col("v").as("b"))
     var round = 0
     var converged = labels.isEmpty
     while (!converged && round < maxIter) {
-      val la = labels.select(col("node").as("a"), col("comp").as("__la"))
-      val lb = labels.select(col("node").as("b"), col("comp").as("__lb"))
-      val nce = ce.join(la, "a").join(lb, "b")
-        .select(least(col("__la"), col("__lb")).as("a"),
-          greatest(col("__la"), col("__lb")).as("b"))
-        .filter(col("a") =!= col("b")).distinct()
-        .localCheckpoint(eager = false) // materialized by this round's jobs
-      val nbrMin = nce.select(col("a").as("node"), col("b").as("__o"))
-        .union(nce.select(col("b").as("node"), col("a").as("__o")))
-        .groupBy("node").agg(min("__o").as("nc"))
-      val jumped = labels.select(col("node").as("jnode"), col("comp").as("jc"))
-      // prev rides inside the checkpointed frame so convergence detection
-      // is a filter over the cached rows — no per-round shuffle join
-      val next = labels
-        .join(nbrMin, Seq("node"), "left")
-        .join(jumped, col("comp") === col("jnode"))
-        .select(col("node"), col("comp").as("prev"),
-          least(col("comp"), coalesce(col("nc"), col("comp")), col("jc")).as("comp"))
-        .localCheckpoint(eager = false) // materialized by the filter below
+      // both lazily checkpointed: the convergence filter below
+      // materializes next, which materializes nce through it — one pass
+      val nce = contractEdges(labels, ce).localCheckpoint(eager = false)
+      val next = propagateOnce(labels, nce).localCheckpoint(eager = false)
       converged = next.filter(col("comp") =!= col("prev")).isEmpty
       labels = next.select("node", "comp")
       ce = nce
       round += 1
+      if (round == 1)
+        // rounds 2+ touch only the checkpointed contracted set; drop the
+        // full symmetrized edge list from executor storage immediately
+        sym.unpersist(blocking = false)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round $round converged=$converged t=${System.nanoTime()/1e9}")
     }

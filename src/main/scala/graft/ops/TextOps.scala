@@ -405,9 +405,12 @@ object TextOps {
     * survive the prefilter but die in the exact join; negatives are never
     * false. The difference is scale posture — a broadcast of the full
     * benchmark gram set stops working when eval suites reach billions of
-    * grams, while `numBits` stays constant and the corpus-side scan stays
-    * a pure map-side pass that ships only the ~fpp fraction of grams into
-    * the join.
+    * grams, while the filter costs a CHOSEN `numBits` regardless of key
+    * count and the corpus-side scan stays a pure map-side pass that
+    * ships only the ~fpp fraction of grams into the join. Sizing is the
+    * caller's lever: under-sizing degrades fpp toward 1 (the op decays
+    * to the exact join's cost, never to a wrong result) — see the
+    * auto-size note in the body for the Spark conf caps involved.
     */
   def bloomContaminationHits(corpus: DataFrame, benchmark: DataFrame,
                              idCol: String, textCol: String, n: Int = 5,
@@ -420,9 +423,13 @@ object TextOps {
       .select("__gh").distinct().localCheckpoint()
     // auto-size: 16 bits/key gives fpp ~5e-4 with the optimal hash count;
     // capped so the serialized filter (a plan literal, broadcast with the
-    // task binary) never exceeds 8 MiB however large the benchmark grows —
-    // past the cap fpp degrades gracefully and the exact verify join
-    // still keeps the result exact
+    // task binary) never exceeds 8 MiB by default. Past the cap fpp
+    // degrades (at ~4M+ distinct grams the default-capped filter stops
+    // pruning and the op decays to q49's exact-join cost — never to a
+    // wrong answer, the verify join is exact); billion-gram eval suites
+    // need an explicit numBits AND a raised
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits/maxNumItems —
+    // Spark's BloomFilterAggregate silently clamps both to those confs.
     val items = if (numItems > 0) numItems else math.max(4096L, bench.count())
     val bits = if (numBits > 0) numBits else math.min(items * 16L, 1L << 26)
     val blob = graft.functions.BloomFunctions.build(
@@ -460,15 +467,18 @@ object TextOps {
     */
   def keywordSearch(df: DataFrame, idCol: String, textCol: String,
                     terms: Seq[String], k: Int): DataFrame = {
-    val n = df.count()
-    val nMil = n * 1000000L
+    // N stays inside the plan as a 1-row broadcast (no eager count():
+    // the operator is lazy like every other TextOps op, and the corpus
+    // is scanned once per execution, not once per construction)
+    val nMil = df.agg((count(lit(1)) * lit(1000000L)).as("__nmil"))
     val tf = df
       .select(col(idCol), explode(tokens(col(textCol))).as("__w"))
       .filter(col("__w").isInCollection(terms))
       .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__tf"))
     val dfreq = tf.groupBy("__w").agg(count(lit(1)).as("__df"))
     tf.join(broadcast(dfreq), "__w")
-      .withColumn("__idf_mil", expr(s"CAST($nMil AS BIGINT) div __df"))
+      .crossJoin(broadcast(nMil))
+      .withColumn("__idf_mil", expr("__nmil div __df"))
       .groupBy(idCol)
       .agg(sum(col("__tf") * col("__idf_mil")).cast("long").as("score"))
       .orderBy(col("score").desc, col(idCol))

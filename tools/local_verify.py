@@ -59,16 +59,17 @@ def main():
         sql = oracles[name]
         pq_dir = OUT / name
         try:
-            orel = con.execute(sql)
-            oarrow = orel.arrow()
-            oracle = [tuple(row[c] for c in oarrow.column_names)
-                      for row in oarrow.to_pylist()]
+            # positional reconstruction (NOT to_pylist dicts: dict keys
+            # would silently collapse duplicate column names and compare
+            # one column's values twice)
+            oarrow = con.execute(sql).arrow()
+            oracle = list(zip(*(c.to_pylist() for c in oarrow.columns))) \
+                if oarrow.num_rows else []
             ocols = list(oarrow.column_names)
-            got_rel = con.execute(
-                f"SELECT * FROM '{pq_dir}/*.parquet'")
-            garrow = got_rel.arrow()
-            got = [tuple(row[c] for c in garrow.column_names)
-                   for row in garrow.to_pylist()]
+            garrow = con.execute(
+                f"SELECT * FROM '{pq_dir}/*.parquet'").arrow()
+            got = list(zip(*(c.to_pylist() for c in garrow.columns))) \
+                if garrow.num_rows else []
             gcols = list(garrow.column_names)
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
