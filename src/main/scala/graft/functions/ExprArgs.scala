@@ -1,0 +1,15 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Shared literal-argument extraction for the registered expression
+  * builders — one definition so the error contract cannot drift across
+  * the Lsh/MinHash/Winnow registrars.
+  */
+private[functions] object ExprArgs {
+  def litInt(e: Expression, what: String): Int = e.eval() match {
+    case i: Int => i
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+}

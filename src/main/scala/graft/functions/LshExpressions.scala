@@ -22,16 +22,19 @@ object LshPlanes {
     }
   }
 
-  /** Flat [tables x planes x dim] matrix: entry (t, p, i) at
+  /** Flat [tables x planes x dim] matrix for tables
+    * `firstTable until firstTable + tables`: entry (t, p, i) at
     * `(t * planes + p) * dim + i`.
     */
-  def matrix(tables: Int, planes: Int, dim: Int): Array[Float] = {
+  def matrix(tables: Int, planes: Int, dim: Int,
+             firstTable: Int = 0): Array[Float] = {
     val out = new Array[Float](tables * planes * dim)
     var t = 0
     while (t < tables) {
       var p = 0
       while (p < planes) {
-        System.arraycopy(plane(t, p, dim), 0, out, (t * planes + p) * dim, dim)
+        System.arraycopy(plane(firstTable + t, p, dim), 0,
+          out, (t * planes + p) * dim, dim)
         p += 1
       }
       t += 1
@@ -60,7 +63,8 @@ object LshPlanes {
   * replaces, so existing recall tests and rows-only checks see the exact
   * same buckets.
   */
-case class LshSignatures(child: Expression, planes: Int, tables: Int, dim: Int)
+case class LshSignatures(child: Expression, planes: Int, tables: Int, dim: Int,
+                         firstTable: Int = 0)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -78,7 +82,7 @@ case class LshSignatures(child: Expression, planes: Int, tables: Int, dim: Int)
   override def nullIntolerant: Boolean = true
 
   @transient private lazy val mat: Array[Float] =
-    LshPlanes.matrix(tables, planes, dim)
+    LshPlanes.matrix(tables, planes, dim, firstTable)
 
   override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
@@ -144,11 +148,8 @@ object LshFunctions {
 
   val SignaturesName = "graft_lsh_signatures"
 
-  private def litInt(e: Expression, what: String): Int = e.eval() match {
-    case i: Int => i
-    case other => throw new IllegalArgumentException(
-      s"$SignaturesName: $what must be an integer literal, got $other")
-  }
+  private def litInt(e: Expression, what: String): Int =
+    ExprArgs.litInt(e, s"$SignaturesName: $what")
 
   /** Idempotent per-session registration (same pattern as
     * [[VectorFunctions.register]]).
@@ -161,7 +162,8 @@ object LshFunctions {
         SignaturesName,
         (exprs: Seq[Expression]) => LshSignatures(exprs(0),
           litInt(exprs(1), "planes"), litInt(exprs(2), "tables"),
-          litInt(exprs(3), "dim")),
+          litInt(exprs(3), "dim"),
+          if (exprs.length > 4) litInt(exprs(4), "firstTable") else 0),
         "built-in")
   }
 
@@ -170,4 +172,13 @@ object LshFunctions {
     */
   def signatures(vec: Column, planes: Int, tables: Int, dim: Int): Column =
     call_function(SignaturesName, vec, lit(planes), lit(tables), lit(dim))
+
+  /** Signatures for tables `firstTable until firstTable + tables` — lets
+    * a caller slice out ONE mid-range table at O(planes) cost instead of
+    * computing every table before it.
+    */
+  def signaturesFrom(vec: Column, planes: Int, tables: Int, dim: Int,
+                     firstTable: Int): Column =
+    call_function(SignaturesName, vec, lit(planes), lit(tables), lit(dim),
+      lit(firstTable))
 }

@@ -200,11 +200,8 @@ object MinHashFunctions {
   val SignaturesName = "graft_minhash_sigs"
   val BandKeysName = "graft_minhash_bands"
 
-  private def litInt(e: Expression, what: String): Int = e.eval() match {
-    case i: Int => i
-    case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
-  }
+  private def litInt(e: Expression, what: String): Int =
+    ExprArgs.litInt(e, what)
 
   /** Idempotent per-session registration (pattern of
     * [[LshFunctions.register]]).

@@ -197,11 +197,8 @@ object WinnowFunctions {
   val FingerprintsName = "graft_winnow_fps"
   val IntersectCountName = "graft_sorted_intersect"
 
-  private def litInt(e: Expression, what: String): Int = e.eval() match {
-    case i: Int => i
-    case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
-  }
+  private def litInt(e: Expression, what: String): Int =
+    ExprArgs.litInt(e, what)
 
   /** Idempotent per-session registration (pattern of
     * [[MinHashFunctions.register]]).

@@ -89,7 +89,11 @@ object ConfigLoader {
         m.properties().asScala.foreach { e =>
           if (e.getValue.isTextual)
             env.get(e.getValue.asText).foreach(v => t.put(e.getKey, v))
-          else {
+          else if (hasSetVar(e.getValue, env)) {
+            // descend (and create the node) ONLY when some env var under
+            // this mapping subtree is actually set: an unset mapping must
+            // not materialize phantom config objects or clobber a
+            // configured scalar with an empty {}
             val child = t.get(e.getKey) match {
               case c: ObjectNode => c
               case _ => t.putObject(e.getKey)
@@ -99,6 +103,10 @@ object ConfigLoader {
         }
       case _ => ()
     }
+
+  private def hasSetVar(mapping: JsonNode, env: Map[String, String]): Boolean =
+    if (mapping.isTextual) env.contains(mapping.asText)
+    else mapping.properties().asScala.exists(e => hasSetVar(e.getValue, env))
 
   private def fromTree(root: JsonNode): GraftConfig = {
     val db = Option(root.get("database")).map(parseDb).getOrElse(DatabaseConfig())

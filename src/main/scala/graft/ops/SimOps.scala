@@ -226,12 +226,14 @@ object SimOps {
   private[ops] def plane(tb: Int, p: Int, dim: Int): Array[Float] =
     LshPlanes.plane(tb, p, dim)
 
-  /** Signature for one LSH table, as a column — a thin slice of the
-    * batched [[graft.functions.LshSignatures]] expression (kept for tests
-    * and ad-hoc use; the operators take the whole array in one pass).
+  /** Signature for one LSH table, as a column — the batched
+    * [[graft.functions.LshSignatures]] expression sliced AT the table
+    * (firstTable offset), so one table costs O(planes) dot products
+    * regardless of tb; an earlier version computed every table up to tb
+    * and discarded all but the last.
     */
   def lshTableSignature(vec: Column, planes: Int, tb: Int, dim: Int): Column =
-    element_at(LshFunctions.signatures(vec, planes, tb + 1, dim), tb + 1)
+    element_at(LshFunctions.signaturesFrom(vec, planes, 1, dim, tb), 1)
 
   /** DEFAULT embedding near-dup operator: LSH-bucketed candidate
     * generation + exact cosine verification >= threshold.

@@ -59,7 +59,13 @@ final class JdbcUpsertSink(factory: SqlConnectionFactory,
     require(pk.nonEmpty, s"merge into $table needs a primary key")
     val cols = df.columns.toSeq
     require(pk.forall(cols.contains), s"pk ${pk.mkString(",")} missing from ${cols.mkString(",")}")
-    val (f, bs, mr, delay) = (factory, batchSize, maxRetries, initialRetryDelayMs)
+    // the Postgres wire protocol carries the bind-parameter count as an
+    // int16, so rows x cols per statement must stay under 32767 — a
+    // row-count-only batchSize would fail deterministically on any
+    // table with enough columns (10,000 rows x 4 cols = 40,000 binds)
+    val bs = math.max(1, math.min(batchSize,
+      JdbcUpsertSink.MaxBindParams / cols.size))
+    val (f, mr, delay) = (factory, maxRetries, initialRetryDelayMs)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val conn = f.connect()
@@ -75,7 +81,13 @@ final class JdbcUpsertSink(factory: SqlConnectionFactory,
 
 object JdbcUpsertSink {
 
-  private def q(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+  /** Postgres Bind carries the parameter count as int16; stay under it
+    * with headroom (the effective per-statement row count is
+    * `min(batchSize, MaxBindParams / columns)`).
+    */
+  val MaxBindParams: Int = 32000
+
+  private def q(ident: String): String = SqlIdent.quote(ident)
 
   /** The reference's knex `.insert(batch).onConflict(pk).merge()` SQL:
     * multi-VALUES insert with DO UPDATE SET over every non-key column

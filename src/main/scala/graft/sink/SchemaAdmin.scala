@@ -78,6 +78,5 @@ final class SchemaAdmin(factory: SqlConnectionFactory) {
 
 object SchemaAdmin {
   /** Double-quote identifier escaping, knex's `??` binding. */
-  private[sink] def q(ident: String): String =
-    "\"" + ident.replace("\"", "\"\"") + "\""
+  private[sink] def q(ident: String): String = SqlIdent.quote(ident)
 }

@@ -60,14 +60,32 @@ final class UpsertSink(spark: SparkSession, root: String,
 
   private def isBucketed(table: String): Boolean = bucketDirs(table).nonEmpty
 
+  /** The bucket modulus a table was WRITTEN with, recorded in a
+    * `_graft_buckets` marker (underscore prefix = invisible to parquet
+    * readers, swapped atomically with the data). Re-opening a table with
+    * a different `numBuckets` would otherwise route an updated key to a
+    * different `__bucket=N` directory than its stored row and silently
+    * produce duplicate PKs — the marker makes the layout, not the
+    * instance, the source of truth.
+    */
+  private def bucketMarker(dir: Path): Path = dir.resolve("_graft_buckets")
+
+  private def storedBuckets(table: String): Option[Int] = {
+    val m = bucketMarker(tableDir(table))
+    if (Files.exists(m))
+      Some(new String(Files.readAllBytes(m), "UTF-8").trim.toInt)
+    else None
+  }
+
   /** Current table contents, bucket layout hidden from callers. */
   def read(table: String): DataFrame = {
     val df = spark.read.parquet(tableDir(table).toString)
     if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
   }
 
-  private def withBucket(df: DataFrame, pk: Seq[String]): DataFrame =
-    df.withColumn(BucketCol, pmod(hash(pk.map(col): _*), lit(numBuckets)))
+  private def withBucket(df: DataFrame, pk: Seq[String],
+                         buckets: Int): DataFrame =
+    df.withColumn(BucketCol, pmod(hash(pk.map(col): _*), lit(buckets)))
 
   /** Create-if-missing (the reference's create-missing-only DDL mode,
     * dbCreator.ts:186-222): write only when absent.
@@ -85,10 +103,11 @@ final class UpsertSink(spark: SparkSession, root: String,
     val target = tableDir(table)
     val shadow = Paths.get(root, s".${table}__shadow")
     deleteRecursively(shadow)
-    if (pk.nonEmpty)
-      withBucket(df, pk).write.mode(SaveMode.Overwrite)
+    if (pk.nonEmpty) {
+      withBucket(df, pk, numBuckets).write.mode(SaveMode.Overwrite)
         .partitionBy(BucketCol).parquet(shadow.toString)
-    else df.write.mode(SaveMode.Overwrite).parquet(shadow.toString)
+      Files.write(bucketMarker(shadow), numBuckets.toString.getBytes("UTF-8"))
+    } else df.write.mode(SaveMode.Overwrite).parquet(shadow.toString)
     val old = Paths.get(root, s".${table}__old")
     deleteRecursively(old)
     if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
@@ -104,7 +123,13 @@ final class UpsertSink(spark: SparkSession, root: String,
   def merge(table: String, updates: DataFrame, pk: Seq[String],
             versionCol: Option[String] = None): Unit = {
     require(pk.nonEmpty, s"merge into $table needs a primary key")
-    val latest = withBucket(dedupeLastWins(updates, pk, versionCol), pk)
+    // bucket with the modulus the LAYOUT was written with, not the
+    // instance default — a mismatch would scatter updated keys away
+    // from their stored rows
+    val buckets =
+      if (exists(table) && isBucketed(table)) storedBuckets(table).getOrElse(numBuckets)
+      else numBuckets
+    val latest = withBucket(dedupeLastWins(updates, pk, versionCol), pk, buckets)
     if (!exists(table) || !isBucketed(table)) {
       // first write, or one-time migration of a flat-layout table
       val merged =

@@ -161,17 +161,32 @@ final class SubgraphScanBuilder(configKey: String,
     * column and the limit fits one page — the scan then fetches exactly N
     * rows instead of walking the whole entity and sorting locally.
     * Partially pushed (the default): Spark still runs its TakeOrdered
-    * over the N returned rows, which keeps null/collation semantics
-    * Spark-defined while the *row volume* is already pruned at the source.
+    * over the N returned rows — but that only REORDERS the fetched set,
+    * it cannot repair a truncation the server cut differently, so the
+    * push is claimed ONLY when the server's order provably equals
+    * Spark's for the sort column: the column must be NON-NULLABLE
+    * (Spark sorts NULLS FIRST on asc, Postgres NULLS LAST — a nullable
+    * column's top-N sets diverge) and of a type with one universal
+    * order (integers, uint256 numerics, booleans). Strings are rejected
+    * (server collation vs Spark's binary UTF-8 order) and so are bytes
+    * (the GraphQL layer compares their string form).
     */
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    import graft.model.ColumnType
     val page = SubgraphTableProvider.registry.get(configKey)
       .map(_.provider.maxRowsPerRequest).getOrElse(Int.MaxValue)
+    def orderPortable(c: graft.model.ColumnDef): Boolean =
+      !c.nullable && (c.tpe match {
+        case ColumnType.IntegerCol | ColumnType.BigIntCol
+             | ColumnType.BooleanCol => true
+        case _ => false
+      })
     orders match {
       case Array(o) if n <= page =>
         o.expression() match {
           case nr: NamedReference if nr.fieldNames.length == 1
-              && entity.columns.exists(_.name == nr.fieldNames()(0)) =>
+              && entity.columns.exists(c =>
+                c.name == nr.fieldNames()(0) && orderPortable(c)) =>
             val dir = if (o.direction() == SortDirection.DESCENDING) "desc" else "asc"
             topN = Some((nr.fieldNames()(0), dir, n))
             true

@@ -35,6 +35,11 @@ object DedupPipeline {
                        checkpoint: String, tsCol: Option[String] = None,
                        within: Option[String] = None,
                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(tsCol.isDefined == within.isDefined,
+      "tsCol and within come together: `within` without an event-time " +
+        "column cannot bound state, and silently falling back to " +
+        "unbounded dropDuplicates is exactly the 100 TB failure the " +
+        "option exists to prevent")
     val docs = spark.readStream.schema(schema).parquet(sourceDir)
       .withColumn("fingerprint", TextOps.fingerprint(col("text")))
     val deduped = (tsCol, within) match {
@@ -117,9 +122,12 @@ object DedupPipeline {
     *
     * Scale shape: the per-batch cost is the batch's shingle/signature
     * work plus one equi-join of batch bands (bands x batch rows) against
-    * the band table, partitioned by band key — candidate verification
-    * touches only colliding pairs. Re-delivered batches re-merge
-    * idempotently (doc_id keyed), so a checkpoint restart converges (T8).
+    * the band table, partitioned by band key; the corpus side is
+    * semi-joined down to colliding doc ids before any shingling, so
+    * exact verification tokenizes only colliding documents (the corpus
+    * parquet is scanned for candidate rows' columns, never re-shingled
+    * wholesale). Re-delivered batches re-merge idempotently (doc_id
+    * keyed), so a checkpoint restart converges (T8).
     */
   def nearDupDedupStream(spark: SparkSession, sourceDir: String,
                          schema: StructType, sink: UpsertSink,
@@ -158,15 +166,22 @@ object DedupPipeline {
                 >= thresholdMil)
               .select("a_id").distinct()
 
-          // vs the accumulated corpus
+          // vs the accumulated corpus — semi-join the corpus down to the
+          // colliding doc ids BEFORE shingling: the per-batch shingle /
+          // regex work is O(batch + collisions), not O(corpus) (the
+          // corpus parquet is still scanned for the id/text columns of
+          // candidate rows, but the expensive tokenization never runs
+          // for documents no band key collided with)
           val dupVsCorpus =
             if (!sink.exists(bandsTable)) None
             else {
               val cand = batchBands
                 .join(sink.read(bandsTable).withColumnRenamed("doc_id", "b_id"), "band")
                 .select(col("doc_id").as("a_id"), col("b_id")).distinct()
-              Some(verified(cand,
-                shinglesOf(sink.read(corpusTable), "b_id", "__bsh")))
+              val collidingCorpus = sink.read(corpusTable).join(
+                cand.select(col("b_id").as("doc_id")).distinct(),
+                Seq("doc_id"), "left_semi")
+              Some(verified(cand, shinglesOf(collidingCorpus, "b_id", "__bsh")))
             }
           // within the batch: the smaller doc_id survives
           val candInBatch = batchBands.select(col("doc_id").as("a_id"), col("band"))

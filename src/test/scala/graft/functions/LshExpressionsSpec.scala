@@ -34,6 +34,23 @@ class LshExpressionsSpec extends SparkSpec {
     assert(got.filter($"sigs" =!= $"refs").count() == 0)
   }
 
+  test("firstTable slice returns the same signature as the full array") {
+    LshFunctions.register(spark)
+    val (planes, tables) = (4, 6)
+    val df = (1 to 30).map(vec).toDF("v")
+    val cols = (0 until tables).map { tb =>
+      (element_at(LshFunctions.signaturesFrom($"v", planes, 1, dim, tb), 1)
+        === element_at(LshFunctions.signatures($"v", planes, tables, dim), tb + 1))
+        .as(s"eq$tb")
+    }
+    val allEq = df.select(cols.reduce(_ && _).as("ok"))
+    assert(allEq.filter(!$"ok").count() == 0)
+    // and the SimOps face uses the O(planes) slice
+    val one = df.select(graft.ops.SimOps.lshTableSignature($"v", planes, 3, dim).as("s"),
+      element_at(LshFunctions.signatures($"v", planes, tables, dim), 4).as("e"))
+    assert(one.filter($"s" =!= $"e").count() == 0)
+  }
+
   test("interpreted eval agrees with codegen (forced via filter)") {
     LshFunctions.register(spark)
     val df = (1 to 20).map(vec).toDF("v")

@@ -97,4 +97,23 @@ class ProductionConfigSpec extends AnyFunSuite {
     assert(cfg.blockchain.blockIntervalThreshold == 3L)
     assert(cfg.providers("collective-rewards").apiKey == "")
   }
+
+  test("an unset env mapping must not materialize phantom config nodes") {
+    // maps a provider that default.yml does NOT define: with the var
+    // unset, no ProviderConfig may appear (an empty {} node would
+    // surface as a phantom provider with url="")
+    val mappingWithExtra =
+      """subgraphProviders:
+        |  phantom-provider:
+        |    apiKey: "UNSET_VAR_1"
+        |blockchain: "UNSET_VAR_2"
+        |""".stripMargin
+    val cfg = ConfigLoader.loadLayered(defaultYaml,
+      envMappingYaml = Some(mappingWithExtra), env = Map.empty)
+    assert(!cfg.providers.contains("phantom-provider"),
+      s"phantom provider materialized: ${cfg.providers.keySet}")
+    // the scalar-vs-mapping mismatch with an unset var must not clobber
+    // the configured blockchain object either
+    assert(cfg.blockchain.blockIntervalThreshold == 3L)
+  }
 }

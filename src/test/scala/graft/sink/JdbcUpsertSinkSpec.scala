@@ -46,6 +46,21 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     assert(JdbcFakes.closes.get == 1) // one connection for the one partition
   }
 
+  test("chunk size is capped so rows x cols stays under the int16 bind limit") {
+    JdbcFakes.reset()
+    // 5 columns at batchSize 10000 would be 50,000 binds per statement —
+    // past the Postgres wire protocol's int16 parameter-count cap; the
+    // effective chunk must shrink to MaxBindParams / cols = 6400 rows
+    val sink = new JdbcUpsertSink(new RecordingFactory, batchSize = 10000)
+    val df = (1 to 7000).map(i => (i.toLong, i, i, i, s"n$i"))
+      .toDF("id", "a", "b", "c", "name").repartition(1)
+    sink.merge("t", df, Seq("id"))
+    val sizes = JdbcFakes.statements.asScala.toSeq.map(_._2.size)
+    assert(sizes.forall(_ <= JdbcUpsertSink.MaxBindParams),
+      s"statement exceeds bind cap: ${sizes.max}")
+    assert(sizes.sorted == Seq(600 * 5, 6400 * 5)) // 7000 rows -> 6400 + 600
+  }
+
   test("each chunk retries with backoff; persistent failure propagates") {
     JdbcFakes.reset()
     JdbcFakes.failFirstN.set(2) // two transient failures, then healthy

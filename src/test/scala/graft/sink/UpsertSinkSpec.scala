@@ -99,6 +99,20 @@ class UpsertSinkSpec extends SparkSpec {
     assert(got.size == 200 && got(42L) == "V42!" && got(41L) == "v41")
   }
 
+  test("reopening with a different numBuckets honors the stored modulus") {
+    val root = Files.createTempDirectory("graft_sink").toString
+    val writer = new UpsertSink(spark, root, numBuckets = 8)
+    writer.merge("t", (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    // a differently-configured instance must route updates to the SAME
+    // bucket dirs the rows were stored in — otherwise the anti-join
+    // misses the stale row and the PK silently duplicates
+    val reopened = new UpsertSink(spark, root, numBuckets = 64)
+    reopened.merge("t", Seq((7L, "UPDATED")).toDF("id", "v"), Seq("id"))
+    val rows = reopened.read("t").as[(Long, String)].collect()
+    assert(rows.length == 40, s"duplicate PKs after modulus change: ${rows.length}")
+    assert(rows.toMap.apply(7L) == "UPDATED")
+  }
+
   test("flat-layout table migrates to bucketed on first merge") {
     val root = Files.createTempDirectory("graft_sink_mig")
     val sink = new UpsertSink(spark, root.toString, numBuckets = 4)

@@ -117,6 +117,20 @@ class SubgraphTableProviderSpec extends SparkSpec {
       && req.contains("first: 5"), s"TopN not pushed: $req")
   }
 
+  test("TopN on a string column is NOT pushed (server collation != Spark order)") {
+    val g = new MiniGraph
+    register("t8s", g)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.desc
+    // name is StringCol: the server's collation could cut a different
+    // top-5 set than Spark's binary UTF-8 order, and the local
+    // TakeOrdered over 5 returned rows could not repair it — so the
+    // claim must be refused and the scan walks the full entity
+    read("t8s").orderBy(desc("name")).limit(5).collect()
+    assert(!g.requests.exists(_.contains("orderBy: name")),
+      s"string TopN wrongly pushed: ${g.requests}")
+  }
+
   test("TopN beyond one page is not claimed (falls back to full fetch + local sort)") {
     val g = new MiniGraph
     register("t9", g)
