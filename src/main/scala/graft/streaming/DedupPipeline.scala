@@ -98,16 +98,26 @@ object DedupPipeline {
       }
       .start()
     // release the cached benchmark grams when THIS query terminates —
-    // restarted screens (a new call) cache their own copy
-    spark.streams.addListener(new StreamingQueryListener {
+    // restarted screens (a new call) cache their own copy. The listener
+    // is registered with the id patched in AFTER start(); a query that
+    // terminates inside that window is caught by the isActive check
+    // below (double-unpersist is a no-op), so nothing leaks either way
+    val cleanup = new StreamingQueryListener {
+      @volatile var queryId: java.util.UUID = null
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == query.id) {
+        if (queryId != null && e.id == queryId) {
           benchGrams.unpersist()
           spark.streams.removeListener(this)
         }
-    })
+    }
+    spark.streams.addListener(cleanup)
+    cleanup.queryId = query.id
+    if (!query.isActive) {
+      benchGrams.unpersist()
+      spark.streams.removeListener(cleanup)
+    }
     query
   }
 
@@ -157,7 +167,9 @@ object DedupPipeline {
             df.select(col("doc_id").as(idAs),
               TextOps.shingles(col("text"), shingleN).as(shAs))
           val batchBands = bandsOf(batch).cache()
-          val batchSh = shinglesOf(batch, "a_id", "__ash")
+          // cached: both verified() calls read it, and re-shingling the
+          // batch is the dominant per-batch CPU cost
+          val batchSh = shinglesOf(batch, "a_id", "__ash").cache()
 
           // exact verify >= threshold for candidate id pairs (a=batch side)
           def verified(cand: DataFrame, otherSh: DataFrame): DataFrame =
@@ -188,7 +200,8 @@ object DedupPipeline {
             .join(batchBands.select(col("doc_id").as("b_id"), col("band")), "band")
             .filter(col("a_id") > col("b_id")) // a is the one at risk
             .select("a_id", "b_id").distinct()
-          val dupInBatch = verified(candInBatch, shinglesOf(batch, "b_id", "__bsh"))
+          val dupInBatch = verified(candInBatch,
+            batchSh.select(col("a_id").as("b_id"), col("__ash").as("__bsh")))
 
           val dupIds = dupVsCorpus.map(_.unionByName(dupInBatch))
             .getOrElse(dupInBatch)
@@ -196,9 +209,15 @@ object DedupPipeline {
           val fresh = RelOps.antiJoin(batch, dupIds, Seq("doc_id")).cache()
           if (!fresh.isEmpty) {
             sink.merge(corpusTable, fresh, Seq("doc_id"))
-            sink.merge(bandsTable, bandsOf(fresh), Seq("doc_id", "band"))
+            // admitted docs' bands come from the CACHED batch bands —
+            // re-running bandsOf(fresh) would re-tokenize and re-minhash
+            // every admitted document a second time
+            sink.merge(bandsTable,
+              batchBands.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi"),
+              Seq("doc_id", "band"))
           }
           batchBands.unpersist()
+          batchSh.unpersist()
           fresh.unpersist()
           ()
         }

@@ -34,9 +34,18 @@ object IncrementalPipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val reduced = graft.ops.RelOps.latestByKey(batch, Seq("user_id"),
-            Seq(col("ts").desc, col("event_id").desc))
-          sink.merge(table, reduced, Seq("user_id"), versionCol = Some("ts"))
+          val order = Seq(col("ts").desc, col("event_id").desc)
+          val reduced = graft.ops.RelOps.latestByKey(batch, Seq("user_id"), order)
+          // merge replaces stored rows WHOLESALE, and a later micro-batch
+          // can legitimately carry an OLDER event (late file): fold the
+          // stored rows for the touched users back in and re-reduce, so
+          // the newest event survives whatever order batches arrive in
+          val withStored =
+            if (!sink.exists(table)) reduced
+            else reduced.unionByName(sink.read(table)
+              .join(reduced.select("user_id"), Seq("user_id"), "left_semi"))
+          val latest = graft.ops.RelOps.latestByKey(withStored, Seq("user_id"), order)
+          sink.merge(table, latest, Seq("user_id"), versionCol = Some("ts"))
         }
       }
       .start()

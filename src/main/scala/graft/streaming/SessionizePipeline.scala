@@ -43,28 +43,33 @@ object SessionizePipeline {
                            session_end: Long, n_events: Long)
 
   /** Pure session-step logic, shared by the streaming operator and its
-    * unit tests: fold sorted events into (closed sessions, open state).
+    * unit tests: merge the batch's events and the carried-over open
+    * session into gap-separated spans.
+    *
+    * Implemented as an interval merge over ALL spans (each event is a
+    * 1-event span; the open state is a span too), sorted by start: two
+    * spans chain when the later one starts within `gap` of the earlier
+    * one's end. This handles the out-of-order cross-batch case the
+    * naive left fold got wrong — an event arriving BEFORE the open
+    * session's start (possible when the user ran ahead of the
+    * watermark) either chains into it by regressing `start`, or forms
+    * its own earlier session, instead of being silently absorbed into
+    * a session that started after it.
     */
   def foldEvents(events: Seq[Event], open: Option[SessionState],
                  gapMicros: Long): (Seq[SessionState], Option[SessionState]) = {
+    val spans = (events.map(e => SessionState(e.tsMicros, e.tsMicros, 1))
+      ++ open.toSeq).sortBy(s => (s.start, s.lastTs))
+    if (spans.isEmpty) return (Nil, open)
     val closed = Vector.newBuilder[SessionState]
-    var cur = open
-    events.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
-      cur match {
-        case Some(s) if e.tsMicros - s.lastTs <= gapMicros =>
-          // a LATE event (carried-over state can be ahead of this batch's
-          // earliest rows) must never regress the session's end — the gap
-          // is measured from the latest event seen, not the latest arrival
-          cur = Some(s.copy(lastTs = math.max(s.lastTs, e.tsMicros),
-            nEvents = s.nEvents + 1))
-        case Some(s) =>
-          closed += s
-          cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
-        case None =>
-          cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
-      }
+    var cur = spans.head
+    spans.tail.foreach { s =>
+      if (s.start - cur.lastTs <= gapMicros)
+        cur = SessionState(cur.start, math.max(cur.lastTs, s.lastTs),
+          cur.nEvents + s.nEvents)
+      else { closed += cur; cur = s }
     }
-    (closed.result(), cur)
+    (closed.result(), Some(cur))
   }
 
   /** The per-group state transition: new events extend or close the open
@@ -84,8 +89,14 @@ object SessionizePipeline {
       open match {
         case Some(s) =>
           state.update(s)
-          // finalize when the event-time watermark passes the gap
-          state.setTimeoutTimestamp(s.lastTs / 1000L + gapMicros / 1000L)
+          // finalize when the event-time watermark passes the gap —
+          // clamped above the current watermark: a near-late event can
+          // leave lastTs + gap at or below a watermark other users'
+          // far-ahead events just advanced, and an unclamped timestamp
+          // makes Spark throw, crash-looping the query on replay
+          state.setTimeoutTimestamp(math.max(
+            s.lastTs / 1000L + gapMicros / 1000L,
+            state.getCurrentWatermarkMs() + 1L))
         case None => state.remove()
       }
       closed.map(emit).iterator

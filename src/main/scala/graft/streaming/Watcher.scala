@@ -40,13 +40,19 @@ trait Strategy {
   * `lastProcessedBlock` guard (blockProposalStrategy.ts:22-45) with the
   * mutable state made explicit (checkpointable).
   */
-final class Throttle(threshold: Long, initial: BigInt = BigInt(0)) {
-  private var last: BigInt = initial
-  def lastProcessed: BigInt = last
-  /** True (and records the block) when `block >= last + threshold`. */
-  def tryAcquire(block: BigInt): Boolean =
-    if (last == BigInt(0) || block >= last + threshold) { last = block; true }
-    else false
+final class Throttle(threshold: Long, initial: Option[BigInt] = None) {
+  // Option, not a zero sentinel: block 0 is a legitimate processed
+  // height, and conflating it with "never acquired" would re-open the
+  // throttle after genesis and disable T3 for the rest of the run
+  private var last: Option[BigInt] = initial
+  def lastProcessed: BigInt = last.getOrElse(BigInt(-1))
+  /** True (and records the block) when never acquired yet or
+    * `block >= last + threshold`.
+    */
+  def tryAcquire(block: BigInt): Boolean = last match {
+    case Some(l) if block < l + threshold => false
+    case _ => last = Some(block); true
+  }
 }
 
 /** High-water-mark incremental reads (T5): `fromBlock = max(col)+1` read
@@ -101,11 +107,23 @@ object ChangeLog {
 final class ReorgGuard(source: BlockSource, sink: UpsertSink) {
   /** Returns true when a reorg was detected and handled. `rebuild` must
     * produce the full replacement table set.
+    *
+    * Crash-recovery contract: each table swap is individually atomic
+    * (shadow + ATOMIC_MOVE), but the SET of tables is swapped one by
+    * one. Recovery relies on ordering at the CALLER: persist the new
+    * head hash only AFTER check() returns — check() itself never
+    * updates it — so a crash mid-rebuild leaves the old hash in place,
+    * the next poll re-detects the same reorg, and the rebuild re-runs
+    * idempotently over all tables (overwrite replaces wholesale).
+    * Tables swap in sorted order so repeated recoveries converge
+    * deterministically.
     */
   def check(storedHead: Option[Block])(rebuild: () => Map[String, DataFrame]): Boolean =
     storedHead match {
       case Some(head) if source.hashAt(head.number) != head.hash =>
-        rebuild().foreach { case (table, df) => sink.overwrite(table, df) }
+        rebuild().toSeq.sortBy(_._1).foreach {
+          case (table, df) => sink.overwrite(table, df)
+        }
         true
       case _ => false
     }
@@ -151,24 +169,31 @@ object StateReconcile {
 final class BlockWatcher(source: BlockSource, strategies: Seq[Strategy],
                          pollIntervalMs: Long = 1000L) {
 
-  private var lastSeen: BigInt = BigInt(0)
+  // Option, not a zero sentinel: after legitimately processing block 0
+  // the old `lastSeen == 0` test would re-initialize and silently skip
+  // every block mined since — breaking the emitMissed no-gaps contract
+  private var lastSeen: Option[BigInt] = None
   val errors: mutable.Map[String, Throwable] = mutable.Map.empty
 
-  /** One poll: catch up over any missed blocks; returns processed heads. */
+  /** One poll: catch up over any missed blocks; returns processed heads.
+    * Missed blocks are fetched via `blockAt` so each carries its OWN
+    * header (hash and timestamp), never the head's — strategies that
+    * persist block timestamps would otherwise record the head's time
+    * for every caught-up block.
+    */
   def runOnce(): Seq[Block] = {
     val head = source.latest()
-    if (lastSeen == BigInt(0)) lastSeen = head.number - 1
-    val blocks = Iterator.iterate(lastSeen + 1)(_ + 1)
+    if (lastSeen.isEmpty) lastSeen = Some(head.number - 1)
+    val blocks = Iterator.iterate(lastSeen.get + 1)(_ + 1)
       .takeWhile(_ <= head.number)
-      .map(n => if (n == head.number) head
-        else Block(n, source.hashAt(n), head.timestamp))
+      .map(n => if (n == head.number) head else source.blockAt(n))
       .toSeq
     blocks.foreach { b =>
       strategies.foreach { s =>
         try s.onBlock(b)
         catch { case e: Exception => errors(s.name) = e } // isolation (T2)
       }
-      lastSeen = b.number
+      lastSeen = Some(b.number)
     }
     blocks
   }

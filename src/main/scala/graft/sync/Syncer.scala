@@ -82,7 +82,16 @@ final class Syncer(spark: SparkSession, config: GraftConfig,
         val perProvider = groups.map { case (providerName, entities) =>
           Future(syncProvider(providerName, entities))
         }
-        Await.result(Future.sequence(perProvider), Duration.Inf).flatten.toMap
+        try Await.result(Future.sequence(perProvider), Duration.Inf).flatten.toMap
+        catch { case e: Throwable =>
+          // one provider failed: the OTHER providers' syncs are still
+          // running on the pool, and a graceful shutdown() would leave
+          // them merging detached — racing any caller retry over the
+          // same shadow dirs. Cancel hard and WAIT before propagating.
+          pool.shutdownNow()
+          pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES)
+          throw e
+        }
       } finally pool.shutdown()
     }
   }

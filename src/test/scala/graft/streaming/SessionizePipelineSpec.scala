@@ -43,6 +43,24 @@ class SessionizePipelineSpec extends SparkSpec {
     assert(c5.isEmpty && o5.contains(SessionState(0, 39 * MIN, 4)))
   }
 
+  test("foldEvents: events before the open session chain or split correctly") {
+    // open session spans [100, 110]min; an event at 80min is within the
+    // 30min gap of its START -> chains in, regressing session_start
+    val st = Some(SessionState(100 * MIN, 110 * MIN, 3))
+    val (c1, o1) = foldEvents(Seq(Event(1, 1, 80 * MIN)), st, 30 * MIN)
+    assert(c1.isEmpty && o1.contains(SessionState(80 * MIN, 110 * MIN, 4)))
+    // an event at 10min is NOT within gap of anything -> its own EARLIER
+    // session, closed immediately (the old fold silently absorbed it
+    // into the later session because delta vs lastTs was negative)
+    val (c2, o2) = foldEvents(Seq(Event(1, 2, 10 * MIN)), st, 30 * MIN)
+    assert(c2 == Seq(SessionState(10 * MIN, 10 * MIN, 1)))
+    assert(o2.contains(SessionState(100 * MIN, 110 * MIN, 3)))
+    // a bridge event can merge an early event INTO the open session
+    val (c3, o3) = foldEvents(
+      Seq(Event(1, 3, 50 * MIN), Event(1, 4, 75 * MIN)), st, 30 * MIN)
+    assert(c3.isEmpty && o3.contains(SessionState(50 * MIN, 110 * MIN, 5)))
+  }
+
   test("streaming sessions finalize via watermark and survive a restart") {
     val root = Files.createTempDirectory("graft_sess")
     val src = root.resolve("events"); Files.createDirectories(src)

@@ -32,6 +32,46 @@ class WatcherSpec extends SparkSpec {
     assert(t.lastProcessed == BigInt(106))
   }
 
+  test("throttle: processing block 0 does not re-open the gate") {
+    val t = new Throttle(3)
+    assert(t.tryAcquire(0)) // genesis is a legitimate first block
+    assert(!t.tryAcquire(1)) // the old ==0 sentinel let every block through
+    assert(!t.tryAcquire(2))
+    assert(t.tryAcquire(3))
+  }
+
+  test("watcher: processing block 0 does not reset lastSeen (no skipped blocks)") {
+    val chain = new FakeChain(BigInt(0))
+    val seen = mutable.Buffer.empty[BigInt]
+    val w = new BlockWatcher(chain, Seq(new Strategy {
+      val name = "rec"
+      def onBlock(b: Block): Unit = seen += b.number
+    }))
+    assert(w.runOnce().map(_.number) == Seq(BigInt(0)))
+    chain.head = BigInt(5) // blocks 1-4 mined between polls
+    // the old ==0 sentinel re-initialized here and silently skipped 1-4
+    assert(w.runOnce().map(_.number) == (1 to 5).map(BigInt(_)))
+    assert(seen.toSeq == (0 to 5).map(BigInt(_)))
+  }
+
+  test("watcher: caught-up blocks carry their OWN header, not the head's") {
+    val chain = new BlockSource {
+      var head: BigInt = BigInt(2)
+      def latest(): Block = Block(head, s"0x$head", head * 10)
+      def hashAt(number: BigInt): String = s"0x$number"
+      override def blockAt(number: BigInt): Block =
+        Block(number, hashAt(number), number * 10)
+      def multicall(ids: Seq[String]): Map[String, Int] = Map.empty
+    }
+    val w = new BlockWatcher(chain, Seq.empty)
+    w.runOnce()
+    chain.head = BigInt(5)
+    val blocks = w.runOnce()
+    // blocks 3,4 come from blockAt (their own timestamp); 5 is the head
+    assert(blocks.map(b => (b.number, b.timestamp)) ==
+      Seq((BigInt(3), BigInt(30)), (BigInt(4), BigInt(40)), (BigInt(5), BigInt(50))))
+  }
+
   test("watcher catches up missed blocks in order (emitMissed)") {
     val chain = new FakeChain(BigInt(5))
     val seen = mutable.Buffer.empty[BigInt]
