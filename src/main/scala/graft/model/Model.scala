@@ -36,9 +36,13 @@ object ColumnType {
   /** small enums (rawState, support, day) */
   case object IntegerCol extends ColumnType { val sparkType: DataType = IntegerType }
 
-  /** single-level array of a scalar type (src/handlers/dbCreator.ts:132-144) */
+  /** single-level array of a scalar type (src/handlers/dbCreator.ts:132-144).
+    * `sparkType` is lazy: an array-of-reference element would otherwise
+    * throw inside the CONSTRUCTOR during config parsing, before
+    * validate() can report the unsupported shape readably.
+    */
   final case class ArrayCol(element: ColumnType) extends ColumnType {
-    val sparkType: DataType = ArrayType(element.sparkType, containsNull = false)
+    lazy val sparkType: DataType = ArrayType(element.sparkType, containsNull = false)
   }
 
   /** a column typed as another entity = foreign key
@@ -103,7 +107,12 @@ final case class SchemaMap(entities: Map[String, EntityDef]) {
       case ColumnDef(n, ColumnType.Reference(target), _) if !entities.contains(target) =>
         s"${e.name}.$n: unknown referenced entity $target"
     }
-    pkMissing ++ pkNullable ++ badRefs
+    val badArrays = e.columns.collect {
+      case ColumnDef(n, ColumnType.ArrayCol(_: ColumnType.Reference), _) =>
+        s"${e.name}.$n: arrays of entity references are not supported " +
+          "(model FK lists as a child entity instead)"
+    }
+    pkMissing ++ pkNullable ++ badRefs ++ badArrays
   }.toSeq
 
   /** Spark StructType for an entity, with FK columns expanded to the
@@ -129,15 +138,43 @@ final case class SchemaMap(entities: Map[String, EntityDef]) {
     StructType(fields)
   }
 
-  private def resolvedScalar(e: EntityDef, colName: String): DataType =
+  private def resolvedScalar(e: EntityDef, colName: String,
+                             visited: Set[String] = Set.empty): DataType =
     e.column(colName).map(_.tpe) match {
       case Some(ColumnType.Reference(target)) =>
-        // chained FK: follow to the target's (single) PK type
+        // chained FK: follow to the target's PK type — with a visited set
+        // (a reference CYCLE would otherwise StackOverflow here, past
+        // validate()) and a loud error on composite chained targets
+        // (silently taking primaryKey.head would type the column wrong)
+        if (visited.contains(e.name))
+          throw new IllegalArgumentException(
+            s"reference cycle while resolving ${e.name}.$colName " +
+              s"(via ${visited.mkString(" -> ")})")
         val t = apply(target)
-        resolvedScalar(t, t.primaryKey.head)
+        if (t.primaryKey.size != 1)
+          throw new IllegalArgumentException(
+            s"${e.name}.$colName: chained reference to composite-PK " +
+              s"entity $target cannot resolve to one scalar type")
+        resolvedScalar(t, t.primaryKey.head, visited + e.name)
       case Some(t) => t.sparkType
       case None => throw new IllegalArgumentException(
         s"${e.name}: unknown column $colName")
+    }
+
+  /** Columns that cannot round-trip the GraphQL WIRE protocol for
+    * `entityName`: the source projects FK columns as `{ id }` (the
+    * subgraph convention — The Graph requires an `id` field on every
+    * entity), so a reference to an entity whose PK is not exactly
+    * `[id]` would come back null-flattened with no error. Callers that
+    * FETCH (Syncer, the DSv2 scan) fail loudly on these instead.
+    */
+  def wireIssues(entityName: String): Seq[String] =
+    apply(entityName).referenceColumns.collect {
+      case ColumnDef(n, ColumnType.Reference(target), _)
+          if entities.contains(target) && apply(target).primaryKey != Seq("id") =>
+        s"$entityName.$n: references $target whose primary key " +
+          s"(${apply(target).primaryKey.mkString(",")}) is not [id] — " +
+          "the GraphQL source can only sub-select { id }"
     }
 }
 

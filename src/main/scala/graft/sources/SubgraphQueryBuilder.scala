@@ -33,7 +33,19 @@ object SubgraphQueryBuilder {
   def formatValue(v: Any, depth: Int = 0): String = {
     require(depth < 16, "filter nesting too deep (possible cycle)")
     v match {
-      case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      case s: String =>
+        // GraphQL strings forbid raw line terminators and control chars:
+        // escape them as \uXXXX (a pushed literal containing "\n" would
+        // otherwise produce a syntactically invalid document and fail
+        // the whole scan instead of filtering)
+        val b = new StringBuilder("\"")
+        s.foreach {
+          case '\\' => b.append("\\\\")
+          case '"' => b.append("\\\"")
+          case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+          case c => b.append(c)
+        }
+        b.append('"').toString
       case b: Array[Byte] => // Bytes columns travel as canonical 0x-hex strings
         "\"" + SubgraphSource.bytesToHex(b) + "\""
       case b: Boolean => b.toString

@@ -80,11 +80,20 @@ final class SubgraphSource(provider: ProviderConfig, transport: Transport,
     * errors, non-JSON responses, and missing `data` all degrade to an empty
     * result (reference returns `{}` + log, subgraphProvider.ts:240-266).
     */
-  def execute(specs: Seq[QuerySpec], withMetadata: Boolean = true): BatchResult = {
+  def execute(specs: Seq[QuerySpec], withMetadata: Boolean = true): BatchResult =
+    executeCounted(specs, withMetadata, countQueries = true)
+
+  /** `countQueries = false` for the individual-fallback pass: those specs
+    * were already counted as logical queries by the failed batch attempt —
+    * re-counting them would overstate batchingReduction exactly when
+    * batching failed (only the extra HTTP requests are real).
+    */
+  private def executeCounted(specs: Seq[QuerySpec], withMetadata: Boolean,
+                             countQueries: Boolean): BatchResult = {
     val doc = SubgraphQueryBuilder.batchQuery(specs, withMetadata)
     val body = mapper.createObjectNode()
     body.put("query", doc)
-    metrics.queries.addAndGet(specs.size.toLong)
+    if (countQueries) metrics.queries.addAndGet(specs.size.toLong)
     metrics.httpRequests.incrementAndGet()
     val raw =
       try transport.post(endpoint, mapper.writeValueAsString(body))
@@ -108,7 +117,8 @@ final class SubgraphSource(provider: ProviderConfig, transport: Transport,
     if (!batched.failed || specs.isEmpty) batched
     else {
       val individual = specs.zipWithIndex.map { case (spec, i) =>
-        val res = execute(Seq(spec), withMetadata = false)
+        val res = executeCounted(Seq(spec), withMetadata = false,
+          countQueries = false)
         val key0 = s"${SubgraphQueryBuilder.resultKey(spec.entity.name)}_0"
         val keyI = s"${SubgraphQueryBuilder.resultKey(spec.entity.name)}_$i"
         (keyI, res.records.getOrElse(key0, Seq.empty), res.failed)
@@ -131,7 +141,7 @@ final class SubgraphSource(provider: ProviderConfig, transport: Transport,
     val meta = Option(data.get("_meta")).flatMap { m =>
       Option(m.get("block")).map { b =>
         BlockMeta(
-          BigInt(b.get("number").asText("0")),
+          BigInt(Option(b.get("number")).map(_.asText("0")).getOrElse("0")),
           Option(b.get("hash")).map(_.asText).getOrElse(""),
           BigInt(Option(b.get("timestamp")).map(_.asText("0")).getOrElse("0")))
       }
@@ -157,7 +167,9 @@ final class SubgraphSource(provider: ProviderConfig, transport: Transport,
         case v if v.isNumber => BigDecimal(v.asText)
         case v if v.isArray => v.elements().asScala.map {
           case x if x.isTextual => x.asText
+          case x if x.isBoolean => x.asBoolean
           case x if x.isIntegralNumber => BigInt(x.asText)
+          case x if x.isNumber => BigDecimal(x.asText)
           case x => x.asText
         }.toSeq
         case v if v.isObject => jsonToMap(v)
@@ -168,15 +180,18 @@ final class SubgraphSource(provider: ProviderConfig, transport: Transport,
     * `id > x` filter). Binary ids encode to the subgraph's canonical
     * lowercase 0x-hex string; any other non-string cursor is a caller bug
     * and fails loudly — silently restarting from zero would return rows
-    * the pushed filter promised to exclude.
+    * the pushed filter promised to exclude. None = no cursor: the first
+    * page carries NO id_gt at all (a synthetic "0x00" floor would
+    * silently exclude rows whose id sorts at or below it, e.g. the
+    * common singleton ids "0" or "").
     */
-  private def startCursorOf(where: Map[String, Any]): String =
+  private def startCursorOf(where: Map[String, Any]): Option[String] =
     where.get("id_gt") match {
-      case Some(s: String) => s
-      case Some(b: Array[Byte]) => SubgraphSource.bytesToHex(b)
+      case Some(s: String) => Some(s)
+      case Some(b: Array[Byte]) => Some(SubgraphSource.bytesToHex(b))
       case Some(other) => throw new IllegalArgumentException(
         s"id_gt cursor must be a hex string, got ${other.getClass.getName}: $other")
-      case None => "0x00"
+      case None => None
     }
 
   /** One page with retry/backoff (R1): a failed request throws after
@@ -208,17 +223,25 @@ final class SubgraphSource(provider: ProviderConfig, transport: Transport,
     fetchPage(spec, s"${SubgraphQueryBuilder.resultKey(spec.entity.name)}_0")
 
   @tailrec
-  private def pageLoop(spec: QuerySpec, key: String, cursor: String,
+  private def pageLoop(spec: QuerySpec, key: String, cursor: Option[String],
                        acc: Vector[Map[String, Any]]): Vector[Map[String, Any]] = {
     val page = fetchPage(spec, key)
     val all = acc ++ page
     if (page.size < provider.maxRowsPerRequest) all
     else page.last.get("id") match {
-      // a non-advancing cursor means the server is misbehaving — stop
-      // rather than loop forever on the same page
-      case Some(last: String) if last > cursor =>
-        pageLoop(SubgraphQueryBuilder.nextPage(spec, last), key, last, all)
-      case _ => all
+      case Some(last: String) if cursor.forall(last > _) =>
+        pageLoop(SubgraphQueryBuilder.nextPage(spec, last), key, Some(last), all)
+      // a non-advancing cursor (server collation disagreeing with the
+      // cursor comparison) or a non-string id (keyset needs the string
+      // form) must THROW: returning `all` here would silently commit a
+      // truncated prefix as a complete scan
+      case Some(last: String) => throw new IllegalStateException(
+        s"keyset cursor did not advance for ${spec.entity.name}: page " +
+          s"ended at '$last' after cursor '${cursor.getOrElse("")}' — " +
+          "server ordering disagrees with the cursor comparison")
+      case other => throw new IllegalStateException(
+        s"keyset pagination needs a string id for ${spec.entity.name}; " +
+          s"got $other")
     }
   }
 
@@ -231,7 +254,11 @@ final class SubgraphSource(provider: ProviderConfig, transport: Transport,
   def fetchAll(entity: EntityDef,
                where: Map[String, Any] = Map.empty): Seq[Map[String, Any]] = {
     val cursor = startCursorOf(where)
-    val base = QuerySpec(entity, where = where + ("id_gt" -> cursor),
+    val baseWhere = cursor match {
+      case Some(c) => where + ("id_gt" -> c)
+      case None => where - "id_gt"
+    }
+    val base = QuerySpec(entity, where = baseWhere,
       orderBy = Some("id"), first = Some(provider.maxRowsPerRequest))
     pageLoop(base, s"${SubgraphQueryBuilder.resultKey(entity.name)}_0",
       cursor, Vector.empty)
@@ -253,7 +280,11 @@ final class SubgraphSource(provider: ProviderConfig, transport: Transport,
       (e, where, startCursorOf(where))
     }
     val specs = withCursors.map { case (e, where, cursor) =>
-      QuerySpec(e, where = where + ("id_gt" -> cursor),
+      val baseWhere = cursor match {
+        case Some(c) => where + ("id_gt" -> c)
+        case None => where - "id_gt"
+      }
+      QuerySpec(e, where = baseWhere,
         orderBy = Some("id"), first = Some(pageSize))
     }
     val first = executeWithFallback(specs, withMetadata = false)
@@ -266,10 +297,13 @@ final class SubgraphSource(provider: ProviderConfig, transport: Transport,
       val all =
         if (page.size < pageSize) page.toVector
         else page.last.get("id") match {
-          case Some(last: String) if last > cursor =>
-            pageLoop(SubgraphQueryBuilder.nextPage(spec, last), key0, last,
-              page.toVector)
-          case _ => page.toVector
+          case Some(last: String) if cursor.forall(last > _) =>
+            pageLoop(SubgraphQueryBuilder.nextPage(spec, last), key0,
+              Some(last), page.toVector)
+          case other => throw new IllegalStateException(
+            s"keyset continuation for ${e.name}: page ended at $other " +
+              s"after cursor '${cursor.getOrElse("")}' — refusing to " +
+              "commit a truncated scan")
         }
       e.name -> (all: Seq[Map[String, Any]])
     }.toMap

@@ -67,7 +67,11 @@ final class SubgraphTableProvider extends TableProvider {
                         properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val key = options.get("config")
-    new SubgraphTable(key, binding(options).schema(options.get("entity")), schema)
+    val b = binding(options)
+    val wire = b.schema.wireIssues(options.get("entity"))
+    require(wire.isEmpty,
+      s"cannot scan ${options.get("entity")} over GraphQL: ${wire.mkString("; ")}")
+    new SubgraphTable(key, b.schema(options.get("entity")), schema)
   }
 }
 
@@ -147,8 +151,16 @@ final class SubgraphScanBuilder(configKey: String,
       }
     }
     pushed = supported
-    // IsNotNull is satisfied trivially by the source; don't re-evaluate
-    rejected.filterNot(_.isInstanceOf[IsNotNull])
+    // IsNotNull may be elided only for columns the MODEL declares
+    // non-nullable (Spark treats unreturned filters as fully handled;
+    // eliding it for a nullable column would let NULL rows leak past a
+    // predicate nobody evaluated)
+    def provablyNonNull(f: Filter): Boolean = f match {
+      case IsNotNull(a) =>
+        entity.columns.exists(c => c.name == a && !c.nullable)
+      case _ => false
+    }
+    rejected.filterNot(provablyNonNull)
   }
 
   override def pushedFilters(): Array[Filter] = pushed

@@ -31,10 +31,14 @@ final class Syncer(spark: SparkSession, config: GraftConfig,
   def syncableEntities: Seq[EntityDef] =
     config.schema.entities.values.filterNot(_.name == "LastProcessedBlock").toSeq
 
-  private def sourceFor(entity: EntityDef): SubgraphSource =
+  private def sourceFor(entity: EntityDef): SubgraphSource = {
+    val wire = config.schema.wireIssues(entity.name)
+    require(wire.isEmpty,
+      s"cannot fetch ${entity.name} over GraphQL: ${wire.mkString("; ")}")
     sources.getOrElse(entity.subgraphProvider,
       throw new IllegalArgumentException(
         s"${entity.name}: unknown provider ${entity.subgraphProvider}"))
+  }
 
   /** Merge fetched records into the sink; returns rows upserted. */
   private def upsert(entity: EntityDef, records: Seq[Map[String, Any]]): Long =

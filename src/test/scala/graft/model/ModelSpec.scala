@@ -66,6 +66,41 @@ class ModelSpec extends AnyFunSuite {
     assert(issues.exists(_.contains("unknown referenced entity Nope")))
   }
 
+  test("validate: arrays of entity references are rejected readably") {
+    val bad = EntityDef("Bad", Seq(
+      ColumnDef("id", ColumnType.StringCol),
+      ColumnDef("tags", ColumnType.ArrayCol(ColumnType.Reference("Bad")))),
+      Seq("id"), "main")
+    // parse-time must not throw (lazy sparkType); validate reports it
+    val issues = SchemaMap(Seq(bad)).validate()
+    assert(issues.exists(_.contains("arrays of entity references")))
+  }
+
+  test("reference cycles fail with a readable error, not a StackOverflow") {
+    val a = EntityDef("A", Seq(
+      ColumnDef("id", ColumnType.Reference("B"))), Seq("id"), "main")
+    val b = EntityDef("B", Seq(
+      ColumnDef("id", ColumnType.Reference("A"))), Seq("id"), "main")
+    val m = SchemaMap(Seq(a, b))
+    val e = intercept[IllegalArgumentException] { m.structTypeOf("A") }
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("wireIssues flags references to non-[id]-PK targets") {
+    val target = EntityDef("Composite", Seq(
+      ColumnDef("a", ColumnType.StringCol),
+      ColumnDef("b", ColumnType.StringCol)), Seq("a", "b"), "main")
+    val src = EntityDef("Src", Seq(
+      ColumnDef("id", ColumnType.StringCol),
+      ColumnDef("ref", ColumnType.Reference("Composite"))), Seq("id"), "main")
+    val ok = EntityDef("Ok", Seq(
+      ColumnDef("id", ColumnType.StringCol),
+      ColumnDef("ref", ColumnType.Reference("Src"))), Seq("id"), "main")
+    val m = SchemaMap(Seq(target, src, ok))
+    assert(m.wireIssues("Src").exists(_.contains("not [id]")))
+    assert(m.wireIssues("Ok").isEmpty)
+  }
+
   test("duplicate entity names: last wins") {
     val v1 = builder
     val v2 = builder.copy(columns = Seq(ColumnDef("id", ColumnType.StringCol)))

@@ -49,6 +49,12 @@ class QueryBuilderSpec extends AnyFunSuite {
     assert(formatValue("""a"b\c""") == """"a\"b\\c"""")
   }
 
+  test("formatValue: control characters escape to \\uXXXX (GraphQL forbids raw)") {
+    assert(formatValue("a\nb") == "\"a\\u000ab\"")
+    assert(formatValue("t\tr\r") == "\"t\\u0009r\\u000d\"")
+    assert(formatValue("\u0000") == "\"\\u0000\"")
+  }
+
   test("formatValue: arrays and nested objects") {
     assert(formatValue(Seq("a", "b")) == """["a", "b"]""")
     assert(formatValue(Map("number_gte" -> BigInt(5)))

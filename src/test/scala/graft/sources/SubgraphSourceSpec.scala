@@ -88,6 +88,37 @@ class SubgraphSourceSpec extends SparkSpec {
       || t.requests(1).contains("""id_gt: "3""""))
   }
 
+  test("first page carries NO synthetic id_gt floor (ids like \"0\" survive)") {
+    val t = new CannedTransport(Iterator(
+      """{"data": {"builders_0": [{"id": "0", "name": "singleton"}]}}"""))
+    val src = new SubgraphSource(provider, t)
+    val all = src.fetchAll(builder)
+    assert(all.map(_("id")) == Seq("0")) // "0" < "0x00": the old floor lost it
+    assert(!t.requests.head.contains("id_gt"),
+      s"synthetic start cursor present: ${t.requests.head}")
+  }
+
+  test("non-advancing keyset cursor throws instead of truncating silently") {
+    def page(ids: Seq[String]): String =
+      s"""{"data": {"builders_0": [${ids.map(i =>
+        s"""{"id": "$i", "name": "n"}""").mkString(",")}]}}"""
+    // server keeps returning the same full page: the cursor never advances
+    val t = new CannedTransport(Iterator.continually(page(Seq("a", "b", "c"))))
+    val src = new SubgraphSource(provider, t)
+    val e = intercept[IllegalStateException] { src.fetchAll(builder) }
+    assert(e.getMessage.contains("did not advance"))
+  }
+
+  test("non-string wire ids fail pagination loudly (keyset needs strings)") {
+    def page(ids: Seq[Int]): String =
+      s"""{"data": {"builders_0": [${ids.map(i =>
+        s"""{"id": $i, "name": "n"}""").mkString(",")}]}}""" // numeric ids
+    val t = new CannedTransport(Iterator.continually(page(Seq(1, 2, 3))))
+    val src = new SubgraphSource(provider, t)
+    val e = intercept[IllegalStateException] { src.fetchAll(builder) }
+    assert(e.getMessage.contains("string id"))
+  }
+
   test("batch failure falls back to individual queries (R3)") {
     // batch request fails; each single query succeeds
     val t = new Transport {
