@@ -645,8 +645,15 @@ object Catalog {
     s"list_sum(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
-  private def sqlCosine(a: String, b: String): String =
-    s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
+  /** NaN-guarded like [[graft.ops.SimOps.safeCos]]: both engines order
+    * NaN above every number, so a zero-norm vector's 0/0 would pass
+    * every threshold and win every ranking identically on both sides —
+    * consistently wrong. The guard keeps them consistently RIGHT.
+    */
+  private def sqlCosine(a: String, b: String): String = {
+    val raw = s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
+    s"CASE WHEN isnan($raw) THEN 0.0 ELSE $raw END"
+  }
 
   val similarity: Seq[QueryDef] = Seq(
 
@@ -907,7 +914,7 @@ object Catalog {
              |WHERE CAST(len(list_intersect(a.fps, b.fps)) AS DOUBLE)
              |    / least(len(a.fps), len(b.fps)) >= 0.6
              |ORDER BY a_id, b_id""".stripMargin),
-      (s, dir) => TextOps.winnowNearDupPairs(s, t(s, dir, "documents"),
+      (s, dir) => TextOps.winnowNearDupPairs(t(s, dir, "documents"),
           "doc_id", "text", k = 8, window = 4, threshold = 0.6)
         .orderBy("a_id", "b_id")),
 

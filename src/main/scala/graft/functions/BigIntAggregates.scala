@@ -36,9 +36,11 @@ object BigIntAggregates {
       override def outputEncoder: Encoder[String] = enc
     }
 
-  /** Column form: exact big-integer sum of a string column. */
-  def sumBigString(c: Column): TypedColumn[String, String] =
-    sumString.toColumn.asInstanceOf[TypedColumn[String, String]]
+  /** Typed form for a Dataset[String]: `ds.select(sumBigTyped)`. (A
+    * Column parameter here would be ignored by the typed Aggregator —
+    * for column-addressed aggregation use [[sum]].)
+    */
+  def sumBigTyped: TypedColumn[String, String] = sumString.toColumn
 
   /** Untyped usage on a DataFrame: `df.agg(BigIntAggregates.sum(col))`. */
   def sum(c: Column): Column = {

@@ -128,6 +128,9 @@ object MultimodalOps {
     */
   def sampleFrames(df: DataFrame, idCol: String, codec: Codec,
                    everyMs: Int = 500): DataFrame = {
+    // fail at plan construction, not as an ArithmeticException inside a
+    // mapPartitions task after stage retries
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs")
     val rows = df.select(col(idCol).cast("long"), col("payload"))
     rows.mapPartitions { it =>
       it.flatMap { r =>

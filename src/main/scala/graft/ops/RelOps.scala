@@ -93,7 +93,12 @@ object RelOps {
   def aboveHighWaterMark(df: DataFrame, markOf: DataFrame, c: String,
                          lookback: Long = 0L): DataFrame = {
     val mark = broadcast(markOf.agg(max(col(c)).as("__hwm")))
-    df.join(mark, col(c) > col("__hwm") - lit(lookback)).drop("__hwm")
+    // null mark (empty/unbootstrapped sink) means NO high-water mark:
+    // keep every row — `col > null` would be null for every row and the
+    // first incremental sync would load nothing forever
+    df.join(mark,
+      col("__hwm").isNull || col(c) > col("__hwm") - lit(lookback))
+      .drop("__hwm")
   }
 
   /** Sliding re-fetch window (reference re-pulls proposals from the last
@@ -102,8 +107,10 @@ object RelOps {
   def slidingWindow(df: DataFrame, c: String, width: Long): DataFrame =
     aboveHighWaterMark(df, df, c, width)
 
-  /** Enum decode: uint8 state -> label lookup
-    * (blockProposalStateStrategy.ts:9-18,71-84).
+  /** Enum ENCODE: label string -> uint8 code lookup — the inverse
+    * direction of [[graft.streaming.StateReconcile.decodeState]]
+    * (blockProposalStateStrategy.ts:9-18,71-84). Unknown labels map to
+    * null.
     */
   def enumDecode(c: Column, mapping: Seq[(String, Int)]): Column =
     mapping.foldLeft(lit(null).cast("int")) { case (acc, (label, code)) =>

@@ -28,7 +28,20 @@ object SimOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Zero-norm-safe cosine: an all-zero (or empty) vector yields 0, not
+    * an error or NaN. Under this engine's always-on ANSI mode a plain
+    * `0/0` double division THROWS (DIVIDE_BY_ZERO), crashing the whole
+    * query on one degenerate vector; `try_divide` nulls it and the
+    * coalesce lands on 0 — which also keeps parity with the oracles'
+    * `CASE WHEN isnan(..) THEN 0` (DuckDB's IEEE 0/0 is NaN, and both
+    * engines would otherwise rank NaN above every number). Zero norms
+    * imply a zero dot (Cauchy-Schwarz), so 0 is the only guarded value.
+    */
+  private[graft] def safeCos(d: Column, na: Column, nb: Column): Column =
+    coalesce(try_divide(d, na * nb), lit(0.0))
+
+  def cosine(a: Column, b: Column): Column =
+    safeCos(dot(a, b), norm(a), norm(b))
 
   /** Exact top-k nearest neighbors (cosine) for each query vector.
     *
@@ -51,7 +64,8 @@ object SimOps {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("cosine",
+        safeCos(dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("__rn", row_number().over(w))
@@ -90,8 +104,9 @@ object SimOps {
       .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    cands.withColumn("cosine", dot(col("__v_query_id"), col("__v_neighbor_id"))
-        / (col("__n_query_id") * col("__n_neighbor_id")))
+    cands.withColumn("cosine",
+        safeCos(dot(col("__v_query_id"), col("__v_neighbor_id")),
+          col("__n_query_id"), col("__n_neighbor_id")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col("query_id"), col("neighbor_id"),
@@ -119,8 +134,8 @@ object SimOps {
     * tests, not oracle-checked.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-              dim: Int = 64): DataFrame = {
+              vecCol: String, k: Int, nlist: Int = 16,
+              nprobe: Int = 4): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
     ivfTopKWith(sampleCentroids(corpus, idCol, vecCol, nlist),
       queries, corpus, idCol, vecCol, k, nprobe)
@@ -133,7 +148,7 @@ object SimOps {
     */
   def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-                     iters: Int = 2, dim: Int = 64): DataFrame = {
+                     iters: Int = 2): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
     ivfTopKWith(trainCentroids(corpus, idCol, vecCol, nlist, iters),
       queries, corpus, idCol, vecCol, k, nprobe)
@@ -173,7 +188,12 @@ object SimOps {
       val next = cents.map(_.clone())
       sums.foreach { r =>
         val (l, i) = (r.getInt(0), r.getInt(1))
-        next(l)(i) = (r.getDecimal(2).doubleValue() / r.getLong(3)).toFloat
+        // ragged corpora can carry components past the sampled centroid's
+        // width — every codegen vector op defends with min-length; so
+        // does this collect-side loop (extra components are ignored
+        // rather than crashing the driver)
+        if (i < next(l).length)
+          next(l)(i) = (r.getDecimal(2).doubleValue() / r.getLong(3)).toFloat
       }
       cents = next
     }
@@ -188,7 +208,7 @@ object SimOps {
   private def centScores(cents: Array[Array[Float]], vec: Column): Column =
     array(cents.zipWithIndex.map { case (c, i) =>
       val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
-      struct((dot(vec, typedLit(c)) / (norm(vec) * lit(cn))).as("s"),
+      struct(safeCos(dot(vec, typedLit(c)), norm(vec), lit(cn)).as("s"),
         lit(i).as("c"))
     }: _*)
 
@@ -212,7 +232,8 @@ object SimOps {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     probed.join(assigned, Seq("__list"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("cosine",
+        safeCos(dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col("query_id"), col("neighbor_id"),
@@ -283,7 +304,7 @@ object SimOps {
     // per bucket partition is the scale shape
     a.join(b.hint("shuffle_hash"),
         col("__ab") === col("__bb") && col("a_id") < col("b_id"))
-      .withColumn("cosine", dot(col("__av"), col("__bv")) / (col("__an") * col("__bn")))
+      .withColumn("cosine", safeCos(dot(col("__av"), col("__bv")), col("__an"), col("__bn")))
       .filter(round(col("cosine"), 6) >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
       .distinct() // duplicate table hits of the same surviving pair
@@ -302,7 +323,7 @@ object SimOps {
     val b = vecs.select(col(idCol).as("b_id"), col(vecCol).as("__bv"),
       norm(col(vecCol)).as("__bn"))
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cosine", dot(col("__av"), col("__bv")) / (col("__an") * col("__bn")))
+      .withColumn("cosine", safeCos(dot(col("__av"), col("__bv")), col("__an"), col("__bn")))
       .filter(round(col("cosine"), 6) >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
   }

@@ -155,7 +155,15 @@ object TextOps {
     * oracle reproduces it exactly: bit j of the hash of each distinct word
     * votes +count / -count; the sign of the tally sets bit j.
     *
-    * Input: DataFrame with (docCol, textCol). Output: (docCol, simhash).
+    * Input: DataFrame with (docCol, textCol). Output: (docCol, simhash)
+    * for every document with at least one `[a-z]+` token. Token-less
+    * documents (pure digits/punctuation) carry NO signal for this
+    * similarity and are deliberately EXCLUDED rather than assigned a
+    * shared zero signature — a shared signature would declare every
+    * token-less document a near-dup of every other one regardless of
+    * content. Exact duplicates among them are still caught by the
+    * [[fingerprint]] path, which is content-complete.
+    *
     * Implemented as relational ops (explode -> groupBy) rather than one
     * mega-expression: the shuffle key is (doc, word) and scales.
     */
@@ -225,11 +233,10 @@ object TextOps {
     *
     * Output: (a_id, b_id, overlap), a_id < b_id, overlap rounded to 4.
     */
-  def winnowNearDupPairs(spark: org.apache.spark.sql.SparkSession,
-                         df: DataFrame, idCol: String, textCol: String,
+  def winnowNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, window: Int = 4,
                          threshold: Double = 0.6): DataFrame = {
-    graft.functions.WinnowFunctions.register(spark)
+    graft.functions.WinnowFunctions.register(df.sparkSession)
     val fps = df.select(col(idCol).as("__id"),
       graft.functions.WinnowFunctions.fingerprints(
         canonText(col(textCol)), k, window).as("__fps"))

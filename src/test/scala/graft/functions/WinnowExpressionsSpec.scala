@@ -108,7 +108,7 @@ class WinnowExpressionsSpec extends SparkSpec {
           "vents and the chemosynthetic ecosystems around them")
       ) ++ (10L to 30L).map(i => (i, common)) // every print shared by 21 docs
     ).toDF("doc_id", "text")
-    val pairs = TextOps.winnowNearDupPairs(spark, docs, "doc_id", "text",
+    val pairs = TextOps.winnowNearDupPairs(docs, "doc_id", "text",
         threshold = 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)), "planted near-dup pair missed")

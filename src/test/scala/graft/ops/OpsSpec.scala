@@ -27,6 +27,12 @@ class OpsSpec extends SparkSpec {
   test("aboveHighWaterMark with lookback window") {
     val df = (1L to 100L).toDF("n")
     assert(RelOps.aboveHighWaterMark(df, df, "n", 0).as[Long].collect().isEmpty)
+    // EMPTY mark table = no high-water mark yet: the first incremental
+    // sync must bootstrap with ALL rows, not filter everything against
+    // a null mark
+    val noMark = Seq.empty[Long].toDF("n")
+    assert(RelOps.aboveHighWaterMark(df, noMark, "n", 0)
+      .as[Long].collect().sorted.toSeq == (1L to 100L))
     assert(RelOps.slidingWindow(df, "n", 10).as[Long].collect().sorted.toSeq
       == (91L to 100L))
   }

@@ -109,6 +109,25 @@ class SimOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"trained-IVF recall $recall below 0.5")
   }
 
+  test("zero-norm vectors score cosine 0, never NaN-rank #1 or pass thresholds") {
+    VectorFunctions.register(spark)
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f)),
+      (3L, Array(0f, 0f, 0f))). // zero vector: 0/0 cosine without the guard
+      toDF("vec_id", "embedding")
+    val q = Seq((10L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val top = SimOps.bruteForceTopK(q, corpus, "vec_id", "embedding", 3)
+      .orderBy("rank").collect()
+    // NaN sorts above every number: an unguarded zero vector would rank #1
+    assert(top.head.getLong(1) == 1L, s"zero vector outranked a true match: ${top.toSeq}")
+    assert(top.forall(r => !r.getDouble(2).isNaN))
+    val pairs = SimOps.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.45)
+      .collect()
+    assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L),
+      s"zero vector passed the near-dup threshold: ${pairs.toSeq}")
+  }
+
   test("lshNearDupPairs (default op) matches the exhaustive baseline exactly") {
     val e = Tables.load(spark, sf, "embeddings")
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
