@@ -31,21 +31,39 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(n => try force(n) catch { case _: Throwable => () }) // warmup
-    val results = names.map { name =>
+    // a failing query must NOT record its near-zero failure latency as a
+    // benchmark time (a broken build would "benchmark" faster than a
+    // working one): failures are reported in their own artifact field
+    // and excluded from the per-query map and the total
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = names.flatMap { name =>
       val gc0 = gcMillis()
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        try force(name) catch { case _: Throwable => () }
+        try force(name) catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, times.min, gcMillis() - gc0)
+      if (errors.contains(name)) None
+      else Some((name, times.min, gcMillis() - gc0))
     }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val gcs = results.map { case (k, _, g) => "\"" + k + s"""\":$g""" }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"gc_ms":$gcs,"passes":$passes,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"gc_ms":$gcs,"errors":$errs,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

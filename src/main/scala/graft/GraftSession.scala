@@ -13,11 +13,15 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def builder(cpus: String): SparkSession.Builder =
+  def builder(cpus: String): SparkSession.Builder = {
+    // master accepts local[*] but shuffle.partitions needs a number
+    val partitions =
+      if (cpus == "*") Runtime.getRuntime.availableProcessors().toString
+      else cpus
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", partitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -26,6 +30,7 @@ object GraftSession {
       // on decimal-heavy aggregates). Hash mixing in TextOps therefore
       // uses only overflow-free bit ops.
       .config("spark.ui.enabled", "false")
+  }
 
   /** Session for driver entry points: core count from SPARK_GRAFT_CPUS. */
   def create(): SparkSession = {

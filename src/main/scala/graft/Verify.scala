@@ -20,6 +20,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a reused outDir may hold a PREVIOUS run's result for this
+        // query — deleting it keeps the failure visible to the compare
+        // instead of letting stale parquet pass as current
+        val dir = Paths.get(outDir, name)
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -55,10 +55,16 @@ final class JdbcUpsertSink(factory: SqlConnectionFactory,
                            initialRetryDelayMs: Long = 200L)
     extends Serializable {
 
-  def merge(table: String, df: DataFrame, pk: Seq[String]): Unit = {
+  def merge(table: String, df: DataFrame, pk: Seq[String],
+            versionCol: Option[String] = None): Unit = {
     require(pk.nonEmpty, s"merge into $table needs a primary key")
     val cols = df.columns.toSeq
     require(pk.forall(cols.contains), s"pk ${pk.mkString(",")} missing from ${cols.mkString(",")}")
+    // one row per PK before batching: a chunk carrying the same key twice
+    // makes Postgres reject the whole statement ("ON CONFLICT DO UPDATE
+    // command cannot affect row a second time") — deterministically, so
+    // retries cannot save it. Same last-wins semantics as UpsertSink.
+    val deduped = MergeSemantics.dedupeLastWins(df, pk, versionCol)
     // the Postgres wire protocol carries the bind-parameter count as an
     // int16, so rows x cols per statement must stay under 32767 — a
     // row-count-only batchSize would fail deterministically on any
@@ -66,13 +72,23 @@ final class JdbcUpsertSink(factory: SqlConnectionFactory,
     val bs = math.max(1, math.min(batchSize,
       JdbcUpsertSink.MaxBindParams / cols.size))
     val (f, mr, delay) = (factory, maxRetries, initialRetryDelayMs)
-    df.foreachPartition { (rows: Iterator[Row]) =>
+    deduped.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
-        val conn = f.connect()
+        var conn = f.connect()
         try rows.grouped(bs).foreach { chunk =>
           val sql = JdbcUpsertSink.upsertSql(table, cols, pk, chunk.size)
           val params = chunk.iterator.flatMap(r => cols.map(c => r.getAs[Any](c))).toSeq
-          Retry.withBackoff(mr, delay) { () => conn.executeUpdate(sql, params) }
+          Retry.withBackoff(mr, delay) { () =>
+            try conn.executeUpdate(sql, params)
+            catch { case e: Throwable =>
+              // the dominant retryable failure is a dead/aborted
+              // connection; retrying on it can never succeed — swap in
+              // a fresh one before the backoff re-invokes
+              try conn.close() catch { case _: Exception => () }
+              conn = f.connect()
+              throw e
+            }
+          }
         } finally conn.close()
       }
     }

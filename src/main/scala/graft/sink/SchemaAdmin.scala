@@ -41,10 +41,19 @@ final class SchemaAdmin(factory: SqlConnectionFactory) {
           s"ALTER SCHEMA ${q(currentSchema)} RENAME TO ${q(oldSchema)}", Nil)
         conn.executeUpdate(
           s"ALTER SCHEMA ${q(newSchema)} RENAME TO ${q(currentSchema)}", Nil)
-        val grantees = conn.executeQuery(
+        // two discovery sources: SELECT table grants (the reference's
+        // query) UNION roles holding schema USAGE — a reader set up
+        // while the schema was still empty has no role_table_grants
+        // rows and would otherwise silently lose access on promote
+        val tableGrantees = conn.executeQuery(
           "SELECT DISTINCT grantee FROM information_schema.role_table_grants" +
             " WHERE table_schema = ? AND privilege_type = ?",
           Seq(oldSchema, "SELECT")).map(_.head.toString)
+        val usageGrantees = conn.executeQuery(
+          "SELECT rolname FROM pg_catalog.pg_roles" +
+            " WHERE NOT rolsuper AND has_schema_privilege(rolname, ?, 'USAGE')",
+          Seq(oldSchema)).map(_.head.toString)
+        val grantees = (tableGrantees ++ usageGrantees).distinct
         grantees.foreach { user =>
           readOnlyGrants(currentSchema, user)
             .foreach(sql => conn.executeUpdate(sql, Nil))
@@ -63,12 +72,18 @@ final class SchemaAdmin(factory: SqlConnectionFactory) {
     * (schema.ts:31-44): usage, select on everything that exists, and
     * default privileges so tables created by later syncs stay readable.
     */
-  def readOnlyGrants(schema: String, user: String): Seq[String] = Seq(
-    s"GRANT USAGE ON SCHEMA ${q(schema)} TO ${q(user)}",
-    s"GRANT SELECT ON ALL TABLES IN SCHEMA ${q(schema)} TO ${q(user)}",
-    s"GRANT SELECT ON ALL SEQUENCES IN SCHEMA ${q(schema)} TO ${q(user)}",
-    s"ALTER DEFAULT PRIVILEGES IN SCHEMA ${q(schema)} GRANT SELECT ON TABLES TO ${q(user)}",
-    s"ALTER DEFAULT PRIVILEGES IN SCHEMA ${q(schema)} GRANT SELECT ON SEQUENCES TO ${q(user)}")
+  def readOnlyGrants(schema: String, user: String): Seq[String] = {
+    // PUBLIC is a keyword pseudo-role: quoting it ("PUBLIC") makes
+    // Postgres look for an ordinary role of that name and fail, rolling
+    // back the whole schema swap — emit it unquoted
+    val u = if (user.equalsIgnoreCase("PUBLIC")) "PUBLIC" else q(user)
+    Seq(
+      s"GRANT USAGE ON SCHEMA ${q(schema)} TO $u",
+      s"GRANT SELECT ON ALL TABLES IN SCHEMA ${q(schema)} TO $u",
+      s"GRANT SELECT ON ALL SEQUENCES IN SCHEMA ${q(schema)} TO $u",
+      s"ALTER DEFAULT PRIVILEGES IN SCHEMA ${q(schema)} GRANT SELECT ON TABLES TO $u",
+      s"ALTER DEFAULT PRIVILEGES IN SCHEMA ${q(schema)} GRANT SELECT ON SEQUENCES TO $u")
+  }
 
   private def withConnection[A](f: SqlConnection => A): A = {
     val conn = factory.connect()

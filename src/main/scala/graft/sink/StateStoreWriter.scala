@@ -53,8 +53,13 @@ final class StateStoreWriter extends TableProvider {
     val table = options.get("table")
     require(key != null && table != null,
       "graft.sink.StateStoreWriter needs options sink=<registryKey>, table=<name>")
+    // no silent Seq("id") default: a composite-keyed table that happens
+    // to carry an id-named column would dedupe and bucket by the wrong
+    // key with no diagnostic — the merge key must be stated
     val pk = Option(options.get("pk")).map(_.split(',').map(_.trim).toSeq)
-      .getOrElse(Seq("id"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft.sink.StateStoreWriter needs option pk=<col[,col...]> " +
+          "(the merge key)"))
     new StateStoreTable(key, table, pk, schema)
   }
 }

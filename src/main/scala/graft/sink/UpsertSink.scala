@@ -45,7 +45,39 @@ final class UpsertSink(spark: SparkSession, root: String,
 
   private def tableDir(table: String): Path = Paths.get(root, table)
 
-  def exists(table: String): Boolean = Files.exists(tableDir(table))
+  def exists(table: String): Boolean = {
+    recover(table)
+    Files.exists(tableDir(table))
+  }
+
+  /** Crash recovery for the swap windows: [[overwrite]] moves target ->
+    * `.__old` then shadow -> target; a crash between the two leaves the
+    * table (or one bucket) absent with its data parked in the old dir.
+    * Without this, the next merge would see a missing table and silently
+    * recreate it from one batch — losing all history. Restoring the old
+    * dir re-establishes the pre-overwrite state, which the (idempotent)
+    * interrupted operation can then redo.
+    */
+  private def recover(table: String): Unit = {
+    val target = tableDir(table)
+    val old = Paths.get(root, s".${table}__old")
+    if (!Files.exists(target) && Files.exists(old))
+      Files.move(old, target, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(target)) {
+      val stream = Files.list(Paths.get(root))
+      val prefix = s".${table}__old_"
+      try stream.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith(prefix))
+        .foreach { oldBucket =>
+          val part = s"$BucketCol=${oldBucket.getFileName.toString.stripPrefix(prefix)}"
+          val bucket = target.resolve(part)
+          if (!Files.exists(bucket))
+            Files.move(oldBucket, bucket, StandardCopyOption.ATOMIC_MOVE)
+          else deleteRecursively(oldBucket) // swap completed; stale backup
+        }
+      finally stream.close()
+    }
+  }
 
   private def bucketDirs(table: String): Seq[Path] = {
     val dir = tableDir(table)
@@ -123,13 +155,21 @@ final class UpsertSink(spark: SparkSession, root: String,
   def merge(table: String, updates: DataFrame, pk: Seq[String],
             versionCol: Option[String] = None): Unit = {
     require(pk.nonEmpty, s"merge into $table needs a primary key")
+    recover(table)
     // bucket with the modulus the LAYOUT was written with, not the
     // instance default — a mismatch would scatter updated keys away
     // from their stored rows
     val buckets =
       if (exists(table) && isBucketed(table)) storedBuckets(table).getOrElse(numBuckets)
       else numBuckets
+    // persisted: the touched-bucket collect AND the shadow write both
+    // consume it — un-persisted, a nondeterministic upstream could hash
+    // a recomputed row into a bucket absent from `touched`, and the
+    // bucket-move loop would silently drop it (it also runs the dedupe
+    // shuffle twice)
     val latest = withBucket(dedupeLastWins(updates, pk, versionCol), pk, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     if (!exists(table) || !isBucketed(table)) {
       // first write, or one-time migration of a flat-layout table
       val merged =
@@ -176,23 +216,18 @@ final class UpsertSink(spark: SparkSession, root: String,
       }
       deleteRecursively(shadow)
     }
+    } finally latest.unpersist()
   }
 
-  /** Last-write-wins within a batch: one row per PK. When every column is
-    * part of the key (pure link/band tables) rows with equal keys are
-    * identical, so a plain dropDuplicates suffices — a row_number window
-    * would have nothing to order by.
+  /** Last-write-wins within a batch: one row per PK — shared with the
+    * JDBC writer via [[MergeSemantics]] so the two sinks stay
+    * swap-compatible. When every column is part of the key (pure
+    * link/band tables) rows with equal keys are identical and a plain
+    * dropDuplicates suffices.
     */
   private def dedupeLastWins(df: DataFrame, pk: Seq[String],
-                             versionCol: Option[String]): DataFrame = {
-    val order = versionCol.map(v => Seq(col(v).desc)).getOrElse(Seq.empty) ++
-      df.columns.filterNot(pk.contains).map(c => col(c).desc).toSeq
-    if (order.isEmpty) df.dropDuplicates(pk)
-    else {
-      val w = Window.partitionBy(pk.map(col): _*).orderBy(order: _*)
-      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-    }
-  }
+                             versionCol: Option[String]): DataFrame =
+    MergeSemantics.dedupeLastWins(df, pk, versionCol)
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))

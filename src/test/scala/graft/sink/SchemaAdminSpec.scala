@@ -13,7 +13,8 @@ class SchemaAdminSpec extends AnyFunSuite {
     * to fail on a given statement prefix to test rollback.
     */
   private class AdminConn(grantees: Seq[String],
-                          failOn: Option[String] = None) extends SqlConnection {
+                          failOn: Option[String] = None,
+                          usageGrantees: Seq[String] = Nil) extends SqlConnection {
     val statements = ArrayBuffer.empty[String]
     var closed = false
     override def executeUpdate(sql: String, params: Seq[Any]): Int = {
@@ -23,9 +24,14 @@ class SchemaAdminSpec extends AnyFunSuite {
     }
     override def executeQuery(sql: String, params: Seq[Any]): Seq[Seq[Any]] = {
       statements += sql
-      assert(sql.contains("information_schema.role_table_grants"))
-      assert(params == Seq("old_live", "SELECT"))
-      grantees.map(Seq(_))
+      if (sql.contains("information_schema.role_table_grants")) {
+        assert(params == Seq("old_live", "SELECT"))
+        grantees.map(Seq(_))
+      } else {
+        assert(sql.contains("has_schema_privilege"), s"unexpected query: $sql")
+        assert(params == Seq("old_live"))
+        usageGrantees.map(Seq(_))
+      }
     }
     override def close(): Unit = closed = true
   }
@@ -82,6 +88,26 @@ class SchemaAdminSpec extends AnyFunSuite {
     assert(conn.statements.last == "ROLLBACK")
     assert(!conn.statements.contains("COMMIT"))
     assert(conn.closed)
+  }
+
+  test("USAGE-only readers (no table grants yet) are still carried over") {
+    // a role granted access while the schema was empty has no
+    // role_table_grants rows; discovery must still find it via
+    // has_schema_privilege or it silently loses access on promote
+    val conn = new AdminConn(Nil, usageGrantees = Seq("early_reader"))
+    val users = new SchemaAdmin(new AdminFactory(conn)).switchSchema("shadow", "live")
+    assert(users == Seq("early_reader"))
+    assert(conn.statements.exists(
+      _ == """GRANT USAGE ON SCHEMA "live" TO "early_reader""""))
+  }
+
+  test("PUBLIC pseudo-role is granted unquoted (quoted it is a missing role)") {
+    val conn = new AdminConn(Seq("PUBLIC"))
+    new SchemaAdmin(new AdminFactory(conn)).switchSchema("shadow", "live")
+    val grants = conn.statements.filter(_.startsWith("GRANT"))
+    assert(grants.exists(_ == """GRANT USAGE ON SCHEMA "live" TO PUBLIC"""),
+      s"PUBLIC wrongly quoted: $grants")
+    assert(!grants.exists(_.contains("\"PUBLIC\"")))
   }
 
   test("identifiers with embedded quotes are escaped, not injected") {

@@ -113,6 +113,22 @@ class UpsertSinkSpec extends SparkSpec {
     assert(rows.toMap.apply(7L) == "UPDATED")
   }
 
+  test("crash window between swap moves recovers instead of losing the table") {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val root = JFiles.createTempDirectory("graft_sink").toString
+    val sink = new UpsertSink(spark, root)
+    sink.merge("t", (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    // simulate a crash between overwrite's two moves: table parked in
+    // .__old, target missing — without recovery the next merge would
+    // recreate the table from one batch, silently losing history
+    JFiles.move(Paths.get(root, "t"), Paths.get(root, ".t__old"),
+      StandardCopyOption.ATOMIC_MOVE)
+    sink.merge("t", Seq((21L, "v21")).toDF("id", "v"), Seq("id"))
+    val rows = sink.read("t").as[(Long, String)].collect().toMap
+    assert(rows.size == 21, s"history lost after crash recovery: ${rows.size}")
+    assert(rows(1L) == "v1" && rows(21L) == "v21")
+  }
+
   test("flat-layout table migrates to bucketed on first merge") {
     val root = Files.createTempDirectory("graft_sink_mig")
     val sink = new UpsertSink(spark, root.toString, numBuckets = 4)
