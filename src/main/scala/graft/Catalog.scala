@@ -631,6 +631,66 @@ object Catalog {
           .withColumn("csize",
             count(lit(1)).over(Window.partitionBy("cluster")))
           .orderBy("doc_id")
+      }),
+
+    QueryDef("q63_cluster_best_keep",
+      "Quality-aware dedup apply: each q59 duplicate cluster keeps its " +
+        "HIGHEST-quality member (ties -> lowest id) — the min-id kill " +
+        "rule can keep a worse copy of the same content. One row per " +
+        "cluster: keeper id, its quality, cluster size. The per-cluster " +
+        "argmax is a map-side-combinable max over (score, -id) structs, " +
+        "never a window over the corpus.",
+      Some(s"""WITH RECURSIVE w AS (SELECT doc_id,
+             |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+             |  FROM documents),
+             |wc AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word),
+             |h AS (SELECT doc_id, cnt,
+             |    CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS hv
+             |  FROM wc),
+             |bits AS (SELECT doc_id, t.b,
+             |    sum(CASE WHEN (hv >> CAST(t.b AS INTEGER)) & 1 = 1
+             |             THEN cnt ELSE -cnt END) AS sgn
+             |  FROM h, range(16) t(b) GROUP BY doc_id, t.b),
+             |sig AS (SELECT doc_id,
+             |    CAST(sum(CASE WHEN sgn >= 0
+             |         THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER) ELSE 0 END) AS BIGINT) AS sh
+             |  FROM bits GROUP BY doc_id),
+             |e AS (SELECT a.doc_id AS s, b.doc_id AS d
+             |  FROM sig a JOIN sig b
+             |  ON a.doc_id <> b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 2),
+             |reach(s, d) AS (
+             |  SELECT s, d FROM e
+             |  UNION
+             |  SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s),
+             |comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster
+             |  FROM reach GROUP BY s),
+             |lab AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster,
+             |    $sqlQualityMil AS score
+             |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+             |ranked AS (SELECT *, row_number() OVER (PARTITION BY cluster
+             |    ORDER BY score DESC, doc_id) AS rn FROM lab),
+             |agg AS (SELECT cluster, count(*) AS csize FROM lab GROUP BY cluster)
+             |SELECT a.cluster, r.doc_id AS keeper,
+             |  CAST(r.score AS BIGINT) AS best_score,
+             |  CAST(a.csize AS BIGINT) AS csize
+             |FROM agg a JOIN ranked r ON a.cluster = r.cluster AND r.rn = 1
+             |ORDER BY a.cluster""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = TextOps.simhashNearDupPairs(docs, "doc_id", "text", 2)
+        val cc = GraphOps.connectedComponents(pairs, "a_id", "b_id")
+          .select(col("node").as("doc_id"), col("comp"))
+        val lab = docs
+          .select(col("doc_id"), TextOps.qualityScoreMil(col("text")).as("score"))
+          .join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("cluster"), col("score"))
+        lab.groupBy("cluster")
+          .agg(count(lit(1)).as("csize"),
+            max(struct(col("score"), (-col("doc_id")).as("nid"))).as("__m"))
+          .select(col("cluster"), (-col("__m.nid")).as("keeper"),
+            col("__m.score").as("best_score"), col("csize"))
+          .orderBy("cluster")
       })
   )
 
