@@ -64,6 +64,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"gc_ms":$gcs,"errors":$errs,"passes":$passes,"sf":"$sfDir"}""")
+    // The full line above (63 queries + gc map) can exceed the driver's
+    // tail-capture window, truncating its head and leaving the artifact
+    // unparseable. Print a compact, self-contained summary line LAST so
+    // the driver always captures at least one valid JSON object.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","errors":$errs,"passes":$passes,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

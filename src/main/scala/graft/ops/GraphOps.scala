@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.sink.UpsertSink
+
 /** Distributed graph operators for corpus curation.
   *
   * Near-dup detection emits PAIRS (MinHash bands, SimHash hamming balls,
@@ -131,4 +133,28 @@ object GraphOps {
         s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
+
+  /** Persist a cluster-label table through the sink (atomic bucketed
+    * overwrite) and hand back the STORED table, so the caller's
+    * downstream plan provably consumes what later consumers will read.
+    *
+    * Connected components is the expensive closure step of every dedup
+    * pipeline; at 100 TB, recomputing it once per consumer (keep-list,
+    * quality argmax, reporting) turns one expensive job into N of them.
+    * The producer materializes once; every consumer reads the table.
+    */
+  def materializeClusters(labels: DataFrame, sink: UpsertSink,
+                          table: String, pk: Seq[String]): DataFrame = {
+    sink.overwrite(table, labels, pk)
+    sink.read(table)
+  }
+
+  /** Consumer side of the shared cluster table: read the stored table
+    * when the producer has materialized it, else compute-and-materialize
+    * (so a standalone consumer in a fresh session stays correct).
+    */
+  def readOrMaterialize(sink: UpsertSink, table: String, pk: Seq[String])
+                       (compute: => DataFrame): DataFrame =
+    if (sink.exists(table)) sink.read(table)
+    else materializeClusters(compute, sink, table, pk)
 }

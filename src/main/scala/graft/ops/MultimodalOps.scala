@@ -9,10 +9,14 @@ import org.apache.spark.sql.functions._
   * batches of payloads.
   *
   * The Spark-side plumbing — schema, partition sizing, batch shape,
-  * deterministic outputs — is real and tested. The decode itself is a
-  * STUB (`FakeCodec`): the real codec libraries (JPEG/PNG/ffmpeg) are not
-  * in this environment, so it derives deterministic pseudo-features from
-  * the bytes. Swapping in a real codec changes only `Codec.decode`.
+  * deterministic outputs — is real and tested. IMAGES decode for real
+  * via [[MultimodalOps.JdkImageCodec]] (the in-JDK `javax.imageio` +
+  * `java.awt.image` stack — PNG/JPEG/GIF/BMP, no external dependency).
+  * Video/audio remain an honest STUB (`FakeCodec`): their codec
+  * libraries (ffmpeg et al.) are not in this environment, so it derives
+  * deterministic pseudo-features from the bytes; the catalog oracles use
+  * FakeCodec so results stay arithmetic-checkable. Swapping codecs
+  * changes only the `Codec` instance passed at the call site.
   *
   * At 100 TB: payloads dominate row size, so `maxPartitionBytes` (not row
   * count) sizes tasks; the mapPartitions boundary below is where a real
@@ -83,6 +87,73 @@ object MultimodalOps {
       val n = (durationMs / everyMs).toInt + 1
       val frame = java.util.Arrays.copyOf(payload, math.min(payload.length, 256))
       Iterator.tabulate(n)(i => (i, frame))
+    }
+  }
+
+  /** Real image codec on the in-JDK `javax.imageio` stack — no external
+    * dependency: PNG/JPEG/GIF/BMP decode, `java.awt.image` resize,
+    * re-encoded as PNG. Stills have no time axis, so `durationMs` is 0
+    * and frame sampling yields exactly one frame. Video/audio stay with
+    * [[FakeCodec]] (their codecs genuinely aren't in a stock JDK).
+    *
+    * Each method is pure bytes-in/bytes-out and allocation-local, so the
+    * per-partition `mapPartitions` boundary in [[decodeMeta]] /
+    * [[resizePayloads]] distributes it unchanged. A payload that does not
+    * decode FAILS the task (null from `ImageIO.read`) rather than
+    * fabricating metadata — corrupt training images should be filtered
+    * by an explicit quality gate, not silently passed through.
+    */
+  object JdkImageCodec extends Codec {
+    private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      img
+    }
+
+    def decode(id: Long, payload: Array[Byte]): MediaMeta = {
+      val img = readImage(payload)
+      MediaMeta(id, payload.length.toLong, img.getWidth, img.getHeight,
+        channels = img.getColorModel.getNumComponents, durationMs = 0L)
+    }
+
+    /** Mean-pooled grayscale features: rescale to a `dim`-pixel strip and
+      * emit normalized intensities — the classic cheap visual signature
+      * (enough for exact-dup and layout-level near-dup detection).
+      */
+    def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      val strip = render(readImage(payload), dim, 1,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        out(i) = (strip.getRaster.getSample(i, 0, 0) / 255.0f)
+        i += 1
+      }
+      out
+    }
+
+    def resize(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      val scaled = render(readImage(payload), width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(scaled, "png", bos)
+      bos.toByteArray
+    }
+
+    /** A still image is its own single frame. */
+    def sampleFrames(payload: Array[Byte], everyMs: Int): Iterator[(Int, Array[Byte])] =
+      Iterator.single((0, payload))
+
+    private def render(src: java.awt.image.BufferedImage, w: Int, h: Int,
+                       imageType: Int): java.awt.image.BufferedImage = {
+      val dst = new java.awt.image.BufferedImage(w, h, imageType)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+      } finally g.dispose()
+      dst
     }
   }
 

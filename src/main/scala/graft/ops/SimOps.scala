@@ -32,13 +32,17 @@ object SimOps {
     * an error or NaN. Under this engine's always-on ANSI mode a plain
     * `0/0` double division THROWS (DIVIDE_BY_ZERO), crashing the whole
     * query on one degenerate vector; `try_divide` nulls it and the
-    * coalesce lands on 0 — which also keeps parity with the oracles'
-    * `CASE WHEN isnan(..) THEN 0` (DuckDB's IEEE 0/0 is NaN, and both
-    * engines would otherwise rank NaN above every number). Zero norms
-    * imply a zero dot (Cauchy-Schwarz), so 0 is the only guarded value.
+    * zero-norm guard lands on 0 — which also keeps parity with the
+    * oracles' `CASE WHEN isnan(..) THEN 0` (DuckDB's IEEE 0/0 is NaN, and
+    * both engines would otherwise rank NaN above every number). Zero
+    * norms imply a zero dot (Cauchy-Schwarz), so 0 is the only guarded
+    * value: a NULL vector (null dot/norm) propagates null and is dropped
+    * by downstream filters/rank predicates, rather than silently scoring
+    * cosine 0 as if it were orthogonal.
     */
   private[graft] def safeCos(d: Column, na: Column, nb: Column): Column =
-    coalesce(try_divide(d, na * nb), lit(0.0))
+    when(na === lit(0.0) || nb === lit(0.0), lit(0.0))
+      .otherwise(try_divide(d, na * nb))
 
   def cosine(a: Column, b: Column): Column =
     safeCos(dot(a, b), norm(a), norm(b))

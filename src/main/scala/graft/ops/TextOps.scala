@@ -492,36 +492,62 @@ object TextOps {
       .limit(k)
   }
 
-  /** Count-min-sketch frequency estimates for the exact top-`k` 2-grams:
-    * one single-pass, mergeable, fixed-memory `count_min_sketch`
-    * aggregate over gram hashes (Spark's own CountMinSketchAgg — the
-    * frequency member of the sketch family next to Greenwald-Khanna
-    * quantiles and HLL++ cardinality), decoded once on the driver and
-    * probed for the true top-k. At 100 TB the sketch replaces a full
-    * (gram, count) shuffle with an eps x delta-sized buffer per
-    * partition; estimates only ever OVERcount (bounded in SketchSpec).
+  /** Heavy hitters (top-`k` 2-grams) via bounded-memory sketches end to
+    * end — at no point does a full-corpus (gram, count) exchange run:
     *
-    * Output: (gram, cnt, est) — `est >= cnt` always.
+    *  1. ONE aggregation pass computes BOTH fixed-memory summaries:
+    *     Spark's own `count_min_sketch` over gram hashes (eps x delta
+    *     bytes per partition) and a Misra-Gries candidate summary
+    *     ([[graft.functions.FreqSummary]], `capacity` entries per
+    *     partition). Only the sketch buffers cross the shuffle — one per
+    *     partition, size independent of the corpus.
+    *  2. Exact verification re-counts ONLY the <= `capacity` candidate
+    *     grams (the `isin` filter runs map-side below the exchange, so
+    *     the groupBy shuffles candidate grams, never the vocabulary).
+    *     Misra-Gries guarantees every gram with count > N/capacity is a
+    *     candidate, so with `capacity` >> k the exact top-k survive and
+    *     the final answer is identical to a full exact count — asserted
+    *     against the exhaustive computation in SketchSpec.
+    *  3. The decoded CMS is probed for the k winners' estimates
+    *     (driver-side, k rows).
+    *
+    * Output: (gram, cnt, est) — cnt exact, `est >= cnt` always (CMS
+    * overcounts only; bounded in SketchSpec).
     */
   def cmsHeavyHitters(df: DataFrame, textCol: String, k: Int,
                       eps: Double = 0.0001, confidence: Double = 0.99,
-                      seed: Int = 42): DataFrame = {
+                      seed: Int = 42, capacity: Int = 4096): DataFrame = {
+    require(capacity >= k, s"candidate capacity $capacity < k=$k")
     val spark = df.sparkSession
-    val grams = df.select(explode(shingles(col(textCol), 2)).as("__g"))
-      .select(col("__g"), xxhash64(col("__g")).as("__gh"))
-    val blob = grams
-      .agg(count_min_sketch(col("__gh"), lit(eps), lit(confidence),
-        lit(seed)).as("cms"))
-      .head.getAs[Array[Byte]](0)
-    val cms = org.apache.spark.util.sketch.CountMinSketch
-      .readFrom(new java.io.ByteArrayInputStream(blob))
-    val top = grams.groupBy("__g", "__gh").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("__g")).limit(k).collect()
-    val rows = top.toSeq.map(r => (r.getString(0), r.getLong(2),
-      cms.estimateCount(java.lang.Long.valueOf(r.getLong(1)))))
     import spark.implicits._
+    val grams = df.select(explode(shingles(col(textCol), 2)).as("__g"))
+    val summaries = grams
+      .agg(
+        count_min_sketch(xxhash64(col("__g")), lit(eps), lit(confidence),
+          lit(seed)).as("cms"),
+        graft.functions.FreqSummary.candidates(col("__g"), capacity).as("cand"))
+      .head
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(summaries.getAs[Array[Byte]](0)))
+    val cand = summaries.getSeq[String](1)
+    if (cand.isEmpty) return Seq.empty[(String, Long, Long)]
+      .toDF("gram", "cnt", "est")
+    val top = candidateExactCounts(grams, cand)
+      .withColumn("__gh", xxhash64(col("__g")))
+      .orderBy(col("cnt").desc, col("__g")).limit(k).collect()
+    val rows = top.toSeq.map(r => (r.getString(0), r.getLong(1),
+      cms.estimateCount(java.lang.Long.valueOf(r.getLong(2)))))
     rows.toDF("gram", "cnt", "est").orderBy(col("cnt").desc, col("gram"))
   }
+
+  /** Exact counts restricted to a bounded candidate set: the filter runs
+    * below the aggregation exchange, so only candidate grams shuffle.
+    * Plan shape asserted in PlanShapeSpec.
+    */
+  private[graft] def candidateExactCounts(grams: DataFrame,
+                                          cand: Seq[String]): DataFrame =
+    grams.filter(col("__g").isInCollection(cand))
+      .groupBy("__g").agg(count(lit(1)).as("cnt"))
 
   /** Language-ID heuristic: per-language stopword hit counts; argmax with
     * deterministic tie-break on language code order. Counts are integers ->

@@ -109,8 +109,15 @@ final class UpsertSink(spark: SparkSession, root: String,
     else None
   }
 
-  /** Current table contents, bucket layout hidden from callers. */
+  /** Current table contents, bucket layout hidden from callers.
+    * Runs [[recover]] first: after a crash between [[overwrite]]'s two
+    * moves the data sits in `.{table}__old` with the target absent, and a
+    * direct read would throw path-not-found on recoverable data.
+    * `recover` is idempotent and costs one directory listing when there
+    * is nothing to repair.
+    */
   def read(table: String): DataFrame = {
+    recover(table)
     val df = spark.read.parquet(tableDir(table).toString)
     if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
   }
@@ -135,6 +142,13 @@ final class UpsertSink(spark: SparkSession, root: String,
     val target = tableDir(table)
     val shadow = Paths.get(root, s".${table}__shadow")
     deleteRecursively(shadow)
+    // Discard per-bucket backups from any previously crashed merge: the
+    // rebuild REPLACES the table, so a later recover() must not move a
+    // pre-rebuild bucket backup into the rebuilt table (it would
+    // resurrect purged rows — under a different bucket modulus, as
+    // duplicate PKs). Deleted before the swap so a crash mid-overwrite
+    // leaves only the coherent `.{table}__old` whole-table backup.
+    dropBucketBackups(table)
     if (pk.nonEmpty) {
       withBucket(df, pk, numBuckets).write.mode(SaveMode.Overwrite)
         .partitionBy(BucketCol).parquet(shadow.toString)
@@ -228,6 +242,16 @@ final class UpsertSink(spark: SparkSession, root: String,
   private def dedupeLastWins(df: DataFrame, pk: Seq[String],
                              versionCol: Option[String]): DataFrame =
     MergeSemantics.dedupeLastWins(df, pk, versionCol)
+
+  private def dropBucketBackups(table: String): Unit = {
+    if (!Files.isDirectory(Paths.get(root))) return
+    val stream = Files.list(Paths.get(root))
+    val prefix = s".${table}__old_"
+    try stream.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith(prefix))
+      .foreach(deleteRecursively)
+    finally stream.close()
+  }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))

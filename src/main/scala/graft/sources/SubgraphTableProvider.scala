@@ -82,11 +82,13 @@ final class SubgraphTable(configKey: String, entity: EntityDef,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SubgraphScanBuilder(configKey, entity, fullSchema)
+    new SubgraphScanBuilder(configKey, entity, fullSchema,
+      options.getBoolean("binaryCollation", false))
 }
 
 final class SubgraphScanBuilder(configKey: String,
-                                entity: EntityDef, fullSchema: StructType)
+                                entity: EntityDef, fullSchema: StructType,
+                                binaryCollation: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -180,8 +182,16 @@ final class SubgraphScanBuilder(configKey: String,
     * (Spark sorts NULLS FIRST on asc, Postgres NULLS LAST — a nullable
     * column's top-N sets diverge) and of a type with one universal
     * order (integers, uint256 numerics, booleans). Strings are rejected
-    * (server collation vs Spark's binary UTF-8 order) and so are bytes
-    * (the GraphQL layer compares their string form).
+    * by default (server collation vs Spark's binary UTF-8 order) and so
+    * are bytes (the GraphQL layer compares their string form).
+    *
+    * The `binaryCollation` reader option opts string sorts IN: The Graph
+    * orders strings lexicographically over their byte form, and subgraph
+    * ids are ASCII 0x-hex in practice, where byte order and Spark's
+    * UTF-8 binary order coincide. The option is an explicit caller
+    * assertion about THIS server's collation — it is never inferred,
+    * because a collation mismatch silently returns the wrong top-N set
+    * (truncation happens server-side; Spark's re-sort cannot repair it).
     */
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
     import graft.model.ColumnType
@@ -191,6 +201,7 @@ final class SubgraphScanBuilder(configKey: String,
       !c.nullable && (c.tpe match {
         case ColumnType.IntegerCol | ColumnType.BigIntCol
              | ColumnType.BooleanCol => true
+        case ColumnType.StringCol => binaryCollation
         case _ => false
       })
     orders match {

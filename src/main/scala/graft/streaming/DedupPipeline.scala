@@ -150,78 +150,92 @@ object DedupPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (rawBatch: DataFrame, _: Long) =>
-        if (!rawBatch.isEmpty) {
-          val batch = rawBatch.dropDuplicates("doc_id")
-          // register on the BATCH's session: foreachBatch plans resolve in
-          // the stream's cloned session, which only inherits functions
-          // registered before the stream started — the outer `spark` is
-          // the wrong registry here
-          MinHashFunctions.register(batch.sparkSession)
-          // shuffle-free band keys: one codegen pass over the shingle
-          // array per doc (see MinHashBandKeys) instead of the relational
-          // explode -> groupBy(doc) with k min-aggs
-          def bandsOf(df: DataFrame): DataFrame =
-            df.select(col("doc_id"), explode(MinHashFunctions.bandKeys(
-              TextOps.shingles(col("text"), shingleN), k, bands)).as("band"))
-          def shinglesOf(df: DataFrame, idAs: String, shAs: String): DataFrame =
-            df.select(col("doc_id").as(idAs),
-              TextOps.shingles(col("text"), shingleN).as(shAs))
-          val batchBands = bandsOf(batch).cache()
-          // cached: both verified() calls read it, and re-shingling the
-          // batch is the dominant per-batch CPU cost
-          val batchSh = shinglesOf(batch, "a_id", "__ash").cache()
-
-          // exact verify >= threshold for candidate id pairs (a=batch side)
-          def verified(cand: DataFrame, otherSh: DataFrame): DataFrame =
-            cand.join(batchSh, "a_id").join(otherSh, "b_id")
-              .filter(floor(TextOps.jaccard(col("__ash"), col("__bsh")) * 1000)
-                >= thresholdMil)
-              .select("a_id").distinct()
-
-          // vs the accumulated corpus — semi-join the corpus down to the
-          // colliding doc ids BEFORE shingling: the per-batch shingle /
-          // regex work is O(batch + collisions), not O(corpus) (the
-          // corpus parquet is still scanned for the id/text columns of
-          // candidate rows, but the expensive tokenization never runs
-          // for documents no band key collided with)
-          val dupVsCorpus =
-            if (!sink.exists(bandsTable)) None
-            else {
-              val cand = batchBands
-                .join(sink.read(bandsTable).withColumnRenamed("doc_id", "b_id"), "band")
-                .select(col("doc_id").as("a_id"), col("b_id")).distinct()
-              val collidingCorpus = sink.read(corpusTable).join(
-                cand.select(col("b_id").as("doc_id")).distinct(),
-                Seq("doc_id"), "left_semi")
-              Some(verified(cand, shinglesOf(collidingCorpus, "b_id", "__bsh")))
-            }
-          // within the batch: the smaller doc_id survives
-          val candInBatch = batchBands.select(col("doc_id").as("a_id"), col("band"))
-            .join(batchBands.select(col("doc_id").as("b_id"), col("band")), "band")
-            .filter(col("a_id") > col("b_id")) // a is the one at risk
-            .select("a_id", "b_id").distinct()
-          val dupInBatch = verified(candInBatch,
-            batchSh.select(col("a_id").as("b_id"), col("__ash").as("__bsh")))
-
-          val dupIds = dupVsCorpus.map(_.unionByName(dupInBatch))
-            .getOrElse(dupInBatch)
-            .withColumnRenamed("a_id", "doc_id").distinct()
-          val fresh = RelOps.antiJoin(batch, dupIds, Seq("doc_id")).cache()
-          if (!fresh.isEmpty) {
-            sink.merge(corpusTable, fresh, Seq("doc_id"))
-            // admitted docs' bands come from the CACHED batch bands —
-            // re-running bandsOf(fresh) would re-tokenize and re-minhash
-            // every admitted document a second time
-            sink.merge(bandsTable,
-              batchBands.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi"),
-              Seq("doc_id", "band"))
-          }
-          batchBands.unpersist()
-          batchSh.unpersist()
-          fresh.unpersist()
-          ()
-        }
+        admitNearDups(sink, corpusTable, bandsTable, rawBatch,
+          shingleN, k, bands, thresholdMil)
       }
       .start()
+  }
+
+  /** The admission core of [[nearDupDedupStream]], factored out so the
+    * catalog's batch-replay query (q64) runs the IDENTICAL semantics the
+    * streaming `foreachBatch` runs — one micro-batch screened against
+    * the accumulated corpus, survivors merged into the corpus and band
+    * tables. See [[nearDupDedupStream]] for the scale shape.
+    */
+  def admitNearDups(sink: UpsertSink, corpusTable: String,
+                    bandsTable: String, rawBatch: DataFrame,
+                    shingleN: Int = 3, k: Int = 128, bands: Int = 32,
+                    thresholdMil: Int = 500): Unit = {
+    if (!rawBatch.isEmpty) {
+      val batch = rawBatch.dropDuplicates("doc_id")
+      // register on the BATCH's session: foreachBatch plans resolve in
+      // the stream's cloned session, which only inherits functions
+      // registered before the stream started — the outer `spark` is
+      // the wrong registry here
+      MinHashFunctions.register(batch.sparkSession)
+      // shuffle-free band keys: one codegen pass over the shingle
+      // array per doc (see MinHashBandKeys) instead of the relational
+      // explode -> groupBy(doc) with k min-aggs
+      def bandsOf(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), explode(MinHashFunctions.bandKeys(
+          TextOps.shingles(col("text"), shingleN), k, bands)).as("band"))
+      def shinglesOf(df: DataFrame, idAs: String, shAs: String): DataFrame =
+        df.select(col("doc_id").as(idAs),
+          TextOps.shingles(col("text"), shingleN).as(shAs))
+      val batchBands = bandsOf(batch).cache()
+      // cached: both verified() calls read it, and re-shingling the
+      // batch is the dominant per-batch CPU cost
+      val batchSh = shinglesOf(batch, "a_id", "__ash").cache()
+
+      // exact verify >= threshold for candidate id pairs (a=batch side)
+      def verified(cand: DataFrame, otherSh: DataFrame): DataFrame =
+        cand.join(batchSh, "a_id").join(otherSh, "b_id")
+          .filter(floor(TextOps.jaccard(col("__ash"), col("__bsh")) * 1000)
+            >= thresholdMil)
+          .select("a_id").distinct()
+
+      // vs the accumulated corpus — semi-join the corpus down to the
+      // colliding doc ids BEFORE shingling: the per-batch shingle /
+      // regex work is O(batch + collisions), not O(corpus) (the
+      // corpus parquet is still scanned for the id/text columns of
+      // candidate rows, but the expensive tokenization never runs
+      // for documents no band key collided with)
+      val dupVsCorpus =
+        if (!sink.exists(bandsTable)) None
+        else {
+          val cand = batchBands
+            .join(sink.read(bandsTable).withColumnRenamed("doc_id", "b_id"), "band")
+            .select(col("doc_id").as("a_id"), col("b_id")).distinct()
+          val collidingCorpus = sink.read(corpusTable).join(
+            cand.select(col("b_id").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_semi")
+          Some(verified(cand, shinglesOf(collidingCorpus, "b_id", "__bsh")))
+        }
+      // within the batch: the smaller doc_id survives
+      val candInBatch = batchBands.select(col("doc_id").as("a_id"), col("band"))
+        .join(batchBands.select(col("doc_id").as("b_id"), col("band")), "band")
+        .filter(col("a_id") > col("b_id")) // a is the one at risk
+        .select("a_id", "b_id").distinct()
+      val dupInBatch = verified(candInBatch,
+        batchSh.select(col("a_id").as("b_id"), col("__ash").as("__bsh")))
+
+      val dupIds = dupVsCorpus.map(_.unionByName(dupInBatch))
+        .getOrElse(dupInBatch)
+        .withColumnRenamed("a_id", "doc_id").distinct()
+      val fresh = RelOps.antiJoin(batch, dupIds, Seq("doc_id")).cache()
+      if (!fresh.isEmpty) {
+        sink.merge(corpusTable, fresh, Seq("doc_id"))
+        // admitted docs' bands come from the CACHED batch bands —
+        // re-running bandsOf(fresh) would re-tokenize and re-minhash
+        // every admitted document a second time
+        sink.merge(bandsTable,
+          batchBands.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi"),
+          Seq("doc_id", "band"))
+      }
+      batchBands.unpersist()
+      batchSh.unpersist()
+      fresh.unpersist()
+      ()
+    }
   }
 }

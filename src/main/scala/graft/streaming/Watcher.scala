@@ -16,10 +16,14 @@ final case class Block(number: BigInt, hash: String, timestamp: BigInt)
 trait BlockSource {
   def latest(): Block
   def hashAt(number: BigInt): String
-  /** Full block at a height (S4); default derives from hashAt for
-    * sources that don't expose historical timestamps.
+  /** Full block at a height (S4). The default derives the hash from
+    * `hashAt` and falls back to the CURRENT head's timestamp for sources
+    * that don't expose historical timestamps — approximately right for
+    * catch-up over a short gap, and never the silent epoch-0 a fabricated
+    * timestamp would persist. Sources with historical headers should
+    * override with the real per-block timestamp.
     */
-  def blockAt(number: BigInt): Block = Block(number, hashAt(number), BigInt(0))
+  def blockAt(number: BigInt): Block = Block(number, hashAt(number), latest().timestamp)
   /** Multicall of view functions -> id->value map (S5,
     * blockProposalStateStrategy.ts:29-69).
     */

@@ -159,6 +159,42 @@ class PlanShapeSpec extends SparkSpec {
       s"term-df rollup not broadcast:\n$plan")
   }
 
+  test("q61: exact verify filters to candidates BELOW the count exchange") {
+    import org.apache.spark.sql.functions._
+    val grams = graft.Tables.load(spark, sf, "documents")
+      .select(explode(graft.ops.TextOps.shingles(col("text"), 2)).as("__g"))
+    val verify = graft.ops.TextOps.candidateExactCounts(grams,
+      (1 to 40).map(i => s"alpha beta$i"))
+    val plan = verify.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toVector
+    val exIx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(exIx >= 0, s"no exchange in verify plan:\n$plan")
+    // children print BELOW parents: the candidate isin Filter must sit
+    // deeper than the exchange, so only candidate grams ever shuffle —
+    // a full-corpus (gram, count) exchange is exactly what the sketch
+    // pass exists to avoid
+    val filterIx = lines.indexWhere(l => l.contains("Filter") &&
+      (l.contains("INSET") || l.contains(" IN ")))
+    assert(filterIx > exIx,
+      s"candidate filter (line $filterIx) not below the exchange " +
+        s"(line $exIx):\n$plan")
+  }
+
+  test("q65: the skewed join carries the salt in its shuffle keys") {
+    val plan = planOf("q65_salted_skew_join")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"salted join not hash-partitioned (a broadcast here would make " +
+        s"salting moot and hide the skew problem the op exists for):\n$plan")
+    // the whale key is only split if the SALT participates in the join's
+    // partitioning — it must appear among the join keys, not be dropped
+    // by an optimizer rewrite before the exchange
+    val joinLine = plan.linesIterator.find(_.contains("ShuffledHashJoin")).get
+    assert(joinLine.contains("__salt"),
+      s"salt column missing from the join keys:\n$joinLine")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"dim side broadcast despite the shuffle_hash pin:\n$plan")
+  }
+
   test("q29: minhash signatures are computed map-side, not via a shuffle") {
     val plan = planOf("q29_dedup_minhash")
     assert(plan.toLowerCase.contains("minhashbandkeys"),

@@ -11,7 +11,8 @@ class SketchSpec extends SparkSpec {
   test("q54: percentile_approx within 1% relative error of exact percentile") {
     val li = Tables.load(spark, sf, "lineitem")
     val approx = Catalog.byName("q54_quantile_sketch").fn(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
     val exact = li.groupBy("l_returnflag")
       .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
         percentile(col("l_extendedprice"), lit(0.9)).as("p90"),
@@ -27,6 +28,16 @@ class SketchSpec extends SparkSpec {
     val docs = Tables.load(spark, sf, "documents")
     val rows = Catalog.byName("q61_cms_heavy_hitters").fn(spark, sf).collect()
     assert(rows.length == 20)
+    // the bounded-candidate path must reproduce the exhaustive top-k
+    // exactly: Misra-Gries guarantees coverage, exact verify the counts
+    val exhaustive = docs
+      .select(explode(graft.ops.TextOps.shingles(col("text"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("g")).limit(20).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy(p => (-p._2, p._1)) == exhaustive,
+      "candidate-based top-k diverged from the exhaustive top-k")
     val totalGrams = docs
       .select(explode(graft.ops.TextOps.shingles(col("text"), 2)).as("g"))
       .count()

@@ -63,6 +63,34 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("materialized cluster table is reused across consumers, not recomputed") {
+    val sink = new graft.sink.UpsertSink(spark,
+      java.nio.file.Files.createTempDirectory("graft_cc_share").toString)
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "cluster")
+    var computes = 0
+    def compute() = { computes += 1; labels }
+    // first consumer: table absent -> computes and materializes
+    val first = GraphOps.readOrMaterialize(sink, "dup_clusters",
+      Seq("doc_id"))(compute())
+    assert(computes == 1)
+    assert(first.as[(Long, Long)].collect().sorted.toSeq
+      == Seq((1L, 1L), (2L, 1L), (3L, 3L)))
+    // second consumer: reads the stored table, computation never re-runs
+    val second = GraphOps.readOrMaterialize(sink, "dup_clusters",
+      Seq("doc_id"))(compute())
+    assert(computes == 1, "cluster table recomputed despite being stored")
+    assert(second.as[(Long, Long)].collect().sorted.toSeq
+      == Seq((1L, 1L), (2L, 1L), (3L, 3L)))
+    // a producer refresh overwrites atomically; consumers see new labels
+    GraphOps.materializeClusters(Seq((1L, 1L), (2L, 2L), (3L, 3L))
+      .toDF("doc_id", "cluster"), sink, "dup_clusters", Seq("doc_id"))
+    assert(GraphOps.readOrMaterialize(sink, "dup_clusters",
+        Seq("doc_id"))(compute())
+      .as[(Long, Long)].collect().sorted.toSeq
+      == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    assert(computes == 1)
+  }
+
   test("q59 cluster invariants hold on real near-dup pairs") {
     val docs = graft.Tables.load(spark, sf, "documents")
     val pairs = TextOps.simhashNearDupPairs(docs, "doc_id", "text", 2)

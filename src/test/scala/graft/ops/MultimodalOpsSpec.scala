@@ -59,6 +59,57 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(big.forall { case (id, p) => p.sameElements(orig(id)) })
   }
 
+  test("JdkImageCodec decodes real PNGs end-to-end through the pipeline ops") {
+    // real image fixtures, generated in-test: solid-color PNGs at
+    // distinct resolutions — no external files, real ImageIO bytes
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val imgs = Seq((1L, png(6, 4, 0xff0000)), (2L, png(10, 2, 0x00ff00)),
+        (3L, png(3, 3, 0x0000ff)))
+      .toDF("doc_id", "payload").repartition(2)
+    val codec = MultimodalOps.JdkImageCodec
+
+    val meta = MultimodalOps.decodeMeta(imgs, "doc_id", codec)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).width == 6 && meta(1L).height == 4)
+    assert(meta(2L).width == 10 && meta(2L).height == 2)
+    assert(meta.values.forall(_.channels == 3))
+    assert(meta.values.forall(_.durationMs == 0L)) // stills have no time axis
+
+    // resize re-encodes at the target resolution — decode the OUTPUT to
+    // prove it is itself a valid image of the requested size
+    val resized = MultimodalOps.resizePayloads(imgs, "doc_id", codec, 4, 4)
+    val rmeta = MultimodalOps.decodeMeta(resized, "doc_id", codec).collect()
+    assert(rmeta.length == 3)
+    assert(rmeta.forall(m => m.width == 4 && m.height == 4))
+
+    // features: normalized grayscale strip — solid red/green/blue images
+    // produce constant, distinct intensities
+    val feats = MultimodalOps.extractFeatures(imgs, "doc_id", codec, dim = 8)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(feats.values.forall(v => v.length == 8 &&
+      v.forall(f => f >= 0f && f <= 1f)))
+    assert(feats(1L).distinct.size == 1, "solid image must pool to one value")
+    assert(feats(1L).head != feats(2L).head || feats(1L).head != feats(3L).head)
+
+    // a still is its own single frame
+    val frames = MultimodalOps.sampleFrames(imgs, "doc_id", codec)
+      .as[(Long, Int, Array[Byte])].collect()
+    assert(frames.length == 3 && frames.forall(_._2 == 0))
+
+    // corrupt payloads fail loudly instead of fabricating metadata
+    val bad = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    intercept[org.apache.spark.SparkException] {
+      MultimodalOps.decodeMeta(bad, "doc_id", codec).collect()
+    }
+  }
+
   test("frame sampling fans out one row per frame, partition-invariant") {
     val docs = Tables.load(spark, sf, "documents").limit(25)
     val blob = MultimodalOps.withPayload(docs, "text")

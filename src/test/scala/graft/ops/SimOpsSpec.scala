@@ -128,6 +128,22 @@ class SimOpsSpec extends SparkSpec {
       s"zero vector passed the near-dup threshold: ${pairs.toSeq}")
   }
 
+  test("null vectors propagate null cosine, not a silent 0 score") {
+    VectorFunctions.register(spark)
+    val df = Seq(
+      (Some(Array(1f, 0f)), Some(Array(1f, 0f))),
+      (None: Option[Array[Float]], Some(Array(1f, 0f))),
+      (Some(Array(0f, 0f)), Some(Array(1f, 0f))))
+      .toDF("a", "b")
+    val out = df.select(SimOps.cosine($"a", $"b").as("c")).collect()
+    assert(out(0).getDouble(0) == 1.0)
+    // a MISSING embedding is unknown, not orthogonal: null must flow
+    // through so downstream threshold filters drop the row
+    assert(out(1).isNullAt(0), s"null vector scored ${out(1)}")
+    // the zero-NORM guard still lands on 0 (not NaN/error under ANSI)
+    assert(out(2).getDouble(0) == 0.0)
+  }
+
   test("lshNearDupPairs (default op) matches the exhaustive baseline exactly") {
     val e = Tables.load(spark, sf, "embeddings")
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =

@@ -129,6 +129,42 @@ class UpsertSinkSpec extends SparkSpec {
     assert(rows(1L) == "v1" && rows(21L) == "v21")
   }
 
+  test("read recovers a table parked by a crashed overwrite") {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val root = JFiles.createTempDirectory("graft_sink").toString
+    val sink = new UpsertSink(spark, root)
+    sink.merge("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    // crash between overwrite's two moves: data recoverable on disk but
+    // the target path is absent — a direct read must repair, not throw
+    JFiles.move(Paths.get(root, "t"), Paths.get(root, ".t__old"),
+      StandardCopyOption.ATOMIC_MOVE)
+    assert(sink.read("t").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
+  test("overwrite (reorg rebuild) discards stale bucket backups from a crashed merge") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_sink_rb")
+    val sink = new UpsertSink(spark, root.toString, numBuckets = 4)
+    sink.merge("t", (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    // simulate a merge crashed mid-bucket-swap: two buckets parked in
+    // their backup dirs with the target bucket dirs absent
+    val parked = Files.list(root.resolve("t")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("__bucket=")).take(2).toSeq
+    assert(parked.size == 2, "seed data did not populate 2+ buckets")
+    parked.foreach { b =>
+      val n = b.getFileName.toString.stripPrefix("__bucket=")
+      Files.move(b, root.resolve(s".t__old_$n"))
+    }
+    // reorg rebuild replaces the table wholesale; the pre-rebuild bucket
+    // backups are now garbage — a later recover() must not move them
+    // back in and resurrect rows the rebuild purged
+    sink.overwrite("t", Seq((1L, "rebuilt")).toDF("id", "v"), Seq("id"))
+    sink.merge("t", Seq((2L, "post")).toDF("id", "v"), Seq("id"))
+    val rows = sink.read("t").as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "rebuilt", 2L -> "post"),
+      s"pre-rebuild rows resurrected: ${rows.size} rows")
+  }
+
   test("flat-layout table migrates to bucketed on first merge") {
     val root = Files.createTempDirectory("graft_sink_mig")
     val sink = new UpsertSink(spark, root.toString, numBuckets = 4)

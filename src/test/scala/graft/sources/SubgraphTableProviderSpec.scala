@@ -34,6 +34,7 @@ class SubgraphTableProviderSpec extends SparkSpec {
         .filter { case (_, _, s) => scoreGte.forall(s >= _) }
       val sorted = orderBy match {
         case Some("score") => if (desc) filtered.sortBy(-_._3) else filtered.sortBy(_._3)
+        case Some("name") => if (desc) filtered.sortBy(_._2).reverse else filtered.sortBy(_._2)
         case _ => if (desc) filtered.sortBy(_._1).reverse else filtered.sortBy(_._1)
       }
       val rows = sorted.take(first)
@@ -129,6 +130,25 @@ class SubgraphTableProviderSpec extends SparkSpec {
     read("t8s").orderBy(desc("name")).limit(5).collect()
     assert(!g.requests.exists(_.contains("orderBy: name")),
       s"string TopN wrongly pushed: ${g.requests}")
+  }
+
+  test("TopN on a string column IS pushed under the binaryCollation opt-in") {
+    val g = new MiniGraph
+    register("t8sb", g)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.desc
+    // the caller asserts the server compares strings in byte order (true
+    // for ASCII subgraph ids on The Graph) — only then is the server's
+    // truncated top-5 the same set Spark's binary UTF-8 sort would keep
+    val got = spark.read.format("graft.sources.SubgraphTableProvider")
+      .option("config", "t8sb").option("entity", "Builder")
+      .option("binaryCollation", "true").load()
+      .orderBy(desc("name")).limit(5).select("name").as[String].collect()
+    assert(got.toSeq == Seq("b9", "b8", "b7", "b6", "b5"), s"got ${got.toSeq}")
+    assert(g.requests.size == 1, "opt-in TopN should be ONE request")
+    assert(g.requests.head.contains("orderBy: name")
+      && g.requests.head.contains("first: 5"),
+      s"string TopN not pushed under opt-in: ${g.requests.head}")
   }
 
   test("TopN beyond one page is not claimed (falls back to full fetch + local sort)") {

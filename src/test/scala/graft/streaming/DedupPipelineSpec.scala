@@ -125,5 +125,20 @@ class DedupPipelineSpec extends SparkSpec {
     // the band table covers exactly the admitted docs
     assert(sink.read("CorpusBands").select("doc_id").as[Long].collect().toSet
       == Set(1L, 10L, 21L))
+
+    // the q64 batch-replay form (admitNearDups called per batch) must
+    // reproduce the streaming run exactly — same core, same semantics
+    val replaySink = new UpsertSink(spark,
+      Files.createTempDirectory("graft_replay").toString)
+    Seq(Seq((1L, base), (2L, nearA), (10L, unique)),
+        Seq((20L, nearA2), (21L, unique + " with a brand new suffix " +
+          "sentence making it long enough to stand alone and not be close " +
+          "to anything already present in the corpus tables today")))
+      .foreach { rows =>
+        DedupPipeline.admitNearDups(replaySink, "Corpus", "CorpusBands",
+          rows.toDF("doc_id", "text"))
+      }
+    assert(replaySink.read("Corpus").select("doc_id").as[Long].collect().toSet
+      == admitted(), "batch replay diverged from the streaming admission")
   }
 }
