@@ -33,19 +33,49 @@ object Catalog {
   /** Exact decimal cast used on both sides before summing doubles. */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
-  /** Shared cluster-table store for the dedup pipeline (q59 produces,
-    * q63 consumes — GraphOps.materializeClusters): one UpsertSink root
-    * per (JVM, source dir). Session-scoped on purpose: a fresh JVM
-    * always recomputes, so a stale table from an earlier run or a
-    * different corpus can never leak into results; within a run (bench,
-    * verify, a real pipeline) consumers share the one materialized CC.
+  /** Process-local temp roots for queries that persist intermediate
+    * tables (q59/q63 cluster sharing, q64 admission replay): one root
+    * per (JVM, source dir, purpose), deleted on JVM exit. Only the ROOT
+    * PATH is cached — the UpsertSink is rebuilt per call against the
+    * CURRENT session, so a cached handle can never outlive a stopped
+    * SparkContext. Process-local on purpose: a fresh JVM always starts
+    * empty, so a stale table from an earlier run or a different corpus
+    * can never leak into results; within one run (bench, verify, a real
+    * pipeline) consumers share the materialized tables.
     */
-  private object clusterStore {
-    private val sinks =
-      scala.collection.concurrent.TrieMap.empty[String, graft.sink.UpsertSink]
-    def forDir(s: SparkSession, dir: String): graft.sink.UpsertSink =
-      sinks.getOrElseUpdate(dir, new graft.sink.UpsertSink(s,
-        java.nio.file.Files.createTempDirectory("graft_clusters").toString))
+  private object tempStore {
+    private val roots =
+      scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+    private def deleteRec(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.delete(f))
+
+    private def root(purpose: String, dir: String): java.nio.file.Path = {
+      val path = roots.getOrElseUpdate((purpose, dir), {
+        val p = java.nio.file.Files.createTempDirectory(s"graft_$purpose")
+        sys.addShutdownHook(deleteRec(p))
+        p.toString
+      })
+      java.nio.file.Paths.get(path)
+    }
+
+    def sink(s: SparkSession, purpose: String, dir: String): graft.sink.UpsertSink =
+      new graft.sink.UpsertSink(s, root(purpose, dir).toString)
+
+    /** A sink whose tables start EMPTY for this call — for replay-style
+      * queries that must not see a previous invocation's state. Reuses
+      * the one root (bounded disk) and clears it.
+      */
+    def freshSink(s: SparkSession, purpose: String, dir: String): graft.sink.UpsertSink = {
+      val r = root(purpose, dir)
+      val stream = java.nio.file.Files.list(r)
+      try stream.forEach(p => deleteRec(p))
+      finally stream.close()
+      new graft.sink.UpsertSink(s, r.toString)
+    }
   }
 
   /** Doc -> duplicate-cluster labels from the q31 SimHash pair graph:
@@ -651,7 +681,7 @@ object Catalog {
         // producer: always recomputes CC, then materializes the cluster
         // table for every later consumer (q63) in this session
         val labeled = GraphOps.materializeClusters(
-          dupClusterLabels(s, dir), clusterStore.forDir(s, dir),
+          dupClusterLabels(s, dir), tempStore.sink(s, "clusters", dir),
           "dup_clusters", Seq("doc_id"))
         labeled
           .withColumn("csize",
@@ -706,7 +736,7 @@ object Catalog {
         // only when running standalone in a fresh session) — CC runs
         // once per pipeline, not once per consumer
         val clusters = GraphOps.readOrMaterialize(
-          clusterStore.forDir(s, dir), "dup_clusters", Seq("doc_id"))(
+          tempStore.sink(s, "clusters", dir), "dup_clusters", Seq("doc_id"))(
           dupClusterLabels(s, dir))
         val lab = t(s, dir, "documents")
           .select(col("doc_id"), TextOps.qualityScoreMil(col("text")).as("score"))
@@ -767,10 +797,10 @@ object Catalog {
              |ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        // fresh store per invocation: the replay always starts from an
-        // empty corpus, exactly like a new stream with a new checkpoint
-        val sink = new graft.sink.UpsertSink(s,
-          java.nio.file.Files.createTempDirectory("graft_admit").toString)
+        // fresh (emptied) store per invocation: the replay always starts
+        // from an empty corpus, exactly like a new stream with a new
+        // checkpoint — but reuses one disk root, deleted on JVM exit
+        val sink = tempStore.freshSink(s, "admit", dir)
         (0 until 4).foreach { b =>
           graft.streaming.DedupPipeline.admitNearDups(sink, "corpus",
             "bands", docs.filter(col("doc_id") % 4 === b))

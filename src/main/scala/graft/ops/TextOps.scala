@@ -504,12 +504,19 @@ object TextOps {
     *  2. Exact verification re-counts ONLY the <= `capacity` candidate
     *     grams (the `isin` filter runs map-side below the exchange, so
     *     the groupBy shuffles candidate grams, never the vocabulary).
-    *     Misra-Gries guarantees every gram with count > N/capacity is a
-    *     candidate, so with `capacity` >> k the exact top-k survive and
-    *     the final answer is identical to a full exact count — asserted
-    *     against the exhaustive computation in SketchSpec.
     *  3. The decoded CMS is probed for the k winners' estimates
     *     (driver-side, k rows).
+    *
+    * Exactness is CONDITIONAL and therefore CHECKED: Misra-Gries only
+    * guarantees a gram survives when its count exceeds N/capacity, so
+    * the returned top-k provably equals the exhaustive top-k iff every
+    * returned count exceeds that bound (then no evicted gram could
+    * outrank any returned one). The bound is verified against the CMS's
+    * own totalCount and a too-flat distribution THROWS with an
+    * increase-capacity message instead of returning a silently wrong
+    * ranking. On skewed corpora (natural-language n-grams) the check
+    * passes trivially; parity with the exhaustive computation is
+    * asserted in SketchSpec.
     *
     * Output: (gram, cnt, est) — cnt exact, `est >= cnt` always (CMS
     * overcounts only; bounded in SketchSpec).
@@ -535,6 +542,18 @@ object TextOps {
     val top = candidateExactCounts(grams, cand)
       .withColumn("__gh", xxhash64(col("__g")))
       .orderBy(col("cnt").desc, col("__g")).limit(k).collect()
+    // provable-exactness gate: every returned count must beat the
+    // Misra-Gries survival bound N/capacity, else an evicted gram could
+    // have deserved a slot (note: when N <= capacity the bound is 0 and
+    // every count passes — approximation only ever bites at scale)
+    val survivalBound = cms.totalCount() / capacity
+    val unprovable = top.filter(_.getLong(1) <= survivalBound)
+    if (unprovable.nonEmpty)
+      throw new IllegalStateException(
+        s"cmsHeavyHitters: ${unprovable.length} of ${top.length} top-$k " +
+          s"counts are <= N/capacity = $survivalBound, so the candidate " +
+          s"summary cannot guarantee the exact top-$k on this " +
+          s"distribution — increase capacity (currently $capacity)")
     val rows = top.toSeq.map(r => (r.getString(0), r.getLong(1),
       cms.estimateCount(java.lang.Long.valueOf(r.getLong(2)))))
     rows.toDF("gram", "cnt", "est").orderBy(col("cnt").desc, col("gram"))

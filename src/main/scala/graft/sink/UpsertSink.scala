@@ -57,27 +57,48 @@ final class UpsertSink(spark: SparkSession, root: String,
     * recreate it from one batch — losing all history. Restoring the old
     * dir re-establishes the pre-overwrite state, which the (idempotent)
     * interrupted operation can then redo.
+    *
+    * Per-bucket backups live INSIDE the table dir (`.bkup_N` — dot
+    * prefix = invisible to parquet readers), so a whole-table overwrite
+    * atomically discards them WITH the old table: a backup can never
+    * outlive the table generation it belongs to and be "recovered" into
+    * a rebuilt table under a different bucket layout.
+    *
+    * Concurrency: two readers may race recovery of the same crashed
+    * table; both moves are attempted and the loser's (the path vanished
+    * or the destination appeared first) is a no-op — see [[tryMove]].
     */
   private def recover(table: String): Unit = {
     val target = tableDir(table)
     val old = Paths.get(root, s".${table}__old")
     if (!Files.exists(target) && Files.exists(old))
-      Files.move(old, target, StandardCopyOption.ATOMIC_MOVE)
+      tryMove(old, target)
     if (Files.exists(target)) {
-      val stream = Files.list(Paths.get(root))
-      val prefix = s".${table}__old_"
+      val stream = Files.list(target)
+      val prefix = ".bkup_"
       try stream.iterator().asScala.toSeq
         .filter(_.getFileName.toString.startsWith(prefix))
         .foreach { oldBucket =>
           val part = s"$BucketCol=${oldBucket.getFileName.toString.stripPrefix(prefix)}"
           val bucket = target.resolve(part)
-          if (!Files.exists(bucket))
-            Files.move(oldBucket, bucket, StandardCopyOption.ATOMIC_MOVE)
+          if (!Files.exists(bucket)) tryMove(oldBucket, bucket)
           else deleteRecursively(oldBucket) // swap completed; stale backup
         }
       finally stream.close()
     }
   }
+
+  /** A move that tolerates losing a recovery race: if another thread
+    * already moved the source (NoSuchFile) or created the destination
+    * (FileAlreadyExists), the filesystem is in the state this move was
+    * trying to reach — treat it as success.
+    */
+  private def tryMove(from: Path, to: Path): Unit =
+    try Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.NoSuchFileException => ()
+      case _: java.nio.file.FileAlreadyExistsException => ()
+    }
 
   private def bucketDirs(table: String): Seq[Path] = {
     val dir = tableDir(table)
@@ -142,13 +163,12 @@ final class UpsertSink(spark: SparkSession, root: String,
     val target = tableDir(table)
     val shadow = Paths.get(root, s".${table}__shadow")
     deleteRecursively(shadow)
-    // Discard per-bucket backups from any previously crashed merge: the
-    // rebuild REPLACES the table, so a later recover() must not move a
-    // pre-rebuild bucket backup into the rebuilt table (it would
-    // resurrect purged rows — under a different bucket modulus, as
-    // duplicate PKs). Deleted before the swap so a crash mid-overwrite
-    // leaves only the coherent `.{table}__old` whole-table backup.
-    dropBucketBackups(table)
+    // restore any crashed-merge state FIRST: if the shadow write below
+    // fails (disk full, job error), the table must still be whole — and
+    // once the swap succeeds, stale bucket backups vanish WITH the old
+    // table dir (they live inside it), so they can never be "recovered"
+    // into the rebuilt table and resurrect purged rows
+    recover(table)
     if (pk.nonEmpty) {
       withBucket(df, pk, numBuckets).write.mode(SaveMode.Overwrite)
         .partitionBy(BucketCol).parquet(shadow.toString)
@@ -221,7 +241,7 @@ final class UpsertSink(spark: SparkSession, root: String,
         val to = dir.resolve(part)
         // never displace a live bucket unless its replacement exists
         if (Files.exists(from)) {
-          val old = Paths.get(root, s".${table}__old_$b")
+          val old = dir.resolve(s".bkup_$b")
           deleteRecursively(old)
           if (Files.exists(to)) Files.move(to, old, StandardCopyOption.ATOMIC_MOVE)
           Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
@@ -242,16 +262,6 @@ final class UpsertSink(spark: SparkSession, root: String,
   private def dedupeLastWins(df: DataFrame, pk: Seq[String],
                              versionCol: Option[String]): DataFrame =
     MergeSemantics.dedupeLastWins(df, pk, versionCol)
-
-  private def dropBucketBackups(table: String): Unit = {
-    if (!Files.isDirectory(Paths.get(root))) return
-    val stream = Files.list(Paths.get(root))
-    val prefix = s".${table}__old_"
-    try stream.iterator().asScala.toSeq
-      .filter(_.getFileName.toString.startsWith(prefix))
-      .foreach(deleteRecursively)
-    finally stream.close()
-  }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))

@@ -16,14 +16,15 @@ final case class Block(number: BigInt, hash: String, timestamp: BigInt)
 trait BlockSource {
   def latest(): Block
   def hashAt(number: BigInt): String
-  /** Full block at a height (S4). The default derives the hash from
-    * `hashAt` and falls back to the CURRENT head's timestamp for sources
-    * that don't expose historical timestamps — approximately right for
-    * catch-up over a short gap, and never the silent epoch-0 a fabricated
-    * timestamp would persist. Sources with historical headers should
-    * override with the real per-block timestamp.
+  /** Full block at a height (S4) — ABSTRACT on purpose: there is no
+    * honest default. A fabricated timestamp (epoch 0, or the current
+    * head's) would be silently persisted as event time by catch-up
+    * strategies; a source without historical headers must decide
+    * explicitly what to stamp (`Block(n, hashAt(n), latest().timestamp)`
+    * is the defensible approximation for short gaps — but that is the
+    * source's call, not this trait's).
     */
-  def blockAt(number: BigInt): Block = Block(number, hashAt(number), latest().timestamp)
+  def blockAt(number: BigInt): Block
   /** Multicall of view functions -> id->value map (S5,
     * blockProposalStateStrategy.ts:29-69).
     */

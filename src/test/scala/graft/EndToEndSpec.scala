@@ -89,6 +89,7 @@ class EndToEndSpec extends SparkSpec {
     val chain = new BlockSource {
       def latest(): Block = Block(BigInt(20), "0xREAL20", BigInt(0))
       def hashAt(n: BigInt): String = s"0xREAL$n"
+      def blockAt(n: BigInt): Block = Block(n, hashAt(n), BigInt(0))
       def multicall(ids: Seq[String]): Map[String, Int] = Map.empty
     }
     graphql.builders = Seq("b1" -> "111") // canonical chain disagrees

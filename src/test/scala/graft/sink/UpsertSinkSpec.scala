@@ -147,17 +147,20 @@ class UpsertSinkSpec extends SparkSpec {
     val sink = new UpsertSink(spark, root.toString, numBuckets = 4)
     sink.merge("t", (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
     // simulate a merge crashed mid-bucket-swap: two buckets parked in
-    // their backup dirs with the target bucket dirs absent
+    // their in-table backup dirs with the target bucket dirs absent
     val parked = Files.list(root.resolve("t")).iterator().asScala
       .filter(_.getFileName.toString.startsWith("__bucket=")).take(2).toSeq
     assert(parked.size == 2, "seed data did not populate 2+ buckets")
     parked.foreach { b =>
       val n = b.getFileName.toString.stripPrefix("__bucket=")
-      Files.move(b, root.resolve(s".t__old_$n"))
+      Files.move(b, root.resolve("t").resolve(s".bkup_$n"))
     }
+    // a reader between the crash and the rebuild sees the recovered
+    // pre-crash table, not a partial one
+    assert(sink.read("t").count() == 40)
     // reorg rebuild replaces the table wholesale; the pre-rebuild bucket
-    // backups are now garbage — a later recover() must not move them
-    // back in and resurrect rows the rebuild purged
+    // backups vanish with the old table dir — a later recover() must not
+    // resurrect rows the rebuild purged
     sink.overwrite("t", Seq((1L, "rebuilt")).toDF("id", "v"), Seq("id"))
     sink.merge("t", Seq((2L, "post")).toDF("id", "v"), Seq("id"))
     val rows = sink.read("t").as[(Long, String)].collect().toMap

@@ -22,6 +22,7 @@ class StreamingWatcherSpec extends SparkSpec {
     @volatile var states: Map[String, Int] = Map("p1" -> 1, "p2" -> 1)
     def latest(): Block = Block(BigInt(head.get), hashAt(BigInt(head.get)), BigInt(0))
     def hashAt(n: BigInt): String = s"0xh$n"
+    def blockAt(n: BigInt): Block = Block(n, hashAt(n), BigInt(0))
     def multicall(ids: Seq[String]): Map[String, Int] = states
   }
 

@@ -17,6 +17,7 @@ class WatcherSpec extends SparkSpec {
       states: Map[String, Int] = Map.empty) extends BlockSource {
     def latest(): Block = Block(head, hashes(head), head * 10)
     def hashAt(number: BigInt): String = hashes(number)
+    def blockAt(number: BigInt): Block = Block(number, hashes(number), number * 10)
     def multicall(ids: Seq[String]): Map[String, Int] =
       ids.flatMap(id => states.get(id).map(id -> _)).toMap
   }
