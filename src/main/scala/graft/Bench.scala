@@ -29,7 +29,12 @@ object Bench {
     def force(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+    // SPARK_GRAFT_BENCH_ONLY=q64,q65 restricts the run for iterating on
+    // one query's cost — the official artifact never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     names.foreach(n => try force(n) catch { case _: Throwable => () }) // warmup
     // a failing query must NOT record its near-zero failure latency as a
     // benchmark time (a broken build would "benchmark" faster than a

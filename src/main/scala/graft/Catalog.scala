@@ -62,8 +62,12 @@ object Catalog {
       java.nio.file.Paths.get(path)
     }
 
+    // 8 buckets, not the 64-bucket production default: these stores hold
+    // sf-scale intermediate tables where per-bucket file/move overhead
+    // dominates, and the layout records its own modulus so a different
+    // reader still merges correctly
     def sink(s: SparkSession, purpose: String, dir: String): graft.sink.UpsertSink =
-      new graft.sink.UpsertSink(s, root(purpose, dir).toString)
+      new graft.sink.UpsertSink(s, root(purpose, dir).toString, numBuckets = 8)
 
     /** A sink whose tables start EMPTY for this call — for replay-style
       * queries that must not see a previous invocation's state. Reuses
@@ -74,7 +78,7 @@ object Catalog {
       val stream = java.nio.file.Files.list(r)
       try stream.forEach(p => deleteRec(p))
       finally stream.close()
-      new graft.sink.UpsertSink(s, r.toString)
+      new graft.sink.UpsertSink(s, r.toString, numBuckets = 8)
     }
   }
 

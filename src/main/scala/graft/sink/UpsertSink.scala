@@ -147,6 +147,17 @@ final class UpsertSink(spark: SparkSession, root: String,
                          buckets: Int): DataFrame =
     df.withColumn(BucketCol, pmod(hash(pk.map(col): _*), lit(buckets)))
 
+  /** Align write tasks to bucket boundaries before a `partitionBy`
+    * write: without this, EVERY write task opens a file in EVERY bucket
+    * dir it sees rows for — up to tasks x buckets tiny files per merge
+    * (a classic dynamic-partition write explosion; at 64 buckets and 32
+    * tasks that is ~2k files for a 1k-row batch). One shuffle keyed on
+    * the bucket puts each bucket's rows in one task -> one file per
+    * bucket, and incremental merges stay metadata-cheap to read back.
+    */
+  private def bucketAligned(df: DataFrame): DataFrame =
+    df.repartition(col(BucketCol))
+
   /** Create-if-missing (the reference's create-missing-only DDL mode,
     * dbCreator.ts:186-222): write only when absent.
     */
@@ -170,7 +181,7 @@ final class UpsertSink(spark: SparkSession, root: String,
     // into the rebuilt table and resurrect purged rows
     recover(table)
     if (pk.nonEmpty) {
-      withBucket(df, pk, numBuckets).write.mode(SaveMode.Overwrite)
+      bucketAligned(withBucket(df, pk, numBuckets)).write.mode(SaveMode.Overwrite)
         .partitionBy(BucketCol).parquet(shadow.toString)
       Files.write(bucketMarker(shadow), numBuckets.toString.getBytes("UTF-8"))
     } else df.write.mode(SaveMode.Overwrite).parquet(shadow.toString)
@@ -233,7 +244,7 @@ final class UpsertSink(spark: SparkSession, root: String,
       }
       val shadow = Paths.get(root, s".${table}__shadow")
       deleteRecursively(shadow)
-      merged.write.mode(SaveMode.Overwrite)
+      bucketAligned(merged).write.mode(SaveMode.Overwrite)
         .partitionBy(BucketCol).parquet(shadow.toString)
       touched.foreach { b =>
         val part = s"$BucketCol=$b"
