@@ -31,8 +31,11 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     // SPARK_GRAFT_BENCH_ONLY=q64,q65 restricts the run for iterating on
     // one query's cost — the official artifact never sets it
+    // a set-but-empty var means "no filter", not "run nothing" — an
+    // empty run would emit a plausible zero-total artifact
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
     names.foreach(n => try force(n) catch { case _: Throwable => () }) // warmup

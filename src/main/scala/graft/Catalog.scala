@@ -47,16 +47,10 @@ object Catalog {
     private val roots =
       scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
-    private def deleteRec(p: java.nio.file.Path): Unit =
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.delete(f))
-
     private def root(purpose: String, dir: String): java.nio.file.Path = {
       val path = roots.getOrElseUpdate((purpose, dir), {
         val p = java.nio.file.Files.createTempDirectory(s"graft_$purpose")
-        sys.addShutdownHook(deleteRec(p))
+        sys.addShutdownHook(graft.sink.Fs.deleteRecursively(p))
         p.toString
       })
       java.nio.file.Paths.get(path)
@@ -76,7 +70,7 @@ object Catalog {
     def freshSink(s: SparkSession, purpose: String, dir: String): graft.sink.UpsertSink = {
       val r = root(purpose, dir)
       val stream = java.nio.file.Files.list(r)
-      try stream.forEach(p => deleteRec(p))
+      try stream.forEach(p => graft.sink.Fs.deleteRecursively(p))
       finally stream.close()
       new graft.sink.UpsertSink(s, r.toString, numBuckets = 8)
     }

@@ -26,16 +26,23 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object FreqSummary {
 
-  type Buf = mutable.HashMap[String, Long]
+  /** Counter map plus an `overflowed` flag: true once ANY partial
+    * summary evicted an entry (decrement-all or merge trim). While the
+    * flag is false the map is a complete exact dictionary — consumers
+    * can treat the summary as the full vocabulary, not a sample.
+    */
+  final class Buf(val m: mutable.HashMap[String, Long],
+                  var overflowed: Boolean) extends Serializable
 
   final class MisraGries(capacity: Int)
-      extends Aggregator[String, Buf, Seq[String]] {
+      extends Aggregator[String, Buf, (Seq[String], Boolean)] {
     require(capacity > 0, "capacity must be positive")
 
-    override def zero: Buf = mutable.HashMap.empty
+    override def zero: Buf = new Buf(mutable.HashMap.empty, false)
 
-    override def reduce(b: Buf, g: String): Buf = {
+    override def reduce(buf: Buf, g: String): Buf = {
       if (g != null) {
+        val b = buf.m
         b.get(g) match {
           case Some(c) => b.update(g, c + 1L)
           case None if b.size < capacity => b.update(g, 1L)
@@ -43,22 +50,26 @@ object FreqSummary {
             // decrement-all in lieu of inserting: each trigger cancels
             // `capacity` units of total count, so triggers <= N/capacity
             // and the amortized cost per item stays O(1)
+            buf.overflowed = true
             val dead = b.iterator.filter(_._2 == 1L).map(_._1).toList
             dead.foreach(b.remove)
             b.mapValuesInPlace((_, c) => c - 1L)
         }
       }
-      b
+      buf
     }
 
     override def merge(a: Buf, b: Buf): Buf = {
-      val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
-      small.foreach { case (g, c) =>
+      val (bigB, smallB) = if (a.m.size >= b.m.size) (a, b) else (b, a)
+      val big = bigB.m
+      smallB.m.foreach { case (g, c) =>
         big.update(g, big.getOrElse(g, 0L) + c)
       }
+      bigB.overflowed ||= smallB.overflowed
       if (big.size > capacity) {
         // subtract the (capacity+1)-th largest count from every entry
         // and drop the non-positive ones — at most `capacity` survive
+        bigB.overflowed = true
         val counts = big.values.toArray
         java.util.Arrays.sort(counts)
         val cut = counts(counts.length - capacity - 1)
@@ -66,19 +77,22 @@ object FreqSummary {
         dead.foreach(big.remove)
         big.mapValuesInPlace((_, c) => c - cut)
       }
-      big
+      bigB
     }
 
-    override def finish(b: Buf): Seq[String] = b.keys.toSeq.sorted
+    override def finish(b: Buf): (Seq[String], Boolean) =
+      (b.m.keys.toSeq.sorted, b.overflowed)
 
     override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
-    override def outputEncoder: Encoder[Seq[String]] =
-      ExpressionEncoder[Seq[String]]()
+    override def outputEncoder: Encoder[(Seq[String], Boolean)] =
+      ExpressionEncoder[(Seq[String], Boolean)]()
   }
 
-  /** Candidate heavy hitters of a string column: every value whose true
-    * count exceeds N/capacity is guaranteed present (plus possibly
-    * others); exact-verify downstream.
+  /** Candidate heavy hitters of a string column, as a struct
+    * `(_1: candidates, _2: overflowed)`. Every value whose true count
+    * exceeds N/capacity is guaranteed present (plus possibly others);
+    * when `overflowed` is false the candidate list IS the complete
+    * vocabulary with exact counts retained. Exact-verify downstream.
     */
   def candidates(c: Column, capacity: Int): Column = {
     import org.apache.spark.sql.functions.udaf

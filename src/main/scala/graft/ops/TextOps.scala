@@ -536,24 +536,33 @@ object TextOps {
       .head
     val cms = org.apache.spark.util.sketch.CountMinSketch
       .readFrom(new java.io.ByteArrayInputStream(summaries.getAs[Array[Byte]](0)))
-    val cand = summaries.getSeq[String](1)
+    val mg = summaries.getStruct(1)
+    val cand = mg.getSeq[String](0)
+    val overflowed = mg.getBoolean(1)
     if (cand.isEmpty) return Seq.empty[(String, Long, Long)]
       .toDF("gram", "cnt", "est")
     val top = candidateExactCounts(grams, cand)
       .withColumn("__gh", xxhash64(col("__g")))
       .orderBy(col("cnt").desc, col("__g")).limit(k).collect()
-    // provable-exactness gate: every returned count must beat the
-    // Misra-Gries survival bound N/capacity, else an evicted gram could
-    // have deserved a slot (note: when N <= capacity the bound is 0 and
-    // every count passes — approximation only ever bites at scale)
-    val survivalBound = cms.totalCount() / capacity
-    val unprovable = top.filter(_.getLong(1) <= survivalBound)
-    if (unprovable.nonEmpty)
-      throw new IllegalStateException(
-        s"cmsHeavyHitters: ${unprovable.length} of ${top.length} top-$k " +
-          s"counts are <= N/capacity = $survivalBound, so the candidate " +
-          s"summary cannot guarantee the exact top-$k on this " +
-          s"distribution — increase capacity (currently $capacity)")
+    // provable-exactness gate, needed only when the summary ever evicted
+    // (un-overflowed => the candidate list IS the full vocabulary):
+    //  - fewer than k candidates would silently truncate the ranking
+    //    (the evicted tail could have filled the missing slots), and
+    //  - every returned count must beat the Misra-Gries survival bound
+    //    N/capacity, else an evicted gram could have outranked one.
+    // When N <= capacity nothing evicts and every input passes —
+    // approximation only ever bites at scale.
+    if (overflowed) {
+      val survivalBound = cms.totalCount() / capacity
+      val unprovable = top.filter(_.getLong(1) <= survivalBound)
+      if (top.length < k || unprovable.nonEmpty)
+        throw new IllegalStateException(
+          s"cmsHeavyHitters: got ${top.length} candidates of which " +
+            s"${unprovable.length} have counts <= N/capacity = " +
+            s"$survivalBound, so the candidate summary cannot guarantee " +
+            s"the exact top-$k on this distribution — increase capacity " +
+            s"(currently $capacity)")
+    }
     val rows = top.toSeq.map(r => (r.getString(0), r.getLong(1),
       cms.estimateCount(java.lang.Long.valueOf(r.getLong(2)))))
     rows.toDF("gram", "cnt", "est").orderBy(col("cnt").desc, col("gram"))

@@ -64,9 +64,15 @@ final class UpsertSink(spark: SparkSession, root: String,
     * outlive the table generation it belongs to and be "recovered" into
     * a rebuilt table under a different bucket layout.
     *
-    * Concurrency: two readers may race recovery of the same crashed
-    * table; both moves are attempted and the loser's (the path vanished
-    * or the destination appeared first) is a no-op — see [[tryMove]].
+    * Concurrency contract: READS may race each other and recovery —
+    * both recovery moves are attempted and the loser's (the path
+    * vanished or the destination appeared first) is a no-op (see
+    * [[tryMove]]; stale-backup deletes tolerate a concurrent deleter
+    * the same way). WRITES (merge/overwrite) are single-writer per
+    * table: every engine caller (Syncer, pipelines, reorg rebuild)
+    * serializes writes to a table, and a reader's recovery racing an
+    * in-flight writer's swap window is out of scope — the swap itself
+    * stays atomic either way.
     */
   private def recover(table: String): Unit = {
     val target = tableDir(table)
@@ -74,18 +80,26 @@ final class UpsertSink(spark: SparkSession, root: String,
     if (!Files.exists(target) && Files.exists(old))
       tryMove(old, target)
     if (Files.exists(target)) {
-      val stream = Files.list(target)
-      val prefix = ".bkup_"
-      try stream.iterator().asScala.toSeq
-        .filter(_.getFileName.toString.startsWith(prefix))
-        .foreach { oldBucket =>
-          val part = s"$BucketCol=${oldBucket.getFileName.toString.stripPrefix(prefix)}"
-          val bucket = target.resolve(part)
-          if (!Files.exists(bucket)) tryMove(oldBucket, bucket)
-          else deleteRecursively(oldBucket) // swap completed; stale backup
-        }
-      finally stream.close()
+      restoreBucketBackups(target, Files.list(target), ".bkup_")
+      // pre-.bkup_ releases parked bucket backups NEXT TO the table
+      // (`.{table}__old_N`): migrate them too, so a table that crashed
+      // mid-merge under the old layout doesn't silently lose a bucket
+      restoreBucketBackups(target, Files.list(Paths.get(root)), s".${table}__old_")
     }
+  }
+
+  private def restoreBucketBackups(target: Path,
+                                   listing: java.util.stream.Stream[Path],
+                                   prefix: String): Unit = {
+    try listing.iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith(prefix))
+      .foreach { oldBucket =>
+        val part = s"$BucketCol=${oldBucket.getFileName.toString.stripPrefix(prefix)}"
+        val bucket = target.resolve(part)
+        if (!Files.exists(bucket)) tryMove(oldBucket, bucket)
+        else deleteRecursively(oldBucket) // swap completed; stale backup
+      }
+    finally listing.close()
   }
 
   /** A move that tolerates losing a recovery race: if another thread
@@ -274,10 +288,25 @@ final class UpsertSink(spark: SparkSession, root: String,
                              versionCol: Option[String]): DataFrame =
     MergeSemantics.dedupeLastWins(df, pk, versionCol)
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+  private def deleteRecursively(p: Path): Unit = Fs.deleteRecursively(p)
+}
+
+/** Shared local-fs helpers for sink-layout maintenance. */
+private[graft] object Fs {
+  /** Recursive delete that tolerates a concurrent deleter of the same
+    * tree (two recoveries may race stale-backup cleanup): a file that
+    * vanished mid-walk is exactly the outcome this delete wanted.
+    */
+  def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]())
+        .forEach { f =>
+          try Files.delete(f)
+          catch { case _: java.nio.file.NoSuchFileException => () }
+        }
+      finally walk.close()
+    }
 }
 
 object Retry {

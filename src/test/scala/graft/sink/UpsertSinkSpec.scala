@@ -155,17 +155,32 @@ class UpsertSinkSpec extends SparkSpec {
       val n = b.getFileName.toString.stripPrefix("__bucket=")
       Files.move(b, root.resolve("t").resolve(s".bkup_$n"))
     }
-    // a reader between the crash and the rebuild sees the recovered
-    // pre-crash table, not a partial one
-    assert(sink.read("t").count() == 40)
-    // reorg rebuild replaces the table wholesale; the pre-rebuild bucket
-    // backups vanish with the old table dir — a later recover() must not
-    // resurrect rows the rebuild purged
+    // reorg rebuild replaces the table wholesale WITH the parked
+    // backups still in place (no read in between — overwrite itself
+    // must handle the crashed-merge state); the pre-rebuild bucket
+    // backups vanish with the old table dir, so a later recover() can
+    // never resurrect rows the rebuild purged
     sink.overwrite("t", Seq((1L, "rebuilt")).toDF("id", "v"), Seq("id"))
     sink.merge("t", Seq((2L, "post")).toDF("id", "v"), Seq("id"))
     val rows = sink.read("t").as[(Long, String)].collect().toMap
     assert(rows == Map(1L -> "rebuilt", 2L -> "post"),
       s"pre-rebuild rows resurrected: ${rows.size} rows")
+  }
+
+  test("legacy root-level bucket backups (.t__old_N) still recover") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_sink_legacy")
+    val sink = new UpsertSink(spark, root.toString, numBuckets = 4)
+    sink.merge("t", (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    // a merge that crashed under the PREVIOUS release parked its bucket
+    // NEXT TO the table dir — upgrading must not strand (and so lose)
+    // that bucket's rows
+    val parked = Files.list(root.resolve("t")).iterator().asScala
+      .find(_.getFileName.toString.startsWith("__bucket=")).get
+    val n = parked.getFileName.toString.stripPrefix("__bucket=")
+    Files.move(parked, root.resolve(s".t__old_$n"))
+    assert(sink.read("t").count() == 40, "legacy bucket backup not migrated")
+    assert(!Files.exists(root.resolve(s".t__old_$n")))
   }
 
   test("flat-layout table migrates to bucketed on first merge") {
