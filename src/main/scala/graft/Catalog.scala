@@ -806,7 +806,40 @@ object Catalog {
         sink.read("corpus")
           .select(col("doc_id"), (col("doc_id") % 4).as("batch"))
           .orderBy("doc_id")
-      })
+      }),
+
+    QueryDef("q66_segment_dedup",
+      "Segment-level exact dedup (the C4/RefinedWeb move): 25-word " +
+        "segments, drop every segment whose exact content occurred " +
+        "earlier in the corpus (global (doc_id, seg_idx) order), rebuild " +
+        "documents from survivors. Catches boilerplate repeated ACROSS " +
+        "distinct documents that doc-level dedup (q28) cannot see. One " +
+        "explode pass, md5-keyed keeper groupBy (map-side-combinable " +
+        "min(struct)), equi-joins only.",
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z]+') w FROM documents),
+             |segl AS (SELECT doc_id,
+             |    [{'i': i, 's': array_to_string(w[(i*25+1):(i*25+25)], ' ')}
+             |     for i in range(0, CAST(ceil(len(w)/25.0) AS INTEGER))] AS ss
+             |  FROM toks),
+             |seg AS (SELECT doc_id, u.i AS seg_idx, u.s AS s
+             |  FROM (SELECT doc_id, unnest(ss) AS u FROM segl)),
+             |keep AS (SELECT doc_id, seg_idx, s,
+             |    row_number() OVER (PARTITION BY md5(s)
+             |      ORDER BY doc_id, seg_idx) AS rn
+             |  FROM seg),
+             |k AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+             |    string_agg(s, ' ' ORDER BY seg_idx) AS text_kept
+             |  FROM keep WHERE rn = 1 GROUP BY doc_id),
+             |n AS (SELECT doc_id, CAST(ceil(len(w)/25.0) AS INTEGER) AS n_segs
+             |  FROM toks)
+             |SELECT n.doc_id, n.n_segs,
+             |  COALESCE(k.n_kept, 0) AS n_kept,
+             |  COALESCE(k.text_kept, '') AS text_kept
+             |FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin),
+      (s, dir) => TextOps.segmentDedup(t(s, dir, "documents"),
+          "doc_id", "text", segWords = 25)
+        .orderBy("doc_id"))
   )
 
   // ---------------------------------------------------------------------
@@ -1526,7 +1559,29 @@ object Catalog {
           .agg(count(lit(1)).as("n_events"),
             sum(dec(col("value"))).cast("double").as("sum_value"))
           .orderBy("c_mktsegment")
-      })
+      }),
+
+    QueryDef("q67_chunk_tokens",
+      "Sliding token-window chunking (sequence prep): size-32 chunks at " +
+        "stride 16 (16 tokens of overlap preserves context across chunk " +
+        "boundaries), chunk count = ceil(n/stride) so every token lands " +
+        "in at least one chunk. Pure per-row fan-out — tokens computed " +
+        "once per document and sliced per chunk, no shuffle beyond the " +
+        "presentation orderBy.",
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z]+') w FROM documents),
+             |cl AS (SELECT doc_id,
+             |    [{'i': i, 'c': w[(i*16+1):(i*16+32)]}
+             |     for i in range(0, CAST(ceil(len(w)/16.0) AS INTEGER))] AS cs
+             |  FROM toks)
+             |SELECT doc_id, u.i AS chunk_idx,
+             |  CAST(len(u.c) AS INTEGER) AS ntok,
+             |  array_to_string(u.c, ' ') AS chunk
+             |FROM (SELECT doc_id, unnest(cs) AS u FROM cl)
+             |ORDER BY doc_id, chunk_idx""".stripMargin),
+      (s, dir) => SampleOps.chunkTokens(t(s, dir, "documents"),
+          "doc_id", "text", size = 32, stride = 16)
+        .orderBy("doc_id", "chunk_idx"))
   )
 
   /** Shared oracle CTE: winnowed fingerprint sets per document (k=8,

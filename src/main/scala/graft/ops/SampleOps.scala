@@ -152,4 +152,35 @@ object SampleOps {
       .select(col(idCol), col("score"),
         (col("__offset") + col("__rn")).cast("long").as("rank"))
   }
+
+  /** Sliding token-window chunking — the sequence-prep step that turns
+    * variable-length documents into (at most) `size`-token training
+    * chunks with `size - stride` tokens of overlap between consecutive
+    * chunks (overlap preserves context across chunk boundaries; stride =
+    * size means disjoint chunks). Chunk starts are 0, stride, 2*stride,
+    * ... while they fall inside the document, so every token lands in at
+    * least one chunk and the chunk count is ceil(n / stride).
+    *
+    * Pure per-row fan-out: the token array is computed once per document
+    * and sliced per chunk — no shuffle, no state, embarrassingly
+    * parallel; chunk identity (idCol, chunk_idx) is deterministic so
+    * re-runs and engines agree. Output: (idCol, chunk_idx, ntok, chunk).
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  size: Int = 32, stride: Int = 16): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val toks = TextOps.tokens(col(textCol))
+    val n = org.apache.spark.sql.functions.size(toks)
+    val nchunks = ceil(n.cast("double") / stride).cast("int")
+    // guard nchunks=0: sequence(0, -1) would DESCEND, not produce empty
+    val chunks = when(nchunks > 0,
+      transform(sequence(lit(0), nchunks - 1),
+        i => slice(toks, i * stride + 1, lit(size))))
+      .otherwise(array().cast("array<array<string>>"))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("__c")).as("ntok"),
+        concat_ws(" ", col("__c")).as("chunk"))
+  }
 }

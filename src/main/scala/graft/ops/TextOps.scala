@@ -577,6 +577,54 @@ object TextOps {
     grams.filter(col("__g").isInCollection(cand))
       .groupBy("__g").agg(count(lit(1)).as("cnt"))
 
+  /** Segment-level exact deduplication (the C4/RefinedWeb move): chop
+    * each document into fixed `segWords`-word segments, drop every
+    * segment whose exact content already occurred EARLIER in the corpus
+    * (global order = (doc id, segment index) — deterministic and
+    * engine-portable), and rebuild documents from their surviving
+    * segments. Document-level dedup (q28) misses boilerplate repeated
+    * ACROSS distinct documents — headers, navigation, license blocks;
+    * this is the operator that removes it.
+    *
+    * Scale shape: one explode pass, one md5-keyed groupBy with a
+    * map-side-combinable `min(struct(id, idx))` keeper (no window over
+    * the corpus), an equi-join of segments against the keeper table, and
+    * a per-document regroup. Every shuffle is keyed on the segment hash
+    * or the doc id; nothing is quadratic and no driver-side state exists.
+    *
+    * Output per input document (total — docs whose every segment was
+    * dropped still appear): (idCol, n_segs, n_kept, text_kept).
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   segWords: Int = 25): DataFrame = {
+    require(segWords > 0, s"segWords must be positive, got $segWords")
+    val toks = tokens(col(textCol))
+    val nseg = ceil(size(toks).cast("double") / segWords).cast("int")
+    // guard nseg=0: sequence(0, -1) would DESCEND, not produce empty
+    val segs = when(nseg > 0,
+      transform(sequence(lit(0), nseg - 1),
+        i => concat_ws(" ", slice(toks, i * segWords + 1, lit(segWords)))))
+      .otherwise(array().cast("array<string>"))
+    val exploded = df
+      .select(col(idCol), posexplode(segs).as(Seq("seg_idx", "__seg")))
+      .withColumn("__h", md5(col("__seg")))
+    val keeper = exploded.groupBy("__h")
+      .agg(min(struct(col(idCol), col("seg_idx"))).as("__k"))
+    val kept = exploded.join(keeper, "__h")
+      .filter(col(idCol) === col(s"__k.$idCol")
+        && col("seg_idx") === col("__k.seg_idx"))
+    val perDoc = kept.groupBy(idCol)
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("__seg")))),
+          s => s.getField("__seg"))).as("text_kept"))
+    df.select(col(idCol), nseg.as("n_segs"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_segs"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   /** Language-ID heuristic: per-language stopword hit counts; argmax with
     * deterministic tie-break on language code order. Counts are integers ->
     * oracle-reproducible.

@@ -100,6 +100,45 @@ class OpsSpec extends SparkSpec {
     assert(good <= 1000 && bad >= 0)
   }
 
+  // tokens() keeps [a-z]+ only, so fixture words must be letter-only
+  private def lw(p: String, i: Int): String =
+    p + ('a' + (i - 1) % 26).toChar + ('a' + (i - 1) / 26).toChar
+
+  test("segmentDedup drops cross-document boilerplate, keeps first occurrence") {
+    val boiler = (1 to 25).map(lw("nav", _)).mkString(" ") // one full segment
+    val bodyA = (1 to 25).map(lw("alpha", _)).mkString(" ")
+    val bodyB = (1 to 25).map(lw("beta", _)).mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler $bodyA"),  // boilerplate first occurs here
+      (2L, s"$boiler $bodyB"),  // same header: must be dropped
+      (3L, boiler))             // doc that IS only boilerplate -> empty
+      .toDF("doc_id", "text").repartition(3)
+    val out = TextOps.segmentDedup(docs, "doc_id", "text", segWords = 25)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect()
+    assert(out(0) == ((1L, 2, 2, s"$boiler $bodyA")))
+    assert(out(1) == ((2L, 2, 1, bodyB)), s"boilerplate survived: ${out(1)}")
+    // totality: a fully-deduped doc still appears, with empty text
+    assert(out(2) == ((3L, 1, 0, "")))
+  }
+
+  test("chunkTokens: stride overlap, ceil(n/stride) chunks, every token covered") {
+    val words = (1 to 40).map(lw("w", _))
+    val docs = Seq((1L, words.mkString(" ")), (2L, "a b c"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = SampleOps.chunkTokens(docs, "doc_id", "text", size = 32, stride = 16)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, Int, String)].collect()
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.length == 3) // ceil(40/16)
+    assert(d1(0)._3 == 32 && d1(0)._4 == words.take(32).mkString(" "))
+    assert(d1(1)._4.startsWith(words(16) + " "), "stride-16 overlap lost")
+    assert(d1(2)._3 == 8 && d1(2)._4 == words.drop(32).mkString(" "))
+    // short doc: one short chunk; empty doc: no chunks
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 3, "a b c")))
+    assert(!out.exists(_._1 == 3L))
+  }
+
   test("saltedJoin equals the plain join on a skewed key (incl. misses)") {
     // 10k rows of one whale key + a long tail; dimension misses key 99
     val big = ((1 to 10000).map(_ => 1L) ++ (2L to 99L)).toDF("k")
