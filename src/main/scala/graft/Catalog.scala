@@ -1564,15 +1564,19 @@ object Catalog {
     QueryDef("q67_chunk_tokens",
       "Sliding token-window chunking (sequence prep): size-32 chunks at " +
         "stride 16 (16 tokens of overlap preserves context across chunk " +
-        "boundaries), chunk count = ceil(n/stride) so every token lands " +
-        "in at least one chunk. Pure per-row fan-out — tokens computed " +
-        "once per document and sliced per chunk, no shuffle beyond the " +
-        "presentation orderBy.",
+        "boundaries), chunk count = ceil(max(n-size,0)/stride)+1 — " +
+        "chunks start at stride multiples until one reaches the document " +
+        "end and none after, so every token is covered and no chunk is a " +
+        "redundant suffix of its predecessor. Pure per-row fan-out — " +
+        "tokens computed once per document and sliced per chunk, no " +
+        "shuffle beyond the presentation orderBy.",
       Some("""WITH toks AS (SELECT doc_id,
              |    regexp_extract_all(lower(text), '[a-z]+') w FROM documents),
              |cl AS (SELECT doc_id,
              |    [{'i': i, 'c': w[(i*16+1):(i*16+32)]}
-             |     for i in range(0, CAST(ceil(len(w)/16.0) AS INTEGER))] AS cs
+             |     for i in range(0, CASE WHEN len(w) > 0
+             |       THEN CAST(ceil(greatest(len(w) - 32, 0) / 16.0) AS INTEGER) + 1
+             |       ELSE 0 END)] AS cs
              |  FROM toks)
              |SELECT doc_id, u.i AS chunk_idx,
              |  CAST(len(u.c) AS INTEGER) AS ntok,

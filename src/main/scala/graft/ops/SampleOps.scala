@@ -157,9 +157,12 @@ object SampleOps {
     * variable-length documents into (at most) `size`-token training
     * chunks with `size - stride` tokens of overlap between consecutive
     * chunks (overlap preserves context across chunk boundaries; stride =
-    * size means disjoint chunks). Chunk starts are 0, stride, 2*stride,
-    * ... while they fall inside the document, so every token lands in at
-    * least one chunk and the chunk count is ceil(n / stride).
+    * size means disjoint chunks). The chunk count is
+    * `ceil(max(n - size, 0) / stride) + 1`: chunks start at multiples of
+    * `stride` until one REACHES the document end, and none after — a
+    * naive ceil(n/stride) count would make the final chunk of every
+    * multi-chunk document a strict suffix of its predecessor, shipping a
+    * 100%-redundant chunk into training.
     *
     * Pure per-row fan-out: the token array is computed once per document
     * and sliced per chunk — no shuffle, no state, embarrassingly
@@ -172,7 +175,9 @@ object SampleOps {
       s"need 0 < stride <= size, got size=$size stride=$stride")
     val toks = TextOps.tokens(col(textCol))
     val n = org.apache.spark.sql.functions.size(toks)
-    val nchunks = ceil(n.cast("double") / stride).cast("int")
+    val nchunks = when(n > 0,
+      (ceil(greatest(n - size, lit(0)).cast("double") / stride) + 1).cast("int"))
+      .otherwise(lit(0))
     // guard nchunks=0: sequence(0, -1) would DESCEND, not produce empty
     val chunks = when(nchunks > 0,
       transform(sequence(lit(0), nchunks - 1),

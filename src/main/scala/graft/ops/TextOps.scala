@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -586,14 +587,19 @@ object TextOps {
     * ACROSS distinct documents — headers, navigation, license blocks;
     * this is the operator that removes it.
     *
-    * Scale shape: one explode pass, one md5-keyed groupBy with a
-    * map-side-combinable `min(struct(id, idx))` keeper (no window over
-    * the corpus), an equi-join of segments against the keeper table, and
-    * a per-document regroup. Every shuffle is keyed on the segment hash
-    * or the doc id; nothing is quadratic and no driver-side state exists.
+    * Scale shape: ONE tokenize+explode+md5 pass feeds everything — the
+    * keeper decision is a row_number window partitioned by the segment
+    * hash (equi-keyed shuffle, group size = a segment's duplication
+    * count), and the per-document regroup derives n_segs, n_kept, and
+    * the rebuilt text from the same exploded rows (seg indices are
+    * dense, so n_segs = max(idx)+1 — no second tokenize of the corpus).
+    * The only other input scan reads the id column alone, to keep docs
+    * with zero segments in the output. Nothing is quadratic and no
+    * driver-side state exists.
     *
     * Output per input document (total — docs whose every segment was
-    * dropped still appear): (idCol, n_segs, n_kept, text_kept).
+    * dropped, or with null/empty text, still appear):
+    * (idCol, n_segs, n_kept, text_kept).
     */
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
                    segWords: Int = 25): DataFrame = {
@@ -608,19 +614,19 @@ object TextOps {
     val exploded = df
       .select(col(idCol), posexplode(segs).as(Seq("seg_idx", "__seg")))
       .withColumn("__h", md5(col("__seg")))
-    val keeper = exploded.groupBy("__h")
-      .agg(min(struct(col(idCol), col("seg_idx"))).as("__k"))
-    val kept = exploded.join(keeper, "__h")
-      .filter(col(idCol) === col(s"__k.$idCol")
-        && col("seg_idx") === col("__k.seg_idx"))
-    val perDoc = kept.groupBy(idCol)
-      .agg(count(lit(1)).cast("int").as("n_kept"),
+    val w = Window.partitionBy("__h").orderBy(col(idCol), col("seg_idx"))
+    val marked = exploded.withColumn("__rn", row_number().over(w))
+    val perDoc = marked.groupBy(idCol)
+      .agg((max(col("seg_idx")) + 1).cast("int").as("n_segs"),
+        count(when(col("__rn") === 1, lit(1))).cast("int").as("n_kept"),
         concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("seg_idx"), col("__seg")))),
+          array_sort(collect_list(
+            when(col("__rn") === 1, struct(col("seg_idx"), col("__seg"))))),
           s => s.getField("__seg"))).as("text_kept"))
-    df.select(col(idCol), nseg.as("n_segs"))
+    df.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
-      .select(col(idCol), col("n_segs"),
+      .select(col(idCol),
+        coalesce(col("n_segs"), lit(0)).as("n_segs"),
         coalesce(col("n_kept"), lit(0)).as("n_kept"),
         coalesce(col("text_kept"), lit("")).as("text_kept"))
   }

@@ -92,7 +92,17 @@ final class UpsertSink(spark: SparkSession, root: String,
                                    listing: java.util.stream.Stream[Path],
                                    prefix: String): Unit = {
     try listing.iterator().asScala.toSeq
-      .filter(_.getFileName.toString.startsWith(prefix))
+      .filter { p =>
+        val name = p.getFileName.toString
+        // the suffix must be a bare bucket NUMBER: without this, table
+        // "t"'s legacy prefix ".t__old_" would also match the crash
+        // artifacts of a sibling table literally named "t__old_5"
+        // (".t__old_5__old") and graft foreign data into the wrong table
+        name.startsWith(prefix) && {
+          val suffix = name.stripPrefix(prefix)
+          suffix.nonEmpty && suffix.forall(_.isDigit)
+        }
+      }
       .foreach { oldBucket =>
         val part = s"$BucketCol=${oldBucket.getFileName.toString.stripPrefix(prefix)}"
         val bucket = target.resolve(part)
@@ -204,6 +214,26 @@ final class UpsertSink(spark: SparkSession, root: String,
     if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(shadow, target, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(old)
+    // the rebuild succeeded: any LEGACY root-level bucket backups
+    // (.{table}__old_N, pre-.bkup_ releases) now belong to a dead
+    // generation — left in place, a future recover() would graft them
+    // into this new table (in-table .bkup_ backups cannot outlive a
+    // generation structurally; the legacy scheme only operationally)
+    dropLegacyBucketBackups(table)
+  }
+
+  private def dropLegacyBucketBackups(table: String): Unit = {
+    if (!Files.isDirectory(Paths.get(root))) return
+    val stream = Files.list(Paths.get(root))
+    val prefix = s".${table}__old_"
+    try stream.iterator().asScala.toSeq
+      .filter { p =>
+        val suffix = p.getFileName.toString.stripPrefix(prefix)
+        p.getFileName.toString.startsWith(prefix) &&
+          suffix.nonEmpty && suffix.forall(_.isDigit)
+      }
+      .foreach(deleteRecursively)
+    finally stream.close()
   }
 
   /** PK merge: upsert `updates` into `table`, rewriting only the hash
@@ -298,14 +328,24 @@ private[graft] object Fs {
     * vanished mid-walk is exactly the outcome this delete wanted.
     */
   def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(Comparator.reverseOrder[Path]())
-        .forEach { f =>
-          try Files.delete(f)
-          catch { case _: java.nio.file.NoSuchFileException => () }
-        }
-      finally walk.close()
+    try {
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach { f =>
+            try Files.delete(f)
+            catch { case _: java.nio.file.NoSuchFileException => () }
+          }
+        finally walk.close()
+      }
+    } catch {
+      // a concurrent deleter of the same tree can invalidate the
+      // exists/walk window or a directory mid-traversal — the tree
+      // being gone is exactly this delete's goal, so swallow both the
+      // raw and the stream-wrapped form
+      case _: java.nio.file.NoSuchFileException => ()
+      case e: java.io.UncheckedIOException
+          if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
     }
 }
 

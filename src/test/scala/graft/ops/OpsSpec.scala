@@ -130,10 +130,13 @@ class OpsSpec extends SparkSpec {
       .orderBy("doc_id", "chunk_idx")
       .as[(Long, Int, Int, String)].collect()
     val d1 = out.filter(_._1 == 1L)
-    assert(d1.length == 3) // ceil(40/16)
+    // ceil(max(40-32,0)/16)+1 = 2 — NOT ceil(40/16)=3: a third chunk
+    // (tokens 33..40) would be a strict suffix of chunk 1 (17..40),
+    // pure duplicated training data
+    assert(d1.length == 2)
     assert(d1(0)._3 == 32 && d1(0)._4 == words.take(32).mkString(" "))
-    assert(d1(1)._4.startsWith(words(16) + " "), "stride-16 overlap lost")
-    assert(d1(2)._3 == 8 && d1(2)._4 == words.drop(32).mkString(" "))
+    assert(d1(1)._3 == 24 && d1(1)._4 == words.drop(16).mkString(" "),
+      "final chunk must reach the document end from the last stride start")
     // short doc: one short chunk; empty doc: no chunks
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 3, "a b c")))
     assert(!out.exists(_._1 == 3L))
