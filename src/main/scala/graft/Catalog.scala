@@ -813,9 +813,11 @@ object Catalog {
         "segments, drop every segment whose exact content occurred " +
         "earlier in the corpus (global (doc_id, seg_idx) order), rebuild " +
         "documents from survivors. Catches boilerplate repeated ACROSS " +
-        "distinct documents that doc-level dedup (q28) cannot see. One " +
-        "explode pass, md5-keyed keeper groupBy (map-side-combinable " +
-        "min(struct)), equi-joins only.",
+        "distinct documents that doc-level dedup (q28) cannot see. ONE " +
+        "tokenize+explode+md5 pass: the keeper is a row_number window " +
+        "partitioned by the segment hash (group size = a segment's " +
+        "duplication count), and n_segs/n_kept/rebuilt text all derive " +
+        "from the same exploded rows.",
       Some("""WITH toks AS (SELECT doc_id,
              |    regexp_extract_all(lower(text), '[a-z]+') w FROM documents),
              |segl AS (SELECT doc_id,

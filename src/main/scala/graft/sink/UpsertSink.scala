@@ -90,27 +90,33 @@ final class UpsertSink(spark: SparkSession, root: String,
 
   private def restoreBucketBackups(target: Path,
                                    listing: java.util.stream.Stream[Path],
-                                   prefix: String): Unit = {
+                                   prefix: String): Unit =
+    numericSuffixed(listing, prefix).foreach { oldBucket =>
+      val part = s"$BucketCol=${oldBucket.getFileName.toString.stripPrefix(prefix)}"
+      val bucket = target.resolve(part)
+      if (!Files.exists(bucket)) tryMove(oldBucket, bucket)
+      else deleteRecursively(oldBucket) // swap completed; stale backup
+    }
+
+  /** Entries named `prefix` + a bare bucket NUMBER, closing the stream.
+    * The digit requirement is load-bearing: table "t"'s legacy prefix
+    * ".t__old_" would otherwise also match the crash artifacts of a
+    * sibling table literally named "t__old_5" (".t__old_5__old") and
+    * recovery/cleanup would graft or delete the wrong table's data.
+    * Shared by restore and cleanup so the two can never drift apart on
+    * what counts as a bucket backup.
+    */
+  private def numericSuffixed(listing: java.util.stream.Stream[Path],
+                              prefix: String): Seq[Path] =
     try listing.iterator().asScala.toSeq
       .filter { p =>
         val name = p.getFileName.toString
-        // the suffix must be a bare bucket NUMBER: without this, table
-        // "t"'s legacy prefix ".t__old_" would also match the crash
-        // artifacts of a sibling table literally named "t__old_5"
-        // (".t__old_5__old") and graft foreign data into the wrong table
         name.startsWith(prefix) && {
           val suffix = name.stripPrefix(prefix)
           suffix.nonEmpty && suffix.forall(_.isDigit)
         }
       }
-      .foreach { oldBucket =>
-        val part = s"$BucketCol=${oldBucket.getFileName.toString.stripPrefix(prefix)}"
-        val bucket = target.resolve(part)
-        if (!Files.exists(bucket)) tryMove(oldBucket, bucket)
-        else deleteRecursively(oldBucket) // swap completed; stale backup
-      }
     finally listing.close()
-  }
 
   /** A move that tolerates losing a recovery race: if another thread
     * already moved the source (NoSuchFile) or created the destination
@@ -204,6 +210,13 @@ final class UpsertSink(spark: SparkSession, root: String,
     // table dir (they live inside it), so they can never be "recovered"
     // into the rebuilt table and resurrect purged rows
     recover(table)
+    // any LEGACY root-level backup (.{table}__old_N, pre-.bkup_
+    // releases) that SURVIVED recover() is provably orphaned — recover
+    // consumes them whenever the target (or its whole-table backup)
+    // exists — so delete them NOW, before the swap: deleted after it, a
+    // crash or permitted concurrent reader in between could still graft
+    // a dead generation's rows into the rebuilt table
+    dropLegacyBucketBackups(table)
     if (pk.nonEmpty) {
       bucketAligned(withBucket(df, pk, numBuckets)).write.mode(SaveMode.Overwrite)
         .partitionBy(BucketCol).parquet(shadow.toString)
@@ -214,27 +227,12 @@ final class UpsertSink(spark: SparkSession, root: String,
     if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(shadow, target, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(old)
-    // the rebuild succeeded: any LEGACY root-level bucket backups
-    // (.{table}__old_N, pre-.bkup_ releases) now belong to a dead
-    // generation — left in place, a future recover() would graft them
-    // into this new table (in-table .bkup_ backups cannot outlive a
-    // generation structurally; the legacy scheme only operationally)
-    dropLegacyBucketBackups(table)
   }
 
-  private def dropLegacyBucketBackups(table: String): Unit = {
-    if (!Files.isDirectory(Paths.get(root))) return
-    val stream = Files.list(Paths.get(root))
-    val prefix = s".${table}__old_"
-    try stream.iterator().asScala.toSeq
-      .filter { p =>
-        val suffix = p.getFileName.toString.stripPrefix(prefix)
-        p.getFileName.toString.startsWith(prefix) &&
-          suffix.nonEmpty && suffix.forall(_.isDigit)
-      }
-      .foreach(deleteRecursively)
-    finally stream.close()
-  }
+  private def dropLegacyBucketBackups(table: String): Unit =
+    if (Files.isDirectory(Paths.get(root)))
+      numericSuffixed(Files.list(Paths.get(root)), s".${table}__old_")
+        .foreach(deleteRecursively)
 
   /** PK merge: upsert `updates` into `table`, rewriting only the hash
     * buckets that contain updated keys. `versionCol` orders versions

@@ -122,7 +122,7 @@ class OpsSpec extends SparkSpec {
     assert(out(2) == ((3L, 1, 0, "")))
   }
 
-  test("chunkTokens: stride overlap, ceil(n/stride) chunks, every token covered") {
+  test("chunkTokens: stride overlap, no redundant suffix chunk, every token covered") {
     val words = (1 to 40).map(lw("w", _))
     val docs = Seq((1L, words.mkString(" ")), (2L, "a b c"), (3L, ""))
       .toDF("doc_id", "text")

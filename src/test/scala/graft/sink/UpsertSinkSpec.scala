@@ -183,6 +183,37 @@ class UpsertSinkSpec extends SparkSpec {
     assert(!Files.exists(root.resolve(s".t__old_$n")))
   }
 
+  test("overwrite deletes orphaned legacy backups instead of grafting them later") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val root = JFiles.createTempDirectory("graft_sink_orph").toString
+    val sink = new UpsertSink(spark, root)
+    // a dead generation's legacy bucket backup lingers with NO table dir
+    // (table dropped externally after an old-release crashed merge)
+    JFiles.createDirectories(Paths.get(root, ".t__old_3"))
+    JFiles.write(Paths.get(root, ".t__old_3", "junk.parquet"), Array[Byte](1))
+    sink.overwrite("t", Seq((1L, "fresh")).toDF("id", "v"), Seq("id"))
+    // the orphan must be GONE — a later recover() would otherwise move
+    // it into the rebuilt table as __bucket=3 and resurrect dead rows
+    assert(!JFiles.exists(Paths.get(root, ".t__old_3")))
+    assert(sink.read("t").as[(Long, String)].collect().toSeq == Seq((1L, "fresh")))
+  }
+
+  test("recovery ignores a sibling table's artifacts despite the prefix overlap") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val root = JFiles.createTempDirectory("graft_sink_sib").toString
+    val sink = new UpsertSink(spark, root)
+    sink.merge("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    // ".t__old_5__old" is table "t__old_5"'s whole-table crash backup,
+    // NOT a bucket-5 backup of table "t" — the non-numeric suffix must
+    // exclude it from t's recovery and cleanup
+    JFiles.createDirectories(Paths.get(root, ".t__old_5__old"))
+    JFiles.write(Paths.get(root, ".t__old_5__old", "their.parquet"), Array[Byte](1))
+    assert(sink.read("t").count() == 1)
+    sink.overwrite("t", Seq((2L, "b")).toDF("id", "v"), Seq("id"))
+    assert(JFiles.exists(Paths.get(root, ".t__old_5__old")),
+      "sibling table's crash backup was consumed by the wrong table")
+  }
+
   test("flat-layout table migrates to bucketed on first merge") {
     val root = Files.createTempDirectory("graft_sink_mig")
     val sink = new UpsertSink(spark, root.toString, numBuckets = 4)
