@@ -195,6 +195,25 @@ class PlanShapeSpec extends SparkSpec {
       s"dim side broadcast despite the shuffle_hash pin:\n$plan")
   }
 
+  test("q66: the keeper window is partitioned by segment hash, never global") {
+    val plan = planOf("q66_segment_dedup")
+    val windows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("row_number")).toSeq
+    assert(windows.nonEmpty, s"no keeper window found:\n$plan")
+    assert(windows.forall(_.contains("__h")),
+      s"keeper window lost its segment-hash partitioning (single-" +
+        s"partition window over the exploded corpus):\n$windows")
+  }
+
+  test("q67: chunking is a pure per-row fan-out — no hash exchange at all") {
+    val plan = planOf("q67_chunk_tokens")
+    // the only exchange allowed is the presentation orderBy's range
+    // partitioning; chunk membership itself must be row-local
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chunking shuffles to decide membership:\n$plan")
+    assert(plan.contains("Generate"), s"no fan-out generate found:\n$plan")
+  }
+
   test("q29: minhash signatures are computed map-side, not via a shuffle") {
     val plan = planOf("q29_dedup_minhash")
     assert(plan.toLowerCase.contains("minhashbandkeys"),
