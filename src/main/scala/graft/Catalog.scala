@@ -833,7 +833,8 @@ object Catalog {
              |k AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
              |    string_agg(s, ' ' ORDER BY seg_idx) AS text_kept
              |  FROM keep WHERE rn = 1 GROUP BY doc_id),
-             |n AS (SELECT doc_id, CAST(ceil(len(w)/25.0) AS INTEGER) AS n_segs
+             |n AS (SELECT doc_id,
+             |    CAST(COALESCE(ceil(len(w)/25.0), 0) AS INTEGER) AS n_segs
              |  FROM toks)
              |SELECT n.doc_id, n.n_segs,
              |  COALESCE(k.n_kept, 0) AS n_kept,

@@ -38,10 +38,14 @@ object SimOps {
     * norms imply a zero dot (Cauchy-Schwarz), so 0 is the only guarded
     * value: a NULL vector (null dot/norm) propagates null and is dropped
     * by downstream filters/rank predicates, rather than silently scoring
-    * cosine 0 as if it were orthogonal.
+    * cosine 0 as if it were orthogonal. The null check runs FIRST — in a
+    * (null norm, zero norm) pair, `null === 0.0` is null but `null || true`
+    * is TRUE under three-valued logic, so the zero-guard alone would score
+    * a NULL vector 0.
     */
   private[graft] def safeCos(d: Column, na: Column, nb: Column): Column =
-    when(na === lit(0.0) || nb === lit(0.0), lit(0.0))
+    when(na.isNull || nb.isNull, lit(null).cast("double"))
+      .when(na === lit(0.0) || nb === lit(0.0), lit(0.0))
       .otherwise(try_divide(d, na * nb))
 
   def cosine(a: Column, b: Column): Column =
