@@ -1588,7 +1588,49 @@ object Catalog {
              |ORDER BY doc_id, chunk_idx""".stripMargin),
       (s, dir) => SampleOps.chunkTokens(t(s, dir, "documents"),
           "doc_id", "text", size = 32, stride = 16)
-        .orderBy("doc_id", "chunk_idx"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    QueryDef("q68_substring_dedup",
+      "Arbitrary-offset repeated-substring dedup (Lee et al. 2022 " +
+        "ExactSubstr): every token covered by a 20-token window whose " +
+        "exact content occurred earlier in the corpus (global " +
+        "(doc_id, position) order) is removed; the first occurrence " +
+        "survives whole. Offset-invariant where q66's fixed segments " +
+        "are not — shifted boilerplate (a header preceded by one extra " +
+        "word) is caught because every window at stride 1 is hashed. " +
+        "Tokenize once via posexplode, grams assembled relationally by " +
+        "a per-doc frame window; keeper = row_number partitioned by " +
+        "window hash; coverage = running duplicate-start count over the " +
+        "trailing 20 positions.",
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z]+') w FROM documents),
+             |ex AS (SELECT doc_id, u.i AS pos, u.t AS tok, u.h AS h FROM (
+             |  SELECT doc_id, unnest([{'i': i, 't': w[i+1],
+             |      'h': CASE WHEN i <= len(w) - 20
+             |        THEN md5(array_to_string(w[(i+1):(i+20)], ' ')) END}
+             |    for i in range(0, len(w))]) u FROM toks)),
+             |mk AS (SELECT doc_id, pos, tok,
+             |    CASE WHEN h IS NOT NULL AND row_number()
+             |        OVER (PARTITION BY h ORDER BY doc_id, pos) > 1
+             |      THEN 1 ELSE 0 END AS ds
+             |  FROM ex),
+             |cov AS (SELECT doc_id, pos, tok,
+             |    sum(ds) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) > 0 AS covered
+             |  FROM mk),
+             |k AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+             |    CAST(count(*) FILTER (WHERE covered) AS INTEGER) AS n_removed,
+             |    string_agg(tok, ' ' ORDER BY pos)
+             |      FILTER (WHERE NOT covered) AS text_kept
+             |  FROM cov GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(k.n_tokens, 0) AS n_tokens,
+             |  COALESCE(k.n_removed, 0) AS n_removed,
+             |  COALESCE(k.text_kept, '') AS text_kept
+             |FROM documents d LEFT JOIN k USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => TextOps.substringDedup(t(s, dir, "documents"),
+          "doc_id", "text", minTokens = 20)
+        .orderBy("doc_id"))
   )
 
   /** Shared oracle CTE: winnowed fingerprint sets per document (k=8,

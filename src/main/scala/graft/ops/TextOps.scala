@@ -631,6 +631,82 @@ object TextOps {
         coalesce(col("text_kept"), lit("")).as("text_kept"))
   }
 
+  /** Arbitrary-offset repeated-substring deduplication (the ExactSubstr
+    * move of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): remove every token covered by a `minTokens`-token
+    * window whose exact content already occurred EARLIER in the corpus
+    * (global order = (doc id, window position) — deterministic and
+    * engine-portable). Fixed segmentation ([[segmentDedup]]) misses
+    * SHIFTED boilerplate by construction — a repeated header preceded by
+    * one extra word never lands on a segment boundary. Hashing EVERY
+    * `minTokens`-token window at stride 1 is offset-invariant: a repeated
+    * span of M >= minTokens tokens contains M-minTokens+1 repeated
+    * windows which together cover all M tokens of the later occurrence,
+    * so exactly the repeated span is removed there and the first
+    * occurrence survives whole. (The reference has no comparable
+    * operator; this is the LLM-pipeline capability, done without the
+    * suffix array the published implementation uses — gram anchors keep
+    * every step equi-keyed.)
+    *
+    * Scale shape: the corpus is tokenized ONCE via a posexplode (one
+    * regex evaluation per document — window grams are then assembled
+    * RELATIONALLY with a per-document `collect_list` frame window, never
+    * by slicing a token array inside a lambda, where projection collapse
+    * would inline the tokenizer regex per element and turn long
+    * documents quadratic). Only the 32-char window hash survives past
+    * that projection. The keeper decision is a row_number window
+    * partitioned by the window hash (equi-keyed; group size = a
+    * window's duplication count; tail positions with no full window get
+    * a synthetic per-row key so no giant null-hash group forms).
+    * Coverage is a per-document running count of duplicate window
+    * STARTS over the trailing minTokens positions (rows are dense in
+    * position, so a ROWS frame of minTokens-1 PRECEDING is exactly the
+    * span-cover test). Three equi-keyed shuffles (doc id, window hash,
+    * doc id), no cartesian product, no global window, no driver-side
+    * state; the final per-doc rebuild groups on the coverage window's
+    * own partitioning, so it adds no exchange.
+    *
+    * Output per input document (total — docs with null/empty text or
+    * fully-removed content still appear):
+    * (idCol, n_tokens, n_removed, text_kept).
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     minTokens: Int = 20): DataFrame = {
+    require(minTokens > 0, s"minTokens must be positive, got $minTokens")
+    val L = minTokens
+    val ex = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "__tok")))
+    val gramW = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.currentRow, L - 1)
+    val hashed = ex
+      .withColumn("__gram", collect_list(col("__tok")).over(gramW))
+      .withColumn("__h",
+        when(size(col("__gram")) === L, md5(concat_ws(" ", col("__gram")))))
+      .drop("__gram")
+    val keyed = hashed.withColumn("__k",
+      coalesce(col("__h"), concat_ws(":", lit("t"), col(idCol), col("pos"))))
+    val keeper = Window.partitionBy("__k").orderBy(col(idCol), col("pos"))
+    val marked = keyed.withColumn("__ds",
+      when(col("__h").isNotNull && row_number().over(keeper) > 1, lit(1))
+        .otherwise(lit(0)))
+    val coverW = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(-(L - 1), Window.currentRow)
+    val covered = marked.withColumn("__cov", sum(col("__ds")).over(coverW) > 0)
+    val perDoc = covered.groupBy(idCol).agg(
+      count(lit(1)).cast("int").as("n_tokens"),
+      count(when(col("__cov"), lit(1))).cast("int").as("n_removed"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(
+          when(!col("__cov"), struct(col("pos"), col("__tok"))))),
+        s => s.getField("__tok"))).as("text_kept"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0)).as("n_removed"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   /** Language-ID heuristic: per-language stopword hit counts; argmax with
     * deterministic tie-break on language code order. Counts are integers ->
     * oracle-reproducible.

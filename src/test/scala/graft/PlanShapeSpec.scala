@@ -214,6 +214,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Generate"), s"no fan-out generate found:\n$plan")
   }
 
+  test("q68: substring-dedup windows stay partitioned — no cartesian, no global") {
+    val plan = planOf("q68_substring_dedup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in the substring-dedup plan:\n$plan")
+    val keepers = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("row_number")).toSeq
+    assert(keepers.nonEmpty, s"no keeper window found:\n$plan")
+    assert(keepers.forall(_.contains("__k")),
+      s"keeper window lost its window-hash partitioning:\n$keepers")
+    // gram assembly + coverage windows must partition on the doc id;
+    // a single-partition exchange = the whole exploded corpus on one core
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global (single-partition) stage in the plan:\n$plan")
+  }
+
   test("q29: minhash signatures are computed map-side, not via a shuffle") {
     val plan = planOf("q29_dedup_minhash")
     assert(plan.toLowerCase.contains("minhashbandkeys"),

@@ -122,6 +122,31 @@ class OpsSpec extends SparkSpec {
     assert(out(2) == ((3L, 1, 0, "")))
   }
 
+  test("substringDedup removes shifted boilerplate q66's aligned segments miss") {
+    val boiler = (1 to 25).map(lw("nav", _)).mkString(" ")    // 25 words
+    val pre = (1 to 3).map(lw("pre", _)).mkString(" ")        // 3-word shift
+    val bodyA = (1 to 10).map(lw("alpha", _)).mkString(" ")
+    val bodyB = (1 to 10).map(lw("beta", _)).mkString(" ")
+    val spanX = (1 to 20).map(lw("gam", _)).mkString(" ")     // exactly L
+    val fill = (1 to 5).map(lw("fil", _)).mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler $bodyA"),       // first occurrence: survives whole
+      (2L, s"$pre $boiler $bodyB"),  // SHIFTED +3 words: boiler still cut
+      (3L, boiler),                  // all-boilerplate -> emptied, still present
+      (4L, s"$spanX $fill $spanX"),  // WITHIN-doc repeat: 2nd span cut
+      (5L, null.asInstanceOf[String])) // null text -> totality row
+      .toDF("doc_id", "text").repartition(3)
+    val out = TextOps.substringDedup(docs, "doc_id", "text", minTokens = 20)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect()
+    assert(out(0) == ((1L, 35, 0, s"$boiler $bodyA")))
+    // exactly the 25 boilerplate tokens go; the 3-word prefix and body stay
+    assert(out(1) == ((2L, 38, 25, s"$pre $bodyB")), s"shifted: ${out(1)}")
+    assert(out(2) == ((3L, 25, 25, "")))
+    assert(out(3) == ((4L, 45, 20, s"$spanX $fill")), s"within-doc: ${out(3)}")
+    assert(out(4) == ((5L, 0, 0, "")))
+  }
+
   test("chunkTokens: stride overlap, no redundant suffix chunk, every token covered") {
     val words = (1 to 40).map(lw("w", _))
     val docs = Seq((1L, words.mkString(" ")), (2L, "a b c"), (3L, ""))
