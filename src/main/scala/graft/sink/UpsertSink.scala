@@ -38,6 +38,13 @@ import org.apache.spark.sql.functions._
   * write replaces the stored row wholesale — matching the reference's
   * DO UPDATE SET all-columns behavior (dbUpsert.ts:76-79).
   */
+/** One table's delta for [[UpsertSink.mergeMany]] — the per-table
+  * arguments of [[UpsertSink.merge]] as data.
+  */
+final case class TableMerge(table: String, updates: DataFrame,
+                            pk: Seq[String],
+                            versionCol: Option[String] = None)
+
 final class UpsertSink(spark: SparkSession, root: String,
                        numBuckets: Int = 64) {
 
@@ -184,9 +191,13 @@ final class UpsertSink(spark: SparkSession, root: String,
     * tasks that is ~2k files for a 1k-row batch). One shuffle keyed on
     * the bucket puts each bucket's rows in one task -> one file per
     * bucket, and incremental merges stay metadata-cheap to read back.
+    * Partition count = the bucket modulus, not the session shuffle
+    * default: a merge can never profit from more write tasks than
+    * buckets, and the smaller task count keeps small incremental merges
+    * scheduling-cheap.
     */
-  private def bucketAligned(df: DataFrame): DataFrame =
-    df.repartition(col(BucketCol))
+  private def bucketAligned(df: DataFrame, buckets: Int): DataFrame =
+    df.repartition(buckets, col(BucketCol))
 
   /** Create-if-missing (the reference's create-missing-only DDL mode,
     * dbCreator.ts:186-222): write only when absent.
@@ -200,7 +211,23 @@ final class UpsertSink(spark: SparkSession, root: String,
     * the shadow is written in the bucketed layout so subsequent merges
     * take the incremental path.
     */
-  def overwrite(table: String, df: DataFrame, pk: Seq[String] = Seq.empty): Unit = {
+  def overwrite(table: String, df: DataFrame, pk: Seq[String] = Seq.empty): Unit =
+    swapInShadow(table) { shadow =>
+      if (pk.nonEmpty) {
+        bucketAligned(withBucket(df, pk, numBuckets), numBuckets)
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy(BucketCol).parquet(shadow.toString)
+        Files.write(bucketMarker(shadow), numBuckets.toString.getBytes("UTF-8"))
+      } else df.write.mode(SaveMode.Overwrite).parquet(shadow.toString)
+    }
+
+  /** The whole-table swap skeleton: prepare a clean shadow dir, have
+    * `writeShadow` fill it, then atomically replace the table. Touches
+    * only `table`-specific paths, so distinct tables' swaps may run
+    * concurrently (root-dir listings inside recover/cleanup tolerate
+    * concurrent entries appearing and vanishing).
+    */
+  private def swapInShadow(table: String)(writeShadow: Path => Unit): Unit = {
     val target = tableDir(table)
     val shadow = Paths.get(root, s".${table}__shadow")
     deleteRecursively(shadow)
@@ -217,11 +244,7 @@ final class UpsertSink(spark: SparkSession, root: String,
     // crash or permitted concurrent reader in between could still graft
     // a dead generation's rows into the rebuilt table
     dropLegacyBucketBackups(table)
-    if (pk.nonEmpty) {
-      bucketAligned(withBucket(df, pk, numBuckets)).write.mode(SaveMode.Overwrite)
-        .partitionBy(BucketCol).parquet(shadow.toString)
-      Files.write(bucketMarker(shadow), numBuckets.toString.getBytes("UTF-8"))
-    } else df.write.mode(SaveMode.Overwrite).parquet(shadow.toString)
+    writeShadow(shadow)
     val old = Paths.get(root, s".${table}__old")
     deleteRecursively(old)
     if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
@@ -269,41 +292,139 @@ final class UpsertSink(spark: SparkSession, root: String,
       // incremental path: only buckets holding updated keys are rewritten
       val touched = latest.select(BucketCol).distinct()
         .collect().map(_.getInt(0)).sorted // bounded by numBuckets
-      val dir = tableDir(table)
-      val touchedWithData = touched.filter(b =>
-        Files.exists(dir.resolve(s"$BucketCol=$b")))
-      val currentTouched: Option[DataFrame] =
-        if (touchedWithData.isEmpty) None
-        else Some(spark.read
-          .option("basePath", dir.toString)
-          .parquet(touchedWithData.map(b =>
-            dir.resolve(s"$BucketCol=$b").toString).toIndexedSeq: _*))
-      val merged = currentTouched match {
-        case None => latest
-        case Some(cur) => cur
-          .join(latest.select(pk.map(col): _*), pk, "left_anti")
-          .unionByName(latest)
-      }
-      val shadow = Paths.get(root, s".${table}__shadow")
-      deleteRecursively(shadow)
-      bucketAligned(merged).write.mode(SaveMode.Overwrite)
-        .partitionBy(BucketCol).parquet(shadow.toString)
-      touched.foreach { b =>
-        val part = s"$BucketCol=$b"
-        val from = shadow.resolve(part)
-        val to = dir.resolve(part)
-        // never displace a live bucket unless its replacement exists
-        if (Files.exists(from)) {
-          val old = dir.resolve(s".bkup_$b")
-          deleteRecursively(old)
-          if (Files.exists(to)) Files.move(to, old, StandardCopyOption.ATOMIC_MOVE)
-          Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
-          deleteRecursively(old)
-        }
-      }
-      deleteRecursively(shadow)
+      incrementalSwap(table, latest, pk, touched, buckets)
     }
     } finally latest.unpersist()
+  }
+
+  /** Batched multi-table merge: upsert several independent tables' deltas
+    * in one sink round-trip. Semantically identical to calling [[merge]]
+    * per table; the point is the fixed-cost profile for SMALL deltas
+    * (per-micro-batch streaming state, e.g. DedupPipeline's corpus+bands
+    * pair): ONE Spark job learns every table's touched buckets (and
+    * materializes every delta's persist as a side effect), then the
+    * per-table shadow writes and atomic bucket swaps run CONCURRENTLY —
+    * they touch disjoint table directories and Spark actions are
+    * thread-safe, so a two-table batch pays roughly one table's
+    * wall-clock, not two. Tables still on the slow path (first write or
+    * flat-layout migration) fall back to [[merge]] sequentially.
+    *
+    * The single-writer-per-table contract is unchanged: callers must not
+    * merge the SAME table concurrently; distinct tables of one store are
+    * exactly what this method parallelizes.
+    */
+  def mergeMany(merges: Seq[TableMerge]): Unit = {
+    require(merges.map(_.table).distinct.size == merges.size,
+      s"one merge per table: ${merges.map(_.table).mkString(", ")}")
+    merges.foreach(m =>
+      require(m.pk.nonEmpty, s"merge into ${m.table} needs a primary key"))
+    merges.foreach(m => recover(m.table))
+    // a flat-layout table needs the one-time migration rewrite — rare
+    // legacy path, kept on plain merge (the empty-delta check mirrors
+    // the touched-bucket guard below: an empty delta must not trigger
+    // a migration rewrite)
+    val (migrate, rest) = merges.partition(m => exists(m.table) && !isBucketed(m.table))
+    migrate.foreach(m =>
+      if (!m.updates.isEmpty) merge(m.table, m.updates, m.pk, m.versionCol))
+    if (rest.isEmpty) return
+    val latests = rest.map { m =>
+      val existing = exists(m.table)
+      val buckets =
+        if (existing) storedBuckets(m.table).getOrElse(numBuckets) else numBuckets
+      val latest = withBucket(dedupeLastWins(m.updates, m.pk, m.versionCol),
+          m.pk, buckets)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (m, existing, buckets, latest)
+    }
+    try {
+      // one action over the union of (table, bucket) pairs: every
+      // delta's dedupe shuffle runs and caches here, and every table's
+      // touched set arrives in a single collect
+      val touchedAll = latests.map { case (m, _, _, latest) =>
+          latest.select(lit(m.table).as("__t"), col(BucketCol)) }
+        .reduce(_ unionByName _).distinct().collect()
+        .groupBy(_.getString(0))
+        .map { case (t, rows) => t -> rows.map(_.getInt(1)).sorted }
+      // a table whose delta deduped to nothing has no touched buckets —
+      // nothing to write, and a missing table stays uncreated (an empty
+      // file-less table would be unreadable). Existing tables take the
+      // incremental bucket swap; missing ones are created whole from
+      // the already-bucketed delta.
+      runConcurrently(latests.collect {
+        case (m, existing, buckets, latest) if touchedAll.contains(m.table) => () =>
+          if (existing)
+            incrementalSwap(m.table, latest, m.pk, touchedAll(m.table), buckets)
+          else swapInShadow(m.table) { shadow =>
+            bucketAligned(latest, buckets).write.mode(SaveMode.Overwrite)
+              .partitionBy(BucketCol).parquet(shadow.toString)
+            Files.write(bucketMarker(shadow), buckets.toString.getBytes("UTF-8"))
+          }
+      })
+    } finally latests.foreach(_._4.unpersist())
+  }
+
+  /** Run independent per-table write tasks concurrently; waits for ALL
+    * to finish (a still-running loser must not race a caller's next
+    * operation on its table), then rethrows the first failure.
+    */
+  private def runConcurrently(tasks: Seq[() => Unit]): Unit =
+    if (tasks.size == 1) tasks.head()
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+      try {
+        val futures = tasks.map(t => pool.submit(new Runnable {
+          def run(): Unit = t()
+        }))
+        val failures = futures.flatMap(f =>
+          try { f.get(); None }
+          catch { case e: java.util.concurrent.ExecutionException =>
+            Some(e.getCause) })
+        failures.headOption.foreach(throw _)
+      } finally pool.shutdown()
+    }
+
+  /** The incremental tail of a merge: read back the touched buckets,
+    * keep their un-updated rows, and atomically swap in the rewritten
+    * buckets. `latest` must be persisted and already bucketed with
+    * `buckets`. Touches only `table`'s directory (plus its own shadow),
+    * so distinct tables' swaps may run concurrently.
+    */
+  private def incrementalSwap(table: String, latest: DataFrame,
+                              pk: Seq[String], touched: Array[Int],
+                              buckets: Int): Unit = {
+    val dir = tableDir(table)
+    val touchedWithData = touched.filter(b =>
+      Files.exists(dir.resolve(s"$BucketCol=$b")))
+    val currentTouched: Option[DataFrame] =
+      if (touchedWithData.isEmpty) None
+      else Some(spark.read
+        .option("basePath", dir.toString)
+        .parquet(touchedWithData.map(b =>
+          dir.resolve(s"$BucketCol=$b").toString).toIndexedSeq: _*))
+    val merged = currentTouched match {
+      case None => latest
+      case Some(cur) => cur
+        .join(latest.select(pk.map(col): _*), pk, "left_anti")
+        .unionByName(latest)
+    }
+    val shadow = Paths.get(root, s".${table}__shadow")
+    deleteRecursively(shadow)
+    bucketAligned(merged, buckets).write.mode(SaveMode.Overwrite)
+      .partitionBy(BucketCol).parquet(shadow.toString)
+    touched.foreach { b =>
+      val part = s"$BucketCol=$b"
+      val from = shadow.resolve(part)
+      val to = dir.resolve(part)
+      // never displace a live bucket unless its replacement exists
+      if (Files.exists(from)) {
+        val old = dir.resolve(s".bkup_$b")
+        deleteRecursively(old)
+        if (Files.exists(to)) Files.move(to, old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(old)
+      }
+    }
+    deleteRecursively(shadow)
   }
 
   /** Last-write-wins within a batch: one row per PK — shared with the

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.StructType
 
 import graft.functions.MinHashFunctions
 import graft.ops.{RelOps, TextOps}
-import graft.sink.UpsertSink
+import graft.sink.{TableMerge, UpsertSink}
 
 /** Streaming exact deduplication for a training-data ingest: documents
   * stream in, the canonical content fingerprint (md5 over
@@ -161,6 +161,19 @@ object DedupPipeline {
     * streaming `foreachBatch` runs — one micro-batch screened against
     * the accumulated corpus, survivors merged into the corpus and band
     * tables. See [[nearDupDedupStream]] for the scale shape.
+    *
+    * Within-batch kill rule, documented choice: a batch document is
+    * rejected if ANY smaller-id batch document is a verified near-dup —
+    * including a smaller doc that was itself rejected against the
+    * corpus. (If A≈B and B≈corpus but A is not a near-dup of any corpus
+    * doc, A still dies with B.) The alternative "survivors-only" rule —
+    * killed only by ADMITTED smaller-id docs — is equally defensible
+    * but transitive (admission of C depends on B's fate, which depends
+    * on A's...), forcing a sequential within-batch dependency chain
+    * where the current rule stays one parallel join; the near-identical
+    * outcome is not worth serializing a micro-batch over. The q64
+    * oracle encodes the same rule, so the parity is exact, not
+    * approximate.
     */
   def admitNearDups(sink: UpsertSink, corpusTable: String,
                     bandsTable: String, rawBatch: DataFrame,
@@ -187,51 +200,58 @@ object DedupPipeline {
       // batch is the dominant per-batch CPU cost
       val batchSh = shinglesOf(batch, "a_id", "__ash").cache()
 
-      // exact verify >= threshold for candidate id pairs (a=batch side)
-      def verified(cand: DataFrame, otherSh: DataFrame): DataFrame =
-        cand.join(batchSh, "a_id").join(otherSh, "b_id")
-          .filter(floor(TextOps.jaccard(col("__ash"), col("__bsh")) * 1000)
-            >= thresholdMil)
-          .select("a_id").distinct()
-
-      // vs the accumulated corpus — semi-join the corpus down to the
-      // colliding doc ids BEFORE shingling: the per-batch shingle /
-      // regex work is O(batch + collisions), not O(corpus) (the
-      // corpus parquet is still scanned for the id/text columns of
-      // candidate rows, but the expensive tokenization never runs
-      // for documents no band key collided with)
-      val dupVsCorpus =
-        if (!sink.exists(bandsTable)) None
-        else {
-          val cand = batchBands
-            .join(sink.read(bandsTable).withColumnRenamed("doc_id", "b_id"), "band")
-            .select(col("doc_id").as("a_id"), col("b_id")).distinct()
-          val collidingCorpus = sink.read(corpusTable).join(
-            cand.select(col("b_id").as("doc_id")).distinct(),
-            Seq("doc_id"), "left_semi")
-          Some(verified(cand, shinglesOf(collidingCorpus, "b_id", "__bsh")))
-        }
-      // within the batch: the smaller doc_id survives
+      // candidate (a=batch doc at risk, b=older doc) pairs from band
+      // collisions — vs the accumulated corpus AND within the batch
+      // (smaller doc_id survives; see the kill-rule note below). Both
+      // sources are verified in ONE join tree: the b-side shingles are
+      // the union of colliding-corpus shingles and batch shingles, so a
+      // micro-batch pays one verification pass, not two.
+      //
+      // The corpus is semi-joined down to the colliding doc ids BEFORE
+      // shingling: the per-batch shingle / regex work is
+      // O(batch + collisions), not O(corpus) (the corpus parquet is
+      // still scanned for the id/text columns of candidate rows, but
+      // the expensive tokenization never runs for documents no band
+      // key collided with).
       val candInBatch = batchBands.select(col("doc_id").as("a_id"), col("band"))
         .join(batchBands.select(col("doc_id").as("b_id"), col("band")), "band")
         .filter(col("a_id") > col("b_id")) // a is the one at risk
-        .select("a_id", "b_id").distinct()
-      val dupInBatch = verified(candInBatch,
-        batchSh.select(col("a_id").as("b_id"), col("__ash").as("__bsh")))
-
-      val dupIds = dupVsCorpus.map(_.unionByName(dupInBatch))
-        .getOrElse(dupInBatch)
-        .withColumnRenamed("a_id", "doc_id").distinct()
+        .select("a_id", "b_id")
+      val batchBsh = batchSh.select(col("a_id").as("b_id"), col("__ash").as("__bsh"))
+      val (cand, bSh) =
+        if (!sink.exists(bandsTable)) (candInBatch.distinct(), batchBsh)
+        else {
+          val candVsCorpus = batchBands
+            .join(sink.read(bandsTable).withColumnRenamed("doc_id", "b_id"), "band")
+            .select(col("doc_id").as("a_id"), col("b_id"))
+          // no pre-distinct on the b_ids: left_semi dedups its right side
+          val collidingCorpus = sink.read(corpusTable).join(
+            candVsCorpus.select(col("b_id").as("doc_id")),
+            Seq("doc_id"), "left_semi")
+          (candVsCorpus.unionByName(candInBatch).distinct(),
+            shinglesOf(collidingCorpus, "b_id", "__bsh").unionByName(batchBsh))
+        }
+      // exact verify >= threshold for the candidate id pairs; a doc may
+      // match several b-sides — no distinct needed, the anti-join below
+      // ignores duplicate kill rows
+      val dupIds = cand.join(batchSh, "a_id").join(bSh, "b_id")
+        .filter(floor(TextOps.jaccard(col("__ash"), col("__bsh")) * 1000)
+          >= thresholdMil)
+        .select(col("a_id").as("doc_id"))
       val fresh = RelOps.antiJoin(batch, dupIds, Seq("doc_id")).cache()
-      if (!fresh.isEmpty) {
-        sink.merge(corpusTable, fresh, Seq("doc_id"))
-        // admitted docs' bands come from the CACHED batch bands —
-        // re-running bandsOf(fresh) would re-tokenize and re-minhash
-        // every admitted document a second time
-        sink.merge(bandsTable,
+      // admitted docs' bands come from the CACHED batch bands —
+      // re-running bandsOf(fresh) would re-tokenize and re-minhash
+      // every admitted document a second time. One mergeMany round
+      // trip: the corpus and band deltas share one touched-bucket job
+      // (which doubles as the only materialization of the screen — no
+      // separate emptiness probe) and their shadow writes/swaps run
+      // concurrently; an all-duplicate batch deduces empty touched
+      // sets there and writes nothing.
+      sink.mergeMany(Seq(
+        TableMerge(corpusTable, fresh, Seq("doc_id")),
+        TableMerge(bandsTable,
           batchBands.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi"),
-          Seq("doc_id", "band"))
-      }
+          Seq("doc_id", "band"))))
       batchBands.unpersist()
       batchSh.unpersist()
       fresh.unpersist()
