@@ -1630,7 +1630,39 @@ object Catalog {
              |ORDER BY doc_id""".stripMargin),
       (s, dir) => TextOps.substringDedup(t(s, dir, "documents"),
           "doc_id", "text", minTokens = 20)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    QueryDef("q69_image_decode",
+      "REAL image decode through the in-JDK codec: per document, a " +
+        "deterministic RGB raster (width 16 + id mod 17, height " +
+        "16 + id mod 13) is PNG-encoded in-engine, decoded back via " +
+        "javax.imageio (JdkImageCodec.decode), resized to 8x8 through " +
+        "java.awt and re-decoded — so every output dimension comes from " +
+        "an actual PNG decode, while an arithmetic oracle knows the " +
+        "expected values in advance. The per-partition mapPartitions " +
+        "codec boundary is the same one a real multimodal pipeline " +
+        "amortizes decoder init over.",
+      Some("""SELECT doc_id,
+             |  CAST(16 + doc_id % 17 AS INTEGER) AS width,
+             |  CAST(16 + doc_id % 13 AS INTEGER) AS height,
+             |  CAST(3 AS INTEGER) AS channels,
+             |  CAST(8 AS INTEGER) AS r_width,
+             |  CAST(8 AS INTEGER) AS r_height
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val codec = MultimodalOps.JdkImageCodec
+        val docs = t(s, dir, "documents").select("doc_id")
+        val payloads = MultimodalOps.syntheticImagePayloads(docs, "doc_id")
+        val meta = MultimodalOps.decodeMeta(payloads, "doc_id", codec)
+          .toDF().select(col("doc_id"), col("width"), col("height"),
+            col("channels"))
+        val rmeta = MultimodalOps.decodeMeta(
+            MultimodalOps.resizePayloads(payloads, "doc_id", codec, 8, 8),
+            "doc_id", codec)
+          .toDF().select(col("doc_id"), col("width").as("r_width"),
+            col("height").as("r_height"))
+        meta.join(rmeta, "doc_id").orderBy("doc_id")
+      })
   )
 
   /** Shared oracle CTE: winnowed fingerprint sets per document (k=8,

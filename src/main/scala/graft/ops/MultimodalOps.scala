@@ -164,6 +164,44 @@ object MultimodalOps {
   def withPayload(df: DataFrame, sourceCol: String): DataFrame =
     df.withColumn("payload", encode(col(sourceCol), "UTF-8"))
 
+  /** Deterministic REAL image payloads, generated in-engine: per id, a
+    * small RGB raster whose dimensions derive from the id
+    * (width = 16 + id mod 17, height = 16 + id mod 13 — coprime moduli,
+    * so shapes vary) and whose pixels derive from (id, x, y), encoded as
+    * PNG through the same `javax.imageio` stack [[JdkImageCodec]]
+    * decodes with. This gives the real-codec path a corpus-scale,
+    * oracle-checkable input without external image fixtures: an
+    * arithmetic oracle knows every decoded dimension in advance, while
+    * the bytes themselves are genuine PNG. Same per-partition boundary
+    * as the codec ops — generation is embarrassingly parallel.
+    */
+  def syntheticImagePayloads(df: DataFrame, idCol: String): DataFrame = {
+    val rows = df.select(col(idCol).cast("long"))
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = 16 + java.lang.Math.floorMod(id, 17L).toInt
+        val h = 16 + java.lang.Math.floorMod(id, 13L).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = java.lang.Math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt
+            img.setRGB(x, y, (v << 16) | ((255 - v) << 8) | ((v * 3) & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF(idCol, "payload")
+  }
+
   /** Batch decode: one codec instance per PARTITION (the expensive init
     * amortizes across the batch), typed Dataset out.
     */

@@ -110,6 +110,30 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("syntheticImagePayloads emit real PNGs with id-derived dimensions") {
+    // negative id included: dimension arithmetic must floorMod, not
+    // produce a negative size and crash the raster allocation
+    val ids = Seq(0L, 1L, 16L, 17L, -5L).toDF("doc_id")
+    val payloads = MultimodalOps.syntheticImagePayloads(ids, "doc_id")
+    val meta = MultimodalOps.decodeMeta(payloads, "doc_id",
+        MultimodalOps.JdkImageCodec)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta.size == 5)
+    def fm(id: Long, m: Long) = java.lang.Math.floorMod(id, m).toInt
+    meta.foreach { case (id, m) =>
+      assert(m.width == 16 + fm(id, 17) && m.height == 16 + fm(id, 13),
+        s"id $id decoded ${m.width}x${m.height}")
+      assert(m.channels == 3 && m.durationMs == 0L)
+    }
+    // generation is deterministic across runs/partitionings: same ids ->
+    // byte-identical payloads
+    val again = MultimodalOps.syntheticImagePayloads(ids.repartition(3), "doc_id")
+      .as[(Long, Array[Byte])].collect().toMap
+    val first = payloads.as[(Long, Array[Byte])].collect().toMap
+    assert(again.keySet == first.keySet)
+    assert(again.forall { case (id, p) => p.sameElements(first(id)) })
+  }
+
   test("frame sampling fans out one row per frame, partition-invariant") {
     val docs = Tables.load(spark, sf, "documents").limit(25)
     val blob = MultimodalOps.withPayload(docs, "text")
