@@ -1662,6 +1662,26 @@ object Catalog {
           .toDF().select(col("doc_id"), col("width").as("r_width"),
             col("height").as("r_height"))
         meta.join(rmeta, "doc_id").orderBy("doc_id")
+      }),
+
+    QueryDef("q70_ann_ivfpq",
+      "ANN scale path #4: IVF-PQ — coarse inverted lists (trained, " +
+        "decimal-exact) + product-quantized in-list payloads: the probe " +
+        "join carries m=16 one-byte codes per vector instead of 64 " +
+        "floats (16x smaller), candidates rank by asymmetric distance " +
+        "from the query's precomputed (subspace x code) ADC table — m " +
+        "array lookups per pair, zero per-pair dot products — and " +
+        "exact vectors are fetched only for the refine*k ADC shortlist " +
+        "(the FAISS refine stage). Approximate by design -> no SQL " +
+        "oracle (driver rows-only check); recall >= 0.8 vs the exact " +
+        "baseline at these defaults and the bytes-per-vector contract " +
+        "are asserted in SimOpsSpec.",
+      None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        SimOps.ivfPqTopK(e.filter(col("vec_id") % 100 === 0), e,
+          "vec_id", "embedding", 5)
+          .orderBy("query_id", "rank")
       })
   )
 

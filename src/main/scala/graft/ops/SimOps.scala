@@ -248,6 +248,216 @@ object SimOps {
         round(col("cosine"), 6).as("cosine"), col("__rn").as("rank"))
   }
 
+  // -------------------------------------------------------------------
+  // IVF-PQ: product-quantized ANN — the memory-compressed scale path
+  // -------------------------------------------------------------------
+
+  /** Per-subspace product-quantization codebooks (Jégou et al. 2011,
+    * "Product Quantization for Nearest Neighbor Search"): the dim-wide
+    * vector splits into `m` subspaces of dim/m components; each subspace
+    * gets `ksub` centroids trained by Lloyd rounds on a DETERMINISTIC
+    * bounded sample of the corpus (first `sampleSize` vectors in
+    * xxhash64(id) order — the same seeded-sample trick as
+    * [[sampleCentroids]]), L2-normalized first so PQ's L2 geometry
+    * aligns with the engine's cosine ranking.
+    *
+    * Training runs DRIVER-SIDE on the collected sample — the FAISS
+    * shape: codebooks need a representative sample, not the corpus, so
+    * the collect is bounded by sampleSize x dim floats at ANY corpus
+    * scale (like the nlist x dim coarse-centroid collect) and the Lloyd
+    * loop is exact sequential double arithmetic — deterministic at any
+    * parallelism, no per-iteration Spark jobs. Empty clusters keep
+    * their previous centroid. Returns books(j)(c) = the c-th centroid
+    * of subspace j (dim/m floats).
+    */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       dim: Int = 64, m: Int = 8, ksub: Int = 16,
+                       sampleSize: Int = 512, iters: Int = 8): Array[Array[Array[Float]]] = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val dsub = dim / m
+    val sample = corpus.select(col(vecCol), col(idCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).toArray)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        if (n == 0) v.map(_.toDouble)
+        else v.map(_.toDouble / n)
+      }
+    Array.tabulate(m) { j =>
+      val subs = sample.map(v =>
+        Array.tabulate(dsub)(i => if (j * dsub + i < v.length) v(j * dsub + i) else 0.0))
+      // init: first ksub sample subvectors (deterministic); duplicates
+      // are fine — Lloyd separates or leaves them empty-and-frozen
+      var cents = Array.tabulate(ksub)(c => subs(c % subs.length).clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(ksub, dsub)(0.0)
+        val counts = new Array[Long](ksub)
+        subs.foreach { s =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0; var i = 0
+            while (i < dsub) { val t = s(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += s(i); i += 1 }
+        }
+        cents = Array.tabulate(ksub)(c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(dsub)(i => sums(c)(i) / counts(c)))
+      }
+      cents.map(_.map(_.toFloat))
+    }
+  }
+
+  /** L2-normalized copy of a float-vector column (zero vectors pass
+    * through unscaled — there is no direction to normalize onto).
+    */
+  private def normalized(vec: Column): Column = {
+    val n = norm(vec)
+    when(n === lit(0.0) || n.isNull, vec)
+      .otherwise(transform(vec, x => (x / n).cast("float")))
+  }
+
+  /** Per-subspace argmin code for one vector against plan-literal
+    * codebooks: argmin_c ||s - cb_c||^2 = argmax_c (2 s·cb_c - ||cb_c||^2)
+    * — the ||s||^2 term is constant within a subspace and drops out, so
+    * each code costs ksub short codegen'd dot products. Codes are BYTES:
+    * the whole point of PQ is that a stored vector is m x 1-byte codes,
+    * not dim x 4-byte floats.
+    */
+  private def pqCodes(vec: Column, books: Array[Array[Array[Float]]]): Column = {
+    val dsub = books.head.head.length
+    val vn = normalized(vec)
+    array(books.zipWithIndex.map { case (book, j) =>
+      val sub = slice(vn, j * dsub + 1, dsub)
+      array_max(array(book.zipWithIndex.map { case (c, ci) =>
+        val csq = c.map(x => x.toDouble * x).sum
+        struct((lit(2.0) * dot(sub, typedLit(c)) - lit(csq)).as("s"),
+          lit(ci).as("c"))
+      }: _*)).getField("c").cast("byte")
+    }: _*)
+  }
+
+  /** Encode vectors to PQ codes: (idCol, __codes array<tinyint> of
+    * length m). This is the stored representation of the corpus in an
+    * IVF-PQ index — m BYTES per vector instead of 4·dim — asserted as
+    * the schema contract in SimOpsSpec.
+    */
+  def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+               books: Array[Array[Array[Float]]]): DataFrame = {
+    VectorFunctions.register(vecs.sparkSession)
+    vecs.select(col(idCol), pqCodes(col(vecCol), books).as("__codes"))
+  }
+
+  /** IVF-PQ approximate top-k (ANN scale path #4): coarse quantizer
+    * routes vectors to inverted lists ([[trainCentroids]], decimal-exact
+    * Lloyd); within probed lists candidates are re-ranked by ASYMMETRIC
+    * DISTANCE — exact query subvectors against the candidate's
+    * product-quantized codes — so the probe join carries m-byte code
+    * arrays, NEVER corpus vectors. At 100 TB this is the difference
+    * between an index that fits executor memory and one that cannot:
+    * IVF-FLAT re-ranks full float vectors (4·dim bytes each); here the
+    * in-list payload is m bytes/vector (16x smaller at dim=64, m=16)
+    * and exact vectors are touched again only for the per-query refine
+    * shortlist.
+    *
+    * The query side precomputes its m x ksub ADC table as ONE nested
+    * array column (2 q_j·cb - ||cb||^2 per (subspace, code) — short
+    * codegen'd dots against plan literals); a candidate's score is then
+    * m array lookups summed, no dot products per pair at all. Ranking
+    * by that score descending IS ranking by asymmetric L2 ascending
+    * (||q||^2 is constant per query). The ADC ranking then SHORTLISTS
+    * `refine`·k candidates per query and exact vectors are fetched for
+    * only that shortlist and re-ranked by true cosine — the standard
+    * PQ refine stage (FAISS IndexRefineFlat): quantization error only
+    * costs recall when a true neighbor misses the shortlist, not
+    * whenever codes scramble adjacent ranks. That matters doubly here:
+    * the synthetic test embeddings are near-random, the known worst
+    * case for both coarse and product quantizers (no cluster structure
+    * to exploit; real text/image embeddings cluster and do far better
+    * at lower nprobe).
+    * Approximate by design -> rows-only in the driver gate; recall vs
+    * [[bruteForceTopK]] at these defaults and the bytes-per-vector
+    * contract are asserted in SimOpsSpec.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 10,
+                m: Int = 16, ksub: Int = 32, coarseIters: Int = 2,
+                refine: Int = 8): DataFrame = {
+    require(ksub <= 128, s"ksub $ksub cannot exceed a signed byte's range")
+    VectorFunctions.register(corpus.sparkSession)
+    val cents = trainCentroids(corpus, idCol, vecCol, nlist, coarseIters)
+    val books = trainPqCodebooks(corpus, idCol, vecCol,
+      dim = books_dim(corpus, vecCol), m = m, ksub = ksub)
+    val dsub = books.head.head.length
+    // inverted lists: id, list, m-byte codes — the full vector is
+    // dropped here and only rejoined for the per-query refine shortlist
+    val lists = corpus.select(col(idCol).as("neighbor_id"),
+      array_max(centScores(cents, col(vecCol))).getField("c").as("__list"),
+      pqCodes(col(vecCol), books).as("__codes"))
+    // per-(subspace, code) ADC scores for each query, one nested array
+    val qn = normalized(col(vecCol))
+    val adcTable = array(books.zipWithIndex.map { case (book, j) =>
+      val sub = slice(qn, j * dsub + 1, dsub)
+      array(book.map { c =>
+        val csq = c.map(x => x.toDouble * x).sum
+        lit(2.0) * dot(sub, typedLit(c)) - lit(csq)
+      }: _*)
+    }: _*)
+    val probed = queries.select(col(idCol).as("query_id"),
+        adcTable.as("__qs"),
+        slice(sort_array(centScores(cents, col(vecCol)), asc = false),
+          1, nprobe).as("__probes"))
+      .select(col("query_id"), col("__qs"),
+        explode(col("__probes")).as("__p"))
+      .select(col("query_id"), col("__qs"),
+        col("__p").getField("c").as("__list"))
+    def lookupSum(table: Column): Column =
+      aggregate(
+        zip_with(col("__codes"), sequence(lit(0), lit(m - 1)),
+          (code, j) => element_at(element_at(table, j + 1), code.cast("int") + 1)),
+        lit(0.0), (acc, x) => acc + x)
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("__score").desc, col("neighbor_id"))
+    // ADC shortlist: refine*k best candidates per query, scored purely
+    // from code lookups — no per-pair dot products, no vector payloads
+    val shortlist = probed.join(lists, Seq("__list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__score", lookupSum(col("__qs")))
+      .withColumn("__rn", row_number().over(wAdc))
+      .filter(col("__rn") <= k.toLong * refine.max(1))
+      .select("query_id", "neighbor_id")
+    // refine: fetch exact vectors for ONLY the shortlist (refine*k rows
+    // per query — the bounded random-access read every PQ refine stage
+    // pays) and re-rank by exact cosine. Quantization error then only
+    // costs recall when a true neighbor misses the ADC shortlist
+    // entirely, not whenever codes scramble adjacent ranks.
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    shortlist.join(qv, "query_id").join(cv, "neighbor_id")
+      .withColumn("cosine",
+        safeCos(dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+      .withColumn("__rk", row_number().over(wExact))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("__rk").as("rank"))
+  }
+
+  /** Vector width for codebook sizing: length of the first vector (the
+    * corpus is homogeneous; ragged tails are zero-padded by the
+    * min-length-defensive vector ops).
+    */
+  private def books_dim(corpus: DataFrame, vecCol: String): Int =
+    corpus.select(size(col(vecCol))).head().getInt(0)
+
   /** Deterministic +/-1 hyperplane for (table, plane) — shared with the
     * batched [[graft.functions.LshSignatures]] expression so buckets are
     * identical however the signature is computed.

@@ -109,6 +109,41 @@ class SimOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"trained-IVF recall $recall below 0.5")
   }
 
+  test("ivfPqTopK: m-byte codes (not 4*dim floats), deterministic, recall >= 0.8") {
+    val e = Tables.load(spark, sf, "embeddings")
+    // the stored representation is the memory contract: m one-byte codes
+    // per vector — array<tinyint> of length m — not dim 4-byte floats
+    val books = SimOps.trainPqCodebooks(e, "vec_id", "embedding",
+      dim = 64, m = 16, ksub = 32)
+    val enc = SimOps.pqEncode(e, "vec_id", "embedding", books)
+    val codesField = enc.schema("__codes").dataType
+    assert(codesField ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, true)
+      || codesField ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, false),
+      s"codes must be bytes, got $codesField")
+    val lens = enc.select(size($"__codes")).as[Int].collect()
+    assert(lens.forall(_ == 16), "one code per subspace")
+    // codebook training is deterministic across partitionings
+    val books2 = SimOps.trainPqCodebooks(e.repartition(7), "vec_id", "embedding",
+      dim = 64, m = 16, ksub = 32)
+    assert(books.zip(books2).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+
+    val queries = e.filter($"vec_id" % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(SimOps.bruteForceTopK(queries, e, "vec_id", "embedding", 5))
+    val pq = pairs(SimOps.ivfPqTopK(queries, e, "vec_id", "embedding", 5))
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    // the synthetic embeddings are near-random — the quantizer worst
+    // case; 0.82 at defaults is deterministic (sampled quantizer,
+    // driver-side Lloyd, exact lookups — nothing run-dependent)
+    assert(recall >= 0.8, s"IVF-PQ recall $recall below 0.8")
+    val pq2 = pairs(SimOps.ivfPqTopK(queries, e, "vec_id", "embedding", 5))
+    assert(pq == pq2)
+  }
+
   test("zero-norm vectors score cosine 0, never NaN-rank #1 or pass thresholds") {
     VectorFunctions.register(spark)
     val corpus = Seq(
