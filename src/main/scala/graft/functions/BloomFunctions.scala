@@ -63,6 +63,6 @@ object BloomFunctions {
   def build(df: DataFrame, c: Column, numItems: Long,
             numBits: Long): Array[Byte] = {
     register(df.sparkSession)
-    df.agg(bloomAgg(c, numItems, numBits)).head.getAs[Array[Byte]](0)
+    df.agg(bloomAgg(c, numItems, numBits)).head().getAs[Array[Byte]](0)
   }
 }

@@ -214,7 +214,7 @@ object SimOps {
     * assignment and probing stay codegen'd dot products.
     */
   private def centScores(cents: Array[Array[Float]], vec: Column): Column =
-    array(cents.zipWithIndex.map { case (c, i) =>
+    array(cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
       struct(safeCos(dot(vec, typedLit(c)), norm(vec), lit(cn)).as("s"),
         lit(i).as("c"))
@@ -332,9 +332,9 @@ object SimOps {
   private def pqCodes(vec: Column, books: Array[Array[Array[Float]]]): Column = {
     val dsub = books.head.head.length
     val vn = normalized(vec)
-    array(books.zipWithIndex.map { case (book, j) =>
+    array(books.toIndexedSeq.zipWithIndex.map { case (book, j) =>
       val sub = slice(vn, j * dsub + 1, dsub)
-      array_max(array(book.zipWithIndex.map { case (c, ci) =>
+      array_max(array(book.toIndexedSeq.zipWithIndex.map { case (c, ci) =>
         val csq = c.map(x => x.toDouble * x).sum
         struct((lit(2.0) * dot(sub, typedLit(c)) - lit(csq)).as("s"),
           lit(ci).as("c"))
@@ -401,9 +401,9 @@ object SimOps {
       pqCodes(col(vecCol), books).as("__codes"))
     // per-(subspace, code) ADC scores for each query, one nested array
     val qn = normalized(col(vecCol))
-    val adcTable = array(books.zipWithIndex.map { case (book, j) =>
+    val adcTable = array(books.toIndexedSeq.zipWithIndex.map { case (book, j) =>
       val sub = slice(qn, j * dsub + 1, dsub)
-      array(book.map { c =>
+      array(book.toIndexedSeq.map { c =>
         val csq = c.map(x => x.toDouble * x).sum
         lit(2.0) * dot(sub, typedLit(c)) - lit(csq)
       }: _*)

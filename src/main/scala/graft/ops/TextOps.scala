@@ -534,7 +534,7 @@ object TextOps {
         count_min_sketch(xxhash64(col("__g")), lit(eps), lit(confidence),
           lit(seed)).as("cms"),
         graft.functions.FreqSummary.candidates(col("__g"), capacity).as("cand"))
-      .head
+      .head()
     val cms = org.apache.spark.util.sketch.CountMinSketch
       .readFrom(new java.io.ByteArrayInputStream(summaries.getAs[Array[Byte]](0)))
     val mg = summaries.getStruct(1)

@@ -99,21 +99,20 @@ object DedupPipeline {
       .start()
     // release the cached benchmark grams when THIS query terminates —
     // restarted screens (a new call) cache their own copy. The listener
-    // is registered with the id patched in AFTER start(); a query that
-    // terminates inside that window is caught by the isActive check
-    // below (double-unpersist is a no-op), so nothing leaks either way
+    // is registered AFTER start() (it closes over the started query's
+    // id); a query that terminates inside that window is caught by the
+    // isActive check below (double-unpersist is a no-op), so nothing
+    // leaks either way
     val cleanup = new StreamingQueryListener {
-      @volatile var queryId: java.util.UUID = null
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (queryId != null && e.id == queryId) {
+        if (e.id == query.id) {
           benchGrams.unpersist()
           spark.streams.removeListener(this)
         }
     }
     spark.streams.addListener(cleanup)
-    cleanup.queryId = query.id
     if (!query.isActive) {
       benchGrams.unpersist()
       spark.streams.removeListener(cleanup)
