@@ -94,10 +94,17 @@ object Bench {
     // so the line stays inside any tail-capture window.
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"passes":$passes,"n_queries":${results.size},"sf":"$sfDir","artifact":${jstr(outPath)}}"""
     val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"times":$allTimes,"gc_ms":$gcs,"errors":$errs,"passes":$passes,"n_queries":${results.size},"sf":"$sfDir"}"""
-    val out = Paths.get(outPath)
-    Option(out.getParent).foreach(Files.createDirectories(_))
-    Files.write(out, (full + "\n").getBytes(StandardCharsets.UTF_8))
+    // stdout FIRST: a failed file write (read-only target dir) must not
+    // destroy both artifacts after a multi-minute run
     println(line)
+    try {
+      val out = Paths.get(outPath)
+      Option(out.getParent).foreach(Files.createDirectories(_))
+      Files.write(out, (full + "\n").getBytes(StandardCharsets.UTF_8))
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"bench: could not write $outPath: $e")
+    }
     spark.stop()
   }
 }

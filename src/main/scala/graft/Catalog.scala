@@ -1652,7 +1652,11 @@ object Catalog {
       (s, dir) => {
         val codec = MultimodalOps.JdkImageCodec
         val docs = t(s, dir, "documents").select("doc_id")
+        // materialized once: both the meta branch and the resize branch
+        // consume the generated payloads — without the checkpoint every
+        // document's raster fill + PNG encode would run once per branch
         val payloads = MultimodalOps.syntheticImagePayloads(docs, "doc_id")
+          .localCheckpoint()
         val meta = MultimodalOps.decodeMeta(payloads, "doc_id", codec)
           .toDF().select(col("doc_id"), col("width"), col("height"),
             col("channels"))

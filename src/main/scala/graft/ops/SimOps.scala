@@ -274,15 +274,20 @@ object SimOps {
                        dim: Int = 64, m: Int = 8, ksub: Int = 16,
                        sampleSize: Int = 512, iters: Int = 8): Array[Array[Array[Float]]] = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    // the byte cast in pqCodes is where >128 would silently alias codes
+    require(ksub <= 128, s"ksub $ksub cannot exceed a signed byte's range")
     val dsub = dim / m
-    val sample = corpus.select(col(vecCol), col(idCol))
+    val raw = corpus.select(col(vecCol), col(idCol))
+      .filter(col(vecCol).isNotNull)
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleSize)
       .collect().map(_.getSeq[Float](0).toArray)
-      .map { v =>
-        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-        if (n == 0) v.map(_.toDouble)
-        else v.map(_.toDouble / n)
-      }
+    require(raw.nonEmpty,
+      s"cannot train PQ codebooks: no non-null $vecCol vectors in the corpus")
+    val sample = raw.map { v =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (n == 0) v.map(_.toDouble)
+      else v.map(_.toDouble / n)
+    }
     Array.tabulate(m) { j =>
       val subs = sample.map(v =>
         Array.tabulate(dsub)(i => if (j * dsub + i < v.length) v(j * dsub + i) else 0.0))
@@ -388,7 +393,6 @@ object SimOps {
                 vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 10,
                 m: Int = 16, ksub: Int = 32, coarseIters: Int = 2,
                 refine: Int = 8): DataFrame = {
-    require(ksub <= 128, s"ksub $ksub cannot exceed a signed byte's range")
     VectorFunctions.register(corpus.sparkSession)
     val cents = trainCentroids(corpus, idCol, vecCol, nlist, coarseIters)
     val books = trainPqCodebooks(corpus, idCol, vecCol,
@@ -451,12 +455,18 @@ object SimOps {
         round(col("cosine"), 6).as("cosine"), col("__rk").as("rank"))
   }
 
-  /** Vector width for codebook sizing: length of the first vector (the
-    * corpus is homogeneous; ragged tails are zero-padded by the
-    * min-length-defensive vector ops).
+  /** Vector width for codebook sizing: length of the first non-null
+    * vector (the corpus is homogeneous; ragged tails are zero-padded by
+    * the min-length-defensive vector ops). Fails with a named error on
+    * an empty or all-null corpus instead of an opaque head()/NPE.
     */
-  private def books_dim(corpus: DataFrame, vecCol: String): Int =
-    corpus.select(size(col(vecCol))).head().getInt(0)
+  private def books_dim(corpus: DataFrame, vecCol: String): Int = {
+    val first = corpus.select(size(col(vecCol)).as("__n"))
+      .filter(col("__n").isNotNull).limit(1).collect()
+    require(first.nonEmpty,
+      s"cannot size PQ codebooks: no non-null $vecCol vectors in the corpus")
+    first(0).getInt(0)
+  }
 
   /** Deterministic +/-1 hyperplane for (table, plane) — shared with the
     * batched [[graft.functions.LshSignatures]] expression so buckets are

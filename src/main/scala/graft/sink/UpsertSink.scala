@@ -365,20 +365,36 @@ final class UpsertSink(spark: SparkSession, root: String,
 
   /** Run independent per-table write tasks concurrently; waits for ALL
     * to finish (a still-running loser must not race a caller's next
-    * operation on its table), then rethrows the first failure.
+    * operation on its table, and mergeMany unpersists the cached deltas
+    * right after this returns), then rethrows the first failure. The
+    * wait is UNINTERRUPTIBLE for the same reason — an interrupt while a
+    * swap is mid-flight must not release the caches or let a retry race
+    * the detached task over the same table dirs; the interrupt flag is
+    * restored for the caller once every task has finished.
     */
   private def runConcurrently(tasks: Seq[() => Unit]): Unit =
-    if (tasks.size == 1) tasks.head()
+    if (tasks.isEmpty) ()        // every delta deduped to nothing
+    else if (tasks.size == 1) tasks.head()
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
       try {
         val futures = tasks.map(t => pool.submit(new Runnable {
           def run(): Unit = t()
         }))
-        val failures = futures.flatMap(f =>
-          try { f.get(); None }
-          catch { case e: java.util.concurrent.ExecutionException =>
-            Some(e.getCause) })
+        var interrupted = false
+        val failures = futures.flatMap { f =>
+          var done = false
+          var failure: Option[Throwable] = None
+          while (!done)
+            try { f.get(); done = true }
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                failure = Some(e.getCause); done = true
+              case _: InterruptedException => interrupted = true
+            }
+          failure
+        }
+        if (interrupted) Thread.currentThread().interrupt()
         failures.headOption.foreach(throw _)
       } finally pool.shutdown()
     }

@@ -217,11 +217,31 @@ object DedupPipeline {
         .filter(col("a_id") > col("b_id")) // a is the one at risk
         .select("a_id", "b_id")
       val batchBsh = batchSh.select(col("a_id").as("b_id"), col("__ash").as("__bsh"))
+      // CRASH-REPLAY safety (T8): mergeMany commits the corpus and band
+      // tables concurrently, so a crash mid-batch can leave EITHER side
+      // committed without the other; the screen must converge on replay
+      // from any of those states. Two guards make it so:
+      //  - the corpus screen runs only when BOTH tables exist — after a
+      //    first-batch crash that committed bands but not the corpus, a
+      //    bare bands-table check would read a missing corpus table
+      //    (path-not-found on every replay: a wedged stream);
+      //  - candVsCorpus drops self-pairs (a_id = b_id): with this
+      //    batch's own bands already committed, a batch doc collides
+      //    with ITSELF, and since the fused verify's b-side shingles
+      //    include the batch, the self-pair would verify at jaccard 1
+      //    and permanently kill the doc before its corpus row commits.
+      // With both guards, every crash state replays to the attempt-1
+      // outcome: bands-without-corpus degrades to the within-batch
+      // screen; corpus-without-bands re-screens against unchanged band
+      // state; fully-committed batches re-verify only (a, b) pairs the
+      // first attempt already admitted as non-dups.
       val (cand, bSh) =
-        if (!sink.exists(bandsTable)) (candInBatch.distinct(), batchBsh)
+        if (!sink.exists(bandsTable) || !sink.exists(corpusTable))
+          (candInBatch.distinct(), batchBsh)
         else {
           val candVsCorpus = batchBands
             .join(sink.read(bandsTable).withColumnRenamed("doc_id", "b_id"), "band")
+            .filter(col("doc_id") =!= col("b_id"))
             .select(col("doc_id").as("a_id"), col("b_id"))
           // no pre-distinct on the b_ids: left_semi dedups its right side
           val collidingCorpus = sink.read(corpusTable).join(

@@ -228,6 +228,84 @@ class UpsertSinkSpec extends SparkSpec {
       == Seq((1L, "A9"), (2L, "B2"), (3L, "c")))
   }
 
+  test("mergeMany: mixed batch — creates missing tables, merges existing ones") {
+    val sink = freshSink()
+    sink.merge("existing", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
+    sink.mergeMany(Seq(
+      TableMerge("existing", Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), Seq("id")),
+      TableMerge("fresh", Seq((10L, "x")).toDF("id", "v"), Seq("id"))))
+    assert(sink.read("existing").as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+    assert(sink.read("fresh").as[(Long, String)].collect().toSeq == Seq((10L, "x")))
+    // the created table took the bucketed layout: a follow-up merge is
+    // incremental and keeps the PK contract
+    sink.mergeMany(Seq(
+      TableMerge("fresh", Seq((10L, "X2"), (11L, "y")).toDF("id", "v"), Seq("id"))))
+    assert(sink.read("fresh").as[(Long, String)].collect().sorted.toSeq
+      == Seq((10L, "X2"), (11L, "y")))
+  }
+
+  test("mergeMany: empty deltas write nothing and never create empty tables") {
+    val sink = freshSink()
+    sink.merge("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+    sink.mergeMany(Seq(
+      TableMerge("t", empty, Seq("id")),
+      TableMerge("never_created", empty, Seq("id"))))
+    assert(sink.read("t").count() == 1)
+    // an empty (file-less, schema-less) table would be unreadable — it
+    // must not exist at all
+    assert(!sink.exists("never_created"))
+  }
+
+  test("mergeMany: last-wins version semantics match merge; duplicate tables rejected") {
+    val sink = freshSink()
+    sink.mergeMany(Seq(TableMerge("t",
+      Seq((1L, 10L, "old"), (1L, 20L, "new")).toDF("id", "blockNumber", "v"),
+      Seq("id"), versionCol = Some("blockNumber"))))
+    assert(sink.read("t").as[(Long, Long, String)].collect().toSeq
+      == Seq((1L, 20L, "new")))
+    intercept[IllegalArgumentException] {
+      sink.mergeMany(Seq(
+        TableMerge("t", Seq((1L, "a")).toDF("id", "v"), Seq("id")),
+        TableMerge("t", Seq((2L, "b")).toDF("id", "v"), Seq("id"))))
+    }
+  }
+
+  test("mergeMany: flat-layout tables still migrate via the fallback path") {
+    val sink = freshSink()
+    sink.overwrite("flat", Seq((1L, "a")).toDF("id", "v")) // no pk -> flat layout
+    sink.mergeMany(Seq(
+      TableMerge("flat", Seq((2L, "b")).toDF("id", "v"), Seq("id")),
+      TableMerge("other", Seq((9L, "z")).toDF("id", "v"), Seq("id"))))
+    assert(sink.read("flat").as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "a"), (2L, "b")))
+    // migrated: the next merge takes the incremental bucketed path
+    sink.merge("flat", Seq((1L, "A2")).toDF("id", "v"), Seq("id"))
+    assert(sink.read("flat").as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "A2"), (2L, "b")))
+  }
+
+  test("mergeMany: a failing table write fails the call, others still commit") {
+    val sink = freshSink()
+    sink.merge("good", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    sink.merge("bad", Seq((1L, 1L)).toDF("id", "n"), Seq("id"))
+    // ANSI division by zero inside the delta fails that table's job
+    val poisoned = Seq((2L, 1L, 0L)).toDF("id", "num", "den")
+      .selectExpr("id", "num / den AS n")
+    val e = intercept[Throwable] {
+      sink.mergeMany(Seq(
+        TableMerge("good", Seq((2L, "b")).toDF("id", "v"), Seq("id")),
+        TableMerge("bad", poisoned, Seq("id"))))
+    }
+    assert(e != null)
+    // the healthy table's state is still consistent (either committed or
+    // untouched — never partial)
+    val good = sink.read("good").as[(Long, String)].collect().sorted.toSeq
+    assert(good == Seq((1L, "a")) || good == Seq((1L, "a"), (2L, "b")))
+    assert(sink.read("bad").as[(Long, Long)].collect().toSeq == Seq((1L, 1L)))
+  }
+
   test("retry: succeeds after transient failures, delays double") {
     var calls = 0
     val delays = scala.collection.mutable.Buffer.empty[Long]

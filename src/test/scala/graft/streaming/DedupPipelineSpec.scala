@@ -141,4 +141,60 @@ class DedupPipelineSpec extends SparkSpec {
     assert(replaySink.read("Corpus").select("doc_id").as[Long].collect().toSet
       == admitted(), "batch replay diverged from the streaming admission")
   }
+
+  test("near-dup admission replays crash states where bands committed but corpus didn't") {
+    // mergeMany commits the corpus and band tables concurrently, so a
+    // crash can leave the BANDS side committed without the corpus side.
+    // Replay of that micro-batch must converge to the attempt-1 outcome:
+    // no wedged stream (reading a missing corpus table) and no permanent
+    // doc loss (a batch doc colliding with its own committed bands).
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cat watches from the warm windowsill in the morning sun"
+    val unique = "completely different content about distributed query " +
+      "engines shuffling partitioned data across many executor nodes"
+    val batch1 = Seq((1L, base), (10L, unique)).toDF("doc_id", "text")
+
+    // --- first-batch crash: bands table exists, corpus table does not
+    // (simulated by removing the committed corpus table)
+    val root1 = Files.createTempDirectory("graft_crash1")
+    val s1b = new UpsertSink(spark, root1.toString)
+    DedupPipeline.admitNearDups(s1b, "Corpus", "CorpusBands", batch1)
+    def deleteTree(p: java.nio.file.Path): Unit = {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
+    deleteTree(root1.resolve("Corpus"))
+    assert(s1b.exists("CorpusBands") && !s1b.exists("Corpus"))
+    // replay: must not throw, must re-admit both docs
+    DedupPipeline.admitNearDups(s1b, "Corpus", "CorpusBands", batch1)
+    assert(s1b.read("Corpus").select("doc_id").as[Long].collect().toSet
+      == Set(1L, 10L), "first-batch replay lost documents")
+
+    // --- later-batch crash: corpus has batch 1, bands ALSO already has
+    // batch 2's bands (bands swap won the race), corpus lacks batch 2
+    val later = "yet another entirely unrelated document describing how " +
+      "columnar storage formats encode run lengths and dictionaries"
+    val batch2 = Seq((20L, later)).toDF("doc_id", "text")
+    val root2 = Files.createTempDirectory("graft_crash2")
+    val s2 = new UpsertSink(spark, root2.toString)
+    DedupPipeline.admitNearDups(s2, "Corpus", "CorpusBands", batch1)
+    // run batch 2 fully, then roll back ONLY the corpus side to batch 1
+    // state — equivalent to the bands-first crash window
+    val corpusBefore = s2.read("Corpus").collect()
+    val schemaBefore = s2.read("Corpus").schema
+    DedupPipeline.admitNearDups(s2, "Corpus", "CorpusBands", batch2)
+    s2.overwrite("Corpus",
+      spark.createDataFrame(spark.sparkContext.parallelize(corpusBefore.toSeq),
+        schemaBefore), Seq("doc_id"))
+    assert(s2.read("Corpus").select("doc_id").as[Long].collect().toSet
+      == Set(1L, 10L))
+    // replay batch 2: doc 20's own bands are already committed; without
+    // the self-pair guard it would verify against itself at jaccard 1,
+    // be rejected, and never reach the corpus
+    DedupPipeline.admitNearDups(s2, "Corpus", "CorpusBands", batch2)
+    assert(s2.read("Corpus").select("doc_id").as[Long].collect().toSet
+      == Set(1L, 10L, 20L), "bands-first crash replay lost the document")
+  }
 }
