@@ -102,7 +102,10 @@ object Bench {
       Option(out.getParent).foreach(Files.createDirectories(_))
       Files.write(out, (full + "\n").getBytes(StandardCharsets.UTF_8))
     } catch {
-      case e: java.io.IOException =>
+      // NonFatal, not just IOException: an invalid path (InvalidPath-
+      // Exception is a RuntimeException) must not skip spark.stop() and
+      // turn a completed bench into a failed run
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"bench: could not write $outPath: $e")
     }
     spark.stop()

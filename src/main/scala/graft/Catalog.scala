@@ -1654,7 +1654,11 @@ object Catalog {
         val docs = t(s, dir, "documents").select("doc_id")
         // materialized once: both the meta branch and the resize branch
         // consume the generated payloads — without the checkpoint every
-        // document's raster fill + PNG encode would run once per branch
+        // document's raster fill + PNG encode would run once per branch.
+        // The checkpointed blocks are GC-scoped (ContextCleaner frees
+        // them once the DataFrame is unreachable) — accepted over
+        // cache(), whose plan-keyed reuse would let a later benchmark
+        // pass read the previous pass's blocks and under-measure.
         val payloads = MultimodalOps.syntheticImagePayloads(docs, "doc_id")
           .localCheckpoint()
         val meta = MultimodalOps.decodeMeta(payloads, "doc_id", codec)

@@ -393,6 +393,9 @@ object SimOps {
                 vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 10,
                 m: Int = 16, ksub: Int = 32, coarseIters: Int = 2,
                 refine: Int = 8): DataFrame = {
+    // fail fast — trainPqCodebooks re-checks, but only AFTER the coarse
+    // quantizer's Lloyd rounds have run over the whole corpus
+    require(ksub <= 128, s"ksub $ksub cannot exceed a signed byte's range")
     VectorFunctions.register(corpus.sparkSession)
     val cents = trainCentroids(corpus, idCol, vecCol, nlist, coarseIters)
     val books = trainPqCodebooks(corpus, idCol, vecCol,

@@ -100,14 +100,17 @@ object DedupPipeline {
     // release the cached benchmark grams when THIS query terminates —
     // restarted screens (a new call) cache their own copy. The listener
     // is registered AFTER start() (it closes over the started query's
-    // id); a query that terminates inside that window is caught by the
-    // isActive check below (double-unpersist is a no-op), so nothing
-    // leaks either way
+    // RUN id — `id` is checkpoint-stable across restarts, so a
+    // restarted screen's listener would match the PREVIOUS run's
+    // still-queued async termination event and unpersist the new run's
+    // cache mid-flight); a query that terminates inside the
+    // registration window is caught by the isActive check below
+    // (double-unpersist is a no-op), so nothing leaks either way
     val cleanup = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == query.id) {
+        if (e.runId == query.runId) {
           benchGrams.unpersist()
           spark.streams.removeListener(this)
         }

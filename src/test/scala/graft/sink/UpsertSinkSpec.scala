@@ -290,19 +290,24 @@ class UpsertSinkSpec extends SparkSpec {
     val sink = freshSink()
     sink.merge("good", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
     sink.merge("bad", Seq((1L, 1L)).toDF("id", "n"), Seq("id"))
-    // ANSI division by zero inside the delta fails that table's job
-    val poisoned = Seq((2L, 1L, 0L)).toDF("id", "num", "den")
-      .selectExpr("id", "num / den AS n")
+    // a delta whose column names don't match the stored table passes the
+    // shared touched-bucket job (which only projects table + bucket) but
+    // fails unionByName inside that table's concurrent swap task — the
+    // path under test: the failure must surface unwrapped from the call
+    // while the sibling's swap still runs to completion
+    // pk 1 collides with the stored row's bucket, forcing the read-back
+    // union that detects the mismatch
+    val poisoned = Seq((1L, 9L)).toDF("id", "wrong_name")
     val e = intercept[Throwable] {
       sink.mergeMany(Seq(
         TableMerge("good", Seq((2L, "b")).toDF("id", "v"), Seq("id")),
         TableMerge("bad", poisoned, Seq("id"))))
     }
-    assert(e != null)
-    // the healthy table's state is still consistent (either committed or
-    // untouched — never partial)
+    assert(!e.isInstanceOf[java.util.concurrent.ExecutionException],
+      s"failure escaped wrapped: $e")
+    // runConcurrently waits for ALL tasks: the healthy table committed
     val good = sink.read("good").as[(Long, String)].collect().sorted.toSeq
-    assert(good == Seq((1L, "a")) || good == Seq((1L, "a"), (2L, "b")))
+    assert(good == Seq((1L, "a"), (2L, "b")), s"good table state: $good")
     assert(sink.read("bad").as[(Long, Long)].collect().toSeq == Seq((1L, 1L)))
   }
 
