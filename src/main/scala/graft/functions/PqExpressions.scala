@@ -1,0 +1,214 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.{call_function, lit, typedLit}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, FloatType}
+
+/** ALL product-quantization codes of a vector in ONE expression:
+  * returns `array<tinyint>` of length `m`, where element j is the index
+  * of subspace j's nearest codebook centroid for the L2-NORMALIZED
+  * input (argmin L2 = argmax 2·s·c − ‖c‖², ties to the higher index —
+  * the exact semantics of the relational struct-argmax it replaces).
+  *
+  * Why one expression instead of m `array_max(array(...))` columns over
+  * `m x ksub` [[FloatDotProduct]] literals: at the default m=16,
+  * ksub=32 that formulation expands to 512 separate dot expressions
+  * with their own codebook-row literals, fused into one enormous
+  * whole-stage-codegen method — megabytes of task binary per stage and
+  * a JIT-threshold gamble, the same failure mode [[LshSignatures]]
+  * documents. Here the generated code is a fixed-size loop nest over
+  * one flat codebook matrix (a codegen reference object), a few hundred
+  * bytes at any (m, ksub, dsub).
+  *
+  * Arithmetic is bit-identical to the relational formulation: the norm
+  * is a double accumulation of float products in index order; each
+  * normalized component is rounded THROUGH Float (the relational
+  * version materialized `(x / n).cast("float")` subvectors); a
+  * zero-norm vector passes through unscaled; components beyond a ragged
+  * vector's length contribute nothing (FloatDotProduct's min-length
+  * defense). Existing recall/determinism tests therefore see the exact
+  * same codes.
+  *
+  * `mat` is the flat [m x ksub x dsub] codebook matrix (entry (j, c, i)
+  * at `(j * ksub + c) * dsub + i`); `csq(j * ksub + c)` = ‖cb_jc‖².
+  */
+case class PqCodes(child: Expression, mat: Array[Float],
+                   m: Int, ksub: Int, dsub: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _)
+      if m > 0 && ksub > 0 && ksub <= 128 && dsub > 0 &&
+        mat.length == m * ksub * dsub =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> and m > 0, 0 < ksub <= 128, " +
+        s"dsub > 0, |mat| = m*ksub*dsub; got ${child.dataType.catalogString}, " +
+        s"m=$m, ksub=$ksub, dsub=$dsub, |mat|=${mat.length}")
+  }
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val csq: Array[Double] = {
+    val out = new Array[Double](m * ksub)
+    var jc = 0
+    while (jc < m * ksub) {
+      var s = 0.0
+      var i = 0
+      while (i < dsub) {
+        val x = mat(jc * dsub + i).toDouble
+        s += x * x
+        i += 1
+      }
+      out(jc) = s
+      jc += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var normSq = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      normSq += xi * xi
+      i += 1
+    }
+    val norm = math.sqrt(normSq)
+    val vn = new Array[Float](n)
+    i = 0
+    while (i < n) {
+      vn(i) = if (norm == 0.0) x.getFloat(i) else (x.getFloat(i) / norm).toFloat
+      i += 1
+    }
+    val out = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * dsub
+        var acc = 0.0
+        var i2 = 0
+        while (i2 < dsub && j * dsub + i2 < n) {
+          acc += vn(j * dsub + i2).toDouble * mat(base + i2).toDouble
+          i2 += 1
+        }
+        val score = 2.0 * acc - csq(j * ksub + c)
+        if (score >= bestScore) { bestScore = score; best = c }
+        c += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val matRef = ctx.addReferenceObj("pqMat", mat, "float[]")
+      val csqRef = ctx.addReferenceObj("pqCsq", csq, "double[]")
+      val n = ctx.freshName("n")
+      val normSq = ctx.freshName("normSq")
+      val norm = ctx.freshName("norm")
+      val vn = ctx.freshName("vn")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i2 = ctx.freshName("i2")
+      val base = ctx.freshName("base")
+      val acc = ctx.freshName("acc")
+      val score = ctx.freshName("score")
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      s"""
+         |int $n = $v.numElements();
+         |double $normSq = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double __x = (double) $v.getFloat($i);
+         |  $normSq += __x * __x;
+         |}
+         |double $norm = java.lang.Math.sqrt($normSq);
+         |float[] $vn = new float[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $vn[$i] = ($norm == 0.0) ? $v.getFloat($i)
+         |    : (float) ($v.getFloat($i) / $norm);
+         |}
+         |byte[] $out = new byte[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $best = 0;
+         |  double $bestScore = java.lang.Double.NEGATIVE_INFINITY;
+         |  for (int $c = 0; $c < $ksub; $c++) {
+         |    int $base = ($j * $ksub + $c) * $dsub;
+         |    double $acc = 0.0;
+         |    for (int $i2 = 0; $i2 < $dsub && $j * $dsub + $i2 < $n; $i2++) {
+         |      $acc += ((double) $vn[$j * $dsub + $i2])
+         |        * ((double) $matRef[$base + $i2]);
+         |    }
+         |    double $score = 2.0 * $acc - $csqRef[$j * $ksub + $c];
+         |    if ($score >= $bestScore) { $bestScore = $score; $best = $c; }
+         |  }
+         |  $out[$j] = (byte) $best;
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqFunctions {
+
+  val CodesName = "graft_pq_codes"
+
+  /** Idempotent per-session registration (same pattern as
+    * [[VectorFunctions.register]]). The codebook matrix arrives as a
+    * foldable array<float> literal argument and is extracted at
+    * function-resolution time.
+    */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(CodesName)
+    if (registry.lookupFunctionBuilder(id).isEmpty)
+      registry.createOrReplaceTempFunction(
+        CodesName,
+        (exprs: Seq[Expression]) => PqCodes(exprs(0),
+          litFloatArray(exprs(1)),
+          ExprArgs.litInt(exprs(2), s"$CodesName: m"),
+          ExprArgs.litInt(exprs(3), s"$CodesName: ksub"),
+          ExprArgs.litInt(exprs(4), s"$CodesName: dsub")),
+        "built-in")
+  }
+
+  private def litFloatArray(e: Expression): Array[Float] = {
+    require(e.foldable, s"$CodesName: codebook matrix must be a literal")
+    e.eval() match {
+      case a: ArrayData => a.toFloatArray()
+      case other => throw new IllegalArgumentException(
+        s"$CodesName: codebook matrix must be array<float>, got $other")
+    }
+  }
+
+  /** All m PQ codes of `vec` against `books` as one `array<tinyint>`
+    * column. Caller must have [[register]]ed on the session.
+    */
+  def codes(vec: Column, books: Array[Array[Array[Float]]]): Column = {
+    val m = books.length
+    val ksub = books.head.length
+    val dsub = books.head.head.length
+    val flat = books.flatten.flatten
+    call_function(CodesName, vec, typedLit(flat), lit(m), lit(ksub), lit(dsub))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{LshFunctions, LshPlanes, VectorFunctions}
+import graft.functions.{LshFunctions, LshPlanes, PqFunctions, VectorFunctions}
 
 /** Similarity-search operators over an embedding column (`array<float>`):
   * exact cosine top-k (baseline), LSH-bucketed ANN (scale path), and
@@ -327,25 +327,19 @@ object SimOps {
       .otherwise(transform(vec, x => (x / n).cast("float")))
   }
 
-  /** Per-subspace argmin code for one vector against plan-literal
-    * codebooks: argmin_c ||s - cb_c||^2 = argmax_c (2 s·cb_c - ||cb_c||^2)
-    * — the ||s||^2 term is constant within a subspace and drops out, so
-    * each code costs ksub short codegen'd dot products. Codes are BYTES:
-    * the whole point of PQ is that a stored vector is m x 1-byte codes,
-    * not dim x 4-byte floats.
+  /** Per-subspace argmin code for one vector against the codebooks:
+    * argmin_c ||s - cb_c||^2 = argmax_c (2 s·cb_c - ||cb_c||^2) — the
+    * ||s||^2 term is constant within a subspace and drops out. Codes are
+    * BYTES: the whole point of PQ is that a stored vector is m x 1-byte
+    * codes, not dim x 4-byte floats. Delegates to the batched
+    * [[graft.functions.PqCodes]] expression — the m x ksub relational
+    * struct-argmax formulation expanded to 512 fused dot literals at the
+    * defaults (megabytes of task binary, a JIT gamble; see the
+    * expression's scaladoc); the batched loop nest is bit-identical and
+    * a few hundred bytes of generated code.
     */
-  private def pqCodes(vec: Column, books: Array[Array[Array[Float]]]): Column = {
-    val dsub = books.head.head.length
-    val vn = normalized(vec)
-    array(books.toIndexedSeq.zipWithIndex.map { case (book, j) =>
-      val sub = slice(vn, j * dsub + 1, dsub)
-      array_max(array(book.toIndexedSeq.zipWithIndex.map { case (c, ci) =>
-        val csq = c.map(x => x.toDouble * x).sum
-        struct((lit(2.0) * dot(sub, typedLit(c)) - lit(csq)).as("s"),
-          lit(ci).as("c"))
-      }: _*)).getField("c").cast("byte")
-    }: _*)
-  }
+  private def pqCodes(vec: Column, books: Array[Array[Array[Float]]]): Column =
+    PqFunctions.codes(vec, books)
 
   /** Encode vectors to PQ codes: (idCol, __codes array<tinyint> of
     * length m). This is the stored representation of the corpus in an
@@ -354,7 +348,7 @@ object SimOps {
     */
   def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
                books: Array[Array[Array[Float]]]): DataFrame = {
-    VectorFunctions.register(vecs.sparkSession)
+    PqFunctions.register(vecs.sparkSession)
     vecs.select(col(idCol), pqCodes(col(vecCol), books).as("__codes"))
   }
 
@@ -397,6 +391,7 @@ object SimOps {
     // quantizer's Lloyd rounds have run over the whole corpus
     require(ksub <= 128, s"ksub $ksub cannot exceed a signed byte's range")
     VectorFunctions.register(corpus.sparkSession)
+    PqFunctions.register(corpus.sparkSession)
     val cents = trainCentroids(corpus, idCol, vecCol, nlist, coarseIters)
     val books = trainPqCodebooks(corpus, idCol, vecCol,
       dim = books_dim(corpus, vecCol), m = m, ksub = ksub)
