@@ -40,10 +40,24 @@ import org.apache.spark.sql.functions._
   */
 /** One table's delta for [[UpsertSink.mergeMany]] — the per-table
   * arguments of [[UpsertSink.merge]] as data.
+  *
+  * `pkUnique = true` is the caller's PROMISE that `updates` already
+  * holds at most one row per `pk` value, letting the sink skip the
+  * last-write-wins dedupe shuffle (for wide rows — document text — the
+  * most expensive removable stage of a small streaming delta). The
+  * promise is on the caller: a violated promise lands duplicate-pk rows
+  * in the table (they still co-locate in one bucket, so a later
+  * non-unique merge of those keys repairs them). Incompatible with
+  * `versionCol` — a delta with at most one row per key has nothing for
+  * the version order to decide.
   */
 final case class TableMerge(table: String, updates: DataFrame,
                             pk: Seq[String],
-                            versionCol: Option[String] = None)
+                            versionCol: Option[String] = None,
+                            pkUnique: Boolean = false) {
+  require(!(pkUnique && versionCol.isDefined),
+    s"$table: pkUnique promises one row per pk — versionCol is meaningless")
+}
 
 final class UpsertSink(spark: SparkSession, root: String,
                        numBuckets: Int = 64) {
@@ -263,7 +277,8 @@ final class UpsertSink(spark: SparkSession, root: String,
     * existing rows replace them.
     */
   def merge(table: String, updates: DataFrame, pk: Seq[String],
-            versionCol: Option[String] = None): Unit = {
+            versionCol: Option[String] = None,
+            pkUnique: Boolean = false): Unit = {
     require(pk.nonEmpty, s"merge into $table needs a primary key")
     recover(table)
     // bucket with the modulus the LAYOUT was written with, not the
@@ -277,7 +292,9 @@ final class UpsertSink(spark: SparkSession, root: String,
     // a recomputed row into a bucket absent from `touched`, and the
     // bucket-move loop would silently drop it (it also runs the dedupe
     // shuffle twice)
-    val latest = withBucket(dedupeLastWins(updates, pk, versionCol), pk, buckets)
+    val deduped =
+      if (pkUnique) updates else dedupeLastWins(updates, pk, versionCol)
+    val latest = withBucket(deduped, pk, buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     if (!exists(table) || !isBucketed(table)) {
@@ -325,14 +342,17 @@ final class UpsertSink(spark: SparkSession, root: String,
     // a migration rewrite)
     val (migrate, rest) = merges.partition(m => exists(m.table) && !isBucketed(m.table))
     migrate.foreach(m =>
-      if (!m.updates.isEmpty) merge(m.table, m.updates, m.pk, m.versionCol))
+      if (!m.updates.isEmpty)
+        merge(m.table, m.updates, m.pk, m.versionCol, m.pkUnique))
     if (rest.isEmpty) return
     val latests = rest.map { m =>
       val existing = exists(m.table)
       val buckets =
         if (existing) storedBuckets(m.table).getOrElse(numBuckets) else numBuckets
-      val latest = withBucket(dedupeLastWins(m.updates, m.pk, m.versionCol),
-          m.pk, buckets)
+      val deduped =
+        if (m.pkUnique) m.updates
+        else dedupeLastWins(m.updates, m.pk, m.versionCol)
+      val latest = withBucket(deduped, m.pk, buckets)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (m, existing, buckets, latest)
     }

@@ -182,24 +182,34 @@ object DedupPipeline {
                     shingleN: Int = 3, k: Int = 128, bands: Int = 32,
                     thresholdMil: Int = 500): Unit = {
     if (!rawBatch.isEmpty) {
-      val batch = rawBatch.dropDuplicates("doc_id")
+      // cached: the anti-join below needs the FULL batch rows again —
+      // uncached, the redelivery-dedup shuffle would re-run for every
+      // downstream materialization
+      val batch = rawBatch.dropDuplicates("doc_id").cache()
       // register on the BATCH's session: foreachBatch plans resolve in
       // the stream's cloned session, which only inherits functions
       // registered before the stream started — the outer `spark` is
       // the wrong registry here
       MinHashFunctions.register(batch.sparkSession)
-      // shuffle-free band keys: one codegen pass over the shingle
-      // array per doc (see MinHashBandKeys) instead of the relational
-      // explode -> groupBy(doc) with k min-aggs
+      // shuffle-free band keys: one codegen pass per doc fusing the
+      // tokenizer INTO the key computation (see MinHashBandKeys). The
+      // batch is tokenized here and again in batchSh — measured faster
+      // than routing the wide array<string> shingle column through one
+      // shared cache (memory-store serialization of the arrays costs
+      // more than the second regex pass).
+      // array_distinct: the band index is folded into each key, so a
+      // doc's `bands` keys are distinct up to a 64-bit hash collision —
+      // the row-local distinct makes (doc_id, band) EXACTLY unique,
+      // which the sink merge below relies on (pkUnique)
       def bandsOf(df: DataFrame): DataFrame =
-        df.select(col("doc_id"), explode(MinHashFunctions.bandKeys(
-          TextOps.shingles(col("text"), shingleN), k, bands)).as("band"))
+        df.select(col("doc_id"), explode(array_distinct(MinHashFunctions.bandKeys(
+          TextOps.shingles(col("text"), shingleN), k, bands))).as("band"))
       def shinglesOf(df: DataFrame, idAs: String, shAs: String): DataFrame =
         df.select(col("doc_id").as(idAs),
           TextOps.shingles(col("text"), shingleN).as(shAs))
       val batchBands = bandsOf(batch).cache()
-      // cached: both verified() calls read it, and re-shingling the
-      // batch is the dominant per-batch CPU cost
+      // cached: both verify paths read it, and re-shingling the batch
+      // is the dominant per-batch CPU cost
       val batchSh = shinglesOf(batch, "a_id", "__ash").cache()
 
       // candidate (a=batch doc at risk, b=older doc) pairs from band
@@ -269,13 +279,18 @@ object DedupPipeline {
       // separate emptiness probe) and their shadow writes/swaps run
       // concurrently; an all-duplicate batch deduces empty touched
       // sets there and writes nothing.
+      // both deltas are pk-unique by construction (batch deduped on
+      // doc_id upfront; band keys row-locally distinct), so the sink
+      // skips its last-write-wins shuffle — for the corpus delta that
+      // removes a window-sort over the full document text per batch
       sink.mergeMany(Seq(
-        TableMerge(corpusTable, fresh, Seq("doc_id")),
+        TableMerge(corpusTable, fresh, Seq("doc_id"), pkUnique = true),
         TableMerge(bandsTable,
           batchBands.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi"),
-          Seq("doc_id", "band"))))
+          Seq("doc_id", "band"), pkUnique = true)))
       batchBands.unpersist()
       batchSh.unpersist()
+      batch.unpersist()
       fresh.unpersist()
       ()
     }
