@@ -1690,6 +1690,56 @@ object Catalog {
         SimOps.ivfPqTopK(e.filter(col("vec_id") % 100 === 0), e,
           "vec_id", "embedding", 5)
           .orderBy("query_id", "rank")
+      }),
+
+    QueryDef("q71_pii_redact",
+      "PII detection + redaction (the pre-training scrub every public " +
+        "corpus needs): per-type match counts (email, E.164-ish phone, " +
+        "IPv4) and a typed-placeholder masked text, all pure codegen'd " +
+        "regex column expressions — a map-only scan at 100 TB, no " +
+        "shuffle, no UDF. The corpus is words-only, so deterministic " +
+        "PII is synthesized into each document from doc_id IDENTICALLY " +
+        "on both sides (emails everywhere, phones on id%3=0, IPs on " +
+        "id%5=0) — the oracle then proves the patterns match " +
+        "byte-identically under RE2 and java.util.regex (the patterns " +
+        "are confined to the engines' common subset; see TextOps).",
+      Some("""WITH p AS (SELECT doc_id,
+             |  text || ' contact user' || doc_id || '@example.com'
+             |    || CASE WHEN doc_id % 3 = 0 THEN ' call +1415555' ||
+             |         lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') ELSE '' END
+             |    || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' ||
+             |         CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+             |         CAST(doc_id % 200 + 1 AS VARCHAR) ELSE '' END AS t
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+             |  CAST(len(regexp_extract_all(t,
+             |    '\+[0-9]{1,3}[0-9 -]{6,12}[0-9]')) AS INTEGER) AS n_phone,
+             |  CAST(len(regexp_extract_all(t,
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ip,
+             |  regexp_replace(regexp_replace(regexp_replace(t,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+             |    '\+[0-9]{1,3}[0-9 -]{6,12}[0-9]', '<PHONE>', 'g') AS redacted
+             |FROM p ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val withPii = concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" call +1415555"),
+              lpad((col("doc_id") % 1000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+              lit(".0."), (col("doc_id") % 200 + 1).cast("string")))
+            .otherwise(lit("")))
+        t(s, dir, "documents")
+          .select(col("doc_id"), withPii.as("__t"))
+          .select(col("doc_id") +: TextOps.piiCounts(col("__t")) :+
+            TextOps.redactPii(col("__t")).as("redacted"): _*)
+          .orderBy("doc_id")
       })
   )
 

@@ -737,4 +737,40 @@ object TextOps {
     when(maxHits === 0 || nWinners > 1, lit("und"))
       .otherwise(coalesce(winners: _*))
   }
+
+  // --- PII detection / redaction ----------------------------------------
+
+  /** PII patterns, shared by [[piiCounts]] and [[redactPii]]. Deliberately
+    * kept in the RE2 ∩ java.util.regex COMMON SUBSET — no lookaround, no
+    * backreferences, explicit `[0-9]` instead of `\d` — so a DuckDB/RE2
+    * oracle running the same pattern text produces byte-identical
+    * matches (for pure-regular patterns RE2's leftmost-greedy semantics
+    * equal Java's backtracking). The phone pattern starts at `\+`
+    * without a word boundary on purpose: `+` is a non-word char, so
+    * `\b\+` would never match after a space.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{1,3}[0-9 -]{6,12}[0-9]"
+
+  /** Per-type PII match counts: (n_email, n_phone, n_ip) columns. Pure
+    * per-row codegen'd expressions — at 100 TB this is a map-only scan,
+    * no shuffle, no UDF.
+    */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(EmailRe)).as("n_email"),
+    regexp_count(text, lit(PhoneRe)).as("n_phone"),
+    regexp_count(text, lit(Ipv4Re)).as("n_ip"))
+
+  /** Mask every PII match with a typed placeholder. Email first (its
+    * matches may contain digit runs the other patterns would then
+    * mis-hit), then IPs, then phones; each pass replaces ALL matches
+    * (Spark regexp_replace is global, = RE2 'g').
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
 }

@@ -229,6 +229,16 @@ class PlanShapeSpec extends SparkSpec {
       s"global (single-partition) stage in the plan:\n$plan")
   }
 
+  test("q71: PII scrub is a map-only scan — no hash exchange, no UDF") {
+    val plan = planOf("q71_pii_redact")
+    // the only exchange allowed is the presentation orderBy's range
+    // partitioning; detection/redaction itself must be row-local
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"PII scrub shuffles:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"PII scrub fell off codegen onto a UDF:\n$plan")
+  }
+
   test("q29: minhash signatures are computed map-side, not via a shuffle") {
     val plan = planOf("q29_dedup_minhash")
     assert(plan.toLowerCase.contains("minhashbandkeys"),

@@ -90,6 +90,30 @@ class OpsSpec extends SparkSpec {
     assert(df.as[String].collect().toSeq == Seq("en", "de", "und"))
   }
 
+  test("piiCounts / redactPii: typed masks, counts, null propagation") {
+    val df = Seq(
+      (1L, "mail a.b+c@ex-1.org or x@y.io, call +1 415-555-0042, host 10.0.0.1"),
+      (2L, "no pii here at all"),
+      (3L, null.asInstanceOf[String]),
+      // 999.999.999.999 is still the IPv4 SHAPE (the pattern is a
+      // detector, not a validator); 1.2.3 is not; user@192.168.0.1
+      // has a numeric TLD so the email pattern must NOT take it
+      (4L, "999.999.999.999 and 1.2.3 and user@192.168.0.1"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id") +: TextOps.piiCounts(col("text")) :+
+        TextOps.redactPii(col("text")).as("r"): _*)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    assert(out(1L) == ((2, 1, 1,
+      "mail <EMAIL> or <EMAIL>, call <PHONE>, host <IP>")))
+    assert(out(2L) == ((0, 0, 0, "no pii here at all")))
+    assert(out(3L) == null)
+    // email pattern must not swallow the host-part IP; IP detector is
+    // shape-based; '1.2.3' stays
+    assert(out(4L) == ((0, 0, 2, "<IP> and 1.2.3 and user@<IP>")))
+  }
+
   test("quality score stays in [0,1000] and penalizes punctuation soup") {
     val df = Seq(
       "the quick brown fox is a good and long document about the things of life",
