@@ -1740,6 +1740,54 @@ object Catalog {
           .select(col("doc_id") +: TextOps.piiCounts(col("__t")) :+
             TextOps.redactPii(col("__t")).as("redacted"): _*)
           .orderBy("doc_id")
+      }),
+
+    QueryDef("q72_line_filter",
+      "Boilerplate line filtering (jusText/trafilatura-style): drop the " +
+        "short navigation/footer lines of a document, keep content " +
+        "lines, rebuild. Row-local higher-order functions only — no " +
+        "explode, no shuffle: a map-only scan at 100 TB. The corpus is " +
+        "single-line, so line structure is synthesized IDENTICALLY on " +
+        "both sides (6-word lines, a 3-word 'home login menu' " +
+        "boilerplate line injected before every even line); the filter " +
+        "then keeps lines with >= 4 word tokens, which also drops a " +
+        "short trailing remainder line — the oracle agrees exactly.",
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+             |ln AS (SELECT doc_id, CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+             |    ELSE [array_to_string(w[(i*6+1):(i*6+6)], ' ')
+             |          for i in range(0, CAST(ceil(len(w)/6.0) AS INTEGER))] END AS lines
+             |  FROM toks),
+             |tx AS (SELECT doc_id, array_to_string(flatten(
+             |    [CASE WHEN i % 2 = 1 THEN ['home login menu', lines[i]]
+             |          ELSE [lines[i]] END
+             |     for i in range(1, len(lines)+1)]), chr(10)) AS t FROM ln),
+             |sp AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM tx)
+             |SELECT doc_id, CAST(len(ls) AS INTEGER) AS n_lines,
+             |  CAST(len([l for l in ls
+             |    if len(regexp_extract_all(lower(l), '[a-z]+')) >= 4]) AS INTEGER) AS n_kept,
+             |  array_to_string([l for l in ls
+             |    if len(regexp_extract_all(lower(l), '[a-z]+')) >= 4], chr(10)) AS cleaned
+             |FROM sp ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val lines = when(size(toks) > 0,
+          transform(sequence(lit(0),
+              ceil(size(toks) / lit(6.0)).cast("int") - 1),
+            i => array_join(slice(toks, i * 6 + 1, lit(6)), " ")))
+          .otherwise(array().cast("array<string>"))
+        val lined = array_join(flatten(transform(lines, (l, i) =>
+          when(i % 2 === 0, array(lit("home login menu"), l))
+            .otherwise(array(l)))), "\n")
+        t(s, dir, "documents")
+          .select(col("doc_id"), lined.as("__t"))
+          .select(col("doc_id"),
+            size(TextOps.docLines(col("__t"))).as("n_lines"),
+            size(filter(TextOps.docLines(col("__t")),
+              TextOps.contentLine(4))).as("n_kept"),
+            TextOps.filterLines(col("__t"), TextOps.contentLine(4))
+              .as("cleaned"))
+          .orderBy("doc_id")
       })
   )
 

@@ -773,4 +773,29 @@ object TextOps {
         regexp_replace(text, EmailRe, "<EMAIL>"),
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
+
+  // --- boilerplate line filtering ---------------------------------------
+
+  /** The lines of a newline-separated document. A document with no
+    * newline is one line; null propagates.
+    */
+  def docLines(text: Column): Column = split(text, "\n")
+
+  /** Line-level boilerplate filtering (the jusText/trafilatura move,
+    * relationally): keep the lines `keep` accepts, drop the rest,
+    * rebuild the document. Row-local higher-order functions — no
+    * explode, no shuffle, so at 100 TB this stays a map-only scan no
+    * matter how many lines a document has.
+    */
+  def filterLines(text: Column, keep: Column => Column): Column =
+    array_join(filter(docLines(text), keep), "\n")
+
+  /** Canned boilerplate signal: a line is content iff it has at least
+    * `minWords` word tokens — navigation/footer fragments are short.
+    * (Stopword-density predicates compose the same way via
+    * [[stopwordRatioMil]]; word count is the signal that discriminates
+    * on a words-only corpus.)
+    */
+  def contentLine(minWords: Int): Column => Column =
+    line => size(tokens(line)) >= minWords
 }

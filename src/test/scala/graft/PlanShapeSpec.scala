@@ -239,6 +239,14 @@ class PlanShapeSpec extends SparkSpec {
       s"PII scrub fell off codegen onto a UDF:\n$plan")
   }
 
+  test("q72: line filtering is row-local — no hash exchange, no explode") {
+    val plan = planOf("q72_line_filter")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"line filter shuffles:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"line filter exploded instead of using row-local HOFs:\n$plan")
+  }
+
   test("q29: minhash signatures are computed map-side, not via a shuffle") {
     val plan = planOf("q29_dedup_minhash")
     assert(plan.toLowerCase.contains("minhashbandkeys"),

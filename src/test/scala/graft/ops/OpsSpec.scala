@@ -114,6 +114,24 @@ class OpsSpec extends SparkSpec {
     assert(out(4L) == ((0, 0, 2, "<IP> and 1.2.3 and user@<IP>")))
   }
 
+  test("filterLines drops short boilerplate lines, keeps content, is total") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps high\nhome login menu\nanother full content line here\nok"),
+      (2L, "no newline single line document"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextOps.filterLines(col("text"), TextOps.contentLine(4)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 3-word 'home login menu' and 1-word 'ok' go; 6- and 5-word lines stay
+    assert(out(1L) ==
+      "the quick brown fox jumps high\nanother full content line here")
+    assert(out(2L) == "no newline single line document")
+    assert(out(3L) == "")   // one empty line, 0 tokens -> dropped -> empty doc
+    assert(out(4L) == null) // null propagates
+  }
+
   test("quality score stays in [0,1000] and penalizes punctuation soup") {
     val df = Seq(
       "the quick brown fox is a good and long document about the things of life",
