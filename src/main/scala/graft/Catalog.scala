@@ -1788,6 +1788,56 @@ object Catalog {
             TextOps.filterLines(col("__t"), TextOps.contentLine(4))
               .as("cleaned"))
           .orderBy("doc_id")
+      }),
+
+    QueryDef("q73_image_neardup",
+      "Image near-duplicate detection through the REAL codec: per doc a " +
+        "deterministic PNG (plus, for id%10=0, a planted variant row — " +
+        "same raster, new id, one perturbed pixel), decoded via " +
+        "javax.imageio and perceptually hashed (56-bit dHash on an " +
+        "integer-sampled 8x8 gray grid — sampling chosen so an " +
+        "arithmetic oracle reproduces every bit; see MultimodalOps." +
+        "dHash56), then paired within hamming<=3 by 4x14-bit band " +
+        "pigeonhole equi-join + exact verify — the LSH shape of the " +
+        "text near-dup paths, applied to images. The oracle recomputes " +
+        "each hash from the raster formula and joins exhaustively.",
+      Some("""WITH imgs AS (
+             |  SELECT doc_id AS id, doc_id AS seed, FALSE AS tweak FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000 AS id, doc_id AS seed, TRUE AS tweak
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |gr AS (SELECT id,
+             |  [ (299 * v + 587 * (255 - v) + 114 * ((3 * v) % 256)) // 1000
+             |    for v in
+             |    [ CASE WHEN tweak AND ((i % 8) * (16 + seed % 17)) // 8 = 0
+             |                AND ((i // 8) * (16 + seed % 13)) // 8 = 0
+             |      THEN xor((seed * 31 + (((i % 8) * (16 + seed % 17)) // 8) * 7
+             |                + (((i // 8) * (16 + seed % 13)) // 8) * 13) % 256, 128)
+             |      ELSE (seed * 31 + (((i % 8) * (16 + seed % 17)) // 8) * 7
+             |            + (((i // 8) * (16 + seed % 13)) // 8) * 13) % 256 END
+             |      for i in range(0, 64) ] ] AS g
+             |  FROM imgs),
+             |hs AS (SELECT id, CAST(list_sum(
+             |    [ CASE WHEN g[(j // 7) * 8 + (j % 7) + 1] > g[(j // 7) * 8 + (j % 7) + 2]
+             |      THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END
+             |      for j in range(0, 56) ]) AS BIGINT) AS dhash FROM gr)
+             |SELECT a.id AS a_id, b.id AS b_id,
+             |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+             |FROM hs a JOIN hs b ON a.id > b.id
+             |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+             |ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id")
+        val base = docs.select(col("doc_id").as("id"),
+          col("doc_id").as("seed"), lit(false).as("tweak"))
+        val vars = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("id"),
+            col("doc_id").as("seed"), lit(true).as("tweak"))
+        val payloads = MultimodalOps.syntheticImagePayloads(
+          base.unionByName(vars), "id", "seed", "tweak")
+        MultimodalOps.dhashNearDupPairs(
+            MultimodalOps.dHashes(payloads, "id"), "id")
+          .orderBy("a_id", "b_id")
       })
   )
 

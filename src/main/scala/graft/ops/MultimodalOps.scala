@@ -180,26 +180,53 @@ object MultimodalOps {
     rows.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        val w = 16 + java.lang.Math.floorMod(id, 17L).toInt
-        val h = 16 + java.lang.Math.floorMod(id, 13L).toInt
-        val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val v = java.lang.Math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt
-            img.setRGB(x, y, (v << 16) | ((255 - v) << 8) | ((v * 3) & 0xff))
-            x += 1
-          }
-          y += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        (id, bos.toByteArray)
+        (id, synthPng(seed = id, tweak = false))
       }
     }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .toDF(idCol, "payload")
+  }
+
+  /** Variant-aware form of [[syntheticImagePayloads]]: raster content and
+    * dimensions derive from `seedCol` (not the row id), so two rows with
+    * one seed are pixel-identical — the "same image, new crawl id" shape
+    * near-dup detection needs planted pairs for. `tweakCol` (boolean)
+    * additionally flips the top bit of pixel (0,0), a one-pixel
+    * perturbation that moves a difference hash by at most one bit — the
+    * "slightly re-encoded copy" shape.
+    */
+  def syntheticImagePayloads(df: DataFrame, idCol: String, seedCol: String,
+                             tweakCol: String): DataFrame = {
+    val rows = df.select(col(idCol).cast("long"), col(seedCol).cast("long"),
+      col(tweakCol).cast("boolean"))
+    rows.mapPartitions { it =>
+      it.map(r => (r.getLong(0), synthPng(r.getLong(1), r.getBoolean(2))))
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF(idCol, "payload")
+  }
+
+  /** One deterministic PNG: width/height/pixels are pure functions of
+    * `seed` (see [[syntheticImagePayloads]]), byte-stable across JVMs
+    * (PNG is lossless and the raster is computed, not sampled).
+    */
+  private def synthPng(seed: Long, tweak: Boolean): Array[Byte] = {
+    val w = 16 + java.lang.Math.floorMod(seed, 17L).toInt
+    val h = 16 + java.lang.Math.floorMod(seed, 13L).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = java.lang.Math.floorMod(seed * 31 + x * 7 + y * 13, 256L).toInt
+        val v = if (tweak && x == 0 && y == 0) base ^ 128 else base
+        img.setRGB(x, y, (v << 16) | ((255 - v) << 8) | ((v * 3) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Batch decode: one codec instance per PARTITION (the expensive init
@@ -262,5 +289,95 @@ object MultimodalOps {
       it.map(r => Feature(r.getLong(0), codec.features(r.getAs[Array[Byte]](1), dim)))
     }(Encoders.product[Feature])
       .toDF(idCol, "embedding")
+  }
+
+  // --- perceptual hashing / image near-dup ------------------------------
+
+  private def grayOf(rgb: Int): Int = {
+    val r = (rgb >> 16) & 0xff
+    val g = (rgb >> 8) & 0xff
+    val b = rgb & 0xff
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
+
+  /** 56-bit difference hash (dHash) of a decoded image: sample an 8x8
+    * grid of gray values, set bit `y*7+x` iff gray(x,y) > gray(x+1,y).
+    * Two deliberate deviations from the folklore 9x8 recipe, both for
+    * checkability at no detection cost: (1) the grid is sampled with
+    * integer nearest-neighbor (`sx = x*w/8`) on the FULL decoded raster
+    * instead of an interpolating rescale — `java.awt` bilinear output is
+    * implementation-defined, while integer sampling lets an arithmetic
+    * oracle reproduce every bit; (2) 8 columns -> 7 comparisons = 56
+    * bits, keeping the hash (and every band shift below) inside a
+    * signed 64-bit long on BOTH engines (bit 63 of an 8x9 hash would
+    * overflow a SQL BIGINT sum).
+    */
+  def dHash56(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var x = 0
+      var g0 = grayOf(img.getRGB(0, sy))
+      while (x < 7) {
+        val g1 = grayOf(img.getRGB((x + 1) * w / 8, sy))
+        if (g0 > g1) hash |= 1L << (y * 7 + x)
+        g0 = g1
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Per-image dHash through the REAL `javax.imageio` decode, same
+    * per-partition codec boundary as [[decodeMeta]]. Output:
+    * (idCol, dhash long).
+    */
+  def dHashes(df: DataFrame, idCol: String): DataFrame = {
+    val rows = df.select(col(idCol).cast("long"), col("payload"))
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null, "payload is not a decodable image")
+        (r.getLong(0), dHash56(img))
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF(idCol, "dhash")
+  }
+
+  /** Image near-dup pairs within `maxHamming` over [[dHash56]] hashes,
+    * by banded pigeonhole join: the 56-bit hash splits into 4 bands of
+    * 14 bits, any pair within hamming distance 3 (< number of bands)
+    * must agree EXACTLY on at least one band, so candidates come from a
+    * band-key equi-join — shuffle keys are (band#, 14-bit value), never
+    * an all-pairs product — then exact hamming verifies. The same
+    * LSH-shape as the MinHash/SimHash text paths: at 100 TB the
+    * candidate volume is bounded by band-bucket collisions, not n².
+    * Output: (a_id, b_id, hamming), a_id > b_id.
+    */
+  def dhashNearDupPairs(hashes: DataFrame, idCol: String,
+                        hashCol: String = "dhash",
+                        maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      s"4 bands of 14 bits guarantee recall only for hamming <= 3, got $maxHamming")
+    val banded = hashes.select(col(idCol), col(hashCol), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("bno"),
+        shiftright(col(hashCol), b * 14).bitwiseAND(lit(0x3fffL)).as("bkey"))): _*)).as("bs"))
+      .select(col(idCol), col(hashCol), col("bs.bno"), col("bs.bkey"))
+    // a pair sharing k bands appears k times; distinct on the id pair
+    // before the (cheap) hamming compute
+    banded.as("a").join(banded.as("b"),
+        col("a.bno") === col("b.bno") && col("a.bkey") === col("b.bkey") &&
+          col(s"a.$idCol") > col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"),
+        col(s"a.$hashCol").as("__ah"), col(s"b.$hashCol").as("__bh"))
+      .distinct()
+      .select(col("a_id"), col("b_id"),
+        TextOps.hamming(col("__ah"), col("__bh")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -247,6 +247,12 @@ class PlanShapeSpec extends SparkSpec {
       s"line filter exploded instead of using row-local HOFs:\n$plan")
   }
 
+  test("q73: image near-dup candidates come from a band equi-join, never all-pairs") {
+    val plan = planOf("q73_image_neardup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in the image near-dup plan:\n$plan")
+  }
+
   test("q29: minhash signatures are computed map-side, not via a shuffle") {
     val plan = planOf("q29_dedup_minhash")
     assert(plan.toLowerCase.contains("minhashbandkeys"),

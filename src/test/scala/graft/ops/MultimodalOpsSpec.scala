@@ -134,6 +134,43 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(again.forall { case (id, p) => p.sameElements(first(id)) })
   }
 
+  test("dHash56: identical rasters collide, the one-pixel tweak moves <=1 bit") {
+    val base = Seq((1L, 42L, false), (2L, 42L, false), (3L, 42L, true),
+      (4L, 99L, false)).toDF("id", "seed", "tweak")
+    val hs = MultimodalOps.dHashes(
+        MultimodalOps.syntheticImagePayloads(base, "id", "seed", "tweak"), "id")
+      .as[(Long, Long)].collect().toMap
+    assert(hs(1L) == hs(2L))                                // same seed = same image
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) <= 1)   // perturbed pixel
+    assert(hs.values.forall(v => v >= 0L && v < (1L << 56))) // 56-bit contract
+    val pairs = MultimodalOps.dhashNearDupPairs(
+        MultimodalOps.dHashes(
+          MultimodalOps.syntheticImagePayloads(base, "id", "seed", "tweak"), "id"),
+        "id")
+      .as[(Long, Long, Int)].collect().toSet
+    // banded join must surface every same-seed pair; the tweak moves the
+    // hash by AT MOST one bit (it may move zero — the gray delta need
+    // not flip the one comparison that samples the pixel)
+    val sameSeedIds = Set((2L, 1L), (3L, 1L), (3L, 2L))
+    assert(sameSeedIds.subsetOf(pairs.map(p => (p._1, p._2))),
+      s"missed planted pairs: $pairs")
+    assert(pairs.forall(p => p._3 <= 3))
+  }
+
+  test("dhashNearDupPairs band recall equals exhaustive search at hamming<=3") {
+    val rows = (0L until 60L).map(i => (i, i % 20, false)).toDF("id", "seed", "tweak")
+    val hs = MultimodalOps.dHashes(
+      MultimodalOps.syntheticImagePayloads(rows, "id", "seed", "tweak"), "id")
+    val got = MultimodalOps.dhashNearDupPairs(hs, "id")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val all = hs.as[(Long, Long)].collect()
+    val want = (for {
+      a <- all; b <- all if a._1 > b._1
+      if java.lang.Long.bitCount(a._2 ^ b._2) <= 3
+    } yield (a._1, b._1)).toSet
+    assert(got == want, s"banded != exhaustive: missing ${want -- got}, extra ${got -- want}")
+  }
+
   test("frame sampling fans out one row per frame, partition-invariant") {
     val docs = Tables.load(spark, sf, "documents").limit(25)
     val blob = MultimodalOps.withPayload(docs, "text")
