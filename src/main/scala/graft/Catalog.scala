@@ -1838,7 +1838,40 @@ object Catalog {
         MultimodalOps.dhashNearDupPairs(
             MultimodalOps.dHashes(payloads, "id"), "id")
           .orderBy("a_id", "b_id")
-      })
+      }),
+
+    QueryDef("q74_bigram_lm",
+      "Corpus-trained bigram language-model quality scoring (the CCNet/" +
+        "KenLM perplexity-filter shape, self-trained): unigram + bigram " +
+        "counts over the whole corpus, Laplace-smoothed conditional " +
+        "probability per document bigram, integer mean per document — " +
+        "fluent (common-bigram) documents score high, disfluent ones " +
+        "low. Exact integer arithmetic end to end (probabilities in " +
+        "parts-per-million, floor division) so the oracle matches " +
+        "bit-for-bit; see TextOps.bigramLmScores for the ln-space " +
+        "drop-in. Two vocab-keyed count shuffles + two co-keyed joins " +
+        "+ one per-doc aggregate — nothing corpus-sized on the driver.",
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+             |uni AS (SELECT w1, COUNT(*) AS c1 FROM (
+             |    SELECT unnest(w) AS w1 FROM toks) GROUP BY w1),
+             |v AS (SELECT COUNT(*) AS vs FROM uni),
+             |bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+             |    SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]}
+             |      for i in range(1, len(w))]) AS u FROM toks)),
+             |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+             |per AS (SELECT doc_id,
+             |    (1000000 * (c12 + 1)) // (c1 + vs) AS ppm
+             |  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v),
+             |sc AS (SELECT doc_id, COUNT(*) AS nb, SUM(ppm) AS sp
+             |  FROM per GROUP BY doc_id)
+             |SELECT t.doc_id, CAST(COALESCE(sc.nb, 0) AS INTEGER) AS n_bigrams,
+             |  CAST(sc.sp // sc.nb AS BIGINT) AS score_ppm
+             |FROM toks t LEFT JOIN sc ON t.doc_id = sc.doc_id
+             |ORDER BY t.doc_id""".stripMargin),
+      (s, dir) =>
+        TextOps.bigramLmScores(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id"))
   )
 
   /** Shared oracle CTE: winnowed fingerprint sets per document (k=8,

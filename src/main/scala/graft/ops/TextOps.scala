@@ -798,4 +798,53 @@ object TextOps {
     */
   def contentLine(minWords: Int): Column => Column =
     line => size(tokens(line)) >= minWords
+
+  // --- corpus-trained language-model quality scoring --------------------
+
+  /** Bigram language-model quality score, trained on the corpus itself —
+    * the CCNet/KenLM perplexity-filter shape without the external model:
+    * unigram and bigram counts aggregate corpus-wide (map-side partial,
+    * vocab-sized results), each document's bigrams join their
+    * Laplace-smoothed conditional probability, and the per-document
+    * aggregate flags disfluent outliers.
+    *
+    * The score is an INTEGER probability proxy: per bigram
+    * `ppm = (1e6 * (c12 + 1)) div (c1 + V)` (Laplace-smoothed
+    * P(w2|w1) in parts-per-million, floor division), per document the
+    * integer mean of its bigram ppms. All-integer arithmetic is exact
+    * in any engine — an external SQL oracle reproduces it bit-for-bit,
+    * which `ln`-space perplexity (the drop-in variant: `log` instead of
+    * the ppm ratio, geometric instead of arithmetic mean — same plan,
+    * same joins) cannot promise across float implementations.
+    *
+    * Scale shape: two vocab-keyed count shuffles (unigram, bigram), two
+    * co-keyed probability joins, one per-document aggregate; the vocab
+    * scalar V rides a 1-row broadcast. Nothing is corpus-cardinality in
+    * driver memory.
+    *
+    * Output: (idCol, n_bigrams int, score_ppm bigint — null for
+    * documents with fewer than two tokens).
+    */
+  def bigramLmScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__w"))
+    val pairLen = greatest(size(col("__w")) - 1, lit(0))
+    val bigs = toks.select(col(idCol), explode(zip_with(
+        slice(col("__w"), lit(1), pairLen),
+        slice(col("__w"), lit(2), pairLen),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col(idCol), col("__bg.w1"), col("__bg.w2"))
+    val uni = toks.select(explode(col("__w")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.select(count(lit(1)).as("vs"))
+    val big = bigs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val per = bigs.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .crossJoin(vocab)
+      .select(col(idCol), expr("(1000000 * (c12 + 1)) div (c1 + vs)").as("ppm"))
+    val sc = per.groupBy(idCol)
+      .agg(count(lit(1)).as("nb"), sum("ppm").as("sp"))
+    df.select(col(idCol)).join(sc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nb"), lit(0L)).cast("int").as("n_bigrams"),
+        expr("CAST(sp div nb AS BIGINT)").as("score_ppm"))
+  }
 }

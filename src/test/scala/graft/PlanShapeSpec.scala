@@ -253,6 +253,17 @@ class PlanShapeSpec extends SparkSpec {
       s"all-pairs join in the image near-dup plan:\n$plan")
   }
 
+  test("q74: LM count aggregates are partial (map-side combine before the shuffle)") {
+    val plan = planOf("q74_bigram_lm")
+    // the unigram/bigram/per-doc counts must each split into
+    // partial+final pairs — at 100 TB the exploded token stream must
+    // combine before it travels
+    assert(plan.split("HashAggregate").length - 1 >= 6,
+      s"count aggregates not partial:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"unexpected cartesian (the 1-row vocab scalar should broadcast):\n$plan")
+  }
+
   test("q29: minhash signatures are computed map-side, not via a shuffle") {
     val plan = planOf("q29_dedup_minhash")
     assert(plan.toLowerCase.contains("minhashbandkeys"),

@@ -132,6 +132,27 @@ class OpsSpec extends SparkSpec {
     assert(out(4L) == null) // null propagates
   }
 
+  test("bigramLmScores: common-bigram docs outscore gibberish; totality") {
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat again"),
+      (4L, "zq wv xj kp qz vw"),   // every bigram unseen elsewhere
+      (5L, "one"),                 // < 2 tokens -> no bigrams
+      (6L, ""))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramLmScores(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out(1L)._1 == 5 && out(4L)._1 == 5)
+    // docs 1-3 share their bigrams (c12 = 3 each for the common ones);
+    // doc 4's bigrams occur once each -> strictly lower smoothed prob
+    assert(out(1L)._2 > out(4L)._2,
+      s"fluent ${out(1L)._2} should outscore gibberish ${out(4L)._2}")
+    assert(out(1L)._2 == out(2L)._2) // identical docs, identical score
+    assert(out(5L) == ((0, -1L)) && out(6L) == ((0, -1L))) // null score, 0 bigrams
+  }
+
   test("quality score stays in [0,1000] and penalizes punctuation soup") {
     val df = Seq(
       "the quick brown fox is a good and long document about the things of life",
