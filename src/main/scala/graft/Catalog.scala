@@ -1804,7 +1804,8 @@ object Catalog {
       Some("""WITH imgs AS (
              |  SELECT doc_id AS id, doc_id AS seed, FALSE AS tweak FROM documents
              |  UNION ALL
-             |  SELECT doc_id + 100000 AS id, doc_id AS seed, TRUE AS tweak
+             |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS id,
+             |    doc_id AS seed, TRUE AS tweak
              |  FROM documents WHERE doc_id % 10 = 0),
              |gr AS (SELECT id,
              |  [ (299 * v + 587 * (255 - v) + 114 * ((3 * v) % 256)) // 1000
@@ -1830,8 +1831,12 @@ object Catalog {
         val docs = t(s, dir, "documents").select("doc_id")
         val base = docs.select(col("doc_id").as("id"),
           col("doc_id").as("seed"), lit(false).as("tweak"))
+        // variant ids offset past max(doc_id), not a fixed constant — a
+        // constant collides with real ids once the table outgrows it,
+        // and duplicate ids would make the pair output nondeterministic
         val vars = docs.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 100000).as("id"),
+          .crossJoin(docs.agg(max(col("doc_id")).as("__mx")))
+          .select((col("doc_id") + col("__mx") + 1).as("id"),
             col("doc_id").as("seed"), lit(true).as("tweak"))
         val payloads = MultimodalOps.syntheticImagePayloads(
           base.unionByName(vars), "id", "seed", "tweak")

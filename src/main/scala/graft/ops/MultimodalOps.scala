@@ -104,7 +104,8 @@ object MultimodalOps {
     * by an explicit quality gate, not silently passed through.
     */
   object JdkImageCodec extends Codec {
-    private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    private[MultimodalOps] def readImage(
+        payload: Array[Byte]): java.awt.image.BufferedImage = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       require(img != null, "payload is not a decodable image")
       img
@@ -339,12 +340,8 @@ object MultimodalOps {
   def dHashes(df: DataFrame, idCol: String): DataFrame = {
     val rows = df.select(col(idCol).cast("long"), col("payload"))
     rows.mapPartitions { it =>
-      it.map { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-        require(img != null, "payload is not a decodable image")
-        (r.getLong(0), dHash56(img))
-      }
+      it.map(r => (r.getLong(0),
+        dHash56(JdkImageCodec.readImage(r.getAs[Array[Byte]](1)))))
     }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
       .toDF(idCol, "dhash")
   }

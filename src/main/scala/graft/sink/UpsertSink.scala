@@ -280,6 +280,11 @@ final class UpsertSink(spark: SparkSession, root: String,
             versionCol: Option[String] = None,
             pkUnique: Boolean = false): Unit = {
     require(pk.nonEmpty, s"merge into $table needs a primary key")
+    // same contract TableMerge enforces: silently skipping the version
+    // resolution a caller explicitly asked for would write every
+    // version as a duplicate-pk row
+    require(!(pkUnique && versionCol.isDefined),
+      s"$table: pkUnique promises one row per pk — versionCol is meaningless")
     recover(table)
     // bucket with the modulus the LAYOUT was written with, not the
     // instance default — a mismatch would scatter updated keys away

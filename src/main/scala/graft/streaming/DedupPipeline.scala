@@ -182,10 +182,18 @@ object DedupPipeline {
                     shingleN: Int = 3, k: Int = 128, bands: Int = 32,
                     thresholdMil: Int = 500): Unit = {
     if (!rawBatch.isEmpty) {
+      // every cache in this batch is registered here and released in the
+      // finally — a failed verify join or sink merge is retried by the
+      // stream, and un-released caches from failed attempts would pin
+      // the batch text + shingle arrays in the block manager until the
+      // executor OOMs
+      var cached = List.empty[DataFrame]
+      def reg(df: DataFrame): DataFrame = { cached ::= df.cache(); df }
+      try {
       // cached: the anti-join below needs the FULL batch rows again —
       // uncached, the redelivery-dedup shuffle would re-run for every
       // downstream materialization
-      val batch = rawBatch.dropDuplicates("doc_id").cache()
+      val batch = reg(rawBatch.dropDuplicates("doc_id"))
       // register on the BATCH's session: foreachBatch plans resolve in
       // the stream's cloned session, which only inherits functions
       // registered before the stream started — the outer `spark` is
@@ -207,10 +215,10 @@ object DedupPipeline {
       def shinglesOf(df: DataFrame, idAs: String, shAs: String): DataFrame =
         df.select(col("doc_id").as(idAs),
           TextOps.shingles(col("text"), shingleN).as(shAs))
-      val batchBands = bandsOf(batch).cache()
+      val batchBands = reg(bandsOf(batch))
       // cached: both verify paths read it, and re-shingling the batch
       // is the dominant per-batch CPU cost
-      val batchSh = shinglesOf(batch, "a_id", "__ash").cache()
+      val batchSh = reg(shinglesOf(batch, "a_id", "__ash"))
 
       // candidate (a=batch doc at risk, b=older doc) pairs from band
       // collisions — vs the accumulated corpus AND within the batch
@@ -270,7 +278,7 @@ object DedupPipeline {
         .filter(floor(TextOps.jaccard(col("__ash"), col("__bsh")) * 1000)
           >= thresholdMil)
         .select(col("a_id").as("doc_id"))
-      val fresh = RelOps.antiJoin(batch, dupIds, Seq("doc_id")).cache()
+      val fresh = reg(RelOps.antiJoin(batch, dupIds, Seq("doc_id")))
       // admitted docs' bands come from the CACHED batch bands —
       // re-running bandsOf(fresh) would re-tokenize and re-minhash
       // every admitted document a second time. One mergeMany round
@@ -288,11 +296,7 @@ object DedupPipeline {
         TableMerge(bandsTable,
           batchBands.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi"),
           Seq("doc_id", "band"), pkUnique = true)))
-      batchBands.unpersist()
-      batchSh.unpersist()
-      batch.unpersist()
-      fresh.unpersist()
-      ()
+      } finally cached.foreach(_.unpersist())
     }
   }
 }

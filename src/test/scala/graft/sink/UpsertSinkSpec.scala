@@ -38,6 +38,37 @@ class UpsertSinkSpec extends SparkSpec {
       == Seq((1L, 20L, "new")))
   }
 
+  test("pkUnique merge: create + incremental upsert semantics match the default path") {
+    val sink = freshSink()
+    sink.merge("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"),
+      pkUnique = true)
+    sink.merge("t", Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), Seq("id"),
+      pkUnique = true)
+    assert(sink.read("t").as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+  }
+
+  test("pkUnique mergeMany: fast path round-trips; versionCol combination rejected") {
+    val sink = freshSink()
+    sink.mergeMany(Seq(
+      TableMerge("a", Seq((1L, "x")).toDF("id", "v"), Seq("id"), pkUnique = true),
+      TableMerge("b", Seq((1L, 7L)).toDF("id", "n"), Seq("id"), pkUnique = true)))
+    sink.mergeMany(Seq(
+      TableMerge("a", Seq((2L, "y")).toDF("id", "v"), Seq("id"), pkUnique = true)))
+    assert(sink.read("a").as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "x"), (2L, "y")))
+    assert(sink.read("b").as[(Long, Long)].collect().toSeq == Seq((1L, 7L)))
+    // the promise excludes version resolution — both entry points refuse
+    assertThrows[IllegalArgumentException] {
+      TableMerge("a", Seq((1L, 1L, "v")).toDF("id", "ver", "v"), Seq("id"),
+        versionCol = Some("ver"), pkUnique = true)
+    }
+    assertThrows[IllegalArgumentException] {
+      sink.merge("a", Seq((1L, 1L, "v")).toDF("id", "ver", "v"), Seq("id"),
+        versionCol = Some("ver"), pkUnique = true)
+    }
+  }
+
   test("merge is idempotent (re-applying the same batch is a no-op)") {
     val sink = freshSink()
     val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
