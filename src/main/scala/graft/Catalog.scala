@@ -1876,7 +1876,23 @@ object Catalog {
              |ORDER BY t.doc_id""".stripMargin),
       (s, dir) =>
         TextOps.bigramLmScores(t(s, dir, "documents"), "doc_id", "text")
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    QueryDef("q75_semdedup",
+      "SemDeDup (Abbas et al. 2023): semantic dedup scoped to trained " +
+        "k-means clusters — pairwise cosine runs only WITHIN a cluster " +
+        "(equi-join on the cluster id, never n² — the scale path q33's " +
+        "exhaustive baseline exists to calibrate), larger id of any " +
+        "pair at cosine >= 0.45 is dropped, survivors keep their " +
+        "cluster label. Clustering is k-means -> no SQL oracle (driver " +
+        "rows-only check); SimOpsSpec pins the semantics: planted dups " +
+        "die, kills are a subset of the exhaustive q33 kill set, " +
+        "partition-invariant.",
+      None,
+      (s, dir) =>
+        SimOps.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+            nlist = 16, threshold = 0.45)
+          .orderBy("vec_id"))
   )
 
   /** Shared oracle CTE: winnowed fingerprint sets per document (k=8,

@@ -541,6 +541,41 @@ object SimOps {
     * oracle for [[lshNearDupPairs]] (which is the operator users should
     * reach for); never the default at scale.
     */
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dedup
+    * scoped to trained k-means clusters — the scale answer to exhaustive
+    * q33-style pairing: pairwise cosine runs only WITHIN a cluster, so
+    * pair volume is Σ|cluster|² instead of n², and `nlist` grows with
+    * the corpus to hold cluster size (and so per-cluster cost) constant.
+    * Assignment reuses the decimal-exact trained quantizer
+    * ([[trainCentroids]] — deterministic at any parallelism), the join
+    * key is the cluster id (equi-shuffle, never a cartesian), and the
+    * kill rule matches q56: the larger id of any pair at
+    * `cosine >= threshold` is dropped. Approximate BY DESIGN versus
+    * global near-dup — a cross-cluster pair is invisible (the paper
+    * accepts exactly this trade; SimOpsSpec pins kills ⊆ global kills).
+    *
+    * Output: surviving (idCol, cluster) rows.
+    */
+  def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
+               nlist: Int, threshold: Double, iters: Int = 2): DataFrame = {
+    VectorFunctions.register(vecs.sparkSession)
+    val cents = trainCentroids(vecs, idCol, vecCol, nlist, iters)
+    val assigned = vecs.select(col(idCol), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n"),
+      array_max(centScores(cents, col(vecCol))).getField("c").as("__cl"))
+    val a = assigned.select(col("__cl"), col(idCol).as("a_id"),
+      col("__v").as("__av"), col("__n").as("__an"))
+    val b = assigned.select(col("__cl"), col(idCol).as("b_id"),
+      col("__v").as("__bv"), col("__n").as("__bn"))
+    val kills = a.join(b, Seq("__cl"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(safeCos(dot(col("__av"), col("__bv")),
+        col("__an"), col("__bn")), 6) >= threshold)
+      .select(col("b_id").as(idCol)).distinct()
+    assigned.join(kills, Seq(idCol), "left_anti")
+      .select(col(idCol), col("__cl").as("cluster"))
+  }
+
   def cosineNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
     VectorFunctions.register(vecs.sparkSession)

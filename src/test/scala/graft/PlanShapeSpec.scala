@@ -249,8 +249,15 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q73: image near-dup candidates come from a band equi-join, never all-pairs") {
     val plan = planOf("q73_image_neardup")
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+    assert(!plan.contains("CartesianProduct"),
       s"all-pairs join in the image near-dup plan:\n$plan")
+    // the only tolerated nested-loop joins are the 1-row max(doc_id)
+    // scalar broadcast for variant ids, once per self-join branch (the
+    // branches share their exchange at runtime); the hash-pair join
+    // itself must be an equi-join on the band key
+    assert(plan.split("BroadcastNestedLoopJoin").length - 1 <= 2,
+      s"non-scalar nested-loop join in the image near-dup plan:\n$plan")
+    assert(plan.contains("bkey"), s"band-key equi-join missing:\n$plan")
   }
 
   test("q74: LM count aggregates are partial (map-side combine before the shuffle)") {
@@ -262,6 +269,12 @@ class PlanShapeSpec extends SparkSpec {
       s"count aggregates not partial:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"unexpected cartesian (the 1-row vocab scalar should broadcast):\n$plan")
+  }
+
+  test("q75: semdedup pairs equi-join on the cluster id, never all-pairs") {
+    val plan = planOf("q75_semdedup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in the semdedup plan:\n$plan")
   }
 
   test("q29: minhash signatures are computed map-side, not via a shuffle") {

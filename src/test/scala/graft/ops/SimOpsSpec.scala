@@ -59,6 +59,33 @@ class SimOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall below 0.8")
   }
 
+  test("semDedup: planted dups die in-cluster, kills subset global, invariant") {
+    val e = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding")
+    // plant an exact duplicate of vector 0 with a larger id: identical
+    // vectors assign to the SAME cluster (same scores, same argmax), so
+    // the planted copy must die whatever the trained clustering is
+    val maxId = e.agg(max($"vec_id")).as[Long].head()
+    val dup = e.filter($"vec_id" === 0)
+      .select(lit(maxId + 1).as("vec_id"), $"embedding")
+    val corpus = e.unionByName(dup)
+    val out = SimOps.semDedup(corpus, "vec_id", "embedding", 8, 0.45)
+    val survivors = out.select("vec_id").as[Long].collect().toSet
+    assert(!survivors.contains(maxId + 1), "planted duplicate survived")
+    assert(survivors.contains(0L), "the smaller-id original must survive")
+    // cluster scoping can only MISS pairs: every semDedup kill must be a
+    // kill under the exhaustive global rule too
+    val globalKills = SimOps.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.45)
+      .select("b_id").as[Long].collect().toSet
+    val kills = corpus.select("vec_id").as[Long].collect().toSet -- survivors
+    assert(kills.subsetOf(globalKills),
+      s"semDedup killed outside the global near-dup set: ${kills -- globalKills}")
+    // deterministic at any parallelism (decimal-exact training)
+    val again = SimOps.semDedup(corpus.repartition(7), "vec_id", "embedding", 8, 0.45)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again == survivors)
+  }
+
   test("cosineNearDupPairs is symmetric-free (a < b) and thresholded") {
     val e = Tables.load(spark, sf, "embeddings").filter($"vec_id" < 100)
     val out = SimOps.cosineNearDupPairs(e, "vec_id", "embedding", 0.3)
