@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{MinHashFunctions, WinnowFunctions}
-import graft.ops.{GraphOps, MultimodalOps, RelOps, SampleOps, SimOps, TextOps}
+import graft.ops.{GraphOps, MultimodalOps, RelOps, SampleOps, SimOps, TextOps, WebOps}
 
 /** One named query: the Spark plan plus (when SQL-expressible) the exact
   * DuckDB oracle the driver hash-compares against.
@@ -1892,7 +1892,51 @@ object Catalog {
       (s, dir) =>
         SimOps.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
             nlist = 16, threshold = 0.45)
-          .orderBy("vec_id"))
+          .orderBy("vec_id")),
+
+    QueryDef("q76_url_screen",
+      "Web-crawl URL admission screen (the stage before any text is " +
+        "read): canonicalize URLs (lowercase, strip fragment/query/" +
+        "trailing slash), collapse crawl duplicates to the smallest " +
+        "doc_id per canonical URL, drop blocklisted domains by 2-label " +
+        "suffix via a broadcast anti-join. URLs are synthesized " +
+        "deterministically on both sides (case-variant hosts, tracking " +
+        "params, fragments, trailing slashes, and id%4=0 docs on a " +
+        "blocked domain) so every canonicalization rule is actually " +
+        "exercised. One canonical-key shuffle + a broadcast anti-join.",
+      Some("""WITH u AS (SELECT doc_id,
+             |  'https://Site' || CAST(doc_id % 10 AS VARCHAR)
+             |   || CASE WHEN doc_id % 4 = 0 THEN '.spam.example'
+             |           ELSE '.example.org' END
+             |   || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+             |   || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+             |   || CASE WHEN doc_id % 3 = 0 THEN '?utm=x' ELSE '' END
+             |   || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS raw
+             |  FROM documents),
+             |c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+             |    lower(raw), '#.*$', ''), '\?.*$', ''), '/$', '') AS url FROM u),
+             |h AS (SELECT doc_id, url,
+             |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host
+             |  FROM c),
+             |k AS (SELECT url, host, MIN(doc_id) AS doc_id FROM h GROUP BY url, host)
+             |SELECT doc_id, host, url FROM k
+             |WHERE array_to_string((string_split(host, '.'))[-2:], '.')
+             |      NOT IN ('spam.example')
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val raw = concat(lit("https://Site"),
+          (col("doc_id") % 10).cast("string"),
+          when(col("doc_id") % 4 === 0, lit(".spam.example"))
+            .otherwise(lit(".example.org")),
+          lit("/p/"), (col("doc_id") % 50).cast("string"),
+          when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit("?utm=x")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+        WebOps.screenUrls(
+            t(s, dir, "documents").select(col("doc_id"), raw.as("raw_url")),
+            "doc_id", "raw_url", Seq("spam.example"))
+          .orderBy("doc_id")
+      })
   )
 
   /** Shared oracle CTE: winnowed fingerprint sets per document (k=8,
