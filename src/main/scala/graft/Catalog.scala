@@ -1936,7 +1936,35 @@ object Catalog {
             t(s, dir, "documents").select(col("doc_id"), raw.as("raw_url")),
             "doc_id", "raw_url", Seq("spam.example"))
           .orderBy("doc_id")
-      })
+      }),
+
+    QueryDef("q77_pool_embeddings",
+      "Chunk -> document embedding pooling (the RAG/retrieval move): " +
+        "element-wise mean of each group's vectors (group = vec_id % " +
+        "50, a chunks-of-one-doc proxy). Floating-point addition does " +
+        "not commute, so the per-component sum folds in EXPLICIT vec_id " +
+        "order (group-size-bounded sorted collect) rather than a " +
+        "merge-order-dependent sum() — same-order folds are " +
+        "bit-identical across engines, so the oracle checks pooled " +
+        "doubles exactly. Two equi-shuffles, both keyed by group.",
+      Some("""WITH c AS (SELECT vec_id % 50 AS grp, vec_id,
+             |    unnest([{'i': i, 'x': CAST(embedding[i+1] AS DOUBLE)}
+             |            for i in range(0, len(embedding))]) AS u
+             |  FROM embeddings),
+             |f AS (SELECT grp, u.i AS i, COUNT(*) AS n,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list(u.x ORDER BY vec_id)), (a, b) -> a + b) AS s
+             |  FROM c GROUP BY grp, u.i),
+             |m AS (SELECT grp, i, n, round(s / n, 6) AS mv FROM f)
+             |SELECT grp, CAST(MAX(n) AS INTEGER) AS n_vecs,
+             |  list(mv ORDER BY i) AS pooled
+             |FROM m GROUP BY grp ORDER BY grp""".stripMargin),
+      (s, dir) =>
+        SimOps.meanPool(
+            t(s, dir, "embeddings").select((col("vec_id") % 50).as("grp"),
+              col("vec_id"), col("embedding")),
+            "vec_id", "grp", "embedding")
+          .orderBy("grp"))
   )
 
   /** Shared oracle CTE: winnowed fingerprint sets per document (k=8,

@@ -576,6 +576,44 @@ object SimOps {
       .select(col(idCol), col("__cl").as("cluster"))
   }
 
+  /** Chunk -> document embedding pooling: the element-wise mean of every
+    * group's vectors (RAG / retrieval pipelines pool chunk embeddings
+    * into document embeddings exactly like this). Two equi-shuffles:
+    * (group, component) for the fold, (group) for array re-assembly —
+    * group size is chunks-per-document, never corpus-scale.
+    *
+    * Determinism contract: floating-point addition does not commute, so
+    * the per-component sum folds in EXPLICIT `idCol` order over a
+    * sorted collect (group-size bounded) instead of a partial-aggregate
+    * `sum()` whose merge order varies run to run. Same-order folds are
+    * bit-identical across engines — which is what lets an external SQL
+    * oracle check pooled DOUBLE values exactly (rounded to 6dp only as
+    * a display convention, not as a fuzz band).
+    *
+    * Output: (grpCol, n_vecs, pooled array<double> — each component
+    * rounded to 6dp).
+    */
+  def meanPool(vecs: DataFrame, idCol: String, grpCol: String,
+               vecCol: String): DataFrame = {
+    val comp = vecs.select(col(grpCol), col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("__i", "__x")))
+      .select(col(grpCol), col("__i"), col("__id"),
+        col("__x").cast("double").as("__xd"))
+    val means = comp.groupBy(grpCol, "__i")
+      .agg(count(lit(1)).as("__n"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("__id"), col("__xd")))),
+            s => s.getField("__xd")),
+          lit(0.0), (acc, v) => acc + v).as("__s"))
+      .select(col(grpCol), col("__i"), col("__n"),
+        round(col("__s") / col("__n"), 6).as("__m"))
+    means.groupBy(grpCol)
+      .agg(max(col("__n")).as("n_vecs"),
+        transform(sort_array(collect_list(struct(col("__i"), col("__m")))),
+          s => s.getField("__m")).as("pooled"))
+      .select(col(grpCol), col("n_vecs").cast("int").as("n_vecs"), col("pooled"))
+  }
+
   def cosineNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
     VectorFunctions.register(vecs.sparkSession)

@@ -86,6 +86,25 @@ class SimOpsSpec extends SparkSpec {
     assert(again == survivors)
   }
 
+  test("meanPool: element-wise group means, ragged-safe, partition-invariant") {
+    val df = Seq(
+      (1L, "a", Array(1.0f, 2.0f)),
+      (2L, "a", Array(3.0f, 4.0f)),
+      (3L, "b", Array(10.0f, 20.0f)),
+      (4L, "b", Array(10.0f, 20.0f, 30.0f))) // ragged third component
+      .toDF("id", "grp", "vec")
+    val out = SimOps.meanPool(df, "id", "grp", "vec")
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getSeq[Double](2).toList)).toMap
+    assert(out("a") == ((2, List(2.0, 3.0))))
+    // the ragged component pools over the vectors that HAVE it
+    assert(out("b") == ((2, List(10.0, 20.0, 30.0))))
+    val again = SimOps.meanPool(df.repartition(5), "id", "grp", "vec")
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getSeq[Double](2).toList)).toMap
+    assert(again == out) // order-fixed fold => bit-identical at any parallelism
+  }
+
   test("cosineNearDupPairs is symmetric-free (a < b) and thresholded") {
     val e = Tables.load(spark, sf, "embeddings").filter($"vec_id" < 100)
     val out = SimOps.cosineNearDupPairs(e, "vec_id", "embedding", 0.3)
