@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{MinHashFunctions, WinnowFunctions}
-import graft.ops.{GraphOps, MultimodalOps, RelOps, SampleOps, SimOps, TextOps, WebOps}
+import graft.ops.{ChatOps, GraphOps, MultimodalOps, RelOps, SampleOps, SimOps, TextOps, WebOps}
 
 /** One named query: the Spark plan plus (when SQL-expressible) the exact
   * DuckDB oracle the driver hash-compares against.
@@ -1964,7 +1964,57 @@ object Catalog {
             t(s, dir, "embeddings").select((col("vec_id") % 50).as("grp"),
               col("vec_id"), col("embedding")),
             "vec_id", "grp", "embedding")
-          .orderBy("grp"))
+          .orderBy("grp")),
+
+    QueryDef("q78_chat_flatten",
+      "SFT conversation formatting: instruction data arrives as JSON " +
+        "conversations and leaves as flat training text — parse the " +
+        "turn array (from_json), count turns, gate on ends-with-" +
+        "assistant (a trailing user turn has no target tokens), and " +
+        "flatten to <|role|>content sentinel format. Row-local " +
+        "from_json + HOFs: no explode, no shuffle, no UDF. " +
+        "Conversations are synthesized from each document's tokens " +
+        "IDENTICALLY on both sides (2 turns, +1 trailing user turn for " +
+        "id%3=0 making those invalid); the oracle re-parses with " +
+        "DuckDB's JSON functions.",
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+             |j AS (SELECT doc_id,
+             |  '[{"role":"user","content":"' || array_to_string(w[1:4], ' ')
+             |   || '"},{"role":"assistant","content":"' || array_to_string(w[5:8], ' ')
+             |   || '"}' || CASE WHEN doc_id % 3 = 0
+             |        THEN ',{"role":"user","content":"' || array_to_string(w[9:12], ' ') || '"}'
+             |        ELSE '' END || ']' AS conv
+             |  FROM toks)
+             |SELECT doc_id,
+             |  CAST(json_array_length(conv) AS INTEGER) AS n_turns,
+             |  json_extract_string(conv,
+             |    '$[' || (json_array_length(conv) - 1) || '].role') = 'assistant' AS valid,
+             |  array_to_string(['<|' || json_extract_string(conv, '$[' || i || '].role')
+             |      || '|>' || json_extract_string(conv, '$[' || i || '].content')
+             |    for i in range(0, CAST(json_array_length(conv) AS INTEGER))], '') AS flat
+             |FROM j ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val conv = concat(
+          lit("""[{"role":"user","content":""""),
+          array_join(slice(toks, 1, 4), " "),
+          lit(""""},{"role":"assistant","content":""""),
+          array_join(slice(toks, 5, 4), " "),
+          lit(""""}"""),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(""",{"role":"user","content":""""),
+              array_join(slice(toks, 9, 4), " "), lit(""""}""")))
+            .otherwise(lit("")),
+          lit("]"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), conv.as("__conv"))
+          .select(col("doc_id"),
+            ChatOps.turnCount(col("__conv")).as("n_turns"),
+            ChatOps.endsWithAssistant(col("__conv")).as("valid"),
+            ChatOps.flattenChat(col("__conv")).as("flat"))
+          .orderBy("doc_id")
+      })
   )
 
   /** Shared oracle CTE: winnowed fingerprint sets per document (k=8,

@@ -277,6 +277,16 @@ class PlanShapeSpec extends SparkSpec {
       s"all-pairs join in the semdedup plan:\n$plan")
   }
 
+  test("q78: chat flattening is a map-only scan — no exchange, no explode, no UDF") {
+    val plan = planOf("q78_chat_flatten")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chat flatten shuffles:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"chat flatten exploded instead of row-local HOFs:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"chat flatten fell off codegen onto a UDF:\n$plan")
+  }
+
   test("q29: minhash signatures are computed map-side, not via a shuffle") {
     val plan = planOf("q29_dedup_minhash")
     assert(plan.toLowerCase.contains("minhashbandkeys"),
