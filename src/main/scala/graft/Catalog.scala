@@ -1913,15 +1913,19 @@ object Catalog {
              |   || CASE WHEN doc_id % 3 = 0 THEN '?utm=x' ELSE '' END
              |   || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS raw
              |  FROM documents),
-             |c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
-             |    lower(raw), '#.*$', ''), '\?.*$', ''), '/$', '') AS url FROM u),
+             |s AS (SELECT doc_id, regexp_replace(regexp_replace(
+             |    raw, '#.*$', ''), '\?.*$', '') AS st FROM u),
+             |c AS (SELECT doc_id, regexp_replace(
+             |    lower(regexp_extract(st, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1))
+             |      || substr(st, len(regexp_extract(st,
+             |           '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1)) + 1),
+             |    '/$', '') AS url FROM s),
              |h AS (SELECT doc_id, url,
-             |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host
+             |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS host
              |  FROM c),
              |k AS (SELECT url, host, MIN(doc_id) AS doc_id FROM h GROUP BY url, host)
              |SELECT doc_id, host, url FROM k
-             |WHERE array_to_string((string_split(host, '.'))[-2:], '.')
-             |      NOT IN ('spam.example')
+             |WHERE NOT (host = 'spam.example' OR ends_with(host, '.spam.example'))
              |ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         val raw = concat(lit("https://Site"),

@@ -26,23 +26,36 @@ object ChatOps {
   /** Number of turns (null for unparseable payloads). */
   def turnCount(json: Column): Column = size(parseConversation(json))
 
-  /** An SFT example must END on the assistant: a trailing user turn has
-    * no target tokens to learn. (The standard validity gate.)
+  /** An SFT example must END on the assistant — a trailing user turn has
+    * no target tokens to learn — and that final turn must actually HAVE
+    * content: a turn whose content field is missing/null offers nothing
+    * to train on, so it must not pass the gate (the flattened string
+    * renders such a turn with empty content; see [[flattenChat]]).
     * `try_element_at`: an EMPTY conversation has no last turn — under
     * ANSI mode a plain element_at(-1) would fail the task instead of
     * gating the row out with null.
     */
-  def endsWithAssistant(json: Column): Column =
-    try_element_at(parseConversation(json), lit(-1))
-      .getField("role") === "assistant"
+  def endsWithAssistant(json: Column): Column = {
+    val turns = parseConversation(json)
+    val last = try_element_at(turns, lit(-1))
+    // unparseable/null payload -> null (unknown); parseable but empty
+    // or content-less -> definitively FALSE, not null — "there is
+    // nothing to train on" is an answer, not missing data
+    when(turns.isNull, lit(null).cast("boolean"))
+      .otherwise(last.getField("role") === "assistant" &&
+        last.getField("content").isNotNull)
+  }
 
   /** Flatten a conversation into one training string:
     * `<|role|>content` per turn, concatenated in order — the generic
     * chat-template shape (swap the sentinel scheme at the call site for
-    * a specific tokenizer's template).
+    * a specific tokenizer's template). Null role/content render as
+    * empty strings rather than silently DROPPING the turn (a null
+    * element would vanish in array_join, leaving [[turnCount]] and the
+    * flat string disagreeing about what the conversation contains).
     */
   def flattenChat(json: Column): Column =
     array_join(transform(parseConversation(json),
-      t => concat(lit("<|"), t.getField("role"), lit("|>"),
-        t.getField("content"))), "")
+      t => concat(lit("<|"), coalesce(t.getField("role"), lit("")),
+        lit("|>"), coalesce(t.getField("content"), lit("")))), "")
 }

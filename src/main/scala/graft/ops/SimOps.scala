@@ -536,11 +536,6 @@ object SimOps {
       .distinct() // duplicate table hits of the same surviving pair
   }
 
-  /** All pairs (a < b) with cosine >= threshold — the exhaustive
-    * formulation. O(n^2) by construction: kept ONLY as the correctness
-    * oracle for [[lshNearDupPairs]] (which is the operator users should
-    * reach for); never the default at scale.
-    */
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dedup
     * scoped to trained k-means clusters — the scale answer to exhaustive
     * q33-style pairing: pairwise cosine runs only WITHIN a cluster, so
@@ -572,7 +567,11 @@ object SimOps {
       .filter(round(safeCos(dot(col("__av"), col("__bv")),
         col("__an"), col("__bn")), 6) >= threshold)
       .select(col("b_id").as(idCol)).distinct()
-    assigned.join(kills, Seq(idCol), "left_anti")
+    // narrow projection for the anti-join: the assignment recomputes
+    // (column pruning keeps it to id+vec), but the full vectors and
+    // norms must not ride the id-keyed shuffle just to be dropped
+    assigned.select(col(idCol), col("__cl"))
+      .join(kills, Seq(idCol), "left_anti")
       .select(col(idCol), col("__cl").as("cluster"))
   }
 
@@ -614,6 +613,11 @@ object SimOps {
       .select(col(grpCol), col("n_vecs").cast("int").as("n_vecs"), col("pooled"))
   }
 
+  /** All pairs (a < b) with cosine >= threshold — the exhaustive
+    * formulation. O(n^2) by construction: kept ONLY as the correctness
+    * oracle for [[lshNearDupPairs]] (which is the operator users should
+    * reach for); never the default at scale.
+    */
   def cosineNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
     VectorFunctions.register(vecs.sparkSession)

@@ -253,11 +253,15 @@ class PlanShapeSpec extends SparkSpec {
       s"all-pairs join in the image near-dup plan:\n$plan")
     // the only tolerated nested-loop joins are the 1-row max(doc_id)
     // scalar broadcast for variant ids, once per self-join branch (the
-    // branches share their exchange at runtime); the hash-pair join
-    // itself must be an equi-join on the band key
-    assert(plan.split("BroadcastNestedLoopJoin").length - 1 <= 2,
+    // branches share their exchange at runtime)
+    assert(plan.split("BroadcastNestedLoopJoin", -1).length - 1 <= 2,
       s"non-scalar nested-loop join in the image near-dup plan:\n$plan")
-    assert(plan.contains("bkey"), s"band-key equi-join missing:\n$plan")
+    // the pair join itself must be a HASHED equi-join whose keys include
+    // the band key — counting nested-loop joins alone couldn't tell a
+    // collapsed-scalar + regressed-pair-join plan from the healthy one
+    assert(plan.linesIterator.exists(l =>
+        l.matches(".*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*bkey.*")),
+      s"band-key equi-join missing:\n$plan")
   }
 
   test("q74: LM count aggregates are partial (map-side combine before the shuffle)") {

@@ -35,8 +35,21 @@ class ChatOpsSpec extends SparkSpec {
       .toMap
     assert(out(1L) == ((-1, true, true)))  // malformed -> null through
     assert(out(2L) == ((-1, true, true)))  // null -> null
-    // empty conversation: 0 turns, no last role (null), empty flat
-    assert(out(3L)._1 == 0 && out(3L)._2)
+    // empty conversation: 0 turns, definitively NOT trainable (false,
+    // not null), empty flat string
+    assert(out(3L)._1 == 0 && !out(3L)._2)
+  }
+
+  test("null-content turns render empty, never vanish, and fail the gate") {
+    val missingContent =
+      """[{"role":"user","content":"hi"},{"role":"assistant"}]"""
+    val r = Seq(missingContent).toDF("c")
+      .select(ChatOps.turnCount($"c"), ChatOps.endsWithAssistant($"c"),
+        ChatOps.flattenChat($"c"))
+      .as[(Int, Boolean, String)].head()
+    // the content-less assistant turn still appears in the flat string
+    // (turnCount and flat agree), and the example is NOT trainable
+    assert(r == ((2, false, "<|user|>hi<|assistant|>")))
   }
 
   test("extra JSON fields are ignored by the wire schema") {
