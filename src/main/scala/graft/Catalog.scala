@@ -2018,6 +2018,36 @@ object Catalog {
             ChatOps.endsWithAssistant(col("__conv")).as("valid"),
             ChatOps.flattenChat(col("__conv")).as("flat"))
           .orderBy("doc_id")
+      }),
+
+    QueryDef("q79_classifier_score",
+      "Quality-classifier application at corpus scale (the fastText/" +
+        "CCNet shape): every document scored by a linear model over " +
+        "hashed bag-of-words features — token -> md5-stable bucket -> " +
+        "integer weight, margin = sum, keep = margin > 0. One aggregate " +
+        "HOF over the token array: no explode, no shuffle, no UDF — a " +
+        "map-only scan at 100 TB. Weights are a deterministic stand-in " +
+        "table (documented; a trained model's coefficients swap in with " +
+        "the identical plan), which is what lets the oracle recompute " +
+        "every margin exactly.",
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents)
+             |SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+             |  CAST(COALESCE(list_sum(
+             |    [ ((CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 4096)
+             |        * 2654435761) % 1001 - 500 for t in w ]), 0) AS BIGINT) AS margin,
+             |  COALESCE(list_sum(
+             |    [ ((CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 4096)
+             |        * 2654435761) % 1001 - 500 for t in w ]), 0) > 0 AS keep
+             |FROM toks ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val margin = TextOps.hashedLinearMargin(col("text"),
+          TextOps.pseudoWeight(_))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).as("n_tokens"),
+            margin.as("margin"), (margin > 0).as("keep"))
+          .orderBy("doc_id")
       })
   )
 

@@ -801,6 +801,35 @@ object TextOps {
 
   // --- corpus-trained language-model quality scoring --------------------
 
+  /** Hashed-feature linear classifier margin — the fastText-style
+    * quality-classifier APPLICATION shape (CCNet/LLaMA pipelines score
+    * every document with a linear model over hashed bag-of-words
+    * features): each token hashes into one of `buckets` feature
+    * buckets, `weightOf` maps the bucket to an integer weight, and the
+    * margin is the sum over the document's tokens. Entirely row-local
+    * (one `aggregate` HOF over the token array — no explode, no
+    * shuffle, no UDF): applying a trained classifier to 100 TB is a
+    * map-only scan.
+    *
+    * The hash is [[stableHash64]] (md5-based) so an external SQL oracle
+    * reproduces bucket ids exactly; weights are integers for the same
+    * reason (a trained model's float coefficients quantize to fixed
+    * point without changing the argmax/threshold semantics).
+    */
+  def hashedLinearMargin(text: Column, weightOf: Column => Column,
+                         buckets: Int = 4096): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + weightOf(pmod(stableHash64(t), lit(buckets))))
+
+  /** Deterministic stand-in weight table for [[hashedLinearMargin]]
+    * (Knuth-hash spread over [-500, 500]) — the documented FAKE-weights
+    * counterpart of a trained model's coefficient array (swap in
+    * `element_at(typedLit(coeffs), bucket + 1)` for real weights; the
+    * plan shape is identical).
+    */
+  def pseudoWeight(bucket: Column): Column =
+    pmod(bucket * lit(2654435761L), lit(1001L)) - 500L
+
   /** Bigram language-model quality score, trained on the corpus itself —
     * the CCNet/KenLM perplexity-filter shape without the external model:
     * unigram and bigram counts aggregate corpus-wide (map-side partial,

@@ -291,6 +291,16 @@ class PlanShapeSpec extends SparkSpec {
       s"chat flatten fell off codegen onto a UDF:\n$plan")
   }
 
+  test("q79: classifier scoring is a map-only scan — no exchange, no explode, no UDF") {
+    val plan = planOf("q79_classifier_score")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"classifier scoring shuffles:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"classifier scoring exploded tokens instead of aggregating row-locally:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"classifier scoring fell off codegen onto a UDF:\n$plan")
+  }
+
   test("q29: minhash signatures are computed map-side, not via a shuffle") {
     val plan = planOf("q29_dedup_minhash")
     assert(plan.toLowerCase.contains("minhashbandkeys"),

@@ -153,6 +153,29 @@ class OpsSpec extends SparkSpec {
     assert(out(5L) == ((0, -1L)) && out(6L) == ((0, -1L))) // null score, 0 bigrams
   }
 
+  test("hashedLinearMargin: deterministic, additive, empty/null-total") {
+    val df = Seq(
+      (1L, "alpha beta"),
+      (2L, "alpha beta"),
+      (3L, "alpha beta alpha beta"), // multiplicity: exactly double
+      (4L, ""),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextOps.hashedLinearMargin(col("text"), TextOps.pseudoWeight(_)).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)))).toMap
+    assert(out(1L) == out(2L))                       // deterministic
+    assert(out(3L) == out(1L) * 2)                   // linear in counts
+    assert(out(4L) == 0L)                            // empty doc -> 0 margin
+    assert(out(5L) == null)                          // null text propagates
+    // weights genuinely spread over both signs (a degenerate all-positive
+    // table would make keep=margin>0 vacuous)
+    val ws = (0L until 4096L).toDF("b")
+      .select(TextOps.pseudoWeight(col("b"))).as[Long].collect()
+    assert(ws.exists(_ < 0) && ws.exists(_ > 0) && ws.forall(w => w >= -500 && w <= 500))
+  }
+
   test("quality score stays in [0,1000] and penalizes punctuation soup") {
     val df = Seq(
       "the quick brown fox is a good and long document about the things of life",
