@@ -79,7 +79,21 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _, _) => "\"" + k + f"""\":$v%.3f""" }
+    // The driver tail-captures a fixed ~2 KB window of stdout; the r05
+    // artifact shows the full-name per-query map (~2.6 KB) overflowing
+    // it, cutting the line's HEAD off mid-JSON ("parsed": null five
+    // rounds running). The stdout line therefore uses the short "q64"
+    // prefix of each catalog name (the driver's documented example shape
+    // is {"queries":{"q1":sec,...}}) and 2-decimal seconds — ~1.1 KB
+    // total, inside the window with room for the build tool's epilogue.
+    // The FILE artifact keeps full names and full precision.
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val shortsUnique =
+      results.map(r => shortKey(r._1)).distinct.size == results.size
+    val qs = results.map { case (k, v, _, _) =>
+      "\"" + (if (shortsUnique) shortKey(k) else k) + f"""\":$v%.2f"""
+    }.mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v, _, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val allTimes = results.map { case (k, _, ts, _) =>
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
@@ -88,12 +102,17 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
+    // stdout-line error map: short keys, 40-char messages — a failing
+    // build must not push the line back over the capture window
+    val errsShort = errors.map { case (k, v) =>
+      s"${jstr(if (shortsUnique) shortKey(k) else k)}:${jstr(v.take(40))}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // ONE stdout line in the driver's documented shape (queries = min of
     // passes); the heavyweight per-pass/gc detail lives only in the file
     // so the line stays inside any tail-capture window.
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"passes":$passes,"n_queries":${results.size},"sf":"$sfDir","artifact":${jstr(outPath)}}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"times":$allTimes,"gc_ms":$gcs,"errors":$errs,"passes":$passes,"n_queries":${results.size},"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errsShort,"passes":$passes,"n_queries":${results.size},"sf":"$sfDir","artifact":${jstr(outPath)}}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"times":$allTimes,"gc_ms":$gcs,"errors":$errs,"passes":$passes,"n_queries":${results.size},"sf":"$sfDir"}"""
     // stdout FIRST: a failed file write (read-only target dir) must not
     // destroy both artifacts after a multi-minute run
     println(line)

@@ -1751,9 +1751,14 @@ object Catalog {
         "both sides (6-word lines, a 3-word 'home login menu' " +
         "boilerplate line injected before every even line); the filter " +
         "then keeps lines with >= 4 word tokens, which also drops a " +
-        "short trailing remainder line — the oracle agrees exactly.",
+        "short trailing remainder line — the oracle agrees exactly. " +
+        "Both sides are TOTAL on NULL text: Spark's when(size>0) sends " +
+        "NULL down the empty-array branch (n_lines=1, n_kept=0, " +
+        "cleaned=''), so the oracle COALESCEs its token list to [] to " +
+        "land on the identical row rather than propagating NULL.",
       Some("""WITH toks AS (SELECT doc_id,
-             |    regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+             |    COALESCE(regexp_extract_all(lower(text), '[a-z]+'),
+             |             CAST([] AS VARCHAR[])) AS w FROM documents),
              |ln AS (SELECT doc_id, CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
              |    ELSE [array_to_string(w[(i*6+1):(i*6+6)], ' ')
              |          for i in range(0, CAST(ceil(len(w)/6.0) AS INTEGER))] END AS lines
@@ -1950,7 +1955,13 @@ object Catalog {
         "order (group-size-bounded sorted collect) rather than a " +
         "merge-order-dependent sum() — same-order folds are " +
         "bit-identical across engines, so the oracle checks pooled " +
-        "doubles exactly. Two equi-shuffles, both keyed by group.",
+        "doubles exactly. The catalog entry emits one SCALAR row per " +
+        "(group, component) — array-valued result columns break " +
+        "external comparison harnesses that sort/hash scalar cells " +
+        "(the q54 lesson), so the pooled vector is exploded here and " +
+        "reassembled by callers that want the array shape " +
+        "(SimOps.meanPool itself still returns it). " +
+        "Two equi-shuffles, both keyed by group.",
       Some("""WITH c AS (SELECT vec_id % 50 AS grp, vec_id,
              |    unnest([{'i': i, 'x': CAST(embedding[i+1] AS DOUBLE)}
              |            for i in range(0, len(embedding))]) AS u
@@ -1958,17 +1969,19 @@ object Catalog {
              |f AS (SELECT grp, u.i AS i, COUNT(*) AS n,
              |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              |      list(u.x ORDER BY vec_id)), (a, b) -> a + b) AS s
-             |  FROM c GROUP BY grp, u.i),
-             |m AS (SELECT grp, i, n, round(s / n, 6) AS mv FROM f)
-             |SELECT grp, CAST(MAX(n) AS INTEGER) AS n_vecs,
-             |  list(mv ORDER BY i) AS pooled
-             |FROM m GROUP BY grp ORDER BY grp""".stripMargin),
+             |  FROM c GROUP BY grp, u.i)
+             |SELECT grp, CAST(i AS INTEGER) AS i,
+             |  CAST(n AS INTEGER) AS n_vecs, round(s / n, 6) AS mean
+             |FROM f ORDER BY grp, i""".stripMargin),
       (s, dir) =>
         SimOps.meanPool(
             t(s, dir, "embeddings").select((col("vec_id") % 50).as("grp"),
               col("vec_id"), col("embedding")),
             "vec_id", "grp", "embedding")
-          .orderBy("grp")),
+          .select(col("grp"), col("n_vecs"),
+            posexplode(col("pooled")).as(Seq("i", "mean")))
+          .select(col("grp"), col("i"), col("n_vecs"), col("mean"))
+          .orderBy("grp", "i")),
 
     QueryDef("q78_chat_flatten",
       "SFT conversation formatting: instruction data arrives as JSON " +

@@ -132,6 +132,39 @@ class OpsSpec extends SparkSpec {
     assert(out(4L) == null) // null propagates
   }
 
+  test("q72 pipeline shape is TOTAL on null text: (n_lines=1, n_kept=0, '')") {
+    // Replicates the q72_line_filter catalog pipeline: when(size(toks)>0)
+    // sends NULL text down the empty-array branch (size(NULL) is NULL,
+    // which is falsy), so a NULL document lands on the same
+    // (n_lines=1, n_kept=0, cleaned='') row as an empty one — the
+    // contract the DuckDB oracle's COALESCE(w, []) mirrors exactly.
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    val toks = TextOps.tokens(col("text"))
+    val lines = when(size(toks) > 0,
+      transform(sequence(lit(0), ceil(size(toks) / lit(6.0)).cast("int") - 1),
+        i => array_join(slice(toks, i * 6 + 1, lit(6)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val lined = array_join(flatten(transform(lines, (l, i) =>
+      when(i % 2 === 0, array(lit("home login menu"), l))
+        .otherwise(array(l)))), "\n")
+    val out = df.select(col("doc_id"), lined.as("__t"))
+      .select(col("doc_id"),
+        size(TextOps.docLines(col("__t"))).as("n_lines"),
+        size(filter(TextOps.docLines(col("__t")),
+          TextOps.contentLine(4))).as("n_kept"),
+        TextOps.filterLines(col("__t"), TextOps.contentLine(4)).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // 8 tokens -> lines [6-word, 2-word remainder]; boilerplate lands
+    // before alternate lines (index%2==0) -> 3 lines; only the 6-word
+    // line survives the >=4 gate
+    assert(out(1L) == ((3, 1, "alpha beta gamma delta epsilon zeta")))
+    assert(out(2L) == ((1, 0, "")))
+    assert(out(3L) == ((1, 0, "")))
+  }
+
   test("bigramLmScores: common-bigram docs outscore gibberish; totality") {
     val df = Seq(
       (1L, "the cat sat on the mat"),
