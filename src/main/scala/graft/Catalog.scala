@@ -1889,14 +1889,18 @@ object Catalog {
         "(equi-join on the cluster id, never n² — the scale path q33's " +
         "exhaustive baseline exists to calibrate), larger id of any " +
         "pair at cosine >= 0.45 is dropped, survivors keep their " +
-        "cluster label. Clustering is k-means -> no SQL oracle (driver " +
+        "cluster label. probes=2 multi-probe assignment mitigates the " +
+        "paper's cross-cluster blind spot: each vector is candidate-" +
+        "visible in its top-2 clusters, so a dup pair straddling one " +
+        "boundary still meets (~2x pair volume, still equi-keyed). " +
+        "Clustering is k-means -> no SQL oracle (driver " +
         "rows-only check); SimOpsSpec pins the semantics: planted dups " +
-        "die, kills are a subset of the exhaustive q33 kill set, " +
-        "partition-invariant.",
+        "die (including a boundary-straddling pair), kills are a subset " +
+        "of the exhaustive q33 kill set, partition-invariant.",
       None,
       (s, dir) =>
         SimOps.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-            nlist = 16, threshold = 0.45)
+            nlist = 16, threshold = 0.45, probes = 2)
           .orderBy("vec_id")),
 
     QueryDef("q76_url_screen",
@@ -2060,6 +2064,224 @@ object Catalog {
           .select(col("doc_id"),
             size(TextOps.tokens(col("text"))).as("n_tokens"),
             margin.as("margin"), (margin > 0).as("keep"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q80_unicode_tokens",
+      "Unicode-aware tokenization mode ([\\p{L}\\p{N}]+ — the RE2 ∩ " +
+        "java.util.regex common subset, like the PII patterns): digits, " +
+        "accented Latin, Greek and CJK all survive, where the default " +
+        "letters mode's [a-z]+ silently drops them. The letters contract " +
+        "is KEPT by every fingerprint/shingle/MinHash/winnow query " +
+        "(their oracles hash ASCII code points) — this query documents " +
+        "the delta and oracle-proves the unicode mode exactly. " +
+        "Mixed-script text is synthesized IDENTICALLY on both sides " +
+        "(the corpus is ASCII; the suffix is lowercase-stable so both " +
+        "engines' case folds agree) and the oracle compares both modes' " +
+        "counts plus the full unicode token stream byte-for-byte. " +
+        "Map-only column expressions — no shuffle at any scale.",
+      Some("""WITH p AS (SELECT doc_id,
+             |  text || ' café' || CAST(doc_id % 100 AS VARCHAR)
+             |       || ' δύο λέξεις 模型7 données 2024' AS t FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(lower(t), '[a-z]+')) AS INTEGER)
+             |    AS n_letters,
+             |  CAST(len(regexp_extract_all(lower(t), '[\p{L}\p{N}]+')) AS INTEGER)
+             |    AS n_unicode,
+             |  array_to_string(regexp_extract_all(lower(t), '[\p{L}\p{N}]+'), ' ')
+             |    AS uni_text
+             |FROM p ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val tt = concat(col("text"), lit(" café"),
+          (col("doc_id") % 100).cast("string"),
+          lit(" δύο λέξεις 模型7 données 2024"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), tt.as("__t"))
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("__t"))).as("n_letters"),
+            size(TextOps.tokens(col("__t"), "unicode")).as("n_unicode"),
+            concat_ws(" ", TextOps.tokens(col("__t"), "unicode")).as("uni_text"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q81_ann_index_build",
+      "IVF-PQ index BUILD, persisted (the FAISS build/probe split q70 " +
+        "deliberately folds into one query): trains the coarse " +
+        "quantizer + PQ codebooks, encodes the corpus to m-byte codes, " +
+        "and stores centroids/codebooks/codes through UpsertSink (the " +
+        "q59->q63 materialization pattern). Output: per-list occupancy " +
+        "— the index statistic an operator monitors (empty/overfull " +
+        "lists are the recall/latency smell). k-means internals -> no " +
+        "SQL oracle (driver rows-only); SimOpsSpec asserts the stored " +
+        "probe's parity with the in-query build.",
+      None,
+      (s, dir) =>
+        SimOps.buildIvfPqIndex(t(s, dir, "embeddings"),
+            "vec_id", "embedding", tempStore.sink(s, "annidx", dir))
+          .orderBy("list")),
+
+    QueryDef("q82_ann_index_probe",
+      "IVF-PQ PROBE against the q81 persisted index: identical ADC " +
+        "code-lookup shortlist + exact-cosine refine math to q70, but " +
+        "NO training and no corpus encode inside the query — centroids " +
+        "and codebooks load as two bounded collects and candidates " +
+        "stream from the stored m-byte code lists. This is the serving " +
+        "amortization at 100 TB: rebuild on corpus change, probe per " +
+        "query batch. Builds the index first only if q81 has not run " +
+        "in this JVM. Approximate by design -> rows-only check.",
+      None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val sink = tempStore.sink(s, "annidx", dir)
+        if (!SimOps.ivfPqIndexExists(sink))
+          SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink).collect()
+        SimOps.ivfPqProbeIndex(e.filter(col("vec_id") % 100 === 0), e,
+            "vec_id", "embedding", sink, 5)
+          .orderBy("query_id", "rank")
+      }),
+
+    QueryDef("q83_curation_stream",
+      "The COMPOSED curation stream, batch-replay form (q76 -> q72 -> " +
+        "q71 -> q64 as ONE foreachBatch chain, the CurationPipeline " +
+        "core): documents arrive in 4 ordered micro-batches; each batch " +
+        "is URL-screened (canonicalize, in-batch crawl-dup collapse, " +
+        "domain blocklist — batch 0 dies entirely on the blocklist), " +
+        "line-filtered (>= 4-word lines survive), PII-redacted, and the " +
+        "survivors run the EXACT near-dup admission core against the " +
+        "accumulated corpus. The stateless screens are O(batch) " +
+        "regardless of corpus size; admission bounds corpus reads to " +
+        "band collisions. URL/line/PII synthesis reuses the q76/q72/q71 " +
+        "formulas verbatim on both sides; the oracle replays the same 4 " +
+        "batches with exhaustive Jaccard over the CURATED text and " +
+        "compares the admitted corpus — ids, batches, and final " +
+        "redacted text byte-for-byte.",
+      Some("""WITH u AS (SELECT doc_id, doc_id % 4 AS b,
+             |  'https://Site' || CAST(doc_id % 10 AS VARCHAR)
+             |   || CASE WHEN doc_id % 4 = 0 THEN '.spam.example'
+             |           ELSE '.example.org' END
+             |   || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+             |   || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+             |   || CASE WHEN doc_id % 3 = 0 THEN '?utm=x' ELSE '' END
+             |   || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS raw
+             |  FROM documents),
+             |s AS (SELECT doc_id, b, regexp_replace(regexp_replace(
+             |    raw, '#.*$', ''), '\?.*$', '') AS st FROM u),
+             |c AS (SELECT doc_id, b, regexp_replace(
+             |    lower(regexp_extract(st, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1))
+             |      || substr(st, len(regexp_extract(st,
+             |           '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1)) + 1),
+             |    '/$', '') AS url FROM s),
+             |h AS (SELECT doc_id, b, url,
+             |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS host
+             |  FROM c),
+             |k AS (SELECT b, url, host, MIN(doc_id) AS doc_id
+             |  FROM h GROUP BY b, url, host),
+             |scr AS (SELECT doc_id FROM k
+             |  WHERE NOT (host = 'spam.example' OR ends_with(host, '.spam.example'))),
+             |toks AS (SELECT doc_id,
+             |    COALESCE(regexp_extract_all(lower(text), '[a-z]+'),
+             |             CAST([] AS VARCHAR[])) AS w FROM documents),
+             |ln AS (SELECT doc_id, CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+             |    ELSE [array_to_string(w[(i*6+1):(i*6+6)], ' ')
+             |          for i in range(0, CAST(ceil(len(w)/6.0) AS INTEGER))] END AS lines
+             |  FROM toks),
+             |tx AS (SELECT doc_id, array_to_string(flatten(
+             |    [CASE WHEN i % 2 = 1 THEN ['home login menu', lines[i]]
+             |          ELSE [lines[i]] END
+             |     for i in range(1, len(lines)+1)]), chr(10))
+             |  || ' contact user' || doc_id || '@example.com'
+             |  || CASE WHEN doc_id % 3 = 0 THEN ' call +1415555' ||
+             |       lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') ELSE '' END
+             |  || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' ||
+             |       CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+             |       CAST(doc_id % 200 + 1 AS VARCHAR) ELSE '' END AS t
+             |  FROM ln),
+             |sp AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM tx),
+             |cl AS (SELECT doc_id, array_to_string([l for l in ls
+             |    if len(regexp_extract_all(lower(l), '[a-z]+')) >= 4], chr(10)) AS ct
+             |  FROM sp),
+             |rd AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(ct,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+             |    '\+[0-9]{1,3}[0-9 -]{6,12}[0-9]', '<PHONE>', 'g') AS rt FROM cl),
+             |f AS (SELECT rd.doc_id, rd.doc_id % 4 AS b, rt
+             |  FROM rd JOIN scr ON rd.doc_id = scr.doc_id),
+             |tk2 AS (SELECT doc_id, b, regexp_extract_all(lower(rt), '[a-z]+') w2
+             |  FROM f),
+             |d AS (SELECT doc_id, b, CASE WHEN len(w2) < 3
+             |    THEN [array_to_string(w2, ' ')]
+             |    ELSE list_distinct([w2[i] || ' ' || w2[i+1] || ' ' || w2[i+2]
+             |                        for i in range(1, len(w2) - 1)]) END AS s
+             |  FROM tk2),
+             |pair AS (SELECT a.doc_id AS a_id, x.doc_id AS b_id, x.b AS bb
+             |  FROM d a JOIN d x ON a.doc_id <> x.doc_id
+             |  WHERE CAST(len(list_intersect(a.s, x.s)) AS DOUBLE)
+             |        / len(list_distinct(list_concat(a.s, x.s))) >= 0.5),
+             |a0 AS (SELECT doc_id FROM d WHERE b = 0 AND NOT EXISTS (
+             |    SELECT 1 FROM pair p WHERE p.a_id = d.doc_id
+             |      AND p.bb = 0 AND p.b_id < d.doc_id)),
+             |a1 AS (SELECT doc_id FROM d WHERE b = 1
+             |  AND NOT EXISTS (SELECT 1 FROM pair p WHERE p.a_id = d.doc_id
+             |    AND p.bb = 1 AND p.b_id < d.doc_id)
+             |  AND NOT EXISTS (SELECT 1 FROM pair p JOIN a0 ON p.b_id = a0.doc_id
+             |    WHERE p.a_id = d.doc_id)),
+             |adm01 AS (SELECT doc_id FROM a0 UNION ALL SELECT doc_id FROM a1),
+             |a2 AS (SELECT doc_id FROM d WHERE b = 2
+             |  AND NOT EXISTS (SELECT 1 FROM pair p WHERE p.a_id = d.doc_id
+             |    AND p.bb = 2 AND p.b_id < d.doc_id)
+             |  AND NOT EXISTS (SELECT 1 FROM pair p JOIN adm01 ON p.b_id = adm01.doc_id
+             |    WHERE p.a_id = d.doc_id)),
+             |adm012 AS (SELECT doc_id FROM adm01 UNION ALL SELECT doc_id FROM a2),
+             |a3 AS (SELECT doc_id FROM d WHERE b = 3
+             |  AND NOT EXISTS (SELECT 1 FROM pair p WHERE p.a_id = d.doc_id
+             |    AND p.bb = 3 AND p.b_id < d.doc_id)
+             |  AND NOT EXISTS (SELECT 1 FROM pair p JOIN adm012 ON p.b_id = adm012.doc_id
+             |    WHERE p.a_id = d.doc_id)),
+             |adm AS (SELECT doc_id FROM adm012 UNION ALL SELECT doc_id FROM a3)
+             |SELECT f.doc_id, CAST(f.b AS BIGINT) AS batch, f.rt AS text
+             |FROM f JOIN adm ON f.doc_id = adm.doc_id
+             |ORDER BY f.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val raw = concat(lit("https://Site"),
+          (col("doc_id") % 10).cast("string"),
+          when(col("doc_id") % 4 === 0, lit(".spam.example"))
+            .otherwise(lit(".example.org")),
+          lit("/p/"), (col("doc_id") % 50).cast("string"),
+          when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit("?utm=x")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+        val toks = TextOps.tokens(col("text"))
+        val lines = when(size(toks) > 0,
+          transform(sequence(lit(0),
+              ceil(size(toks) / lit(6.0)).cast("int") - 1),
+            i => array_join(slice(toks, i * 6 + 1, lit(6)), " ")))
+          .otherwise(array().cast("array<string>"))
+        val lined = array_join(flatten(transform(lines, (l, i) =>
+          when(i % 2 === 0, array(lit("home login menu"), l))
+            .otherwise(array(l)))), "\n")
+        val withPii = concat(lined,
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" call +1415555"),
+              lpad((col("doc_id") % 1000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+              lit(".0."), (col("doc_id") % 200 + 1).cast("string")))
+            .otherwise(lit("")))
+        val feed = docs.select(col("doc_id"), raw.as("raw_url"),
+          withPii.as("text"))
+        // fresh store per invocation, same replay contract as q64
+        val sink = tempStore.freshSink(s, "curate", dir)
+        (0 until 4).foreach { b =>
+          graft.streaming.DedupPipeline.admitNearDups(sink, "corpus", "bands",
+            graft.streaming.CurationPipeline.curateBatch(
+              feed.filter(col("doc_id") % 4 === b),
+              "doc_id", "raw_url", "text", Seq("spam.example")))
+        }
+        sink.read("corpus")
+          .select(col("doc_id"), (col("doc_id") % 4).as("batch"), col("text"))
           .orderBy("doc_id")
       })
   )

@@ -21,6 +21,31 @@ object TextOps {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
 
+  /** Tokenization with an explicit mode.
+    *
+    *  - `"letters"`: the default `[a-z]+` contract above — ASCII letter
+    *    runs only. Every fingerprint/shingle/MinHash catalog query keeps
+    *    this contract (their oracles hash ASCII code points), so its
+    *    silent drop of digits/non-Latin text is a DOCUMENTED choice
+    *    there, not an accident.
+    *  - `"unicode"`: `[\p{L}\p{N}]+` runs — any Unicode letter or number,
+    *    so digits, accented Latin, Greek, Cyrillic, CJK all survive. The
+    *    class syntax sits in the RE2 ∩ java.util.regex common subset
+    *    (like the PII patterns), so an external SQL oracle tokenizes
+    *    byte-identically. Case-folding note: `lower` is applied in both
+    *    modes; for scripts with locale-sensitive case rules callers
+    *    should pre-fold — the engines' simple lowercase mappings agree
+    *    on Latin/Greek/Cyrillic and leave caseless scripts untouched.
+    */
+  def tokens(text: Column, mode: String): Column = mode match {
+    case "letters" => tokens(text)
+    case "unicode" =>
+      regexp_extract_all(lower(text), lit("[\\p{L}\\p{N}]+"), lit(0))
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown token mode '$other' (expected 'letters' or 'unicode')")
+  }
+
   /** Whitespace-delimited token count (the cheap "token counting" pass). */
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\S+"), lit(0)))
@@ -855,6 +880,51 @@ object TextOps {
     * documents with fewer than two tokens).
     */
   def bigramLmScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val per = bigramProbTerms(df, idCol, textCol)
+      .select(col(idCol), expr("(1000000 * (c12 + 1)) div (c1 + vs)").as("ppm"))
+    val sc = per.groupBy(idCol)
+      .agg(count(lit(1)).as("nb"), sum("ppm").as("sp"))
+    df.select(col(idCol)).join(sc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nb"), lit(0L)).cast("int").as("n_bigrams"),
+        expr("CAST(sp div nb AS BIGINT)").as("score_ppm"))
+  }
+
+  /** ln-space variant of [[bigramLmScores]] — the shape every KenLM-style
+    * perplexity filter actually ships: per bigram
+    * `ln P(w2|w1) = ln(c12+1) - ln(c1+V)` (same Laplace smoothing), per
+    * document the MEAN log-probability (the geometric mean of the
+    * probabilities) and its perplexity `exp(-mean)`. Identical count/join
+    * subtree to the ppm variant ([[bigramProbTerms]]) — only the final
+    * per-bigram projection and aggregate differ — so the scale shape is
+    * the same two vocab-keyed shuffles. Float-valued by construction, so
+    * it is spec-tested (ranking parity with the integer ppm score) rather
+    * than oracle-hashed.
+    *
+    * Output: (idCol, n_bigrams int, avg_ln_p double, perplexity double —
+    * nulls for documents with fewer than two tokens).
+    */
+  def bigramLmScoresLn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val per = bigramProbTerms(df, idCol, textCol)
+      .select(col(idCol),
+        (log(col("c12") + lit(1.0)) - log(col("c1") + col("vs"))).as("__lnp"))
+    val sc = per.groupBy(idCol)
+      .agg(count(lit(1)).as("nb"), sum("__lnp").as("sl"))
+    df.select(col(idCol)).join(sc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nb"), lit(0L)).cast("int").as("n_bigrams"),
+        (col("sl") / col("nb")).as("avg_ln_p"),
+        exp(-(col("sl") / col("nb"))).as("perplexity"))
+  }
+
+  /** Shared subtree of the bigram LM scorers: one row per bigram
+    * OCCURRENCE carrying its corpus counts — (idCol, w1, w2, c12 bigram
+    * count, c1 unigram count, vs vocab size). Two vocab-keyed count
+    * shuffles + two co-keyed joins; the vocab scalar rides a 1-row
+    * broadcast, exactly as before the ln/ppm split.
+    */
+  private def bigramProbTerms(df: DataFrame, idCol: String,
+                              textCol: String): DataFrame = {
     val toks = df.select(col(idCol), tokens(col(textCol)).as("__w"))
     val pairLen = greatest(size(col("__w")) - 1, lit(0))
     val bigs = toks.select(col(idCol), explode(zip_with(
@@ -866,14 +936,7 @@ object TextOps {
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocab = uni.select(count(lit(1)).as("vs"))
     val big = bigs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val per = bigs.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+    bigs.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
       .crossJoin(vocab)
-      .select(col(idCol), expr("(1000000 * (c12 + 1)) div (c1 + vs)").as("ppm"))
-    val sc = per.groupBy(idCol)
-      .agg(count(lit(1)).as("nb"), sum("ppm").as("sp"))
-    df.select(col(idCol)).join(sc, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("nb"), lit(0L)).cast("int").as("n_bigrams"),
-        expr("CAST(sp div nb AS BIGINT)").as("score_ppm"))
   }
 }

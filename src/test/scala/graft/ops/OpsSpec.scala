@@ -186,6 +186,74 @@ class OpsSpec extends SparkSpec {
     assert(out(5L) == ((0, -1L)) && out(6L) == ((0, -1L))) // null score, 0 bigrams
   }
 
+  test("bigramLmScoresLn ranks like ppm on fluent vs disfluent, perplexity sane") {
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat again"),
+      (4L, "zq wv xj kp qz vw"),
+      (5L, "one"),
+      (6L, ""))
+      .toDF("doc_id", "text")
+    val ln = TextOps.bigramLmScoresLn(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val ppm = TextOps.bigramLmScores(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // same count/join subtree -> identical bigram counts and nullability
+    assert(ln(1L)._1 == 5 && ln(4L)._1 == 5 && ln(5L)._1 == 0 && ln(6L)._1 == 0)
+    assert(ln(5L)._2.isEmpty && ln(6L)._3.isEmpty)
+    // ranking parity with the integer ppm score on every scored pair:
+    // ln is a monotone transform of the same smoothed probabilities
+    val scored = Seq(1L, 2L, 3L, 4L)
+    for (a <- scored; b <- scored if a < b) {
+      val byLn = ln(a)._2.get.compareTo(ln(b)._2.get).sign
+      val byPpm = ppm(a).get.compareTo(ppm(b).get).sign
+      assert(byLn == byPpm || byPpm == 0,
+        s"ln/ppm ranking diverged on ($a,$b): ln=$byLn ppm=$byPpm")
+    }
+    assert(ln(1L)._2.get > ln(4L)._2.get, "fluent must out-rank gibberish in ln space")
+    // perplexity = exp(-avg_ln_p), and avg ln p of probabilities is < 0
+    for (id <- scored) {
+      assert(ln(id)._2.get < 0.0)
+      assert(math.abs(ln(id)._3.get - math.exp(-ln(id)._2.get)) < 1e-9)
+      assert(ln(id)._3.get > 1.0) // smoothed probs < 1 => perplexity > 1
+    }
+    // identical docs, identical score (and gibberish is MORE perplexing)
+    assert(ln(1L)._2 == ln(2L)._2)
+    assert(ln(4L)._3.get > ln(1L)._3.get)
+  }
+
+  test("tokens unicode mode keeps digits and non-Latin; letters mode contract") {
+    val df = Seq(
+      (1L, "Hello WORLD 42 café δύο 模型7 données"),
+      (2L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val uni = df.select($"id",
+        TextOps.tokens($"t", "unicode").as("u"),
+        TextOps.tokens($"t", "letters").as("l"),
+        TextOps.tokens($"t").as("d"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1).toList,
+         if (r.isNullAt(2)) null else r.getSeq[String](2).toList,
+         if (r.isNullAt(3)) null else r.getSeq[String](3).toList)).toMap
+    // unicode: every letter/number run survives, lowercased
+    assert(uni(1L)._1 ==
+      List("hello", "world", "42", "café", "δύο", "模型7", "données"))
+    // letters: the historical [a-z]+ contract — accents/digits SPLIT runs
+    assert(uni(1L)._2 == List("hello", "world", "caf", "donn", "es"))
+    // tokens(c) and tokens(c, "letters") are the same function
+    assert(uni(1L)._2 == uni(1L)._3)
+    // null text propagates (regexp_extract_all is null-total)
+    assert(uni(2L)._1 == null && uni(2L)._2 == null)
+    // unknown mode fails fast at plan time, not silently as letters
+    intercept[IllegalArgumentException] {
+      TextOps.tokens($"t", "ascii")
+    }
+  }
+
   test("hashedLinearMargin: deterministic, additive, empty/null-total") {
     val df = Seq(
       (1L, "alpha beta"),

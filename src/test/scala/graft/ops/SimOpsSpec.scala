@@ -242,4 +242,77 @@ class SimOpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"all-pairs join in the default near-dup plan:\n$plan")
   }
+
+  test("semDedup probes=2 catches a boundary-straddling dup probes=1 misses") {
+    // two tight blobs plus a near-identical pair planted ON the boundary
+    // with opposite tilts: top-1 assignment puts the members in
+    // DIFFERENT clusters (the paper's blind spot), but each one's top-2
+    // covers both clusters, so multi-probe candidate generation meets
+    // the pair. The sampler seeds k-means from the two smallest
+    // xxhash64(id) rows — so blob membership is assigned BY that rank:
+    // the top-2 ranked ids become the blob cores (one per blob), which
+    // makes Lloyd's convergence to the two blob means fixture-proof.
+    val pool = (100L until 142L).toSeq
+    val ranked = pool.toDF("vec_id")
+      .orderBy(xxhash64($"vec_id"), $"vec_id").as[Long].collect()
+    def jit(r: Int): Float = (r % 5) * 1e-3f
+    val rows = ranked.zipWithIndex.map { case (id, r) =>
+      if (r >= 40) // the two LAST-ranked ids are the straddling dup pair
+        (id, if (r == 40) Array(0.8f, 0.6f, 0f, 0f)
+             else Array(0.6f, 0.8f, 0f, 0f))
+      else if (r % 2 == 0) (id, Array(1f, jit(r), 0f, 0f))  // blob A
+      else (id, Array(jit(r), 1f, 0f, 0f))                  // blob B
+    }.toSeq
+    val straddlers = rows.drop(40).map(_._1).toSet
+    val corpus = rows.toDF("vec_id", "embedding")
+    val single = SimOps.semDedup(corpus, "vec_id", "embedding",
+        nlist = 2, threshold = 0.9, iters = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val multi = SimOps.semDedup(corpus, "vec_id", "embedding",
+        nlist = 2, threshold = 0.9, iters = 2, probes = 2)
+      .select("vec_id").as[Long].collect().toSet
+    // the pair is cos 0.96 — a dup at 0.9 — yet single-probe keeps both
+    assert(straddlers.subsetOf(single),
+      s"fixture no longer straddles the boundary; survivors $single")
+    assert(multi.intersect(straddlers) == Set(straddlers.min),
+      s"multi-probe must kill the larger straddler id only: $multi")
+    // multi-probe only ADDS candidate pairs: kills still subset exhaustive
+    val globalKills = SimOps.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.9)
+      .select("b_id").as[Long].collect().toSet
+    val ids = corpus.select("vec_id").as[Long].collect().toSet
+    assert((ids -- multi).subsetOf(globalKills))
+    // and the reported cluster stays the top-1 assignment (2 clusters)
+    val clusters = SimOps.semDedup(corpus, "vec_id", "embedding",
+        nlist = 2, threshold = 0.9, iters = 2, probes = 2)
+      .select("cluster").distinct().count()
+    assert(clusters == 2, s"expected the 2 top-1 clusters, got $clusters")
+  }
+
+  test("persisted IVF-PQ index: probe parity with in-query build, byte codes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx")
+    val sink = new graft.sink.UpsertSink(spark, root.toString)
+    val e = Tables.load(spark, sf, "embeddings")
+    assert(!SimOps.ivfPqIndexExists(sink))
+    val occupancy = SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink)
+    assert(SimOps.ivfPqIndexExists(sink))
+    // the index body is m one-byte codes per corpus vector, and every
+    // corpus vector lands in exactly one inverted list
+    val codes = sink.read("ann_codes")
+    assert(codes.count() == e.count())
+    assert(codes.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, true)
+      || codes.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, false))
+    assert(occupancy.agg(sum($"n_codes")).as[Long].head() == e.count())
+    // training is deterministic, so probing the STORED index returns the
+    // exact neighbor set of the in-query build at the same parameters
+    val queries = e.filter($"vec_id" % 50 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val stored = pairs(SimOps.ivfPqProbeIndex(queries, e, "vec_id", "embedding",
+      sink, 5))
+    val inQuery = pairs(SimOps.ivfPqTopK(queries, e, "vec_id", "embedding", 5))
+    assert(stored == inQuery,
+      s"stored-index probe diverged: missing ${inQuery -- stored}, extra ${stored -- inQuery}")
+  }
 }
