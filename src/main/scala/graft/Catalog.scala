@@ -2283,6 +2283,46 @@ object Catalog {
         sink.read("corpus")
           .select(col("doc_id"), (col("doc_id") % 4).as("batch"), col("text"))
           .orderBy("doc_id")
+      }),
+
+    QueryDef("q84_nfc_normalize",
+      "Unicode NFC normalization (UAX #15) as a codegen'd expression " +
+        "(functions/NormalizeExpressions.scala): composed and decomposed " +
+        "renderings of the same text are different BYTE strings, so " +
+        "every hash-based operator (exact dedup, MinHash, winnowing) " +
+        "must normalize first or miss dups the user cannot see. Input " +
+        "is synthesized identically on both sides: ASCII corpus text " +
+        "plus a decomposed e+U+0301 (composes to é), the U+212B " +
+        "angstrom singleton (maps to Å), the U+FB01 fi-ligature (NFC " +
+        "keeps it — proving this is NFC, not NFKC) and a decomposed " +
+        "i+U+0308 (composes to ï). Oracle is DuckDB's nfc_normalize — " +
+        "two independent UAX #15 implementations must agree " +
+        "byte-for-byte. Map-only scan: ASCII rows exit on a byte-scan " +
+        "fast path with zero allocation; no shuffle at any scale.",
+      Some("""WITH p AS (SELECT doc_id,
+             |  text || ' cafe' || chr(769) || ' ' || chr(8491) || ' '
+             |       || chr(64257) || 'n nai' || chr(776) || 've '
+             |       || CAST(doc_id % 100 AS VARCHAR) AS t FROM documents)
+             |SELECT doc_id, nfc_normalize(t) AS nfc_text,
+             |  (nfc_normalize(t) <> t) AS changed,
+             |  CAST(len(t) AS INTEGER) AS n_raw,
+             |  CAST(len(nfc_normalize(t)) AS INTEGER) AS n_nfc
+             |FROM p ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        graft.functions.NormalizeFunctions.register(s)
+        // explicit escapes: a raw decomposed literal in source could be
+        // silently NFC'd by tooling and the fixture would test nothing
+        val raw = concat(col("text"),
+          lit(" cafe\u0301 \u212B \uFB01n nai\u0308ve "),
+          (col("doc_id") % 100).cast("string"))
+        val nfc = graft.functions.NormalizeFunctions.normalize(col("__t"), "NFC")
+        t(s, dir, "documents")
+          .select(col("doc_id"), raw.as("__t"))
+          .select(col("doc_id"), nfc.as("nfc_text"),
+            (nfc =!= col("__t")).as("changed"),
+            length(col("__t")).as("n_raw"),
+            length(nfc).as("n_nfc"))
+          .orderBy("doc_id")
       })
   )
 

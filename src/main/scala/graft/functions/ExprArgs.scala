@@ -12,4 +12,10 @@ private[functions] object ExprArgs {
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }
+
+  def litString(e: Expression, what: String): String = e.eval() match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
 }

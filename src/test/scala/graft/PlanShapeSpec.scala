@@ -309,4 +309,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains(" m127"),
       s"per-permutation min aggregates back in the plan:\n$plan")
   }
+
+  test("q80: unicode tokenization is a map-only scan — no exchange, no UDF") {
+    val plan = planOf("q80_unicode_tokens")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"tokenization shuffles:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"tokenization fell off codegen onto a UDF:\n$plan")
+  }
+
+  test("q84: unicode normalization is a map-only scan — no exchange, no UDF") {
+    val plan = planOf("q84_nfc_normalize")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"normalization shuffles:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"normalization fell off codegen onto a UDF:\n$plan")
+  }
+
+  test("q82: stored-index ANN probe joins on equi-keys, never all-pairs") {
+    // the probe plan must stay candidate-bounded: probed lists equi-join
+    // the stored codes on the list id, the refine shortlist equi-joins
+    // the corpus on ids — an optimizer flip to a nested-loop join would
+    // be the n-squared regression the index exists to avoid
+    val plan = planOf("q82_ann_index_probe")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs join in the stored-index probe:\n$plan")
+  }
+
+  test("q83: curation screens stay row-local upstream of the admission state") {
+    // the composed chain's stateless screens (canonicalize, line filter,
+    // PII scrub) are regex/HOF column work: nothing in the BATCH path
+    // may fall onto a UDF or a python eval — admission's durable-state
+    // merges are the only non-map stages in the micro-batch
+    val curated = graft.streaming.CurationPipeline.curateBatch(
+      Tables.load(spark, sf, "documents")
+        .selectExpr("doc_id", "concat('https://h', doc_id % 5, '.example.org/p') AS raw_url",
+          "text"),
+      "doc_id", "raw_url", "text", Seq("spam.example"))
+    val plan = curated.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"curation screens fell off codegen onto a UDF:\n$plan")
+    // the one nested-loop in the chain is the blocklist anti-join, and it
+    // must ride a BROADCAST of the tiny blocklist (suffix matching is
+    // non-equi by nature); a CartesianProduct would mean the broadcast
+    // was lost and the corpus is pairing with itself
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian inside the curation screens:\n$plan")
+    val nlj = plan.split("BroadcastNestedLoopJoin").length - 1
+    assert(nlj <= 1, s"unexpected extra nested-loop joins ($nlj):\n$plan")
+  }
 }
