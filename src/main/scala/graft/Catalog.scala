@@ -2323,6 +2323,52 @@ object Catalog {
             length(col("__t")).as("n_raw"),
             length(nfc).as("n_nfc"))
           .orderBy("doc_id")
+      }),
+
+    QueryDef("q85_nfc_dedup",
+      "Normalization-aware exact dedup (q84 composed with the q28 " +
+        "hash-groupBy): every document is doubled into a composed " +
+        "(U+00E9) and a decomposed (e+U+0301) rendering of the SAME " +
+        "visible text. Raw md5 keys see 2 distinct documents per pair " +
+        "— the silent dup leak every un-normalized corpus carries — " +
+        "while NFC-first keys collapse them to 1 and the keeper is the " +
+        "min id, exactly the q28 keeper rule. The NFC digest itself is " +
+        "an output column, so the oracle hash-compares the md5-over-" +
+        "UTF-8-bytes of BOTH engines' independently normalized text. " +
+        "One md5-keyed aggregation — the q28 scale shape unchanged; " +
+        "normalization adds a map-only pass.",
+      Some("""WITH u AS (
+             |  SELECT doc_id AS id, doc_id AS grp,
+             |         text || ' caf' || chr(233) AS t FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, doc_id,
+             |         text || ' cafe' || chr(769) FROM documents)
+             |SELECT grp AS doc_id, MIN(id) AS keeper,
+             |  COUNT(DISTINCT md5(t)) AS n_raw_keys,
+             |  COUNT(DISTINCT md5(nfc_normalize(t))) AS n_nfc_keys,
+             |  MIN(md5(nfc_normalize(t))) AS nfc_key
+             |FROM u GROUP BY grp ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        graft.functions.NormalizeFunctions.register(s)
+        val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val comp = base.select(col("doc_id").as("id"),
+          col("doc_id").as("grp"),
+          concat(col("text"), lit(" caf\u00E9")).as("t"))
+        val deco = base.select((col("doc_id") + 100000).as("id"),
+          col("doc_id").as("grp"),
+          concat(col("text"), lit(" cafe\u0301")).as("t"))
+        val nfcKey = md5(encode(
+          graft.functions.NormalizeFunctions.normalize(col("t"), "NFC"),
+          "UTF-8"))
+        comp.unionByName(deco)
+          .groupBy("grp")
+          .agg(min(col("id")).as("keeper"),
+            countDistinct(md5(encode(col("t"), "UTF-8"))).as("n_raw_keys"),
+            countDistinct(nfcKey).as("n_nfc_keys"),
+            min(nfcKey).as("nfc_key"))
+          .select(col("grp").as("doc_id"), col("keeper"),
+            col("n_raw_keys"), col("n_nfc_keys"), col("nfc_key"))
+          .orderBy("doc_id")
       })
   )
 
