@@ -979,10 +979,10 @@ object Catalog {
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         t(s, dir, "events")
-          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("prev_us", lag(RelOps.epochUs(col("ts")), 1).over(w))
           .withColumn("is_new",
             when(col("prev_us").isNull
-              || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+              || RelOps.epochUs(col("ts")) - col("prev_us") > 1800000000L, 1L)
               .otherwise(0L))
           .withColumn("session_no",
             sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's synthetic TPC-H-ish tables (TESTDATA.md).
   *
@@ -16,15 +16,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Timestamp-flavor policy (see [[graft.ops.RelOps.epochUs]]): every
+    * table enters the engine with instant (TIMESTAMP) event time under
+    * the pinned UTC session zone. The upstream writer has shipped the
+    * same data as TIMESTAMP(NANOS) (read as a nanos long under
+    * `nanosAsLong`), as UTC-adjusted TIMESTAMP(MICROS), and as
+    * TIMESTAMP(MICROS) without `isAdjustedToUTC` (Spark: TIMESTAMP_NTZ)
+    * across regenerations — all three flavors normalize here, so no
+    * downstream operator ever branches on flavor.
+    */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) in parquet, which Spark surfaces as a
-    // nanosecond long (spark.sql.legacy.parquet.nanosAsLong). The data is
-    // microsecond-resolution, so `div 1000` is lossless. Integer division:
-    // double math would lose precision above 2^53 ns.
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    // events.ts as TIMESTAMP(NANOS) surfaces as a nanosecond long
+    // (spark.sql.legacy.parquet.nanosAsLong). The data is microsecond-
+    // resolution, so `div 1000` is lossless. Integer division: double
+    // math would lose precision above 2^53 ns.
+    val nanosFixed =
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    // TIMESTAMP_NTZ -> TIMESTAMP is a lossless reinterpretation under the
+    // UTC session zone, and matches the DuckDB oracle's naive epoch_us.
+    nanosFixed.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(nanosFixed) { (d, f) =>
+        d.withColumn(f.name, col(f.name).cast(TimestampType))
+      }
   }
 
   /** Register all tables as temp views (for spark.sql paths). */

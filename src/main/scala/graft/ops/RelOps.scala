@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Relational dataflow operators — the SURVEY.md §2 inventory re-expressed
   * as composable `DataFrame => DataFrame` combinators.
@@ -13,6 +14,30 @@ import org.apache.spark.sql.functions._
   * driver, so every combinator scales with the cluster.
   */
 object RelOps {
+
+  /** Timestamp-flavor policy: the engine computes event time in
+    * instant (TIMESTAMP) semantics under the pinned UTC session zone
+    * (GraftSession). Parquet written without `isAdjustedToUTC` surfaces
+    * as TIMESTAMP_NTZ in Spark; under a UTC session the NTZ→TIMESTAMP
+    * cast is a lossless reinterpretation, and it matches the oracle
+    * (DuckDB's `epoch_us` is naive). `epochUs` is the flavor-proof
+    * micro-epoch: the cast is a no-op on TIMESTAMP input (Catalyst
+    * removes it), and the UTC reinterpretation on NTZ input — never use
+    * bare `unix_micros(ts)` on a column whose flavor the caller does
+    * not control.
+    */
+  def epochUs(c: Column): Column = unix_micros(c.cast(TimestampType))
+
+  /** Normalize an event-time column to TIMESTAMP if the source handed us
+    * TIMESTAMP_NTZ (see [[epochUs]] for the policy). Streaming watermarks
+    * hard-require TIMESTAMP (`EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE`), so
+    * every `withWatermark` in the engine routes through here.
+    */
+  def toEventTime(df: DataFrame, name: String): DataFrame =
+    df.schema(name).dataType match {
+      case TimestampNTZType => df.withColumn(name, col(name).cast(TimestampType))
+      case _                => df
+    }
 
   /** Column projection with pushdown (reference: request exactly the
     * configured columns from the source — subgraphQueryBuilder.ts:116-126).

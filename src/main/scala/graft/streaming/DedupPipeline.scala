@@ -44,7 +44,8 @@ object DedupPipeline {
       .withColumn("fingerprint", TextOps.fingerprint(col("text")))
     val deduped = (tsCol, within) match {
       case (Some(ts), Some(delay)) =>
-        docs.withWatermark(ts, delay).dropDuplicatesWithinWatermark("fingerprint")
+        graft.ops.RelOps.toEventTime(docs, ts)
+          .withWatermark(ts, delay).dropDuplicatesWithinWatermark("fingerprint")
       case _ => docs.dropDuplicates("fingerprint")
     }
     deduped.writeStream

@@ -28,7 +28,8 @@ object IncrementalPipeline {
                          schema: StructType, sink: UpsertSink,
                          table: String, checkpoint: String,
                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val stream = graft.ops.RelOps.toEventTime(
+      spark.readStream.schema(schema).parquet(sourceDir), "ts")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -57,7 +58,8 @@ object IncrementalPipeline {
     */
   def dailyRollup(spark: SparkSession, sourceDir: String, schema: StructType,
                   sink: UpsertSink, table: String, checkpoint: String): StreamingQuery = {
-    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val stream = graft.ops.RelOps.toEventTime(
+      spark.readStream.schema(schema).parquet(sourceDir), "ts")
     stream
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day").as("w"))

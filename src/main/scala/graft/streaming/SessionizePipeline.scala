@@ -113,10 +113,11 @@ object SessionizePipeline {
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import spark.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
-    val events: Dataset[Event] = spark.readStream.schema(schema).parquet(sourceDir)
+    val events: Dataset[Event] = graft.ops.RelOps.toEventTime(
+        spark.readStream.schema(schema).parquet(sourceDir), "ts")
       .withWatermark("ts", s"$gapMinutes minutes")
       .select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("tsMicros"), col("ts"))
+        graft.ops.RelOps.epochUs(col("ts")).as("tsMicros"), col("ts"))
       .as[Event]
     events
       .groupByKey(_.user_id)
