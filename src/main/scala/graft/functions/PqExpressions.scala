@@ -169,9 +169,157 @@ case class PqCodes(child: Expression, mat: Array[Float],
     copy(child = newChild)
 }
 
+/** Asymmetric-distance score of ONE product-quantized candidate against
+  * a query vector, directly from the m-byte codes: score =
+  * Σ_j (2·q̂_j·cb[j][codes[j]] − ‖cb[j][codes[j]]‖²), where q̂ is the
+  * L2-normalized query and q̂_j its j-th dsub-wide subvector. Ranking
+  * by this DESCENDING is ranking by asymmetric L2 ascending (‖q̂‖² is
+  * constant per query).
+  *
+  * Why not the classic per-query ADC lookup TABLE (an m × ksub array
+  * column of precomputed subspace scores): composed relationally that
+  * table is m·ksub separate dot-product literals — 512 expressions at
+  * the defaults, the exact codegen bomb [[PqCodes]] documents — and
+  * its column payload is m·ksub·8 bytes (4 KB) carried onto EVERY
+  * candidate row of the probe join, 16× the query vector it derives
+  * from. Scoring straight from the query vector is m·dsub = dim
+  * multiply-adds per candidate (64 at the defaults — indistinguishable
+  * from m table lookups at row-overhead scale), keeps the join payload
+  * at the 4·dim-byte vector, and generates a fixed-size loop nest.
+  *
+  * Arithmetic is bit-identical to the table formulation it replaces:
+  * normalization rounds through Float per component ([[PqCodes]]'s
+  * convention), each subspace dot accumulates doubles in index order,
+  * and the per-subspace scores sum in subspace order. Components beyond
+  * a ragged query's length contribute nothing.
+  */
+case class PqAdcScore(left: Expression, right: Expression,
+                      mat: Array[Float], m: Int, ksub: Int, dsub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ByteType, _))
+        if m > 0 && ksub > 0 && ksub <= 128 && dsub > 0 &&
+          mat.length == m * ksub * dsub =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<tinyint>) and m > 0, " +
+          s"0 < ksub <= 128, dsub > 0, |mat| = m*ksub*dsub; got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val csq: Array[Double] = {
+    val out = new Array[Double](m * ksub)
+    var jc = 0
+    while (jc < m * ksub) {
+      var s = 0.0
+      var i = 0
+      while (i < dsub) {
+        val x = mat(jc * dsub + i).toDouble
+        s += x * x
+        i += 1
+      }
+      out(jc) = s
+      jc += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(q: Any, cd: Any): Any = {
+    val x = q.asInstanceOf[ArrayData]
+    val codes = cd.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var normSq = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      normSq += xi * xi
+      i += 1
+    }
+    val norm = math.sqrt(normSq)
+    val vn = new Array[Float](n)
+    i = 0
+    while (i < n) {
+      vn(i) = if (norm == 0.0) x.getFloat(i) else (x.getFloat(i) / norm).toFloat
+      i += 1
+    }
+    var score = 0.0
+    val mm = math.min(m, codes.numElements())
+    var j = 0
+    while (j < mm) {
+      val c = codes.getByte(j).toInt
+      val base = (j * ksub + c) * dsub
+      var acc = 0.0
+      var i2 = 0
+      while (i2 < dsub && j * dsub + i2 < n) {
+        acc += vn(j * dsub + i2).toDouble * mat(base + i2).toDouble
+        i2 += 1
+      }
+      score += 2.0 * acc - csq(j * ksub + c)
+      j += 1
+    }
+    score
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, cd) => {
+      val matRef = ctx.addReferenceObj("pqMat", mat, "float[]")
+      val csqRef = ctx.addReferenceObj("pqCsq", csq, "double[]")
+      val n = ctx.freshName("n")
+      val normSq = ctx.freshName("normSq")
+      val norm = ctx.freshName("norm")
+      val vn = ctx.freshName("vn")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val mm = ctx.freshName("mm")
+      val c = ctx.freshName("c")
+      val i2 = ctx.freshName("i2")
+      val base = ctx.freshName("base")
+      val acc = ctx.freshName("acc")
+      val score = ctx.freshName("score")
+      s"""
+         |int $n = $q.numElements();
+         |double $normSq = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double __x = (double) $q.getFloat($i);
+         |  $normSq += __x * __x;
+         |}
+         |double $norm = java.lang.Math.sqrt($normSq);
+         |float[] $vn = new float[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $vn[$i] = ($norm == 0.0) ? $q.getFloat($i)
+         |    : (float) ($q.getFloat($i) / $norm);
+         |}
+         |double $score = 0.0;
+         |int $mm = java.lang.Math.min($m, $cd.numElements());
+         |for (int $j = 0; $j < $mm; $j++) {
+         |  int $c = (int) $cd.getByte($j);
+         |  int $base = ($j * $ksub + $c) * $dsub;
+         |  double $acc = 0.0;
+         |  for (int $i2 = 0; $i2 < $dsub && $j * $dsub + $i2 < $n; $i2++) {
+         |    $acc += ((double) $vn[$j * $dsub + $i2])
+         |      * ((double) $matRef[$base + $i2]);
+         |  }
+         |  $score += 2.0 * $acc - $csqRef[$j * $ksub + $c];
+         |}
+         |${ev.value} = $score;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object PqFunctions {
 
   val CodesName = "graft_pq_codes"
+  val AdcScoreName = "graft_pq_adc_score"
 
   /** Idempotent per-session registration (same pattern as
     * [[VectorFunctions.register]]). The codebook matrix arrives as a
@@ -189,6 +337,16 @@ object PqFunctions {
           ExprArgs.litInt(exprs(2), s"$CodesName: m"),
           ExprArgs.litInt(exprs(3), s"$CodesName: ksub"),
           ExprArgs.litInt(exprs(4), s"$CodesName: dsub")),
+        "built-in")
+    val adcId = org.apache.spark.sql.catalyst.FunctionIdentifier(AdcScoreName)
+    if (registry.lookupFunctionBuilder(adcId).isEmpty)
+      registry.createOrReplaceTempFunction(
+        AdcScoreName,
+        (exprs: Seq[Expression]) => PqAdcScore(exprs(0), exprs(1),
+          litFloatArray(exprs(2)),
+          ExprArgs.litInt(exprs(3), s"$AdcScoreName: m"),
+          ExprArgs.litInt(exprs(4), s"$AdcScoreName: ksub"),
+          ExprArgs.litInt(exprs(5), s"$AdcScoreName: dsub")),
         "built-in")
   }
 
@@ -210,5 +368,18 @@ object PqFunctions {
     val dsub = books.head.head.length
     val flat = books.flatten.flatten
     call_function(CodesName, vec, typedLit(flat), lit(m), lit(ksub), lit(dsub))
+  }
+
+  /** Asymmetric-distance score of a PQ-coded candidate against a query
+    * vector (see [[PqAdcScore]]). Caller must have [[register]]ed.
+    */
+  def adcScore(qvec: Column, codes: Column,
+               books: Array[Array[Array[Float]]]): Column = {
+    val m = books.length
+    val ksub = books.head.length
+    val dsub = books.head.head.length
+    val flat = books.flatten.flatten
+    call_function(AdcScoreName, qvec, codes,
+      typedLit(flat), lit(m), lit(ksub), lit(dsub))
   }
 }

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded per-group top-k as a Spark `Aggregator`: keeps the k best
+  * (score, id) pairs ordered by (score DESC, id ASC) in a fixed-size
+  * sorted buffer, folded map-side per partition — so a group's
+  * candidate set crosses the shuffle as AT MOST k pairs per partition,
+  * never as its full row set.
+  *
+  * This replaces the `row_number().over(partitionBy(group))` shortlist
+  * pattern wherever only the top k survive: the window formulation
+  * shuffles EVERY candidate row to its group's reducer before ranking
+  * (at 100 TB, the ANN probe's candidate set is nprobe/nlist of the
+  * corpus per query — the dominant exchange of the whole plan); the
+  * aggregate ships k·partitions rows instead. Catalyst plans
+  * `Aggregator`s with partial aggregation (the ScalaAggregator
+  * machinery, same as the [[FreqSummary]] sketches), the buffer living
+  * as a plain JVM object between rows and Kryo-serialized only at the
+  * exchange.
+  *
+  * Determinism: the comparator is total — higher score wins, ties to
+  * the LOWER id — so the result is independent of partitioning and
+  * merge order, matching `row_number` over
+  * `orderBy(score.desc, id.asc)` exactly.
+  */
+object TopKAggregate {
+
+  /** Sorted best-first parallel arrays, at most k entries. */
+  final class Buf(val scores: Array[Double], val ids: Array[Long],
+                  var n: Int) extends Serializable
+
+  final class ScoredTopK(k: Int)
+      extends Aggregator[(Double, Long), Buf, Seq[Long]] {
+    require(k > 0, "k must be positive")
+
+    override def zero: Buf =
+      new Buf(new Array[Double](k), new Array[Long](k), 0)
+
+    @inline private def better(s1: Double, id1: Long,
+                               s2: Double, id2: Long): Boolean =
+      s1 > s2 || (s1 == s2 && id1 < id2)
+
+    override def reduce(b: Buf, in: (Double, Long)): Buf = {
+      val (s, id) = in
+      if (b.n == k && !better(s, id, b.scores(k - 1), b.ids(k - 1))) return b
+      // binary search for the insertion point in best-first order
+      var lo = 0
+      var hi = b.n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (better(b.scores(mid), b.ids(mid), s, id)) lo = mid + 1
+        else hi = mid
+      }
+      val last = math.min(b.n, k - 1)
+      System.arraycopy(b.scores, lo, b.scores, lo + 1, last - lo)
+      System.arraycopy(b.ids, lo, b.ids, lo + 1, last - lo)
+      b.scores(lo) = s
+      b.ids(lo) = id
+      if (b.n < k) b.n += 1
+      b
+    }
+
+    override def merge(a: Buf, b: Buf): Buf = {
+      if (b.n == 0) return a
+      if (a.n == 0) return b
+      val out = zero
+      var i = 0; var j = 0
+      while (out.n < k && (i < a.n || j < b.n)) {
+        val takeA = j >= b.n || (i < a.n &&
+          better(a.scores(i), a.ids(i), b.scores(j), b.ids(j)))
+        if (takeA) { out.scores(out.n) = a.scores(i); out.ids(out.n) = a.ids(i); i += 1 }
+        else { out.scores(out.n) = b.scores(j); out.ids(out.n) = b.ids(j); j += 1 }
+        out.n += 1
+      }
+      out
+    }
+
+    override def finish(b: Buf): Seq[Long] = b.ids.take(b.n).toSeq
+
+    override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Ids of the k best rows per group by (score DESC, id ASC), as an
+    * `array<bigint>` in rank order.
+    */
+  def topIds(score: Column, id: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.udaf
+    udaf(new ScoredTopK(k),
+      ExpressionEncoder[(Double, Long)]()).apply(score, id)
+  }
+}

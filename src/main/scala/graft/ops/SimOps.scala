@@ -416,54 +416,58 @@ object SimOps {
                              cents: Array[Array[Float]],
                              books: Array[Array[Array[Float]]],
                              k: Int, nprobe: Int, refine: Int): DataFrame = {
-    val m = books.length
-    val dsub = books.head.head.length
-    // per-(subspace, code) ADC scores for each query, one nested array
-    val qn = normalized(col(vecCol))
-    val adcTable = array(books.toIndexedSeq.zipWithIndex.map { case (book, j) =>
-      val sub = slice(qn, j * dsub + 1, dsub)
-      array(book.toIndexedSeq.map { c =>
-        val csq = c.map(x => x.toDouble * x).sum
-        lit(2.0) * dot(sub, typedLit(c)) - lit(csq)
-      }: _*)
-    }: _*)
-    val probed = queries.select(col(idCol).as("query_id"),
-        adcTable.as("__qs"),
-        slice(sort_array(centScores(cents, col(vecCol)), asc = false),
-          1, nprobe).as("__probes"))
-      .select(col("query_id"), col("__qs"),
-        explode(col("__probes")).as("__p"))
-      .select(col("query_id"), col("__qs"),
+    // Probe routing as two BROADCAST sides keyed off the query batch —
+    // a serving batch is bounded by construction (queries × nprobe
+    // (query_id, list) pairs; queries × 4·dim-byte vectors), so the
+    // corpus-size code lists NEVER shuffle: candidates stream out of
+    // the scan through two broadcast hash joins.
+    // One broadcast carries both the routing pair AND the query vector
+    // (nprobe-fold vector duplication — 4·dim·nprobe bytes per query —
+    // traded for one queries-side job and one join fewer than separate
+    // pairs/vectors broadcasts).
+    val probes = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qvec"),
+        explode(slice(sort_array(centScores(cents, col(vecCol)), asc = false),
+          1, nprobe)).as("__p"))
+      .select(col("query_id"), col("__qvec"),
         col("__p").getField("c").as("__list"))
-    def lookupSum(table: Column): Column =
-      aggregate(
-        zip_with(col("__codes"), sequence(lit(0), lit(m - 1)),
-          (code, j) => element_at(element_at(table, j + 1), code.cast("int") + 1)),
-        lit(0.0), (acc, x) => acc + x)
-    val wAdc = Window.partitionBy("query_id")
-      .orderBy(col("__score").desc, col("neighbor_id"))
-    // ADC shortlist: refine*k best candidates per query, scored purely
-    // from code lookups — no per-pair dot products, no vector payloads
-    val shortlist = probed.join(lists, Seq("__list"))
+    // ADC shortlist: refine*k best candidates per query, scored straight
+    // from the m-byte codes against the query vector (PqAdcScore — one
+    // fixed-size codegen loop, no per-query lookup-table column; see its
+    // scaladoc for why the table formulation loses). The bounded top-k
+    // AGGREGATE replaces a row_number window: partial buffers fold
+    // map-side, so the exchange carries k·refine pairs per (query,
+    // partition) instead of every candidate row — at 100 TB the
+    // candidate set is nprobe/nlist of the corpus per query, and that
+    // window shuffle was the dominant exchange of the whole probe.
+    val shortK = k * refine.max(1)
+    val shortlist = lists.join(broadcast(probes), Seq("__list"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("__score", lookupSum(col("__qs")))
-      .withColumn("__rn", row_number().over(wAdc))
-      .filter(col("__rn") <= k.toLong * refine.max(1))
-      .select("query_id", "neighbor_id")
+      .withColumn("__score",
+        PqFunctions.adcScore(col("__qvec"), col("__codes"), books))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAggregate.topIds(
+          col("__score"), col("neighbor_id"), shortK).as("__top"),
+        // the query vector rides along (identical within the group), so
+        // the refine stage needs no second queries-side scan or join
+        first(col("__qvec")).as("__qv"))
+      .select(col("query_id"), col("__qv"),
+        explode(col("__top")).as("neighbor_id"))
     // refine: fetch exact vectors for ONLY the shortlist (refine*k rows
     // per query — the bounded random-access read every PQ refine stage
     // pays) and re-rank by exact cosine. Quantization error then only
     // costs recall when a true neighbor misses the ADC shortlist
     // entirely, not whenever codes scramble adjacent ranks.
-    val qv = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
     val cv = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
     val wExact = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    shortlist.join(qv, "query_id").join(cv, "neighbor_id")
+    // the shortlist side is queries × refine·k rows — broadcast it so
+    // the corpus-side exact-vector fetch is one scan with a broadcast
+    // hash join, not a corpus-wide shuffle
+    broadcast(shortlist).join(cv, "neighbor_id")
       .withColumn("cosine",
-        safeCos(dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+        safeCos(dot(col("__qv"), col("__cv")), norm(col("__qv")), col("__cn")))
       .withColumn("__rk", row_number().over(wExact))
       .filter(col("__rk") <= k)
       .select(col("query_id"), col("neighbor_id"),
@@ -558,12 +562,41 @@ object SimOps {
     val spark = corpus.sparkSession
     VectorFunctions.register(spark)
     PqFunctions.register(spark)
-    val cents = readCentroids(sink)
-    val books = readCodebooks(sink)
-    val lists = sink.read(IdxCodes).select(col("id").as("neighbor_id"),
-      col("list").as("__list"), col("codes").as("__codes"))
-    ivfPqProbeWith(queries, lists, corpus, idCol, vecCol, cents, books,
-      k, nprobe, refine)
+    val meta = readIndexMeta(spark, sink)
+    ivfPqProbeWith(queries, meta.lists, corpus, idCol, vecCol, meta.cents,
+      meta.books, k, nprobe, refine)
+  }
+
+  private final case class IdxMeta(cents: Array[Array[Float]],
+                                   books: Array[Array[Array[Float]]],
+                                   lists: DataFrame)
+
+  /** Decoded index metadata (centroids + codebooks) and the code-list
+    * scan plan for a persisted index, cached process-locally keyed on
+    * the sink's on-disk content version (one directory walk to probe —
+    * no Spark job). A serving process holds its index metadata in
+    * memory exactly once (FAISS does the same); a REBUILD through the
+    * sink's shadow swap changes the version fingerprint, so the next
+    * probe decodes fresh. Cached metadata is nlist×dim + m×ksub×dsub
+    * floats — corpus-size-independent; the lists entry is a PLAN (the
+    * parquet scan DataFrame, session-keyed), cached to skip per-probe
+    * file-listing/footer reads, not materialized data. The cache is
+    * size-capped as a leak guard against rebuild churn in one JVM.
+    */
+  private val idxMetaCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, Long, Long, Long), IdxMeta]
+
+  private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                            sink: graft.sink.UpsertSink): IdxMeta = {
+    val key = (System.identityHashCode(spark), sink.rootPath,
+      sink.version(IdxCentroids), sink.version(IdxCodebooks),
+      sink.version(IdxCodes))
+    idxMetaCache.getOrElseUpdate(key, {
+      if (idxMetaCache.size >= 64) idxMetaCache.clear()
+      IdxMeta(readCentroids(sink), readCodebooks(sink),
+        sink.read(IdxCodes).select(col("id").as("neighbor_id"),
+          col("list").as("__list"), col("codes").as("__codes")))
+    })
   }
 
   private def readCentroids(sink: graft.sink.UpsertSink): Array[Array[Float]] = {

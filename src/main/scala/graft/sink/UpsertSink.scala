@@ -71,6 +71,35 @@ final class UpsertSink(spark: SparkSession, root: String,
     Files.exists(tableDir(table))
   }
 
+  /** Identity of this sink's storage root — cache keys for readers that
+    * hold decoded table content in memory (e.g. the ANN index metadata
+    * cache) are (rootPath, [[version]]).
+    */
+  def rootPath: String = root
+
+  /** Cheap content-version fingerprint of a table: a hash over its
+    * files' (relative path, size, mtime), computed from ONE directory
+    * walk — no Spark job. [[overwrite]]'s shadow swap installs freshly
+    * written part files, so any rebuild changes the fingerprint; 0 for
+    * a missing table. Readers that cache decoded table content key on
+    * this to stay coherent with on-disk state.
+    */
+  def version(table: String): Long = {
+    recover(table)
+    val dir = tableDir(table)
+    if (!Files.exists(dir)) return 0L
+    val stream = Files.walk(dir)
+    try {
+      stream.sorted().iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .foldLeft(1125899906842597L) { (h, p) =>
+          val s = s"${dir.relativize(p)}|${Files.size(p)}|" +
+            s"${Files.getLastModifiedTime(p).toMillis}"
+          s.foldLeft(h)((a, c) => a * 31 + c)
+        }
+    } finally stream.close()
+  }
+
   /** Crash recovery for the swap windows: [[overwrite]] moves target ->
     * `.__old` then shadow -> target; a crash between the two leaves the
     * table (or one bucket) absent with its data parked in the old dir.

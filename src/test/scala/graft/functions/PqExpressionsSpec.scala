@@ -65,6 +65,56 @@ class PqExpressionsSpec extends SparkSpec {
     assert(interp == viaCodegen)
   }
 
+  test("adcScore matches the per-query lookup-table formulation exactly") {
+    VectorFunctions.register(spark)
+    PqFunctions.register(spark)
+    val b = books
+    val dsub = dim / m
+    val df = (1 to 40).map(s => (vec(s), vec(s * 7 + 1))).toDF("q", "cand")
+      .select($"q", PqFunctions.codes($"cand", b).as("codes"))
+    // reference: the m×ksub ADC table composed relationally, then m
+    // lookups summed — the formulation PqAdcScore replaced
+    val n = sqrt(VectorFunctions.dot($"q", $"q"))
+    val qn = when(n === lit(0.0) || n.isNull, $"q")
+      .otherwise(transform($"q", x => (x / n).cast("float")))
+    val table = array((0 until m).map { j =>
+      val sub = slice(qn, j * dsub + 1, dsub)
+      array((0 until ksub).map { c =>
+        val cb = b(j)(c)
+        val csq = cb.map(x => x.toDouble * x).sum
+        lit(2.0) * VectorFunctions.dot(sub, typedLit(cb)) - lit(csq)
+      }: _*)
+    }: _*)
+    val ref = aggregate(
+      zip_with($"codes", sequence(lit(0), lit(m - 1)),
+        (code, j) => element_at(element_at(table, j + 1), code.cast("int") + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val got = df.select(
+      PqFunctions.adcScore($"q", $"codes", b).as("direct"), ref.as("ref"))
+    assert(got.filter($"direct" =!= $"ref").count() == 0)
+  }
+
+  test("adcScore: interpreted agrees with codegen; nulls stay null") {
+    VectorFunctions.register(spark)
+    PqFunctions.register(spark)
+    val b = books
+    val flat = b.flatten.flatten
+    val df = Seq((1, vec(3), vec(11)), (2, null: Array[Float], vec(12)))
+      .toDF("id", "q", "cand")
+      .select($"id", $"q", PqFunctions.codes($"cand", b).as("codes"))
+    val rows = df.select($"id",
+      PqFunctions.adcScore($"q", $"codes", b).as("s")).orderBy("id").collect()
+    assert(rows(1).isNullAt(1), "null query must yield null score")
+    val codes = df.filter($"id" === 1).select($"codes").as[Seq[Byte]].head()
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, ByteType, FloatType}
+    val expr = PqAdcScore(
+      Literal.create(vec(3), ArrayType(FloatType, containsNull = false)),
+      Literal.create(codes, ArrayType(ByteType, containsNull = false)),
+      flat, m, ksub, dim / m)
+    assert(expr.eval(null).asInstanceOf[Double] == rows(0).getDouble(1))
+  }
+
   test("ragged (shorter-than-dim) vectors code like zero-padded slices") {
     VectorFunctions.register(spark)
     PqFunctions.register(spark)
