@@ -2369,7 +2369,41 @@ object Catalog {
           .select(col("grp").as("doc_id"), col("keeper"),
             col("n_raw_keys"), col("n_nfc_keys"), col("nfc_key"))
           .orderBy("doc_id")
-      })
+      }),
+
+    QueryDef("q86_bigram_lm_ln",
+      "ln-space bigram LM scoring (the KenLM-shipping form of q74): " +
+        "per bigram ln P(w2|w1) = ln(c12+1) - ln(c1+V), per document " +
+        "the mean log-probability and its perplexity exp(-mean). Same " +
+        "count/join subtree as q74 (two vocab-keyed shuffles, 1-row " +
+        "vocab broadcast) — only the per-bigram projection and final " +
+        "aggregate differ. Float-valued by construction, so both sides " +
+        "round to 6 dp before the hash compare (the q36 convention); " +
+        "double-sum association differences vanish at that precision.",
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+             |uni AS (SELECT w1, COUNT(*) AS c1 FROM (
+             |    SELECT unnest(w) AS w1 FROM toks) GROUP BY w1),
+             |v AS (SELECT COUNT(*) AS vs FROM uni),
+             |bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+             |    SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]}
+             |      for i in range(1, len(w))]) AS u FROM toks)),
+             |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+             |per AS (SELECT doc_id, ln(c12 + 1.0) - ln(c1 + vs) AS lnp
+             |  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v),
+             |sc AS (SELECT doc_id, COUNT(*) AS nb, SUM(lnp) AS sl
+             |  FROM per GROUP BY doc_id)
+             |SELECT t.doc_id, CAST(COALESCE(sc.nb, 0) AS INTEGER) AS n_bigrams,
+             |  ROUND(sc.sl / sc.nb, 6) AS avg_ln_p,
+             |  ROUND(exp(-(sc.sl / sc.nb)), 6) AS perplexity
+             |FROM toks t LEFT JOIN sc ON t.doc_id = sc.doc_id
+             |ORDER BY t.doc_id""".stripMargin),
+      (s, dir) =>
+        TextOps.bigramLmScoresLn(t(s, dir, "documents"), "doc_id", "text")
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("avg_ln_p"), 6).as("avg_ln_p"),
+            round(col("perplexity"), 6).as("perplexity"))
+          .orderBy("doc_id"))
   )
 
   /** Shared oracle CTE: winnowed fingerprint sets per document (k=8,
