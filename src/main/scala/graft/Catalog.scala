@@ -1673,17 +1673,20 @@ object Catalog {
       }),
 
     QueryDef("q70_ann_ivfpq",
-      "ANN scale path #4: IVF-PQ — coarse inverted lists (trained, " +
-        "decimal-exact) + product-quantized in-list payloads: the probe " +
-        "join carries m=16 one-byte codes per vector instead of 64 " +
-        "floats (16x smaller), candidates rank by asymmetric distance " +
-        "from the query's precomputed (subspace x code) ADC table — m " +
-        "array lookups per pair, zero per-pair dot products — and " +
-        "exact vectors are fetched only for the refine*k ADC shortlist " +
-        "(the FAISS refine stage). Approximate by design -> no SQL " +
-        "oracle (driver rows-only check); recall >= 0.8 vs the exact " +
-        "baseline at these defaults and the bytes-per-vector contract " +
-        "are asserted in SimOpsSpec.",
+      "ANN scale path #4: IVF-PQ, SINGLE-SHOT form — trains the coarse " +
+        "quantizer and PQ codebooks, encodes the corpus, and probes all " +
+        "inside one query. This is the calibration/one-off shape (and " +
+        "deliberately the worst-case cost point): any serving path " +
+        "should use the q81 build / q82 probe split, which persists the " +
+        "training products and pays neither training nor corpus encode " +
+        "per query batch. Probe internals are shared with q82: m=16 " +
+        "one-byte codes per in-list vector (16x smaller than floats), " +
+        "asymmetric-distance scoring straight from the codes " +
+        "(PqAdcScore), bounded top-k shortlist aggregate, exact-cosine " +
+        "refine on refine*k rows per query (the FAISS refine stage). " +
+        "Approximate by design -> no SQL oracle (driver rows-only " +
+        "check); recall >= 0.8 vs the exact baseline at these defaults " +
+        "and the bytes-per-vector contract are asserted in SimOpsSpec.",
       None,
       (s, dir) => {
         val e = t(s, dir, "embeddings")

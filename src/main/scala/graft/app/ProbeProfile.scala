@@ -29,10 +29,12 @@ object ProbeProfile {
       println(s"--- pass $pass ---")
       time(s"pass $pass total") {
         val q = e.filter(col("vec_id") % 100 === 0)
-        val out = time("probe plan+exec") {
+        val df = time("construct plan") {
           SimOps.ivfPqProbeIndex(q, e, "vec_id", "embedding", sink, 5)
-            .orderBy("query_id", "rank").collect()
+            .orderBy("query_id", "rank")
         }
+        time("analyze")(df.schema)
+        val out = time("execute") { df.collect() }
         println(s"rows=${out.length}")
       }
     }

@@ -364,21 +364,26 @@ object SimOps {
     * and exact vectors are touched again only for the per-query refine
     * shortlist.
     *
-    * The query side precomputes its m x ksub ADC table as ONE nested
-    * array column (2 q_j·cb - ||cb||^2 per (subspace, code) — short
-    * codegen'd dots against plan literals); a candidate's score is then
-    * m array lookups summed, no dot products per pair at all. Ranking
-    * by that score descending IS ranking by asymmetric L2 ascending
-    * (||q||^2 is constant per query). The ADC ranking then SHORTLISTS
-    * `refine`·k candidates per query and exact vectors are fetched for
-    * only that shortlist and re-ranked by true cosine — the standard
-    * PQ refine stage (FAISS IndexRefineFlat): quantization error only
-    * costs recall when a true neighbor misses the shortlist, not
-    * whenever codes scramble adjacent ranks. That matters doubly here:
-    * the synthetic test embeddings are near-random, the known worst
-    * case for both coarse and product quantizers (no cluster structure
-    * to exploit; real text/image embeddings cluster and do far better
-    * at lower nprobe).
+    * Candidates score by asymmetric distance straight from their codes
+    * against the query vector ([[graft.functions.PqAdcScore]] — one
+    * fixed-size codegen loop; its scaladoc explains why this beats the
+    * classic per-query ADC lookup-table column). Ranking by that score
+    * descending IS ranking by asymmetric L2 ascending (||q||^2 is
+    * constant per query). The ADC ranking then SHORTLISTS `refine`·k
+    * candidates per query through a bounded top-k aggregate and exact
+    * vectors are fetched for only that shortlist and re-ranked by true
+    * cosine — the standard PQ refine stage (FAISS IndexRefineFlat):
+    * quantization error only costs recall when a true neighbor misses
+    * the shortlist, not whenever codes scramble adjacent ranks. That
+    * matters doubly here: the synthetic test embeddings are
+    * near-random, the known worst case for both coarse and product
+    * quantizers (no cluster structure to exploit; real text/image
+    * embeddings cluster and do far better at lower nprobe).
+    *
+    * This is the SINGLE-SHOT form — training + encode + probe in one
+    * invocation. Serving paths should use [[buildIvfPqIndex]] /
+    * [[ivfPqProbeIndex]], which persist the training products and pay
+    * neither training nor corpus encode per query batch.
     * Approximate by design -> rows-only in the driver gate; recall vs
     * [[bruteForceTopK]] at these defaults and the bytes-per-vector
     * contract are asserted in SimOpsSpec.

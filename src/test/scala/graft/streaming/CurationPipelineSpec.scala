@@ -112,4 +112,44 @@ class CurationPipelineSpec extends SparkSpec {
       "replay altered previously admitted documents")
     assert(second.keySet == Set(1L, 4L, 6L))
   }
+
+  test("per-batch cost stays flat as the corpus accumulates (the 100 TB claim)") {
+    // The structural guarantee (screens never see the sink; admission
+    // bounds corpus reads to band collisions) predicts batch N costs
+    // what batch 1 cost even though the persisted corpus is N× larger.
+    // Measure it: 6 equal-size batches of mutually-unique documents; a
+    // LATE batch must not cost more than a small multiple of the
+    // cheapest earlier batch (generous bound — wall time on a shared
+    // test box is noisy; what must NOT appear is the monotone growth a
+    // corpus-sized verify join would show).
+    val root = Files.createTempDirectory("graft_curation_flat")
+    val src = root.resolve("docs"); Files.createDirectories(src)
+    val sink = new UpsertSink(spark, root.resolve("sink").toString)
+    val checkpoint = root.resolve("chk").toString
+    val perBatch = 40
+    // letters-only words: the tokenizer is [a-z]+, so digits would split
+    // every id into the SAME token stream and make all docs near-dups
+    def alpha(n: Int): String = n.toString.map(c => ('a' + (c - '0')).toChar)
+    def uniqueDoc(b: Int, i: Int): String =
+      (0 until 12).map(w => s"tok${alpha(b)}q${alpha(i)}q${alpha(w)} unique")
+        .mkString(" ")
+    val timings = (1 to 6).map { b =>
+      (0 until perBatch).map(i => (b * 1000L + i,
+          s"https://host$b.example.org/p$i", uniqueDoc(b, i)))
+        .toDF("doc_id", "raw_url", "text").coalesce(1)
+        .write.mode("append").parquet(src.toString)
+      val t0 = System.nanoTime()
+      CurationPipeline.curatedAdmitStream(spark, src.toString, schema,
+          sink, "flat_corpus", "flat_bands", checkpoint, "raw_url",
+          Seq("spam.example"))
+        .awaitTermination(120000)
+      (System.nanoTime() - t0) / 1e9
+    }
+    info(s"per-batch seconds: ${timings.map(t => f"$t%.2f").mkString(", ")}")
+    assert(sink.read("flat_corpus").count() == 6L * perBatch)
+    val baseline = timings.slice(1, 4).min // skip batch 1 (state init)
+    assert(timings.last <= baseline * 3.0,
+      f"late batch ${timings.last}%.2f s vs baseline $baseline%.2f s — " +
+        "per-batch cost is growing with the accumulated corpus")
+  }
 }
