@@ -106,4 +106,67 @@ class EndToEndSpec extends SparkSpec {
     val rebuilt = sink.read("Builder").as[(String, BigDecimal)].collect()
     assert(rebuilt.map(_._1).toSeq == Seq("b1")) // orphaned rows are gone
   }
+
+  // --- composite primary key through the full lifecycle (J2/K1) -------
+  // The reference's Vote shape (schema.test.ts "composite primary
+  // keys"): primaryKey [proposalId, voterId], no surrogate id. The
+  // merge must conflict on BOTH columns — a re-sync that changes one
+  // vote and adds a second vote on the SAME proposal from a different
+  // voter must update in place without clobbering the proposal's other
+  // votes.
+
+  private val voteYaml =
+    """database: { batchSize: 100, maxRetries: 1, initialRetryDelay: 1 }
+      |subgraphProviders:
+      |  main: { url: "http://x", maxRowsPerRequest: 100, id: sub, apiKey: k }
+      |entities:
+      |  - name: Vote
+      |    primaryKey: [proposalId, voterId]
+      |    subgraphProvider: main
+      |    columns:
+      |      - { name: proposalId, type: String }
+      |      - { name: voterId, type: Bytes }
+      |      - { name: support, type: Boolean }
+      |""".stripMargin
+
+  private final class VoteSubgraph extends Transport {
+    @volatile var votes: Seq[(String, String, Boolean)] =
+      Seq(("p1", "0x0a", true), ("p1", "0x0b", false), ("p2", "0x0a", true))
+    def post(endpoint: String, body: String): String = {
+      val rows = votes.map { case (p, v, s) =>
+        s"""{"proposalId": "$p", "voterId": "$v", "support": $s}"""
+      }.mkString(",")
+      s"""{"data": {"votes_0": [$rows]}}"""
+    }
+  }
+
+  test("composite-PK entity syncs and merges on the FULL key") {
+    val cfg = ConfigLoader.load(voteYaml)
+    val sink = new UpsertSink(spark,
+      Files.createTempDirectory("graft_e2e_comp").toString)
+    val graphql = new VoteSubgraph
+    val syncer = new Syncer(spark, cfg, graphql, sink)
+
+    assert(syncer.syncAll() == Map("Vote" -> 3L))
+    def state(): Map[(String, String), Boolean] =
+      sink.read("Vote").select("proposalId", "voterId", "support")
+        .as[(String, Array[Byte], Boolean)].collect()
+        .map { case (p, v, s) =>
+          (p, graft.sources.SubgraphSource.bytesToHex(v)) -> s
+        }.toMap
+    val first = state()
+    // Bytes PK component coerced to binary on the way in, and all three
+    // (proposalId, voterId) combinations landed as distinct rows
+    assert(first == Map(("p1", "0x0a") -> true, ("p1", "0x0b") -> false,
+      ("p2", "0x0a") -> true))
+
+    // re-sync: voter 0x0b flips their p1 vote, and a NEW voter 0x0c
+    // votes on p1. Conflict must hit (proposalId, voterId) — a merge
+    // keyed on either column alone would collapse p1's votes.
+    graphql.votes = Seq(("p1", "0x0a", true), ("p1", "0x0b", true),
+      ("p2", "0x0a", true), ("p1", "0x0c", false))
+    assert(syncer.syncEntity(cfg.schema("Vote")) == 4L)
+    assert(state() == Map(("p1", "0x0a") -> true, ("p1", "0x0b") -> true,
+      ("p2", "0x0a") -> true, ("p1", "0x0c") -> false))
+  }
 }
