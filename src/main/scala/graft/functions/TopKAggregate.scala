@@ -12,19 +12,28 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * This replaces the `row_number().over(partitionBy(group))` shortlist
   * pattern wherever only the top k survive: the window formulation
-  * shuffles EVERY candidate row to its group's reducer before ranking
-  * (at 100 TB, the ANN probe's candidate set is nprobe/nlist of the
-  * corpus per query — the dominant exchange of the whole plan); the
-  * aggregate ships k·partitions rows instead. Catalyst plans
-  * `Aggregator`s with partial aggregation (the ScalaAggregator
-  * machinery, same as the [[FreqSummary]] sketches), the buffer living
-  * as a plain JVM object between rows and Kryo-serialized only at the
-  * exchange.
+  * shuffles EVERY candidate row to its group's reducer before ranking —
+  * for brute-force cosine top-k that is queries × corpus rows; for the
+  * ANN probes it is nprobe/nlist of the corpus per query, the dominant
+  * exchange of the whole plan — where the aggregate ships k·partitions
+  * rows instead. Catalyst plans `Aggregator`s with partial aggregation
+  * (the ScalaAggregator machinery, same as the [[FreqSummary]]
+  * sketches), the buffer living as a plain JVM object between rows and
+  * Kryo-serialized only at the exchange.
   *
   * Determinism: the comparator is total — higher score wins, ties to
   * the LOWER id — so the result is independent of partitioning and
   * merge order, matching `row_number` over
-  * `orderBy(score.desc, id.asc)` exactly.
+  * `orderBy(score.desc, id.asc)` exactly. An EXACT duplicate (same
+  * score AND same id) of a buffered pair is suppressed, so candidate
+  * generators that can emit the same (group, id) twice (e.g. multi-
+  * table LSH buckets) need no distinct() — a full-width shuffle —
+  * ahead of the aggregate.
+  *
+  * Null scores sort WORST (below every real score, ties to lower id),
+  * mirroring desc-nulls-last window ordering; encode them as
+  * Double.NegativeInfinity on the way in (cosine lives in [-1, 1], so
+  * -Inf is unambiguous) and decode on the way out.
   */
 object TopKAggregate {
 
@@ -33,7 +42,7 @@ object TopKAggregate {
                   var n: Int) extends Serializable
 
   final class ScoredTopK(k: Int)
-      extends Aggregator[(Double, Long), Buf, Seq[Long]] {
+      extends Aggregator[(Double, Long), Buf, Seq[(Long, Double)]] {
     require(k > 0, "k must be positive")
 
     override def zero: Buf =
@@ -54,6 +63,8 @@ object TopKAggregate {
         if (better(b.scores(mid), b.ids(mid), s, id)) lo = mid + 1
         else hi = mid
       }
+      // exact duplicate of the pair already at this rank: suppress
+      if (lo < b.n && b.scores(lo) == s && b.ids(lo) == id) return b
       val last = math.min(b.n, k - 1)
       System.arraycopy(b.scores, lo, b.scores, lo + 1, last - lo)
       System.arraycopy(b.ids, lo, b.ids, lo + 1, last - lo)
@@ -69,26 +80,36 @@ object TopKAggregate {
       val out = zero
       var i = 0; var j = 0
       while (out.n < k && (i < a.n || j < b.n)) {
-        val takeA = j >= b.n || (i < a.n &&
-          better(a.scores(i), a.ids(i), b.scores(j), b.ids(j)))
-        if (takeA) { out.scores(out.n) = a.scores(i); out.ids(out.n) = a.ids(i); i += 1 }
-        else { out.scores(out.n) = b.scores(j); out.ids(out.n) = b.ids(j); j += 1 }
-        out.n += 1
+        // cross-buffer exact duplicates collapse to one entry
+        if (i < a.n && j < b.n &&
+            a.scores(i) == b.scores(j) && a.ids(i) == b.ids(j)) j += 1
+        else {
+          val takeA = j >= b.n || (i < a.n &&
+            better(a.scores(i), a.ids(i), b.scores(j), b.ids(j)))
+          if (takeA) {
+            out.scores(out.n) = a.scores(i); out.ids(out.n) = a.ids(i); i += 1
+          } else {
+            out.scores(out.n) = b.scores(j); out.ids(out.n) = b.ids(j); j += 1
+          }
+          out.n += 1
+        }
       }
       out
     }
 
-    override def finish(b: Buf): Seq[Long] = b.ids.take(b.n).toSeq
+    override def finish(b: Buf): Seq[(Long, Double)] =
+      (0 until b.n).map(i => (b.ids(i), b.scores(i)))
 
     override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
-    override def outputEncoder: Encoder[Seq[Long]] =
-      ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Seq[(Long, Double)]] =
+      ExpressionEncoder[Seq[(Long, Double)]]()
   }
 
-  /** Ids of the k best rows per group by (score DESC, id ASC), as an
-    * `array<bigint>` in rank order.
+  /** The k best (id, score) pairs per group by (score DESC, id ASC), as
+    * an `array<struct<_1: bigint, _2: double>>` in rank order (element
+    * position + 1 IS the rank).
     */
-  def topIds(score: Column, id: Column, k: Int): Column = {
+  def top(score: Column, id: Column, k: Int): Column = {
     import org.apache.spark.sql.functions.udaf
     udaf(new ScoredTopK(k),
       ExpressionEncoder[(Double, Long)]()).apply(score, id)

@@ -74,13 +74,34 @@ object SimOps {
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         safeCos(dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("__rn").as("rank"))
+    // the queries × corpus pair set folds into bounded per-partition
+    // top-k buffers map-side (TopKAggregate) — only k pairs per (query,
+    // partition) cross the exchange, never the n² pair rows the
+    // row_number window shipped. The O(n²) dot products are inherent to
+    // brute force; the O(n²) SHUFFLE was not.
+    topKFromScored(scored, k)
   }
+
+  /** Shared exact re-rank tail of the top-k family: bounded top-k over
+    * ("query_id", "cosine", "neighbor_id") pair rows -> (query_id,
+    * neighbor_id, cosine rounded to 6 dp, rank). Null cosines (null
+    * input vectors) sort WORST and surface as null, exactly like the
+    * desc-nulls-last window ordering this replaces; cosine lives in
+    * [-1, 1], so -Inf is an unambiguous null sentinel inside the
+    * aggregate. Exact (score, id) duplicates collapse, so multi-bucket
+    * candidate generators need no distinct() ahead of this.
+    */
+  private def topKFromScored(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAggregate.top(
+        coalesce(col("cosine"), lit(Double.NegativeInfinity)),
+        col("neighbor_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col("query_id"), col("__e._1").as("neighbor_id"),
+        round(when(col("__e._2") === lit(Double.NegativeInfinity), lit(null))
+          .otherwise(col("__e._2")), 6).as("cosine"),
+        (col("__i") + 1).cast("int").as("rank"))
 
   /** LSH-bucketed approximate top-k: candidates are corpus vectors sharing
     * any of `tables` independent signatures with the query; exact cosine
@@ -105,20 +126,17 @@ object SimOps {
           struct(col("__t").as("t"), col("__s").as("s")).as("__b"))
     val qe = sigs(queries, "query_id")
     val ce = sigs(corpus, "neighbor_id")
-    val cands = qe.join(ce, qe("__b") === ce("__b")
+    // no distinct() ahead of the top-k: a pair surfacing from several
+    // LSH tables scores the SAME cosine every time, and TopKAggregate
+    // collapses exact (score, id) duplicates in its bounded buffer —
+    // the full-width pre-aggregation distinct was a second shuffle of
+    // every candidate row (vectors included) for nothing
+    val scored = qe.join(ce, qe("__b") === ce("__b")
         && col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "__v_query_id", "__n_query_id",
-        "neighbor_id", "__v_neighbor_id", "__n_neighbor_id")
-      .distinct()
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    cands.withColumn("cosine",
+      .withColumn("cosine",
         safeCos(dot(col("__v_query_id"), col("__v_neighbor_id")),
           col("__n_query_id"), col("__n_neighbor_id")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("__rn").as("rank"))
+    topKFromScored(scored, k)
   }
 
   /** IVF-FLAT approximate top-k: a coarse quantizer of `nlist` centroids
@@ -236,16 +254,11 @@ object SimOps {
         explode(col("__probes")).as("__p"))
       .select(col("query_id"), col("__qv"), col("__qn"),
         col("__p").getField("c").as("__list"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    probed.join(assigned, Seq("__list"))
+    val scored = probed.join(assigned, Seq("__list"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         safeCos(dot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("__rn").as("rank"))
+    topKFromScored(scored, k)
   }
 
   // -------------------------------------------------------------------
@@ -451,13 +464,13 @@ object SimOps {
       .withColumn("__score",
         PqFunctions.adcScore(col("__qvec"), col("__codes"), books))
       .groupBy("query_id")
-      .agg(graft.functions.TopKAggregate.topIds(
+      .agg(graft.functions.TopKAggregate.top(
           col("__score"), col("neighbor_id"), shortK).as("__top"),
         // the query vector rides along (identical within the group), so
         // the refine stage needs no second queries-side scan or join
         first(col("__qvec")).as("__qv"))
-      .select(col("query_id"), col("__qv"),
-        explode(col("__top")).as("neighbor_id"))
+      .select(col("query_id"), col("__qv"), explode(col("__top")).as("__e"))
+      .select(col("query_id"), col("__qv"), col("__e._1").as("neighbor_id"))
     // refine: fetch exact vectors for ONLY the shortlist (refine*k rows
     // per query — the bounded random-access read every PQ refine stage
     // pays) and re-rank by exact cosine. Quantization error then only
@@ -465,18 +478,13 @@ object SimOps {
     // entirely, not whenever codes scramble adjacent ranks.
     val cv = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
-    val wExact = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
     // the shortlist side is queries × refine·k rows — broadcast it so
     // the corpus-side exact-vector fetch is one scan with a broadcast
     // hash join, not a corpus-wide shuffle
-    broadcast(shortlist).join(cv, "neighbor_id")
+    val refined = broadcast(shortlist).join(cv, "neighbor_id")
       .withColumn("cosine",
         safeCos(dot(col("__qv"), col("__cv")), norm(col("__qv")), col("__cn")))
-      .withColumn("__rk", row_number().over(wExact))
-      .filter(col("__rk") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("__rk").as("rank"))
+    topKFromScored(refined, k)
   }
 
   /** Vector width for codebook sizing: length of the first non-null
