@@ -27,21 +27,15 @@ object BloomFunctions {
   val ProbeName = "graft_bloom_might_contain"
 
   /** Idempotent per-session registration of both expressions. */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    if (registry.lookupFunctionBuilder(FunctionIdentifier(AggName)).isEmpty)
-      registry.createOrReplaceTempFunction(
-        AggName,
-        (exprs: Seq[Expression]) =>
-          new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
-        "built-in")
-    if (registry.lookupFunctionBuilder(FunctionIdentifier(ProbeName)).isEmpty)
-      registry.createOrReplaceTempFunction(
-        ProbeName,
-        (exprs: Seq[Expression]) =>
-          BloomFilterMightContain(exprs(0), exprs(1)),
-        "built-in")
-  }
+  private[functions] def builders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    AggName -> ((exprs: Seq[Expression]) =>
+      new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))),
+    ProbeName -> ((exprs: Seq[Expression]) =>
+      BloomFilterMightContain(exprs(0), exprs(1))))
+
+  def register(spark: SparkSession): Unit =
+    GraftFunctions.registerAll(spark, builders)
 
   /** Aggregate a LONG column into a serialized Bloom filter (binary).
     * Returns null on empty input (Spark's aggregate contract).

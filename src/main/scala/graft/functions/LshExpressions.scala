@@ -154,18 +154,15 @@ object LshFunctions {
   /** Idempotent per-session registration (same pattern as
     * [[VectorFunctions.register]]).
     */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(SignaturesName)
-    if (registry.lookupFunctionBuilder(id).isEmpty)
-      registry.createOrReplaceTempFunction(
-        SignaturesName,
-        (exprs: Seq[Expression]) => LshSignatures(exprs(0),
-          litInt(exprs(1), "planes"), litInt(exprs(2), "tables"),
-          litInt(exprs(3), "dim"),
-          if (exprs.length > 4) litInt(exprs(4), "firstTable") else 0),
-        "built-in")
-  }
+  private[functions] def builders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    SignaturesName -> ((exprs: Seq[Expression]) => LshSignatures(exprs(0),
+      litInt(exprs(1), "planes"), litInt(exprs(2), "tables"),
+      litInt(exprs(3), "dim"),
+      if (exprs.length > 4) litInt(exprs(4), "firstTable") else 0)))
+
+  def register(spark: SparkSession): Unit =
+    GraftFunctions.registerAll(spark, builders)
 
   /** All `tables` LSH signatures of `vec` as one `array<long>` column.
     * Caller must have [[register]]ed on the session.

@@ -206,19 +206,16 @@ object MinHashFunctions {
   /** Idempotent per-session registration (pattern of
     * [[LshFunctions.register]]).
     */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    def reg(name: String, builder: Seq[Expression] => Expression): Unit = {
-      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
-      if (registry.lookupFunctionBuilder(id).isEmpty)
-        registry.createOrReplaceTempFunction(name, builder, "built-in")
-    }
-    reg(SignaturesName, exprs =>
-      MinHashSignatures(exprs(0), litInt(exprs(1), s"$SignaturesName: k")))
-    reg(BandKeysName, exprs =>
+  private[functions] def builders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    SignaturesName -> ((exprs: Seq[Expression]) =>
+      MinHashSignatures(exprs(0), litInt(exprs(1), s"$SignaturesName: k"))),
+    BandKeysName -> ((exprs: Seq[Expression]) =>
       MinHashBandKeys(exprs(0), litInt(exprs(1), s"$BandKeysName: k"),
-        litInt(exprs(2), s"$BandKeysName: bands")))
-  }
+        litInt(exprs(2), s"$BandKeysName: bands"))))
+
+  def register(spark: SparkSession): Unit =
+    GraftFunctions.registerAll(spark, builders)
 
   /** k MinHash minima of `shingles` as one `array<long>` column. Caller
     * must have [[register]]ed on the session.

@@ -96,14 +96,13 @@ object NormalizeFunctions {
   /** Idempotent per-session registration (pattern of
     * [[MinHashFunctions.register]]).
     */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(Name)
-    if (registry.lookupFunctionBuilder(id).isEmpty)
-      registry.createOrReplaceTempFunction(Name, exprs =>
-        UnicodeNormalize(exprs(0),
-          ExprArgs.litString(exprs(1), s"$Name: form")), "built-in")
-  }
+  private[functions] def builders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    Name -> ((exprs: Seq[Expression]) => UnicodeNormalize(exprs(0),
+      ExprArgs.litString(exprs(1), s"$Name: form"))))
+
+  def register(spark: SparkSession): Unit =
+    GraftFunctions.registerAll(spark, builders)
 
   /** `text` normalized to `form` ("NFC", "NFD", "NFKC", "NFKD").
     * Caller must have [[register]]ed on the session.

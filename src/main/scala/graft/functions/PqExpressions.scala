@@ -326,29 +326,21 @@ object PqFunctions {
     * foldable array<float> literal argument and is extracted at
     * function-resolution time.
     */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(CodesName)
-    if (registry.lookupFunctionBuilder(id).isEmpty)
-      registry.createOrReplaceTempFunction(
-        CodesName,
-        (exprs: Seq[Expression]) => PqCodes(exprs(0),
-          litFloatArray(exprs(1)),
-          ExprArgs.litInt(exprs(2), s"$CodesName: m"),
-          ExprArgs.litInt(exprs(3), s"$CodesName: ksub"),
-          ExprArgs.litInt(exprs(4), s"$CodesName: dsub")),
-        "built-in")
-    val adcId = org.apache.spark.sql.catalyst.FunctionIdentifier(AdcScoreName)
-    if (registry.lookupFunctionBuilder(adcId).isEmpty)
-      registry.createOrReplaceTempFunction(
-        AdcScoreName,
-        (exprs: Seq[Expression]) => PqAdcScore(exprs(0), exprs(1),
-          litFloatArray(exprs(2)),
-          ExprArgs.litInt(exprs(3), s"$AdcScoreName: m"),
-          ExprArgs.litInt(exprs(4), s"$AdcScoreName: ksub"),
-          ExprArgs.litInt(exprs(5), s"$AdcScoreName: dsub")),
-        "built-in")
-  }
+  private[functions] def builders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    CodesName -> ((exprs: Seq[Expression]) => PqCodes(exprs(0),
+      litFloatArray(exprs(1)),
+      ExprArgs.litInt(exprs(2), s"$CodesName: m"),
+      ExprArgs.litInt(exprs(3), s"$CodesName: ksub"),
+      ExprArgs.litInt(exprs(4), s"$CodesName: dsub"))),
+    AdcScoreName -> ((exprs: Seq[Expression]) => PqAdcScore(exprs(0),
+      exprs(1), litFloatArray(exprs(2)),
+      ExprArgs.litInt(exprs(3), s"$AdcScoreName: m"),
+      ExprArgs.litInt(exprs(4), s"$AdcScoreName: ksub"),
+      ExprArgs.litInt(exprs(5), s"$AdcScoreName: dsub"))))
+
+  def register(spark: SparkSession): Unit =
+    GraftFunctions.registerAll(spark, builders)
 
   private def litFloatArray(e: Expression): Array[Float] = {
     require(e.foldable, s"$CodesName: codebook matrix must be a literal")

@@ -76,18 +76,17 @@ object VectorFunctions {
 
   val DotName = "graft_dot"
 
+  private[functions] def builders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    DotName -> ((exprs: Seq[Expression]) =>
+      FloatDotProduct(exprs(0), exprs(1))))
+
   /** Idempotent per-session registration; the expression is then usable
-    * from both the Column API (via [[dot]]) and SQL text.
+    * from both the Column API (via [[dot]]) and SQL text. Cluster-wide
+    * alternative: `spark.sql.extensions=graft.functions.GraftExtensions`.
     */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(DotName)
-    if (registry.lookupFunctionBuilder(id).isEmpty)
-      registry.createOrReplaceTempFunction(
-        DotName,
-        (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1)),
-        "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    GraftFunctions.registerAll(spark, builders)
 
   /** Codegen'd dot product column. Caller must have [[register]]ed. */
   def dot(a: Column, b: Column): Column = call_function(DotName, a, b)

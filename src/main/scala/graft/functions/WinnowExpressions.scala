@@ -203,18 +203,16 @@ object WinnowFunctions {
   /** Idempotent per-session registration (pattern of
     * [[MinHashFunctions.register]]).
     */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(FingerprintsName)
-    if (registry.lookupFunctionBuilder(id).isEmpty)
-      registry.createOrReplaceTempFunction(FingerprintsName, exprs =>
-        WinnowFingerprints(exprs(0), litInt(exprs(1), s"$FingerprintsName: k"),
-          litInt(exprs(2), s"$FingerprintsName: window")), "built-in")
-    val iid = org.apache.spark.sql.catalyst.FunctionIdentifier(IntersectCountName)
-    if (registry.lookupFunctionBuilder(iid).isEmpty)
-      registry.createOrReplaceTempFunction(IntersectCountName, exprs =>
-        SortedIntersectCount(exprs(0), exprs(1)), "built-in")
-  }
+  private[functions] def builders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    FingerprintsName -> ((exprs: Seq[Expression]) =>
+      WinnowFingerprints(exprs(0), litInt(exprs(1), s"$FingerprintsName: k"),
+        litInt(exprs(2), s"$FingerprintsName: window"))),
+    IntersectCountName -> ((exprs: Seq[Expression]) =>
+      SortedIntersectCount(exprs(0), exprs(1))))
+
+  def register(spark: SparkSession): Unit =
+    GraftFunctions.registerAll(spark, builders)
 
   /** Sorted distinct winnowed fingerprints of `canon` as `array<long>`.
     * Caller must have [[register]]ed on the session.
