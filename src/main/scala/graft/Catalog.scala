@@ -2406,6 +2406,43 @@ object Catalog {
           .select(col("doc_id"), col("n_bigrams"),
             round(col("avg_ln_p"), 6).as("avg_ln_p"),
             round(col("perplexity"), 6).as("perplexity"))
+          .orderBy("doc_id")),
+
+    QueryDef("q87_bm25",
+      "BM25 relevance scoring (k1=1.2, b=0.75, the Lucene +1-in-the-ln " +
+        "IDF): q62's integer TF-IDF upgraded with term-frequency " +
+        "saturation and document-length normalization against the " +
+        "corpus mean length — the ranking function retrieval-based " +
+        "curation and RAG indexing actually ship. tf touches only " +
+        "term-matching rows; df and the (N, avgdl) scalars broadcast; " +
+        "the length join is co-keyed on doc_id. Float-valued -> both " +
+        "sides round to 6 dp (q36 convention); every matching doc is " +
+        "output ordered by id, so no top-k boundary rides on float " +
+        "rounding.",
+      Some("""WITH lens AS (SELECT doc_id,
+             |    len(regexp_extract_all(lower(text), '[a-z]+')) AS dl
+             |  FROM documents),
+             |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |    AVG(dl) AS avgdl FROM lens),
+             |tok AS (SELECT doc_id,
+             |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             |  FROM documents),
+             |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+             |  WHERE w IN ('vector', 'merge', 'stream') GROUP BY doc_id, w),
+             |dfr AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df
+             |  FROM tf GROUP BY w)
+             |SELECT tf.doc_id,
+             |  ROUND(SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |    * (tf * (1.2 + 1.0)
+             |       / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))), 6)
+             |    AS score
+             |FROM tf JOIN dfr USING (w) CROSS JOIN stats
+             |  JOIN lens ON tf.doc_id = lens.doc_id
+             |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin),
+      (s, dir) =>
+        TextOps.bm25Scores(t(s, dir, "documents"), "doc_id", "text",
+            Seq("vector", "merge", "stream"))
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
           .orderBy("doc_id"))
   )
 

@@ -518,6 +518,56 @@ object TextOps {
       .limit(k)
   }
 
+  /** BM25 relevance scoring (Robertson-Spärck Jones; the Lucene
+    * `+1`-inside-the-ln IDF form, which is non-negative at any df):
+    *
+    *   score(d) = Σ_t ln((N − df + 0.5)/(df + 0.5) + 1)
+    *                · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+    *
+    * — [[keywordSearch]]'s integer TF-IDF upgraded with the two things
+    * real retrieval ranking needs: term-frequency saturation (k1) and
+    * document-length normalization (b against the corpus mean length).
+    *
+    * Scale shape, all corpus-size-safe: per-doc token length is a
+    * map-only projection; tf touches only rows containing a query term
+    * (the filter sits under the explode); df and the (N, avgdl) scalars
+    * are a terms-sized and a 1-row broadcast; the length join is
+    * co-keyed on the doc id. Float-valued by construction → callers
+    * round to 6 dp for oracle parity (the q36 convention).
+    *
+    * Output: (idCol, score double) for every document matching ≥ 1
+    * term. Ranking/limit is left to the caller — a top-k at a rounding
+    * boundary would make the SELECTED SET float-sensitive, which is the
+    * caller's call, not the scorer's.
+    */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    // |d| counts the SAME token universe tf does ([a-z]+ words, not
+    // whitespace chunks) — length normalization against a different
+    // tokenizer would skew scores on punctuation-heavy docs
+    val lens = df.select(col(idCol), size(tokens(col(textCol))).as("__dl"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("__dl")).as("__avgdl"))
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .filter(col("__w").isInCollection(terms))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("__w").agg(count(lit(1)).cast("double").as("__df"))
+    val idf = log((col("__n") - col("__df") + lit(0.5))
+      / (col("__df") + lit(0.5)) + lit(1.0))
+    // parenthesization mirrors the SQL oracle term-for-term — float
+    // association differences would surface at the 6-dp rounding edge
+    val norm = col("__tf") * lit(k1 + 1.0) /
+      (col("__tf") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * (col("__dl") / col("__avgdl"))))
+    tf.join(broadcast(dfreq), "__w")
+      .crossJoin(broadcast(stats))
+      .join(lens, idCol)
+      .groupBy(idCol)
+      .agg(sum(idf * norm).as("score"))
+  }
+
   /** Heavy hitters (top-`k` 2-grams) via bounded-memory sketches end to
     * end — at no point does a full-corpus (gram, count) exchange run:
     *

@@ -369,4 +369,30 @@ class OpsSpec extends SparkSpec {
     assert(left.filter($"k" === 99L).count() == 1)
     assert(left.count() == big.count())
   }
+
+  test("bm25Scores: idf weighting, tf saturation, length normalization") {
+    val filler = (1 to 40).map(i => s"pad$i").mkString(" ")
+    val df = Seq(
+      (1L, "vector stream"),                    // two terms, short doc
+      (2L, "vector vector vector vector"),      // stuffed single term
+      (3L, "vector"),                           // single occurrence, short
+      (4L, s"vector $filler"),                  // same tf, much longer doc
+      (5L, "merge"),                            // rare term (df=1)
+      (6L, filler))                             // no terms -> no row
+      .toDF("doc_id", "text")
+    val out = TextOps.bm25Scores(df, "doc_id", "text",
+        Seq("vector", "merge", "stream"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!out.contains(6L), "termless doc must not be scored")
+    // two distinct terms beat one (idf sums across terms)
+    assert(out(1L) > out(3L))
+    // tf saturation: 4x the tf must score higher, but NOWHERE near 4x
+    assert(out(2L) > out(3L) && out(2L) < out(3L) * 2.5,
+      s"saturation violated: tf4=${out(2L)} vs tf1=${out(3L)}")
+    // length normalization: same tf in a longer doc scores strictly lower
+    assert(out(4L) < out(3L),
+      s"length norm violated: long=${out(4L)} vs short=${out(3L)}")
+    // rare 'merge' (df=1) outweighs common 'vector' (df=4) at equal tf
+    assert(out(5L) > out(3L))
+  }
 }
