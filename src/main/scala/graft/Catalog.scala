@@ -2443,7 +2443,80 @@ object Catalog {
         TextOps.bm25Scores(t(s, dir, "documents"), "doc_id", "text",
             Seq("vector", "merge", "stream"))
           .select(col("doc_id"), round(col("score"), 6).as("score"))
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    QueryDef("q88_hybrid_rrf",
+      "Hybrid ranking by Reciprocal-Rank Fusion (Cormack et al. 2009, " +
+        "k0=60): the q87 BM25 lexical ranking fused with the q74 " +
+        "integer-ppm LM quality prior — the standard hybrid-retrieval " +
+        "composition that needs no calibration between incomparable " +
+        "score scales. Each side reduces to its bounded top-100 FIRST " +
+        "(TakeOrdered), so rank windows and the full-outer fuse join " +
+        "touch <= 100 rows; ranks assign on the 6-dp-ROUNDED BM25 " +
+        "score (ties to lower id) so rank selection cannot flip on " +
+        "engine float ulps. Output: every doc in either list with its " +
+        "ranks and fused score.",
+      Some("""WITH lens AS (SELECT doc_id,
+             |    len(regexp_extract_all(lower(text), '[a-z]+')) AS dl
+             |  FROM documents),
+             |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |    AVG(dl) AS avgdl FROM lens),
+             |tok AS (SELECT doc_id,
+             |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             |  FROM documents),
+             |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+             |  WHERE w IN ('vector', 'merge', 'stream') GROUP BY doc_id, w),
+             |dfr AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df
+             |  FROM tf GROUP BY w),
+             |bm AS (SELECT tf.doc_id,
+             |    ROUND(SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |      * (tf * (1.2 + 1.0)
+             |         / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))), 6)
+             |      AS score
+             |  FROM tf JOIN dfr USING (w) CROSS JOIN stats
+             |    JOIN lens ON tf.doc_id = lens.doc_id
+             |  GROUP BY tf.doc_id),
+             |uni AS (SELECT w1, COUNT(*) AS c1 FROM (
+             |    SELECT unnest(w) AS w1 FROM (SELECT doc_id,
+             |      regexp_extract_all(lower(text), '[a-z]+') AS w
+             |      FROM documents)) GROUP BY w1),
+             |v AS (SELECT COUNT(*) AS vs FROM uni),
+             |bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+             |    SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]}
+             |      for i in range(1, len(w))]) AS u FROM (SELECT doc_id,
+             |      regexp_extract_all(lower(text), '[a-z]+') AS w
+             |      FROM documents))),
+             |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+             |per AS (SELECT doc_id,
+             |    (1000000 * (c12 + 1)) // (c1 + vs) AS ppm
+             |  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v),
+             |lm AS (SELECT doc_id, CAST(SUM(ppm) // COUNT(*) AS BIGINT)
+             |    AS score FROM per GROUP BY doc_id),
+             |ra AS (SELECT doc_id, CAST(row_number() OVER (
+             |      ORDER BY score DESC, doc_id) AS INTEGER) AS rank_a
+             |  FROM (SELECT * FROM bm ORDER BY score DESC, doc_id LIMIT 100)),
+             |rb AS (SELECT doc_id, CAST(row_number() OVER (
+             |      ORDER BY score DESC, doc_id) AS INTEGER) AS rank_b
+             |  FROM (SELECT * FROM lm ORDER BY score DESC, doc_id LIMIT 100))
+             |SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+             |  rank_a, rank_b,
+             |  ROUND(COALESCE(1.0 / (60 + rank_a), 0.0)
+             |      + COALESCE(1.0 / (60 + rank_b), 0.0), 6) AS rrf
+             |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bm = TextOps.bm25Scores(docs, "doc_id", "text",
+            Seq("vector", "merge", "stream"))
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
+        val lm = TextOps.bigramLmScores(docs, "doc_id", "text")
+          .filter(col("score_ppm").isNotNull)
+          .select(col("doc_id"), col("score_ppm").as("score"))
+        TextOps.rrfFuse(bm, lm, "doc_id")
+          .select(col("doc_id"), col("rank_a"), col("rank_b"),
+            round(col("rrf"), 6).as("rrf"))
+          .orderBy("doc_id")
+      })
   )
 
   /** Shared oracle CTE: winnowed fingerprint sets per document (k=8,

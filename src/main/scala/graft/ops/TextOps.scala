@@ -568,6 +568,39 @@ object TextOps {
       .agg(sum(idf * norm).as("score"))
   }
 
+  /** Reciprocal-Rank Fusion (Cormack, Clarke, Büttcher 2009) of two
+    * rankings: each input is (idCol, score); the top `n` of each rank
+    * by (score DESC, id ASC), and a document's fused score is
+    * Σ_r 1/(k0 + rank_r) over the lists it appears in — the standard
+    * way hybrid retrieval combines lexical (BM25) and dense/quality
+    * signals without calibrating their incomparable score scales.
+    *
+    * Scale shape: each side reduces to its bounded top-n FIRST
+    * (TakeOrdered — no global sort), so the unpartitioned rank windows
+    * and the full-outer fuse join run on ≤ n rows each — driver-free
+    * and corpus-size-independent past the input scorers themselves.
+    * Callers ranking on float scores should pre-round them (6 dp) so
+    * rank assignment cannot flip on engine-specific float ulps.
+    *
+    * Output: (idCol, rank_a int nullable, rank_b int nullable,
+    * rrf double) for every doc in either top-n list.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              n: Int = 100, k0: Int = 60): DataFrame = {
+    def ranked(df: DataFrame, rankAs: String): DataFrame = {
+      val top = df.orderBy(col("score").desc, col(idCol)).limit(n)
+      // unpartitioned window is safe HERE: its input is the bounded
+      // top-n list, not the corpus
+      top.withColumn(rankAs, row_number().over(
+          Window.orderBy(col("score").desc, col(idCol))))
+        .select(col(idCol), col(rankAs))
+    }
+    ranked(a, "rank_a").join(ranked(b, "rank_b"), Seq(idCol), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(k0) + col("rank_a")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(k0) + col("rank_b")), lit(0.0)))
+  }
+
   /** Heavy hitters (top-`k` 2-grams) via bounded-memory sketches end to
     * end — at no point does a full-corpus (gram, count) exchange run:
     *

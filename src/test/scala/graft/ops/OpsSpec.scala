@@ -395,4 +395,17 @@ class OpsSpec extends SparkSpec {
     // rare 'merge' (df=1) outweighs common 'vector' (df=4) at equal tf
     assert(out(5L) > out(3L))
   }
+
+  test("rrfFuse: both-list docs sum reciprocals, single-list docs keep one") {
+    val a = Seq((1L, 9.0), (2L, 8.0), (3L, 7.0)).toDF("doc_id", "score")
+    val b = Seq((2L, 0.9), (4L, 0.8)).toDF("doc_id", "score")
+    val out = TextOps.rrfFuse(a, b, "doc_id", n = 2, k0 = 60)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getDouble(3))).toMap
+    // doc 3 fell off a's top-2; doc 2 is rank 2 in a AND rank 1 in b
+    assert(!out.contains(3L))
+    assert(out(1L) == ((Some(1), None, 1.0 / 61)))
+    assert(out(2L) == ((Some(2), Some(1), 1.0 / 62 + 1.0 / 61)))
+    assert(out(4L) == ((None, Some(2), 1.0 / 62)))
+  }
 }
