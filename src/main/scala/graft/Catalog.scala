@@ -2516,6 +2516,36 @@ object Catalog {
           .select(col("doc_id"), col("rank_a"), col("rank_b"),
             round(col("rrf"), 6).as("rrf"))
           .orderBy("doc_id")
+      }),
+
+    QueryDef("q89_semantic_admit",
+      "Streaming SEMANTIC admission, batch-replay form (the q64 " +
+        "pattern in embedding space, and the composition the q81/q82 " +
+        "persisted-index split exists for): vectors arrive in 4 ordered " +
+        "micro-batches (batch = vec_id % 4); batch 1 bootstraps — " +
+        "admit after in-batch dedup, train + persist the IVF-PQ index; " +
+        "every later batch probes the STORED index (no training, no " +
+        "corpus encode, candidates list-bounded) and is admitted only " +
+        "where no stored embedding scores cosine >= 0.45 (SemDeDup's " +
+        "criterion, online); admissions extend the code lists via " +
+        "FAISS-style add-after-train. Per-batch cost is batch-scaled, " +
+        "never corpus-scaled. k-means inside -> no SQL oracle (driver " +
+        "rows-only); SemanticAdmitPipelineSpec pins the semantics: " +
+        "stored dups die via the index, in-batch dups collapse, novel " +
+        "vectors land AND become immediately screenable, restart " +
+        "replays clean.",
+      None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val sink = tempStore.freshSink(s, "semadmit", dir)
+        (0 until 4).foreach { b =>
+          graft.streaming.SemanticAdmitPipeline.admitBatch(sink,
+            "sem_corpus", e.filter(col("vec_id") % 4 === b),
+            "vec_id", "embedding", threshold = 0.45)
+        }
+        sink.read("sem_corpus")
+          .select(col("vec_id"), (col("vec_id") % 4).as("batch"))
+          .orderBy("vec_id")
       })
   )
 

@@ -639,6 +639,29 @@ object SimOps {
     sink.exists(IdxCentroids) && sink.exists(IdxCodebooks) &&
       sink.exists(IdxCodes)
 
+  /** INCREMENTALLY add vectors to a persisted index: encode against the
+    * STORED centroids/codebooks (map-only — no retraining) and PK-merge
+    * the m-byte codes into the code lists. This is how every IVF system
+    * absorbs inserts between rebuilds (FAISS `add` after `train`): new
+    * vectors join their nearest existing list, and index quality
+    * degrades only as the data DISTRIBUTION drifts from the trained
+    * quantizers — at which point the owner re-runs [[buildIvfPqIndex]]
+    * (the shadow-swap overwrite makes the rebuild atomic under
+    * concurrent probes). Returns the number of vectors encoded.
+    */
+  def ivfPqIndexAdd(vecs: DataFrame, idCol: String, vecCol: String,
+                    sink: graft.sink.UpsertSink): Long = {
+    val spark = vecs.sparkSession
+    VectorFunctions.register(spark)
+    PqFunctions.register(spark)
+    val meta = readIndexMeta(spark, sink)
+    val coded = vecs.select(col(idCol).as("id"),
+      array_max(centScores(meta.cents, col(vecCol))).getField("c").as("list"),
+      pqCodes(col(vecCol), meta.books).as("codes"))
+    sink.merge(IdxCodes, coded, Seq("id"))
+    coded.count()
+  }
+
   /** Deterministic +/-1 hyperplane for (table, plane) — shared with the
     * batched [[graft.functions.LshSignatures]] expression so buckets are
     * identical however the signature is computed.

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.SimOps
+import graft.sink.UpsertSink
+
+/** Streaming SEMANTIC admission backed by the persisted IVF-PQ index —
+  * the embedding-space counterpart of [[DedupPipeline]]'s MinHash
+  * admission, and the composition the q81/q82 build/probe split exists
+  * for: each micro-batch probes the STORED index (no training, no
+  * corpus encode, candidates bounded to probed lists), so per-batch
+  * admission cost scales with the batch and the index parameters,
+  * NEVER with how large the admitted corpus has grown. A new document
+  * embedding is admitted iff no stored embedding scores cosine >=
+  * threshold (SemDeDup's criterion, online); admitted vectors PK-merge
+  * into the corpus table and [[SimOps.ivfPqIndexAdd]] encodes them
+  * into the code lists against the stored quantizers (FAISS add-after-
+  * train — rebuild on distribution drift is the owner's explicit call,
+  * atomic under the sink's shadow swap).
+  *
+  * Bootstrap: the first non-empty batch is admitted after in-batch
+  * dedup and TRAINS the index (there is nothing to probe yet).
+  * Replay safety: a redelivered id probes as its own stored copy,
+  * which the probe's self-pair filter skips — it re-admits and both
+  * merges are idempotent on the id.
+  */
+object SemanticAdmitPipeline {
+
+  def start(spark: SparkSession, sourceDir: String, schema: StructType,
+            sink: UpsertSink, corpusTable: String, checkpoint: String,
+            idCol: String, vecCol: String, threshold: Double,
+            nlist: Int = 16, m: Int = 16, ksub: Int = 32,
+            nprobe: Int = 10,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admitBatch(sink, corpusTable, batch, idCol, vecCol, threshold,
+          nlist, m, ksub, nprobe)
+      }
+      .start()
+
+  /** One micro-batch through the admission core (shared with any batch
+    * caller): screen against the stored index, dedup within the batch,
+    * merge survivors, extend the index.
+    */
+  def admitBatch(sink: UpsertSink, corpusTable: String, rawBatch: DataFrame,
+                 idCol: String, vecCol: String, threshold: Double,
+                 nlist: Int = 16, m: Int = 16, ksub: Int = 32,
+                 nprobe: Int = 10): Unit = {
+    if (rawBatch.isEmpty) return
+    val batch = rawBatch.dropDuplicates(idCol).cache()
+    try {
+      val bootstrapped = SimOps.ivfPqIndexExists(sink) &&
+        sink.exists(corpusTable)
+      // screen vs the ACCUMULATED corpus through the stored index: the
+      // probe pays list-bounded candidates + a refine*k exact fetch per
+      // query — corpus-size-independent work per batch
+      val screened =
+        if (!bootstrapped) batch
+        else {
+          val hits = SimOps.ivfPqProbeIndex(batch, sink.read(corpusTable),
+              idCol, vecCol, sink, k = 1, nprobe = nprobe)
+            .filter(col("rank") === 1 && col("cosine") >= threshold)
+            .select(col("query_id").as(idCol))
+          batch.join(hits, Seq(idCol), "left_anti")
+        }
+      // in-batch semantic dedup: exact pairs WITHIN the micro-batch
+      // (batch-bounded by construction — never corpus-sized); larger id
+      // of a pair dies, the SemDeDup keeper rule. Deployments with huge
+      // micro-batches swap this for SimOps.lshNearDupPairs (bucketed
+      // candidates, recall < 1) — the cross-batch screen above is the
+      // corpus-facing path and stays index-bounded either way
+      val inBatchDups = SimOps.cosineNearDupPairs(screened, idCol, vecCol,
+          threshold)
+        .select(col("b_id").as(idCol)).distinct()
+      // localCheckpoint BEFORE the merge: the screen plan READS the
+      // corpus table the merge is about to REWRITE — without cutting
+      // the lineage, the merge's own write re-executes the probe over
+      // files its bucket swaps are concurrently deleting
+      val admitted = screened.join(inBatchDups, Seq(idCol), "left_anti")
+        .localCheckpoint()
+      if (!admitted.isEmpty) {
+        sink.merge(corpusTable, admitted, Seq(idCol))
+        if (!bootstrapped)
+          SimOps.buildIvfPqIndex(sink.read(corpusTable), idCol, vecCol,
+            sink, nlist = nlist, m = m, ksub = ksub).collect()
+        else
+          SimOps.ivfPqIndexAdd(admitted, idCol, vecCol, sink)
+      }
+    } finally batch.unpersist()
+  }
+}

@@ -147,8 +147,13 @@ class CurationPipelineSpec extends SparkSpec {
     }
     info(s"per-batch seconds: ${timings.map(t => f"$t%.2f").mkString(", ")}")
     assert(sink.read("flat_corpus").count() == 6L * perBatch)
-    val baseline = timings.slice(1, 4).min // skip batch 1 (state init)
-    assert(timings.last <= baseline * 3.0,
+    // median of batches 2-5 as the baseline (batch 1 pays state init; a
+    // median shrugs off a single GC/load spike where a min would not),
+    // generous 3.5x bound: a loaded box inflates every batch roughly
+    // alike, so only genuine corpus-proportional growth trips this
+    val mid = timings.slice(1, 5).sorted
+    val baseline = mid(mid.length / 2)
+    assert(timings.last <= baseline * 3.5,
       f"late batch ${timings.last}%.2f s vs baseline $baseline%.2f s — " +
         "per-batch cost is growing with the accumulated corpus")
   }
