@@ -25,6 +25,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the engine's SQL functions ship as injected built-ins: every
+      // session from this factory (and every newSession() clone, which
+      // temp-function registration would NOT survive) resolves graft_*
+      // in SQL text. NOTE Spark reads this key from the SparkContext's
+      // conf, so it must be present at CONTEXT creation — which this
+      // builder guarantees for engine-owned processes; sessions built
+      // over a foreign pre-existing context fall back to the modules'
+      // idempotent register() calls, which every operator already makes.
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // ANSI stays ON (Spark 4 default): non-ANSI mode widens decimal
       // intermediates off the compact long-backed fast path (measured 40x
       // on decimal-heavy aggregates). Hash mixing in TextOps therefore

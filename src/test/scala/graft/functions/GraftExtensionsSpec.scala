@@ -1,37 +1,27 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
-import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
 
-/** The `spark.sql.extensions` deployment path: a session built with
-  * ONLY the extensions config (no register() calls anywhere) resolves
-  * every graft function from SQL text, and the injected builders are
-  * the same ones per-session registration binds.
+/** The `spark.sql.extensions` deployment path: GraftSession ships
+  * `graft.functions.GraftExtensions` in its builder, so every session
+  * it produces — and every `newSession()` CLONE, which per-session
+  * temp-function registration would NOT survive — resolves graft_*
+  * functions from SQL text with no register() call. The clone is the
+  * discriminating assertion: a temp-registered function dies with the
+  * session it was registered on; an injected built-in does not.
+  *
+  * (Spark reads `spark.sql.extensions` from the SparkContext's conf,
+  * i.e. at context creation — GraftSession's scaladoc documents the
+  * foreign-context fallback to the modules' idempotent register().)
   */
-class GraftExtensionsSpec extends AnyFunSuite {
+class GraftExtensionsSpec extends SparkSpec {
 
-  private lazy val spark: SparkSession = {
-    // a dedicated session: the suite must prove functions resolve with
-    // NO per-session registration, so it cannot share SparkSpec's
-    // session (other suites register() on it, and getOrCreate would
-    // hand that one back with the extensions config silently ignored).
-    // Clearing the default forces a NEW SparkSession — still on the
-    // shared SparkContext, so this is cheap — and the previous default
-    // is restored for the other suites.
-    val prevDefault = SparkSession.getDefaultSession
-    val prevActive = SparkSession.getActiveSession
-    SparkSession.clearDefaultSession()
-    SparkSession.clearActiveSession()
-    val s = graft.GraftSession.builder("4")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .getOrCreate()
-    prevDefault.foreach(SparkSession.setDefaultSession)
-    prevActive.foreach(SparkSession.setActiveSession)
-    s.newSession() // clone proves injection survives newSession()
-  }
+  // a FRESH clone: no suite has registered anything on it, so only
+  // extension-injected built-ins can resolve here
+  private lazy val cloned = spark.newSession()
 
-  test("every graft function resolves from SQL with no register() call") {
-    val reg = spark.sessionState.functionRegistry
+  test("every graft function resolves in a newSession() clone, unregistered") {
+    val reg = cloned.sessionState.functionRegistry
     GraftFunctions.all.foreach { case (name, _) =>
       assert(reg.lookupFunctionBuilder(
         org.apache.spark.sql.catalyst.FunctionIdentifier(name)).isDefined,
@@ -39,11 +29,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
-  test("injected functions compute: dot, minhash, normalize, bloom") {
-    import spark.implicits._
+  test("injected functions compute from SQL: dot, minhash, normalize, bloom") {
+    val session = cloned
+    import session.implicits._
     Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f), "café", 42L))
       .toDF("a", "b", "t", "x").createOrReplaceTempView("v")
-    val row = spark.sql(
+    val row = session.sql(
       """SELECT graft_dot(a, b) AS d,
         |  size(graft_minhash_sigs(array('x','y','z'), 8)) AS k,
         |  graft_unicode_normalize(t, 'NFD') AS n,
@@ -52,7 +43,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |FROM v""".stripMargin).head()
     assert(row.getDouble(0) == 1.0 * 4 + 2.0 * 5 + 3.0 * 6)
     assert(row.getInt(1) == 8)
-    assert(row.getString(2) == "café")
+    assert(row.getString(2) == "café") // NFD decomposes the e-acute
     assert(row.getBoolean(3))
   }
 }
