@@ -647,10 +647,11 @@ object SimOps {
     * degrades only as the data DISTRIBUTION drifts from the trained
     * quantizers — at which point the owner re-runs [[buildIvfPqIndex]]
     * (the shadow-swap overwrite makes the rebuild atomic under
-    * concurrent probes). Returns the number of vectors encoded.
+    * concurrent probes). The merge is the only action — no trailing
+    * count, which would re-execute the encode.
     */
   def ivfPqIndexAdd(vecs: DataFrame, idCol: String, vecCol: String,
-                    sink: graft.sink.UpsertSink): Long = {
+                    sink: graft.sink.UpsertSink): Unit = {
     val spark = vecs.sparkSession
     VectorFunctions.register(spark)
     PqFunctions.register(spark)
@@ -659,7 +660,6 @@ object SimOps {
       array_max(centScores(meta.cents, col(vecCol))).getField("c").as("list"),
       pqCodes(col(vecCol), meta.books).as("codes"))
     sink.merge(IdxCodes, coded, Seq("id"))
-    coded.count()
   }
 
   /** Deterministic +/-1 hyperplane for (table, plane) — shared with the
