@@ -651,7 +651,18 @@ object SimOps {
     * count, which would re-execute the encode.
     */
   def ivfPqIndexAdd(vecs: DataFrame, idCol: String, vecCol: String,
-                    sink: graft.sink.UpsertSink): Unit = {
+                    sink: graft.sink.UpsertSink): Unit =
+    sink.mergeMany(Seq(ivfPqIndexAddMerge(vecs, idCol, vecCol, sink)))
+
+  /** The [[ivfPqIndexAdd]] encode as an unexecuted [[graft.sink.TableMerge]],
+    * so a caller updating the index TOGETHER with its own tables (e.g.
+    * the semantic-admission stream's corpus) can fuse everything into
+    * ONE `mergeMany` round-trip — one Spark job learns every table's
+    * touched buckets and the shadow swaps run concurrently.
+    * Requires id-unique input (pkUnique — the encode adds no dupes).
+    */
+  def ivfPqIndexAddMerge(vecs: DataFrame, idCol: String, vecCol: String,
+                         sink: graft.sink.UpsertSink): graft.sink.TableMerge = {
     val spark = vecs.sparkSession
     VectorFunctions.register(spark)
     PqFunctions.register(spark)
@@ -659,7 +670,7 @@ object SimOps {
     val coded = vecs.select(col(idCol).as("id"),
       array_max(centScores(meta.cents, col(vecCol))).getField("c").as("list"),
       pqCodes(col(vecCol), meta.books).as("codes"))
-    sink.merge(IdxCodes, coded, Seq("id"))
+    graft.sink.TableMerge(IdxCodes, coded, Seq("id"), pkUnique = true)
   }
 
   /** Deterministic +/-1 hyperplane for (table, plane) — shared with the

@@ -87,12 +87,18 @@ object SemanticAdmitPipeline {
       val admitted = screened.join(inBatchDups, Seq(idCol), "left_anti")
         .localCheckpoint()
       if (!admitted.isEmpty) {
-        sink.merge(corpusTable, admitted, Seq(idCol))
-        if (!bootstrapped)
+        if (!bootstrapped) {
+          sink.merge(corpusTable, admitted, Seq(idCol), pkUnique = true)
           SimOps.buildIvfPqIndex(sink.read(corpusTable), idCol, vecCol,
             sink, nlist = nlist, m = m, ksub = ksub).collect()
-        else
-          SimOps.ivfPqIndexAdd(admitted, idCol, vecCol, sink)
+        } else
+          // ONE mergeMany round-trip for corpus + code lists: one Spark
+          // job learns both tables' touched buckets, the shadow swaps
+          // run concurrently on disjoint dirs (the q64 fusion)
+          sink.mergeMany(Seq(
+            graft.sink.TableMerge(corpusTable, admitted, Seq(idCol),
+              pkUnique = true),
+            SimOps.ivfPqIndexAddMerge(admitted, idCol, vecCol, sink)))
       }
     } finally batch.unpersist()
   }
