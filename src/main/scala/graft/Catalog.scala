@@ -2546,6 +2546,31 @@ object Catalog {
         sink.read("sem_corpus")
           .select(col("vec_id"), (col("vec_id") % 4).as("batch"))
           .orderBy("vec_id")
+      }),
+
+    QueryDef("q90_ann_filtered",
+      "FILTERED vector search over the persisted index (the serving " +
+        "feature every vector store ships): the q81 build stores attr " +
+        "columns ALONGSIDE the m-byte codes, and the probe's predicate " +
+        "(label = 3 here) applies to the code-list scan itself — " +
+        "reaching the parquet reader as a pushed filter, so candidates " +
+        "prune BEFORE any scoring. PRE-filter semantics: the k results " +
+        "are the best among MATCHING vectors (post-filtering a plain " +
+        "top-k returns fewer than k, or none, under a selective " +
+        "predicate). Approximate by design -> rows-only check; " +
+        "SimOpsSpec pins predicate totality on the results and " +
+        "recall >= 0.6 vs exact brute force over the filtered corpus.",
+      None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val sink = tempStore.sink(s, "annidxf", dir)
+        if (!SimOps.ivfPqIndexExists(sink))
+          SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink,
+            attrCols = Seq("label")).collect()
+        SimOps.ivfPqProbeIndex(e.filter(col("vec_id") % 100 === 0), e,
+            "vec_id", "embedding", sink, 5,
+            candidateFilter = Some(col("label") === 3))
+          .orderBy("query_id", "rank")
       })
   )
 

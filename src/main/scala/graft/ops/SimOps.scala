@@ -529,7 +529,8 @@ object SimOps {
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       sink: graft.sink.UpsertSink, nlist: Int = 16,
                       m: Int = 16, ksub: Int = 32,
-                      coarseIters: Int = 2): DataFrame = {
+                      coarseIters: Int = 2,
+                      attrCols: Seq[String] = Nil): DataFrame = {
     require(ksub <= 128, s"ksub $ksub cannot exceed a signed byte's range")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -551,10 +552,16 @@ object SimOps {
       centRows.toDF("list", "comp", "v"), Seq("list", "comp"))
     sink.overwrite(IdxCodebooks,
       bookRows.toDF("sub", "code", "comp", "v"), Seq("sub", "code", "comp"))
+    // attrCols ride ALONGSIDE the codes: a filtered probe then pushes
+    // its predicate into the code-list parquet scan itself (predicate
+    // pushdown prunes candidates BEFORE any scoring) — the filtered-
+    // vector-search shape, instead of a corpus-sized semi-join at
+    // probe time
     sink.overwrite(IdxCodes,
-      corpus.select(col(idCol).as("id"),
+      corpus.select(Seq(col(idCol).as("id"),
         array_max(centScores(cents, col(vecCol))).getField("c").as("list"),
-        pqCodes(col(vecCol), books).as("codes")),
+        pqCodes(col(vecCol), books).as("codes"))
+        ++ attrCols.map(col): _*),
       Seq("id"))
     sink.read(IdxCodes).groupBy("list")
       .agg(count(lit(1)).as("n_codes"))
@@ -569,14 +576,24 @@ object SimOps {
     * refine shortlist only (refine·k rows per query — the bounded
     * random-access read every PQ refine stage pays).
     */
+  /** `candidateFilter` gives PRE-filter semantics (filtered vector
+    * search): the predicate — over the attr columns stored by
+    * [[buildIvfPqIndex]]'s `attrCols` — restricts the CANDIDATE set
+    * before any scoring, so the k results are the best among matching
+    * vectors (post-filtering a plain top-k can return fewer than k, or
+    * none, under a selective predicate). Applied to the code-list scan
+    * directly, it reaches the parquet reader as a pushed filter.
+    */
   def ivfPqProbeIndex(queries: DataFrame, corpus: DataFrame, idCol: String,
                       vecCol: String, sink: graft.sink.UpsertSink, k: Int,
-                      nprobe: Int = 10, refine: Int = 8): DataFrame = {
+                      nprobe: Int = 10, refine: Int = 8,
+                      candidateFilter: Option[Column] = None): DataFrame = {
     val spark = corpus.sparkSession
     VectorFunctions.register(spark)
     PqFunctions.register(spark)
     val meta = readIndexMeta(spark, sink)
-    ivfPqProbeWith(queries, meta.lists, corpus, idCol, vecCol, meta.cents,
+    val lists = candidateFilter.fold(meta.lists)(meta.lists.filter)
+    ivfPqProbeWith(queries, lists, corpus, idCol, vecCol, meta.cents,
       meta.books, k, nprobe, refine)
   }
 
@@ -606,9 +623,13 @@ object SimOps {
       sink.version(IdxCodes))
     idxMetaCache.getOrElseUpdate(key, {
       if (idxMetaCache.size >= 64) idxMetaCache.clear()
+      // renames, not a select: attr columns stored by the build ride
+      // along for candidateFilter predicates (Catalyst prunes them from
+      // unfiltered probes)
       IdxMeta(readCentroids(sink), readCodebooks(sink),
-        sink.read(IdxCodes).select(col("id").as("neighbor_id"),
-          col("list").as("__list"), col("codes").as("__codes")))
+        sink.read(IdxCodes).withColumnRenamed("id", "neighbor_id")
+          .withColumnRenamed("list", "__list")
+          .withColumnRenamed("codes", "__codes"))
     })
   }
 
@@ -651,8 +672,9 @@ object SimOps {
     * count, which would re-execute the encode.
     */
   def ivfPqIndexAdd(vecs: DataFrame, idCol: String, vecCol: String,
-                    sink: graft.sink.UpsertSink): Unit =
-    sink.mergeMany(Seq(ivfPqIndexAddMerge(vecs, idCol, vecCol, sink)))
+                    sink: graft.sink.UpsertSink,
+                    attrCols: Seq[String] = Nil): Unit =
+    sink.mergeMany(Seq(ivfPqIndexAddMerge(vecs, idCol, vecCol, sink, attrCols)))
 
   /** The [[ivfPqIndexAdd]] encode as an unexecuted [[graft.sink.TableMerge]],
     * so a caller updating the index TOGETHER with its own tables (e.g.
@@ -660,16 +682,20 @@ object SimOps {
     * ONE `mergeMany` round-trip — one Spark job learns every table's
     * touched buckets and the shadow swaps run concurrently.
     * Requires id-unique input (pkUnique — the encode adds no dupes).
+    * `attrCols` must match the build's: the code-list schema is the
+    * index's contract.
     */
   def ivfPqIndexAddMerge(vecs: DataFrame, idCol: String, vecCol: String,
-                         sink: graft.sink.UpsertSink): graft.sink.TableMerge = {
+                         sink: graft.sink.UpsertSink,
+                         attrCols: Seq[String] = Nil): graft.sink.TableMerge = {
     val spark = vecs.sparkSession
     VectorFunctions.register(spark)
     PqFunctions.register(spark)
     val meta = readIndexMeta(spark, sink)
-    val coded = vecs.select(col(idCol).as("id"),
+    val coded = vecs.select(Seq(col(idCol).as("id"),
       array_max(centScores(meta.cents, col(vecCol))).getField("c").as("list"),
       pqCodes(col(vecCol), meta.books).as("codes"))
+      ++ attrCols.map(col): _*)
     graft.sink.TableMerge(IdxCodes, coded, Seq("id"), pkUnique = true)
   }
 

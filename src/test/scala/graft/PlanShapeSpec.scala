@@ -336,6 +336,18 @@ class PlanShapeSpec extends SparkSpec {
       s"all-pairs join in the stored-index probe:\n$plan")
   }
 
+  test("q90: the candidate filter is PUSHED into the code-list scan") {
+    // filtered vector search prunes candidates at the parquet reader,
+    // not after scoring: the label predicate must appear in the code
+    // table scan's PushedFilters, and the plan must stay equi-keyed
+    val plan = planOf("q90_ann_filtered")
+    val codeScans = plan.split("Scan parquet").filter(_.contains("label"))
+    assert(codeScans.exists(s => s.contains("PushedFilters")
+        && s.contains("EqualTo(label,3)")),
+      s"label predicate not pushed into the code-list scan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("q83: curation screens stay row-local upstream of the admission state") {
     // the composed chain's stateless screens (canonicalize, line filter,
     // PII scrub) are regex/HOF column work: nothing in the BATCH path

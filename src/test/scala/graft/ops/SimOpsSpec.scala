@@ -315,4 +315,28 @@ class SimOpsSpec extends SparkSpec {
     assert(stored == inQuery,
       s"stored-index probe diverged: missing ${inQuery -- stored}, extra ${stored -- inQuery}")
   }
+
+  test("filtered probe: pre-filter semantics over stored attrs, decent recall") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annidxf")
+    val sink = new graft.sink.UpsertSink(spark, root.toString)
+    val e = Tables.load(spark, sf, "embeddings")
+    SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink,
+      attrCols = Seq("label")).collect()
+    val queries = e.filter($"vec_id" % 50 === 0)
+    val got = SimOps.ivfPqProbeIndex(queries, e, "vec_id", "embedding",
+      sink, k = 3, candidateFilter = Some($"label" === 3))
+    // every result satisfies the predicate (pre-filter, not post-drop)
+    val labels = got.join(e.select($"vec_id".as("neighbor_id"), $"label"),
+      "neighbor_id").select("label").as[Int].collect()
+    assert(labels.nonEmpty && labels.forall(_ == 3))
+    // k results among the MATCHING vectors: recall vs exact brute force
+    // over the filtered corpus (same bar as the unfiltered family)
+    val exact = SimOps.bruteForceTopK(queries, e.filter($"label" === 3),
+        "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = got.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, f"filtered recall $recall%.2f below bound")
+  }
 }
