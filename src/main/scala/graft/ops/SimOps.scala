@@ -603,34 +603,47 @@ object SimOps {
 
   /** Decoded index metadata (centroids + codebooks) and the code-list
     * scan plan for a persisted index, cached process-locally keyed on
-    * the sink's on-disk content version (one directory walk to probe —
-    * no Spark job). A serving process holds its index metadata in
-    * memory exactly once (FAISS does the same); a REBUILD through the
-    * sink's shadow swap changes the version fingerprint, so the next
-    * probe decodes fresh. Cached metadata is nlist×dim + m×ksub×dsub
-    * floats — corpus-size-independent; the lists entry is a PLAN (the
-    * parquet scan DataFrame, session-keyed), cached to skip per-probe
-    * file-listing/footer reads, not materialized data. The cache is
-    * size-capped as a leak guard against rebuild churn in one JVM.
+    * each TABLE's own on-disk content version (one directory walk to
+    * probe — no Spark job). A serving process holds its index metadata
+    * in memory exactly once (FAISS does the same); a REBUILD through
+    * the sink's shadow swap changes the version fingerprints, so the
+    * next probe decodes fresh. Per-table keys matter for the
+    * add-after-train path: [[ivfPqIndexAdd]] touches only the code
+    * lists, so a probe right after an add re-reads the code SCAN but
+    * keeps the decoded quantizers — two Spark collects per batch saved
+    * in the admission stream. Cached metadata is nlist×dim +
+    * m×ksub×dsub floats — corpus-size-independent; the lists entry is
+    * a PLAN (the parquet scan DataFrame, session-keyed), cached to
+    * skip per-probe file-listing/footer reads, not materialized data.
+    * The caches are size-capped as a leak guard against rebuild churn
+    * in one JVM.
     */
-  private val idxMetaCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, Long, Long, Long), IdxMeta]
+  private val idxQuantCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Long),
+      (Array[Array[Float]], Array[Array[Array[Float]]])]
+  private val idxListsCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, Long), DataFrame]
 
   private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
                             sink: graft.sink.UpsertSink): IdxMeta = {
-    val key = (System.identityHashCode(spark), sink.rootPath,
-      sink.version(IdxCentroids), sink.version(IdxCodebooks),
+    val quantKey = (sink.rootPath,
+      sink.version(IdxCentroids), sink.version(IdxCodebooks))
+    val (cents, books) = idxQuantCache.getOrElseUpdate(quantKey, {
+      if (idxQuantCache.size >= 64) idxQuantCache.clear()
+      (readCentroids(sink), readCodebooks(sink))
+    })
+    val listsKey = (System.identityHashCode(spark), sink.rootPath,
       sink.version(IdxCodes))
-    idxMetaCache.getOrElseUpdate(key, {
-      if (idxMetaCache.size >= 64) idxMetaCache.clear()
+    val lists = idxListsCache.getOrElseUpdate(listsKey, {
+      if (idxListsCache.size >= 64) idxListsCache.clear()
       // renames, not a select: attr columns stored by the build ride
       // along for candidateFilter predicates (Catalyst prunes them from
       // unfiltered probes)
-      IdxMeta(readCentroids(sink), readCodebooks(sink),
-        sink.read(IdxCodes).withColumnRenamed("id", "neighbor_id")
-          .withColumnRenamed("list", "__list")
-          .withColumnRenamed("codes", "__codes"))
+      sink.read(IdxCodes).withColumnRenamed("id", "neighbor_id")
+        .withColumnRenamed("list", "__list")
+        .withColumnRenamed("codes", "__codes")
     })
+    IdxMeta(cents, books, lists)
   }
 
   private def readCentroids(sink: graft.sink.UpsertSink): Array[Array[Float]] = {
