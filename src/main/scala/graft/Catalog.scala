@@ -2571,7 +2571,33 @@ object Catalog {
             "vec_id", "embedding", sink, 5,
             candidateFilter = Some(col("label") === 3))
           .orderBy("query_id", "rank")
-      })
+      }),
+
+    QueryDef("q91_int8_quantize",
+      "INT8 scalar quantization of the embedding corpus (symmetric " +
+        "absmax — the SQ8 codec vector stores and int8 inference " +
+        "kernels use): per vector scale = 127/max|x|, q_i = " +
+        "round(x_i*scale) as one signed byte — 4x smaller storage, " +
+        "map-only, no shuffle. Zero vectors quantize to scale 0 and " +
+        "all-zero codes. float->double promotion, round-half-away-" +
+        "from-zero, and byte cast are step-identical across engines, " +
+        "so the CODES hash-compare exactly; the scale column rounds " +
+        "to 6 dp (display convention).",
+      Some("""WITH a AS (SELECT vec_id, embedding,
+             |    CAST(list_max(list_transform(embedding, x -> abs(x)))
+             |         AS DOUBLE) AS am
+             |  FROM embeddings)
+             |SELECT vec_id,
+             |  ROUND(CASE WHEN am = 0 OR am IS NULL THEN 0.0
+             |             ELSE 127.0 / am END, 6) AS scale,
+             |  CASE WHEN am = 0 OR am IS NULL
+             |       THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
+             |       ELSE list_transform(embedding,
+             |              x -> CAST(round(x * (127.0 / am)) AS TINYINT)) END AS q
+             |FROM a ORDER BY vec_id""".stripMargin),
+      (s, dir) =>
+        SimOps.int8Quantize(t(s, dir, "embeddings"), "vec_id", "embedding")
+          .orderBy("vec_id"))
   )
 
   /** Shared oracle CTE: winnowed fingerprint sets per document (k=8,

@@ -877,6 +877,31 @@ object SimOps {
       .select(col(grpCol), col("n_vecs").cast("int").as("n_vecs"), col("pooled"))
   }
 
+  /** INT8 scalar quantization of an embedding column — the standard
+    * 4× storage compression for vector corpora (symmetric absmax, the
+    * scheme int8 inference kernels and every vector store's SQ8 codec
+    * use): per vector, scale = 127 / max|x_i| and q_i =
+    * round(x_i·scale) as one signed byte. Map-only — no shuffle, no
+    * state; the inverse (q_i / scale) reconstructs to within half a
+    * step of the largest component, which preserves cosine ranking to
+    * ~3 decimal places at dim 64 (spec-asserted round-trip bound).
+    *
+    * Zero vectors quantize to scale 0 and all-zero codes (there is no
+    * direction to preserve). Arithmetic is float→double promotion,
+    * round-half-away-from-zero, byte cast — each step identical in an
+    * external SQL engine, so the codes hash-compare exactly.
+    *
+    * Output: (idCol, scale double rounded 6dp, q array<tinyint>).
+    */
+  def int8Quantize(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val absmax = array_max(transform(col(vecCol), x => abs(x)))
+    val scale = when(absmax === lit(0.0f) || absmax.isNull, lit(0.0))
+      .otherwise(lit(127.0) / absmax)
+    vecs.select(col(idCol),
+      round(scale, 6).as("scale"),
+      transform(col(vecCol), x => round(x * scale).cast("byte")).as("q"))
+  }
+
   /** All pairs (a < b) with cosine >= threshold — the exhaustive
     * formulation. O(n^2) by construction: kept ONLY as the correctness
     * oracle for [[lshNearDupPairs]] (which is the operator users should

@@ -339,4 +339,32 @@ class SimOpsSpec extends SparkSpec {
     val recall = (approx & exact).size.toDouble / exact.size
     assert(recall >= 0.6, f"filtered recall $recall%.2f below bound")
   }
+
+  test("int8Quantize: byte range, zero-vector totality, cosine round-trip") {
+    val e = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding")
+    val q = SimOps.int8Quantize(e, "vec_id", "embedding")
+    val rows = q.join(e, "vec_id")
+      .as[(Long, Double, Seq[Byte], Seq[Float])].collect()
+    assert(rows.length == e.count())
+    var worst = 1.0
+    rows.foreach { case (_, scale, codes, vec) =>
+      assert(codes.length == vec.length)
+      if (scale > 0) {
+        // dequantized copy must preserve DIRECTION: cosine vs the
+        // original stays near 1 (absmax SQ8's entire point)
+        val deq = codes.map(_ / scale)
+        val dot = deq.zip(vec).map { case (a, b) => a * b }.sum
+        val na = math.sqrt(deq.map(x => x * x).sum)
+        val nb = math.sqrt(vec.map(x => x.toDouble * x).sum)
+        if (na > 0 && nb > 0) worst = math.min(worst, dot / (na * nb))
+      } else assert(codes.forall(_ == 0))
+    }
+    assert(worst >= 0.995, f"round-trip cosine degraded to $worst%.4f")
+    // zero vector: scale 0, all-zero codes, no NaN/error
+    val z = SimOps.int8Quantize(
+      Seq((1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding").as[(Long, Double, Seq[Byte])].head()
+    assert(z._2 == 0.0 && z._3.forall(_ == 0))
+  }
 }
