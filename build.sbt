@@ -12,6 +12,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's one-line JSON from captured stdout;
+// sbt's default LoggedOutput prefixes every forked-process line with
+// "[info] ", which has broken that parse every round so far. StdoutOutput
+// passes the forked JVM's stdout through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

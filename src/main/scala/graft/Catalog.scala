@@ -16,7 +16,12 @@ import graft.ops.{ChatOps, GraphOps, MultimodalOps, RelOps, SampleOps, SimOps, T
   *  - aggregate/computed columns carry identical aliases on both sides;
   *  - floating-point aggregates are computed exactly (decimal-cast before
   *    summing) and only converted to double after rounding, so both
-  *    engines produce bit-identical values.
+  *    engines produce bit-identical values;
+  *  - oracle-compared outputs carry ONLY atomic columns — no raw
+  *    array/map/struct (the driver's pandas row-sort cannot hash them).
+  *    Serialize nested values on both sides: `array_join(c, ",")` /
+  *    `hex(...)` in Spark, `array_to_string(...)` / `hex(...)` in the
+  *    SQL. Enforced by CatalogSpec's flat-schema guard.
   */
 final case class QueryDef(
     name: String,
@@ -2582,7 +2587,11 @@ object Catalog {
         "all-zero codes. float->double promotion, round-half-away-" +
         "from-zero, and byte cast are step-identical across engines, " +
         "so the CODES hash-compare exactly; the scale column rounds " +
-        "to 6 dp (display convention).",
+        "to 6 dp (display convention). Output convention (QueryDef " +
+        "scaladoc): oracle-compared results carry no raw arrays, so " +
+        "the codes travel as the comma-joined decimal string of the " +
+        "byte sequence — still a byte-exact compare, one string per " +
+        "vector.",
       Some("""WITH a AS (SELECT vec_id, embedding,
              |    CAST(list_max(list_transform(embedding, x -> abs(x)))
              |         AS DOUBLE) AS am
@@ -2590,13 +2599,15 @@ object Catalog {
              |SELECT vec_id,
              |  ROUND(CASE WHEN am = 0 OR am IS NULL THEN 0.0
              |             ELSE 127.0 / am END, 6) AS scale,
-             |  CASE WHEN am = 0 OR am IS NULL
+             |  array_to_string(CASE WHEN am = 0 OR am IS NULL
              |       THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
              |       ELSE list_transform(embedding,
-             |              x -> CAST(round(x * (127.0 / am)) AS TINYINT)) END AS q
+             |              x -> CAST(round(x * (127.0 / am)) AS TINYINT)) END,
+             |    ',') AS q
              |FROM a ORDER BY vec_id""".stripMargin),
       (s, dir) =>
         SimOps.int8Quantize(t(s, dir, "embeddings"), "vec_id", "embedding")
+          .withColumn("q", array_join(col("q"), ","))
           .orderBy("vec_id"))
   )
 

@@ -46,6 +46,16 @@ object GraftSession {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The catalog's only unpartitioned windows run over plan-bounded
+    // inputs (top-n lists in TextOps, per-bucket driver-scale offsets in
+    // SampleOps — adjudicated benign in rounds 5-7), yet each emits a
+    // WindowExec "No Partition Defined" WARN that floods the bench log
+    // and the driver's stdout tail-capture. Raise just that logger to
+    // ERROR; genuinely unbounded windows would still be caught by the
+    // plan-shape specs, which assert the window inputs are bounded.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     spark
   }
 }

@@ -108,10 +108,34 @@ object TopKAggregate {
   /** The k best (id, score) pairs per group by (score DESC, id ASC), as
     * an `array<struct<_1: bigint, _2: double>>` in rank order (element
     * position + 1 IS the rank).
+    *
+    * ID CONTRACT: the buffer stores ids as primitive longs (that is
+    * what makes the map-side fold allocation-free), so `id` must be an
+    * integral column — a string or struct id would fail (or ANSI-throw
+    * on the inserted cast) only at runtime, deep inside the exchange.
+    * Callers with a known schema should fail fast via
+    * [[requireLongCompatibleId]].
     */
   def top(score: Column, id: Column, k: Int): Column = {
     import org.apache.spark.sql.functions.udaf
     udaf(new ScoredTopK(k),
       ExpressionEncoder[(Double, Long)]()).apply(score, id)
+  }
+
+  /** Fail-fast guard for [[top]]'s long-id contract: raises a NAMED
+    * error at plan-construction time when `idCol` is not an integral
+    * type, instead of an opaque runtime cast failure mid-shuffle.
+    */
+  def requireLongCompatibleId(df: org.apache.spark.sql.DataFrame,
+                              idCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"top-k id column '$idCol' must be an integral type (the bounded " +
+        s"top-k buffer stores ids as primitive longs); got " +
+        s"${dt.simpleString}. Map string/struct ids to a dense long " +
+        "surrogate (e.g. xxhash64 or monotonically_increasing_id + " +
+        "join-back) before the top-k, or use the row_number window " +
+        "formulation for type-agnostic ids.")
   }
 }

@@ -91,7 +91,10 @@ object SimOps {
     * aggregate. Exact (score, id) duplicates collapse, so multi-bucket
     * candidate generators need no distinct() ahead of this.
     */
-  private def topKFromScored(scored: DataFrame, k: Int): DataFrame =
+  private def topKFromScored(scored: DataFrame, k: Int): DataFrame = {
+    // fail fast on TopKAggregate's long-id contract (a string id would
+    // otherwise ANSI-throw on the inserted cast mid-shuffle)
+    graft.functions.TopKAggregate.requireLongCompatibleId(scored, "neighbor_id")
     scored
       .groupBy("query_id")
       .agg(graft.functions.TopKAggregate.top(
@@ -102,6 +105,7 @@ object SimOps {
         round(when(col("__e._2") === lit(Double.NegativeInfinity), lit(null))
           .otherwise(col("__e._2")), 6).as("cosine"),
         (col("__i") + 1).cast("int").as("rank"))
+  }
 
   /** LSH-bucketed approximate top-k: candidates are corpus vectors sharing
     * any of `tables` independent signatures with the query; exact cosine
@@ -404,7 +408,8 @@ object SimOps {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 10,
                 m: Int = 16, ksub: Int = 32, coarseIters: Int = 2,
-                refine: Int = 8): DataFrame = {
+                refine: Int = 8,
+                broadcastQueries: Boolean = true): DataFrame = {
     // fail fast — trainPqCodebooks re-checks, but only AFTER the coarse
     // quantizer's Lloyd rounds have run over the whole corpus
     require(ksub <= 128, s"ksub $ksub cannot exceed a signed byte's range")
@@ -419,7 +424,7 @@ object SimOps {
       array_max(centScores(cents, col(vecCol))).getField("c").as("__list"),
       pqCodes(col(vecCol), books).as("__codes"))
     ivfPqProbeWith(queries, lists, corpus, idCol, vecCol, cents, books,
-      k, nprobe, refine)
+      k, nprobe, refine, broadcastQueries)
   }
 
   /** The probe stage of IVF-PQ against ALREADY-ENCODED inverted lists
@@ -433,12 +438,23 @@ object SimOps {
                              corpus: DataFrame, idCol: String, vecCol: String,
                              cents: Array[Array[Float]],
                              books: Array[Array[Array[Float]]],
-                             k: Int, nprobe: Int, refine: Int): DataFrame = {
+                             k: Int, nprobe: Int, refine: Int,
+                             broadcastQueries: Boolean = true): DataFrame = {
     // Probe routing as two BROADCAST sides keyed off the query batch —
     // a serving batch is bounded by construction (queries × nprobe
     // (query_id, list) pairs; queries × 4·dim-byte vectors), so the
     // corpus-size code lists NEVER shuffle: candidates stream out of
     // the scan through two broadcast hash joins.
+    // `broadcastQueries = false` (the corpus-scale-query escape hatch
+    // the public entry points expose) drops BOTH hints and lets
+    // AQE/Catalyst pick the strategy from measured sizes: a
+    // corpus-sized query set (full kNN self-join) must degrade to
+    // shuffled joins, not blow the driver's broadcast limit.
+    def hinted(df: DataFrame): DataFrame =
+      if (broadcastQueries) broadcast(df) else df
+    // the ADC shortlist folds (score, neighbor_id) pairs through
+    // TopKAggregate — enforce its long-id contract eagerly
+    graft.functions.TopKAggregate.requireLongCompatibleId(lists, "neighbor_id")
     // One broadcast carries both the routing pair AND the query vector
     // (nprobe-fold vector duplication — 4·dim·nprobe bytes per query —
     // traded for one queries-side job and one join fewer than separate
@@ -459,7 +475,7 @@ object SimOps {
     // candidate set is nprobe/nlist of the corpus per query, and that
     // window shuffle was the dominant exchange of the whole probe.
     val shortK = k * refine.max(1)
-    val shortlist = lists.join(broadcast(probes), Seq("__list"))
+    val shortlist = lists.join(hinted(probes), Seq("__list"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("__score",
         PqFunctions.adcScore(col("__qvec"), col("__codes"), books))
@@ -481,7 +497,7 @@ object SimOps {
     // the shortlist side is queries × refine·k rows — broadcast it so
     // the corpus-side exact-vector fetch is one scan with a broadcast
     // hash join, not a corpus-wide shuffle
-    val refined = broadcast(shortlist).join(cv, "neighbor_id")
+    val refined = hinted(shortlist).join(cv, "neighbor_id")
       .withColumn("cosine",
         safeCos(dot(col("__qv"), col("__cv")), norm(col("__qv")), col("__cn")))
     topKFromScored(refined, k)
@@ -584,17 +600,24 @@ object SimOps {
     * none, under a selective predicate). Applied to the code-list scan
     * directly, it reaches the parquet reader as a pushed filter.
     */
+  /** `broadcastQueries = false` is the corpus-scale-query escape hatch:
+    * the default plan broadcasts the probe routing and the shortlist
+    * (bounded for a serving batch), which a corpus-sized query set
+    * would blow past the driver/broadcast limits — unset, both joins
+    * fall back to AQE-picked shuffled strategies.
+    */
   def ivfPqProbeIndex(queries: DataFrame, corpus: DataFrame, idCol: String,
                       vecCol: String, sink: graft.sink.UpsertSink, k: Int,
                       nprobe: Int = 10, refine: Int = 8,
-                      candidateFilter: Option[Column] = None): DataFrame = {
+                      candidateFilter: Option[Column] = None,
+                      broadcastQueries: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     VectorFunctions.register(spark)
     PqFunctions.register(spark)
     val meta = readIndexMeta(spark, sink)
     val lists = candidateFilter.fold(meta.lists)(meta.lists.filter)
     ivfPqProbeWith(queries, lists, corpus, idCol, vecCol, meta.cents,
-      meta.books, k, nprobe, refine)
+      meta.books, k, nprobe, refine, broadcastQueries)
   }
 
   private final case class IdxMeta(cents: Array[Array[Float]],
@@ -622,7 +645,19 @@ object SimOps {
     .empty[(String, Long, Long),
       (Array[Array[Float]], Array[Array[Array[Float]]])]
   private val idxListsCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, Long), DataFrame]
+    .empty[(String, String, Long), DataFrame]
+
+  /** Random UUID per live SparkSession instance (classic sessions expose
+    * no uuid). Weak keys: the token map never pins a stopped session,
+    * and a future session reusing a collected one's identity hash still
+    * gets a FRESH token — the uniqueness identityHashCode could not
+    * guarantee.
+    */
+  private val sessionTokens = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
+  private def sessionToken(spark: org.apache.spark.sql.SparkSession): String =
+    sessionTokens.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID().toString)
 
   private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
                             sink: graft.sink.UpsertSink): IdxMeta = {
@@ -632,7 +667,15 @@ object SimOps {
       if (idxQuantCache.size >= 64) idxQuantCache.clear()
       (readCentroids(sink), readCodebooks(sink))
     })
-    val listsKey = (System.identityHashCode(spark), sink.rootPath,
+    // a GUARANTEED-unique session token, not identityHashCode: identity
+    // hashes are not unique across live sessions (a collision would
+    // hand one session a plan bound to another, possibly stopped,
+    // session). Entries whose session has stopped are evicted eagerly
+    // so cached plans never pin a dead SparkSession until the size-cap
+    // clear.
+    idxListsCache.filterInPlace((_, df) =>
+      !df.sparkSession.sparkContext.isStopped)
+    val listsKey = (sessionToken(spark), sink.rootPath,
       sink.version(IdxCodes))
     val lists = idxListsCache.getOrElseUpdate(listsKey, {
       if (idxListsCache.size >= 64) idxListsCache.clear()

@@ -293,9 +293,23 @@ object TextOps {
         col("col.__fp").as("__fp"))
     val oReq = ceil(lit(threshold)
       * least(col("x.__n"), col("y.__n")) - lit(1e-9))
+    // The prefix side is pinned to the SMALLER doc of each pair: the
+    // min-normalized overlap needs o = ceil(t*min) shared prints, and
+    // only the smaller doc's own-size prefix (|s| - ceil(t|s|) + 1 =
+    // |s| - o + 1 exactly when |s| is the min) provably contains the
+    // pair's first shared print — the larger doc's own-size prefix is
+    // too short when sizes differ, so prefix x prefix would LOSE
+    // recall here (unlike Jaccard's PPJoin, where the length filter
+    // bounds the size ratio). Ordering the join by (size, id) keeps
+    // recall exactly 1 while each qualifying pair surfaces from ONE
+    // direction instead of two — half the match rows into the
+    // distinct, the join's dominant cost on this degenerate-
+    // fingerprint corpus.
+    val sizeOrdered = col("x.__n") < col("y.__n") ||
+      (col("x.__n") === col("y.__n") && col("x.__id") < col("y.__id"))
     val cands = pref.as("x")
       .join(full.as("y"),
-        col("x.__fp") === col("y.__fp") && col("x.__id") =!= col("y.__id")
+        col("x.__fp") === col("y.__fp") && sizeOrdered
           && lit(1) + least(col("x.__n") - col("x.__i"),
                col("y.__n") - col("y.__i")) >= oReq)
       .select(least(col("x.__id"), col("y.__id")).as("a_id"),

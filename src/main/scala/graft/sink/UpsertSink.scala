@@ -83,6 +83,14 @@ final class UpsertSink(spark: SparkSession, root: String,
     * written part files, so any rebuild changes the fingerprint; 0 for
     * a missing table. Readers that cache decoded table content key on
     * this to stay coherent with on-disk state.
+    *
+    * (path, size, mtime) alone is not collision-proof: a rewrite that
+    * reproduces identical names and sizes within the same millisecond
+    * would be invisible. Every sink write therefore also stamps a
+    * `_graft_gen` marker with a fresh UUID (atomic with the swap on the
+    * whole-table path), and the marker's CONTENT — not its metadata —
+    * folds into the hash, so cache coherence never depends on part-file
+    * naming or clock resolution.
     */
   def version(table: String): Long = {
     recover(table)
@@ -93,12 +101,24 @@ final class UpsertSink(spark: SparkSession, root: String,
       stream.sorted().iterator().asScala
         .filter(Files.isRegularFile(_))
         .foldLeft(1125899906842597L) { (h, p) =>
-          val s = s"${dir.relativize(p)}|${Files.size(p)}|" +
-            s"${Files.getLastModifiedTime(p).toMillis}"
+          val s =
+            if (p.getFileName.toString == GenMarker)
+              s"$GenMarker|${new String(Files.readAllBytes(p), "UTF-8")}"
+            else s"${dir.relativize(p)}|${Files.size(p)}|" +
+              s"${Files.getLastModifiedTime(p).toMillis}"
           s.foldLeft(h)((a, c) => a * 31 + c)
         }
     } finally stream.close()
   }
+
+  /** Per-write generation marker (underscore prefix = invisible to
+    * parquet readers). See [[version]].
+    */
+  private val GenMarker = "_graft_gen"
+
+  private def stampGeneration(dir: Path): Unit =
+    Files.write(dir.resolve(GenMarker),
+      java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
 
   /** Crash recovery for the swap windows: [[overwrite]] moves target ->
     * `.__old` then shadow -> target; a crash between the two leaves the
@@ -288,6 +308,7 @@ final class UpsertSink(spark: SparkSession, root: String,
     // a dead generation's rows into the rebuilt table
     dropLegacyBucketBackups(table)
     writeShadow(shadow)
+    stampGeneration(shadow) // atomic with the swap below
     val old = Paths.get(root, s".${table}__old")
     deleteRecursively(old)
     if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
@@ -495,6 +516,11 @@ final class UpsertSink(spark: SparkSession, root: String,
       }
     }
     deleteRecursively(shadow)
+    // not atomic with the bucket moves above, but each moved-in part
+    // file already changes (path, size, mtime) — the marker only has to
+    // defeat the identical-name/size/mtime corner, which a crash short
+    // of this line cannot reproduce
+    stampGeneration(dir)
   }
 
   /** Last-write-wins within a batch: one row per PK — shared with the

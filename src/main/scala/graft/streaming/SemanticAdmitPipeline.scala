@@ -35,28 +35,41 @@ object SemanticAdmitPipeline {
             idCol: String, vecCol: String, threshold: Double,
             nlist: Int = 16, m: Int = 16, ksub: Int = 32,
             nprobe: Int = 10,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            trigger: Trigger = Trigger.AvailableNow(),
+            exactDedupMaxBatch: Int = 4096): StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         admitBatch(sink, corpusTable, batch, idCol, vecCol, threshold,
-          nlist, m, ksub, nprobe)
+          nlist, m, ksub, nprobe, exactDedupMaxBatch)
       }
       .start()
 
   /** One micro-batch through the admission core (shared with any batch
     * caller): screen against the stored index, dedup within the batch,
     * merge survivors, extend the index.
+    *
+    * `exactDedupMaxBatch` bounds the exact O(batch²) in-batch dedup:
+    * batches at most this large take the exhaustive pair path (recall
+    * 1); larger batches AUTOMATICALLY switch to the banded-LSH
+    * candidate path (shuffle O(tables·batch), recall < 1 — measured in
+    * SimOpsSpec), so no deployment silently pays quadratic cost on a
+    * huge micro-batch. The cross-batch screen is index-bounded either
+    * way.
     */
   def admitBatch(sink: UpsertSink, corpusTable: String, rawBatch: DataFrame,
                  idCol: String, vecCol: String, threshold: Double,
                  nlist: Int = 16, m: Int = 16, ksub: Int = 32,
-                 nprobe: Int = 10): Unit = {
+                 nprobe: Int = 10,
+                 exactDedupMaxBatch: Int = 4096): Unit = {
     if (rawBatch.isEmpty) return
     val batch = rawBatch.dropDuplicates(idCol).cache()
     try {
+      // counts the CACHED batch (materializing it for every downstream
+      // consumer) — one bounded job that also decides the dedup path
+      val batchSize = batch.count()
       val bootstrapped = SimOps.ivfPqIndexExists(sink) &&
         sink.exists(corpusTable)
       // screen vs the ACCUMULATED corpus through the stored index: the
@@ -71,15 +84,22 @@ object SemanticAdmitPipeline {
             .select(col("query_id").as(idCol))
           batch.join(hits, Seq(idCol), "left_anti")
         }
-      // in-batch semantic dedup: exact pairs WITHIN the micro-batch
-      // (batch-bounded by construction — never corpus-sized); larger id
-      // of a pair dies, the SemDeDup keeper rule. Deployments with huge
-      // micro-batches swap this for SimOps.lshNearDupPairs (bucketed
-      // candidates, recall < 1) — the cross-batch screen above is the
-      // corpus-facing path and stays index-bounded either way
-      val inBatchDups = SimOps.cosineNearDupPairs(screened, idCol, vecCol,
-          threshold)
-        .select(col("b_id").as(idCol)).distinct()
+      // in-batch semantic dedup (batch-bounded by construction — never
+      // corpus-sized); larger id of a pair dies, the SemDeDup keeper
+      // rule. Path picked by batch size — see `exactDedupMaxBatch`.
+      val pairs =
+        if (batchSize <= exactDedupMaxBatch)
+          SimOps.cosineNearDupPairs(screened, idCol, vecCol, threshold)
+        else {
+          // hyperplanes must span the real vector width (the 64 default
+          // would silently truncate higher-dim embeddings); one bounded
+          // probe of the CACHED batch
+          val dim = batch.select(size(col(vecCol)).as("__n"))
+            .filter(col("__n").isNotNull).limit(1).collect()(0).getInt(0)
+          SimOps.lshNearDupPairs(screened, idCol, vecCol, threshold,
+            dim = dim)
+        }
+      val inBatchDups = pairs.select(col("b_id").as(idCol)).distinct()
       // localCheckpoint BEFORE the merge: the screen plan READS the
       // corpus table the merge is about to REWRITE — without cutting
       // the lineage, the merge's own write re-executes the probe over

@@ -19,6 +19,25 @@ class CatalogSpec extends SparkSpec {
   for (q <- Catalog.all) {
     test(s"${q.name} executes at sf0.001") {
       val df = q.fn(spark, sf)
+      // Oracle-compared outputs must be FLAT (atomic types only): the
+      // driver's harness sorts rows in pandas before hashing, and a raw
+      // array/map/struct column crashes its sort (unhashable ndarray —
+      // the exact q91 round-7 failure). Serialize nested values with
+      // array_join/hex on the Spark side and array_to_string/hex in the
+      // oracle SQL. Enforced here so the guard fires in `sbt test`,
+      // before the driver ever sees the query.
+      if (q.oracle.isDefined) {
+        import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+        val nested = df.schema.fields.filter(f => f.dataType match {
+          case _: ArrayType | _: MapType | _: StructType => true
+          case _ => false
+        })
+        assert(nested.isEmpty,
+          s"${q.name} is oracle-compared but emits non-atomic columns " +
+            s"${nested.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")} — " +
+            "serialize them (array_join / hex) in BOTH the Spark " +
+            "projection and the oracle SQL")
+      }
       val n = df.count()
       assert(n >= 0)
       // queries expected to produce rows on the smallest scale

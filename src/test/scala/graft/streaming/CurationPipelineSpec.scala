@@ -133,28 +133,43 @@ class CurationPipelineSpec extends SparkSpec {
     def uniqueDoc(b: Int, i: Int): String =
       (0 until 12).map(w => s"tok${alpha(b)}q${alpha(i)}q${alpha(w)} unique")
         .mkString(" ")
+    // GC-ADJUSTED wall time: a late-batch GC pause on a loaded box was
+    // the one spurious way this spec could trip (round-7 advice), and
+    // JVM-wide collection time is directly measurable — subtract it so
+    // the comparison sees compute+IO, not collector luck
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcSec(): Double = {
+      var s = 0L
+      gcBeans.forEach(b => s += b.getCollectionTime.max(0L))
+      s / 1e3
+    }
     val timings = (1 to 6).map { b =>
       (0 until perBatch).map(i => (b * 1000L + i,
           s"https://host$b.example.org/p$i", uniqueDoc(b, i)))
         .toDF("doc_id", "raw_url", "text").coalesce(1)
         .write.mode("append").parquet(src.toString)
       val t0 = System.nanoTime()
+      val g0 = gcSec()
       CurationPipeline.curatedAdmitStream(spark, src.toString, schema,
           sink, "flat_corpus", "flat_bands", checkpoint, "raw_url",
           Seq("spam.example"))
         .awaitTermination(120000)
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9 - (gcSec() - g0)).max(0.001)
     }
-    info(s"per-batch seconds: ${timings.map(t => f"$t%.2f").mkString(", ")}")
+    info(s"per-batch seconds (gc-adjusted): ${timings.map(t => f"$t%.2f").mkString(", ")}")
     assert(sink.read("flat_corpus").count() == 6L * perBatch)
-    // median of batches 2-5 as the baseline (batch 1 pays state init; a
-    // median shrugs off a single GC/load spike where a min would not),
-    // generous 3.5x bound: a loaded box inflates every batch roughly
-    // alike, so only genuine corpus-proportional growth trips this
-    val mid = timings.slice(1, 5).sorted
+    // median of batches 2-4 as the baseline (batch 1 pays state init; a
+    // median shrugs off a single load spike where a min would not) vs
+    // the MIN of the two late batches — one contaminated late batch
+    // cannot trip the bound alone. Generous 3.5x: a loaded box inflates
+    // every batch roughly alike, so only genuine corpus-proportional
+    // growth trips this.
+    val mid = timings.slice(1, 4).sorted
     val baseline = mid(mid.length / 2)
-    assert(timings.last <= baseline * 3.5,
-      f"late batch ${timings.last}%.2f s vs baseline $baseline%.2f s — " +
-        "per-batch cost is growing with the accumulated corpus")
+    val late = math.min(timings(4), timings(5))
+    assert(late <= baseline * 3.5,
+      f"late batches ${timings(4)}%.2f/${timings(5)}%.2f s vs baseline " +
+        f"$baseline%.2f s — per-batch cost is growing with the corpus")
   }
 }

@@ -86,4 +86,75 @@ class SemanticAdmitPipelineSpec extends SparkSpec {
     assert(!admitted().contains(3001L),
       "index was not extended with batch-2 admissions")
   }
+
+  test("LSH in-batch dedup path admits the same set as the exact path") {
+    // exactDedupMaxBatch = 0 forces every batch onto the banded-LSH
+    // in-batch dedup (the auto-switch large deployments hit); at these
+    // settings (48 tables x 4 planes, threshold 0.9) collision recall
+    // is ~1 on this corpus, so the admitted set must MATCH the exact
+    // path's — pinning that the switch changes cost shape, not results.
+    val batches = Seq(
+      (0 until 40).map(i => (1000L + i, vec(i))) :+ (1040L, vec(1)),
+      Seq((2001L, vec(3)), (2002L, vec(7, jitter = 0.3f)),
+        (2003L, vec(777))),
+      Seq((3001L, vec(777)), (3002L, vec(888))))
+    def admitAll(exactMax: Int): Set[Long] = {
+      val root = Files.createTempDirectory("graft_semadmit_parity")
+      val sink = new UpsertSink(spark, root.resolve("sink").toString)
+      batches.foreach { rows =>
+        SemanticAdmitPipeline.admitBatch(sink, "sem_corpus",
+          rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          threshold = 0.9, nlist = 4, m = 4, ksub = 8, nprobe = 4,
+          exactDedupMaxBatch = exactMax)
+      }
+      sink.read("sem_corpus").select("vec_id").as[Long].collect().toSet
+    }
+    val exact = admitAll(Int.MaxValue)
+    val lsh = admitAll(0)
+    assert(exact == lsh,
+      s"paths diverged: exact-only ${exact -- lsh}, lsh-only ${lsh -- exact}")
+    assert(!exact.contains(1040L) && !exact.contains(3001L) &&
+      exact.contains(2003L) && exact.contains(3002L))
+  }
+
+  test("per-batch admission cost stays flat as the corpus accumulates (the 100 TB claim)") {
+    // q89's scale claim, MEASURED (the q83/CurationPipelineSpec
+    // pattern): the stored-index probe bounds screen candidates to the
+    // probed lists and the in-batch dedup is batch-local, so batch N
+    // must cost what batch 2 cost even though the admitted corpus is
+    // N× larger. Batch 1 additionally pays the bootstrap TRAIN and is
+    // excluded from the baseline. GC-adjusted wall time; the late
+    // figure is the MIN of the last two batches so a single load/GC
+    // spike cannot trip the bound — only monotone corpus-proportional
+    // growth can.
+    val root = Files.createTempDirectory("graft_semadmit_flat")
+    val sink = new UpsertSink(spark, root.resolve("sink").toString)
+    val perBatch = 50
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcSec(): Double = {
+      var s = 0L
+      gcBeans.forEach(b => s += b.getCollectionTime.max(0L))
+      s / 1e3
+    }
+    val timings = (1 to 6).map { b =>
+      val rows = (0 until perBatch)
+        .map(i => (b * 10000L + i, vec(b * 1000 + i)))
+      val t0 = System.nanoTime()
+      val g0 = gcSec()
+      SemanticAdmitPipeline.admitBatch(sink, "flat_corpus",
+        rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        threshold = 0.9, nlist = 4, m = 4, ksub = 8, nprobe = 4)
+      ((System.nanoTime() - t0) / 1e9 - (gcSec() - g0)).max(0.001)
+    }
+    info(s"per-batch seconds (gc-adjusted): ${timings.map(t => f"$t%.2f").mkString(", ")}")
+    assert(sink.read("flat_corpus").count() >= 5L * perBatch)
+    val mid = timings.slice(1, 4).sorted
+    val baseline = mid(mid.length / 2)
+    val late = math.min(timings(4), timings(5))
+    assert(late <= baseline * 3.5,
+      f"late batches ${timings(4)}%.2f/${timings(5)}%.2f s vs baseline " +
+        f"$baseline%.2f s — per-batch admission cost is growing with " +
+        "the corpus")
+  }
 }
