@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{MinHashFunctions, WinnowFunctions}
-import graft.ops.{ChatOps, GraphOps, MultimodalOps, RelOps, SampleOps, SimOps, TextOps, WebOps}
+import graft.ops.{BpeOps, ChatOps, GraphOps, MultimodalOps, RelOps, SampleOps, SimOps, TextOps, WebOps}
 
 /** One named query: the Spark plan plus (when SQL-expressible) the exact
   * DuckDB oracle the driver hash-compares against.
@@ -2608,7 +2608,59 @@ object Catalog {
       (s, dir) =>
         SimOps.int8Quantize(t(s, dir, "embeddings"), "vec_id", "embedding")
           .withColumn("q", array_join(col("q"), ","))
-          .orderBy("vec_id"))
+          .orderBy("vec_id")),
+
+    QueryDef("q92_bpe_tokenize",
+      "BPE subword tokenizer LEARNED from the corpus, then applied " +
+        "back over it (Sennrich 2016; greedy lowest-rank apply as in " +
+        "GPT-2's encoder). The ONLY corpus-scale job is the word-" +
+        "frequency rollup (map-side-combined groupBy over the unicode " +
+        "tokenizer); 200 merges then learn from the collected frequency " +
+        "dictionary — vocabulary-bounded (Heaps' law), capped at " +
+        "maxWords with the dropped tail mass REPORTED, which is how " +
+        "subword-nmt/HF-tokenizers/SentencePiece all learn. The encode " +
+        "pass back over the corpus is map-only codegen, the merge " +
+        "table riding the plan as a reference object. Iterative merge " +
+        "selection -> no SQL oracle (driver rows-only); BpeOpsSpec " +
+        "pins the merge loop on the hand-computable Sennrich " +
+        "dictionary, greedy rank order on the encoder, the lossless " +
+        "round-trip (tokens reconcatenate to the tokenized text) over " +
+        "the real corpus, and the map-only encode plan.",
+      None,
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = BpeOps.learnBpe(docs, "text", numMerges = 200)
+        BpeOps.encode(docs, "text", model.merges)
+          .select(col("doc_id"), col("n_tokens"),
+            array_join(slice(col("bpe_tokens"), 1, 12), " ").as("head_tokens"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q93_ann_sq8_probe",
+      "SELF-CONTAINED index probe: the q81 build additionally stores " +
+        "the corpus under SQ8 scalar quantization (ann_vecs8 — the q91 " +
+        "codec, 1 byte per component), and the probe re-ranks its ADC " +
+        "shortlist from those stored codes instead of fetching exact " +
+        "float vectors from the corpus table. Cosine is scale-" +
+        "invariant, so the codes alone carry the angle (fused " +
+        "Int8Cosine, no dequantized array per row). The probe then " +
+        "reads ONLY index tables — the serving path ships the index " +
+        "directory alone, and refine I/O is 4x smaller. Approximate " +
+        "by design -> rows-only check; SimOpsSpec pins shortlist " +
+        "parity vs the exact-refine probe and recall vs brute force; " +
+        "PlanShapeSpec pins that no corpus-table scan appears in the " +
+        "probe plan.",
+      None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val sink = tempStore.sink(s, "annidx8", dir)
+        if (!SimOps.ivfPqIndexExists(sink))
+          SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink,
+            storeSq8 = true).collect()
+        SimOps.ivfPqProbeIndex(e.filter(col("vec_id") % 100 === 0), e,
+            "vec_id", "embedding", sink, 5, refineFromSq8 = true)
+          .orderBy("query_id", "rank")
+      })
   )
 
   /** Shared oracle CTE: winnowed fingerprint sets per document (k=8,

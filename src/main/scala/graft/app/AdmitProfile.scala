@@ -74,11 +74,10 @@ object AdmitProfile {
                     .collect()
                 }
               } else time("fused mergeMany") {
-                sink.mergeMany(Seq(
-                  graft.sink.TableMerge(corpusTable, admitted,
-                    Seq("vec_id"), pkUnique = true),
-                  SimOps.ivfPqIndexAddMerge(admitted, "vec_id",
-                    "embedding", sink)))
+                sink.mergeMany(graft.sink.TableMerge(corpusTable, admitted,
+                  Seq("vec_id"), pkUnique = true)
+                  +: SimOps.ivfPqIndexAddMerges(admitted, "vec_id",
+                    "embedding", sink))
               }
             }
           } finally batch.unpersist()

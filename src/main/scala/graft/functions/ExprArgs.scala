@@ -18,4 +18,14 @@ private[functions] object ExprArgs {
     case other => throw new IllegalArgumentException(
       s"$what must be a string literal, got $other")
   }
+
+  def litStringArray(e: Expression, what: String): Array[String] = {
+    require(e.foldable, s"$what must be a foldable string-array literal")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        Array.tabulate(a.numElements())(i => a.getUTF8String(i).toString)
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string-array literal, got $other")
+    }
+  }
 }

@@ -29,7 +29,7 @@ object GraftFunctions {
     VectorFunctions.builders ++ PqFunctions.builders ++
       LshFunctions.builders ++ MinHashFunctions.builders ++
       WinnowFunctions.builders ++ NormalizeFunctions.builders ++
-      BloomFunctions.builders
+      BloomFunctions.builders ++ BpeFunctions.builders
 
   /** Idempotent session registration of a module's builders (the shared
     * body of every module's `register`).

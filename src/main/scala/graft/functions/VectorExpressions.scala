@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType}
 
 /** Native dot product over two `array<float>` embedding columns.
   *
@@ -72,14 +72,78 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused cosine between an `array<float>` query and an `array<tinyint>`
+  * SQ8-quantized vector (symmetric absmax codes — [[graft.ops.SimOps
+  * .int8Quantize]]'s layout). Cosine is invariant under the positive
+  * per-vector scale, so the codes alone carry the angle: one loop
+  * accumulates dot, |q|² and |c|² and divides once — no dequantized
+  * float array is ever materialized per row, which is the point of
+  * refining from 1-byte components. Zero-norm inputs score 0.0
+  * (the [[graft.ops.SimOps.safeCos]] convention).
+  */
+case class Int8Cosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<tinyint>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    Int8Cosine.cosine(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Int8Cosine.cosine($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Int8Cosine {
+  /** Shared by both eval paths — identical results by construction. */
+  def cosine(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val a = x.getFloat(i).toDouble
+      val b = y.getByte(i).toDouble
+      d += a * b
+      nx += a * a
+      ny += b * b
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else d / (math.sqrt(nx) * math.sqrt(ny))
+  }
+}
+
 object VectorFunctions {
 
   val DotName = "graft_dot"
+  val Int8CosName = "graft_int8_cos"
 
   private[functions] def builders
       : Seq[(String, Seq[Expression] => Expression)] = Seq(
     DotName -> ((exprs: Seq[Expression]) =>
-      FloatDotProduct(exprs(0), exprs(1))))
+      FloatDotProduct(exprs(0), exprs(1))),
+    Int8CosName -> ((exprs: Seq[Expression]) =>
+      Int8Cosine(exprs(0), exprs(1))))
 
   /** Idempotent per-session registration; the expression is then usable
     * from both the Column API (via [[dot]]) and SQL text. Cluster-wide
@@ -92,4 +156,10 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column = call_function(DotName, a, b)
 
   def norm(a: Column): Column = org.apache.spark.sql.functions.sqrt(dot(a, a))
+
+  /** Fused cosine(float query, SQ8 codes). Caller must have
+    * [[register]]ed.
+    */
+  def int8Cos(q: Column, codes: Column): Column =
+    call_function(Int8CosName, q, codes)
 }

@@ -434,12 +434,17 @@ object SimOps {
     * and [[ivfPqProbeIndex]] (stored index) — the build/probe split is
     * WHERE the lists come from, never what the probe does.
     */
+  /** `refineVecs8`: refine from STORED SQ8 codes (neighbor_id, __c8)
+    * instead of the exact float corpus — see [[ivfPqProbeIndex]]'s
+    * `refineFromSq8` for the scale rationale.
+    */
   private def ivfPqProbeWith(queries: DataFrame, lists: DataFrame,
                              corpus: DataFrame, idCol: String, vecCol: String,
                              cents: Array[Array[Float]],
                              books: Array[Array[Array[Float]]],
                              k: Int, nprobe: Int, refine: Int,
-                             broadcastQueries: Boolean = true): DataFrame = {
+                             broadcastQueries: Boolean = true,
+                             refineVecs8: Option[DataFrame] = None): DataFrame = {
     // Probe routing as two BROADCAST sides keyed off the query batch —
     // a serving batch is bounded by construction (queries × nprobe
     // (query_id, list) pairs; queries × 4·dim-byte vectors), so the
@@ -492,14 +497,24 @@ object SimOps {
     // pays) and re-rank by exact cosine. Quantization error then only
     // costs recall when a true neighbor misses the ADC shortlist
     // entirely, not whenever codes scramble adjacent ranks.
-    val cv = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
     // the shortlist side is queries × refine·k rows — broadcast it so
-    // the corpus-side exact-vector fetch is one scan with a broadcast
-    // hash join, not a corpus-wide shuffle
-    val refined = hinted(shortlist).join(cv, "neighbor_id")
-      .withColumn("cosine",
-        safeCos(dot(col("__qv"), col("__cv")), norm(col("__qv")), col("__cn")))
+    // the vector fetch is one scan with a broadcast hash join, not a
+    // corpus-wide shuffle
+    val refined = refineVecs8 match {
+      case Some(v8) =>
+        // SQ8 refine: cosine is invariant under the positive per-vector
+        // scale, so the 1-byte codes alone carry the angle (fused
+        // Int8Cosine — no dequantized array per row)
+        hinted(shortlist).join(v8, "neighbor_id")
+          .withColumn("cosine",
+            VectorFunctions.int8Cos(col("__qv"), col("__c8")))
+      case None =>
+        val cv = corpus.select(col(idCol).as("neighbor_id"),
+          col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
+        hinted(shortlist).join(cv, "neighbor_id")
+          .withColumn("cosine",
+            safeCos(dot(col("__qv"), col("__cv")), norm(col("__qv")), col("__cn")))
+    }
     topKFromScored(refined, k)
   }
 
@@ -524,6 +539,7 @@ object SimOps {
   private val IdxCentroids = "ann_centroids"
   private val IdxCodebooks = "ann_codebooks"
   private val IdxCodes = "ann_codes"
+  private val IdxVecs8 = "ann_vecs8"
 
   /** BUILD an IVF-PQ index and persist it: trains the coarse quantizer
     * and PQ codebooks exactly like [[ivfPqTopK]], encodes the corpus,
@@ -542,11 +558,20 @@ object SimOps {
     * statistic an operator actually monitors (empty/overfull lists are
     * the recall/latency smell).
     */
+  /** `storeSq8 = true` additionally persists `ann_vecs8` — the corpus
+    * under SQ8 scalar quantization ((id, scale, q): 1 byte per
+    * component + one scale) — making the index SELF-CONTAINED for
+    * probes: `refineFromSq8` probes then re-rank from these codes and
+    * never touch the corpus table at all. 4x less refine I/O than
+    * exact float vectors, and at 100 TB the bigger win is operational:
+    * the serving path ships the index directory alone.
+    */
   def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       sink: graft.sink.UpsertSink, nlist: Int = 16,
                       m: Int = 16, ksub: Int = 32,
                       coarseIters: Int = 2,
-                      attrCols: Seq[String] = Nil): DataFrame = {
+                      attrCols: Seq[String] = Nil,
+                      storeSq8: Boolean = false): DataFrame = {
     require(ksub <= 128, s"ksub $ksub cannot exceed a signed byte's range")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -579,6 +604,10 @@ object SimOps {
         pqCodes(col(vecCol), books).as("codes"))
         ++ attrCols.map(col): _*),
       Seq("id"))
+    if (storeSq8)
+      sink.overwrite(IdxVecs8,
+        int8Quantize(corpus, idCol, vecCol).withColumnRenamed(idCol, "id"),
+        Seq("id"))
     sink.read(IdxCodes).groupBy("list")
       .agg(count(lit(1)).as("n_codes"))
       .select(col("list"), col("n_codes").cast("int").as("n_codes"))
@@ -606,18 +635,38 @@ object SimOps {
     * would blow past the driver/broadcast limits — unset, both joins
     * fall back to AQE-picked shuffled strategies.
     */
+  /** `refineFromSq8 = true` re-ranks the shortlist from the index's own
+    * `ann_vecs8` SQ8 codes (stored by the build's `storeSq8`) instead of
+    * fetching exact vectors from `corpus` — the probe then reads ONLY
+    * index tables, which is the self-contained serving shape (and 4x
+    * less refine I/O). Requires the build to have stored them; fails
+    * with a named error otherwise. Approximation note: SQ8 re-rank can
+    * swap ranks whose exact cosines differ by less than the
+    * quantization error (~1e-2 at dim 64) — recall parity vs the exact
+    * refine is pinned in SimOpsSpec.
+    */
   def ivfPqProbeIndex(queries: DataFrame, corpus: DataFrame, idCol: String,
                       vecCol: String, sink: graft.sink.UpsertSink, k: Int,
                       nprobe: Int = 10, refine: Int = 8,
                       candidateFilter: Option[Column] = None,
-                      broadcastQueries: Boolean = true): DataFrame = {
+                      broadcastQueries: Boolean = true,
+                      refineFromSq8: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     VectorFunctions.register(spark)
     PqFunctions.register(spark)
     val meta = readIndexMeta(spark, sink)
     val lists = candidateFilter.fold(meta.lists)(meta.lists.filter)
+    val v8 =
+      if (!refineFromSq8) None
+      else {
+        require(sink.exists(IdxVecs8),
+          s"refineFromSq8: no $IdxVecs8 table under ${sink.rootPath} — " +
+            "rebuild the index with storeSq8 = true")
+        Some(sink.read(IdxVecs8)
+          .select(col("id").as("neighbor_id"), col("q").as("__c8")))
+      }
     ivfPqProbeWith(queries, lists, corpus, idCol, vecCol, meta.cents,
-      meta.books, k, nprobe, refine, broadcastQueries)
+      meta.books, k, nprobe, refine, broadcastQueries, v8)
   }
 
   private final case class IdxMeta(cents: Array[Array[Float]],
@@ -730,7 +779,7 @@ object SimOps {
   def ivfPqIndexAdd(vecs: DataFrame, idCol: String, vecCol: String,
                     sink: graft.sink.UpsertSink,
                     attrCols: Seq[String] = Nil): Unit =
-    sink.mergeMany(Seq(ivfPqIndexAddMerge(vecs, idCol, vecCol, sink, attrCols)))
+    sink.mergeMany(ivfPqIndexAddMerges(vecs, idCol, vecCol, sink, attrCols))
 
   /** The [[ivfPqIndexAdd]] encode as an unexecuted [[graft.sink.TableMerge]],
     * so a caller updating the index TOGETHER with its own tables (e.g.
@@ -744,6 +793,23 @@ object SimOps {
   def ivfPqIndexAddMerge(vecs: DataFrame, idCol: String, vecCol: String,
                          sink: graft.sink.UpsertSink,
                          attrCols: Seq[String] = Nil): graft.sink.TableMerge = {
+    // an index that stores SQ8 refine vectors must extend them with
+    // every add, or probes refining from SQ8 silently lose the added
+    // vectors at re-rank — the plural form carries both merges
+    require(!sink.exists(IdxVecs8),
+      s"this index stores $IdxVecs8 — use ivfPqIndexAddMerges so SQ8-" +
+        "refining probes see the added vectors")
+    ivfPqIndexAddMerges(vecs, idCol, vecCol, sink, attrCols).head
+  }
+
+  /** Every [[graft.sink.TableMerge]] an incremental add needs for THIS
+    * index's stored shape: the m-byte code lists always; the SQ8 refine
+    * vectors too when the build stored them. Splice into a caller's own
+    * `mergeMany` batch (the admission-stream fusion).
+    */
+  def ivfPqIndexAddMerges(vecs: DataFrame, idCol: String, vecCol: String,
+                          sink: graft.sink.UpsertSink,
+                          attrCols: Seq[String] = Nil): Seq[graft.sink.TableMerge] = {
     val spark = vecs.sparkSession
     VectorFunctions.register(spark)
     PqFunctions.register(spark)
@@ -752,7 +818,12 @@ object SimOps {
       array_max(centScores(meta.cents, col(vecCol))).getField("c").as("list"),
       pqCodes(col(vecCol), meta.books).as("codes"))
       ++ attrCols.map(col): _*)
-    graft.sink.TableMerge(IdxCodes, coded, Seq("id"), pkUnique = true)
+    val base = Seq(graft.sink.TableMerge(IdxCodes, coded, Seq("id"),
+      pkUnique = true))
+    if (!sink.exists(IdxVecs8)) base
+    else base :+ graft.sink.TableMerge(IdxVecs8,
+      int8Quantize(vecs, idCol, vecCol).withColumnRenamed(idCol, "id"),
+      Seq("id"), pkUnique = true)
   }
 
   /** Deterministic +/-1 hyperplane for (table, plane) — shared with the

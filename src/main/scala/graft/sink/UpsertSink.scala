@@ -498,6 +498,18 @@ final class UpsertSink(spark: SparkSession, root: String,
         .join(latest.select(pk.map(col): _*), pk, "left_anti")
         .unionByName(latest)
     }
+    writeAndSwapBuckets(table, merged, touched, buckets)
+  }
+
+  /** Shared bucket-rewrite tail of [[incrementalSwap]] and [[compact]]:
+    * write `merged` (already carrying [[BucketCol]]) to the table's
+    * shadow dir in the bucketed layout, then atomically swap each
+    * touched bucket in (per-bucket `.bkup_` backup makes every swap
+    * window crash-recoverable via [[recover]]).
+    */
+  private def writeAndSwapBuckets(table: String, merged: DataFrame,
+                                  touched: Array[Int], buckets: Int): Unit = {
+    val dir = tableDir(table)
     val shadow = Paths.get(root, s".${table}__shadow")
     deleteRecursively(shadow)
     bucketAligned(merged, buckets).write.mode(SaveMode.Overwrite)
@@ -521,6 +533,40 @@ final class UpsertSink(spark: SparkSession, root: String,
     // defeat the identical-name/size/mtime corner, which a crash short
     // of this line cannot reproduce
     stampGeneration(dir)
+  }
+
+  /** BUCKET-LAYOUT EVOLUTION — the maintenance half of an incremental
+    * merge sink. The merge cost model only holds while a bucket fits an
+    * executor comfortably: a table that has grown 100x since its first
+    * write carries 100x-fat buckets (every small merge rewrites a huge
+    * bucket), and a table provisioned wide but left small pays file-open
+    * and scheduling overhead per near-empty bucket — the many-small-
+    * files regime. `rebucket` rewrites the table under `newBuckets`
+    * atomically through the whole-table shadow swap, so concurrent
+    * readers never observe a mixed-modulus table and subsequent merges
+    * route by the NEW stored marker (merges always honor the stored
+    * modulus, never the instance default). Also migrates a flat-layout
+    * table into the bucketed layout in place (one rewrite instead of
+    * waiting for the first merge to do it).
+    *
+    * `pk` must be the table's merge key: the layout is the hash of the
+    * pk columns, which the sink derives per call rather than storing —
+    * passing a different pk than future merges use would scatter their
+    * updated keys away from their stored rows (the same contract as
+    * [[merge]] itself).
+    */
+  def rebucket(table: String, pk: Seq[String], newBuckets: Int): Unit = {
+    require(pk.nonEmpty, s"rebucket of $table needs the table's merge key")
+    require(newBuckets >= 1, s"newBuckets must be >= 1, got $newBuckets")
+    recover(table)
+    require(exists(table), s"cannot rebucket missing table $table")
+    val df = read(table)
+    swapInShadow(table) { shadow =>
+      bucketAligned(withBucket(df, pk, newBuckets), newBuckets)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(BucketCol).parquet(shadow.toString)
+      Files.write(bucketMarker(shadow), newBuckets.toString.getBytes("UTF-8"))
+    }
   }
 
   /** Last-write-wins within a batch: one row per PK — shared with the

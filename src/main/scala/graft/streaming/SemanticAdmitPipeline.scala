@@ -115,10 +115,9 @@ object SemanticAdmitPipeline {
           // ONE mergeMany round-trip for corpus + code lists: one Spark
           // job learns both tables' touched buckets, the shadow swaps
           // run concurrently on disjoint dirs (the q64 fusion)
-          sink.mergeMany(Seq(
-            graft.sink.TableMerge(corpusTable, admitted, Seq(idCol),
-              pkUnique = true),
-            SimOps.ivfPqIndexAddMerge(admitted, idCol, vecCol, sink)))
+          sink.mergeMany(graft.sink.TableMerge(corpusTable, admitted,
+            Seq(idCol), pkUnique = true)
+            +: SimOps.ivfPqIndexAddMerges(admitted, idCol, vecCol, sink))
       }
     } finally batch.unpersist()
   }

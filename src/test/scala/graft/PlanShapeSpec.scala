@@ -348,6 +348,59 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("q89: the admission screen's stored-index probe stays broadcast-bounded") {
+    // one admitBatch's corpus-facing stage, plan-pinned (round-7 brief
+    // #5): the probe's joins must ride broadcasts of the BATCH-bounded
+    // sides (routing pairs, shortlist) — never a shuffle of the
+    // corpus-scale code lists — and the only hash exchanges are the two
+    // bounded top-k aggregates (k pairs per partition cross them). A
+    // plan flip here is exactly the corpus-sized shuffle the stored
+    // index exists to avoid.
+    import org.apache.spark.sql.functions._
+    val e = Tables.load(spark, sf, "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft_q89plan")
+    val sink = new graft.sink.UpsertSink(spark, root.toString, numBuckets = 8)
+    sink.merge("sem_corpus", e, Seq("vec_id"), pkUnique = true)
+    graft.ops.SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink).collect()
+    val batch = e.filter(col("vec_id") % 4 === 1)
+    val hits = graft.ops.SimOps.ivfPqProbeIndex(batch,
+        sink.read("sem_corpus"), "vec_id", "embedding", sink,
+        k = 1, nprobe = 10)
+      .filter(col("rank") === 1 && col("cosine") >= 0.45)
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in the admission probe:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"probe join fell off broadcast onto a shuffle:\n$plan")
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2,
+      s"probe joins not broadcast:\n$plan")
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size <= 2,
+      s"more exchanges than the two bounded top-k aggregates:\n$exchanges\n$plan")
+  }
+
+  test("q93: the SQ8-refine probe reads index tables past the query batch scan") {
+    val plan = planOf("q93_ann_sq8_probe")
+    val scans = plan.linesIterator.filter(_.contains("Scan parquet")).toSeq
+    assert(scans.exists(_.contains("ann_vecs8")),
+      s"refine not reading the SQ8 table:\n${scans.mkString("\n")}")
+    // the query batch legitimately scans the embeddings table ONCE; the
+    // refine must come from ann_vecs8, not a second corpus scan
+    assert(scans.filterNot(l =>
+        l.contains("ann_codes") || l.contains("ann_vecs8")).size <= 1,
+      s"corpus scanned beyond the query batch:\n${scans.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q92: BPE encode is a map-only scan over the corpus — no UDF in the plan") {
+    val plan = planOf("q92_bpe_tokenize")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"BPE encode fell off codegen onto a UDF:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"unexpected cartesian in the BPE plan:\n$plan")
+  }
+
   test("q83: curation screens stay row-local upstream of the admission state") {
     // the composed chain's stateless screens (canonicalize, line filter,
     // PII scrub) are regex/HOF column work: nothing in the BATCH path

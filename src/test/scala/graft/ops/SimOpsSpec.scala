@@ -340,6 +340,56 @@ class SimOpsSpec extends SparkSpec {
     assert(recall >= 0.6, f"filtered recall $recall%.2f below bound")
   }
 
+  test("SQ8-refine probe: self-contained plan, near-parity with exact refine") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx8")
+    val sink = new graft.sink.UpsertSink(spark, root.toString)
+    val e = Tables.load(spark, sf, "embeddings")
+    SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink,
+      storeSq8 = true).collect()
+    assert(sink.exists("ann_vecs8"))
+    val queries = e.filter($"vec_id" % 50 === 0)
+    val sq8 = SimOps.ivfPqProbeIndex(queries, e, "vec_id", "embedding",
+      sink, 5, refineFromSq8 = true)
+    // self-contained: past the query batch's own scan, the plan reads
+    // ONLY index tables — the exact-refine probe scans the corpus a
+    // second time for the refine fetch, this one must not
+    val plan = sq8.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("Scan parquet")).toSeq
+    val nonIndex = scans.filterNot(l =>
+      l.contains("ann_codes") || l.contains("ann_vecs8"))
+    assert(scans.exists(_.contains("ann_vecs8")),
+      s"refine not reading the SQ8 table:\n${scans.mkString("\n")}")
+    assert(nonIndex.size <= 1,
+      s"corpus scanned beyond the query batch (refine leaked back to " +
+        s"exact vectors):\n${scans.mkString("\n")}")
+    // near-parity: same candidate shortlists, re-ranked through a
+    // <=1e-2-error codec — neighbor-set overlap with the exact-refine
+    // probe stays high even where adjacent ranks swap
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(SimOps.ivfPqProbeIndex(queries, e, "vec_id",
+      "embedding", sink, 5))
+    val approx = pairs(sq8)
+    val overlap = (approx & exact).size.toDouble / exact.size
+    assert(overlap >= 0.8, f"SQ8-refine overlap $overlap%.2f below bound")
+    // incremental add extends the SQ8 table too (ivfPqIndexAddMerges),
+    // so an added vector is findable by an SQ8-refining probe
+    val added = Seq((990001L, Array.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    SimOps.ivfPqIndexAdd(added, "vec_id", "embedding", sink)
+    assert(sink.read("ann_vecs8").filter($"id" === 990001L).count() == 1)
+    val near = Seq((990002L, Array.fill(64)(0.51f)))
+      .toDF("vec_id", "embedding")
+    val hit = SimOps.ivfPqProbeIndex(near, e, "vec_id", "embedding",
+        sink, 5, refineFromSq8 = true)
+      .filter($"neighbor_id" === 990001L).count()
+    assert(hit == 1, "added vector not findable through the SQ8 refine")
+    // and the singular add form refuses to leave ann_vecs8 stale
+    intercept[IllegalArgumentException] {
+      SimOps.ivfPqIndexAddMerge(added, "vec_id", "embedding", sink)
+    }
+  }
+
   test("int8Quantize: byte range, zero-vector totality, cosine round-trip") {
     val e = Tables.load(spark, sf, "embeddings")
       .select($"vec_id", $"embedding")

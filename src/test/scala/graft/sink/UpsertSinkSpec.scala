@@ -144,6 +144,49 @@ class UpsertSinkSpec extends SparkSpec {
     assert(rows.toMap.apply(7L) == "UPDATED")
   }
 
+  test("rebucket evolves the modulus; content survives and merges route by the NEW marker") {
+    val root = Files.createTempDirectory("graft_sink_rbk")
+    val sink = new UpsertSink(spark, root.toString, numBuckets = 4)
+    sink.merge("t", (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    def bucketDirs(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(root.resolve("t"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("__bucket=")).toSeq.sorted
+      finally s.close()
+    }
+    assert(bucketDirs().size <= 4)
+    sink.rebucket("t", Seq("id"), newBuckets = 16)
+    // rows identical, layout widened
+    assert(sink.read("t").as[(Long, String)].collect().toMap
+      == (1L to 100L).map(i => i -> s"v$i").toMap)
+    assert(bucketDirs().size > 4, s"rebucket did not widen: ${bucketDirs()}")
+    // a subsequent merge must route by the NEW modulus: no duplicate PKs
+    sink.merge("t", Seq((7L, "UPDATED")).toDF("id", "v"), Seq("id"))
+    val rows = sink.read("t").as[(Long, String)].collect()
+    assert(rows.length == 100, s"duplicate PKs after rebucket: ${rows.length}")
+    assert(rows.toMap.apply(7L) == "UPDATED")
+    // narrowing works too (compaction of an over-provisioned table)
+    sink.rebucket("t", Seq("id"), newBuckets = 2)
+    assert(bucketDirs().size <= 2)
+    assert(sink.read("t").count() == 100)
+  }
+
+  test("rebucket migrates a flat-layout table into the bucketed layout") {
+    val root = Files.createTempDirectory("graft_sink_rbkflat")
+    val sink = new UpsertSink(spark, root.toString, numBuckets = 8)
+    sink.overwrite("t", (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"))
+    sink.rebucket("t", Seq("id"), newBuckets = 8)
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(root.resolve("t"))
+    val entries = try s.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally s.close()
+    assert(entries.exists(_.startsWith("__bucket=")), s"still flat: $entries")
+    sink.merge("t", Seq((3L, "X")).toDF("id", "v"), Seq("id"))
+    val rows = sink.read("t").as[(Long, String)].collect()
+    assert(rows.length == 50 && rows.toMap.apply(3L) == "X")
+  }
+
   test("crash window between swap moves recovers instead of losing the table") {
     import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
     val root = JFiles.createTempDirectory("graft_sink").toString
