@@ -2660,7 +2660,42 @@ object Catalog {
         SimOps.ivfPqProbeIndex(e.filter(col("vec_id") % 100 === 0), e,
             "vec_id", "embedding", sink, 5, refineFromSq8 = true)
           .orderBy("query_id", "rank")
-      })
+      }),
+
+    QueryDef("q94_lang_token_rollup",
+      "Per-LANGUAGE corpus composition — the first statistic any " +
+        "multilingual training-data pipeline reports: language-ID " +
+        "(the q26 n-gram heuristic) composed with whitespace token " +
+        "counting (q24) into a per-guess rollup (docs, total tokens, " +
+        "mean tokens/doc, first doc id). One map-only scan derives " +
+        "both signals per row, then one shuffle on the guess key with " +
+        "map-side partial aggregation — composition costs nothing " +
+        "beyond the q26 scan at any corpus scale.",
+      Some {
+        val (hitExprs, maxExpr, nWin, firstWin) = sqlLangPieces
+        s"""WITH h AS (SELECT doc_id, $hitExprs,
+           |    len(regexp_extract_all(text, '\\S+')) AS ntok
+           |  FROM documents),
+           |m AS (SELECT *, $maxExpr AS mx FROM h),
+           |g AS (SELECT doc_id, ntok, CASE WHEN mx = 0 OR ($nWin) > 1
+           |    THEN 'und' ELSE ($firstWin) END AS guess FROM m)
+           |SELECT guess, COUNT(*) AS n_docs,
+           |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           |  CAST(SUM(ntok) AS BIGINT) // COUNT(*) AS mean_tokens,
+           |  MIN(doc_id) AS first_doc
+           |FROM g GROUP BY guess ORDER BY guess""".stripMargin
+      },
+      (s, dir) => t(s, dir, "documents")
+        .select(TextOps.langId(col("text")).as("guess"),
+          TextOps.tokenCount(col("text")).as("ntok"), col("doc_id"))
+        .groupBy("guess")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("total_tokens"),
+          // integer `div`, not `/`: float division + cast could round
+          // differently from DuckDB's exact `//` on a large-enough sum
+          expr("sum(ntok) div count(1)").as("mean_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("guess"))
   )
 
   /** Shared oracle CTE: winnowed fingerprint sets per document (k=8,

@@ -155,4 +155,40 @@ object BpeOps {
     df.withColumn(tokensAs, BpeFunctions.bpeTokens(col(textCol), merges))
       .withColumn("n_tokens", size(col(tokensAs)))
   }
+
+  /** Persisted-model table name under a sink root. */
+  private val MergesTable = "bpe_merges"
+
+  /** Persist a learned model through the sink (atomic shadow swap —
+    * concurrent encoders never see a half-written vocabulary): one row
+    * per merge (rank, left, right) plus a rank -1 stats row carrying
+    * the coverage counters. The tokenizer equivalent of the ANN
+    * build/probe split: train ONCE per corpus generation, encode from
+    * the stored merges everywhere else.
+    */
+  def saveModel(sink: graft.sink.UpsertSink, model: BpeModel): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val rows = model.merges.zipWithIndex.map { case ((l, r), i) =>
+      (i, l, r, 0L, 0L, 0L, 0L)
+    } :+ ((-1, "", "", model.keptWords, model.totalWords,
+      model.keptMass, model.totalMass))
+    sink.overwrite(MergesTable,
+      rows.toDF("rank", "left", "right", "kept_words", "total_words",
+        "kept_mass", "total_mass"),
+      Seq("rank"))
+  }
+
+  /** Read a persisted model back (merges in rank order + coverage). */
+  def loadModel(sink: graft.sink.UpsertSink): BpeModel = {
+    require(sink.exists(MergesTable),
+      s"no $MergesTable under ${sink.rootPath} — train and saveModel first")
+    val rows = sink.read(MergesTable).collect()
+    val stats = rows.find(_.getInt(0) == -1).getOrElse(
+      throw new IllegalStateException(s"$MergesTable has no stats row"))
+    val merges = rows.filter(_.getInt(0) >= 0).sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    BpeModel(merges, stats.getLong(3), stats.getLong(4),
+      stats.getLong(5), stats.getLong(6))
+  }
 }

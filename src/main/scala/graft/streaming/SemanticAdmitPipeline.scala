@@ -75,15 +75,23 @@ object SemanticAdmitPipeline {
       // screen vs the ACCUMULATED corpus through the stored index: the
       // probe pays list-bounded candidates + a refine*k exact fetch per
       // query — corpus-size-independent work per batch
+      // CACHED: the screen feeds BOTH the in-batch pair generator and
+      // the final anti-join — uncached, the whole probe subtree (index
+      // scan + two broadcast joins + two top-k aggregates) executes
+      // twice inside the one localCheckpoint job (the AdmitProfile
+      // attribution that found this). The cache is batch-bounded,
+      // materialized fully by the checkpoint (so the merges never
+      // re-read through it), and dropped at batch end.
       val screened =
-        if (!bootstrapped) batch
+        if (!bootstrapped) batch // the batch cache already covers it
         else {
           val hits = SimOps.ivfPqProbeIndex(batch, sink.read(corpusTable),
               idCol, vecCol, sink, k = 1, nprobe = nprobe)
             .filter(col("rank") === 1 && col("cosine") >= threshold)
             .select(col("query_id").as(idCol))
-          batch.join(hits, Seq(idCol), "left_anti")
+          batch.join(hits, Seq(idCol), "left_anti").cache()
         }
+      try {
       // in-batch semantic dedup (batch-bounded by construction — never
       // corpus-sized); larger id of a pair dies, the SemDeDup keeper
       // rule. Path picked by batch size — see `exactDedupMaxBatch`.
@@ -119,6 +127,7 @@ object SemanticAdmitPipeline {
             Seq(idCol), pkUnique = true)
             +: SimOps.ivfPqIndexAddMerges(admitted, idCol, vecCol, sink))
       }
+      } finally if (screened ne batch) screened.unpersist()
     } finally batch.unpersist()
   }
 }

@@ -46,4 +46,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getString(2) == "café") // NFD decomposes the e-acute
     assert(row.getBoolean(3))
   }
+
+  test("round-8 functions compute from SQL: int8 cosine, BPE tokens") {
+    val row = cloned.sql(
+      """SELECT graft_int8_cos(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |    array(CAST(2 AS TINYINT), CAST(4 AS TINYINT))) AS c,
+        |  graft_bpe_tokens('lowest low', array('e s', 'es t</w>', 'l o')) AS t
+        |""".stripMargin).head()
+    // parallel vectors -> cosine exactly 1
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+    assert(row.getSeq[String](1) ==
+      Seq("lo", "w", "est</w>", "lo", "w</w>"))
+  }
 }

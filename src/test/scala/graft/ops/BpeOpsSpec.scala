@@ -68,6 +68,27 @@ class BpeOpsSpec extends SparkSpec {
     assert(a.merges == b.merges && a.keptMass == b.keptMass)
   }
 
+  test("model persists through the sink and round-trips exactly") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val model = BpeOps.learnBpe(docs, "text", numMerges = 25,
+      maxWords = 5000)
+    val sink = new graft.sink.UpsertSink(spark,
+      java.nio.file.Files.createTempDirectory("graft_bpe").toString)
+    BpeOps.saveModel(sink, model)
+    val loaded = BpeOps.loadModel(sink)
+    assert(loaded == model, "persisted model diverged from the learned one")
+    // encoding from the loaded model is identical to the in-memory one
+    val a = BpeOps.encode(docs, "text", model.merges)
+      .select("doc_id", "n_tokens").as[(Long, Int)].collect().toMap
+    val b = BpeOps.encode(docs, "text", loaded.merges)
+      .select("doc_id", "n_tokens").as[(Long, Int)].collect().toMap
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      BpeOps.loadModel(new graft.sink.UpsertSink(spark,
+        java.nio.file.Files.createTempDirectory("graft_bpe_empty").toString))
+    }
+  }
+
   test("the encode pass is map-only codegen — no exchange, no UDF") {
     val docs = graft.Tables.load(spark, sf, "documents")
     val model = BpeOps.learnBpe(docs, "text", numMerges = 20,

@@ -390,6 +390,26 @@ class SimOpsSpec extends SparkSpec {
     }
   }
 
+  test("broadcastQueries=false drops the probe hints without changing results") {
+    // the corpus-scale-query escape hatch (round-7 advice): the default
+    // plan pins two broadcasts of batch-bounded sides; unset, the hints
+    // vanish from the analyzed plan (AQE then picks strategies from
+    // measured sizes) and the RESULT is identical — same training, same
+    // shortlist, different join strategy only
+    val e = Tables.load(spark, sf, "embeddings")
+    val queries = e.filter($"vec_id" % 50 === 0)
+    val a = SimOps.ivfPqTopK(queries, e, "vec_id", "embedding", 5)
+    val b = SimOps.ivfPqTopK(queries, e, "vec_id", "embedding", 5,
+      broadcastQueries = false)
+    assert(a.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "default probe lost its broadcast hints")
+    assert(!b.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "escape hatch left broadcast hints in the plan")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(pairs(a) == pairs(b), "join strategy changed the neighbor set")
+  }
+
   test("int8Quantize: byte range, zero-vector totality, cosine round-trip") {
     val e = Tables.load(spark, sf, "embeddings")
       .select($"vec_id", $"embedding")
