@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{MinHashFunctions, WinnowFunctions}
-import graft.ops.{BpeOps, ChatOps, GraphOps, MultimodalOps, RelOps, SampleOps, SimOps, TextOps, WebOps}
+import graft.ops.{BpeOps, ChatOps, ClassifierOps, GraphOps, MultimodalOps, RelOps, SampleOps, SimOps, TextOps, WebOps}
 
 /** One named query: the Spark plan plus (when SQL-expressible) the exact
   * DuckDB oracle the driver hash-compares against.
@@ -2695,7 +2695,34 @@ object Catalog {
           // differently from DuckDB's exact `//` on a large-enough sum
           expr("sum(ntok) div count(1)").as("mean_tokens"),
           min(col("doc_id")).as("first_doc"))
-        .orderBy("guess"))
+        .orderBy("guess")),
+
+    QueryDef("q95_classifier_train",
+      "TRAIN the q79-shape hashed quality classifier on the engine " +
+        "itself (the CCNet/fastText practice: the filter a pipeline " +
+        "applies map-only at 100 TB is a LEARNED linear model): batch-" +
+        "gradient logistic regression over hashed token-count " +
+        "features, distilling the integer quality-gate rule " +
+        "(label = quality_mil >= 500) into trained weights. Per " +
+        "iteration: map-only margins (weights ride the plan as an " +
+        "array literal, the exact q79 apply shape), ONE bucket-keyed " +
+        "gradient shuffle with DECIMAL sums (deterministic at any " +
+        "parallelism), a buckets-row collect. Output: per-doc label, " +
+        "learned margin, prediction. Iterative float optimization -> " +
+        "no SQL oracle (rows-only); ClassifierOpsSpec pins class " +
+        "separation, parallelism-invariant determinism, and the " +
+        "map-only apply plan.",
+      None,
+      (s, dir) => {
+        val labeled = t(s, dir, "documents").withColumn("y",
+          (TextOps.qualityScoreMil(col("text")) >= 500).cast("int"))
+        val m = ClassifierOps.trainHashedClassifier(labeled, "text", "y",
+          buckets = 1024, iters = 6)
+        labeled.select(col("doc_id"), col("y"),
+            round(m.margin(col("text")), 6).as("margin"),
+            (m.margin(col("text")) > 0).cast("int").as("pred"))
+          .orderBy("doc_id")
+      })
   )
 
   /** Shared oracle CTE: winnowed fingerprint sets per document (k=8,

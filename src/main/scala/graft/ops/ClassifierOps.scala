@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** TRAINING for the hashed-feature quality classifier whose
+  * APPLICATION shape ships as [[TextOps.hashedLinearMargin]] (q79, the
+  * fastText/CCNet move): distributed logistic regression over hashed
+  * token-count features, so the weights a pipeline applies map-only at
+  * 100 TB can also be LEARNED on the same engine from labeled docs
+  * (CCNet trains exactly such a classifier on Wikipedia-vs-crawl
+  * labels; fastText's supervised mode is the same bag-of-hashed-ngrams
+  * linear model).
+  *
+  * Scale shape per iteration — the honest cost of batch gradient
+  * descent, and all of it relational:
+  *  - margins are MAP-ONLY: the weight vector rides the plan as a
+  *    `buckets`-element array literal, each doc folds
+  *    `w[hash(token) mod buckets]` over its tokens with the same
+  *    `aggregate` HOF as the q79 apply (train/apply feature parity by
+  *    construction — same tokenizer, same hash, same bucket count);
+  *  - the gradient is ONE shuffle keyed on the bucket id (at most
+  *    `buckets` + 1 groups), residuals summed as DECIMALs so the
+  *    update is EXACT and therefore deterministic at any parallelism
+  *    (the [[SimOps.trainCentroids]] discipline — double sums would
+  *    make the trained weights drift run-to-run);
+  *  - the collected gradient is `buckets` + 1 rows per iteration —
+  *    driver-bounded like every quantizer/codebook collect here.
+  * Nothing corpus-sized ever reaches the driver; iterations scan the
+  * corpus, which is what LR training costs everywhere (subsample
+  * upstream to trade fidelity for passes).
+  */
+object ClassifierOps {
+
+  /** A trained model: `weights(b)` for hashed bucket b, plus bias. */
+  final case class HashedLinearModel(weights: Array[Double], bias: Double) {
+    require(weights.nonEmpty)
+
+    /** Margin column for `text` under this model — THE q79 apply shape
+      * (map-only, codegen HOF), with the learned coefficient array
+      * swapped in for the documented pseudo-weights.
+      */
+    def margin(text: Column): Column = {
+      val w = typedLit(weights.toIndexedSeq)
+      aggregate(TextOps.tokens(text), lit(bias), (acc, t) =>
+        acc + element_at(w,
+          pmod(TextOps.stableHash64(t), lit(weights.length)).cast("int") + 1))
+    }
+
+    /** P(label = 1) under the model (sigmoid of the margin). */
+    def probability(text: Column): Column =
+      lit(1.0) / (lit(1.0) + exp(-margin(text)))
+  }
+
+  /** Batch-gradient logistic regression. `labelCol` must be 0/1.
+    * Deterministic: decimal gradient sums, fixed iteration count,
+    * driver-side float updates in bucket order.
+    */
+  def trainHashedClassifier(docs: DataFrame, textCol: String,
+                            labelCol: String, buckets: Int = 4096,
+                            iters: Int = 12, lr: Double = 0.5,
+                            l2: Double = 1e-4): HashedLinearModel = {
+    require(buckets > 0 && iters > 0)
+    // (label, bucket list) once per doc; cached across iterations —
+    // tokenize/hash is iteration-invariant work
+    val feats = docs.select(col(labelCol).cast("double").as("__y"),
+        transform(TextOps.tokens(col(textCol)), t =>
+          pmod(TextOps.stableHash64(t), lit(buckets)).cast("int"))
+          .as("__bs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = feats.count().toDouble // also materializes the cache
+      require(n > 0, "cannot train on an empty corpus")
+      val w = new Array[Double](buckets)
+      var bias = 0.0
+      for (_ <- 1 to iters) {
+        val wl = typedLit(w.toIndexedSeq)
+        val margin = aggregate(col("__bs"), lit(bias),
+          (acc, b) => acc + element_at(wl, b + 1))
+        // residual = sigma(margin) - y; per-token gradient contribution
+        // IS the doc residual (count features), so one explode + one
+        // bucket-keyed decimal sum is the whole gradient. Bucket -1
+        // carries the bias gradient (every doc contributes once).
+        val resid = (lit(1.0) / (lit(1.0) + exp(-margin)) - col("__y"))
+          .cast("decimal(30,15)")
+        val grad = feats
+          .select(resid.as("__r"),
+            concat(col("__bs"), array(lit(-1))).as("__bs1"))
+          .select(col("__r"), explode(col("__bs1")).as("__b"))
+          .groupBy("__b").agg(sum(col("__r")).as("__g"))
+          .collect()
+        val g = new Array[Double](buckets)
+        var gb = 0.0
+        grad.foreach { r =>
+          val b = r.getInt(0)
+          val v = r.getDecimal(1).doubleValue()
+          if (b < 0) gb = v else g(b) = v
+        }
+        var b = 0
+        while (b < buckets) {
+          w(b) -= lr * (g(b) / n + l2 * w(b))
+          b += 1
+        }
+        bias -= lr * (gb / n)
+      }
+      HashedLinearModel(w, bias)
+    } finally feats.unpersist()
+  }
+}
