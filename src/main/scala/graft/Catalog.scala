@@ -2722,6 +2722,67 @@ object Catalog {
             round(m.margin(col("text")), 6).as("margin"),
             (m.margin(col("text")) > 0).cast("int").as("pred"))
           .orderBy("doc_id")
+      }),
+
+    QueryDef("q96_interval_join",
+      "INTERVAL (range-containment) join as a bucketed EQUI-join — " +
+        "the range-join optimization OSS Spark lacks natively: " +
+        "ts-BETWEEN-bounds planned directly is a nested-loop over " +
+        "every (row, interval) pair. Here each event carries its one " +
+        "time bucket, each interval explodes to the <=2 buckets it " +
+        "overlaps, candidates meet in a hash equi-join on the bucket " +
+        "id and the exact BETWEEN refines them — every qualifying " +
+        "pair meets in exactly one bucket, so no dedup pass. The " +
+        "query: +/-30-minute windows around sampled purchase events, " +
+        "rolled up to per-window event counts and id bounds (integer-" +
+        "exact output; PlanShapeSpec pins the no-nested-loop claim).",
+      Some("""SELECT w.event_id AS window_id,
+             |  COUNT(*) AS n_events,
+             |  MIN(e.event_id) AS first_event,
+             |  MAX(e.event_id) AS last_event
+             |FROM (SELECT event_id,
+             |        ts - INTERVAL 30 MINUTE AS w_start,
+             |        ts + INTERVAL 30 MINUTE AS w_end
+             |      FROM events
+             |      WHERE event_type = 'purchase' AND event_id % 7 = 0) w
+             |JOIN events e ON e.ts BETWEEN w.w_start AND w.w_end
+             |GROUP BY window_id ORDER BY window_id""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val win = ev
+          .filter(col("event_type") === "purchase" && col("event_id") % 7 === 0)
+          .select(col("event_id").as("window_id"),
+            (col("ts") - expr("INTERVAL 30 MINUTES")).as("w_start"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+        RelOps.intervalJoin(ev, "ts", win, "w_start", "w_end",
+            bucketWidthSec = 3600L)
+          .groupBy("window_id")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("event_id")).as("first_event"),
+            max(col("event_id")).as("last_event"))
+          .orderBy("window_id")
+      }),
+
+    QueryDef("q97_ann_drift",
+      "Index DRIFT monitoring — the measurable signal behind 'rebuild " +
+        "on drift is the owner's call' (q81/q89's add-after-train " +
+        "contract): assign a fresh vector batch to inverted lists " +
+        "under the STORED centroids and compare its list-share " +
+        "distribution to the stored code lists' — per list, both " +
+        "counts, exact integer ppm shares, and the absolute gap; " +
+        "total variation = sum(gap_ppm)/2e6 drives the retrain alarm. " +
+        "One aggregated scan of stored codes + one map-side batch " +
+        "assignment; no training. k-means inside -> rows-only; " +
+        "SimOpsSpec pins low self-drift vs high shifted-batch drift.",
+      None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val sink = tempStore.sink(s, "annidx", dir)
+        if (!SimOps.ivfPqIndexExists(sink))
+          SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink).collect()
+        SimOps.ivfIndexDriftStats(e.filter(col("vec_id") % 3 === 0),
+            "vec_id", "embedding", sink)
+          .orderBy("list")
       })
   )
 

@@ -172,4 +172,40 @@ object RelOps {
       explode(array((0 until buckets).map(lit): _*)))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** INTERVAL (range-containment) join as an EQUI-join — the operator
+    * open-source Spark lacks natively: `left.ts BETWEEN right.start AND
+    * right.end` planned directly is a nested-loop over every
+    * (row, interval) pair, the n·m scan that kills range joins at any
+    * scale. This plans it bucketed instead (the standard range-join
+    * optimization commercial engines ship built-in): time is cut into
+    * `bucketWidthSec` buckets, each left row carries its single bucket,
+    * each interval EXPLODES to the buckets it overlaps
+    * (span/width + 1 rows — size the width near the typical span so
+    * this stays ~2), the join is a hash equi-join on the bucket id, and
+    * the exact BETWEEN predicate refines the bucket-coarse candidates.
+    * Every qualifying pair meets in EXACTLY one bucket (the left row's),
+    * so no dedup pass is needed.
+    *
+    * Inclusive bounds, the SQL BETWEEN contract — and like BETWEEN,
+    * malformed intervals (end < start) match nothing (they are filtered
+    * before the bucket explode, where ANSI `sequence` would otherwise
+    * count DOWN and fabricate buckets). Null times/bounds drop out, as
+    * in any join condition.
+    */
+  def intervalJoin(left: DataFrame, leftTime: String,
+                   right: DataFrame, startCol: String, endCol: String,
+                   bucketWidthSec: Long = 86400L): DataFrame = {
+    require(bucketWidthSec > 0, s"bucket width must be positive: $bucketWidthSec")
+    def bucketOf(t: Column): Column =
+      floor(unix_timestamp(t) / bucketWidthSec).cast("long")
+    val lb = left.withColumn("__ib", bucketOf(col(leftTime)))
+    val rb = right
+      .filter(col(endCol) >= col(startCol))
+      .withColumn("__ib",
+        explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+    lb.join(rb, Seq("__ib"))
+      .filter(col(leftTime) >= col(startCol) && col(leftTime) <= col(endCol))
+      .drop("__ib")
+  }
 }

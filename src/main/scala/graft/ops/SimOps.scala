@@ -826,6 +826,43 @@ object SimOps {
       Seq("id"), pkUnique = true)
   }
 
+  /** DISTRIBUTION-DRIFT statistic for a persisted index — the signal
+    * behind "rebuild on drift is the owner's call" (every add-after-
+    * train system degrades as data drifts from the trained quantizers;
+    * FAISS leaves WHEN to retrain to the operator). Assigns a fresh
+    * vector batch to lists under the STORED centroids and compares the
+    * batch's list-share distribution against the stored code lists':
+    * one row per list with both counts and integer ppm shares (exact
+    * arithmetic — deterministic at any parallelism), plus the per-list
+    * absolute share gap. Total variation distance = sum(gap_ppm) /
+    * 2e6; alert when it exceeds the operator's threshold (0.25 is a
+    * reasonable default: a quarter of the batch mass sits in lists the
+    * index wasn't trained to balance). Cost: one aggregated column
+    * scan of the stored codes + one map-side assignment of the batch —
+    * no training, nothing corpus-sized at the driver.
+    */
+  def ivfIndexDriftStats(batch: DataFrame, idCol: String, vecCol: String,
+                         sink: graft.sink.UpsertSink): DataFrame = {
+    val spark = batch.sparkSession
+    VectorFunctions.register(spark)
+    val meta = readIndexMeta(spark, sink)
+    val stored = meta.lists.groupBy(col("__list").as("list"))
+      .agg(count(lit(1)).as("stored_n"))
+    val fresh = batch.filter(col(vecCol).isNotNull)
+      .select(array_max(centScores(meta.cents, col(vecCol)))
+        .getField("c").as("list"))
+      .groupBy("list").agg(count(lit(1)).as("batch_n"))
+    stored.join(fresh, Seq("list"), "full_outer")
+      .select(col("list"),
+        coalesce(col("stored_n"), lit(0L)).as("stored_n"),
+        coalesce(col("batch_n"), lit(0L)).as("batch_n"))
+      .withColumn("stored_ppm", expr(
+        "1000000 * stored_n div sum(stored_n) over ()"))
+      .withColumn("batch_ppm", expr(
+        "1000000 * batch_n div sum(batch_n) over ()"))
+      .withColumn("gap_ppm", abs(col("stored_ppm") - col("batch_ppm")))
+  }
+
   /** Deterministic +/-1 hyperplane for (table, plane) — shared with the
     * batched [[graft.functions.LshSignatures]] expression so buckets are
     * identical however the signature is computed.

@@ -535,6 +535,74 @@ final class UpsertSink(spark: SparkSession, root: String,
     stampGeneration(dir)
   }
 
+  /** PK DELETE — the retention/right-to-erasure half of a merge sink:
+    * physically remove the rows whose keys appear in `keys`, rewriting
+    * ONLY the buckets that contain them (the [[merge]] cost model:
+    * O(batch + touched buckets), never O(table) — at 100 TB a deletion
+    * batch touches its keys' buckets and no other file is opened).
+    * Same per-bucket shadow-swap discipline as a merge, so readers
+    * never observe a partial bucket and a crash mid-delete recovers.
+    * Keys absent from the table are no-ops (DELETE semantics); a
+    * bucket whose every row is deleted is removed outright. Flat-layout
+    * tables migrate to bucketed first (one rewrite), exactly like
+    * their first merge. Deleting EVERY row of a table leaves an empty
+    * (fileless) table — like a TRUNCATE, readers need a re-create
+    * before the next read, which `merge` performs.
+    */
+  def delete(table: String, keys: DataFrame, pk: Seq[String]): Unit = {
+    require(pk.nonEmpty, s"delete from $table needs a primary key")
+    recover(table)
+    require(exists(table), s"cannot delete from missing table $table")
+    if (!isBucketed(table)) {
+      // one-time migration, then the incremental path below applies
+      val buckets = numBuckets
+      val df = read(table)
+      swapInShadow(table) { shadow =>
+        bucketAligned(withBucket(df, pk, buckets), buckets)
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy(BucketCol).parquet(shadow.toString)
+        Files.write(bucketMarker(shadow), buckets.toString.getBytes("UTF-8"))
+      }
+    }
+    val buckets = storedBuckets(table).getOrElse(numBuckets)
+    val keyed = withBucket(keys.select(pk.map(col): _*).distinct(), pk, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dir = tableDir(table)
+      val touched = keyed.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).sorted // bounded by numBuckets
+        .filter(b => Files.exists(dir.resolve(s"$BucketCol=$b")))
+      if (touched.nonEmpty) {
+        val cur = spark.read.option("basePath", dir.toString)
+          .parquet(touched.map(b =>
+            dir.resolve(s"$BucketCol=$b").toString).toIndexedSeq: _*)
+        val kept = cur.join(keyed.select(pk.map(col): _*), pk, "left_anti")
+        val shadow = Paths.get(root, s".${table}__shadow")
+        deleteRecursively(shadow)
+        bucketAligned(kept, buckets).write.mode(SaveMode.Overwrite)
+          .partitionBy(BucketCol).parquet(shadow.toString)
+        // delete-aware swap: unlike a merge, a touched bucket with NO
+        // shadow replacement is a bucket whose every row was deleted —
+        // the live dir is REMOVED, not preserved. The .bkup_ window
+        // keeps each step crash-recoverable: a crash mid-swap restores
+        // the pre-delete bucket and a re-run of the same delete
+        // converges (DELETE is idempotent on keys).
+        touched.foreach { b =>
+          val part = s"$BucketCol=$b"
+          val from = shadow.resolve(part)
+          val to = dir.resolve(part)
+          val old = dir.resolve(s".bkup_$b")
+          deleteRecursively(old)
+          if (Files.exists(to)) Files.move(to, old, StandardCopyOption.ATOMIC_MOVE)
+          if (Files.exists(from)) Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+          deleteRecursively(old)
+        }
+        deleteRecursively(shadow)
+        stampGeneration(dir)
+      }
+    } finally keyed.unpersist()
+  }
+
   /** BUCKET-LAYOUT EVOLUTION — the maintenance half of an incremental
     * merge sink. The merge cost model only holds while a bucket fits an
     * executor comfortably: a table that has grown 100x since its first

@@ -401,6 +401,15 @@ class PlanShapeSpec extends SparkSpec {
       s"unexpected cartesian in the BPE plan:\n$plan")
   }
 
+  test("q96: the interval join is a hash equi-join on buckets, never a nested loop") {
+    val plan = planOf("q96_interval_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to the all-pairs plan the bucketing exists to avoid:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+        l.matches(".*(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin).*__ib.*")),
+      s"no bucket-keyed equi-join found:\n$plan")
+  }
+
   test("q83: curation screens stay row-local upstream of the admission state") {
     // the composed chain's stateless screens (canonicalize, line filter,
     // PII scrub) are regex/HOF column work: nothing in the BATCH path

@@ -408,4 +408,30 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == ((Some(2), Some(1), 1.0 / 62 + 1.0 / 61)))
     assert(out(4L) == ((None, Some(2), 1.0 / 62)))
   }
+
+  test("intervalJoin matches the naive BETWEEN join at every bucket width") {
+    import java.sql.Timestamp
+    def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+    val events = Seq((1L, ts(0)), (2L, ts(59)), (3L, ts(60)), (4L, ts(61)),
+      (5L, ts(119)), (6L, ts(3000))).toDF("eid", "t")
+    val windows = Seq(
+      (10L, ts(30), ts(90)),    // straddles an hour-bucket boundary
+      (11L, ts(60), ts(60)),    // degenerate single-instant window
+      (12L, ts(200), ts(100)),  // malformed: end < start -> matches nothing
+      (13L, ts(2990), ts(3010))
+    ).toDF("wid", "s", "e")
+    val naive = events.join(windows,
+        col("t") >= col("s") && col("t") <= col("e"))
+      .select("eid", "wid").as[(Long, Long)].collect().toSet
+    // boundary events land inclusively on both ends
+    assert(naive.contains((2L, 10L)) && naive.contains((3L, 11L)) &&
+      naive.contains((6L, 13L)) && !naive.exists(_._2 == 12L))
+    for (w <- Seq(60L, 3600L, 7L)) { // incl. a width that misaligns everything
+      val got = RelOps.intervalJoin(events, "t", windows, "s", "e",
+          bucketWidthSec = w)
+        .select("eid", "wid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"width $w produced duplicate pairs")
+      assert(got.toSet == naive, s"width $w diverged from BETWEEN")
+    }
+  }
 }

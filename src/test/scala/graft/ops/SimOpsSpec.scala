@@ -390,6 +390,30 @@ class SimOpsSpec extends SparkSpec {
     }
   }
 
+  test("drift stats: self-sample scores low, shifted batch scores high") {
+    val root = java.nio.file.Files.createTempDirectory("graft_anndrift")
+    val sink = new graft.sink.UpsertSink(spark, root.toString)
+    val e = Tables.load(spark, sf, "embeddings")
+    SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink).collect()
+    def tv(batch: org.apache.spark.sql.DataFrame): Double =
+      SimOps.ivfIndexDriftStats(batch, "vec_id", "embedding", sink)
+        .agg(sum($"gap_ppm")).as[Long].head() / 2e6
+    // a subsample of the indexed corpus IS the trained distribution
+    val self = tv(e.filter($"vec_id" % 3 === 0))
+    // a mode-collapsed batch (every vector in one direction) piles all
+    // its mass into one list — the unambiguous retrain signal
+    val shifted = tv(e.limit(200).select($"vec_id",
+      transform($"embedding", x => x * lit(0.0f) + lit(0.37f)).as("embedding")))
+    assert(self < 0.25, f"self-sample drift $self%.3f unexpectedly high")
+    assert(shifted > 0.5,
+      f"collapsed batch drift $shifted%.3f not flagged (self was $self%.3f)")
+    // shares are exact ppm: each side sums to ~1e6 (integer div remainder)
+    val sums = SimOps.ivfIndexDriftStats(e, "vec_id", "embedding", sink)
+      .agg(sum($"stored_ppm"), sum($"batch_ppm")).as[(Long, Long)].head()
+    assert(sums._1 > 999000L && sums._1 <= 1000000L)
+    assert(sums._2 > 999000L && sums._2 <= 1000000L)
+  }
+
   test("broadcastQueries=false drops the probe hints without changing results") {
     // the corpus-scale-query escape hatch (round-7 advice): the default
     // plan pins two broadcasts of batch-bounded sides; unset, the hints

@@ -144,6 +144,56 @@ class UpsertSinkSpec extends SparkSpec {
     assert(rows.toMap.apply(7L) == "UPDATED")
   }
 
+  test("delete removes exactly the keyed rows and rewrites only their buckets") {
+    val root = Files.createTempDirectory("graft_sink_del")
+    val sink = new UpsertSink(spark, root.toString, numBuckets = 8)
+    sink.merge("t", (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    def fileState(): Map[String, Long] = {
+      val s = Files.walk(root.resolve("t"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(p => p.toString ->
+            java.util.Arrays.hashCode(Files.readAllBytes(p)).toLong)
+          .toMap
+      } finally s.close()
+    }
+    val before = fileState()
+    sink.delete("t", Seq(Tuple1(42L)).toDF("id"), Seq("id"))
+    val after = fileState()
+    val survivors = before.keySet.intersect(after.keySet)
+    assert(survivors.nonEmpty && survivors.forall(k => before(k) == after(k)),
+      "untouched buckets were rewritten by a 1-key delete")
+    val rows = sink.read("t").as[(Long, String)].collect().toMap
+    assert(rows.size == 199 && !rows.contains(42L) && rows(41L) == "v41")
+    // absent keys are no-ops; re-deleting is idempotent
+    sink.delete("t", Seq(Tuple1(42L), Tuple1(9999L)).toDF("id"), Seq("id"))
+    assert(sink.read("t").count() == 199)
+    // and a later merge re-inserts cleanly (no resurrected duplicate)
+    sink.merge("t", Seq((42L, "BACK")).toDF("id", "v"), Seq("id"))
+    val again = sink.read("t").as[(Long, String)].collect().toMap
+    assert(again.size == 200 && again(42L) == "BACK")
+  }
+
+  test("delete that empties a bucket removes its directory outright") {
+    import org.apache.spark.sql.functions.{col, hash, pmod, lit}
+    val root = Files.createTempDirectory("graft_sink_delb")
+    val sink = new UpsertSink(spark, root.toString, numBuckets = 2)
+    val df = (1L to 60L).map(i => (i, s"v$i")).toDF("id", "v")
+    sink.merge("t", df, Seq("id"))
+    // replicate the sink's routing (pmod(hash(pk), 2)) to find bucket-0 keys
+    val b0 = df.select(col("id"))
+      .filter(pmod(hash(col("id")), lit(2)) === 0)
+      .as[Long].collect().toSet
+    assert(b0.nonEmpty && b0.size < 60)
+    sink.delete("t", b0.toSeq.toDF("id"), Seq("id"))
+    assert(!Files.exists(root.resolve("t").resolve("__bucket=0")),
+      "fully-deleted bucket dir survived")
+    assert(sink.read("t").as[(Long, String)].collect().map(_._1).toSet
+      == (1L to 60L).toSet -- b0)
+  }
+
   test("rebucket evolves the modulus; content survives and merges route by the NEW marker") {
     val root = Files.createTempDirectory("graft_sink_rbk")
     val sink = new UpsertSink(spark, root.toString, numBuckets = 4)
