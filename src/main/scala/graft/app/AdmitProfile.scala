@@ -36,9 +36,14 @@ object AdmitProfile {
           println(s"  -- batch $b --")
           val rawBatch = e.filter(col("vec_id") % 4 === b)
           val batch = rawBatch.dropDuplicates("vec_id").cache()
+          var screenedRef: org.apache.spark.sql.DataFrame = null
           try {
             val bootstrapped = SimOps.ivfPqIndexExists(sink) &&
               sink.exists(corpusTable)
+            // CACHED like the pipeline (the round-8 fix this profiler
+            // motivated): the count materializes the cache, so later
+            // stages read it instead of re-running the probe — stage
+            // timings then attribute each subtree once
             val screened =
               if (!bootstrapped) batch
               else time("screen (stored probe)") {
@@ -47,7 +52,8 @@ object AdmitProfile {
                     k = 1, nprobe = 10)
                   .filter(col("rank") === 1 && col("cosine") >= threshold)
                   .select(col("query_id").as("vec_id"))
-                val s = batch.join(hits, Seq("vec_id"), "left_anti")
+                val s = batch.join(hits, Seq("vec_id"), "left_anti").cache()
+                screenedRef = s
                 s.count() // materialization boundary for timing only
                 s
               }
@@ -80,7 +86,10 @@ object AdmitProfile {
                     "embedding", sink))
               }
             }
-          } finally batch.unpersist()
+          } finally {
+            if (screenedRef != null) screenedRef.unpersist()
+            batch.unpersist()
+          }
         }
       }
     }
