@@ -2718,9 +2718,14 @@ object Catalog {
           (TextOps.qualityScoreMil(col("text")) >= 500).cast("int"))
         val m = ClassifierOps.trainHashedClassifier(labeled, "text", "y",
           buckets = 1024, iters = 6)
+        // margin computed ONCE: the aggregate HOF is interpreted-eval
+        // (no whole-stage subexpression elimination), so repeating the
+        // expression would run the full tokenize+hash+fold twice per row
         labeled.select(col("doc_id"), col("y"),
-            round(m.margin(col("text")), 6).as("margin"),
-            (m.margin(col("text")) > 0).cast("int").as("pred"))
+            m.margin(col("text")).as("__m"))
+          .select(col("doc_id"), col("y"),
+            round(col("__m"), 6).as("margin"),
+            (col("__m") > 0).cast("int").as("pred"))
           .orderBy("doc_id")
       }),
 

@@ -23,7 +23,11 @@ private[functions] object ExprArgs {
     require(e.foldable, s"$what must be a foldable string-array literal")
     e.eval() match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-        Array.tabulate(a.numElements())(i => a.getUTF8String(i).toString)
+        Array.tabulate(a.numElements()) { i =>
+          require(!a.isNullAt(i),
+            s"$what must not contain null elements (element $i is null)")
+          a.getUTF8String(i).toString
+        }
       case other => throw new IllegalArgumentException(
         s"$what must be a string-array literal, got $other")
     }

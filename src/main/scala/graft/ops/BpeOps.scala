@@ -167,7 +167,10 @@ object BpeOps {
     * the stored merges everywhere else.
     */
   def saveModel(sink: graft.sink.UpsertSink, model: BpeModel): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.active
+    // the SINK's session, not SparkSession.active: a caller on a cloned
+    // session's thread (foreachBatch, notebook clones) must not build
+    // the merges frame on a different session than the one writing it
+    val spark = sink.session
     import spark.implicits._
     val rows = model.merges.zipWithIndex.map { case ((l, r), i) =>
       (i, l, r, 0L, 0L, 0L, 0L)

@@ -608,6 +608,13 @@ object SimOps {
       sink.overwrite(IdxVecs8,
         int8Quantize(corpus, idCol, vecCol).withColumnRenamed(idCol, "id"),
         Seq("id"))
+    else
+      // a REBUILD without storeSq8 must not leave a previous build's
+      // SQ8 table behind: refineFromSq8 probes trust ann_vecs8
+      // unconditionally, and stale codes would silently drop
+      // newly-indexed vectors at re-rank (the staleness the
+      // ivfPqIndexAddMerge guard exists to prevent on the add path)
+      sink.drop(IdxVecs8)
     sink.read(IdxCodes).groupBy("list")
       .agg(count(lit(1)).as("n_codes"))
       .select(col("list"), col("n_codes").cast("int").as("n_codes"))
@@ -846,9 +853,16 @@ object SimOps {
     val spark = batch.sparkSession
     VectorFunctions.register(spark)
     val meta = readIndexMeta(spark, sink)
+    val nonNull = batch.filter(col(vecCol).isNotNull)
+    // an empty (or all-null-vector) batch has no distribution to
+    // compare — the ppm shares would divide by zero and NULL out the
+    // very gap_ppm column the retrain alarm thresholds on, silencing
+    // the alarm forever instead of failing loudly
+    require(!nonNull.isEmpty,
+      s"drift stats need at least one non-null $vecCol vector in the batch")
     val stored = meta.lists.groupBy(col("__list").as("list"))
       .agg(count(lit(1)).as("stored_n"))
-    val fresh = batch.filter(col(vecCol).isNotNull)
+    val fresh = nonNull
       .select(array_max(centScores(meta.cents, col(vecCol)))
         .getField("c").as("list"))
       .groupBy("list").agg(count(lit(1)).as("batch_n"))

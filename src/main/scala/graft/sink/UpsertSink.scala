@@ -62,6 +62,12 @@ final case class TableMerge(table: String, updates: DataFrame,
 final class UpsertSink(spark: SparkSession, root: String,
                        numBuckets: Int = 64) {
 
+  /** The session this sink writes with — model-persistence helpers
+    * (e.g. BpeOps.saveModel) build their DataFrames on it rather than
+    * whatever session happens to be "active" on the calling thread.
+    */
+  def session: SparkSession = spark
+
   private val BucketCol = "__bucket"
 
   private def tableDir(table: String): Path = Paths.get(root, table)
@@ -501,14 +507,23 @@ final class UpsertSink(spark: SparkSession, root: String,
     writeAndSwapBuckets(table, merged, touched, buckets)
   }
 
-  /** Shared bucket-rewrite tail of [[incrementalSwap]] and [[compact]]:
+  /** Shared bucket-rewrite tail of [[incrementalSwap]] and [[delete]]:
     * write `merged` (already carrying [[BucketCol]]) to the table's
     * shadow dir in the bucketed layout, then atomically swap each
     * touched bucket in (per-bucket `.bkup_` backup makes every swap
     * window crash-recoverable via [[recover]]).
+    *
+    * `removeEmptied` is the one semantic fork between the callers: a
+    * MERGE treats a touched bucket with no shadow replacement as
+    * untouchable (never displace a live bucket unless its replacement
+    * exists); a DELETE treats it as a bucket whose every row was
+    * deleted — the live dir is REMOVED. The .bkup_ window keeps both
+    * crash-recoverable: a crash mid-swap restores the pre-operation
+    * bucket and a re-run converges.
     */
   private def writeAndSwapBuckets(table: String, merged: DataFrame,
-                                  touched: Array[Int], buckets: Int): Unit = {
+                                  touched: Array[Int], buckets: Int,
+                                  removeEmptied: Boolean = false): Unit = {
     val dir = tableDir(table)
     val shadow = Paths.get(root, s".${table}__shadow")
     deleteRecursively(shadow)
@@ -518,12 +533,11 @@ final class UpsertSink(spark: SparkSession, root: String,
       val part = s"$BucketCol=$b"
       val from = shadow.resolve(part)
       val to = dir.resolve(part)
-      // never displace a live bucket unless its replacement exists
-      if (Files.exists(from)) {
+      if (Files.exists(from) || removeEmptied) {
         val old = dir.resolve(s".bkup_$b")
         deleteRecursively(old)
         if (Files.exists(to)) Files.move(to, old, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+        if (Files.exists(from)) Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
         deleteRecursively(old)
       }
     }
@@ -533,6 +547,15 @@ final class UpsertSink(spark: SparkSession, root: String,
     // defeat the identical-name/size/mtime corner, which a crash short
     // of this line cannot reproduce
     stampGeneration(dir)
+  }
+
+  /** Drop a table entirely (no-op when absent). Runs recovery first so
+    * a crashed swap's parked data is consumed, not orphaned beside the
+    * delete.
+    */
+  def drop(table: String): Unit = {
+    recover(table)
+    deleteRecursively(tableDir(table))
   }
 
   /** PK DELETE — the retention/right-to-erasure half of a merge sink:
@@ -577,28 +600,10 @@ final class UpsertSink(spark: SparkSession, root: String,
           .parquet(touched.map(b =>
             dir.resolve(s"$BucketCol=$b").toString).toIndexedSeq: _*)
         val kept = cur.join(keyed.select(pk.map(col): _*), pk, "left_anti")
-        val shadow = Paths.get(root, s".${table}__shadow")
-        deleteRecursively(shadow)
-        bucketAligned(kept, buckets).write.mode(SaveMode.Overwrite)
-          .partitionBy(BucketCol).parquet(shadow.toString)
-        // delete-aware swap: unlike a merge, a touched bucket with NO
-        // shadow replacement is a bucket whose every row was deleted —
-        // the live dir is REMOVED, not preserved. The .bkup_ window
-        // keeps each step crash-recoverable: a crash mid-swap restores
-        // the pre-delete bucket and a re-run of the same delete
-        // converges (DELETE is idempotent on keys).
-        touched.foreach { b =>
-          val part = s"$BucketCol=$b"
-          val from = shadow.resolve(part)
-          val to = dir.resolve(part)
-          val old = dir.resolve(s".bkup_$b")
-          deleteRecursively(old)
-          if (Files.exists(to)) Files.move(to, old, StandardCopyOption.ATOMIC_MOVE)
-          if (Files.exists(from)) Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
-          deleteRecursively(old)
-        }
-        deleteRecursively(shadow)
-        stampGeneration(dir)
+        // removeEmptied: a touched bucket with no shadow replacement is
+        // a bucket whose every row was deleted — see writeAndSwapBuckets
+        writeAndSwapBuckets(table, kept, touched, buckets,
+          removeEmptied = true)
       }
     } finally keyed.unpersist()
   }

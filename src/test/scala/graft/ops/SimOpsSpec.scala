@@ -388,6 +388,14 @@ class SimOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SimOps.ivfPqIndexAddMerge(added, "vec_id", "embedding", sink)
     }
+    // a REBUILD without storeSq8 drops the SQ8 table rather than leave
+    // stale codes for refineFromSq8 probes to silently trust
+    SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink).collect()
+    assert(!sink.exists("ann_vecs8"), "rebuild left a stale ann_vecs8")
+    intercept[IllegalArgumentException] {
+      SimOps.ivfPqProbeIndex(queries, e, "vec_id", "embedding", sink, 5,
+        refineFromSq8 = true)
+    }
   }
 
   test("drift stats: self-sample scores low, shifted batch scores high") {
