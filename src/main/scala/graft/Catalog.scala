@@ -2788,7 +2788,27 @@ object Catalog {
         SimOps.ivfIndexDriftStats(e.filter(col("vec_id") % 3 === 0),
             "vec_id", "embedding", sink)
           .orderBy("list")
-      })
+      }),
+
+    QueryDef("q98_diverse_select",
+      "CORESET / diversity selection — the SELECTION counterpart of " +
+        "q75's SemDeDup deletion (k-center greedy / farthest-first per " +
+        "trained cluster; Gonzalez 1985, Sener & Savarese ICLR 2018): " +
+        "keep the 5 most diverse representatives of each of 8 " +
+        "clusters instead of deleting near-dups. One deterministic " +
+        "quantizer training, map-side assignment, one cluster-keyed " +
+        "shuffle into per-cluster in-memory greedy (O(k*|cluster|*dim) " +
+        "per cluster; |cluster| held constant by growing nlist with " +
+        "the corpus — the q75 posture). Deterministic at any " +
+        "parallelism: seed = min id, ties to the smaller id. k-means " +
+        "inside -> rows-only; SimOpsSpec pins diversity-beats-" +
+        "redundancy on planted geometry, per-cluster sizes, and " +
+        "partition invariance.",
+      None,
+      (s, dir) =>
+        SimOps.diverseSelect(t(s, dir, "embeddings"), "vec_id",
+            "embedding", k = 5, nlist = 8)
+          .orderBy("cluster", "rank"))
   )
 
   /** Shared oracle CTE: winnowed fingerprint sets per document (k=8,

@@ -1004,6 +1004,100 @@ object SimOps {
       .select(col(idCol), col("__cl0").as("cluster"))
   }
 
+  /** CORESET / DIVERSITY SELECTION — the selection counterpart of
+    * [[semDedup]]'s deletion, and the other standard embedding-space
+    * data-pruning move: instead of deleting near-dups, KEEP the k most
+    * diverse representatives per trained cluster (farthest-first
+    * traversal / k-center greedy — Gonzalez 1985; Sener & Savarese,
+    * "Active Learning for CNNs: A Core-Set Approach", ICLR 2018; the
+    * cluster-scoped form data-pruning pipelines use at scale).
+    *
+    * Scale shape: one deterministic quantizer training (the
+    * [[trainCentroids]] decimal discipline), one map-side assignment,
+    * one cluster-keyed shuffle into `mapGroups` where each cluster's
+    * greedy runs in memory — per-cluster cost O(k·|cluster|·dim) and
+    * |cluster| is held constant by growing `nlist` with the corpus
+    * (the identical posture [[semDedup]] ships with). Determinism at
+    * any parallelism: the greedy depends only on pairwise doubles and
+    * id tie-breaks (seed = min id; ties toward the smaller id), never
+    * on iterator order.
+    *
+    * Output: (cluster, idCol, rank) — rank 1..min(k, |cluster|) in
+    * selection order (rank 1 = seed, rank 2 = farthest from seed, ...).
+    */
+  def diverseSelect(vecs: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nlist: Int, iters: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    locally {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = vecs.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"diverseSelect id column '$idCol' must be integral " +
+          s"(greedy state keys on longs); got ${dt.simpleString}")
+    }
+    val cents = trainCentroids(vecs, idCol, vecCol, nlist, iters)
+    val assigned = vecs.filter(col(vecCol).isNotNull)
+      .select(array_max(centScores(cents, col(vecCol))).getField("c")
+          .as("cluster"),
+        col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Int, Long, Array[Float])]
+    assigned.groupByKey(_._1)
+      .flatMapGroups { (cl: Int, it: Iterator[(Int, Long, Array[Float])]) =>
+        val members = it.map(m => (m._2, m._3)).toArray
+        def cosDist(a: Array[Float], b: Array[Float]): Double = {
+          val n = math.min(a.length, b.length)
+          var d = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          while (i < n) {
+            val x = a(i).toDouble; val y = b(i).toDouble
+            d += x * y; na += x * x; nb += y * y; i += 1
+          }
+          if (na == 0.0 || nb == 0.0) 1.0
+          else 1.0 - d / (math.sqrt(na) * math.sqrt(nb))
+        }
+        // seed: the smallest id (deterministic however the iterator
+        // arrives); then farthest-first on min-distance-to-selected
+        var seedIx = 0
+        var i = 1
+        while (i < members.length) {
+          if (members(i)._1 < members(seedIx)._1) seedIx = i
+          i += 1
+        }
+        val selected = scala.collection.mutable.ArrayBuffer(seedIx)
+        val minDist = Array.tabulate(members.length)(j =>
+          cosDist(members(j)._2, members(seedIx)._2))
+        minDist(seedIx) = -1.0 // never re-selected
+        while (selected.length < math.min(k, members.length)) {
+          var best = -1
+          var j = 0
+          while (j < members.length) {
+            if (minDist(j) >= 0.0 && (best < 0 || minDist(j) > minDist(best) ||
+                (minDist(j) == minDist(best) && members(j)._1 < members(best)._1)))
+              best = j
+            j += 1
+          }
+          selected += best
+          val bv = members(best)._2
+          minDist(best) = -1.0
+          j = 0
+          while (j < members.length) {
+            if (minDist(j) >= 0.0) {
+              val d = cosDist(members(j)._2, bv)
+              if (d < minDist(j)) minDist(j) = d
+            }
+            j += 1
+          }
+        }
+        selected.iterator.zipWithIndex.map { case (ix, r) =>
+          (cl, members(ix)._1, r + 1)
+        }
+      }
+      .toDF("cluster", idCol, "rank")
+  }
+
   /** Chunk -> document embedding pooling: the element-wise mean of every
     * group's vectors (RAG / retrieval pipelines pool chunk embeddings
     * into document embeddings exactly like this). Two equi-shuffles:

@@ -398,6 +398,40 @@ class SimOpsSpec extends SparkSpec {
     }
   }
 
+  test("diverseSelect: diversity beats redundancy, deterministic, size-bounded") {
+    // cluster A around +x (ids 1-5: four near-copies + one genuinely
+    // different direction), cluster B around -x (ids 11-12). With k=2,
+    // A must select the seed (min id) and the DIFFERENT member — never
+    // a second near-copy, which is the whole point over random pick.
+    def v(x: Float, y: Float, z: Float) = Array(x, y, z)
+    val rows = Seq(
+      (1L, v(1f, 0f, 0f)), (2L, v(0.99f, 0.01f, 0f)),
+      (3L, v(0.98f, -0.01f, 0f)), (4L, v(0.99f, 0f, 0.01f)),
+      (5L, v(0.6f, 0.8f, 0f)), // same half-space, far from the copies
+      (11L, v(-1f, 0f, 0f)), (12L, v(-0.99f, 0.01f, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val sel = SimOps.diverseSelect(df, "vec_id", "embedding",
+      k = 2, nlist = 2, iters = 2)
+    val byCluster = sel.as[(Int, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(byCluster.size == 2)
+    val a = byCluster.values.find(_.contains(1L)).get
+    assert(a == Seq(1L, 5L),
+      s"greedy kept a near-copy over the diverse member: $a")
+    val b = byCluster.values.find(_.contains(11L)).get
+    assert(b.head == 11L && b.size == 2)
+    // size bound: k larger than the cluster returns the whole cluster
+    val all = SimOps.diverseSelect(df, "vec_id", "embedding",
+      k = 10, nlist = 2, iters = 2)
+    assert(all.count() == rows.length)
+    assert(all.select("rank").as[Int].collect().forall(_ >= 1))
+    // partition invariance
+    val again = SimOps.diverseSelect(df.repartition(7), "vec_id",
+        "embedding", k = 2, nlist = 2, iters = 2)
+      .as[(Int, Long, Int)].collect().toSet
+    assert(again == sel.as[(Int, Long, Int)].collect().toSet)
+  }
+
   test("drift stats: self-sample scores low, shifted batch scores high") {
     val root = java.nio.file.Files.createTempDirectory("graft_anndrift")
     val sink = new graft.sink.UpsertSink(spark, root.toString)
