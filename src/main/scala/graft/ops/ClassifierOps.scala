@@ -106,4 +106,32 @@ object ClassifierOps {
       HashedLinearModel(w, bias)
     } finally feats.unpersist()
   }
+
+  /** Persisted-model table name under a sink root. */
+  private val WeightsTable = "classifier_weights"
+
+  /** Persist a trained model through the sink (atomic shadow swap, the
+    * [[graft.ops.BpeOps.saveModel]] lifecycle): one row per bucket
+    * weight plus a bucket -1 bias row. Train once per corpus
+    * generation; every applier loads the same coefficients.
+    */
+  def saveModel(sink: graft.sink.UpsertSink, model: HashedLinearModel): Unit = {
+    val spark = sink.session
+    import spark.implicits._
+    val rows = model.weights.toIndexedSeq.zipWithIndex
+      .map { case (w, b) => (b, w) } :+ ((-1, model.bias))
+    sink.overwrite(WeightsTable, rows.toDF("bucket", "w"), Seq("bucket"))
+  }
+
+  /** Read a persisted model back (weights in bucket order + bias). */
+  def loadModel(sink: graft.sink.UpsertSink): HashedLinearModel = {
+    require(sink.exists(WeightsTable),
+      s"no $WeightsTable under ${sink.rootPath} — train and saveModel first")
+    val rows = sink.read(WeightsTable).collect()
+    val bias = rows.find(_.getInt(0) == -1).fold(0.0)(_.getDouble(1))
+    val ws = rows.filter(_.getInt(0) >= 0)
+    val weights = new Array[Double](ws.map(_.getInt(0)).max + 1)
+    ws.foreach(r => weights(r.getInt(0)) = r.getDouble(1))
+    HashedLinearModel(weights, bias)
+  }
 }

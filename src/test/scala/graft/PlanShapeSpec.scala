@@ -401,6 +401,27 @@ class PlanShapeSpec extends SparkSpec {
       s"unexpected cartesian in the BPE plan:\n$plan")
   }
 
+  test("q94: the language rollup aggregates partially before its one exchange") {
+    val plan = planOf("q94_lang_token_rollup")
+    // the per-guess counts must combine map-side — at 100 TB the
+    // exploded signals travel pre-aggregated, never row-by-row
+    assert(plan.split("HashAggregate").length - 1 >= 2,
+      s"rollup not partial:\n$plan")
+    val exchanges = plan.split("Exchange hashpartitioning").length - 1
+    assert(exchanges <= 1, s"more than the one guess-keyed shuffle:\n$plan")
+  }
+
+  test("q97: drift stats windows run on list-bounded input, joins stay equi-keyed") {
+    val plan = planOf("q97_ann_drift")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in the drift plan:\n$plan")
+    // the unpartitioned ppm-share windows are fine ONLY because their
+    // input is the nlist-row occupancy join — both sides must aggregate
+    // (bounded) BELOW the window, which partial HashAggregates witness
+    assert(plan.split("HashAggregate").length - 1 >= 4,
+      s"occupancy aggregates not below the share windows:\n$plan")
+  }
+
   test("q96: the interval join is a hash equi-join on buckets, never a nested loop") {
     val plan = planOf("q96_interval_join")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),

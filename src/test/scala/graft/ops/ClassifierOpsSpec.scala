@@ -54,6 +54,27 @@ class ClassifierOpsSpec extends SparkSpec {
     }
   }
 
+  test("model persists through the sink and round-trips exactly") {
+    val m = ClassifierOps.trainHashedClassifier(corpus, "text", "y",
+      buckets = 256, iters = 6)
+    val sink = new graft.sink.UpsertSink(spark,
+      java.nio.file.Files.createTempDirectory("graft_clf").toString)
+    ClassifierOps.saveModel(sink, m)
+    val loaded = ClassifierOps.loadModel(sink)
+    assert(loaded.bias == m.bias &&
+      loaded.weights.toSeq == m.weights.toSeq)
+    // margins from the loaded model are bit-identical
+    val a = corpus.select($"id", m.margin($"text").as("mg"))
+      .as[(Long, Double)].collect().toMap
+    val b = corpus.select($"id", loaded.margin($"text").as("mg"))
+      .as[(Long, Double)].collect().toMap
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      ClassifierOps.loadModel(new graft.sink.UpsertSink(spark,
+        java.nio.file.Files.createTempDirectory("graft_clf_e").toString))
+    }
+  }
+
   test("the apply (margin) plan is map-only — no exchange, no UDF") {
     val m = ClassifierOps.trainHashedClassifier(corpus, "text", "y",
       buckets = 128, iters = 2)
