@@ -123,15 +123,28 @@ object ClassifierOps {
     sink.overwrite(WeightsTable, rows.toDF("bucket", "w"), Seq("bucket"))
   }
 
-  /** Read a persisted model back (weights in bucket order + bias). */
+  /** Read a persisted model back (weights in bucket order + bias).
+    * Validates completeness loudly: the bucket COUNT is the hashing
+    * modulus (`margin` uses weights.length), so a table missing rows
+    * would not just zero some weights — it would silently remap every
+    * token to a different bucket.
+    */
   def loadModel(sink: graft.sink.UpsertSink): HashedLinearModel = {
     require(sink.exists(WeightsTable),
       s"no $WeightsTable under ${sink.rootPath} — train and saveModel first")
     val rows = sink.read(WeightsTable).collect()
-    val bias = rows.find(_.getInt(0) == -1).fold(0.0)(_.getDouble(1))
+    val biasRow = rows.find(_.getInt(0) == -1)
+    require(biasRow.isDefined, s"$WeightsTable has no bias row")
     val ws = rows.filter(_.getInt(0) >= 0)
-    val weights = new Array[Double](ws.map(_.getInt(0)).max + 1)
+    require(ws.nonEmpty, s"$WeightsTable has no weight rows")
+    val buckets = ws.map(_.getInt(0)).max + 1
+    require(ws.length == buckets &&
+        ws.map(_.getInt(0)).toSet.size == buckets,
+      s"$WeightsTable is incomplete: ${ws.length} weight rows for " +
+        s"bucket range [0, ${buckets - 1}] — a partial table would " +
+        "silently change the hashing modulus")
+    val weights = new Array[Double](buckets)
     ws.foreach(r => weights(r.getInt(0)) = r.getDouble(1))
-    HashedLinearModel(weights, bias)
+    HashedLinearModel(weights, biasRow.get.getDouble(1))
   }
 }

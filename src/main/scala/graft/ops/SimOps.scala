@@ -580,6 +580,12 @@ object SimOps {
     val cents = trainCentroids(corpus, idCol, vecCol, nlist, coarseIters)
     val books = trainPqCodebooks(corpus, idCol, vecCol,
       dim = books_dim(corpus, vecCol), m = m, ksub = ksub)
+    // drop any previous build's SQ8 table FIRST: a crash anywhere in
+    // the rebuild then leaves vecs8 MISSING (refineFromSq8 fails
+    // loudly) instead of a fresh index silently paired with the old
+    // generation's codes — dropping last would reopen that window
+    // between the code-list overwrite and the drop
+    sink.drop(IdxVecs8)
     val centRows = for {
       (c, l) <- cents.toIndexedSeq.zipWithIndex
       (v, i) <- c.toIndexedSeq.zipWithIndex
@@ -604,17 +610,12 @@ object SimOps {
         pqCodes(col(vecCol), books).as("codes"))
         ++ attrCols.map(col): _*),
       Seq("id"))
+    // (the stale previous-generation table was dropped up front — see
+    // the pre-training drop; this writes the NEW generation's codes)
     if (storeSq8)
       sink.overwrite(IdxVecs8,
         int8Quantize(corpus, idCol, vecCol).withColumnRenamed(idCol, "id"),
         Seq("id"))
-    else
-      // a REBUILD without storeSq8 must not leave a previous build's
-      // SQ8 table behind: refineFromSq8 probes trust ann_vecs8
-      // unconditionally, and stale codes would silently drop
-      // newly-indexed vectors at re-rank (the staleness the
-      // ivfPqIndexAddMerge guard exists to prevent on the add path)
-      sink.drop(IdxVecs8)
     sink.read(IdxCodes).groupBy("list")
       .agg(count(lit(1)).as("n_codes"))
       .select(col("list"), col("n_codes").cast("int").as("n_codes"))
@@ -853,19 +854,18 @@ object SimOps {
     val spark = batch.sparkSession
     VectorFunctions.register(spark)
     val meta = readIndexMeta(spark, sink)
-    val nonNull = batch.filter(col(vecCol).isNotNull)
-    // an empty (or all-null-vector) batch has no distribution to
-    // compare — the ppm shares would divide by zero and NULL out the
-    // very gap_ppm column the retrain alarm thresholds on, silencing
-    // the alarm forever instead of failing loudly
-    require(!nonNull.isEmpty,
-      s"drift stats need at least one non-null $vecCol vector in the batch")
     val stored = meta.lists.groupBy(col("__list").as("list"))
       .agg(count(lit(1)).as("stored_n"))
-    val fresh = nonNull
+    val fresh = batch.filter(col(vecCol).isNotNull)
       .select(array_max(centScores(meta.cents, col(vecCol)))
         .getField("c").as("list"))
       .groupBy("list").agg(count(lit(1)).as("batch_n"))
+    // the empty-batch guard lives IN the plan (no extra eager job over
+    // the batch lineage): an empty or all-null-vector batch has no
+    // distribution to compare, and a silent 0-denominator would NULL
+    // out the very gap_ppm the retrain alarm thresholds on — so the
+    // share division raises a NAMED error instead. The stored side
+    // needs no guard: the index build rejects an empty corpus.
     stored.join(fresh, Seq("list"), "full_outer")
       .select(col("list"),
         coalesce(col("stored_n"), lit(0L)).as("stored_n"),
@@ -873,7 +873,9 @@ object SimOps {
       .withColumn("stored_ppm", expr(
         "1000000 * stored_n div sum(stored_n) over ()"))
       .withColumn("batch_ppm", expr(
-        "1000000 * batch_n div sum(batch_n) over ()"))
+        "1000000 * batch_n div (CASE WHEN sum(batch_n) over () = 0 THEN " +
+          "CAST(raise_error('drift stats need at least one non-null " +
+          "vector in the batch') AS BIGINT) ELSE sum(batch_n) over () END)"))
       .withColumn("gap_ppm", abs(col("stored_ppm") - col("batch_ppm")))
   }
 
@@ -1055,8 +1057,13 @@ object SimOps {
             val x = a(i).toDouble; val y = b(i).toDouble
             d += x * y; na += x * x; nb += y * y; i += 1
           }
-          if (na == 0.0 || nb == 0.0) 1.0
-          else 1.0 - d / (math.sqrt(na) * math.sqrt(nb))
+          val r =
+            if (na == 0.0 || nb == 0.0) 1.0
+            else 1.0 - d / (math.sqrt(na) * math.sqrt(nb))
+          // a NaN component poisons every comparison (NaN >= 0 and
+          // NaN > x are both false): score degenerate vectors as
+          // distance 0 — never "diverse", never crash the greedy
+          if (java.lang.Double.isNaN(r)) 0.0 else r
         }
         // seed: the smallest id (deterministic however the iterator
         // arrives); then farthest-first on min-distance-to-selected
@@ -1070,7 +1077,8 @@ object SimOps {
         val minDist = Array.tabulate(members.length)(j =>
           cosDist(members(j)._2, members(seedIx)._2))
         minDist(seedIx) = -1.0 // never re-selected
-        while (selected.length < math.min(k, members.length)) {
+        var exhausted = false
+        while (!exhausted && selected.length < math.min(k, members.length)) {
           var best = -1
           var j = 0
           while (j < members.length) {
@@ -1079,6 +1087,8 @@ object SimOps {
               best = j
             j += 1
           }
+          if (best < 0) { exhausted = true } // defensive: no candidate left
+          else {
           selected += best
           val bv = members(best)._2
           minDist(best) = -1.0
@@ -1089,6 +1099,7 @@ object SimOps {
               if (d < minDist(j)) minDist(j) = d
             }
             j += 1
+          }
           }
         }
         selected.iterator.zipWithIndex.map { case (ix, r) =>

@@ -551,11 +551,18 @@ final class UpsertSink(spark: SparkSession, root: String,
 
   /** Drop a table entirely (no-op when absent). Runs recovery first so
     * a crashed swap's parked data is consumed, not orphaned beside the
-    * delete.
+    * delete — and then ALSO removes any `.{table}__old` / shadow /
+    * legacy backup dirs: recover() treats a surviving whole-table
+    * backup as a crashed swap to restore, so a backup left behind
+    * (crash between an overwrite's two moves) would resurrect the
+    * dropped table from the dead on the next `exists`/`read`.
     */
   def drop(table: String): Unit = {
     recover(table)
     deleteRecursively(tableDir(table))
+    deleteRecursively(Paths.get(root, s".${table}__old"))
+    deleteRecursively(Paths.get(root, s".${table}__shadow"))
+    dropLegacyBucketBackups(table)
   }
 
   /** PK DELETE — the retention/right-to-erasure half of a merge sink:

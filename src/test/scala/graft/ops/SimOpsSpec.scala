@@ -454,6 +454,14 @@ class SimOpsSpec extends SparkSpec {
       .agg(sum($"stored_ppm"), sum($"batch_ppm")).as[(Long, Long)].head()
     assert(sums._1 > 999000L && sums._1 <= 1000000L)
     assert(sums._2 > 999000L && sums._2 <= 1000000L)
+    // an empty batch raises the NAMED in-plan error, never a silent
+    // NULL alarm (and never an extra eager job on the happy path)
+    val err = intercept[Exception] { tv(e.filter(lit(false))) }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("drift stats need")),
+      s"unexpected failure shape: $err")
   }
 
   test("broadcastQueries=false drops the probe hints without changing results") {
