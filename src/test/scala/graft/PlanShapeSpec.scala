@@ -422,6 +422,18 @@ class PlanShapeSpec extends SparkSpec {
       s"occupancy aggregates not below the share windows:\n$plan")
   }
 
+  test("q98: coreset selection shuffles once on the cluster key into mapGroups") {
+    val plan = planOf("q98_diverse_select")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs stage in the selection plan:\n$plan")
+    assert(plan.contains("MapGroups"),
+      s"per-cluster greedy not running as a grouped map:\n$plan")
+    // one cluster-keyed exchange feeds the greedy; the only other
+    // exchange allowed is the presentation orderBy's range partitioning
+    assert(plan.split("Exchange hashpartitioning").length - 1 <= 1,
+      s"extra shuffle in the selection plan:\n$plan")
+  }
+
   test("q96: the interval join is a hash equi-join on buckets, never a nested loop") {
     val plan = planOf("q96_interval_join")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
