@@ -32,5 +32,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A long-lived session compiling a ~100-query catalog's worth of
+  // whole-stage-codegen classes exhausts the JDK-default 240 MB code
+  // cache; the JIT then stops compiling and codegen-heavy scans run
+  // interpreted at 5-15x (the BENCH_r08 pathology: q91 27.1 s in the
+  // full-catalog JVM vs 2.06 s fresh-JVM). 512 MB + flushing keeps the
+  // compiler alive for the catalog AND for a real long-running
+  // pipeline session. Heap: 8g put 14.2 s of GC into one q89 pass on a
+  // 128 GiB box; 16g is the catalog-sized default (override with
+  // SPARK_DRIVER_MEM).
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

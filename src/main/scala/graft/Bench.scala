@@ -24,7 +24,13 @@ import scala.jdk.CollectionConverters._
   * the box still reports the clean number as long as any single pass ran
   * unimpeded. The file artifact additionally records EVERY pass's time
   * (`times`) and per-query GC milliseconds, so a contaminated pass is
-  * visible from the artifact alone (min ≪ max ⇒ load, not the plan).
+  * visible from the artifact alone (min ≪ max ⇒ load, not the plan) —
+  * plus per-query JIT-compilation-time deltas and code-cache occupancy
+  * (`jit_ms`, `code_cache_mb` vs `code_cache_max_mb`), and a
+  * `band_exceeded` map against checked-in known-good per-query bands
+  * (`bench_bands.properties`), so the BENCH_r08 failure mode — code
+  * cache full, compiler disabled, codegen running interpreted at 5-15x
+  * — is diagnosable from the artifact with no re-run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,6 +40,41 @@ object Bench {
     val spark = GraftSession.create()
     val gcBeans = ManagementFactory.getGarbageCollectorMXBeans.asScala
     def gcMillis(): Long = gcBeans.map(_.getCollectionTime.max(0L)).sum
+    // JIT self-diagnosis (BENCH_r08 post-mortem): a full-catalog JVM that
+    // exhausts its code cache stops compiling and runs codegen-heavy
+    // scans interpreted at 5-15x — and the only way to see that from the
+    // artifact was inference. Record, per query, (a) cumulative JIT
+    // compilation time (a delta that flatlines while wall time climbs =
+    // compilation ceased) and (b) code-cache occupancy out of its
+    // reserved max (>=95% without flushing = compiler disabled).
+    val codeHeaps = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("CodeCache"))
+    def codeCacheUsedMb(): Long =
+      codeHeaps.map(_.getUsage.getUsed).sum >> 20
+    val codeCacheMaxMb: Long = codeHeaps.map(_.getUsage.getMax.max(0L)).sum >> 20
+    val jitBean = Option(ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+    def jitMillis(): Long = jitBean.map(_.getTotalCompilationTime).getOrElse(0L)
+    // Expected per-query upper bounds (seconds) for a HEALTHY pass —
+    // checked-in known-good numbers x3 headroom (see the resource's
+    // header). A min-of-passes above its band means this JVM could not
+    // reproduce a number it has already achieved: flag it loudly in the
+    // artifact and on stderr so a degraded run is identifiable without
+    // re-running anything.
+    val bands: Map[String, Double] = {
+      val in = Option(getClass.getResourceAsStream("/graft/bench_bands.properties"))
+      in.map { s =>
+        try scala.io.Source.fromInputStream(s, "UTF-8").getLines()
+          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+          .flatMap { l =>
+            l.split("=", 2) match {
+              case Array(k, v) => scala.util.Try(k.trim -> v.trim.toDouble).toOption
+              case _ => None
+            }
+          }.toMap
+        finally s.close()
+      }.getOrElse(Map.empty)
+    }
     def force(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -59,8 +100,12 @@ object Bench {
     // working one): failures are reported in their own artifact field
     // and excluded from the per-query map and the total
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    case class QResult(name: String, min: Double, times: Seq[Double],
+                       gcMs: Long, jitMs: Long, ccUsedMb: Long,
+                       bandExceeded: Option[Double])
     val results = names.flatMap { name =>
       val gc0 = gcMillis()
+      val jit0 = jitMillis()
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         try force(name) catch {
@@ -71,7 +116,20 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       if (errors.contains(name)) None
-      else Some((name, times.min, times, gcMillis() - gc0))
+      else {
+        val min = times.min
+        val ccUsed = codeCacheUsedMb()
+        val band = bands.get(name).filter(min > _)
+        band.foreach { b =>
+          System.err.println(
+            f"bench: WARN $name min $min%.2fs exceeds expected band $b%.1fs — " +
+              f"suspect JVM degradation, not the plan (code cache $ccUsed/${codeCacheMaxMb}MB, " +
+              f"jit +${jitMillis() - jit0}ms this query; " +
+              "see src/main/resources/graft/bench_bands.properties)")
+        }
+        Some(QResult(name, min, times, gcMillis() - gc0, jitMillis() - jit0,
+          ccUsed, band))
+      }
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -89,17 +147,24 @@ object Bench {
     // The FILE artifact keeps full names and full precision.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
     val shortsUnique =
-      results.map(r => shortKey(r._1)).distinct.size == results.size
-    val qs = results.map { case (k, v, _, _) =>
-      "\"" + (if (shortsUnique) shortKey(k) else k) + f"""\":$v%.2f"""
+      results.map(r => shortKey(r.name)).distinct.size == results.size
+    val qs = results.map { r =>
+      "\"" + (if (shortsUnique) shortKey(r.name) else r.name) + f"""\":${r.min}%.2f"""
     }.mkString("{", ",", "}")
-    val qsFull = results.map { case (k, v, _, _) => "\"" + k + f"""\":$v%.3f""" }
+    val qsFull = results.map { r => "\"" + r.name + f"""\":${r.min}%.3f""" }
       .mkString("{", ",", "}")
-    val allTimes = results.map { case (k, _, ts, _) =>
-      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val allTimes = results.map { r =>
+      "\"" + r.name + "\":" + r.times.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, _, g) => "\"" + k + s"""\":$g""" }
+    val gcs = results.map { r => "\"" + r.name + s"""\":${r.gcMs}""" }
       .mkString("{", ",", "}")
+    val jits = results.map { r => "\"" + r.name + s"""\":${r.jitMs}""" }
+      .mkString("{", ",", "}")
+    val ccs = results.map { r => "\"" + r.name + s"""\":${r.ccUsedMb}""" }
+      .mkString("{", ",", "}")
+    val bandsExceeded = results.flatMap { r =>
+      r.bandExceeded.map(b => "\"" + r.name + f"""\":$b%.1f""")
+    }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     // stdout-line error map: short keys, 40-char messages — a failing
@@ -107,12 +172,16 @@ object Bench {
     val errsShort = errors.map { case (k, v) =>
       s"${jstr(if (shortsUnique) shortKey(k) else k)}:${jstr(v.take(40))}"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_.min).sum
+    val nBand = results.count(_.bandExceeded.isDefined)
     // ONE stdout line in the driver's documented shape (queries = min of
-    // passes); the heavyweight per-pass/gc detail lives only in the file
-    // so the line stays inside any tail-capture window.
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errsShort,"passes":$passes,"n_queries":${results.size},"sf":"$sfDir","artifact":${jstr(outPath)}}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"times":$allTimes,"gc_ms":$gcs,"errors":$errs,"passes":$passes,"n_queries":${results.size},"sf":"$sfDir"}"""
+    // passes); the heavyweight per-pass/gc/JIT detail lives only in the
+    // file so the line stays inside any tail-capture window. band_warn
+    // rides the line as a single integer: a nonzero value says "this
+    // run's environment degraded N queries past their known-good bands —
+    // read the file artifact before trusting the total".
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errsShort,"band_warn":$nBand,"passes":$passes,"n_queries":${results.size},"sf":"$sfDir","artifact":${jstr(outPath)}}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"times":$allTimes,"gc_ms":$gcs,"jit_ms":$jits,"code_cache_mb":$ccs,"code_cache_max_mb":$codeCacheMaxMb,"band_exceeded":$bandsExceeded,"errors":$errs,"passes":$passes,"n_queries":${results.size},"sf":"$sfDir"}"""
     // stdout FIRST: a failed file write (read-only target dir) must not
     // destroy both artifacts after a multi-minute run
     println(line)

@@ -2808,7 +2808,51 @@ object Catalog {
       (s, dir) =>
         SimOps.diverseSelect(t(s, dir, "embeddings"), "vec_id",
             "embedding", k = 5, nlist = 8)
-          .orderBy("cluster", "rank"))
+          .orderBy("cluster", "rank")),
+
+    QueryDef("q99_model_serve",
+      "SERVING path for persisted models — the train-once/apply-" +
+        "everywhere split a 100 TB deployment actually runs (q92/q95 " +
+        "pay training inside the query; a production pipeline trains " +
+        "per corpus GENERATION and applies from stored coefficients " +
+        "everywhere else): loadModel the stored BPE merges and the " +
+        "trained classifier weights and apply BOTH in one map-only " +
+        "pass over the corpus — subword tokens + token count from the " +
+        "codegen BpeEncode (merge table rides the plan), quality " +
+        "margin/keep from the q79-shape hashed-weights HOF. The " +
+        "models bootstrap through the sink on first invocation (same " +
+        "guard shape as q81-probe's build) and load on every " +
+        "subsequent one; the apply stage itself reads NOTHING but the " +
+        "corpus — driver-side coefficients, no training job, no " +
+        "shuffle before the output sort. Trained coefficients inside " +
+        "-> rows-only; BpeOpsSpec/ClassifierOpsSpec pin stored-model " +
+        "round-trips, CatalogSpec pins serve ≡ train-in-query parity, " +
+        "PlanShapeSpec pins the no-shuffle no-UDF apply plan.",
+      None,
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.sink(s, "models", dir)
+        if (!BpeOps.modelExists(sink))
+          BpeOps.saveModel(sink, BpeOps.learnBpe(docs, "text", numMerges = 200))
+        if (!ClassifierOps.modelExists(sink))
+          ClassifierOps.saveModel(sink, ClassifierOps.trainHashedClassifier(
+            docs.withColumn("y",
+              (TextOps.qualityScoreMil(col("text")) >= 500).cast("int")),
+            "text", "y", buckets = 1024, iters = 6))
+        val bpe = BpeOps.loadModel(sink)
+        val clf = ClassifierOps.loadModel(sink)
+        // margin aliased ONCE then referenced twice: CollapseProject
+        // keeps non-cheap multi-referenced aliases, so the tokenize+
+        // hash+fold HOF runs once per row, not once per output column
+        BpeOps.encode(docs, "text", bpe.merges)
+          .select(col("doc_id"), col("n_tokens"),
+            array_join(slice(col("bpe_tokens"), 1, 8), " ").as("head_tokens"),
+            clf.margin(col("text")).as("__m"))
+          .select(col("doc_id"), col("n_tokens"), col("head_tokens"),
+            round(col("__m"), 6).as("margin"),
+            (col("__m") > 0).cast("int").as("keep"))
+          .orderBy("doc_id")
+      })
   )
 
   /** Shared oracle CTE: winnowed fingerprint sets per document (k=8,

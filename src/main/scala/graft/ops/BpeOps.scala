@@ -182,6 +182,12 @@ object BpeOps {
       Seq("rank"))
   }
 
+  /** True iff a persisted model exists under the sink root — the
+    * train-once guard for serving paths (see q99).
+    */
+  def modelExists(sink: graft.sink.UpsertSink): Boolean =
+    sink.exists(MergesTable)
+
   /** Read a persisted model back (merges in rank order + coverage). */
   def loadModel(sink: graft.sink.UpsertSink): BpeModel = {
     require(sink.exists(MergesTable),

@@ -123,6 +123,12 @@ object ClassifierOps {
     sink.overwrite(WeightsTable, rows.toDF("bucket", "w"), Seq("bucket"))
   }
 
+  /** True iff a persisted model exists under the sink root — the
+    * train-once guard for serving paths (see q99).
+    */
+  def modelExists(sink: graft.sink.UpsertSink): Boolean =
+    sink.exists(WeightsTable)
+
   /** Read a persisted model back (weights in bucket order + bias).
     * Validates completeness loudly: the bucket COUNT is the hashing
     * modulus (`margin` uses weights.length), so a table missing rows

@@ -192,20 +192,31 @@ object RelOps {
     * before the bucket explode, where ANSI `sequence` would otherwise
     * count DOWN and fabricate buckets). Null times/bounds drop out, as
     * in any join condition.
+    *
+    * The two sides must have DISJOINT column names (checked loudly):
+    * a shared name would survive the join twice and any downstream
+    * reference would be ambiguous — rename before calling. The internal
+    * bucket column is picked to collide with neither input, so caller
+    * columns are never silently replaced.
     */
   def intervalJoin(left: DataFrame, leftTime: String,
                    right: DataFrame, startCol: String, endCol: String,
                    bucketWidthSec: Long = 86400L): DataFrame = {
     require(bucketWidthSec > 0, s"bucket width must be positive: $bucketWidthSec")
+    val shared = left.columns.toSet intersect right.columns.toSet
+    require(shared.isEmpty,
+      s"intervalJoin requires disjoint column names; shared: ${shared.toSeq.sorted.mkString(", ")} — rename one side")
+    val ib = Iterator.iterate("__ib")(_ + "_")
+      .find(n => !left.columns.contains(n) && !right.columns.contains(n)).get
     def bucketOf(t: Column): Column =
       floor(unix_timestamp(t) / bucketWidthSec).cast("long")
-    val lb = left.withColumn("__ib", bucketOf(col(leftTime)))
+    val lb = left.withColumn(ib, bucketOf(col(leftTime)))
     val rb = right
       .filter(col(endCol) >= col(startCol))
-      .withColumn("__ib",
+      .withColumn(ib,
         explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
-    lb.join(rb, Seq("__ib"))
+    lb.join(rb, Seq(ib))
       .filter(col(leftTime) >= col(startCol) && col(leftTime) <= col(endCol))
-      .drop("__ib")
+      .drop(ib)
   }
 }

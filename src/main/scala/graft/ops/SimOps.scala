@@ -879,6 +879,52 @@ object SimOps {
       .withColumn("gap_ppm", abs(col("stored_ppm") - col("batch_ppm")))
   }
 
+  /** The drift decision a [[rebuildIfDrifted]] call made: the measured
+    * total-variation distance and whether it crossed the threshold.
+    */
+  final case class DriftDecision(totalVariation: Double, rebuilt: Boolean)
+
+  /** CLOSE the drift loop [[ivfIndexDriftStats]] opens: measure the
+    * fresh batch's total-variation distance from the stored index's
+    * list distribution and, when it exceeds `threshold`, re-run
+    * [[buildIvfPqIndex]] from `corpus` — under the sink's existing
+    * shadow swap, so concurrent probes see the old index until the
+    * atomic switch and never a half-built one. This is the
+    * add-after-train lifecycle's missing arc: add absorbs inserts
+    * cheaply, drift stats quantify degradation, and the rebuild fires
+    * exactly when the operator's tolerance is crossed instead of on a
+    * blind schedule. A rebuilt index keeps its stored SHAPE: if the
+    * old build persisted SQ8 refine vectors, the rebuild does too
+    * (checked BEFORE the build, which clears the SQ8 table first).
+    *
+    * `corpus` must be the CURRENT full corpus (stored rows + adds) —
+    * the rebuild trains and encodes from it, exactly like a first
+    * build. Cost when stable: the drift stats' one aggregated code
+    * scan + one map-side batch assignment; nothing corpus-scale runs
+    * unless the rebuild fires.
+    */
+  def rebuildIfDrifted(batch: DataFrame, corpus: DataFrame,
+                       idCol: String, vecCol: String,
+                       sink: graft.sink.UpsertSink,
+                       threshold: Double = 0.25,
+                       nlist: Int = 16, m: Int = 16, ksub: Int = 32,
+                       coarseIters: Int = 2,
+                       attrCols: Seq[String] = Nil): DriftDecision = {
+    require(threshold > 0 && threshold <= 1,
+      s"total-variation threshold must be in (0, 1]: $threshold")
+    val gapSum = ivfIndexDriftStats(batch, idCol, vecCol, sink)
+      .agg(sum(col("gap_ppm"))).collect()(0).getLong(0)
+    val tv = gapSum / 2e6
+    val drifted = tv > threshold
+    if (drifted) {
+      val keepSq8 = sink.exists(IdxVecs8) // build drops it first
+      buildIvfPqIndex(corpus, idCol, vecCol, sink, nlist = nlist, m = m,
+        ksub = ksub, coarseIters = coarseIters, attrCols = attrCols,
+        storeSq8 = keepSq8)
+    }
+    DriftDecision(tv, drifted)
+  }
+
   /** Deterministic +/-1 hyperplane for (table, plane) — shared with the
     * batched [[graft.functions.LshSignatures]] expression so buckets are
     * identical however the signature is computed.

@@ -219,6 +219,24 @@ final class UpsertSink(spark: SparkSession, root: String,
 
   private def isBucketed(table: String): Boolean = bucketDirs(table).nonEmpty
 
+  /** Whether the table dir holds any DATA file (vs only `_graft_*`
+    * markers). [[delete]]-ing every row leaves a fileless dir — a
+    * TRUNCATEd table; [[merge]]/[[mergeMany]] must treat that as
+    * absent (write the delta whole) rather than as a flat-layout
+    * table needing migration, which would `read` a fileless dir and
+    * throw UNABLE_TO_INFER_SCHEMA. Underscore/dot prefixes are the
+    * parquet-invisible convention, same as the markers themselves.
+    */
+  private def hasDataFiles(table: String): Boolean = {
+    val dir = tableDir(table)
+    if (!Files.exists(dir)) return false
+    val stream = Files.walk(dir)
+    try stream.iterator().asScala.exists { p =>
+      val n = p.getFileName.toString
+      Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+    } finally stream.close()
+  }
+
   /** The bucket modulus a table was WRITTEN with, recorded in a
     * `_graft_buckets` marker (underscore prefix = invisible to parquet
     * readers, swapped atomically with the data). Re-opening a table with
@@ -359,9 +377,10 @@ final class UpsertSink(spark: SparkSession, root: String,
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     if (!exists(table) || !isBucketed(table)) {
-      // first write, or one-time migration of a flat-layout table
+      // first write, one-time migration of a flat-layout table, or a
+      // re-create of a TRUNCATEd (delete-all -> fileless) table
       val merged =
-        if (!exists(table)) latest.drop(BucketCol)
+        if (!exists(table) || !hasDataFiles(table)) latest.drop(BucketCol)
         else read(table)
           .join(latest.select(pk.map(col): _*), pk, "left_anti")
           .unionByName(latest.drop(BucketCol))
@@ -576,13 +595,24 @@ final class UpsertSink(spark: SparkSession, root: String,
     * bucket whose every row is deleted is removed outright. Flat-layout
     * tables migrate to bucketed first (one rewrite), exactly like
     * their first merge. Deleting EVERY row of a table leaves an empty
-    * (fileless) table — like a TRUNCATE, readers need a re-create
-    * before the next read, which `merge` performs.
+    * (fileless) table — like a TRUNCATE: the next [[merge]] /
+    * [[mergeMany]] sees it as absent and re-creates it whole from its
+    * delta; a direct [[read]] before that re-create has no schema to
+    * serve and fails (drop the table if it is gone for good). A
+    * further `delete` on the TRUNCATEd table is a no-op.
+    *
+    * The caller's key column TYPES must match the table's stored
+    * schema for `hash` to route each key to the bucket its stored row
+    * lives in (int 5 and long 5 hash differently) — keys are cast to
+    * the stored types up front, so a lossless mismatch (int keys,
+    * long table) just works and a lossy one fails loudly under ANSI
+    * instead of silently deleting nothing.
     */
   def delete(table: String, keys: DataFrame, pk: Seq[String]): Unit = {
     require(pk.nonEmpty, s"delete from $table needs a primary key")
     recover(table)
     require(exists(table), s"cannot delete from missing table $table")
+    if (!hasDataFiles(table)) return // already TRUNCATEd: nothing to delete
     if (!isBucketed(table)) {
       // one-time migration, then the incremental path below applies
       val buckets = numBuckets
@@ -595,7 +625,17 @@ final class UpsertSink(spark: SparkSession, root: String,
       }
     }
     val buckets = storedBuckets(table).getOrElse(numBuckets)
-    val keyed = withBucket(keys.select(pk.map(col): _*).distinct(), pk, buckets)
+    // cast to the STORED key types: hash() is type-sensitive, so an
+    // int-typed key against a long-typed table would route to the
+    // wrong bucket and the delete would silently remove nothing
+    val stored = read(table).schema
+    val typedKeys = pk.map { c =>
+      val f = stored.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"delete from $table: key column $c not in stored schema " +
+          s"[${stored.map(_.name).mkString(", ")}]"))
+      col(c).cast(f.dataType).as(c)
+    }
+    val keyed = withBucket(keys.select(typedKeys: _*).distinct(), pk, buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dir = tableDir(table)

@@ -46,6 +46,29 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("q99 serves the SAME outputs the in-query trainers produce") {
+    // the train-once/apply-everywhere contract: loading stored
+    // coefficients must reproduce q92's tokenization and q95's margins
+    // exactly (both trainers are deterministic; both applies share the
+    // same expression shapes), or the stored model is not the model
+    val serve = Catalog.byName("q99_model_serve").fn(spark, sf)
+      .select("doc_id", "n_tokens", "margin").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(serve.nonEmpty)
+    val bpeTok = Catalog.byName("q92_bpe_tokenize").fn(spark, sf)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val margins = Catalog.byName("q95_classifier_train").fn(spark, sf)
+      .select("doc_id", "margin").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    serve.foreach { case (id, ntok, margin) =>
+      assert(ntok == bpeTok(id),
+        s"doc $id: served n_tokens $ntok != in-query ${bpeTok(id)}")
+      assert(margin == margins(id),
+        s"doc $id: served margin $margin != in-query ${margins(id)}")
+    }
+  }
+
   test("q29 finds the planted near-duplicate clusters") {
     val out = Catalog.byName("q29_dedup_minhash").fn(spark, sf).collect()
     assert(out.nonEmpty)

@@ -434,6 +434,21 @@ class PlanShapeSpec extends SparkSpec {
       s"extra shuffle in the selection plan:\n$plan")
   }
 
+  test("q99: stored-model serving is ONE map-only corpus scan — no shuffle, no UDF") {
+    val plan = planOf("q99_model_serve")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"model apply fell off codegen onto a UDF:\n$plan")
+    // coefficients ride the plan (BpeEncode reference object, weights
+    // literal): the apply stage reads NOTHING but the corpus — model
+    // tables were loaded driver-side, never joined
+    val scans = plan.linesIterator.filter(_.contains("Scan parquet")).toSeq
+    assert(scans.size == 1,
+      s"serving plan scans more than the corpus:\n${scans.mkString("\n")}")
+    // the only exchange is the presentation orderBy's range partitioning
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 0,
+      s"shuffle in a map-only serving plan:\n$plan")
+  }
+
   test("q96: the interval join is a hash equi-join on buckets, never a nested loop") {
     val plan = planOf("q96_interval_join")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),

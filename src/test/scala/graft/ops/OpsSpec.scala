@@ -433,5 +433,21 @@ class OpsSpec extends SparkSpec {
       assert(got.length == got.toSet.size, s"width $w produced duplicate pairs")
       assert(got.toSet == naive, s"width $w diverged from BETWEEN")
     }
+    // round-8 advice: shared column names would survive the join twice
+    // (every downstream reference ambiguous) — rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      RelOps.intervalJoin(events, "t",
+        windows.withColumnRenamed("wid", "eid"), "s", "e")
+    }
+    assert(err.getMessage.contains("disjoint column names"))
+    // ...and a caller's own __ib column is never silently replaced: the
+    // working column dodges it, and the caller's values survive intact
+    val withIb = RelOps.intervalJoin(
+        events.withColumn("__ib", col("eid") * 1000), "t",
+        windows, "s", "e", bucketWidthSec = 60L)
+      .select("eid", "wid", "__ib").as[(Long, Long, Long)].collect()
+    assert(withIb.map(t => (t._1, t._2)).toSet == naive)
+    assert(withIb.forall(t => t._3 == t._1 * 1000),
+      "caller's __ib column was clobbered by the working bucket column")
   }
 }

@@ -464,6 +464,43 @@ class SimOpsSpec extends SparkSpec {
       s"unexpected failure shape: $err")
   }
 
+  test("rebuildIfDrifted: stable no-op, drifted rebuild, probe correct through swap") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annrebuild")
+    val sink = new graft.sink.UpsertSink(spark, root.toString)
+    val e = Tables.load(spark, sf, "embeddings")
+    SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink, storeSq8 = true)
+      .collect()
+    val v0 = sink.version("ann_codes")
+    // a self-sample IS the trained distribution: decision records the
+    // measured TV and fires nothing — the index is byte-untouched
+    val stable = SimOps.rebuildIfDrifted(e.filter($"vec_id" % 3 === 0), e,
+      "vec_id", "embedding", sink)
+    assert(!stable.rebuilt && stable.totalVariation < 0.25)
+    assert(sink.version("ann_codes") == v0,
+      "stable batch still rewrote the index")
+    // a mode-collapsed batch crosses the threshold: rebuild fires,
+    // atomically (shadow swap), and PRESERVES the stored SQ8 shape
+    val collapsed = e.limit(200).select($"vec_id",
+      transform($"embedding", x => x * lit(0.0f) + lit(0.37f)).as("embedding"))
+    val drifted = SimOps.rebuildIfDrifted(collapsed, e,
+      "vec_id", "embedding", sink)
+    assert(drifted.rebuilt && drifted.totalVariation > 0.5)
+    assert(sink.version("ann_codes") != v0, "drifted batch did not rebuild")
+    assert(sink.exists("ann_vecs8"),
+      "rebuild dropped the SQ8 refine table the old build stored")
+    // fires ONCE: the rebuilt quantizers absorb the corpus again, so a
+    // fresh self-sample is back under threshold — no rebuild loop
+    val after = SimOps.rebuildIfDrifted(e.filter($"vec_id" % 3 === 0), e,
+      "vec_id", "embedding", sink)
+    assert(!after.rebuilt, f"rebuild looped: post-rebuild self-drift ${after.totalVariation}%.3f")
+    // and the serving path works off the rebuilt index end-to-end
+    val nq = e.filter($"vec_id" % 100 === 0).count()
+    val probe = SimOps.ivfPqProbeIndex(e.filter($"vec_id" % 100 === 0), e,
+      "vec_id", "embedding", sink, 3, refineFromSq8 = true)
+    assert(probe.count() == nq * 3,
+      "post-rebuild probe lost queries or ranks")
+  }
+
   test("broadcastQueries=false drops the probe hints without changing results") {
     // the corpus-scale-query escape hatch (round-7 advice): the default
     // plan pins two broadcasts of batch-bounded sides; unset, the hints

@@ -194,6 +194,42 @@ class UpsertSinkSpec extends SparkSpec {
       == (1L to 60L).toSet -- b0)
   }
 
+  test("delete-all TRUNCATEs; merge and mergeMany re-create, delete no-ops") {
+    val sink = freshSink()
+    val all = (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v")
+    sink.merge("t", all, Seq("id"))
+    sink.delete("t", all.select("id"), Seq("id"))
+    // the dir survives with markers only — and is NOT mistaken for a
+    // flat-layout table needing migration (which would read the
+    // fileless dir and throw UNABLE_TO_INFER_SCHEMA)
+    assert(sink.exists("t"))
+    sink.delete("t", Seq(Tuple1(1L)).toDF("id"), Seq("id")) // no-op, no throw
+    sink.merge("t", Seq((1L, "x"), (2L, "y")).toDF("id", "v"), Seq("id"))
+    assert(sink.read("t").as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "x"), (2L, "y")))
+    // same lifecycle through mergeMany's migrate partition
+    sink.delete("t", sink.read("t").select("id"), Seq("id"))
+    sink.mergeMany(Seq(TableMerge("t",
+      Seq((3L, "z")).toDF("id", "v"), Seq("id"))))
+    assert(sink.read("t").as[(Long, String)].collect().toSeq == Seq((3L, "z")))
+  }
+
+  test("delete casts key types to the stored schema (int keys, long table)") {
+    val sink = freshSink()
+    sink.merge("t", (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    // int-typed keys against a long-keyed table: hash(int 7) != hash(long 7),
+    // so without the stored-schema cast this delete silently removed nothing
+    sink.delete("t", Seq(7, 13).toDF("id"), Seq("id"))
+    val rows = sink.read("t").as[(Long, String)].collect().map(_._1).toSet
+    assert(rows == (1L to 50L).toSet -- Set(7L, 13L),
+      s"typed delete missed its rows: ${(Set(7L, 13L) intersect rows)}")
+    // a key column absent from the stored schema fails loudly
+    val err = intercept[IllegalArgumentException] {
+      sink.delete("t", Seq(Tuple1(1L)).toDF("nope"), Seq("nope"))
+    }
+    assert(err.getMessage.contains("not in stored schema"))
+  }
+
   test("rebucket evolves the modulus; content survives and merges route by the NEW marker") {
     val root = Files.createTempDirectory("graft_sink_rbk")
     val sink = new UpsertSink(spark, root.toString, numBuckets = 4)
@@ -220,6 +256,42 @@ class UpsertSinkSpec extends SparkSpec {
     sink.rebucket("t", Seq("id"), newBuckets = 2)
     assert(bucketDirs().size <= 2)
     assert(sink.read("t").count() == 100)
+  }
+
+  test("post-rebucket merge touches ONLY the key's bucket under the NEW modulus") {
+    // routing-level pin (round-8 advice): content parity alone cannot
+    // catch a merge that ignores the stored marker — a wrong-modulus
+    // merge still reads back correct ROWS (read unions every bucket),
+    // it just scatters updated keys into foreign buckets and rewrites
+    // files a correctly routed merge would never open. Assert byte
+    // identity of every parquet outside the key's NEW-modulus bucket.
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    val root = Files.createTempDirectory("graft_sink_rbkroute")
+    val sink = new UpsertSink(spark, root.toString, numBuckets = 4)
+    sink.merge("t", (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    sink.rebucket("t", Seq("id"), newBuckets = 16)
+    def fileState(): Map[String, Long] = {
+      val s = Files.walk(root.resolve("t"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(p => p.toString ->
+            java.util.Arrays.hashCode(Files.readAllBytes(p)).toLong)
+          .toMap
+      } finally s.close()
+    }
+    val before = fileState()
+    sink.merge("t", Seq((7L, "U")).toDF("id", "v"), Seq("id"))
+    val after = fileState()
+    val expected = spark.range(1)
+      .select(pmod(hash(lit(7L)), lit(16))).as[Int].head()
+    val changed = (before.keySet ++ after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+    assert(changed.nonEmpty, "merge wrote nothing")
+    assert(changed.forall(_.contains(s"__bucket=$expected")),
+      s"merge after rebucket routed outside __bucket=$expected: $changed")
+    assert(sink.read("t").as[(Long, String)].collect().toMap.apply(7L) == "U")
   }
 
   test("rebucket migrates a flat-layout table into the bucketed layout") {

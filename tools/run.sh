@@ -12,8 +12,12 @@ ADD_OPENS=(
 )
 OPENS_ARGS=()
 for p in "${ADD_OPENS[@]}"; do OPENS_ARGS+=(--add-opens "$p=ALL-UNNAMED"); done
+# Code-cache sizing matches build.sbt javaOptions: the JDK-default
+# 240 MB fills after ~90 codegen-heavy queries in one JVM and the JIT
+# stops compiling (BENCH_r08: 5-15x interpreted-mode slowdowns).
 exec java "${OPENS_ARGS[@]}" \
-  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing \
+  -Xmx"${SPARK_DRIVER_MEM:-16g}" \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -cp "$CLASSES:/opt/spark/jars/*" \
