@@ -103,10 +103,19 @@ object Bench {
     case class QResult(name: String, min: Double, times: Seq[Double],
                        gcMs: Long, jitMs: Long, ccUsedMb: Long,
                        bandExceeded: Option[Double])
+    // A min-of-passes above its band gets up to this many EXTRA passes
+    // before the flag sticks: a transient co-tenant spike (the
+    // documented 8-20x box-contention swings) often passes within the
+    // run, and one clean pass is all a min needs — while a genuinely
+    // degraded JVM (dead compiler) fails the retries too and keeps the
+    // flag. Bounded, and only for flagged queries, so a healthy run
+    // pays nothing.
+    val bandRetries =
+      sys.env.get("SPARK_GRAFT_BENCH_BAND_RETRIES").map(_.toInt).getOrElse(2)
     val results = names.flatMap { name =>
       val gc0 = gcMillis()
       val jit0 = jitMillis()
-      val times = (1 to passes).map { _ =>
+      def timed(): Double = {
         val t0 = System.nanoTime()
         try force(name) catch {
           case e: Throwable =>
@@ -115,6 +124,13 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      var times = (1 to passes).map(_ => timed())
+      var extra = 0
+      while (!errors.contains(name) && extra < bandRetries &&
+          bands.get(name).exists(times.min > _)) {
+        times = times :+ timed()
+        extra += 1
+      }
       if (errors.contains(name)) None
       else {
         val min = times.min
@@ -122,8 +138,9 @@ object Bench {
         val band = bands.get(name).filter(min > _)
         band.foreach { b =>
           System.err.println(
-            f"bench: WARN $name min $min%.2fs exceeds expected band $b%.1fs — " +
-              f"suspect JVM degradation, not the plan (code cache $ccUsed/${codeCacheMaxMb}MB, " +
+            f"bench: WARN $name min $min%.2fs exceeds expected band $b%.1fs " +
+              f"after $extra extra pass(es) — suspect JVM degradation, not the " +
+              f"plan (code cache $ccUsed/${codeCacheMaxMb}MB, " +
               f"jit +${jitMillis() - jit0}ms this query; " +
               "see src/main/resources/graft/bench_bands.properties)")
         }

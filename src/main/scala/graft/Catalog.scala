@@ -2852,6 +2852,38 @@ object Catalog {
             round(col("__m"), 6).as("margin"),
             (col("__m") > 0).cast("int").as("keep"))
           .orderBy("doc_id")
+      }),
+
+    QueryDef("q100_retention_sweep",
+      "PK DELETE + rebucket as an ORACLE-CHECKED lifecycle — the " +
+        "retention/right-to-erasure sweep a 100 TB store actually " +
+        "runs, end-to-end through the sink: load the corpus into the " +
+        "bucketed store, DELETE every key the q25 quality gate fails " +
+        "(rewriting only touched buckets — O(batch), never O(table)), " +
+        "compact the now-smaller table to a narrower modulus " +
+        "(rebucket under the atomic shadow swap), and read the " +
+        "survivors back. Content must equal a pure anti-join over the " +
+        "source — which makes the sink's physical delete/rebucket " +
+        "machinery answer to a DuckDB oracle instead of only its own " +
+        "specs. The store is rebuilt fresh per invocation so replays " +
+        "are deterministic.",
+      Some(s"""SELECT doc_id, length(text) AS n_chars
+             |FROM documents
+             |WHERE $sqlQualityMil >= 500
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.freshSink(s, "retain", dir)
+        sink.merge("corpus", docs.select(col("doc_id"), col("text")),
+          Seq("doc_id"), pkUnique = true)
+        sink.delete("corpus",
+          docs.filter(TextOps.qualityScoreMil(col("text")) < 500)
+            .select("doc_id"),
+          Seq("doc_id"))
+        sink.rebucket("corpus", Seq("doc_id"), newBuckets = 4)
+        sink.read("corpus")
+          .select(col("doc_id"), length(col("text")).as("n_chars"))
+          .orderBy("doc_id")
       })
   )
 

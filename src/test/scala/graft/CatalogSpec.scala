@@ -46,6 +46,24 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("every catalog query has a bench band; every band names a query") {
+    // the band check (Bench.scala) only fires for queries listed in the
+    // resource — a new query without a band silently opts out of the
+    // degraded-JVM detection (q99 shipped that way for half a round)
+    val in = getClass.getResourceAsStream("/graft/bench_bands.properties")
+    assert(in != null, "bench_bands.properties missing from resources")
+    val bands = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(_.split("=", 2)(0).trim).toSet
+    finally in.close()
+    val queries = Catalog.all.map(_.name).toSet
+    assert((queries -- bands).isEmpty,
+      s"queries without a bench band: ${(queries -- bands).toSeq.sorted.mkString(", ")} — " +
+        "add a max(3 x best-known min, 2.0) entry to bench_bands.properties")
+    assert((bands -- queries).isEmpty,
+      s"stale band entries: ${(bands -- queries).toSeq.sorted.mkString(", ")}")
+  }
+
   test("q99 serves the SAME outputs the in-query trainers produce") {
     // the train-once/apply-everywhere contract: loading stored
     // coefficients must reproduce q92's tokenization and q95's margins
