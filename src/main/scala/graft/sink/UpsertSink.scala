@@ -345,6 +345,46 @@ final class UpsertSink(spark: SparkSession, root: String,
       numericSuffixed(Files.list(Paths.get(root)), s".${table}__old_")
         .foreach(deleteRecursively)
 
+  /** The merge schema contract, checked loudly up front: an update
+    * batch must carry exactly the stored columns with exactly the
+    * stored types. Without the check, an extra/missing column dies as
+    * a cryptic unionByName resolution error mid-plan — and a same-name
+    * column of a DIFFERENT type is worse: the union silently coerces
+    * (int->long), the rewrite lands only in TOUCHED buckets, and the
+    * table ends up with mixed physical types across bucket files,
+    * poisoning every later read with whichever footer schema inference
+    * samples. Order-insensitive (unionByName resolves by name);
+    * nullability ignored (parquet rows carry their own nulls). Returns
+    * the update re-projected to the stored column ORDER so every
+    * written footer carries one uniform schema. Cost: one driver-side
+    * footer read, no Spark job.
+    */
+  private def alignToStored(table: String, updates: DataFrame): DataFrame = {
+    val storedSchema = read(table).schema
+    val s = storedSchema.map(f => f.name -> f.dataType.catalogString).toMap
+    val u = updates.schema.map(f => f.name -> f.dataType.catalogString).toMap
+    if (s != u) {
+      val missing = (s.keySet -- u.keySet).toSeq.sorted
+      val extra = (u.keySet -- s.keySet).toSeq.sorted
+      val retyped = (s.keySet & u.keySet).toSeq.sorted
+        .filter(k => s(k) != u(k))
+        .map(k => s"$k stored ${s(k)} vs update ${u(k)}")
+      throw new IllegalArgumentException(
+        s"merge into $table: update schema does not match stored schema" +
+          (if (missing.nonEmpty) s"; missing columns [${missing.mkString(", ")}]" else "") +
+          (if (extra.nonEmpty) s"; unknown columns [${extra.mkString(", ")}]" else "") +
+          (if (retyped.nonEmpty) s"; type mismatches [${retyped.mkString("; ")}]" else "") +
+          " — cast/align the update (a type mismatch would scatter mixed " +
+          "physical types across bucket files; an added column needs a " +
+          "table rebuild via overwrite)")
+    }
+    // re-project to the STORED column order: parquet footers then carry
+    // one uniform schema however the caller ordered the delta (an
+    // order-scrambled footer is harmless to by-name reads but poisons
+    // positional ones and schema sampling)
+    updates.select(storedSchema.map(f => col(f.name)): _*)
+  }
+
   /** PK merge: upsert `updates` into `table`, rewriting only the hash
     * buckets that contain updated keys. `versionCol` orders versions
     * within the incoming batch (e.g. blockNumber); rows whose keys match
@@ -360,6 +400,9 @@ final class UpsertSink(spark: SparkSession, root: String,
     require(!(pkUnique && versionCol.isDefined),
       s"$table: pkUnique promises one row per pk — versionCol is meaningless")
     recover(table)
+    val aligned =
+      if (exists(table) && hasDataFiles(table)) alignToStored(table, updates)
+      else updates
     // bucket with the modulus the LAYOUT was written with, not the
     // instance default — a mismatch would scatter updated keys away
     // from their stored rows
@@ -372,7 +415,7 @@ final class UpsertSink(spark: SparkSession, root: String,
     // bucket-move loop would silently drop it (it also runs the dedupe
     // shuffle twice)
     val deduped =
-      if (pkUnique) updates else dedupeLastWins(updates, pk, versionCol)
+      if (pkUnique) aligned else dedupeLastWins(aligned, pk, versionCol)
     val latest = withBucket(deduped, pk, buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -416,11 +459,19 @@ final class UpsertSink(spark: SparkSession, root: String,
     merges.foreach(m =>
       require(m.pk.nonEmpty, s"merge into ${m.table} needs a primary key"))
     merges.foreach(m => recover(m.table))
+    // check EVERY table's schema contract before ANY table writes: a
+    // multi-table batch must not land table A and then die on table B's
+    // type mismatch (the per-table swaps are atomic, the batch is not);
+    // aligned deltas also write stored-order footers
+    val merges2 = merges.map(m =>
+      if (exists(m.table) && hasDataFiles(m.table))
+        m.copy(updates = alignToStored(m.table, m.updates))
+      else m)
     // a flat-layout table needs the one-time migration rewrite — rare
     // legacy path, kept on plain merge (the empty-delta check mirrors
     // the touched-bucket guard below: an empty delta must not trigger
     // a migration rewrite)
-    val (migrate, rest) = merges.partition(m => exists(m.table) && !isBucketed(m.table))
+    val (migrate, rest) = merges2.partition(m => exists(m.table) && !isBucketed(m.table))
     migrate.foreach(m =>
       if (!m.updates.isEmpty)
         merge(m.table, m.updates, m.pk, m.versionCol, m.pkUnique))

@@ -194,6 +194,55 @@ class UpsertSinkSpec extends SparkSpec {
       == (1L to 60L).toSet -- b0)
   }
 
+  test("merge rejects schema drift loudly BEFORE touching the table") {
+    val sink = freshSink()
+    sink.merge("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    // same-name different-TYPE is the dangerous one: unionByName would
+    // silently coerce and scatter mixed physical types across buckets
+    val retyped = intercept[IllegalArgumentException] {
+      sink.merge("t", Seq((2, "b")).toDF("id", "v"), Seq("id")) // int id vs long
+    }
+    assert(retyped.getMessage.contains("type mismatches") &&
+      retyped.getMessage.contains("id"))
+    val extra = intercept[IllegalArgumentException] {
+      sink.merge("t", Seq((2L, "b", 9L)).toDF("id", "v", "w"), Seq("id"))
+    }
+    assert(extra.getMessage.contains("unknown columns"))
+    val missing = intercept[IllegalArgumentException] {
+      sink.merge("t", Seq(Tuple1(2L)).toDF("id"), Seq("id"))
+    }
+    assert(missing.getMessage.contains("missing columns"))
+    // column ORDER is not drift (the delta re-projects to stored order,
+    // so even a bucket file born from an order-swapped delta carries
+    // the stored footer schema — positional reads keep working)
+    sink.merge("t", Seq(("b2", 2L)).toDF("v", "id"), Seq("id"))
+    assert(sink.read("t").as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "a"), (2L, "b2")))
+    // mergeMany checks EVERY table before ANY writes: table B's drift
+    // must not let table A's delta land first (batch not atomic, so
+    // the contract is checked up front)
+    sink.merge("u", Seq((1L, 1L)).toDF("id", "n"), Seq("id"))
+    intercept[IllegalArgumentException] {
+      sink.mergeMany(Seq(
+        TableMerge("t", Seq((3L, "c")).toDF("id", "v"), Seq("id")),
+        TableMerge("u", Seq((2, 2L)).toDF("id", "n"), Seq("id")))) // int id
+    }
+    assert(!sink.read("t").as[(Long, String)].collect().map(_._1).contains(3L),
+      "sibling table landed despite the batch failing its schema check")
+  }
+
+  test("composite-PK delete removes exactly the keyed combinations") {
+    val sink = freshSink()
+    val rows = for (a <- 1L to 10L; b <- 1L to 4L) yield (a, b, s"v$a-$b")
+    sink.merge("t", rows.toDF("a", "b", "v"), Seq("a", "b"))
+    sink.delete("t", Seq((3L, 2L), (7L, 4L)).toDF("a", "b"), Seq("a", "b"))
+    val left = sink.read("t").as[(Long, Long, String)].collect()
+      .map(r => (r._1, r._2)).toSet
+    assert(left.size == 38 && !left.contains((3L, 2L)) && !left.contains((7L, 4L)))
+    // sibling combinations sharing one key component survive
+    assert(left.contains((3L, 1L)) && left.contains((7L, 3L)))
+  }
+
   test("delete-all TRUNCATEs; merge and mergeMany re-create, delete no-ops") {
     val sink = freshSink()
     val all = (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v")
@@ -483,28 +532,41 @@ class UpsertSinkSpec extends SparkSpec {
   }
 
   test("mergeMany: a failing table write fails the call, others still commit") {
-    val sink = freshSink()
+    // a RUNTIME failure inside one table's concurrent swap task (schema
+    // drift no longer reaches the tasks — it now rejects the whole
+    // batch up front, see the schema-drift test): corrupt the stored
+    // bucket file so the read-back union dies mid-write. The failure
+    // must surface unwrapped from the call while the sibling's swap
+    // still runs to completion.
+    val root = Files.createTempDirectory("graft_sink_fail")
+    val sink = new UpsertSink(spark, root.toString, numBuckets = 2)
     sink.merge("good", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
-    sink.merge("bad", Seq((1L, 1L)).toDF("id", "n"), Seq("id"))
-    // a delta whose column names don't match the stored table passes the
-    // shared touched-bucket job (which only projects table + bucket) but
-    // fails unionByName inside that table's concurrent swap task — the
-    // path under test: the failure must surface unwrapped from the call
-    // while the sibling's swap still runs to completion
-    // pk 1 collides with the stored row's bucket, forcing the read-back
-    // union that detects the mismatch
-    val poisoned = Seq((1L, 9L)).toDF("id", "wrong_name")
+    sink.merge("bad", (1L to 200L).map(i => (i, i)).toDF("id", "n"), Seq("id"))
+    // pk 1 collides with a stored bucket, forcing the read-back; corrupt
+    // the DATA PAGES (bytes after the leading PAR1 magic) of every bad
+    // part file while leaving the trailing footer intact — the driver-
+    // side schema contract (footer-only) passes, the swap task's page
+    // decode fails
+    import scala.jdk.CollectionConverters._
+    val stream = Files.walk(root.resolve("bad"))
+    val parts = try stream.iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq finally stream.close()
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      val bytes = Files.readAllBytes(p)
+      java.util.Arrays.fill(bytes, 4, 68.min(bytes.length / 2), 0x42.toByte)
+      Files.write(p, bytes)
+    }
     val e = intercept[Throwable] {
       sink.mergeMany(Seq(
         TableMerge("good", Seq((2L, "b")).toDF("id", "v"), Seq("id")),
-        TableMerge("bad", poisoned, Seq("id"))))
+        TableMerge("bad", Seq((1L, 9L)).toDF("id", "n"), Seq("id"))))
     }
     assert(!e.isInstanceOf[java.util.concurrent.ExecutionException],
       s"failure escaped wrapped: $e")
     // runConcurrently waits for ALL tasks: the healthy table committed
     val good = sink.read("good").as[(Long, String)].collect().sorted.toSeq
     assert(good == Seq((1L, "a"), (2L, "b")), s"good table state: $good")
-    assert(sink.read("bad").as[(Long, Long)].collect().toSeq == Seq((1L, 1L)))
   }
 
   test("retry: succeeds after transient failures, delays double") {
