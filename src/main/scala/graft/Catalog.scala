@@ -2884,6 +2884,48 @@ object Catalog {
         sink.read("corpus")
           .select(col("doc_id"), length(col("text")).as("n_chars"))
           .orderBy("doc_id")
+      }),
+
+    QueryDef("q101_repetition",
+      "In-document REPETITION signals — the Gopher/MassiveText " +
+        "repetition-filter family (duplicate-line fraction, " +
+        "duplicate-word fraction, share of the most frequent word " +
+        "bigram): machine-generated and boilerplate text repeats " +
+        "itself, and these are the standard cheap screens a curation " +
+        "pipeline runs before anything model-based. All three are " +
+        "map-only per-mille integers; the dominant-bigram share uses " +
+        "the O(n) codegen TopCountShareMil hash pass where builtins " +
+        "would cost O(n²) per document (HOF count-by-filter) or two " +
+        "corpus-scale shuffles (explode + double aggregate). Exact " +
+        "integer oracle.",
+      Some("""WITH l AS (SELECT doc_id,
+             |    list_filter([trim(x) for x in str_split(text, chr(10))],
+             |                x -> x <> '') AS ls,
+             |    regexp_extract_all(lower(text), '[a-z]+') AS ws
+             |  FROM documents),
+             |b AS (SELECT doc_id, ls, ws,
+             |    CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+             |      ELSE [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+             |    END AS bg
+             |  FROM l)
+             |SELECT doc_id,
+             |  CAST(floor(1000 * (len(ls) - len(list_distinct(ls)))
+             |       / greatest(len(ls), 1)) AS BIGINT) AS dup_line_mil,
+             |  CAST(floor(1000 * (len(ws) - len(list_distinct(ws)))
+             |       / greatest(len(ws), 1)) AS BIGINT) AS dup_word_mil,
+             |  CAST(CASE WHEN len(bg) = 0 THEN 0
+             |       ELSE 1000 * list_max([len(list_filter(bg, y -> y = x))
+             |                             for x in bg]) // len(bg)
+             |       END AS BIGINT) AS top_bigram_mil
+             |FROM b ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        graft.functions.RepetitionFunctions.register(s)
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextOps.dupLineRatioMil(col("text")).as("dup_line_mil"),
+            TextOps.dupWordRatioMil(col("text")).as("dup_word_mil"),
+            TextOps.topBigramShareMil(col("text")).as("top_bigram_mil"))
+          .orderBy("doc_id")
       })
   )
 

@@ -29,7 +29,8 @@ object GraftFunctions {
     VectorFunctions.builders ++ PqFunctions.builders ++
       LshFunctions.builders ++ MinHashFunctions.builders ++
       WinnowFunctions.builders ++ NormalizeFunctions.builders ++
-      BloomFunctions.builders ++ BpeFunctions.builders
+      BloomFunctions.builders ++ BpeFunctions.builders ++
+      RepetitionFunctions.builders
 
   /** Idempotent session registration of a module's builders (the shared
     * body of every module's `register`).

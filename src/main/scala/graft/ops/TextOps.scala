@@ -92,6 +92,41 @@ object TextOps {
     floor(lit(1000) * size(stops) / greatest(size(toks), lit(1))).cast("long")
   }
 
+  /** Duplicate-LINE fraction (per-mille, integer) — the Gopher/
+    * MassiveText duplicate-line repetition filter: repeated non-empty
+    * trimmed lines over total, 0 for line-less text. Map-only builtins.
+    */
+  def dupLineRatioMil(text: Column): Column = {
+    val ls = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= lit(""))
+    floor(lit(1000) * (size(ls) - size(array_distinct(ls)))
+      / greatest(size(ls), lit(1))).cast("long")
+  }
+
+  /** Duplicate-WORD fraction (per-mille, integer): repeated word
+    * occurrences over total words under the `[a-z]+` token contract.
+    */
+  def dupWordRatioMil(text: Column): Column = {
+    val ws = tokens(text)
+    floor(lit(1000) * (size(ws) - size(array_distinct(ws)))
+      / greatest(size(ws), lit(1))).cast("long")
+  }
+
+  /** Share of the MOST FREQUENT word bigram (per-mille, integer; 0 when
+    * the text has fewer than two words) — the dominant-n-gram Gopher
+    * signal. Bigrams are built with builtins (zip of the token array
+    * with its own tail); the mode count is the O(n) codegen
+    * [[graft.functions.TopCountShareMil]] hash pass, NOT an O(n²) HOF
+    * or an explode + two corpus-scale shuffles. Caller must have
+    * [[graft.functions.RepetitionFunctions.register]]ed on the session.
+    */
+  def topBigramShareMil(text: Column): Column = {
+    val ws = tokens(text)
+    val m = greatest(size(ws) - 1, lit(0))
+    val bg = zip_with(slice(ws, lit(1), m), slice(ws, lit(2), m),
+      (a, b) => concat_ws(" ", a, b))
+    graft.functions.RepetitionFunctions.topShareMil(bg).cast("long")
+  }
+
   /** Heuristic quality score in [0,1000]: penalizes too-short docs, heavy
     * punctuation, and stopword-free (unnatural) text. Integer arithmetic.
     */

@@ -70,7 +70,19 @@ final class UpsertSink(spark: SparkSession, root: String,
 
   private val BucketCol = "__bucket"
 
-  private def tableDir(table: String): Path = Paths.get(root, table)
+  /** Every table path flows through here, so this is where the name
+    * contract is enforced: no path separators (a name like `../x`
+    * would aim [[drop]]'s recursive delete outside the sink root) and
+    * no dot prefix (reserved for sink internals — shadows, backups,
+    * snapshots — which recovery/cleanup sweeps by prefix).
+    */
+  private def tableDir(table: String): Path = {
+    require(table.nonEmpty && !table.startsWith(".") &&
+        !table.exists(c => c == '/' || c == '\\'),
+      s"invalid table name '$table': must be non-empty, not dot-prefixed " +
+        "(reserved for sink internals), and contain no path separators")
+    Paths.get(root, table)
+  }
 
   def exists(table: String): Boolean = {
     recover(table)
@@ -285,6 +297,86 @@ final class UpsertSink(spark: SparkSession, root: String,
     */
   private def bucketAligned(df: DataFrame, buckets: Int): DataFrame =
     df.repartition(buckets, col(BucketCol))
+
+  /** CONSISTENT point-in-time read under concurrent writes. [[read]]
+    * is only per-FILE consistent: every swap is an atomic move, but a
+    * scan overlapping a multi-bucket merge can see bucket 3 post-merge
+    * and bucket 5 pre-merge (and a task that opens a file Spark listed
+    * before a swap unlinked it dies with FileNotFound). `snapshot`
+    * pins the view the way transactional table formats do, with the
+    * POSIX primitive instead of a manifest: HARD-LINK every current
+    * data file into a private dir under `.snapshots/` (inode sharing —
+    * metadata-only, zero bytes copied, same filesystem by
+    * construction) and read from there. Later merges/deletes/
+    * rebuckets/overwrites replace PATHS; the snapshot's links keep the
+    * pre-swap inodes alive until [[TableSnapshot.close]] releases
+    * them. A writer racing the link walk (file swapped away mid-link)
+    * just restarts the walk — bounded retries, single-writer sinks
+    * converge immediately.
+    *
+    * Snapshots survive even [[drop]] (they are point-in-time by
+    * design); a crashed reader leaves an orphan dir under
+    * `.snapshots/` whose reclaim is the operator's (close is the
+    * contract — use try/finally or `AutoCloseable`).
+    */
+  def snapshot(table: String): TableSnapshot = {
+    recover(table)
+    require(exists(table) && hasDataFiles(table),
+      s"cannot snapshot missing or empty table $table")
+    val src = tableDir(table)
+    val snapRoot = Paths.get(root, ".snapshots")
+    Files.createDirectories(snapRoot)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val dir = Files.createTempDirectory(snapRoot, s"$table-")
+      try {
+        val walk = Files.walk(src)
+        try walk.iterator().asScala.foreach { p =>
+          val rel = src.relativize(p).toString
+          // skip hidden subtrees outright (a live writer's transient
+          // .bkup_N backups must not pin inodes in the snapshot) and
+          // marker files (_graft_*)
+          val segs = rel.split('/')
+          if (rel.nonEmpty && !segs.exists(_.startsWith("."))) {
+            if (Files.isDirectory(p)) Files.createDirectories(dir.resolve(rel))
+            else if (!segs.last.startsWith("_"))
+              Files.createLink(dir.resolve(rel), p)
+          }
+        } finally walk.close()
+        val df0 = spark.read.parquet(dir.toString)
+        return new TableSnapshot(
+          if (df0.columns.contains(BucketCol)) df0.drop(BucketCol) else df0,
+          dir)
+      } catch {
+        // a concurrent swap moved a file between walk and link: the
+        // half-built snapshot is stale — discard and re-walk
+        case _: java.nio.file.NoSuchFileException if attempt < 5 =>
+          Fs.deleteRecursively(dir)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Reclaim snapshot dirs older than `maxAgeMillis` — the operator
+    * sweep for readers that died without [[TableSnapshot.close]].
+    * Age is the snapshot DIR's creation-order mtime (hard links never
+    * touch it afterwards), so a long-RUNNING read older than the
+    * horizon can be reaped — size the horizon to the longest read you
+    * allow, exactly like a transactional format's VACUUM retention.
+    * Returns the number of snapshots removed.
+    */
+  def cleanupSnapshots(maxAgeMillis: Long): Int = {
+    val snapRoot = Paths.get(root, ".snapshots")
+    if (!Files.isDirectory(snapRoot)) return 0
+    val cutoff = System.currentTimeMillis() - maxAgeMillis
+    val stream = Files.list(snapRoot)
+    val stale = try stream.iterator().asScala.toSeq
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+    finally stream.close()
+    stale.foreach(Fs.deleteRecursively)
+    stale.size
+  }
 
   /** Create-if-missing (the reference's create-missing-only DDL mode,
     * dbCreator.ts:186-222): write only when absent.
@@ -751,6 +843,19 @@ final class UpsertSink(spark: SparkSession, root: String,
     MergeSemantics.dedupeLastWins(df, pk, versionCol)
 
   private def deleteRecursively(p: Path): Unit = Fs.deleteRecursively(p)
+}
+
+/** A pinned point-in-time view of a sink table — see
+  * [[UpsertSink.snapshot]]. `df` reads the snapshot's hard-linked
+  * files, so its content never changes however many writes land on
+  * the live table; [[close]] releases the links (idempotent). Actions
+  * on `df` after close fail — the snapshot's lifetime is the caller's
+  * read window, not the DataFrame's.
+  */
+final class TableSnapshot private[sink] (val df: DataFrame,
+                                         private[sink] val dir: Path)
+    extends AutoCloseable {
+  override def close(): Unit = Fs.deleteRecursively(dir)
 }
 
 /** Shared local-fs helpers for sink-layout maintenance. */

@@ -30,22 +30,60 @@ import graft.sink.UpsertSink
   */
 object SemanticAdmitPipeline {
 
+  /** `maintainEvery > 0` closes the add-after-train lifecycle IN the
+    * stream: every Nth batch, measure that batch's distribution drift
+    * against the stored index and atomically rebuild from the
+    * accumulated corpus when it crosses `driftThreshold`
+    * ([[SimOps.rebuildIfDrifted]] — probes racing the swap see the old
+    * index until the atomic switch). Cadenced, not per-batch, because
+    * the drift statistic aggregates the stored code lists — cheap but
+    * corpus-proportional, so running it every batch would break the
+    * flat-per-batch admission cost this pipeline is built around.
+    */
   def start(spark: SparkSession, sourceDir: String, schema: StructType,
             sink: UpsertSink, corpusTable: String, checkpoint: String,
             idCol: String, vecCol: String, threshold: Double,
             nlist: Int = 16, m: Int = 16, ksub: Int = 32,
             nprobe: Int = 10,
             trigger: Trigger = Trigger.AvailableNow(),
-            exactDedupMaxBatch: Int = 4096): StreamingQuery =
+            exactDedupMaxBatch: Int = 4096,
+            maintainEvery: Int = 0,
+            driftThreshold: Double = 0.25): StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitBatch(sink, corpusTable, batch, idCol, vecCol, threshold,
           nlist, m, ksub, nprobe, exactDedupMaxBatch)
+        if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
+          maintainIndex(sink, corpusTable, batch, idCol, vecCol,
+            driftThreshold, nlist, m, ksub)
+          ()
+        }
       }
       .start()
+
+  /** Cadenced index maintenance (see [[start]]'s `maintainEvery`):
+    * measure `batch`'s total-variation drift vs the stored list
+    * distribution; rebuild from the accumulated corpus past
+    * `driftThreshold`. Shared with batch-replay callers. None = no
+    * index/corpus yet or no usable vectors in the batch — nothing to
+    * measure (a pre-bootstrap or empty cadence point is a no-op, not
+    * an error).
+    */
+  def maintainIndex(sink: UpsertSink, corpusTable: String, batch: DataFrame,
+                    idCol: String, vecCol: String,
+                    driftThreshold: Double = 0.25,
+                    nlist: Int = 16, m: Int = 16,
+                    ksub: Int = 32): Option[SimOps.DriftDecision] = {
+    if (!SimOps.ivfPqIndexExists(sink) || !sink.exists(corpusTable))
+      return None
+    val probe = batch.dropDuplicates(idCol).filter(col(vecCol).isNotNull)
+    if (probe.isEmpty) return None
+    Some(SimOps.rebuildIfDrifted(probe, sink.read(corpusTable), idCol,
+      vecCol, sink, driftThreshold, nlist = nlist, m = m, ksub = ksub))
+  }
 
   /** One micro-batch through the admission core (shared with any batch
     * caller): screen against the stored index, dedup within the batch,

@@ -449,6 +449,19 @@ class PlanShapeSpec extends SparkSpec {
       s"shuffle in a map-only serving plan:\n$plan")
   }
 
+  test("q101: repetition signals are one map-only scan — no shuffle, no UDF, no explode") {
+    val plan = planOf("q101_repetition")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"repetition signals fell off codegen onto a UDF:\n$plan")
+    // the mode count must be the O(n) expression, not an explode +
+    // aggregate (two corpus-scale shuffles for a per-row statistic)
+    assert(!plan.contains("Generate explode"), s"exploded bigrams:\n$plan")
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 0,
+      s"shuffle in a map-only statistic:\n$plan")
+    assert(plan.toLowerCase.contains("topcountsharemil"),
+      s"dominant-bigram share not computed by the batched expression:\n$plan")
+  }
+
   test("q96: the interval join is a hash equi-join on buckets, never a nested loop") {
     val plan = planOf("q96_interval_join")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),

@@ -194,6 +194,51 @@ class UpsertSinkSpec extends SparkSpec {
       == (1L to 60L).toSet -- b0)
   }
 
+  test("table names cannot escape the root or collide with sink internals") {
+    val sink = freshSink()
+    for (bad <- Seq("../evil", "a/b", "a\\b", ".hidden", ""))
+      intercept[IllegalArgumentException] {
+        sink.merge(bad, Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+      }
+    // the guard sits on tableDir, so EVERY entry point is covered
+    intercept[IllegalArgumentException] { sink.drop("../evil") }
+    intercept[IllegalArgumentException] { sink.read(".snapshots") }
+  }
+
+  test("snapshot pins a point-in-time view through merge/delete/rebucket/overwrite") {
+    val sink = freshSink()
+    val orig = (1L to 50L).map(i => (i, s"v$i"))
+    sink.merge("t", orig.toDF("id", "v"), Seq("id"))
+    val snap = sink.snapshot("t")
+    try {
+      // every mutation class lands on the live table after the pin
+      sink.merge("t", Seq((1L, "NEW"), (51L, "x")).toDF("id", "v"), Seq("id"))
+      sink.delete("t", Seq(Tuple1(2L)).toDF("id"), Seq("id"))
+      sink.rebucket("t", Seq("id"), newBuckets = 16)
+      sink.overwrite("t", Seq((99L, "z")).toDF("id", "v"), Seq("id"))
+      assert(sink.read("t").as[(Long, String)].collect().toSeq == Seq((99L, "z")),
+        "live read must see the latest overwrite")
+      // the pinned view is byte-for-byte the pre-mutation table: the
+      // swaps replaced paths, the snapshot's hard links kept the inodes
+      val pinned = snap.df.select("id", "v").as[(Long, String)].collect().toMap
+      assert(pinned == orig.toMap, "snapshot drifted under concurrent writes")
+    } finally snap.close()
+    assert(!Files.exists(snap.dir), "close did not release the snapshot")
+    snap.close() // idempotent
+    // a TRUNCATEd (fileless) table has no consistent view to pin
+    val empty = freshSink()
+    empty.merge("e", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
+    empty.delete("e", Seq(Tuple1(1L)).toDF("id"), Seq("id"))
+    intercept[IllegalArgumentException] { empty.snapshot("e") }
+    // orphan sweep: a 0-age horizon reaps an unclosed snapshot, a
+    // generous one leaves a live snapshot alone
+    val s2 = sink.snapshot("t")
+    assert(sink.cleanupSnapshots(maxAgeMillis = 3600000L) == 0)
+    assert(Files.exists(s2.dir))
+    assert(sink.cleanupSnapshots(maxAgeMillis = -1L) == 1)
+    assert(!Files.exists(s2.dir))
+  }
+
   test("merge rejects schema drift loudly BEFORE touching the table") {
     val sink = freshSink()
     sink.merge("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"))

@@ -87,6 +87,43 @@ class SemanticAdmitPipelineSpec extends SparkSpec {
       "index was not extended with batch-2 admissions")
   }
 
+  test("cadenced maintenance: stable stream never rebuilds, drifted one does, once") {
+    val root = Files.createTempDirectory("graft_semadmit_maint")
+    val sink = new UpsertSink(spark, root.resolve("sink").toString)
+    val corpus = (1L to 120L).map(i => (i, vec(i.toInt)))
+    // bootstrap: admit batch 1 and train
+    SemanticAdmitPipeline.admitBatch(sink, "sem_corpus",
+      corpus.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      threshold = 0.9, nlist = 4, m = 4, ksub = 8, nprobe = 4)
+    // pre-bootstrap guard shape: a sink with no index measures nothing
+    val virgin = new UpsertSink(spark, root.resolve("virgin").toString)
+    assert(SemanticAdmitPipeline.maintainIndex(virgin, "sem_corpus",
+      corpus.take(5).toDF("vec_id", "embedding"), "vec_id", "embedding").isEmpty)
+    val v0 = sink.version("ann_codes")
+    // a self-like batch is the trained distribution: measured, no rebuild
+    val stable = SemanticAdmitPipeline.maintainIndex(sink, "sem_corpus",
+      corpus.filter(_._1 % 3 == 0).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nlist = 4, m = 4, ksub = 8)
+    assert(stable.exists(!_.rebuilt) && sink.version("ann_codes") == v0)
+    // a mode-collapsed batch (every vector one direction) crosses the
+    // threshold: rebuild fires atomically from the accumulated corpus
+    val collapsed = (200L to 260L).map(i => (i, Array.fill(dim)(0.37f)))
+    val drifted = SemanticAdmitPipeline.maintainIndex(sink, "sem_corpus",
+      collapsed.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      nlist = 4, m = 4, ksub = 8)
+    assert(drifted.exists(_.rebuilt), s"drift not flagged: $drifted")
+    assert(sink.version("ann_codes") != v0, "rebuild did not land")
+    // admission keeps working off the rebuilt index: a stored dup dies,
+    // a novel vector lands
+    SemanticAdmitPipeline.admitBatch(sink, "sem_corpus",
+      Seq((500L, vec(1, jitter = 0.001f)), (501L, vec(9999)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding",
+      threshold = 0.9, nlist = 4, m = 4, ksub = 8, nprobe = 4)
+    val ids = sink.read("sem_corpus").select("vec_id").as[Long].collect().toSet
+    assert(!ids.contains(500L), "near-dup of stored vector admitted post-rebuild")
+    assert(ids.contains(501L), "novel vector lost post-rebuild")
+  }
+
   test("LSH in-batch dedup path admits the same set as the exact path") {
     // exactDedupMaxBatch = 0 forces every batch onto the banded-LSH
     // in-batch dedup (the auto-switch large deployments hit); at these
