@@ -44,6 +44,24 @@ class RepetitionExpressionsSpec extends SparkSpec {
     assert(b == 1000)            // "dup dup" is every bigram
   }
 
+  test("topShareMil equals the naive O(n²) mode count on random arrays") {
+    import org.scalacheck.Gen
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val gen = Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "", "a b"))
+    val seeds = org.scalacheck.rng.Seed(42L)
+    var s = seeds
+    (1 to 200).foreach { _ =>
+      val arr = gen.pureApply(Gen.Parameters.default, s); s = s.next
+      val got = RepetitionOps.topShareMil(
+        new GenericArrayData(arr.map(UTF8String.fromString).toArray[Any]))
+      val want =
+        if (arr.isEmpty) 0
+        else (1000L * arr.map(x => arr.count(_ == x)).max / arr.size).toInt
+      assert(got == want, s"$arr: $got != $want")
+    }
+  }
+
   test("codegen and interpreted mode-count agree; empty array is 0") {
     RepetitionFunctions.register(spark)
     val df = Seq(
