@@ -899,9 +899,18 @@ object SimOps {
     *
     * `corpus` must be the CURRENT full corpus (stored rows + adds) —
     * the rebuild trains and encodes from it, exactly like a first
-    * build. Cost when stable: the drift stats' one aggregated code
-    * scan + one map-side batch assignment; nothing corpus-scale runs
-    * unless the rebuild fires.
+    * build (so it must carry the index's attr columns, if any). Cost
+    * when stable: the drift stats' one aggregated code scan + one
+    * map-side batch assignment; nothing corpus-scale runs unless the
+    * rebuild fires.
+    *
+    * The rebuilt index keeps the stored SHAPE in full: the SQ8 refine
+    * table when the old build stored one, AND the stored attr columns
+    * when `attrCols` is not given explicitly — both are read off the
+    * stored index BEFORE the build clears it, so a maintenance caller
+    * that knows nothing about how the index was built (the streaming
+    * pipeline's cadence hook) cannot silently strip the attribute
+    * pushdown a filtered-probe deployment depends on.
     */
   def rebuildIfDrifted(batch: DataFrame, corpus: DataFrame,
                        idCol: String, vecCol: String,
@@ -918,12 +927,23 @@ object SimOps {
     val drifted = tv > threshold
     if (drifted) {
       val keepSq8 = sink.exists(IdxVecs8) // build drops it first
+      val keepAttrs =
+        if (attrCols.nonEmpty) attrCols else storedAttrCols(sink)
       buildIvfPqIndex(corpus, idCol, vecCol, sink, nlist = nlist, m = m,
-        ksub = ksub, coarseIters = coarseIters, attrCols = attrCols,
+        ksub = ksub, coarseIters = coarseIters, attrCols = keepAttrs,
         storeSq8 = keepSq8)
     }
     DriftDecision(tv, drifted)
   }
+
+  /** The attr columns the stored code lists carry beyond the index
+    * core (id, list, codes) — the build's `attrCols`, recovered from
+    * the table itself so shape-preserving maintenance needs no
+    * out-of-band record of how the index was built.
+    */
+  private def storedAttrCols(sink: graft.sink.UpsertSink): Seq[String] =
+    sink.read(IdxCodes).schema.map(_.name)
+      .filterNot(Set("id", "list", "codes"))
 
   /** Deterministic +/-1 hyperplane for (table, plane) — shared with the
     * batched [[graft.functions.LshSignatures]] expression so buckets are

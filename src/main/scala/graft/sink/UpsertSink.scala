@@ -350,12 +350,34 @@ final class UpsertSink(spark: SparkSession, root: String,
           dir)
       } catch {
         // a concurrent swap moved a file between walk and link: the
-        // half-built snapshot is stale — discard and re-walk
-        case _: java.nio.file.NoSuchFileException if attempt < 5 =>
+        // half-built snapshot is stale — discard and re-walk. The race
+        // surfaces three ways: createLink's raw NoSuchFileException, a
+        // directory vanishing mid-iteration (UncheckedIOException
+        // wrapping it from the walk stream), and DirectoryIterator-
+        // Exception from the underlying iterator — all the same event.
+        // On the exhausted attempt the half-built dir must still be
+        // released before the failure propagates, or every crash here
+        // leaks pinned inodes under .snapshots/.
+        case e if isVanishedFile(e) =>
           Fs.deleteRecursively(dir)
+          if (attempt >= 5) throw new IllegalStateException(
+            s"snapshot of $table lost the walk/link race $attempt times — " +
+              "is a writer continuously rewriting the table?", e)
+        case e: Throwable =>
+          Fs.deleteRecursively(dir)
+          throw e
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  private def isVanishedFile(e: Throwable): Boolean = e match {
+    case _: java.nio.file.NoSuchFileException => true
+    case _: java.nio.file.DirectoryIteratorException =>
+      e.getCause.isInstanceOf[java.nio.file.NoSuchFileException]
+    case u: java.io.UncheckedIOException =>
+      u.getCause.isInstanceOf[java.nio.file.NoSuchFileException]
+    case _ => false
   }
 
   /** Reclaim snapshot dirs older than `maxAgeMillis` — the operator
@@ -554,7 +576,10 @@ final class UpsertSink(spark: SparkSession, root: String,
     // check EVERY table's schema contract before ANY table writes: a
     // multi-table batch must not land table A and then die on table B's
     // type mismatch (the per-table swaps are atomic, the batch is not);
-    // aligned deltas also write stored-order footers
+    // aligned deltas also write stored-order footers. A migrate-
+    // partition table gets re-aligned inside merge() — one redundant
+    // driver-side footer read on the rare legacy flat-layout path, the
+    // accepted price of the up-front whole-batch contract check.
     val merges2 = merges.map(m =>
       if (exists(m.table) && hasDataFiles(m.table))
         m.copy(updates = alignToStored(m.table, m.updates))

@@ -49,13 +49,11 @@ class CatalogSpec extends SparkSpec {
   test("every catalog query has a bench band; every band names a query") {
     // the band check (Bench.scala) only fires for queries listed in the
     // resource — a new query without a band silently opts out of the
-    // degraded-JVM detection (q99 shipped that way for half a round)
-    val in = getClass.getResourceAsStream("/graft/bench_bands.properties")
-    assert(in != null, "bench_bands.properties missing from resources")
-    val bands = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map(_.split("=", 2)(0).trim).toSet
-    finally in.close()
+    // degraded-JVM detection (q99 shipped that way for half a round).
+    // Same loader as Bench, so this guard checks what Bench actually
+    // consumes, not a re-implementation of the format.
+    val bands = BenchBands.load().keySet
+    assert(bands.nonEmpty, "bench_bands.properties missing or empty")
     val queries = Catalog.all.map(_.name).toSet
     assert((queries -- bands).isEmpty,
       s"queries without a bench band: ${(queries -- bands).toSeq.sorted.mkString(", ")} — " +

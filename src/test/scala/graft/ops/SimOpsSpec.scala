@@ -501,6 +501,31 @@ class SimOpsSpec extends SparkSpec {
       "post-rebuild probe lost queries or ranks")
   }
 
+  test("drift rebuild preserves stored attr columns without being told") {
+    // the maintenance caller (streaming cadence hook) knows nothing
+    // about how the index was built: the rebuild must recover the attr
+    // columns from the stored code lists, or it silently strips the
+    // attribute pushdown a filtered-probe deployment depends on
+    val root = java.nio.file.Files.createTempDirectory("graft_annattrs")
+    val sink = new graft.sink.UpsertSink(spark, root.toString)
+    val e = Tables.load(spark, sf, "embeddings")
+    SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink,
+      attrCols = Seq("label")).collect()
+    val collapsed = e.limit(100).select($"vec_id",
+      transform($"embedding", x => x * lit(0.0f) + lit(0.37f)).as("embedding"))
+    val d = SimOps.rebuildIfDrifted(collapsed, e, "vec_id", "embedding", sink)
+    assert(d.rebuilt, "collapsed batch did not trigger the rebuild")
+    assert(sink.read("ann_codes").columns.contains("label"),
+      "rebuild dropped the stored attr column")
+    val got = SimOps.ivfPqProbeIndex(e.filter($"vec_id" % 50 === 0), e,
+      "vec_id", "embedding", sink, k = 3,
+      candidateFilter = Some($"label" === 3))
+    val labels = got.join(e.select($"vec_id".as("neighbor_id"), $"label"),
+      "neighbor_id").select("label").as[Int].collect()
+    assert(labels.nonEmpty && labels.forall(_ == 3),
+      "filtered probe broken after the shape-preserving rebuild")
+  }
+
   test("broadcastQueries=false drops the probe hints without changing results") {
     // the corpus-scale-query escape hatch (round-7 advice): the default
     // plan pins two broadcasts of batch-bounded sides; unset, the hints
