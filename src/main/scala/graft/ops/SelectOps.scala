@@ -1,0 +1,313 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Targeted data-selection operators — the "pick the best slice of the
+  * crawl for MY domain" family every large-scale training-data pipeline
+  * runs after cleaning and dedup:
+  *
+  *  - DSIR-style hashed n-gram importance scoring (Xie et al. 2023,
+  *    "Data Selection for Language Models via Importance Resampling"):
+  *    fit bag-of-hashed-ngram distributions on a small target/domain
+  *    sample and on the raw pool, score every raw document by how
+  *    target-like its n-grams are, and resample proportionally.
+  *  - CCNet perplexity bucketing (Wenzek et al. 2020): split the corpus
+  *    into head/middle/tail tiers per language by language-model score,
+  *    so downstream mixing can oversample the fluent tier.
+  *  - Embedding domain-centroid selection: the embedding-space analogue
+  *    of DSIR — rank the pool by cosine to the target sample's centroid
+  *    and keep the top-k (the "domain relevance" retrieval used by e.g.
+  *    DsDm / retrieval-based data curation).
+  *
+  * Scale shape, by construction:
+  *  - The only corpus-scale shuffles are key-BOUNDED histograms (n-gram
+  *    buckets ≤ `buckets`, embedding dimensions ≤ dim, languages ≤ a
+  *    handful) — all map-side combinable.
+  *  - Model state (bucket weight tables, centroids, per-language
+  *    thresholds) is collected bounded (B / dim / #langs rows) and rides
+  *    the plan as a broadcast literal; scoring is then a map-only scan —
+  *    no per-document shuffle, no UDF, whole-stage codegen throughout.
+  *  - Selection is top-k by (score, id) → TakeOrderedAndProject, never a
+  *    global sort.
+  *
+  * Oracle discipline (house rule): each operator has an integer
+  * fixed-point form whose arithmetic an external SQL engine reproduces
+  * bit-for-bit (md5-stable hashing, per-mille ratios, floor division on
+  * non-negative values), plus the float form the papers describe
+  * (log-ratio weights, Gumbel resampling) pinned by ScalaTest ranking /
+  * invariance properties instead.
+  */
+object SelectOps {
+
+  // --- DSIR: hashed n-gram importance ------------------------------------
+
+  /** Hashed n-gram feature buckets for a document: unigrams + word
+    * bigrams (the DSIR paper's feature space), each hashed to
+    * `[0, buckets)` with the md5-stable [[TextOps.stableHash64]] so an
+    * external SQL oracle reproduces bucket ids exactly. Bigrams hash the
+    * space-joined token pair ("w1 w2"), disjoint from any unigram (no
+    * single token contains a space). Row-local (one array expression) —
+    * scoring 100 TB is a map-only scan.
+    */
+  def ngramBuckets(text: Column, buckets: Int): Column = {
+    val w = TextOps.tokens(text)
+    val pairLen = greatest(size(w) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(w, lit(1), pairLen), slice(w, lit(2), pairLen),
+      (a, b) => concat(a, lit(" "), b))
+    transform(concat(w, bigrams),
+      g => pmod(TextOps.stableHash64(g), lit(buckets.toLong)))
+  }
+
+  /** Corpus-wide n-gram bucket histogram: (bucket long, cnt long),
+    * ≤ `buckets` rows. One explode + one count shuffle on a key space
+    * bounded by `buckets` — map-side partial aggregation makes the
+    * exchange carry at most `buckets` rows per map task regardless of
+    * corpus size.
+    */
+  def bucketHist(df: DataFrame, textCol: String, buckets: Int): DataFrame =
+    df.select(explode(ngramBuckets(col(textCol), buckets)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Per-bucket target-affinity table in per-mille, as a dense lookup
+    * array: `aff(b) = (1000 * (ct_b + 1)) div (ct_b + cr_b + 2)` — the
+    * Laplace-smoothed posterior (in ‰, floor) that an occurrence of
+    * bucket `b` came from the TARGET sample rather than the RAW pool.
+    * A bucket seen by neither side sits at the neutral prior 500.
+    * Monotone in the DSIR likelihood ratio per bucket, and exact in
+    * integer arithmetic — which is what lets a SQL oracle reproduce
+    * document scores bit-for-bit where the paper's float log-ratio
+    * cannot promise cross-engine equality.
+    *
+    * Driver memory: exactly `buckets` longs (bounded by construction).
+    */
+  private[ops] def affinityTableMil(target: DataFrame, raw: DataFrame,
+                                    textCol: String, buckets: Int): Array[Long] = {
+    val ht = bucketHist(target, textCol, buckets)
+      .withColumnRenamed("cnt", "ct")
+    val hr = bucketHist(raw, textCol, buckets)
+      .withColumnRenamed("cnt", "cr")
+    val aff = Array.fill[Long](buckets)(500L)
+    hr.join(ht, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+      .collect()
+      .foreach { r =>
+        val ct = r.getLong(1); val cr = r.getLong(2)
+        aff(r.getLong(0).toInt) = (1000L * (ct + 1)) / (ct + cr + 2)
+      }
+    aff
+  }
+
+  /** DSIR-style importance scoring, integer fixed-point form: every raw
+    * document's mean per-mille target affinity over its hashed n-grams.
+    * Output: (idCol, n_grams int, dsir_mil bigint — null when the
+    * document has no grams), one row per `corpus` row.
+    *
+    * Plan: two bounded histograms (above), then ONE map-only scoring
+    * scan — the affinity table rides the plan as a single array literal
+    * (one object reference in generated code, never unrolled — the
+    * LshSignatures lesson), and the per-document aggregate is one
+    * `aggregate` HOF over the gram array. No shuffle downstream of the
+    * histograms, no UDF.
+    */
+  def dsirAffinityMil(corpus: DataFrame, target: DataFrame, idCol: String,
+                      textCol: String, buckets: Int = 1024): DataFrame = {
+    val aff = affinityTableMil(target, corpus, textCol, buckets)
+    val affLit = typedlit(aff.toSeq)
+    val grams = ngramBuckets(col(textCol), buckets)
+    val n = size(grams)
+    val sumAff = aggregate(grams, lit(0L),
+      (acc, b) => acc + element_at(affLit, b.cast("int") + 1))
+    corpus.select(col(idCol), n.as("n_grams"), sumAff.as("__sa"))
+      .select(col(idCol), col("n_grams"),
+        // `div`, not `/`: integer floor-quotient on non-negative values,
+        // bit-matching DuckDB's `//` (the q94 convention). CaseWhen
+        // short-circuits, so the gram-less row never divides by zero.
+        when(col("n_grams") === 0, lit(null).cast("long"))
+          .otherwise(expr("__sa div n_grams")).as("dsir_mil"))
+  }
+
+  /** True-to-the-paper DSIR log importance weights:
+    * `log ŵ(x) = Σ_grams [ln p̂_target(b) − ln p̂_raw(b)]` under
+    * Laplace-smoothed hashed-ngram multinomials. Float-valued by
+    * construction → spec-pinned (ranking parity with the integer
+    * affinity form, repartition invariance), not oracle-hashed — the
+    * same ppm-vs-ln split as the bigram LM pair (q74/q86).
+    *
+    * Output: (idCol, n_grams int, log_w double — 0.0 for gram-less
+    * documents, the empty product).
+    */
+  def dsirLogWeights(corpus: DataFrame, target: DataFrame, idCol: String,
+                     textCol: String, buckets: Int = 1024): DataFrame = {
+    val ht = bucketHist(target, textCol, buckets).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val hr = bucketHist(corpus, textCol, buckets).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val nt = ht.valuesIterator.sum.toDouble
+    val nr = hr.valuesIterator.sum.toDouble
+    val lam = Array.tabulate[Double](buckets) { b =>
+      math.log((ht.getOrElse(b, 0L) + 1.0) / (nt + buckets)) -
+        math.log((hr.getOrElse(b, 0L) + 1.0) / (nr + buckets))
+    }
+    val lamLit = typedlit(lam.toSeq)
+    val grams = ngramBuckets(col(textCol), buckets)
+    corpus.select(col(idCol), size(grams).as("n_grams"),
+      aggregate(grams, lit(0.0d),
+        (acc, b) => acc + element_at(lamLit, b.cast("int") + 1)).as("log_w"))
+  }
+
+  /** Gumbel top-k importance resampling — k draws WITHOUT replacement
+    * with inclusion odds proportional to the importance weights (the
+    * DSIR paper's sampling step, via the Gumbel-max trick): each
+    * document's key is `log_w + Gumbel(0,1)` with the Gumbel noise
+    * derived deterministically from md5(id ⊕ seed), and the k largest
+    * keys win. Fully reproducible given (seed, corpus) and map-only +
+    * TakeOrderedAndProject — resampling 100 TB never sorts globally.
+    *
+    * Output: (idCol, log_w double, sel_key double), k rows, ordered
+    * (sel_key desc, id).
+    */
+  def dsirResample(corpus: DataFrame, target: DataFrame, idCol: String,
+                   textCol: String, k: Int, seed: Long,
+                   buckets: Int = 1024): DataFrame = {
+    val w = dsirLogWeights(corpus, target, idCol, textCol, buckets)
+    val u = (pmod(TextOps.stableHash64(
+        concat(col(idCol).cast("string"), lit(":"), lit(seed.toString))),
+        lit(1000000L)).cast("double") + 0.5) / 1000000.0d
+    val gumbel = -log(-log(u))
+    w.select(col(idCol), col("log_w"),
+        (col("log_w") + gumbel).as("sel_key"))
+      .orderBy(col("sel_key").desc, col(idCol))
+      .limit(k)
+  }
+
+  // --- CCNet perplexity bucketing ----------------------------------------
+
+  /** Exact head/middle/tail perplexity tiers per language (Wenzek et al.
+    * 2020): language-ID + the corpus-trained integer bigram-LM score
+    * ([[TextOps.bigramLmScores]]), then `ntile(3)` per language ordered
+    * by (score desc, id) — head = most fluent third. Documents with
+    * fewer than two tokens have no LM score and are excluded (both
+    * engines filter `n_bigrams >= 1`).
+    *
+    * This exact form sorts each language's scores inside one window
+    * partition — correct at any SF but single-reducer-per-language, so
+    * it is the ORACLE form; the 100 TB path is
+    * [[perplexityBucketsByThreshold]], which broadcasts per-language
+    * score thresholds and buckets map-side.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val scored = TextOps.bigramLmScores(df, idCol, textCol)
+    val lang = df.select(col(idCol), TextOps.langId(col(textCol)).as("lang"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score_ppm").desc, col(idCol))
+    scored.join(lang, Seq(idCol))
+      .filter(col("n_bigrams") >= 1)
+      .select(col(idCol), col("lang"), col("score_ppm"),
+        when(ntile(3).over(w) === 1, lit("head"))
+          .when(ntile(3).over(w) === 2, lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
+  /** Per-language score thresholds for the map-side bucketing path:
+    * (lang, t_head, t_mid) where t_head ≈ 66.7th and t_mid ≈ 33.3rd
+    * percentile of score_ppm. `percentile_approx` keeps the aggregate
+    * single-pass and mergeable (GK sketch) — the CCNet paper itself
+    * computes tier cutoffs from a sample. Output is #langs rows —
+    * broadcast-sized by construction.
+    */
+  def perplexityThresholds(df: DataFrame, idCol: String, textCol: String,
+                           accuracy: Int = 10000): DataFrame = {
+    val scored = TextOps.bigramLmScores(df, idCol, textCol)
+      .filter(col("n_bigrams") >= 1)
+    val lang = df.select(col(idCol), TextOps.langId(col(textCol)).as("lang"))
+    scored.join(lang, Seq(idCol))
+      .groupBy("lang")
+      .agg(
+        percentile_approx(col("score_ppm"), lit(2.0 / 3.0),
+          lit(accuracy)).as("t_head"),
+        percentile_approx(col("score_ppm"), lit(1.0 / 3.0),
+          lit(accuracy)).as("t_mid"))
+  }
+
+  /** The 100 TB bucketing path: join the (broadcast-sized) per-language
+    * threshold table and assign tiers map-side — no per-language sort,
+    * no window, corpus never shuffles (the lang-key join broadcasts the
+    * #langs-row side). Tier boundaries are approximate where ntile's
+    * are exact; ScalaTest pins the agreement on a fixture.
+    */
+  def perplexityBucketsByThreshold(df: DataFrame, idCol: String,
+                                   textCol: String,
+                                   thresholds: DataFrame): DataFrame = {
+    val scored = TextOps.bigramLmScores(df, idCol, textCol)
+      .filter(col("n_bigrams") >= 1)
+    val lang = df.select(col(idCol), TextOps.langId(col(textCol)).as("lang"))
+    scored.join(lang, Seq(idCol))
+      .join(broadcast(thresholds), Seq("lang"), "left")
+      .select(col(idCol), col("lang"), col("score_ppm"),
+        when(col("score_ppm") >= col("t_head"), lit("head"))
+          .when(col("score_ppm") >= col("t_mid"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
+  // --- embedding domain-centroid selection --------------------------------
+
+  /** Target-sample centroid, quantized to exact fixed-point so both
+    * engines derive the IDENTICAL float vector: per dimension,
+    * `floorDiv(Σ floor(v_d * 1000), n) / 1000` — `floor(v * 1000)` on
+    * the double-widened float is the same IEEE double product and floor
+    * in any engine, the sum and floor-division are integer-exact, and
+    * the final /1000 → float rounding is deterministic. (A plain float
+    * or double mean would depend on partition summation order — not
+    * reproducible even run-to-run.)
+    *
+    * Plan: one posexplode + one dimension-keyed count/sum (≤ dim keys,
+    * map-side combinable), collect of dim rows.
+    */
+  def centroidMilFloat(target: DataFrame, vecCol: String): Array[Float] = {
+    val rows = target
+      .select(posexplode(col(vecCol)).as(Seq("d", "v")))
+      .groupBy("d")
+      .agg(sum(floor(col("v").cast("double") * 1000).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    require(rows.nonEmpty, "domain centroid of an empty target sample")
+    val cent = new Array[Float](rows.map(_.getInt(0)).max + 1)
+    rows.foreach { r =>
+      cent(r.getInt(0)) =
+        (Math.floorDiv(r.getLong(1), r.getLong(2)) / 1000.0).toFloat
+    }
+    cent
+  }
+
+  /** Rank the pool by cosine to the target sample's centroid and keep
+    * the top-k — embedding-space targeted selection. The centroid is a
+    * dim-sized literal (broadcast in the plan), scoring is one map-only
+    * codegen'd dot-product scan, and the top-k is
+    * (cosine desc, id) → TakeOrderedAndProject — no global sort, no
+    * per-row shuffle, corpus-size-independent driver state.
+    *
+    * Output: (idCol, cosine double rounded to 6 dp), k rows, ordered
+    * (cosine desc, id) — ties at the cut broken by id so the selection
+    * is deterministic and oracle-comparable (the q33 rounding
+    * convention).
+    */
+  def domainTopK(corpus: DataFrame, target: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val cent = centroidMilFloat(target, vecCol)
+    val c = typedlit(cent.toSeq)
+    corpus
+      .select(col(idCol),
+        round(SimOps.cosine(col(vecCol), c), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+}

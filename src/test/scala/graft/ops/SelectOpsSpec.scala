@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Adversarial pins for the targeted data-selection family (SelectOps):
+  * DSIR hashed-ngram importance scoring, CCNet perplexity bucketing, and
+  * embedding domain-centroid selection. The float forms (log weights,
+  * Gumbel resampling) get ranking/invariance properties here because
+  * they have no SQL oracle by design; the integer forms additionally go
+  * through the DuckDB harness via q102–q104.
+  */
+class SelectOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Two vocabularies that share no tokens: "medical" (the target domain)
+  // and "finance" (off-domain), plus mixed docs. Bigram structure varies
+  // with i so grams aren't all identical.
+  private def pool = {
+    val med = (1 to 20).map(i =>
+      (i.toLong, s"patient dosage clinical trial symptom diagnosis case $i note"))
+    val fin = (21 to 40).map(i =>
+      (i.toLong, s"market equity dividend portfolio hedge yield quarter $i report"))
+    val mix = (41 to 50).map(i =>
+      (i.toLong, s"patient portfolio clinical hedge symptom yield item $i"))
+    (med ++ fin ++ mix).toDF("id", "text")
+  }
+
+  private def target = pool.filter($"id" <= 6) // small in-domain sample
+
+  test("DSIR affinity ranks in-domain docs above off-domain docs") {
+    val scored = SelectOps.dsirAffinityMil(pool, target, "id", "text",
+      buckets = 512).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val medMin = (7L to 20L).map(scored).min
+    val finMax = (21L to 40L).map(scored).max
+    assert(medMin > finMax,
+      s"held-out in-domain floor $medMin not above off-domain ceiling $finMax")
+    // mixed docs sit strictly between the two blocks' extremes
+    val mix = (41L to 50L).map(scored)
+    assert(mix.forall(s => s > finMax - 1 && s < scored(1L) + 1))
+  }
+
+  test("DSIR affinity is exact: repartition-invariant, gram-count audited") {
+    val a = SelectOps.dsirAffinityMil(pool, target, "id", "text", buckets = 256)
+      .orderBy("id").collect()
+    val b = SelectOps.dsirAffinityMil(pool.repartition(13), target.repartition(7),
+      "id", "text", buckets = 256).orderBy("id").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "integer DSIR scores drifted across parallelism")
+    // n_grams = unigrams + bigrams = 2*tokens - 1 for these all-letter docs
+    val row = a.find(_.getLong(0) == 1L).get
+    val ntok = pool.filter($"id" === 1).select(size(TextOps.tokens($"text")))
+      .head().getInt(0)
+    assert(row.getInt(1) == 2 * ntok - 1)
+  }
+
+  test("DSIR affinity: gram-less doc scores null, neutral doc ~500") {
+    val df = Seq((1L, "patient dosage clinical"), (2L, "12345 !!!"))
+      .toDF("id", "text")
+    val t = df.filter($"id" === 1L)
+    val out = SelectOps.dsirAffinityMil(df, t, "id", "text", buckets = 64)
+      .orderBy("id").collect()
+    assert(out(1).isNullAt(2), "doc with no grams must score null")
+    assert(out(1).getInt(1) == 0)
+    assert(out(0).getLong(2) > 500, "target doc must score above neutral")
+  }
+
+  test("log-weight form agrees with the integer form on domain ordering") {
+    val lw = SelectOps.dsirLogWeights(pool, target, "id", "text", buckets = 512)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val medMin = (1L to 20L).map(lw).min
+    val finMax = (21L to 40L).map(lw).max
+    assert(medMin > finMax, "log weights lost the domain separation")
+    // empty product convention: gram-less doc weighs exactly 0
+    val e = SelectOps.dsirLogWeights(Seq((9L, "???")).toDF("id", "text"),
+      target, "id", "text", buckets = 512).head()
+    assert(e.getDouble(2) == 0.0)
+  }
+
+  test("Gumbel resample: seeded-deterministic, weight-monotone inclusion") {
+    def draw(seed: Long) = SelectOps.dsirResample(pool, target, "id", "text",
+      k = 10, seed = seed, buckets = 512).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(draw(7L) == draw(7L), "same seed must reproduce the same sample")
+    val seeds = (1L to 20L)
+    val counts = seeds.flatMap(draw).groupBy(identity).view.mapValues(_.size)
+    val medHits = (1L to 20L).map(id => counts.getOrElse(id, 0)).sum
+    val finHits = (21L to 40L).map(id => counts.getOrElse(id, 0)).sum
+    assert(medHits > finHits * 2,
+      s"in-domain docs ($medHits hits) must dominate off-domain ($finHits)")
+  }
+
+  // --- perplexity buckets -------------------------------------------------
+
+  // Per "language", fluent docs repeat the corpus's common bigrams while
+  // disfluent ones are one-off token soup — the integer LM separates them.
+  private def multiLang = {
+    val enFluent = (1 to 9).map(i =>
+      (i.toLong, "the project is good and the plan is good and the team"))
+    val enJunk = (10 to 18).map(i =>
+      (i.toLong, s"the qqx$i zzv$i wfg$i the ppl$i mmr$i kkt$i jjd$i"))
+    val deFluent = (19 to 27).map(i =>
+      (i.toLong, "der plan ist gut und der code ist gut und das werk"))
+    val deJunk = (28 to 36).map(i =>
+      (i.toLong, s"der xxu$i yyo$i der wwi$i vvn$i uut$i ttb$i ssc$i"))
+    (enFluent ++ enJunk ++ deFluent ++ deJunk).toDF("doc_id", "text")
+  }
+
+  test("perplexity tiers: heads outscore tails within every language") {
+    val out = SelectOps.perplexityBuckets(multiLang, "doc_id", "text")
+    val rows = out.collect()
+    for (lang <- rows.map(_.getString(1)).distinct) {
+      val of = rows.filter(_.getString(1) == lang)
+      val head = of.filter(_.getString(3) == "head").map(_.getLong(2))
+      val tail = of.filter(_.getString(3) == "tail").map(_.getLong(2))
+      assert(head.nonEmpty && tail.nonEmpty, s"missing tiers for $lang")
+      assert(head.min >= tail.max, s"head/tail inverted for $lang")
+      // ntile keeps tiers balanced within 1
+      val sizes = Seq("head", "middle", "tail")
+        .map(b => of.count(_.getString(3) == b))
+      assert(sizes.max - sizes.min <= 1, s"unbalanced tiers for $lang: $sizes")
+    }
+  }
+
+  test("threshold (scale) path agrees with the exact window form") {
+    val exact = SelectOps.perplexityBuckets(multiLang, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val th = SelectOps.perplexityThresholds(multiLang, "doc_id", "text")
+    assert(th.count() <= 5, "thresholds must be one row per language")
+    val approx = SelectOps.perplexityBucketsByThreshold(multiLang, "doc_id",
+      "text", th).collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(approx.keySet == exact.keySet)
+    val agree = exact.keys.count(k => exact(k) == approx(k)).toDouble / exact.size
+    assert(agree >= 0.8,
+      f"threshold bucketing agrees with ntile on only $agree%.2f of docs")
+    // and never disagrees by two tiers (head <-> tail flip)
+    assert(!exact.keys.exists(k =>
+      Set(exact(k), approx(k)) == Set("head", "tail")),
+      "threshold path flipped a doc across two tiers")
+  }
+
+  // --- domain-centroid selection ------------------------------------------
+
+  private def clusteredVecs = {
+    val dim = 8
+    def v(axis: Int, jitter: Int): Array[Float] =
+      Array.tabulate(dim)(d =>
+        (if (d == axis) 1.0f else 0.0f) + (jitter % 7) * 0.01f)
+    val a = (1 to 30).map(i => (i.toLong, v(0, i)))
+    val b = (31 to 60).map(i => (i.toLong, v(1, i)))
+    (a ++ b).toDF("vec_id", "embedding")
+  }
+
+  test("domainTopK returns only the target cluster, ordered and bounded") {
+    val corpus = clusteredVecs
+    val tgt = corpus.filter($"vec_id" <= 5)
+    val out = SelectOps.domainTopK(corpus, tgt, "vec_id", "embedding", 20)
+      .collect()
+    assert(out.length == 20)
+    assert(out.forall(_.getLong(0) <= 30),
+      "an off-cluster vector leaked into the domain top-k")
+    val cs = out.map(_.getDouble(1))
+    assert(cs.zip(cs.tail).forall { case (x, y) => x >= y }, "not ordered desc")
+  }
+
+  test("fixed-point centroid is bit-identical at any parallelism") {
+    val corpus = clusteredVecs
+    val tgt = corpus.filter($"vec_id" <= 7)
+    val c1 = SelectOps.centroidMilFloat(tgt, "embedding")
+    val c2 = SelectOps.centroidMilFloat(tgt.repartition(11), "embedding")
+    assert(c1.toSeq == c2.toSeq, "centroid drifted across parallelism")
+    assert(c1.length == 8)
+    // negative components floor toward -inf identically (floorDiv, not /)
+    val neg = Seq((1L, Array(-0.0015f, 0.5f)), (2L, Array(-0.0015f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val cn = SelectOps.centroidMilFloat(neg, "embedding")
+    assert(cn(0) == -0.002f, s"negative floor division broke: ${cn(0)}")
+  }
+
+  test("domainTopK plan: no cartesian product, top-k never sorts globally") {
+    val corpus = clusteredVecs
+    val tgt = corpus.filter($"vec_id" <= 5)
+    val plan = SelectOps.domainTopK(corpus, tgt, "vec_id", "embedding", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k should plan as TakeOrderedAndProject, not a global Sort")
+  }
+}
