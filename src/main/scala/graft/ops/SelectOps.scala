@@ -104,10 +104,33 @@ object SelectOps {
     aff
   }
 
+  /** The raw pool the DSIR contrast is fit against: every `corpus` row
+    * whose id is NOT in the target sample. DSIR contrasts the TARGET
+    * distribution with the distribution of the data it is selecting
+    * FROM; when the target sample is drawn from the pool itself (the
+    * common "label 1k in-domain docs out of the crawl" workflow),
+    * leaving its rows in the raw histogram double-counts every target
+    * gram on both sides of the posterior and drags a purely in-domain
+    * document to the neutral prior (ct == cr ⇒ exactly 500‰). The
+    * anti-join is id-keyed and the target side broadcasts (it is a
+    * SAMPLE — small by construction); a target disjoint from the
+    * corpus passes through unchanged. Callers scoring an EXTERNAL
+    * target (Wikipedia-vs-crawl) must not reuse pool ids for target
+    * rows — ids are the identity here.
+    */
+  private def rawPool(corpus: DataFrame, target: DataFrame,
+                      idCol: String): DataFrame =
+    corpus.join(broadcast(target.select(col(idCol))), Seq(idCol), "left_anti")
+
   /** DSIR-style importance scoring, integer fixed-point form: every raw
     * document's mean per-mille target affinity over its hashed n-grams.
     * Output: (idCol, n_grams int, dsir_mil bigint — null when the
     * document has no grams), one row per `corpus` row.
+    *
+    * The raw histogram is fit on [[rawPool]] — corpus MINUS the target
+    * sample's rows (by id) — so a target drawn from the pool never
+    * cancels itself to the 500‰ neutral prior; see [[rawPool]] for the
+    * convention.
     *
     * Plan: two bounded histograms (above), then ONE map-only scoring
     * scan — the affinity table rides the plan as a single array literal
@@ -118,7 +141,8 @@ object SelectOps {
     */
   def dsirAffinityMil(corpus: DataFrame, target: DataFrame, idCol: String,
                       textCol: String, buckets: Int = 1024): DataFrame = {
-    val aff = affinityTableMil(target, corpus, textCol, buckets)
+    val aff = affinityTableMil(target, rawPool(corpus, target, idCol),
+      textCol, buckets)
     val affLit = typedlit(aff.toSeq)
     val grams = ngramBuckets(col(textCol), buckets)
     val n = size(grams)
@@ -138,7 +162,9 @@ object SelectOps {
     * Laplace-smoothed hashed-ngram multinomials. Float-valued by
     * construction → spec-pinned (ranking parity with the integer
     * affinity form, repartition invariance), not oracle-hashed — the
-    * same ppm-vs-ln split as the bigram LM pair (q74/q86).
+    * same ppm-vs-ln split as the bigram LM pair (q74/q86). The raw
+    * multinomial is fit on [[rawPool]] (corpus minus the target's
+    * rows), matching the integer form's convention.
     *
     * Output: (idCol, n_grams int, log_w double — 0.0 for gram-less
     * documents, the empty product).
@@ -147,7 +173,8 @@ object SelectOps {
                      textCol: String, buckets: Int = 1024): DataFrame = {
     val ht = bucketHist(target, textCol, buckets).collect()
       .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-    val hr = bucketHist(corpus, textCol, buckets).collect()
+    val hr = bucketHist(rawPool(corpus, target, idCol), textCol, buckets)
+      .collect()
       .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
     val nt = ht.valuesIterator.sum.toDouble
     val nr = hr.valuesIterator.sum.toDouble
@@ -189,12 +216,35 @@ object SelectOps {
 
   // --- CCNet perplexity bucketing ----------------------------------------
 
+  /** The ONE language-model pass the whole perplexity family shares:
+    * (idCol, lang, score_ppm) per document with at least one bigram —
+    * language-ID joined to the corpus-trained integer bigram-LM score
+    * ([[TextOps.bigramLmScores]]; documents with fewer than two tokens
+    * have no LM score and are excluded, both engines filter
+    * `n_bigrams >= 1`).
+    *
+    * Thresholds and bucketing BOTH consume this frame — compute it
+    * once and (at scale) persist/checkpoint it, so deriving cutoffs
+    * and assigning tiers costs one corpus-scale LM job, not two. The
+    * (df, idCol, textCol) convenience overloads below exist for
+    * one-shot calls; a pipeline that needs thresholds AND buckets
+    * should go through the `…FromScored` forms.
+    */
+  def perplexityScored(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    TextOps.bigramLmScores(df, idCol, textCol)
+      .filter(col("n_bigrams") >= 1)
+      .join(df.select(col(idCol), TextOps.langId(col(textCol)).as("lang")),
+        Seq(idCol))
+      .select(col(idCol), col("lang"), col("score_ppm"))
+
   /** Exact head/middle/tail perplexity tiers per language (Wenzek et al.
-    * 2020): language-ID + the corpus-trained integer bigram-LM score
-    * ([[TextOps.bigramLmScores]]), then `ntile(3)` per language ordered
-    * by (score desc, id) — head = most fluent third. Documents with
-    * fewer than two tokens have no LM score and are excluded (both
-    * engines filter `n_bigrams >= 1`).
+    * 2020) over an already-[[perplexityScored]] frame: `ntile(3)` per
+    * language ordered by (score desc, id) — head = most fluent third.
+    * Tie rule: ntile SPLITS equal scores across tiers by id to keep
+    * tier sizes balanced within one — the threshold path below keeps
+    * tied blocks whole instead; the two forms agree exactly on
+    * distinct scores and may legitimately differ inside a tied block.
     *
     * This exact form sorts each language's scores inside one window
     * partition — correct at any SF but single-reducer-per-language, so
@@ -202,19 +252,20 @@ object SelectOps {
     * [[perplexityBucketsByThreshold]], which broadcasts per-language
     * score thresholds and buckets map-side.
     */
-  def perplexityBuckets(df: DataFrame, idCol: String,
-                        textCol: String): DataFrame = {
-    val scored = TextOps.bigramLmScores(df, idCol, textCol)
-    val lang = df.select(col(idCol), TextOps.langId(col(textCol)).as("lang"))
+  def perplexityBucketsFromScored(scored: DataFrame,
+                                  idCol: String): DataFrame = {
     val w = Window.partitionBy("lang")
       .orderBy(col("score_ppm").desc, col(idCol))
-    scored.join(lang, Seq(idCol))
-      .filter(col("n_bigrams") >= 1)
-      .select(col(idCol), col("lang"), col("score_ppm"),
-        when(ntile(3).over(w) === 1, lit("head"))
-          .when(ntile(3).over(w) === 2, lit("middle"))
-          .otherwise(lit("tail")).as("ppl_bucket"))
+    scored.select(col(idCol), col("lang"), col("score_ppm"),
+      when(ntile(3).over(w) === 1, lit("head"))
+        .when(ntile(3).over(w) === 2, lit("middle"))
+        .otherwise(lit("tail")).as("ppl_bucket"))
   }
+
+  /** One-shot convenience: [[perplexityScored]] → [[perplexityBucketsFromScored]]. */
+  def perplexityBuckets(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    perplexityBucketsFromScored(perplexityScored(df, idCol, textCol), idCol)
 
   /** Per-language score thresholds for the map-side bucketing path:
     * (lang, t_head, t_mid) where t_head ≈ 66.7th and t_mid ≈ 33.3rd
@@ -223,39 +274,54 @@ object SelectOps {
     * computes tier cutoffs from a sample. Output is #langs rows —
     * broadcast-sized by construction.
     */
-  def perplexityThresholds(df: DataFrame, idCol: String, textCol: String,
-                           accuracy: Int = 10000): DataFrame = {
-    val scored = TextOps.bigramLmScores(df, idCol, textCol)
-      .filter(col("n_bigrams") >= 1)
-    val lang = df.select(col(idCol), TextOps.langId(col(textCol)).as("lang"))
-    scored.join(lang, Seq(idCol))
-      .groupBy("lang")
+  def perplexityThresholdsFromScored(scored: DataFrame,
+                                     accuracy: Int = 10000): DataFrame =
+    scored.groupBy("lang")
       .agg(
         percentile_approx(col("score_ppm"), lit(2.0 / 3.0),
           lit(accuracy)).as("t_head"),
         percentile_approx(col("score_ppm"), lit(1.0 / 3.0),
           lit(accuracy)).as("t_mid"))
-  }
+
+  /** One-shot convenience: [[perplexityScored]] → [[perplexityThresholdsFromScored]]. */
+  def perplexityThresholds(df: DataFrame, idCol: String, textCol: String,
+                           accuracy: Int = 10000): DataFrame =
+    perplexityThresholdsFromScored(perplexityScored(df, idCol, textCol),
+      accuracy)
 
   /** The 100 TB bucketing path: join the (broadcast-sized) per-language
     * threshold table and assign tiers map-side — no per-language sort,
     * no window, corpus never shuffles (the lang-key join broadcasts the
     * #langs-row side). Tier boundaries are approximate where ntile's
-    * are exact; ScalaTest pins the agreement on a fixture.
+    * are exact; ScalaTest pins the agreement on a distinct-score
+    * fixture. Tie rule: every document in a tied score block lands in
+    * the SAME tier (the highest threshold the shared score clears) —
+    * where ntile splits the block by id to balance tier sizes.
+    *
+    * A language absent from `thresholds` (possible when cutoffs were
+    * fit on a sample that missed it) gets a NULL ppl_bucket — explicit
+    * "no cutoffs for this language", distinguishable from a genuinely
+    * disfluent tail doc; callers route nulls back through a cutoff
+    * refresh rather than silently down-sampling the language.
+    */
+  def perplexityBucketsByThresholdFromScored(scored: DataFrame, idCol: String,
+                                             thresholds: DataFrame): DataFrame =
+    scored.join(broadcast(thresholds), Seq("lang"), "left")
+      .select(col(idCol), col("lang"), col("score_ppm"),
+        when(col("t_head").isNull, lit(null).cast("string"))
+          .when(col("score_ppm") >= col("t_head"), lit("head"))
+          .when(col("score_ppm") >= col("t_mid"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+
+  /** One-shot convenience — NOTE this recomputes the LM pass; pair with
+    * a [[perplexityScored]] frame via the `FromScored` form when the
+    * same corpus also fed the thresholds.
     */
   def perplexityBucketsByThreshold(df: DataFrame, idCol: String,
                                    textCol: String,
-                                   thresholds: DataFrame): DataFrame = {
-    val scored = TextOps.bigramLmScores(df, idCol, textCol)
-      .filter(col("n_bigrams") >= 1)
-    val lang = df.select(col(idCol), TextOps.langId(col(textCol)).as("lang"))
-    scored.join(lang, Seq(idCol))
-      .join(broadcast(thresholds), Seq("lang"), "left")
-      .select(col(idCol), col("lang"), col("score_ppm"),
-        when(col("score_ppm") >= col("t_head"), lit("head"))
-          .when(col("score_ppm") >= col("t_mid"), lit("middle"))
-          .otherwise(lit("tail")).as("ppl_bucket"))
-  }
+                                   thresholds: DataFrame): DataFrame =
+    perplexityBucketsByThresholdFromScored(
+      perplexityScored(df, idCol, textCol), idCol, thresholds)
 
   // --- embedding domain-centroid selection --------------------------------
 

@@ -55,7 +55,7 @@ class SelectOpsSpec extends SparkSpec {
     assert(row.getInt(1) == 2 * ntok - 1)
   }
 
-  test("DSIR affinity: gram-less doc scores null, neutral doc ~500") {
+  test("DSIR affinity: gram-less doc scores null, in-pool target above neutral") {
     val df = Seq((1L, "patient dosage clinical"), (2L, "12345 !!!"))
       .toDF("id", "text")
     val t = df.filter($"id" === 1L)
@@ -63,7 +63,36 @@ class SelectOpsSpec extends SparkSpec {
       .orderBy("id").collect()
     assert(out(1).isNullAt(2), "doc with no grams must score null")
     assert(out(1).getInt(1) == 0)
-    assert(out(0).getLong(2) > 500, "target doc must score above neutral")
+    // target ⊆ pool: the raw histogram excludes the target's own rows,
+    // so target-exclusive grams score 666 (ct=1, cr=0), NOT the ct==cr
+    // self-cancellation to the 500 neutral prior (collisions at
+    // buckets=64 can only push ct higher -> above 666; the exact
+    // collision-free integer pins live in the exclusion test below)
+    assert(out(0).getLong(2) > 500,
+      s"in-pool target doc must score above neutral, got ${out(0).getLong(2)}")
+  }
+
+  test("DSIR affinity: raw histogram excludes the target sample by id") {
+    // 'shared' appears once in the target and once in a raw doc; with
+    // exclusion ct=1, cr=1 -> 500 exactly; without (the self-counting
+    // bug) cr would be 2 -> 400. 'tgtonly' is target-exclusive -> 666.
+    val df = Seq((1L, "shared tgtonly"), (2L, "shared rawword"))
+      .toDF("id", "text")
+    val t = df.filter($"id" === 1L)
+    val out = SelectOps.dsirAffinityMil(df, t, "id", "text", buckets = 4096)
+      .orderBy("id").collect()
+    // doc 1 grams: shared(500) + tgtonly(666) + bigram "shared tgtonly"
+    // (ct=1, cr=0 -> 666); mean = (500+666+666)/3 = 610
+    assert(out(0).getLong(2) == 610L,
+      s"exclusion semantics broken: ${out(0).getLong(2)}")
+    // a target disjoint from the corpus passes through unchanged:
+    // scoring the raw doc against itself as corpus keeps cr intact
+    val ext = Seq((10L, "shared tgtonly")).toDF("id", "text")
+    val out2 = SelectOps.dsirAffinityMil(df.filter($"id" === 2L), ext,
+      "id", "text", buckets = 4096).collect()
+    // doc 2 grams: shared (ct=1,cr=1 -> 500), rawword (ct=0,cr=1 -> 333),
+    // bigram "shared rawword" (ct=0,cr=1 -> 333); mean = 1166/3 = 388
+    assert(out2(0).getLong(2) == 388L)
   }
 
   test("log-weight form agrees with the integer form on domain ordering") {
@@ -93,18 +122,29 @@ class SelectOpsSpec extends SparkSpec {
 
   // --- perplexity buckets -------------------------------------------------
 
-  // Per "language", fluent docs repeat the corpus's common bigrams while
-  // disfluent ones are one-off token soup — the integer LM separates them.
+  // Per "language", a fluency GRADIENT: doc i keeps (19-i) copies of the
+  // language's common sentence plus i one-off letter tokens, so score_ppm
+  // is strictly decreasing in i — every score DISTINCT. (The threshold
+  // path is tie-block granular while ntile splits ties by id, so
+  // agreement between the two forms is only defined on distinct scores —
+  // the documented tie rule; an earlier fixture with 9 identical docs per
+  // tier measured exactly that undefined case.)
+  private def junkTok(i: Int, j: Int) = ("x" * j) + "q" + ("z" * i)
   private def multiLang = {
-    val enFluent = (1 to 9).map(i =>
-      (i.toLong, "the project is good and the plan is good and the team"))
-    val enJunk = (10 to 18).map(i =>
-      (i.toLong, s"the qqx$i zzv$i wfg$i the ppl$i mmr$i kkt$i jjd$i"))
-    val deFluent = (19 to 27).map(i =>
-      (i.toLong, "der plan ist gut und der code ist gut und das werk"))
-    val deJunk = (28 to 36).map(i =>
-      (i.toLong, s"der xxu$i yyo$i der wwi$i vvn$i uut$i ttb$i ssc$i"))
-    (enFluent ++ enJunk ++ deFluent ++ deJunk).toDF("doc_id", "text")
+    val en = (1 to 18).map { i =>
+      val fluent = Seq.fill(19 - i)(
+        "the plan is good and the team is strong").mkString(" ")
+      val junk = (1 to i).map(j => junkTok(i, j)).mkString(" ")
+      (i.toLong, s"$fluent $junk")
+    }
+    val de = (19 to 36).map { i =>
+      val k = i - 18
+      val fluent = Seq.fill(19 - k)(
+        "der plan ist gut und der code ist gut").mkString(" ")
+      val junk = (1 to k).map(j => "v" + junkTok(k, j)).mkString(" ")
+      (i.toLong, s"$fluent $junk")
+    }
+    (en ++ de).toDF("doc_id", "text")
   }
 
   test("perplexity tiers: heads outscore tails within every language") {
@@ -124,12 +164,22 @@ class SelectOpsSpec extends SparkSpec {
   }
 
   test("threshold (scale) path agrees with the exact window form") {
-    val exact = SelectOps.perplexityBuckets(multiLang, "doc_id", "text")
+    // ONE LM pass feeds exact tiers, thresholds, and the scale path —
+    // the FromScored forms exist so 100 TB never runs the LM twice
+    val scored = SelectOps.perplexityScored(multiLang, "doc_id", "text")
+    // the fixture guarantees distinct scores per language — agreement
+    // is only defined on distinct scores (documented tie rule)
+    val perLang = scored.collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).toSeq)
+    perLang.foreach { case (lang, ss) =>
+      assert(ss.distinct.size == ss.size, s"fixture has tied scores in $lang")
+    }
+    val exact = SelectOps.perplexityBucketsFromScored(scored, "doc_id")
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
-    val th = SelectOps.perplexityThresholds(multiLang, "doc_id", "text")
+    val th = SelectOps.perplexityThresholdsFromScored(scored)
     assert(th.count() <= 5, "thresholds must be one row per language")
-    val approx = SelectOps.perplexityBucketsByThreshold(multiLang, "doc_id",
-      "text", th).collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val approx = SelectOps.perplexityBucketsByThresholdFromScored(scored,
+      "doc_id", th).collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(approx.keySet == exact.keySet)
     val agree = exact.keys.count(k => exact(k) == approx(k)).toDouble / exact.size
     assert(agree >= 0.8,
@@ -138,6 +188,19 @@ class SelectOpsSpec extends SparkSpec {
     assert(!exact.keys.exists(k =>
       Set(exact(k), approx(k)) == Set("head", "tail")),
       "threshold path flipped a doc across two tiers")
+  }
+
+  test("a language with no thresholds buckets to NULL, not tail") {
+    val scored = SelectOps.perplexityScored(multiLang, "doc_id", "text")
+    val enOnly = SelectOps.perplexityThresholdsFromScored(
+      scored.filter($"lang" === "en"))
+    val out = SelectOps.perplexityBucketsByThresholdFromScored(scored,
+      "doc_id", enOnly).collect()
+    val de = out.filter(_.getString(1) == "de")
+    assert(de.nonEmpty && de.forall(_.isNullAt(3)),
+      "a language absent from the threshold table must get NULL buckets")
+    val en = out.filter(_.getString(1) == "en")
+    assert(en.forall(!_.isNullAt(3)))
   }
 
   // --- domain-centroid selection ------------------------------------------
