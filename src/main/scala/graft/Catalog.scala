@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{MinHashFunctions, WinnowFunctions}
-import graft.ops.{BpeOps, ChatOps, ClassifierOps, GraphOps, MultimodalOps, RelOps, SampleOps, SimOps, TextOps, WebOps}
+import graft.ops.{BpeOps, ChatOps, ClassifierOps, GraphOps, MultimodalOps, RelOps, SampleOps, SelectOps, SimOps, TextOps, WebOps}
 
 /** One named query: the Spark plan plus (when SQL-expressible) the exact
   * DuckDB oracle the driver hash-compares against.
@@ -2926,6 +2926,172 @@ object Catalog {
             TextOps.dupWordRatioMil(col("text")).as("dup_word_mil"),
             TextOps.topBigramShareMil(col("text")).as("top_bigram_mil"))
           .orderBy("doc_id")
+      }),
+
+    QueryDef("q102_dsir_select",
+      "DSIR targeted selection, integer fixed-point form (Xie et al. " +
+        "2023): fit hashed-ngram histograms on a small target sample " +
+        "(every 11th doc) and on the raw pool (corpus MINUS the target " +
+        "rows, by id — the documented in-pool convention), then score " +
+        "every document's mean per-mille target affinity. The bucket " +
+        "hash is md5-stable and the Laplace posterior is floor-divided " +
+        "per-mille, so DuckDB reproduces every score bit-for-bit. " +
+        "Plan: two bucket-BOUNDED histograms (<= 512 keys, map-side " +
+        "combinable), then ONE map-only scoring scan with the affinity " +
+        "table riding the plan as a single array literal — no shuffle " +
+        "downstream of the histograms, no UDF.",
+      Some("""WITH g AS (SELECT doc_id, doc_id % 11 = 0 AS tgt,
+             |    regexp_extract_all(lower(text), '[a-z]+') AS ws
+             |  FROM documents),
+             |gr AS (SELECT doc_id, tgt, ws || CASE WHEN len(ws) < 2
+             |      THEN CAST([] AS VARCHAR[])
+             |      ELSE [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+             |    END AS grams
+             |  FROM g),
+             |occ AS (SELECT doc_id, tgt,
+             |    CAST(concat('0x', substr(md5(unnest(grams)), 1, 15))
+             |      AS BIGINT) % 512 AS b
+             |  FROM gr),
+             |ht AS (SELECT b, COUNT(*) AS ct FROM occ WHERE tgt GROUP BY b),
+             |hr AS (SELECT b, COUNT(*) AS cr FROM occ WHERE NOT tgt GROUP BY b),
+             |aff AS (SELECT doc_id,
+             |    (1000 * (COALESCE(ct, 0) + 1))
+             |      // (COALESCE(ct, 0) + COALESCE(cr, 0) + 2) AS a
+             |  FROM occ LEFT JOIN ht USING (b) LEFT JOIN hr USING (b)),
+             |sc AS (SELECT doc_id, COUNT(*) AS n, SUM(a) AS sa
+             |  FROM aff GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(COALESCE(sc.n, 0) AS INTEGER) AS n_grams,
+             |  CAST(sc.sa // sc.n AS BIGINT) AS dsir_mil
+             |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        SelectOps.dsirAffinityMil(docs,
+            docs.filter(col("doc_id") % 11 === 0),
+            "doc_id", "text", buckets = 512)
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q103_perplexity_tiers",
+      "CCNet perplexity bucketing, exact ORACLE form (Wenzek et al. " +
+        "2020): language-ID + the q74 corpus-trained integer bigram-LM " +
+        "score, then ntile(3) per language over (score desc, id) — " +
+        "head = most fluent third, the tier downstream mixing " +
+        "oversamples. Tie rule: ntile splits equal scores by id (both " +
+        "engines order identically, so the split is deterministic). " +
+        "This exact form is single-reducer-per-language by design; the " +
+        "100 TB path is perplexityBucketsByThreshold (broadcast " +
+        "per-language cutoffs, map-side tiers, no window) — " +
+        "plan-pinned in PlanShapeSpec, agreement spec-pinned in " +
+        "SelectOpsSpec, and both consume ONE shared LM pass via " +
+        "perplexityScored.",
+      Some {
+        val (hitExprs, maxExpr, nWin, firstWin) = sqlLangPieces
+        s"""WITH toks AS (SELECT doc_id,
+           |    regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+           |uni AS (SELECT w1, COUNT(*) AS c1 FROM (
+           |    SELECT unnest(w) AS w1 FROM toks) GROUP BY w1),
+           |v AS (SELECT COUNT(*) AS vs FROM uni),
+           |bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+           |    SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]}
+           |      for i in range(1, len(w))]) AS u FROM toks)),
+           |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+           |per AS (SELECT doc_id,
+           |    (1000000 * (c12 + 1)) // (c1 + vs) AS ppm
+           |  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v),
+           |sc AS (SELECT doc_id, COUNT(*) AS nb, SUM(ppm) AS sp
+           |  FROM per GROUP BY doc_id),
+           |h AS (SELECT doc_id, $hitExprs FROM documents),
+           |m AS (SELECT *, $maxExpr AS mx FROM h),
+           |lg AS (SELECT doc_id, CASE WHEN mx = 0 OR ($nWin) > 1
+           |    THEN 'und' ELSE ($firstWin) END AS lang FROM m),
+           |s2 AS (SELECT sc.doc_id, lg.lang,
+           |    CAST(sc.sp // sc.nb AS BIGINT) AS score_ppm
+           |  FROM sc JOIN lg ON sc.doc_id = lg.doc_id WHERE sc.nb >= 1),
+           |nt AS (SELECT doc_id, lang, score_ppm,
+           |    ntile(3) OVER (PARTITION BY lang
+           |      ORDER BY score_ppm DESC, doc_id) AS t FROM s2)
+           |SELECT doc_id, lang, score_ppm,
+           |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+           |    ELSE 'tail' END AS ppl_bucket
+           |FROM nt ORDER BY doc_id""".stripMargin
+      },
+      (s, dir) =>
+        SelectOps.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")),
+
+    QueryDef("q104_domain_topk",
+      "Embedding domain-centroid selection — the embedding-space " +
+        "analogue of q102's DSIR (DsDm-style retrieval curation): rank " +
+        "the pool by cosine to the target sample's centroid, keep the " +
+        "top 100. The centroid is quantized to exact fixed point " +
+        "(floor(v*1000) sums, floor division, /1000 -> float) so both " +
+        "engines derive the IDENTICAL vector; cosine then follows the " +
+        "q33 round-to-6dp convention. Plan: one dim-BOUNDED centroid " +
+        "aggregate (<= 64 keys), then a map-only codegen dot-product " +
+        "scan with the centroid as a plan literal, and (cosine desc, " +
+        "id) top-k via TakeOrderedAndProject — no global sort, no " +
+        "per-row shuffle, driver state corpus-size-independent.",
+      Some(s"""WITH tgt AS (SELECT embedding AS e FROM embeddings
+             |  WHERE vec_id % 25 = 0),
+             |dims AS (SELECT unnest(range(1,
+             |    (SELECT max(len(e)) FROM tgt) + 1)) AS d),
+             |cs AS (SELECT d,
+             |    SUM(CAST(floor(CAST(e[d] AS DOUBLE) * 1000) AS BIGINT)) AS s,
+             |    COUNT(*) AS n
+             |  FROM tgt, dims WHERE d <= len(e) GROUP BY d),
+             |cent AS (SELECT list(CAST(
+             |      CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS DOUBLE)
+             |        / CAST(1000 AS DOUBLE) AS FLOAT) ORDER BY d) AS c
+             |  FROM cs),
+             |p AS (SELECT vec_id,
+             |    round(${sqlCosine("embeddings.embedding", "cent.c")}, 6)
+             |      AS cosine
+             |  FROM embeddings, cent)
+             |SELECT vec_id, cosine FROM p
+             |ORDER BY cosine DESC, vec_id LIMIT 100""".stripMargin),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        SelectOps.domainTopK(e, e.filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", k = 100)
+      }),
+
+    QueryDef("q105_drift_rebuild",
+      "The FULL index-maintenance arc as one query — q97's drift " +
+        "monitoring closed into the drift->rebuild->probe lifecycle " +
+        "(the q100 pattern applied to the ANN index): build the IVF-PQ " +
+        "index, measure a self-sample batch (stable: rebuild must NOT " +
+        "fire — the stable path costs one aggregated code scan + one " +
+        "map-side batch assignment, nothing corpus-scale), then ingest " +
+        "a mode-collapsed batch (every vector one direction — the " +
+        "unambiguous retrain signal), rebuild from the grown corpus " +
+        "under the sink's atomic shadow swap, and serve probes off the " +
+        "rebuilt index. Both DriftDecisions ride the output as audit " +
+        "columns so the harness sees the arc, not just the probes. " +
+        "k-means + approximate probes inside -> rows-only; " +
+        "SimOpsSpec pins the stable/drifted/swap semantics, " +
+        "PlanShapeSpec pins the no-corpus-scan stable path.",
+      None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val sink = tempStore.freshSink(s, "driftrb", dir)
+        SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink).collect()
+        val stable = SimOps.rebuildIfDrifted(
+          e.filter(col("vec_id") % 3 === 0), e, "vec_id", "embedding", sink)
+        val batch = e.filter(col("vec_id") % 3 === 1)
+          .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+            transform(col("embedding"), x => x * lit(0.0f) + lit(0.37f))
+              .as("embedding"))
+        val corpus2 = e.unionByName(batch)
+        val drifted = SimOps.rebuildIfDrifted(batch, corpus2,
+          "vec_id", "embedding", sink)
+        SimOps.ivfPqProbeIndex(e.filter(col("vec_id") % 100 === 0), corpus2,
+            "vec_id", "embedding", sink, k = 3)
+          .withColumn("stable_rebuilt", lit(if (stable.rebuilt) 1 else 0))
+          .withColumn("drift_rebuilt", lit(if (drifted.rebuilt) 1 else 0))
+          .withColumn("drift_tv_mil",
+            lit((drifted.totalVariation * 1000).toLong))
+          .orderBy("query_id", "rank")
       })
   )
 

@@ -85,6 +85,20 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("q105 drift arc: stable batch no-op, collapsed batch rebuilds") {
+    // the audit columns carry the two DriftDecisions: a self-sample
+    // must NOT fire the rebuild, the mode-collapsed batch MUST — and
+    // probes keep serving through the swap (rows exist at all)
+    val out = Catalog.byName("q105_drift_rebuild").fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Int]("stable_rebuilt") == 0),
+      "self-sample batch fired a rebuild")
+    assert(out.forall(_.getAs[Int]("drift_rebuilt") == 1),
+      "mode-collapsed batch did not fire the rebuild")
+    assert(out.forall(_.getAs[Long]("drift_tv_mil") > 250L),
+      "collapsed-batch total variation under the default threshold")
+  }
+
   test("q29 finds the planted near-duplicate clusters") {
     val out = Catalog.byName("q29_dedup_minhash").fn(spark, sf).collect()
     assert(out.nonEmpty)

@@ -462,6 +462,81 @@ class PlanShapeSpec extends SparkSpec {
       s"dominant-bigram share not computed by the batched expression:\n$plan")
   }
 
+  test("q102: DSIR scoring is one map-only scan — the affinity table rides as a literal") {
+    val plan = planOf("q102_dsir_select")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"affinity scoring fell off codegen onto a UDF:\n$plan")
+    // the two bounded histograms collected driver-side during plan
+    // construction; the SCORING plan reads nothing but the corpus and
+    // never shuffles (the only exchange is the presentation orderBy)
+    val scans = plan.linesIterator.filter(_.contains("Scan parquet")).toSeq
+    assert(scans.size == 1,
+      s"scoring plan scans more than the corpus:\n${scans.mkString("\n")}")
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 0,
+      s"shuffle in the map-only scoring scan:\n$plan")
+    assert(!plan.contains("Generate explode"),
+      s"grams exploded instead of aggregated row-locally:\n$plan")
+  }
+
+  test("q103 scale path: thresholds broadcast, tiers map-side, ONE LM pass") {
+    // the catalog's q103 is the exact ntile ORACLE form; the 100 TB
+    // path consumes the SAME perplexityScored frame twice — thresholds
+    // and bucketing — so the LM never runs twice: with the scored
+    // frame materialized, the bucketing plan contains no LM subtree
+    // (no explode/Generate), joins the #langs-row threshold table as a
+    // BROADCAST, and has no per-language window sort
+    val docs = Tables.load(spark, sf, "documents")
+    val scored = graft.ops.SelectOps.perplexityScored(docs, "doc_id", "text")
+      .localCheckpoint()
+    val th = graft.ops.SelectOps.perplexityThresholdsFromScored(scored)
+    val plan = graft.ops.SelectOps
+      .perplexityBucketsByThresholdFromScored(scored, "doc_id", th)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"threshold table not broadcast:\n$plan")
+    assert(!plan.contains("Window"),
+      s"scale path must not sort per language:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"LM pass recomputed inside the scale path:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+  }
+
+  test("q104: centroid rides as a literal — top-k never sorts globally") {
+    val plan = planOf("q104_domain_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k planned as a global sort:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"cosine fell onto a UDF:\n$plan")
+    // the dim-bounded centroid aggregate collected driver-side; the
+    // ranking plan is one corpus scan, zero shuffles
+    val scans = plan.linesIterator.filter(_.contains("Scan parquet")).toSeq
+    assert(scans.size == 1,
+      s"ranking plan scans more than the corpus:\n${scans.mkString("\n")}")
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 0,
+      s"shuffle in the map-only ranking scan:\n$plan")
+  }
+
+  test("q105: the stable maintenance path reads only stored codes + the batch") {
+    // rebuildIfDrifted's no-rebuild branch must cost one aggregated
+    // code scan + one map-side batch assignment — at 100 TB the
+    // maintenance cadence runs this every batch, so a corpus scan or
+    // training job here would dwarf the stream itself
+    val e = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft_q105plan")
+    val sink = new graft.sink.UpsertSink(spark, root.toString)
+    graft.ops.SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink).collect()
+    val plan = graft.ops.SimOps
+      .ivfIndexDriftStats(
+        e.filter(org.apache.spark.sql.functions.col("vec_id") % 3 === 0),
+        "vec_id", "embedding", sink)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("Scan parquet")).toSeq
+    assert(scans.size == 2,
+      s"stable path scans beyond codes + batch:\n${scans.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+  }
+
   test("q96: the interval join is a hash equi-join on buckets, never a nested loop") {
     val plan = planOf("q96_interval_join")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
