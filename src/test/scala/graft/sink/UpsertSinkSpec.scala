@@ -239,6 +239,60 @@ class UpsertSinkSpec extends SparkSpec {
     assert(!Files.exists(s2.dir))
   }
 
+  test("snapshot vs a LIVE writer thread: acquire under churn, stay byte-stable") {
+    // the race the walk/link retry loop (snapshot's isVanishedFile
+    // handling) exists for: a writer continuously rewriting buckets and
+    // swapping the table dir WHILE readers acquire and hold snapshots.
+    // Two invariants: (1) acquisition under churn succeeds (the retry
+    // absorbs mid-walk swaps), (2) a HELD snapshot re-reads identically
+    // while the churn continues — the hard links pin the inodes.
+    val sink = freshSink()
+    val orig = (1L to 200L).map(i => (i, s"v$i"))
+    sink.merge("t", orig.toDF("id", "v"), Seq("id"))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var writerErr: Option[Throwable] = None
+    val writer = new Thread(() => {
+      try {
+        var i = 0
+        while (!stop.get()) {
+          i += 1
+          // value-only churn on existing PKs keeps the integrity
+          // invariant checkable: every consistent view has EXACTLY ids
+          // 1..200 once each, whatever mix of merge generations it pins
+          sink.merge("t",
+            Seq(((i % 200) + 1L, s"w$i")).toDF("id", "v"), Seq("id"))
+          if (i % 4 == 0)
+            sink.rebucket("t", Seq("id"),
+              newBuckets = if (i % 8 == 0) 4 else 8)
+        }
+      } catch { case t: Throwable => writerErr = Some(t) }
+    }, "graft-snapshot-churn-writer")
+    writer.start()
+    try {
+      for (round <- 1 to 3) {
+        val snap = sink.snapshot("t")
+        try {
+          def scan() = snap.df.select("id", "v").as[(Long, String)]
+            .collect().sortBy(_._1).toSeq
+          val r1 = scan()
+          assert(r1.map(_._1) == (1L to 200L),
+            s"round $round: pinned view lost PK integrity")
+          Thread.sleep(100) // let the writer land more generations
+          assert(scan() == r1,
+            s"round $round: held snapshot drifted under live churn")
+        } finally snap.close()
+      }
+    } finally {
+      stop.set(true)
+      writer.join(60000)
+    }
+    assert(!writer.isAlive, "churn writer failed to stop")
+    writerErr.foreach(t => fail(s"writer thread died mid-churn: $t", t))
+    // the live table still reads clean after the contention
+    assert(sink.read("t").select("id").as[Long].collect().sorted.toSeq
+      == (1L to 200L))
+  }
+
   test("merge rejects schema drift loudly BEFORE touching the table") {
     val sink = freshSink()
     sink.merge("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
