@@ -90,7 +90,8 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     case class QResult(name: String, min: Double, times: Seq[Double],
                        gcMs: Long, jitMs: Long, ccUsedMb: Long,
-                       bandExceeded: Option[Double], extraPasses: Int)
+                       bandExceeded: Option[Double], extraPasses: Int,
+                       spreadPasses: Int)
     // A min-of-passes above its band gets up to this many EXTRA passes
     // before the flag sticks: a transient co-tenant spike (the
     // documented 8-20x box-contention swings) often passes within the
@@ -129,6 +130,34 @@ object Bench {
           extra += 1
         }
       }
+      // In-band CONVERGENCE re-pass (round-9 brief #7): a query whose
+      // min sits inside its band can still be contention-inflated when
+      // EVERY nominal pass hit co-tenant load (r9's q44: min 8.28 vs
+      // 3.87-4.30 clean, all passes 2x+). High pass spread is the
+      // signal: if max/min > 2 on a non-trivial query, grant extra
+      // passes WHILE they keep improving the min (>=10% per pass) —
+      // converging the stdout total toward the clean number. A stable
+      // spread (min already clean, max a one-off spike) stops after
+      // one wasted pass; a healthy low-spread run pays nothing.
+      val spreadRetries = sys.env.get("SPARK_GRAFT_BENCH_SPREAD_RETRIES")
+        .map(_.toInt).getOrElse(2)
+      var spreadExtra = 0
+      var spreadStop = false
+      while (!errors.contains(name) && !spreadStop &&
+          spreadExtra < spreadRetries && times.min > 1.0 &&
+          times.max / times.min > 2.0 &&
+          bands.get(name).forall(times.min <= _)) {
+        val prevMin = times.min
+        val t = timed()
+        if (errors.contains(name)) {
+          errors.remove(name) // same transient-retry rule as band passes
+          spreadStop = true
+        } else {
+          times = times :+ t
+          spreadExtra += 1
+          spreadStop = t > prevMin * 0.9 // stopped improving -> min is real
+        }
+      }
       if (errors.contains(name)) None
       else {
         val min = times.min
@@ -143,7 +172,7 @@ object Bench {
               "see src/main/resources/graft/bench_bands.properties)")
         }
         Some(QResult(name, min, times, gcMillis() - gc0, jitMillis() - jit0,
-          ccUsed, band, extra))
+          ccUsed, band, extra, spreadExtra))
       }
     }
     def jstr(s: String): String =
@@ -186,6 +215,12 @@ object Bench {
     val extras = results.filter(_.extraPasses > 0).map { r =>
       "\"" + r.name + s"""\":${r.extraPasses}"""
     }.mkString("{", ",", "}")
+    // spread re-passes likewise extend `times` past `passes` — recorded
+    // separately so a consumer can tell "band-flagged, retried" from
+    // "in-band but contention-suspect, converged"
+    val spreads = results.filter(_.spreadPasses > 0).map { r =>
+      "\"" + r.name + s"""\":${r.spreadPasses}"""
+    }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     // stdout-line error map: short keys, 40-char messages — a failing
@@ -202,7 +237,7 @@ object Bench {
     // run's environment degraded N queries past their known-good bands —
     // read the file artifact before trusting the total".
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errsShort,"band_warn":$nBand,"passes":$passes,"n_queries":${results.size},"sf":"$sfDir","artifact":${jstr(outPath)}}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"times":$allTimes,"gc_ms":$gcs,"jit_ms":$jits,"code_cache_mb":$ccs,"code_cache_max_mb":$codeCacheMaxMb,"band_exceeded":$bandsExceeded,"band_retry_passes":$extras,"errors":$errs,"passes":$passes,"n_queries":${results.size},"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"times":$allTimes,"gc_ms":$gcs,"jit_ms":$jits,"code_cache_mb":$ccs,"code_cache_max_mb":$codeCacheMaxMb,"band_exceeded":$bandsExceeded,"band_retry_passes":$extras,"spread_retry_passes":$spreads,"errors":$errs,"passes":$passes,"n_queries":${results.size},"sf":"$sfDir"}"""
     // stdout FIRST: a failed file write (read-only target dir) must not
     // destroy both artifacts after a multi-minute run
     println(line)
