@@ -158,11 +158,25 @@ final class UpsertSink(spark: SparkSession, root: String,
     * [[tryMove]]; stale-backup deletes tolerate a concurrent deleter
     * the same way). WRITES (merge/overwrite) are single-writer per
     * table: every engine caller (Syncer, pipelines, reorg rebuild)
-    * serializes writes to a table, and a reader's recovery racing an
-    * in-flight writer's swap window is out of scope — the swap itself
-    * stays atomic either way.
+    * serializes writes to a table.
+    *
+    * A reader's recovery racing an IN-FLIGHT writer's swap window is
+    * fenced by the write-intent marker ([[withWriteIntent]]): every
+    * swap window (the move sequences in [[swapInShadow]] and
+    * [[writeAndSwapBuckets]] — pure FS metadata ops, no Spark job, ms
+    * at most) is bracketed by `.{table}__inflight`, and recover()
+    * no-ops while a FRESH marker is present — a mid-swap state is a
+    * transient the writer is about to resolve, NOT a crash, and
+    * "recovering" it would graft the old generation back under the
+    * writer's feet (its non-tolerant move then fails on the restored
+    * path). A marker older than [[InFlightFreshMs]] is a crashed
+    * writer: recovery consumes it and restores as before. The window
+    * holds no Spark work, so a live writer can never be mistaken for
+    * a crash unless the JVM stalls tens of seconds inside a pure
+    * rename sequence.
     */
   private def recover(table: String): Unit = {
+    if (writerInFlight(table)) return
     val target = tableDir(table)
     val old = Paths.get(root, s".${table}__old")
     if (!Files.exists(target) && Files.exists(old))
@@ -205,6 +219,50 @@ final class UpsertSink(spark: SparkSession, root: String,
         }
       }
     finally listing.close()
+
+  /** How long a write-intent marker stays credible as a LIVE writer.
+    * The fenced windows are pure rename sequences (no Spark job, no
+    * I/O beyond directory metadata); 30 s is orders of magnitude above
+    * any real pause inside one, and bounds how long a crashed writer
+    * can defer reader-side recovery.
+    */
+  private val InFlightFreshMs = 30000L
+
+  private def inFlightMarker(table: String): Path =
+    Paths.get(root, s".${table}__inflight")
+
+  /** Bracket a swap window with the write-intent marker so concurrent
+    * readers treat the mid-swap state as transient (recover no-ops,
+    * [[snapshot]] retries) instead of a crash to repair. Single-writer
+    * per table (the sink's existing write contract), so plain
+    * create/delete suffices — the marker fences reader RECOVERY, it is
+    * not a writer-vs-writer lock.
+    */
+  private def withWriteIntent(table: String)(body: => Unit): Unit = {
+    Files.write(inFlightMarker(table),
+      System.currentTimeMillis().toString.getBytes("UTF-8"))
+    try body
+    finally Files.deleteIfExists(inFlightMarker(table))
+  }
+
+  /** Is a writer currently inside a fenced swap window? A stale marker
+    * (crashed writer) is consumed here so recovery can proceed.
+    */
+  private def writerInFlight(table: String): Boolean = {
+    val m = inFlightMarker(table)
+    if (!Files.exists(m)) return false
+    val fresh =
+      try {
+        val ts = new String(Files.readAllBytes(m), "UTF-8").trim.toLong
+        System.currentTimeMillis() - ts < InFlightFreshMs
+      } catch {
+        // vanished mid-read (writer just finished) or unreadable
+        // content: either way there is no credible live window
+        case _: Exception => false
+      }
+    if (!fresh) Files.deleteIfExists(m)
+    fresh
+  }
 
   /** A move that tolerates losing a recovery race: if another thread
     * already moved the source (NoSuchFile) or created the destination
@@ -314,21 +372,51 @@ final class UpsertSink(spark: SparkSession, root: String,
     * just restarts the walk — bounded retries, single-writer sinks
     * converge immediately.
     *
+    * TORN-CAPTURE guard: the vanished-file retry only fires when a
+    * path the walk is ABOUT to link has disappeared. A merge that
+    * swaps bucket A after we linked it and bucket B before we reach
+    * it raises nothing — the old A inode is alive through our link —
+    * yet the captured view would be half-old/half-new, a state the
+    * table never was. So each attempt (a) defers to a writer inside a
+    * fenced swap window (the `.{table}__inflight` intent marker — also
+    * what keeps this reader's recover() from grafting backups under a
+    * live writer's feet) and (b) fingerprints the table ([[version]]
+    * — one metadata walk, every write stamps a fresh gen-marker UUID)
+    * BEFORE the link walk, re-checking marker + fingerprint AFTER:
+    * any write landing or still in flight anywhere in the window
+    * discards the attempt. A returned snapshot is therefore a true
+    * point-in-time view, not merely per-file consistent. False
+    * retries (a write completing cleanly inside the window) cost one
+    * re-walk; acquisition needs one walk-length quiet window, which a
+    * bucket-granular writer leaves between every job.
+    *
     * Snapshots survive even [[drop]] (they are point-in-time by
     * design); a crashed reader leaves an orphan dir under
     * `.snapshots/` whose reclaim is the operator's (close is the
     * contract — use try/finally or `AutoCloseable`).
     */
   def snapshot(table: String): TableSnapshot = {
-    recover(table)
-    require(exists(table) && hasDataFiles(table),
-      s"cannot snapshot missing or empty table $table")
     val src = tableDir(table)
     val snapRoot = Paths.get(root, ".snapshots")
     Files.createDirectories(snapRoot)
     var attempt = 0
     while (true) {
       attempt += 1
+      if (writerInFlight(table)) {
+        // mid-swap window: the table may transiently be absent or
+        // half-swapped — wait it out (the window is a rename sequence,
+        // ms at most) instead of capturing or "recovering" it
+        if (attempt >= 10) throw new IllegalStateException(
+          s"snapshot of $table found a writer in flight on all $attempt " +
+            "attempts — is a writer continuously rewriting the table?")
+        Thread.sleep(5L * attempt)
+      } else {
+      recover(table)
+      // no fresh marker ⇒ any missing/fileless state is genuine, not a
+      // swap transient: reject exactly as the sequential contract does
+      require(exists(table) && hasDataFiles(table),
+        s"cannot snapshot missing or empty table $table")
+      val v0 = version(table)
       val dir = Files.createTempDirectory(snapRoot, s"$table-")
       try {
         val walk = Files.walk(src)
@@ -344,10 +432,21 @@ final class UpsertSink(spark: SparkSession, root: String,
               Files.createLink(dir.resolve(rel), p)
           }
         } finally walk.close()
-        val df0 = spark.read.parquet(dir.toString)
-        return new TableSnapshot(
-          if (df0.columns.contains(BucketCol)) df0.drop(BucketCol) else df0,
-          dir)
+        if (writerInFlight(table) || version(table) != v0) {
+          // a write landed (or is still landing) somewhere in the table
+          // during the walk: the linked view may be torn (half-old/
+          // half-new across buckets) even though no individual link
+          // failed — discard and re-walk
+          Fs.deleteRecursively(dir)
+          if (attempt >= 10) throw new IllegalStateException(
+            s"snapshot of $table saw a concurrent write on all $attempt " +
+              "attempts — is a writer continuously rewriting the table?")
+        } else {
+          val df0 = spark.read.parquet(dir.toString)
+          return new TableSnapshot(
+            if (df0.columns.contains(BucketCol)) df0.drop(BucketCol) else df0,
+            dir)
+        }
       } catch {
         // a concurrent swap moved a file between walk and link: the
         // half-built snapshot is stale — discard and re-walk. The race
@@ -360,12 +459,13 @@ final class UpsertSink(spark: SparkSession, root: String,
         // leaks pinned inodes under .snapshots/.
         case e if isVanishedFile(e) =>
           Fs.deleteRecursively(dir)
-          if (attempt >= 5) throw new IllegalStateException(
+          if (attempt >= 10) throw new IllegalStateException(
             s"snapshot of $table lost the walk/link race $attempt times — " +
               "is a writer continuously rewriting the table?", e)
         case e: Throwable =>
           Fs.deleteRecursively(dir)
           throw e
+      }
       }
     }
     throw new IllegalStateException("unreachable")
@@ -449,8 +549,10 @@ final class UpsertSink(spark: SparkSession, root: String,
     stampGeneration(shadow) // atomic with the swap below
     val old = Paths.get(root, s".${table}__old")
     deleteRecursively(old)
-    if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(shadow, target, StandardCopyOption.ATOMIC_MOVE)
+    withWriteIntent(table) {
+      if (Files.exists(target)) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(shadow, target, StandardCopyOption.ATOMIC_MOVE)
+    }
     deleteRecursively(old)
   }
 
@@ -716,24 +818,26 @@ final class UpsertSink(spark: SparkSession, root: String,
     deleteRecursively(shadow)
     bucketAligned(merged, buckets).write.mode(SaveMode.Overwrite)
       .partitionBy(BucketCol).parquet(shadow.toString)
-    touched.foreach { b =>
-      val part = s"$BucketCol=$b"
-      val from = shadow.resolve(part)
-      val to = dir.resolve(part)
-      if (Files.exists(from) || removeEmptied) {
-        val old = dir.resolve(s".bkup_$b")
-        deleteRecursively(old)
-        if (Files.exists(to)) Files.move(to, old, StandardCopyOption.ATOMIC_MOVE)
-        if (Files.exists(from)) Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
-        deleteRecursively(old)
+    withWriteIntent(table) {
+      touched.foreach { b =>
+        val part = s"$BucketCol=$b"
+        val from = shadow.resolve(part)
+        val to = dir.resolve(part)
+        if (Files.exists(from) || removeEmptied) {
+          val old = dir.resolve(s".bkup_$b")
+          deleteRecursively(old)
+          if (Files.exists(to)) Files.move(to, old, StandardCopyOption.ATOMIC_MOVE)
+          if (Files.exists(from)) Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+          deleteRecursively(old)
+        }
       }
+      // not atomic with the bucket moves above, but each moved-in part
+      // file already changes (path, size, mtime) — the marker only has
+      // to defeat the identical-name/size/mtime corner, which a crash
+      // short of this line cannot reproduce
+      stampGeneration(dir)
     }
     deleteRecursively(shadow)
-    // not atomic with the bucket moves above, but each moved-in part
-    // file already changes (path, size, mtime) — the marker only has to
-    // defeat the identical-name/size/mtime corner, which a crash short
-    // of this line cannot reproduce
-    stampGeneration(dir)
   }
 
   /** Drop a table entirely (no-op when absent). Runs recovery first so

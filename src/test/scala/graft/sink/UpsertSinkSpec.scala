@@ -239,16 +239,22 @@ class UpsertSinkSpec extends SparkSpec {
     assert(!Files.exists(s2.dir))
   }
 
-  test("snapshot vs a LIVE writer thread: acquire under churn, stay byte-stable") {
-    // the race the walk/link retry loop (snapshot's isVanishedFile
-    // handling) exists for: a writer continuously rewriting buckets and
-    // swapping the table dir WHILE readers acquire and hold snapshots.
-    // Two invariants: (1) acquisition under churn succeeds (the retry
-    // absorbs mid-walk swaps), (2) a HELD snapshot re-reads identically
-    // while the churn continues — the hard links pin the inodes.
+  test("snapshot vs a LIVE writer thread: point-in-time acquire, byte-stable hold") {
+    // the race the walk/link retry loop + version fingerprint guard
+    // exist for: a writer continuously replacing the table WHILE
+    // readers acquire and hold snapshots. The writer publishes whole
+    // GENERATIONS (overwrite = shadow dir + atomic swap; rebucket
+    // between moduli likewise), so every on-disk state is one complete
+    // generation — which makes the point-in-time contract EXACTLY
+    // checkable: a pinned view mixing generations means a torn capture
+    // (the failure the version re-check closes; per-file retries alone
+    // cannot see it). Invariants: (1) acquisition under churn succeeds
+    // within bounded retries, (2) the pinned view is ONE generation,
+    // whole, (3) a HELD snapshot re-reads byte-identically while churn
+    // continues — the hard links pin the inodes.
     val sink = freshSink()
-    val orig = (1L to 200L).map(i => (i, s"v$i"))
-    sink.merge("t", orig.toDF("id", "v"), Seq("id"))
+    def gen(g: Int) = (1L to 200L).map(i => (i, s"g$g-$i")).toDF("id", "v")
+    sink.merge("t", gen(0), Seq("id"))
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     @volatile var writerErr: Option[Throwable] = None
     val writer = new Thread(() => {
@@ -256,11 +262,7 @@ class UpsertSinkSpec extends SparkSpec {
         var i = 0
         while (!stop.get()) {
           i += 1
-          // value-only churn on existing PKs keeps the integrity
-          // invariant checkable: every consistent view has EXACTLY ids
-          // 1..200 once each, whatever mix of merge generations it pins
-          sink.merge("t",
-            Seq(((i % 200) + 1L, s"w$i")).toDF("id", "v"), Seq("id"))
+          sink.overwrite("t", gen(i), Seq("id"))
           if (i % 4 == 0)
             sink.rebucket("t", Seq("id"),
               newBuckets = if (i % 8 == 0) 4 else 8)
@@ -277,6 +279,9 @@ class UpsertSinkSpec extends SparkSpec {
           val r1 = scan()
           assert(r1.map(_._1) == (1L to 200L),
             s"round $round: pinned view lost PK integrity")
+          val gens = r1.map(_._2.split("-")(0)).distinct
+          assert(gens.size == 1,
+            s"round $round: TORN capture mixes generations $gens")
           Thread.sleep(100) // let the writer land more generations
           assert(scan() == r1,
             s"round $round: held snapshot drifted under live churn")
