@@ -3092,6 +3092,48 @@ object Catalog {
           .withColumn("drift_tv_mil",
             lit((drifted.totalVariation * 1000).toLong))
           .orderBy("query_id", "rank")
+      }),
+
+    QueryDef("q106_dsir_resample",
+      "DSIR's actual SELECTION step (Xie et al. 2023 §2): k draws " +
+        "WITHOUT replacement with inclusion odds proportional to the " +
+        "importance weights, via the Gumbel-max trick — each doc's key " +
+        "is log_w + Gumbel(0,1) with the noise derived " +
+        "deterministically from md5(id:seed), so the sample is fully " +
+        "reproducible given (seed, corpus) yet statistically correct. " +
+        "Float log-weights inside -> rows-only; SelectOpsSpec pins " +
+        "seeded determinism and weight-monotone inclusion (in-domain " +
+        "docs dominate across seeds). Plan: two bounded histograms " +
+        "driver-side, then ONE map-only scoring scan + " +
+        "TakeOrderedAndProject — resampling 100 TB never sorts " +
+        "globally.",
+      None,
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        SelectOps.dsirResample(docs, docs.filter(col("doc_id") % 11 === 0),
+          "doc_id", "text", k = 50, seed = 42L, buckets = 512)
+      }),
+
+    QueryDef("q107_perplexity_scale",
+      "The perplexity-bucketing 100 TB PATH as a driver-visible query " +
+        "(q103 is the exact ntile oracle form): ONE LM pass " +
+        "(perplexityScored, materialized), percentile_approx " +
+        "per-language cutoffs (GK sketch — single-pass, mergeable; " +
+        "#langs rows), then map-side tier assignment through a " +
+        "BROADCAST cutoff join — no per-language window, no global " +
+        "sort, the corpus never shuffles. Sketch-derived cutoffs have " +
+        "no cross-engine oracle -> rows-only; CatalogSpec pins " +
+        ">=80% tier agreement with q103's exact form on the real " +
+        "corpus, PlanShapeSpec pins the broadcast/no-window/no-" +
+        "recomputed-LM plan.",
+      None,
+      (s, dir) => {
+        val scored = SelectOps
+          .perplexityScored(t(s, dir, "documents"), "doc_id", "text")
+          .localCheckpoint() // ONE LM pass feeds thresholds AND tiers
+        SelectOps.perplexityBucketsByThresholdFromScored(scored, "doc_id",
+            SelectOps.perplexityThresholdsFromScored(scored))
+          .orderBy("doc_id")
       })
   )
 

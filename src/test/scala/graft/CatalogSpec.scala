@@ -99,6 +99,23 @@ class CatalogSpec extends SparkSpec {
       "collapsed-batch total variation under the default threshold")
   }
 
+  test("q107 scale-path tiers agree with q103's exact form on the corpus") {
+    // the sketch-cutoff path and the ntile oracle form may only differ
+    // at tier boundaries (approx percentile vs exact rank) and inside
+    // tied score blocks (documented tie rule) — on the real corpus
+    // that is a bounded minority, and a two-tier flip is never right
+    val exact = Catalog.byName("q103_perplexity_tiers").fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val scale = Catalog.byName("q107_perplexity_scale").fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(scale.keySet == exact.keySet)
+    val agree = exact.keys.count(k => exact(k) == scale(k)).toDouble / exact.size
+    assert(agree >= 0.8,
+      f"scale path agrees with the exact form on only $agree%.2f of docs")
+    assert(!exact.keys.exists(k => Set(exact(k), scale(k)) == Set("head", "tail")),
+      "scale path flipped a doc across two tiers")
+  }
+
   test("q29 finds the planted near-duplicate clusters") {
     val out = Catalog.byName("q29_dedup_minhash").fn(spark, sf).collect()
     assert(out.nonEmpty)

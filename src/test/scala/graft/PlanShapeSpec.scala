@@ -478,20 +478,14 @@ class PlanShapeSpec extends SparkSpec {
       s"grams exploded instead of aggregated row-locally:\n$plan")
   }
 
-  test("q103 scale path: thresholds broadcast, tiers map-side, ONE LM pass") {
-    // the catalog's q103 is the exact ntile ORACLE form; the 100 TB
-    // path consumes the SAME perplexityScored frame twice — thresholds
-    // and bucketing — so the LM never runs twice: with the scored
-    // frame materialized, the bucketing plan contains no LM subtree
-    // (no explode/Generate), joins the #langs-row threshold table as a
-    // BROADCAST, and has no per-language window sort
-    val docs = Tables.load(spark, sf, "documents")
-    val scored = graft.ops.SelectOps.perplexityScored(docs, "doc_id", "text")
-      .localCheckpoint()
-    val th = graft.ops.SelectOps.perplexityThresholdsFromScored(scored)
-    val plan = graft.ops.SelectOps
-      .perplexityBucketsByThresholdFromScored(scored, "doc_id", th)
-      .queryExecution.executedPlan.toString
+  test("q107 scale path: thresholds broadcast, tiers map-side, ONE LM pass") {
+    // the catalog's q103 is the exact ntile ORACLE form; q107 (the
+    // 100 TB path) consumes the SAME materialized perplexityScored
+    // frame twice — thresholds and bucketing — so the LM never runs
+    // twice: the bucketing plan contains no LM subtree (no explode/
+    // Generate), joins the #langs-row threshold table as a BROADCAST,
+    // and has no per-language window sort
+    val plan = planOf("q107_perplexity_scale")
     assert(plan.contains("BroadcastHashJoin"),
       s"threshold table not broadcast:\n$plan")
     assert(!plan.contains("Window"),
@@ -500,6 +494,18 @@ class PlanShapeSpec extends SparkSpec {
       s"LM pass recomputed inside the scale path:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+  }
+
+  test("q106: Gumbel resampling is one map-only scan into TakeOrdered") {
+    val plan = planOf("q106_dsir_resample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"resample planned as a global sort:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"scoring fell onto a UDF:\n$plan")
+    val scans = plan.linesIterator.filter(_.contains("Scan parquet")).toSeq
+    assert(scans.size == 1,
+      s"resample plan scans more than the corpus:\n${scans.mkString("\n")}")
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 0,
+      s"shuffle in the map-only resample scan:\n$plan")
   }
 
   test("q104: centroid rides as a literal — top-k never sorts globally") {

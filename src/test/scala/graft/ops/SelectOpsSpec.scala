@@ -8,8 +8,9 @@ import graft.SparkSpec
   * DSIR hashed-ngram importance scoring, CCNet perplexity bucketing, and
   * embedding domain-centroid selection. The float forms (log weights,
   * Gumbel resampling) get ranking/invariance properties here because
-  * they have no SQL oracle by design; the integer forms additionally go
-  * through the DuckDB harness via q102–q104.
+  * they have no SQL oracle by design (catalog rows-only entries q106
+  * resample, q107 threshold scale path); the integer forms additionally
+  * go through the DuckDB harness via q102–q104.
   */
 class SelectOpsSpec extends SparkSpec {
   import spark.implicits._
