@@ -53,24 +53,37 @@ object SelectOps {
     * single token contains a space). Row-local (one array expression) —
     * scoring 100 TB is a map-only scan.
     */
-  def ngramBuckets(text: Column, buckets: Int): Column = {
+  /** The raw gram strings (unigrams ++ space-joined bigrams) — shared
+    * by the hashed-bucket forms below so the hash can run wherever it
+    * is cheapest for the consumer.
+    */
+  private def ngramStrings(text: Column): Column = {
     val w = TextOps.tokens(text)
     val pairLen = greatest(size(w) - 1, lit(0))
     val bigrams = zip_with(
       slice(w, lit(1), pairLen), slice(w, lit(2), pairLen),
       (a, b) => concat(a, lit(" "), b))
-    transform(concat(w, bigrams),
-      g => pmod(TextOps.stableHash64(g), lit(buckets.toLong)))
+    concat(w, bigrams)
   }
+
+  def ngramBuckets(text: Column, buckets: Int): Column =
+    transform(ngramStrings(text),
+      g => pmod(TextOps.stableHash64(g), lit(buckets.toLong)))
 
   /** Corpus-wide n-gram bucket histogram: (bucket long, cnt long),
     * ≤ `buckets` rows. One explode + one count shuffle on a key space
     * bounded by `buckets` — map-side partial aggregation makes the
     * exchange carry at most `buckets` rows per map task regardless of
-    * corpus size.
+    * corpus size. The md5 hash runs AFTER the explode as a top-level
+    * codegen'd expression, not inside the transform lambda —
+    * higher-order-function bodies are interpreted (CodegenFallback),
+    * and per-gram md5 is exactly the kind of hot expression that
+    * regresses several-fold there.
     */
   def bucketHist(df: DataFrame, textCol: String, buckets: Int): DataFrame =
-    df.select(explode(ngramBuckets(col(textCol), buckets)).as("bucket"))
+    df.select(explode(ngramStrings(col(textCol))).as("__g"))
+      .select(pmod(TextOps.stableHash64(col("__g")), lit(buckets.toLong))
+        .as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
   /** Per-bucket target-affinity table in per-mille, as a dense lookup
@@ -133,21 +146,25 @@ object SelectOps {
     * convention.
     *
     * Plan: two bounded histograms (above), then ONE map-only scoring
-    * scan — the affinity table rides the plan as a single array literal
-    * (one object reference in generated code, never unrolled — the
-    * LshSignatures lesson), and the per-document aggregate is one
-    * `aggregate` HOF over the gram array. No shuffle downstream of the
-    * histograms, no UDF.
+    * scan — the affinity table rides the plan as a single long[]
+    * reference object (never unrolled — the LshSignatures lesson), and
+    * the per-document sum is the codegen
+    * [[graft.functions.DsirSumAffMil]] pass over the token array: one
+    * tight loop hashing unigrams and bigrams straight off the token
+    * bytes, where the HOF formulation (transform + md5-in-lambda +
+    * aggregate fold) runs every per-gram md5 interpreted
+    * (CodegenFallback) with a concat allocation per bigram. No shuffle
+    * downstream of the histograms, no UDF.
     */
   def dsirAffinityMil(corpus: DataFrame, target: DataFrame, idCol: String,
                       textCol: String, buckets: Int = 1024): DataFrame = {
     val aff = affinityTableMil(target, rawPool(corpus, target, idCol),
       textCol, buckets)
-    val affLit = typedlit(aff.toSeq)
-    val grams = ngramBuckets(col(textCol), buckets)
-    val n = size(grams)
-    val sumAff = aggregate(grams, lit(0L),
-      (acc, b) => acc + element_at(affLit, b.cast("int") + 1))
+    graft.functions.DsirFunctions.register(corpus.sparkSession)
+    val toks = TextOps.tokens(col(textCol))
+    // n unigrams + (n-1) bigrams = 2n-1 grams for n >= 1 tokens
+    val n = when(size(toks) === 0, lit(0)).otherwise(size(toks) * 2 - 1)
+    val sumAff = graft.functions.DsirFunctions.sumAffMil(toks, aff)
     corpus.select(col(idCol), n.as("n_grams"), sumAff.as("__sa"))
       .select(col(idCol), col("n_grams"),
         // `div`, not `/`: integer floor-quotient on non-negative values,
@@ -182,11 +199,11 @@ object SelectOps {
       math.log((ht.getOrElse(b, 0L) + 1.0) / (nt + buckets)) -
         math.log((hr.getOrElse(b, 0L) + 1.0) / (nr + buckets))
     }
-    val lamLit = typedlit(lam.toSeq)
-    val grams = ngramBuckets(col(textCol), buckets)
-    corpus.select(col(idCol), size(grams).as("n_grams"),
-      aggregate(grams, lit(0.0d),
-        (acc, b) => acc + element_at(lamLit, b.cast("int") + 1)).as("log_w"))
+    graft.functions.DsirFunctions.register(corpus.sparkSession)
+    val toks = TextOps.tokens(col(textCol))
+    val n = when(size(toks) === 0, lit(0)).otherwise(size(toks) * 2 - 1)
+    corpus.select(col(idCol), n.as("n_grams"),
+      graft.functions.DsirFunctions.sumAffLn(toks, lam).as("log_w"))
   }
 
   /** Gumbel top-k importance resampling — k draws WITHOUT replacement

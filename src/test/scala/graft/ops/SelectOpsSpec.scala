@@ -96,6 +96,65 @@ class SelectOpsSpec extends SparkSpec {
     assert(out2(0).getLong(2) == 388L)
   }
 
+  test("DSIR integer scores equal a naive in-memory reference on random corpora") {
+    // third implementation (after the Column expression and the DuckDB
+    // oracle), driven over random corpora with the edge shapes a fixed
+    // corpus never hits: empty/digit/unicode texts, single-token docs,
+    // an empty target, target == whole pool (raw histogram empty)
+    import org.scalacheck.Gen
+    def md5hash60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15),
+      16)
+    def gramBuckets(text: String, buckets: Int): Seq[Long] = {
+      val ws = "[a-z]+".r.findAllIn(text.toLowerCase).toSeq
+      val bg = ws.zip(ws.drop(1)).map { case (a, b) => s"$a $b" }
+      (ws ++ bg).map(g => math.floorMod(md5hash60(g), buckets.toLong))
+    }
+    def naive(corpus: Seq[(Long, String)], targetIds: Set[Long],
+              buckets: Int): Map[Long, (Int, Option[Long])] = {
+      def hist(docs: Seq[(Long, String)]) = docs
+        .flatMap(d => gramBuckets(d._2, buckets))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ht = hist(corpus.filter(d => targetIds.contains(d._1)))
+      val hr = hist(corpus.filterNot(d => targetIds.contains(d._1)))
+      corpus.map { case (id, text) =>
+        val gs = gramBuckets(text, buckets)
+        val affs = gs.map { b =>
+          val ct = ht.getOrElse(b, 0L); val cr = hr.getOrElse(b, 0L)
+          (1000L * (ct + 1)) / (ct + cr + 2)
+        }
+        id -> (gs.size, if (gs.isEmpty) None else Some(affs.sum / gs.size))
+      }.toMap
+    }
+    val word = Gen.oneOf("alpha", "beta", "gamma", "x", "zz", "the",
+      "Ünïcode", "12", "a1b", "", "!?")
+    val textGen = Gen.listOf(word).map(_.mkString(" "))
+    var s = org.scalacheck.rng.Seed(7L)
+    def next[A](g: Gen[A]): A = {
+      val v = g.pureApply(Gen.Parameters.default, s); s = s.next; v
+    }
+    (1 to 8).foreach { round =>
+      val n = next(Gen.choose(1, 12))
+      val corpus = (1 to n).map(i => (i.toLong, next(textGen)))
+      val tgtIds: Set[Long] = round match {
+        case 1 => Set.empty // empty target: pure raw-rarity prior
+        case 2 => corpus.map(_._1).toSet // target == pool: raw hist empty
+        case _ => corpus.map(_._1).filter(_ => next(Gen.prob(0.3))).toSet
+      }
+      val want = naive(corpus, tgtIds, buckets = 64)
+      val got = SelectOps.dsirAffinityMil(corpus.toDF("id", "text"),
+          corpus.filter(d => tgtIds.contains(d._1)).toDF("id", "text"),
+          "id", "text", buckets = 64)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getInt(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toMap
+      assert(got == want,
+        s"round $round (target=$tgtIds, corpus=$corpus): $got != $want")
+    }
+  }
+
   test("log-weight form agrees with the integer form on domain ordering") {
     val lw = SelectOps.dsirLogWeights(pool, target, "id", "text", buckets = 512)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
