@@ -35,7 +35,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, St
   */
 object DsirOps {
 
-  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+  private[functions] val mdLocal = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
@@ -43,7 +43,7 @@ object DsirOps {
   /** Bucket of a finished md5 digest: first 60 bits (non-negative) mod
     * `buckets` — exactly `pmod(conv(substring(md5(g),1,15),16,10), B)`.
     */
-  private def bucketOf(digest: Array[Byte], buckets: Int): Int = {
+  private[functions] def bucketOf(digest: Array[Byte], buckets: Int): Int = {
     var h = 0L
     var i = 0
     while (i < 8) { h = (h << 8) | (digest(i) & 0xffL); i += 1 }

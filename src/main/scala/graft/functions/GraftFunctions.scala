@@ -30,7 +30,8 @@ object GraftFunctions {
       LshFunctions.builders ++ MinHashFunctions.builders ++
       WinnowFunctions.builders ++ NormalizeFunctions.builders ++
       BloomFunctions.builders ++ BpeFunctions.builders ++
-      RepetitionFunctions.builders
+      RepetitionFunctions.builders ++ DsirFunctions.builders ++
+      MarginFunctions.builders
 
   /** Idempotent session registration of a module's builders (the shared
     * body of every module's `register`).

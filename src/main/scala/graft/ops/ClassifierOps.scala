@@ -36,16 +36,17 @@ object ClassifierOps {
   final case class HashedLinearModel(weights: Array[Double], bias: Double) {
     require(weights.nonEmpty)
 
-    /** Margin column for `text` under this model — THE q79 apply shape
-      * (map-only, codegen HOF), with the learned coefficient array
-      * swapped in for the documented pseudo-weights.
+    /** Margin column for `text` under this model — the q79 apply shape
+      * made fully codegen: one [[graft.functions.HashedTokenMargin]]
+      * pass over the token array (the HOF fold ran every per-token md5
+      * interpreted), coefficients riding the generated class as one
+      * double[] reference object. Fold order (bias, then tokens left
+      * to right) matches the HOF form bit-for-bit. Callers get
+      * registration through [[trainHashedClassifier]]/[[loadModel]].
       */
-    def margin(text: Column): Column = {
-      val w = typedLit(weights.toIndexedSeq)
-      aggregate(TextOps.tokens(text), lit(bias), (acc, t) =>
-        acc + element_at(w,
-          pmod(TextOps.stableHash64(t), lit(weights.length)).cast("int") + 1))
-    }
+    def margin(text: Column): Column =
+      graft.functions.MarginFunctions.tokenMargin(
+        TextOps.tokens(text), weights, bias)
 
     /** P(label = 1) under the model (sigmoid of the margin). */
     def probability(text: Column): Column =
@@ -61,6 +62,7 @@ object ClassifierOps {
                             iters: Int = 12, lr: Double = 0.5,
                             l2: Double = 1e-4): HashedLinearModel = {
     require(buckets > 0 && iters > 0)
+    graft.functions.MarginFunctions.register(docs.sparkSession)
     // (label, bucket list) once per doc; cached across iterations —
     // tokenize/hash is iteration-invariant work
     val feats = docs.select(col(labelCol).cast("double").as("__y"),
@@ -74,9 +76,10 @@ object ClassifierOps {
       val w = new Array[Double](buckets)
       var bias = 0.0
       for (_ <- 1 to iters) {
-        val wl = typedLit(w.toIndexedSeq)
-        val margin = aggregate(col("__bs"), lit(bias),
-          (acc, b) => acc + element_at(wl, b + 1))
+        // codegen BucketMargin over the cached bucket arrays — the HOF
+        // fold walked the expression tree per token, every iteration
+        val margin = graft.functions.MarginFunctions
+          .bucketMargin(col("__bs"), w.clone(), bias)
         // residual = sigma(margin) - y; per-token gradient contribution
         // IS the doc residual (count features), so one explode + one
         // bucket-keyed decimal sum is the whole gradient. Bucket -1
@@ -136,6 +139,7 @@ object ClassifierOps {
     * token to a different bucket.
     */
   def loadModel(sink: graft.sink.UpsertSink): HashedLinearModel = {
+    graft.functions.MarginFunctions.register(sink.session)
     require(sink.exists(WeightsTable),
       s"no $WeightsTable under ${sink.rootPath} — train and saveModel first")
     val rows = sink.read(WeightsTable).collect()
