@@ -45,17 +45,16 @@ object SelectOps {
 
   // --- DSIR: hashed n-gram importance ------------------------------------
 
-  /** Hashed n-gram feature buckets for a document: unigrams + word
-    * bigrams (the DSIR paper's feature space), each hashed to
-    * `[0, buckets)` with the md5-stable [[TextOps.stableHash64]] so an
-    * external SQL oracle reproduces bucket ids exactly. Bigrams hash the
-    * space-joined token pair ("w1 w2"), disjoint from any unigram (no
-    * single token contains a space). Row-local (one array expression) —
-    * scoring 100 TB is a map-only scan.
-    */
-  /** The raw gram strings (unigrams ++ space-joined bigrams) — shared
-    * by the hashed-bucket forms below so the hash can run wherever it
-    * is cheapest for the consumer.
+  /** Raw hashed-n-gram feature strings for a document: unigrams ++
+    * space-joined word bigrams (the DSIR paper's feature space).
+    * Bigrams are disjoint from any unigram (no single token contains a
+    * space). Feature buckets are the md5-stable 60-bit hash mod
+    * `buckets` — `pmod(TextOps.stableHash64(g), B)` — computed where it
+    * is cheapest for the consumer: post-explode as a top-level codegen
+    * expression in [[bucketHist]], inside the one-pass codegen
+    * [[graft.functions.DsirSumAffMil]] loop (straight off the token
+    * bytes, no gram array materialized at all) in the scoring scans.
+    * Either way an external SQL oracle reproduces bucket ids exactly.
     */
   private def ngramStrings(text: Column): Column = {
     val w = TextOps.tokens(text)
@@ -65,10 +64,6 @@ object SelectOps {
       (a, b) => concat(a, lit(" "), b))
     concat(w, bigrams)
   }
-
-  def ngramBuckets(text: Column, buckets: Int): Column =
-    transform(ngramStrings(text),
-      g => pmod(TextOps.stableHash64(g), lit(buckets.toLong)))
 
   /** Corpus-wide n-gram bucket histogram: (bucket long, cnt long),
     * ≤ `buckets` rows. One explode + one count shuffle on a key space
