@@ -3134,6 +3134,79 @@ object Catalog {
         SelectOps.perplexityBucketsByThresholdFromScored(scored, "doc_id",
             SelectOps.perplexityThresholdsFromScored(scored))
           .orderBy("doc_id")
+      }),
+
+    QueryDef("q108_curation_select",
+      "The pretraining-data pipeline COMPOSED, end to end, under one " +
+        "exact oracle: quality gate (q25's integer heuristic >= 500) " +
+        "-> exact dedup (q28's fingerprint, min-id keeper via one " +
+        "fp-keyed window) -> language filter (q26's deterministic " +
+        "argmax = 'en') -> DSIR selection (q102's integer affinity, " +
+        "target = every 11th surviving doc, histograms fit on the " +
+        "SURVIVORS — selection composes after cleaning, as the papers " +
+        "do) -> top-100 by (dsir_mil desc, id). Every stage is " +
+        "integer/hash-exact, so the whole composition hash-matches " +
+        "DuckDB — the integration check that the stages agree on " +
+        "SHARED intermediate data, not just in isolation. Scale " +
+        "shape: map-only gates, ONE corpus-scale shuffle (the " +
+        "fingerprint window), two bounded histograms, map-only " +
+        "scoring, TakeOrderedAndProject.",
+      Some {
+        val (hitExprs, maxExpr, nWin, firstWin) = sqlLangPieces
+        s"""WITH q AS (SELECT doc_id, text FROM documents
+           |  WHERE $sqlQualityMil >= 500),
+           |fp AS (SELECT doc_id, text, row_number() OVER (
+           |    PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           |    ORDER BY doc_id) AS rn FROM q),
+           |d AS (SELECT doc_id, text FROM fp WHERE rn = 1),
+           |h AS (SELECT doc_id, $hitExprs FROM d),
+           |m AS (SELECT *, $maxExpr AS mx FROM h),
+           |lg AS (SELECT doc_id, CASE WHEN mx = 0 OR ($nWin) > 1
+           |    THEN 'und' ELSE ($firstWin) END AS lang FROM m),
+           |en AS (SELECT d.doc_id, d.text FROM d
+           |  JOIN lg ON d.doc_id = lg.doc_id WHERE lg.lang = 'en'),
+           |g AS (SELECT doc_id, doc_id % 11 = 0 AS tgt,
+           |    regexp_extract_all(lower(text), '[a-z]+') AS ws FROM en),
+           |gr AS (SELECT doc_id, tgt, ws || CASE WHEN len(ws) < 2
+           |      THEN CAST([] AS VARCHAR[])
+           |      ELSE [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+           |    END AS grams
+           |  FROM g),
+           |occ AS (SELECT doc_id, tgt,
+           |    CAST(concat('0x', substr(md5(unnest(grams)), 1, 15))
+           |      AS BIGINT) % 512 AS b
+           |  FROM gr),
+           |ht AS (SELECT b, COUNT(*) AS ct FROM occ WHERE tgt GROUP BY b),
+           |hr AS (SELECT b, COUNT(*) AS cr FROM occ WHERE NOT tgt GROUP BY b),
+           |aff AS (SELECT doc_id,
+           |    (1000 * (COALESCE(ct, 0) + 1))
+           |      // (COALESCE(ct, 0) + COALESCE(cr, 0) + 2) AS a
+           |  FROM occ LEFT JOIN ht USING (b) LEFT JOIN hr USING (b)),
+           |sc AS (SELECT doc_id, COUNT(*) AS n, SUM(a) AS sa
+           |  FROM aff GROUP BY doc_id)
+           |SELECT doc_id, CAST(sc.n AS INTEGER) AS n_grams,
+           |  CAST(sc.sa // sc.n AS BIGINT) AS dsir_mil
+           |FROM sc
+           |ORDER BY dsir_mil DESC, doc_id LIMIT 100""".stripMargin
+      },
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val quality = docs
+          .filter(TextOps.qualityScoreMil(col("text")) >= 500)
+        val w = Window
+          .partitionBy(TextOps.fingerprint(col("text")))
+          .orderBy("doc_id")
+        val kept = quality
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+        val en = kept.filter(TextOps.langId(col("text")) === "en")
+          .select("doc_id", "text")
+        SelectOps.dsirAffinityMil(en,
+            en.filter(col("doc_id") % 11 === 0),
+            "doc_id", "text", buckets = 512)
+          .filter(col("dsir_mil").isNotNull)
+          .orderBy(col("dsir_mil").desc, col("doc_id"))
+          .limit(100)
       })
   )
 

@@ -543,6 +543,21 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
   }
 
+  test("q108: composed curation runs on ONE corpus-scale shuffle into TakeOrdered") {
+    val plan = planOf("q108_curation_select")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"selection planned as a global sort:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"a gate fell off codegen onto a UDF:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+    // the fingerprint-dedup window is the pipeline's one corpus-scale
+    // exchange; quality/language gates are map-side and DSIR scoring
+    // consumes driver-collected histograms
+    assert(plan.split("Exchange hashpartitioning").length - 1 <= 1,
+      s"more than the one fingerprint shuffle:\n$plan")
+  }
+
   test("q96: the interval join is a hash equi-join on buckets, never a nested loop") {
     val plan = planOf("q96_interval_join")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
