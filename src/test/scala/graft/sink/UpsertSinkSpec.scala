@@ -298,6 +298,46 @@ class UpsertSinkSpec extends SparkSpec {
       == (1L to 200L))
   }
 
+  test("write-intent fence: fresh marker defers recovery, stale marker is consumed") {
+    // deterministic pins for the fence the two-thread stress test
+    // exercises probabilistically. A FRESH .{table}__inflight marker
+    // means a live writer is mid-swap: readers must treat the
+    // half-swapped state as transient (no recovery moves, no capture);
+    // a STALE marker is a crashed writer: recovery consumes it and
+    // restores exactly as before the fence existed.
+    val sink = freshSink()
+    sink.merge("t", (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"))
+    val root = java.nio.file.Paths.get(sink.rootPath)
+    val marker = root.resolve(".t__inflight")
+    val table = root.resolve("t")
+    val old = root.resolve(".t__old")
+
+    // simulate a writer crash INSIDE the overwrite window: table moved
+    // to .__old, marker still present with a stale timestamp
+    Files.move(table, old)
+    Files.write(marker,
+      (System.currentTimeMillis() - 60000L).toString.getBytes("UTF-8"))
+    // stale marker -> recovery proceeds: the table is restored whole
+    assert(sink.read("t").count() == 20, "stale-marker crash state not recovered")
+    assert(!Files.exists(marker), "stale marker not consumed by recovery")
+
+    // now a FRESH marker with the same crash shape: recovery must NOT
+    // touch the parked dir (the 'writer' is about to complete the swap)
+    Files.move(table, old)
+    Files.write(marker, System.currentTimeMillis().toString.getBytes("UTF-8"))
+    assert(!sink.exists("t"),
+      "reader recovered a mid-swap state under a live writer's feet")
+    assert(Files.exists(old), "parked dir was consumed despite the fence")
+    // snapshot refuses to capture while the window stays open — bounded
+    val e = intercept[IllegalStateException] { sink.snapshot("t") }
+    assert(e.getMessage.contains("writer in flight"))
+    // the 'writer' completes: marker gone, swap finished
+    Files.move(old, table)
+    Files.deleteIfExists(marker)
+    assert(sink.read("t").count() == 20)
+    sink.snapshot("t").close()
+  }
+
   test("merge rejects schema drift loudly BEFORE touching the table") {
     val sink = freshSink()
     sink.merge("t", Seq((1L, "a")).toDF("id", "v"), Seq("id"))
