@@ -155,6 +155,25 @@ class SelectOpsSpec extends SparkSpec {
     }
   }
 
+  test("null text propagates as null scores; never NPEs, never skews") {
+    // the synthetic corpus has no null text, so neither the DuckDB
+    // oracle nor the randomized reference exercises this edge
+    val df = Seq((1L, "patient dosage clinical"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val t = df.filter($"id" === 1L)
+    val out = SelectOps.dsirAffinityMil(df, t, "id", "text", buckets = 64)
+      .orderBy("id").collect()
+    assert(out(0).getLong(2) > 500) // scored row unaffected by the null
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2),
+      "null text must yield null n_grams/dsir_mil, not 0 or a crash")
+    val lw = SelectOps.dsirLogWeights(df, t, "id", "text", buckets = 64)
+      .orderBy("id").collect()
+    assert(lw(1).isNullAt(1) && lw(1).isNullAt(2))
+    // perplexityScored simply has no row for it (no bigrams, no lang)
+    val ps = SelectOps.perplexityScored(df, "id", "text").collect()
+    assert(ps.map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("log-weight form agrees with the integer form on domain ordering") {
     val lw = SelectOps.dsirLogWeights(pool, target, "id", "text", buckets = 512)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
