@@ -913,14 +913,19 @@ object Catalog {
     QueryDef("q34_ann_lsh",
       "ANN scale path: random-hyperplane LSH bucketing + exact re-rank. " +
         "Approximate by design -> no SQL oracle (driver rows-only check); " +
-        "recall vs the exact baseline is asserted in AnnSpec.",
+        "recall is a FIRST-CLASS audit column (recall_mil per query vs " +
+        "the in-query exact baseline over the bounded probe set — the " +
+        "q105 audit pattern), bounds pinned in CatalogSpec/SimOpsSpec.",
       None,
       (s, dir) => {
         val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 100 === 0)
         // short signatures / many tables: this corpus's neighbors are
         // weakly similar (cos ~0.45) — see SimOpsSpec recall analysis
-        SimOps.lshTopK(e.filter(col("vec_id") % 100 === 0), e,
-          "vec_id", "embedding", 5, planes = 4, tables = 16)
+        SimOps.withRecallAudit(
+            SimOps.lshTopK(q, e, "vec_id", "embedding", 5,
+              planes = 4, tables = 16),
+            SimOps.bruteForceTopK(q, e, "vec_id", "embedding", 5))
           .orderBy("query_id", "rank")
       }),
 
@@ -1090,8 +1095,11 @@ object Catalog {
       None,
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        SimOps.ivfTopK(e.filter(col("vec_id") % 100 === 0), e,
-          "vec_id", "embedding", 5, nlist = 16, nprobe = 6)
+        val q = e.filter(col("vec_id") % 100 === 0)
+        SimOps.withRecallAudit(
+            SimOps.ivfTopK(q, e, "vec_id", "embedding", 5,
+              nlist = 16, nprobe = 6),
+            SimOps.bruteForceTopK(q, e, "vec_id", "embedding", 5))
           .orderBy("query_id", "rank")
       }),
 
@@ -1165,8 +1173,11 @@ object Catalog {
       None,
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        SimOps.ivfTopKTrained(e.filter(col("vec_id") % 100 === 0), e,
-          "vec_id", "embedding", 5, nlist = 16, nprobe = 6, iters = 2)
+        val q = e.filter(col("vec_id") % 100 === 0)
+        SimOps.withRecallAudit(
+            SimOps.ivfTopKTrained(q, e, "vec_id", "embedding", 5,
+              nlist = 16, nprobe = 6, iters = 2),
+            SimOps.bruteForceTopK(q, e, "vec_id", "embedding", 5))
           .orderBy("query_id", "rank")
       }),
 
@@ -1695,8 +1706,10 @@ object Catalog {
       None,
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        SimOps.ivfPqTopK(e.filter(col("vec_id") % 100 === 0), e,
-          "vec_id", "embedding", 5)
+        val q = e.filter(col("vec_id") % 100 === 0)
+        SimOps.withRecallAudit(
+            SimOps.ivfPqTopK(q, e, "vec_id", "embedding", 5),
+            SimOps.bruteForceTopK(q, e, "vec_id", "embedding", 5))
           .orderBy("query_id", "rank")
       }),
 
@@ -2143,8 +2156,10 @@ object Catalog {
         val sink = tempStore.sink(s, "annidx", dir)
         if (!SimOps.ivfPqIndexExists(sink))
           SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink).collect()
-        SimOps.ivfPqProbeIndex(e.filter(col("vec_id") % 100 === 0), e,
-            "vec_id", "embedding", sink, 5)
+        val q = e.filter(col("vec_id") % 100 === 0)
+        SimOps.withRecallAudit(
+            SimOps.ivfPqProbeIndex(q, e, "vec_id", "embedding", sink, 5),
+            SimOps.bruteForceTopK(q, e, "vec_id", "embedding", 5))
           .orderBy("query_id", "rank")
       }),
 
@@ -2572,9 +2587,13 @@ object Catalog {
         if (!SimOps.ivfPqIndexExists(sink))
           SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink,
             attrCols = Seq("label")).collect()
-        SimOps.ivfPqProbeIndex(e.filter(col("vec_id") % 100 === 0), e,
-            "vec_id", "embedding", sink, 5,
-            candidateFilter = Some(col("label") === 3))
+        val q = e.filter(col("vec_id") % 100 === 0)
+        SimOps.withRecallAudit(
+            SimOps.ivfPqProbeIndex(q, e, "vec_id", "embedding", sink, 5,
+              candidateFilter = Some(col("label") === 3)),
+            // pre-filter ground truth: exact top-k among MATCHING vectors
+            SimOps.bruteForceTopK(q, e.filter(col("label") === 3),
+              "vec_id", "embedding", 5))
           .orderBy("query_id", "rank")
       }),
 
@@ -2657,8 +2676,14 @@ object Catalog {
         if (!SimOps.ivfPqIndexExists(sink))
           SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink,
             storeSq8 = true).collect()
-        SimOps.ivfPqProbeIndex(e.filter(col("vec_id") % 100 === 0), e,
-            "vec_id", "embedding", sink, 5, refineFromSq8 = true)
+        val q = e.filter(col("vec_id") % 100 === 0)
+        SimOps.withRecallAudit(
+            SimOps.ivfPqProbeIndex(q, e, "vec_id", "embedding", sink, 5,
+              refineFromSq8 = true),
+            // index-tables-only ground truth: exhaustive scan of the
+            // stored SQ8 codes — the probe's no-corpus-scan contract
+            // holds through the audit
+            SimOps.sq8BruteForceTopK(q, "vec_id", "embedding", sink, 5))
           .orderBy("query_id", "rank")
       }),
 

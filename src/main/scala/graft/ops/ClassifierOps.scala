@@ -41,12 +41,20 @@ object ClassifierOps {
       * pass over the token array (the HOF fold ran every per-token md5
       * interpreted), coefficients riding the generated class as one
       * double[] reference object. Fold order (bias, then tokens left
-      * to right) matches the HOF form bit-for-bit. Callers get
-      * registration through [[trainHashedClassifier]]/[[loadModel]].
+      * to right) matches the HOF form bit-for-bit. Registration is
+      * self-serve: the expression resolves via a registered function,
+      * and a model can legitimately outlive the session that trained
+      * it (direct construction, cross-session apply), so this
+      * registers idempotently on the ACTIVE session instead of
+      * trusting that [[trainHashedClassifier]]/[[loadModel]] ran on
+      * the session about to analyze the plan.
       */
-    def margin(text: Column): Column =
+    def margin(text: Column): Column = {
+      graft.functions.MarginFunctions.register(
+        org.apache.spark.sql.SparkSession.active)
       graft.functions.MarginFunctions.tokenMargin(
         TextOps.tokens(text), weights, bias)
+    }
 
     /** P(label = 1) under the model (sigmoid of the margin). */
     def probability(text: Column): Column =

@@ -107,6 +107,40 @@ object SimOps {
         (col("__i") + 1).cast("int").as("rank"))
   }
 
+  /** RECALL AUDIT rider for the approximate top-k family (the q105
+    * audit-column pattern, round-10 verdict #2): joins an approximate
+    * result against the EXACT top-k on the same probe set and rides
+    * per-query `recall_mil` (hits per mille of the exact set) on every
+    * output row — so the driver's correctness/bench artifacts see
+    * recall every round, not only the spec suite.
+    *
+    * `exact` is whatever ground truth fits the operator's contract:
+    * [[bruteForceTopK]] over the corpus for plain ANN, over the
+    * FILTERED corpus for pre-filter search, [[sq8BruteForceTopK]] for
+    * the self-contained SQ8 probe (index tables only). Scale shape:
+    * the audit deliberately pays one exact pass over the corpus for
+    * the BOUNDED probe set (queries broadcast — the q32 cost), and the
+    * per-query recall table is probe-set-sized, broadcast back onto
+    * the result. Turn the audit off by not calling it — the underlying
+    * operators are unchanged.
+    *
+    * recall_mil uses the exact set's ACTUAL size as the denominator
+    * (a small corpus can have fewer than k neighbors), and integer
+    * per-mille so the column compares stably across engines.
+    */
+  def withRecallAudit(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .join(e, Seq("query_id", "neighbor_id"), "leftsemi")
+      .groupBy("query_id").agg(count(lit(1)).as("__hits"))
+    val recall = e.groupBy("query_id").agg(count(lit(1)).as("__truth"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("__hits"), lit(0L)) * 1000L / col("__truth"))
+          .cast("int").as("recall_mil"))
+    approx.join(broadcast(recall), Seq("query_id"), "left")
+  }
+
   /** LSH-bucketed approximate top-k: candidates are corpus vectors sharing
     * any of `tables` independent signatures with the query; exact cosine
     * re-rank within candidates. Recall < 1 by design (measured in tests);
@@ -675,6 +709,32 @@ object SimOps {
       }
     ivfPqProbeWith(queries, lists, corpus, idCol, vecCol, meta.cents,
       meta.books, k, nprobe, refine, broadcastQueries, v8)
+  }
+
+  /** Exhaustive top-k over the index's own SQ8 codes (`ann_vecs8`) —
+    * the ground truth for [[withRecallAudit]] on the SELF-CONTAINED
+    * probe (q93): the serving box holds only the index directory, so
+    * its best available exact baseline is a full scan of the stored
+    * 1-byte codes, scored with the same fused [[VectorFunctions.int8Cos]]
+    * the refine stage uses (cosine is invariant under the positive
+    * per-vector scale). Reads NO corpus table, preserving the probe's
+    * index-tables-only plan contract.
+    */
+  def sq8BruteForceTopK(queries: DataFrame, idCol: String, vecCol: String,
+                        sink: graft.sink.UpsertSink, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    VectorFunctions.register(spark)
+    require(sink.exists(IdxVecs8),
+      s"sq8BruteForceTopK: no $IdxVecs8 table under ${sink.rootPath} — " +
+        "rebuild the index with storeSq8 = true")
+    val v8 = sink.read(IdxVecs8)
+      .select(col("id").as("neighbor_id"), col("q").as("__c8"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    val scored = v8.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        VectorFunctions.int8Cos(col("__qv"), col("__c8")))
+    topKFromScored(scored, k)
   }
 
   private final case class IdxMeta(cents: Array[Array[Float]],

@@ -60,7 +60,8 @@ final case class TableMerge(table: String, updates: DataFrame,
 }
 
 final class UpsertSink(spark: SparkSession, root: String,
-                       numBuckets: Int = 64) {
+                       numBuckets: Int = 64,
+                       writerWaitMs: Long = 60000L) {
 
   /** The session this sink writes with — model-persistence helpers
     * (e.g. BpeOps.saveModel) build their DataFrames on it rather than
@@ -76,11 +77,14 @@ final class UpsertSink(spark: SparkSession, root: String,
     * no dot prefix (reserved for sink internals — shadows, backups,
     * snapshots — which recovery/cleanup sweeps by prefix).
     */
-  private def tableDir(table: String): Path = {
+  private def requireValidTableName(table: String): Unit =
     require(table.nonEmpty && !table.startsWith(".") &&
         !table.exists(c => c == '/' || c == '\\'),
       s"invalid table name '$table': must be non-empty, not dot-prefixed " +
         "(reserved for sink internals), and contain no path separators")
+
+  private def tableDir(table: String): Path = {
+    requireValidTableName(table)
     Paths.get(root, table)
   }
 
@@ -156,9 +160,12 @@ final class UpsertSink(spark: SparkSession, root: String,
     * both recovery moves are attempted and the loser's (the path
     * vanished or the destination appeared first) is a no-op (see
     * [[tryMove]]; stale-backup deletes tolerate a concurrent deleter
-    * the same way). WRITES (merge/overwrite) are single-writer per
-    * table: every engine caller (Syncer, pipelines, reorg rebuild)
-    * serializes writes to a table.
+    * the same way). WRITES (merge/overwrite/delete/rebucket/drop) are
+    * single-writer per table — and since round 11 that contract is
+    * ENFORCED, not prose: every public mutator runs under a renewing
+    * lease file ([[withWriterLease]]), so a second concurrent writer
+    * on the same table serializes behind the first (or fails loudly
+    * after `writerWaitMs`) instead of interleaving bucket swaps.
     *
     * A reader's recovery racing an IN-FLIGHT writer's swap window is
     * fenced by the write-intent marker ([[withWriteIntent]]): every
@@ -234,15 +241,34 @@ final class UpsertSink(spark: SparkSession, root: String,
   /** Bracket a swap window with the write-intent marker so concurrent
     * readers treat the mid-swap state as transient (recover no-ops,
     * [[snapshot]] retries) instead of a crash to repair. Single-writer
-    * per table (the sink's existing write contract), so plain
-    * create/delete suffices — the marker fences reader RECOVERY, it is
-    * not a writer-vs-writer lock.
+    * per table (enforced by [[withWriterLease]] at the public entry
+    * points), so no writer-vs-writer coordination is needed here — the
+    * marker fences reader RECOVERY only.
     */
   private def withWriteIntent(table: String)(body: => Unit): Unit = {
-    Files.write(inFlightMarker(table),
-      System.currentTimeMillis().toString.getBytes("UTF-8"))
+    stampWriteIntent(table)
     try body
     finally Files.deleteIfExists(inFlightMarker(table))
+  }
+
+  /** (Re)stamp the write-intent marker with a fresh timestamp,
+    * ATOMICALLY: the timestamp is written to a temp sibling and renamed
+    * over the marker path, so a reader racing the stamp can never
+    * observe a partially written (empty) marker, classify it as
+    * no-live-window, and run recovery under a live writer's feet. Long
+    * swap windows re-stamp per touched bucket (see
+    * [[writeAndSwapBuckets]]), so marker freshness outlives any real
+    * window regardless of how many buckets its per-bucket backup
+    * deletes touch — the fence's credibility never depends on the
+    * WHOLE window fitting inside [[InFlightFreshMs]], only each
+    * single-bucket step.
+    */
+  private def stampWriteIntent(table: String): Unit = {
+    val tmp = Files.createTempFile(Paths.get(root),
+      s".${table}__intent_", ".tmp")
+    Files.write(tmp, System.currentTimeMillis().toString.getBytes("UTF-8"))
+    Files.move(tmp, inFlightMarker(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Is a writer currently inside a fenced swap window? A stale marker
@@ -263,6 +289,145 @@ final class UpsertSink(spark: SparkSession, root: String,
     if (!fresh) Files.deleteIfExists(m)
     fresh
   }
+
+  // ---- writer lease: the single-writer-per-table contract, ENFORCED --
+
+  /** How long a writer lease stays credible without renewal. A live
+    * writer renews every [[WriterLeaseMs]]/3 from a dedicated daemon
+    * thread, so breaking a lease requires the holder to have missed
+    * three consecutive renewals — a crashed or hard-stalled JVM, not a
+    * busy one (renewal is one small file rewrite, independent of any
+    * Spark job the holder is running).
+    */
+  private val WriterLeaseMs = 15000L
+
+  private def writerLock(table: String): Path =
+    Paths.get(root, s".${table}__writer")
+
+  /** Tables whose lease THIS thread already holds — public mutators
+    * nest (merge → overwrite; mergeMany → merge on the migration
+    * path), and a nested acquire on a held table must pass through,
+    * not deadlock against itself.
+    */
+  private val heldLeases = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue(): scala.collection.mutable.Set[String] =
+      scala.collection.mutable.Set.empty[String]
+  }
+
+  /** Serialize WRITERS per table across threads, sink instances, and
+    * processes sharing one root. The single-writer-per-table contract
+    * was prose until round 11; at 100 TB with concurrent pipelines a
+    * violated contract silently interleaves two merges' bucket swaps
+    * (duplicate PKs, or one writer's non-tolerant move failing on the
+    * other's half-moved state). The lease makes it mechanical:
+    *
+    *  - acquisition is an atomic `Files.createFile` (O_CREAT|O_EXCL)
+    *    of `.{table}__writer`; freshness rides the file MTIME (content
+    *    is the owner id only, so a racer reading between create and
+    *    content-write still sees a FRESH lock and waits — never a
+    *    false no-lock);
+    *  - a second writer WAITS up to `writerWaitMs` (serializing the
+    *    common case: two pipelines flushing the same table back to
+    *    back), then fails LOUDLY naming the table and the contract;
+    *  - a lease older than [[WriterLeaseMs]] is a crashed writer:
+    *    broken and re-acquired (delete tolerates losing the race to
+    *    another breaker — createFile then arbitrates atomically);
+    *  - a held lease renews from a shared daemon scheduler, so
+    *    validity never depends on how long the writer's Spark jobs
+    *    run; release deletes only if the content is still this
+    *    acquire's id (never unlink a lease that was broken and
+    *    re-acquired while this holder was presumed dead).
+    *
+    * Multi-table acquisition (mergeMany) locks in sorted table order,
+    * so two overlapping batches cannot deadlock. Readers stay
+    * lock-free — the lease is writer-vs-writer only; reader-vs-writer
+    * safety remains the write-intent fence's job.
+    */
+  private def withWriterLease[T](tables: Seq[String])(body: => T): T = {
+    // name contract FIRST: the lease path is derived from the name, so
+    // a malicious name must die as the same IllegalArgumentException
+    // every entry point throws — not as a lock-file I/O error outside
+    // the root
+    tables.foreach(requireValidTableName)
+    val need = tables.distinct.sorted.filterNot(heldLeases.get.contains)
+    val owned = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var renewTask: Option[java.util.concurrent.ScheduledFuture[_]] = None
+    try {
+      need.foreach { table =>
+        val id = acquireWriterLease(table)
+        owned += table -> id
+        heldLeases.get += table
+      }
+      if (owned.nonEmpty) {
+        val held = owned.toList
+        renewTask = Some(UpsertSink.leaseRenewer.scheduleAtFixedRate(
+          new Runnable {
+            def run(): Unit = held.foreach { case (t, id) =>
+              renewWriterLease(t, id)
+            }
+          },
+          WriterLeaseMs / 3, WriterLeaseMs / 3,
+          java.util.concurrent.TimeUnit.MILLISECONDS))
+      }
+      body
+    } finally {
+      renewTask.foreach(_.cancel(false))
+      owned.toList.reverse.foreach { case (t, id) =>
+        heldLeases.get -= t
+        releaseWriterLease(t, id)
+      }
+    }
+  }
+
+  private def acquireWriterLease(table: String): String = {
+    val lock = writerLock(table)
+    val id = java.util.UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + writerWaitMs
+    while (true) {
+      try {
+        Files.createFile(lock) // atomic O_CREAT|O_EXCL arbitration
+        Files.write(lock, id.getBytes("UTF-8"))
+        return id
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val stale =
+            try System.currentTimeMillis() -
+              Files.getLastModifiedTime(lock).toMillis > WriterLeaseMs
+            catch {
+              // vanished between createFile and the probe: the holder
+              // just released — retry the create immediately
+              case _: java.nio.file.NoSuchFileException => false
+            }
+          if (stale) {
+            // crashed holder: break the lease. Losing this delete race
+            // to another breaker is fine — createFile re-arbitrates.
+            try Files.deleteIfExists(lock)
+            catch { case _: java.io.IOException => () }
+          } else if (System.currentTimeMillis() >= deadline) {
+            throw new IllegalStateException(
+              s"writer lease on table '$table' held by another writer " +
+                s"for over $writerWaitMs ms — the sink is single-writer " +
+                "per table; serialize the callers or raise writerWaitMs " +
+                s"(lock file: $lock)")
+          } else Thread.sleep(25L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def renewWriterLease(table: String, id: String): Unit =
+    try {
+      val lock = writerLock(table)
+      if (new String(Files.readAllBytes(lock), "UTF-8") == id)
+        Files.setLastModifiedTime(lock,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    } catch { case _: Exception => () } // renewal is best-effort
+
+  private def releaseWriterLease(table: String, id: String): Unit =
+    try {
+      if (new String(Files.readAllBytes(writerLock(table)), "UTF-8") == id)
+        Files.deleteIfExists(writerLock(table))
+    } catch { case _: Exception => () } // already broken/re-acquired
 
   /** A move that tolerates losing a recovery race: if another thread
     * already moved the source (NoSuchFile) or created the destination
@@ -400,17 +565,29 @@ final class UpsertSink(spark: SparkSession, root: String,
     val snapRoot = Paths.get(root, ".snapshots")
     Files.createDirectories(snapRoot)
     var attempt = 0
+    var inFlightWaitedMs = 0L
     while (true) {
-      attempt += 1
       if (writerInFlight(table)) {
         // mid-swap window: the table may transiently be absent or
-        // half-swapped — wait it out (the window is a rename sequence,
-        // ms at most) instead of capturing or "recovering" it
-        if (attempt >= 10) throw new IllegalStateException(
-          s"snapshot of $table found a writer in flight on all $attempt " +
-            "attempts — is a writer continuously rewriting the table?")
-        Thread.sleep(5L * attempt)
+        // half-swapped — wait it out instead of capturing or
+        // "recovering" it. The wait is TIME-bounded, not attempt-
+        // bounded: a slow window (many touched buckets, each re-
+        // stamping the marker) stays credible well past a fixed retry
+        // count, and throwing while the marker is still fresh would be
+        // a spurious failure with a misleading message. The bound is
+        // two freshness horizons: a crashed writer's marker goes stale
+        // (and is consumed) within one, so only a writer LIVE enough
+        // to keep re-stamping can push the wait to the cap — at which
+        // point "continuously rewriting" is the accurate diagnosis.
+        if (inFlightWaitedMs >= 2 * InFlightFreshMs)
+          throw new IllegalStateException(
+            s"snapshot of $table found a writer in flight for over " +
+              s"$inFlightWaitedMs ms — is a writer continuously " +
+              "rewriting the table?")
+        Thread.sleep(10L)
+        inFlightWaitedMs += 10L
       } else {
+      attempt += 1
       recover(table)
       // no fresh marker ⇒ any missing/fileless state is genuine, not a
       // swap transient: reject exactly as the sequential contract does
@@ -513,6 +690,7 @@ final class UpsertSink(spark: SparkSession, root: String,
     * take the incremental path.
     */
   def overwrite(table: String, df: DataFrame, pk: Seq[String] = Seq.empty): Unit =
+    withWriterLease(Seq(table)) {
     swapInShadow(table) { shadow =>
       if (pk.nonEmpty) {
         bucketAligned(withBucket(df, pk, numBuckets), numBuckets)
@@ -520,6 +698,7 @@ final class UpsertSink(spark: SparkSession, root: String,
           .partitionBy(BucketCol).parquet(shadow.toString)
         Files.write(bucketMarker(shadow), numBuckets.toString.getBytes("UTF-8"))
       } else df.write.mode(SaveMode.Overwrite).parquet(shadow.toString)
+    }
     }
 
   /** The whole-table swap skeleton: prepare a clean shadow dir, have
@@ -615,6 +794,7 @@ final class UpsertSink(spark: SparkSession, root: String,
     // version as a duplicate-pk row
     require(!(pkUnique && versionCol.isDefined),
       s"$table: pkUnique promises one row per pk — versionCol is meaningless")
+    withWriterLease(Seq(table)) {
     recover(table)
     val aligned =
       if (exists(table) && hasDataFiles(table)) alignToStored(table, updates)
@@ -651,6 +831,7 @@ final class UpsertSink(spark: SparkSession, root: String,
       incrementalSwap(table, latest, pk, touched, buckets)
     }
     } finally latest.unpersist()
+    }
   }
 
   /** Batched multi-table merge: upsert several independent tables' deltas
@@ -674,6 +855,7 @@ final class UpsertSink(spark: SparkSession, root: String,
       s"one merge per table: ${merges.map(_.table).mkString(", ")}")
     merges.foreach(m =>
       require(m.pk.nonEmpty, s"merge into ${m.table} needs a primary key"))
+    withWriterLease(merges.map(_.table)) {
     merges.foreach(m => recover(m.table))
     // check EVERY table's schema contract before ANY table writes: a
     // multi-table batch must not land table A and then die on table B's
@@ -731,6 +913,7 @@ final class UpsertSink(spark: SparkSession, root: String,
           }
       })
     } finally latests.foreach(_._4.unpersist())
+    }
   }
 
   /** Run independent per-table write tasks concurrently; waits for ALL
@@ -820,6 +1003,12 @@ final class UpsertSink(spark: SparkSession, root: String,
       .partitionBy(BucketCol).parquet(shadow.toString)
     withWriteIntent(table) {
       touched.foreach { b =>
+        // re-stamp per bucket: the backup deletes below are real I/O
+        // (O(files in bucket)), so a many-bucket window could otherwise
+        // outlive the marker's freshness and let a reader run recovery
+        // mid-window (the marker then only has to stay credible across
+        // ONE bucket's deletes, not the whole loop)
+        stampWriteIntent(table)
         val part = s"$BucketCol=$b"
         val from = shadow.resolve(part)
         val to = dir.resolve(part)
@@ -848,7 +1037,7 @@ final class UpsertSink(spark: SparkSession, root: String,
     * (crash between an overwrite's two moves) would resurrect the
     * dropped table from the dead on the next `exists`/`read`.
     */
-  def drop(table: String): Unit = {
+  def drop(table: String): Unit = withWriterLease(Seq(table)) {
     recover(table)
     deleteRecursively(tableDir(table))
     deleteRecursively(Paths.get(root, s".${table}__old"))
@@ -882,6 +1071,7 @@ final class UpsertSink(spark: SparkSession, root: String,
     */
   def delete(table: String, keys: DataFrame, pk: Seq[String]): Unit = {
     require(pk.nonEmpty, s"delete from $table needs a primary key")
+    withWriterLease(Seq(table)) {
     recover(table)
     require(exists(table), s"cannot delete from missing table $table")
     if (!hasDataFiles(table)) return // already TRUNCATEd: nothing to delete
@@ -925,6 +1115,7 @@ final class UpsertSink(spark: SparkSession, root: String,
           removeEmptied = true)
       }
     } finally keyed.unpersist()
+    }
   }
 
   /** BUCKET-LAYOUT EVOLUTION — the maintenance half of an incremental
@@ -950,6 +1141,7 @@ final class UpsertSink(spark: SparkSession, root: String,
   def rebucket(table: String, pk: Seq[String], newBuckets: Int): Unit = {
     require(pk.nonEmpty, s"rebucket of $table needs the table's merge key")
     require(newBuckets >= 1, s"newBuckets must be >= 1, got $newBuckets")
+    withWriterLease(Seq(table)) {
     recover(table)
     require(exists(table), s"cannot rebucket missing table $table")
     val df = read(table)
@@ -958,6 +1150,7 @@ final class UpsertSink(spark: SparkSession, root: String,
         .write.mode(SaveMode.Overwrite)
         .partitionBy(BucketCol).parquet(shadow.toString)
       Files.write(bucketMarker(shadow), newBuckets.toString.getBytes("UTF-8"))
+    }
     }
   }
 
@@ -972,6 +1165,21 @@ final class UpsertSink(spark: SparkSession, root: String,
     MergeSemantics.dedupeLastWins(df, pk, versionCol)
 
   private def deleteRecursively(p: Path): Unit = Fs.deleteRecursively(p)
+}
+
+object UpsertSink {
+  /** One shared daemon thread renews every held writer lease in the
+    * process (see [[UpsertSink.withWriterLease]]) — renewal is a small
+    * file rewrite per held table per tick, so one thread serves any
+    * number of sinks without per-write thread churn.
+    */
+  private val leaseRenewer: java.util.concurrent.ScheduledExecutorService =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-writer-lease-renewer")
+        t.setDaemon(true)
+        t
+      })
 }
 
 /** A pinned point-in-time view of a sink table — see

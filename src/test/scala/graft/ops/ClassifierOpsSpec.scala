@@ -32,6 +32,24 @@ class ClassifierOpsSpec extends SparkSpec {
       "held-out docs misclassified")
   }
 
+  test("margin self-registers: a directly constructed model works on a session that never trained") {
+    // ADVICE r10: the margin resolved via call_function and failed at
+    // analysis with 'undefined function' unless trainHashedClassifier/
+    // loadModel had run on the session — a model constructed directly
+    // (public case class) or applied on a DIFFERENT SparkSession broke
+    // where the old HOF formulation was session-independent. margin now
+    // registers idempotently on the ACTIVE session.
+    val m = ClassifierOps.HashedLinearModel(Array(0.5, -0.25), 0.1)
+    val fresh = spark.newSession() // its OWN FunctionRegistry, untrained
+    val prev = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.setActiveSession(fresh)
+    try {
+      val out = fresh.createDataFrame(Seq(Tuple1("a b"))).toDF("text")
+        .select(m.margin(col("text")).as("mg")).collect()
+      assert(out.length == 1 && !out(0).isNullAt(0))
+    } finally prev.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+  }
+
   test("training is deterministic at any parallelism (decimal gradients)") {
     val a = ClassifierOps.trainHashedClassifier(corpus, "text", "y",
       buckets = 256, iters = 8)
