@@ -31,6 +31,14 @@ import scala.jdk.CollectionConverters._
   * (`bench_bands.properties`), so the BENCH_r08 failure mode — code
   * cache full, compiler disabled, codegen running interpreted at 5-15x
   * — is diagnosable from the artifact with no re-run.
+  *
+  * After the timed loop, the SCALE-SLOPE audit ([[ScaleSlope]])
+  * re-times the TopN most expensive queries at the smaller sibling
+  * SFs and records each query's top-decade growth ratio in the
+  * artifact (`scale`, `slope_warn`, `slope_exempt`) — the measured
+  * answer to "would this plan survive a 10x data decade", judged
+  * against ~1.3x-linear with explicit exemptions. Runs after the
+  * timed passes so it can never contaminate the headline numbers.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -63,8 +71,8 @@ object Bench {
     // re-running anything. One shared loader with CatalogSpec's
     // band-sync guard, so the format cannot drift between them.
     val bands: Map[String, Double] = BenchBands.load()
-    def force(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+    def force(name: String, dir: String = sfDir): Unit =
+      SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
     // SPARK_GRAFT_BENCH_ONLY=q64_stream_admit,q65_salted_skew_join
     // restricts the run for iterating on one query's cost — the official
@@ -175,6 +183,51 @@ object Bench {
           ccUsed, band, extra, spreadExtra))
       }
     }
+    // ---- scale-slope audit (round-10 verdict #1): re-time the TopN
+    // most expensive queries at the two smaller sibling SFs (10x data
+    // decades) and judge each top-decade growth ratio against
+    // ~1.3x-linear (ScaleSlope.judge — overhead-floored, exemptions
+    // explicit). Default-on for the official full-catalog run; off
+    // under SPARK_GRAFT_BENCH_ONLY (iteration runs) or
+    // SPARK_GRAFT_BENCH_SLOPE=0. Runs AFTER the timed loop so the
+    // measured sf numbers above are never contaminated by slope work.
+    val slopeDirs = ScaleSlope.siblingDirs(sfDir)
+    val slopeOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOPE", "1") != "0" &&
+      slopeDirs.nonEmpty && only.isEmpty
+    val mainLbl = Paths.get(sfDir).toAbsolutePath.getFileName.toString
+    case class SlopeRow(name: String, times: Seq[(String, Double)],
+                        verdict: Option[ScaleSlope.Verdict])
+    val slopeRows: Seq[SlopeRow] =
+      if (!slopeOn) Nil
+      else results.sortBy(-_.min).take(ScaleSlope.TopN).map { r =>
+        def timedAt(dir: String): Option[Double] = {
+          val t0 = System.nanoTime()
+          val ok = try { force(r.name, dir); true }
+            catch { case _: Throwable => false }
+          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        }
+        val smalls = slopeDirs.map { case (lbl, dir) =>
+          // first touch of this (query, SF) pays file listing and any
+          // per-store index build — warm it untimed, then min of 2
+          timedAt(dir)
+          lbl -> (for (a <- timedAt(dir); b <- timedAt(dir))
+            yield a.min(b))
+        }
+        // a query that fails at a small SF records no verdict (its
+        // near-zero failure time must not flag as superlinear); the
+        // artifact shows the hole instead of a fake ratio
+        val verdict = smalls.lastOption.flatMap(_._2)
+          .map(mid => ScaleSlope.judge(r.name, mid, r.min))
+        SlopeRow(r.name,
+          smalls.collect { case (l, Some(t)) => l -> t } :+ (mainLbl -> r.min),
+          verdict)
+      }
+    val slopeWarnNames = ScaleSlope.warnings(
+      slopeRows.collect { case SlopeRow(n, _, Some(v)) => n -> v }.toMap)
+    slopeWarnNames.foreach(n => System.err.println(
+      s"bench: WARN $n grew superlinearly across the top SF decade — " +
+        "see the 'scale' section of the bench artifact"))
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -228,6 +281,18 @@ object Bench {
     val errsShort = errors.map { case (k, v) =>
       s"${jstr(if (shortsUnique) shortKey(k) else k)}:${jstr(v.take(40))}"
     }.mkString("{", ",", "}")
+    val scaleJson = slopeRows.map { s =>
+      val ts = s.times.map { case (l, t) => "\"" + l + f"""\":$t%.3f""" }
+        .mkString("{", ",", "}")
+      val v = s.verdict.map(v =>
+          f""","ratio":${v.ratio}%.2f,"superlinear":${v.superlinear},"exempt":${v.exempt}""")
+        .getOrElse(""","err":true""")
+      "\"" + s.name + s"""\":{"t":$ts$v}"""
+    }.mkString("{", ",", "}")
+    val exemptJson = ScaleSlope.Exempt.toSeq.sortBy(_._1)
+      .map { case (n, why) => s"${jstr(n)}:${jstr(why)}" }
+      .mkString("{", ",", "}")
+    val slopeWarnJson = slopeWarnNames.map(jstr).mkString("[", ",", "]")
     val total = results.map(_.min).sum
     val nBand = results.count(_.bandExceeded.isDefined)
     // ONE stdout line in the driver's documented shape (queries = min of
@@ -236,8 +301,8 @@ object Bench {
     // rides the line as a single integer: a nonzero value says "this
     // run's environment degraded N queries past their known-good bands —
     // read the file artifact before trusting the total".
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errsShort,"band_warn":$nBand,"passes":$passes,"n_queries":${results.size},"sf":"$sfDir","artifact":${jstr(outPath)}}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"times":$allTimes,"gc_ms":$gcs,"jit_ms":$jits,"code_cache_mb":$ccs,"code_cache_max_mb":$codeCacheMaxMb,"band_exceeded":$bandsExceeded,"band_retry_passes":$extras,"spread_retry_passes":$spreads,"errors":$errs,"passes":$passes,"n_queries":${results.size},"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errsShort,"band_warn":$nBand,"slope_warn":${slopeWarnNames.size},"passes":$passes,"n_queries":${results.size},"sf":"$sfDir","artifact":${jstr(outPath)}}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"times":$allTimes,"gc_ms":$gcs,"jit_ms":$jits,"code_cache_mb":$ccs,"code_cache_max_mb":$codeCacheMaxMb,"band_exceeded":$bandsExceeded,"band_retry_passes":$extras,"spread_retry_passes":$spreads,"errors":$errs,"scale":$scaleJson,"slope_warn":${slopeWarnNames.size},"slope_warn_queries":$slopeWarnJson,"slope_exempt":$exemptJson,"passes":$passes,"n_queries":${results.size},"sf":"$sfDir"}"""
     // stdout FIRST: a failed file write (read-only target dir) must not
     // destroy both artifacts after a multi-minute run
     println(line)

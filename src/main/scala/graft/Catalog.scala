@@ -925,7 +925,7 @@ object Catalog {
         SimOps.withRecallAudit(
             SimOps.lshTopK(q, e, "vec_id", "embedding", 5,
               planes = 4, tables = 16),
-            SimOps.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+            SimOps.bruteForceTopK(q, e, "vec_id", "embedding", 5), 5)
           .orderBy("query_id", "rank")
       }),
 
@@ -1099,7 +1099,7 @@ object Catalog {
         SimOps.withRecallAudit(
             SimOps.ivfTopK(q, e, "vec_id", "embedding", 5,
               nlist = 16, nprobe = 6),
-            SimOps.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+            SimOps.bruteForceTopK(q, e, "vec_id", "embedding", 5), 5)
           .orderBy("query_id", "rank")
       }),
 
@@ -1177,7 +1177,7 @@ object Catalog {
         SimOps.withRecallAudit(
             SimOps.ivfTopKTrained(q, e, "vec_id", "embedding", 5,
               nlist = 16, nprobe = 6, iters = 2),
-            SimOps.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+            SimOps.bruteForceTopK(q, e, "vec_id", "embedding", 5), 5)
           .orderBy("query_id", "rank")
       }),
 
@@ -1709,7 +1709,7 @@ object Catalog {
         val q = e.filter(col("vec_id") % 100 === 0)
         SimOps.withRecallAudit(
             SimOps.ivfPqTopK(q, e, "vec_id", "embedding", 5),
-            SimOps.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+            SimOps.bruteForceTopK(q, e, "vec_id", "embedding", 5), 5)
           .orderBy("query_id", "rank")
       }),
 
@@ -2155,11 +2155,11 @@ object Catalog {
         val e = t(s, dir, "embeddings")
         val sink = tempStore.sink(s, "annidx", dir)
         if (!SimOps.ivfPqIndexExists(sink))
-          SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink).collect()
+          SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink)
         val q = e.filter(col("vec_id") % 100 === 0)
         SimOps.withRecallAudit(
             SimOps.ivfPqProbeIndex(q, e, "vec_id", "embedding", sink, 5),
-            SimOps.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+            SimOps.bruteForceTopK(q, e, "vec_id", "embedding", 5), 5)
           .orderBy("query_id", "rank")
       }),
 
@@ -2586,14 +2586,14 @@ object Catalog {
         val sink = tempStore.sink(s, "annidxf", dir)
         if (!SimOps.ivfPqIndexExists(sink))
           SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink,
-            attrCols = Seq("label")).collect()
+            attrCols = Seq("label"))
         val q = e.filter(col("vec_id") % 100 === 0)
         SimOps.withRecallAudit(
             SimOps.ivfPqProbeIndex(q, e, "vec_id", "embedding", sink, 5,
               candidateFilter = Some(col("label") === 3)),
             // pre-filter ground truth: exact top-k among MATCHING vectors
             SimOps.bruteForceTopK(q, e.filter(col("label") === 3),
-              "vec_id", "embedding", 5))
+              "vec_id", "embedding", 5), 5)
           .orderBy("query_id", "rank")
       }),
 
@@ -2675,7 +2675,7 @@ object Catalog {
         val sink = tempStore.sink(s, "annidx8", dir)
         if (!SimOps.ivfPqIndexExists(sink))
           SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink,
-            storeSq8 = true).collect()
+            storeSq8 = true)
         val q = e.filter(col("vec_id") % 100 === 0)
         SimOps.withRecallAudit(
             SimOps.ivfPqProbeIndex(q, e, "vec_id", "embedding", sink, 5,
@@ -2683,7 +2683,7 @@ object Catalog {
             // index-tables-only ground truth: exhaustive scan of the
             // stored SQ8 codes — the probe's no-corpus-scan contract
             // holds through the audit
-            SimOps.sq8BruteForceTopK(q, "vec_id", "embedding", sink, 5))
+            SimOps.sq8BruteForceTopK(q, "vec_id", "embedding", sink, 5), 5)
           .orderBy("query_id", "rank")
       }),
 
@@ -2809,7 +2809,7 @@ object Catalog {
         val e = t(s, dir, "embeddings")
         val sink = tempStore.sink(s, "annidx", dir)
         if (!SimOps.ivfPqIndexExists(sink))
-          SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink).collect()
+          SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink)
         SimOps.ivfIndexDriftStats(e.filter(col("vec_id") % 3 === 0),
             "vec_id", "embedding", sink)
           .orderBy("list")
@@ -3100,7 +3100,7 @@ object Catalog {
       (s, dir) => {
         val e = t(s, dir, "embeddings").select("vec_id", "embedding")
         val sink = tempStore.freshSink(s, "driftrb", dir)
-        SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink).collect()
+        SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink)
         val stable = SimOps.rebuildIfDrifted(
           e.filter(col("vec_id") % 3 === 0), e, "vec_id", "embedding", sink)
         val batch = e.filter(col("vec_id") % 3 === 1)

@@ -212,16 +212,28 @@ object SelectOps {
     * Output: (idCol, log_w double, sel_key double), k rows, ordered
     * (sel_key desc, id).
     */
+  /** The deterministic Gumbel(0,1) noise for (id, seed): u drawn from
+    * the md5-backed hash of "id:seed" on a 1e-6 grid (offset half a
+    * cell so u is never 0 or 1), then the inverse-CDF transform
+    * -ln(-ln u). Shared by [[dsirResample]] and the distributional
+    * spec (SelectOpsSpec pins the Gumbel-max law: top-1 inclusion
+    * frequencies across seeds must match softmax(log_w), top-2 the
+    * Plackett-Luce inclusion probabilities), so the spec provably
+    * tests the production noise, not a reimplementation.
+    */
+  private[graft] def gumbelNoise(id: Column, seed: Column): Column = {
+    val u = (pmod(TextOps.stableHash64(
+        concat(id.cast("string"), lit(":"), seed.cast("string"))),
+        lit(1000000L)).cast("double") + 0.5) / 1000000.0d
+    -log(-log(u))
+  }
+
   def dsirResample(corpus: DataFrame, target: DataFrame, idCol: String,
                    textCol: String, k: Int, seed: Long,
                    buckets: Int = 1024): DataFrame = {
     val w = dsirLogWeights(corpus, target, idCol, textCol, buckets)
-    val u = (pmod(TextOps.stableHash64(
-        concat(col(idCol).cast("string"), lit(":"), lit(seed.toString))),
-        lit(1000000L)).cast("double") + 0.5) / 1000000.0d
-    val gumbel = -log(-log(u))
     w.select(col(idCol), col("log_w"),
-        (col("log_w") + gumbel).as("sel_key"))
+        (col("log_w") + gumbelNoise(col(idCol), lit(seed))).as("sel_key"))
       .orderBy(col("sel_key").desc, col(idCol))
       .limit(k)
   }

@@ -380,6 +380,9 @@ final class UpsertSink(spark: SparkSession, root: String,
   }
 
   private def acquireWriterLease(table: String): String = {
+    // a brand-new store acquires its first lease before any write has
+    // materialized the root dir
+    Files.createDirectories(Paths.get(root))
     val lock = writerLock(table)
     val id = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + writerWaitMs

@@ -155,8 +155,11 @@ object SemanticAdmitPipeline {
       if (!admitted.isEmpty) {
         if (!bootstrapped) {
           sink.merge(corpusTable, admitted, Seq(idCol), pkUnique = true)
+          // the build's table writes are eager; its RETURN is the lazy
+          // informational occupancy rollup — collecting it here paid a
+          // full code-list read + shuffle per bootstrap for nothing
           SimOps.buildIvfPqIndex(sink.read(corpusTable), idCol, vecCol,
-            sink, nlist = nlist, m = m, ksub = ksub).collect()
+            sink, nlist = nlist, m = m, ksub = ksub)
         } else
           // ONE mergeMany round-trip for corpus + code lists: one Spark
           // job learns both tables' touched buckets, the shadow swaps

@@ -99,6 +99,31 @@ class CatalogSpec extends SparkSpec {
       "collapsed-batch total variation under the default threshold")
   }
 
+  test("ANN family: in-query recall_mil audit columns meet the operator bounds") {
+    // Round-10 verdict #2: the approximate family's recall now rides
+    // the output as recall_mil (the q105 audit-column pattern), so the
+    // driver grades it every round. These bounds mirror what
+    // SimOpsSpec asserts at the operator level, with one-neighbor
+    // slack (a tie flip moves one query's recall by 200 mil -> the
+    // 25-row mean by ~40); the per-query values are deterministic
+    // (decimal-exact training, seeded planes), so a miss is a real
+    // recall regression, not noise.
+    val bounds = Seq(
+      "q34_ann_lsh" -> 800, "q42_ann_ivf" -> 600,
+      "q46_ann_ivf_trained" -> 600, "q70_ann_ivfpq" -> 650,
+      "q82_ann_index_probe" -> 650, "q90_ann_filtered" -> 450,
+      "q93_ann_sq8_probe" -> 750)
+    import org.apache.spark.sql.functions._
+    bounds.foreach { case (name, bound) =>
+      val out = Catalog.byName(name).fn(spark, sf)
+        .agg(avg(col("recall_mil")), min(col("recall_mil"))).collect()(0)
+      assert(!out.isNullAt(0) && out.getDouble(0) >= bound,
+        f"$name mean recall_mil ${out.getDouble(0)}%.0f below $bound")
+      assert(out.getInt(1) >= 0 && out.getInt(1) <= 1000,
+        s"$name recall_mil out of range: ${out.getInt(1)}")
+    }
+  }
+
   test("q107 scale-path tiers agree with q103's exact form on the corpus") {
     // the sketch-cutoff path and the ntile oracle form may only differ
     // at tier boundaries (approx percentile vs exact rank) and inside

@@ -338,16 +338,16 @@ class PlanShapeSpec extends SparkSpec {
   /** The q82-shaped stored-index probe plan, built without the recall
     * audit (shared by the q82/q90 operator-level pins).
     */
-  private def probePlan(filter: Option[org.apache.spark.sql.Column],
+  private def probePlan(candFilter: Option[org.apache.spark.sql.Column],
                         attrCols: Seq[String]): String = {
-    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.functions.col
     val e = Tables.load(spark, sf, "embeddings")
     val root = java.nio.file.Files.createTempDirectory("graft_probeplan")
     val sink = new graft.sink.UpsertSink(spark, root.toString, numBuckets = 8)
     graft.ops.SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink,
       attrCols = attrCols).collect()
     graft.ops.SimOps.ivfPqProbeIndex(e.filter(col("vec_id") % 100 === 0),
-        e, "vec_id", "embedding", sink, 5, candidateFilter = filter)
+        e, "vec_id", "embedding", sink, 5, candidateFilter = candFilter)
       .queryExecution.executedPlan.toString
   }
 

