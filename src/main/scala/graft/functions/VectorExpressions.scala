@@ -133,17 +133,137 @@ object Int8Cosine {
   }
 }
 
+/** The SQ8 symmetric-absmax scale of an `array<float>` vector:
+  * 127 / max|x_i| (0.0 for a zero/empty/all-null vector — nothing to
+  * scale). Native because the relational formulation
+  * (`array_max(transform(vec, abs))`) is an interpreted higher-order
+  * function, and worse: referenced from inside the encode lambda,
+  * CollapseProject inlined the whole absmax TREE per element — the
+  * O(dim^2)-per-row pathology that made q91's map-only scan cost
+  * seconds. One tight loop; arithmetic shape identical to the HOF
+  * form (float max, then 127.0 / (double)absmax) so results stay
+  * bit-identical to the DuckDB oracle.
+  */
+case class Int8Scale(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    Int8Scale.scale(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Int8Scale.scale($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Int8Scale {
+  /** Shared by both eval paths — identical results by construction.
+    * Float max first (the `array_max(transform(vec, abs))` type), the
+    * float->double promotion only at the division, matching the HOF
+    * form's `127.0 / absmax` exactly.
+    */
+  def scale(x: ArrayData): Double = {
+    val n = x.numElements()
+    var m = Float.NegativeInfinity
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) {
+        val a = math.abs(x.getFloat(i))
+        if (!seen || a > m) { m = a; seen = true }
+      }
+      i += 1
+    }
+    if (!seen || m == 0.0f) 0.0 else 127.0 / m.toDouble
+  }
+}
+
+/** SQ8 encode of an `array<float>` vector under a precomputed scale:
+  * q_i = round-half-away-from-zero(x_i * scale) as one signed byte.
+  * The scale is an ARGUMENT (evaluated once per row), which is the
+  * point — the relational `transform(vec, x -> round(x * scale))`
+  * re-evaluated the inlined scale tree per element. Rounding uses the
+  * same shortest-decimal BigDecimal HALF_UP as Spark's `round`, so
+  * codes stay bit-identical to the previous formulation and the
+  * DuckDB oracle. Null elements encode as null (the transform
+  * convention); |x_i| <= absmax by construction bounds every code
+  * inside the byte range.
+  */
+case class Int8Codes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, double), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = true)
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Int8Codes.codes(a.asInstanceOf[ArrayData], b.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Int8Codes.codes($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Int8Codes {
+  /** Shared by both eval paths — identical results by construction. */
+  def codes(x: ArrayData, scale: Double): ArrayData = {
+    val n = x.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) {
+        val v = x.getFloat(i).toDouble * scale
+        out(i) = java.math.BigDecimal.valueOf(v)
+          .setScale(0, java.math.RoundingMode.HALF_UP)
+          .doubleValue().toByte
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorFunctions {
 
   val DotName = "graft_dot"
   val Int8CosName = "graft_int8_cos"
+  val Int8ScaleName = "graft_int8_scale"
+  val Int8CodesName = "graft_int8_codes"
 
   private[functions] def builders
       : Seq[(String, Seq[Expression] => Expression)] = Seq(
     DotName -> ((exprs: Seq[Expression]) =>
       FloatDotProduct(exprs(0), exprs(1))),
     Int8CosName -> ((exprs: Seq[Expression]) =>
-      Int8Cosine(exprs(0), exprs(1))))
+      Int8Cosine(exprs(0), exprs(1))),
+    Int8ScaleName -> ((exprs: Seq[Expression]) =>
+      Int8Scale(exprs(0))),
+    Int8CodesName -> ((exprs: Seq[Expression]) =>
+      Int8Codes(exprs(0), exprs(1))))
 
   /** Idempotent per-session registration; the expression is then usable
     * from both the Column API (via [[dot]]) and SQL text. Cluster-wide
@@ -162,4 +282,15 @@ object VectorFunctions {
     */
   def int8Cos(q: Column, codes: Column): Column =
     call_function(Int8CosName, q, codes)
+
+  /** SQ8 absmax scale of a float vector. Caller must have
+    * [[register]]ed.
+    */
+  def int8Scale(vec: Column): Column = call_function(Int8ScaleName, vec)
+
+  /** SQ8 codes of a float vector under a precomputed scale. Caller
+    * must have [[register]]ed.
+    */
+  def int8Codes(vec: Column, scale: Column): Column =
+    call_function(Int8CodesName, vec, scale)
 }

@@ -1377,12 +1377,21 @@ object SimOps {
     * Output: (idCol, scale double rounded 6dp, q array<tinyint>).
     */
   def int8Quantize(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val absmax = array_max(transform(col(vecCol), x => abs(x)))
-    val scale = when(absmax === lit(0.0f) || absmax.isNull, lit(0.0))
-      .otherwise(lit(127.0) / absmax)
+    // native scale + encode (Int8Scale/Int8Codes): the HOF formulation
+    // ran interpreted, and CollapseProject inlined the absmax TREE into
+    // the encode lambda — O(dim^2) interpreted work per row for a
+    // map-only scan (q91 cost seconds; the r10 md5 finding's shape).
+    // The scale is evaluated once per row as the codes' ARGUMENT;
+    // results are bit-identical (same float-max then 127.0/(double)
+    // shape, same shortest-decimal HALF_UP rounding).
+    VectorFunctions.register(vecs.sparkSession)
+    // a NULL vector scales 0.0 (the oracle's `am IS NULL -> 0.0` arm)
+    // while its codes stay NULL — coalesce restores that asymmetry
+    // over the null-intolerant native expression
+    val scale = coalesce(VectorFunctions.int8Scale(col(vecCol)), lit(0.0))
     vecs.select(col(idCol),
       round(scale, 6).as("scale"),
-      transform(col(vecCol), x => round(x * scale).cast("byte")).as("q"))
+      VectorFunctions.int8Codes(col(vecCol), scale).as("q"))
   }
 
   /** All pairs (a < b) with cosine >= threshold — the exhaustive

@@ -577,4 +577,37 @@ class SimOpsSpec extends SparkSpec {
       "vec_id", "embedding").as[(Long, Double, Seq[Byte])].head()
     assert(z._2 == 0.0 && z._3.forall(_ == 0))
   }
+
+  test("int8Quantize native expressions are bit-identical to the HOF formulation") {
+    // Int8Scale/Int8Codes replaced array_max(transform(abs)) +
+    // transform(round(x*scale).cast(byte)) — interpreted HOFs whose
+    // scale tree CollapseProject inlined PER ELEMENT. The replacement
+    // must be arithmetic-shape identical (float max, 127.0/(double),
+    // shortest-decimal HALF_UP round), pinned here against the old
+    // formulation on the real corpus plus the edge fixtures.
+    import org.apache.spark.sql.functions._
+    val e = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding")
+      .unionByName(Seq(
+        (900001L, Array(0f, 0f)),                 // zero vector
+        (900002L, Array.empty[Float]),            // empty vector
+        (900003L, Array(-2.5f, 2.5f, 127.5f)),    // .5 rounding, both signs
+        (900004L, Array(1e-8f, -1e-8f))           // denormal-ish scale blowup
+      ).toDF("vec_id", "embedding"))
+    val absmax = array_max(transform($"embedding", x => abs(x)))
+    val hofScale = when(absmax === lit(0.0f) || absmax.isNull, lit(0.0))
+      .otherwise(lit(127.0) / absmax)
+    val reference = e.select($"vec_id",
+      round(hofScale, 6).as("scale"),
+      transform($"embedding", x => round(x * hofScale).cast("byte")).as("q"))
+    val native = SimOps.int8Quantize(e, "vec_id", "embedding")
+    assert(native.exceptAll(reference).isEmpty &&
+      reference.exceptAll(native).isEmpty,
+      "native SQ8 drifted from the HOF reference")
+    // and the plan is a map-only scan with no interpreted HOF left
+    val plan = native.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quantize shuffles:\n$plan")
+    assert(!plan.toLowerCase.contains("transform("),
+      s"interpreted HOF still in the quantize plan:\n$plan")
+  }
 }
