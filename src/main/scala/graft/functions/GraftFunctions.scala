@@ -31,7 +31,7 @@ object GraftFunctions {
       WinnowFunctions.builders ++ NormalizeFunctions.builders ++
       BloomFunctions.builders ++ BpeFunctions.builders ++
       RepetitionFunctions.builders ++ DsirFunctions.builders ++
-      MarginFunctions.builders
+      MarginFunctions.builders ++ ChunkFunctions.builders
 
   /** Idempotent session registration of a module's builders (the shared
     * body of every module's `register`).

@@ -173,16 +173,14 @@ object SampleOps {
                   size: Int = 32, stride: Int = 16): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size, got size=$size stride=$stride")
-    val toks = TextOps.tokens(col(textCol))
-    val n = org.apache.spark.sql.functions.size(toks)
-    val nchunks = when(n > 0,
-      (ceil(greatest(n - size, lit(0)).cast("double") / stride) + 1).cast("int"))
-      .otherwise(lit(0))
-    // guard nchunks=0: sequence(0, -1) would DESCEND, not produce empty
-    val chunks = when(nchunks > 0,
-      transform(sequence(lit(0), nchunks - 1),
-        i => slice(toks, i * stride + 1, lit(size))))
-      .otherwise(array().cast("array<array<string>>"))
+    // native ArrayChunks: the former index-lambda form captured the
+    // tokenize tree inside the transform, re-running the regex per
+    // CHUNK (O(len^2/stride) per document — quadratic in doc length,
+    // invisible to corpus-scale slope audits). The token array is now
+    // the expression's CHILD, evaluated once per row.
+    graft.functions.ChunkFunctions.register(df.sparkSession)
+    val chunks = graft.functions.ChunkFunctions.arrayChunks(
+      TextOps.tokens(col(textCol)), lit(size), lit(stride))
     df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "__c")))
       .select(col(idCol), col("chunk_idx"),
         org.apache.spark.sql.functions.size(col("__c")).as("ntok"),

@@ -761,13 +761,17 @@ object TextOps {
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
                    segWords: Int = 25): DataFrame = {
     require(segWords > 0, s"segWords must be positive, got $segWords")
-    val toks = tokens(col(textCol))
-    val nseg = ceil(size(toks).cast("double") / segWords).cast("int")
-    // guard nseg=0: sequence(0, -1) would DESCEND, not produce empty
-    val segs = when(nseg > 0,
-      transform(sequence(lit(0), nseg - 1),
-        i => concat_ws(" ", slice(toks, i * segWords + 1, lit(segWords)))))
-      .otherwise(array().cast("array<string>"))
+    // native ArrayChunks (stride = size -> disjoint segments): the
+    // former index-lambda form captured the tokenize tree inside the
+    // transform, re-running the regex per SEGMENT (quadratic in doc
+    // length); chunking is now one pass with the token array as the
+    // expression's child, and the join lambda touches only its own
+    // element.
+    graft.functions.ChunkFunctions.register(df.sparkSession)
+    val segs = transform(
+      graft.functions.ChunkFunctions.arrayChunks(
+        tokens(col(textCol)), lit(segWords), lit(segWords)),
+      c => concat_ws(" ", c))
     val exploded = df
       .select(col(idCol), posexplode(segs).as(Seq("seg_idx", "__seg")))
       .withColumn("__h", md5(col("__seg")))
