@@ -697,12 +697,6 @@ object SimOps {
     val cents = cachedCentroids(fpB, corpus, idCol, vecCol, nlist, coarseIters)
     val books = cachedBooks(fpB, corpus, idCol, vecCol,
       books_dim(corpus, vecCol), m, ksub, 512, 8)
-    // drop any previous build's SQ8 table FIRST: a crash anywhere in
-    // the rebuild then leaves vecs8 MISSING (refineFromSq8 fails
-    // loudly) instead of a fresh index silently paired with the old
-    // generation's codes — dropping last would reopen that window
-    // between the code-list overwrite and the drop
-    sink.drop(IdxVecs8)
     val centRows = for {
       (c, l) <- cents.toIndexedSeq.zipWithIndex
       (v, i) <- c.toIndexedSeq.zipWithIndex
@@ -712,31 +706,38 @@ object SimOps {
       (c, code) <- book.toIndexedSeq.zipWithIndex
       (v, i) <- c.toIndexedSeq.zipWithIndex
     } yield (j, code, i, v.toDouble)
-    // coalesce(1): these are nlist x dim and m x ksub x dsub rows —
-    // default parallelism would write (and every probe's bounded
-    // collect would open) 32 near-empty part files per tiny table
-    sink.overwrite(IdxCentroids,
-      centRows.toDF("list", "comp", "v").coalesce(1), Seq("list", "comp"))
-    sink.overwrite(IdxCodebooks,
-      bookRows.toDF("sub", "code", "comp", "v").coalesce(1),
-      Seq("sub", "code", "comp"))
-    // attrCols ride ALONGSIDE the codes: a filtered probe then pushes
-    // its predicate into the code-list parquet scan itself (predicate
-    // pushdown prunes candidates BEFORE any scoring) — the filtered-
-    // vector-search shape, instead of a corpus-sized semi-join at
-    // probe time
-    sink.overwrite(IdxCodes,
-      corpus.select(Seq(col(idCol).as("id"),
-        array_max(centScores(cents, col(vecCol))).getField("c").as("list"),
-        pqCodes(col(vecCol), books).as("codes"))
-        ++ attrCols.map(col): _*),
-      Seq("id"))
-    // (the stale previous-generation table was dropped up front — see
-    // the pre-training drop; this writes the NEW generation's codes)
-    if (storeSq8)
-      sink.overwrite(IdxVecs8,
+    // ONE atomic group write for the whole index: centroids, codebooks
+    // and code lists (plus the SQ8 refine table, stored or DROPPED per
+    // storeSq8) land under a single cross-table swap, so neither a
+    // concurrent probe nor a crashed rebuild can ever pair one
+    // generation's quantizers with another's codes — the sink's group
+    // journal rolls a crash FORWARD to the complete new index.
+    // coalesce(1): centroids/codebooks are nlist x dim and
+    // m x ksub x dsub rows — default parallelism would write (and every
+    // probe's bounded collect would open) 32 near-empty part files per
+    // tiny table. attrCols ride ALONGSIDE the codes: a filtered probe
+    // then pushes its predicate into the code-list parquet scan itself
+    // (predicate pushdown prunes candidates BEFORE any scoring) — the
+    // filtered-vector-search shape, instead of a corpus-sized semi-join
+    // at probe time.
+    val writes = Seq(
+      graft.sink.TableWrite(IdxCentroids,
+        centRows.toDF("list", "comp", "v").coalesce(1), Seq("list", "comp")),
+      graft.sink.TableWrite(IdxCodebooks,
+        bookRows.toDF("sub", "code", "comp", "v").coalesce(1),
+        Seq("sub", "code", "comp")),
+      graft.sink.TableWrite(IdxCodes,
+        corpus.select(Seq(col(idCol).as("id"),
+          array_max(centScores(cents, col(vecCol))).getField("c").as("list"),
+          pqCodes(col(vecCol), books).as("codes"))
+          ++ attrCols.map(col): _*),
+        Seq("id"))) ++
+      (if (storeSq8) Seq(graft.sink.TableWrite(IdxVecs8,
         int8Quantize(corpus, idCol, vecCol).withColumnRenamed(idCol, "id"),
-        Seq("id"))
+        Seq("id")))
+      else Nil)
+    sink.overwriteMany(writes,
+      drops = if (storeSq8) Nil else Seq(IdxVecs8))
     sink.read(IdxCodes).groupBy("list")
       .agg(count(lit(1)).as("n_codes"))
       .select(col("list"), col("n_codes").cast("int").as("n_codes"))
@@ -865,32 +866,62 @@ object SimOps {
 
   private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
                             sink: graft.sink.UpsertSink): IdxMeta = {
-    val quantKey = (sink.rootPath,
-      sink.version(IdxCentroids), sink.version(IdxCodebooks))
-    val (cents, books) = idxQuantCache.getOrElseUpdate(quantKey, {
-      if (idxQuantCache.size >= 64) idxQuantCache.clear()
-      (readCentroids(sink), readCodebooks(sink))
-    })
-    // a GUARANTEED-unique session token, not identityHashCode: identity
-    // hashes are not unique across live sessions (a collision would
-    // hand one session a plan bound to another, possibly stopped,
-    // session). Entries whose session has stopped are evicted eagerly
-    // so cached plans never pin a dead SparkSession until the size-cap
-    // clear.
-    idxListsCache.filterInPlace((_, df) =>
-      !df.sparkSession.sparkContext.isStopped)
-    val listsKey = (sessionToken(spark), sink.rootPath,
-      sink.version(IdxCodes))
-    val lists = idxListsCache.getOrElseUpdate(listsKey, {
-      if (idxListsCache.size >= 64) idxListsCache.clear()
-      // renames, not a select: attr columns stored by the build ride
-      // along for candidateFilter predicates (Catalyst prunes them from
-      // unfiltered probes)
-      sink.read(IdxCodes).withColumnRenamed("id", "neighbor_id")
-        .withColumnRenamed("list", "__list")
-        .withColumnRenamed("codes", "__codes")
-    })
-    IdxMeta(cents, books, lists)
+    // GENERATION-COHERENT read: builds land all index tables under one
+    // atomic group write ([[graft.sink.UpsertSink.overwriteMany]])
+    // stamping a shared group id; a probe racing the rebuild's swap
+    // window could still capture one table's new generation and
+    // another's old, so the id set is checked before AND after the
+    // decode — a mismatch (or a transiently absent dir mid-swap) is
+    // re-read. Incremental adds PK-merge into member tables and
+    // preserve the id: same generation family, coherent by
+    // construction. Indexes predating group writes carry no ids
+    // (all-None passes — nothing to prove against).
+    val members = Seq(IdxCentroids, IdxCodebooks, IdxCodes)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val g0 = members.map(sink.groupId)
+      try {
+        val quantKey = (sink.rootPath,
+          sink.version(IdxCentroids), sink.version(IdxCodebooks))
+        val (cents, books) = idxQuantCache.getOrElseUpdate(quantKey, {
+          if (idxQuantCache.size >= 64) idxQuantCache.clear()
+          (readCentroids(sink), readCodebooks(sink))
+        })
+        // a GUARANTEED-unique session token, not identityHashCode:
+        // identity hashes are not unique across live sessions (a
+        // collision would hand one session a plan bound to another,
+        // possibly stopped, session). Entries whose session has stopped
+        // are evicted eagerly so cached plans never pin a dead
+        // SparkSession until the size-cap clear.
+        idxListsCache.filterInPlace((_, df) =>
+          !df.sparkSession.sparkContext.isStopped)
+        val listsKey = (sessionToken(spark), sink.rootPath,
+          sink.version(IdxCodes))
+        val lists = idxListsCache.getOrElseUpdate(listsKey, {
+          if (idxListsCache.size >= 64) idxListsCache.clear()
+          // renames, not a select: attr columns stored by the build ride
+          // along for candidateFilter predicates (Catalyst prunes them
+          // from unfiltered probes)
+          sink.read(IdxCodes).withColumnRenamed("id", "neighbor_id")
+            .withColumnRenamed("list", "__list")
+            .withColumnRenamed("codes", "__codes")
+        })
+        if (g0.flatten.distinct.size <= 1 && members.map(sink.groupId) == g0)
+          return IdxMeta(cents, books, lists)
+      } catch {
+        // a member dir transiently absent inside a swap window — the
+        // same event the coherence check exists for; re-read
+        case e: org.apache.spark.sql.AnalysisException
+            if attempt < 50 => ()
+      }
+      if (attempt >= 50)
+        throw new IllegalStateException(
+          s"index under ${sink.rootPath} kept changing across $attempt " +
+            "reads — torn generations or a continuously rebuilding owner")
+      Thread.sleep(20L)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def readCentroids(sink: graft.sink.UpsertSink): Array[Array[Float]] = {

@@ -59,6 +59,14 @@ final case class TableMerge(table: String, updates: DataFrame,
     s"$table: pkUnique promises one row per pk — versionCol is meaningless")
 }
 
+/** One table's payload for [[UpsertSink.overwriteMany]] — the per-table
+  * arguments of [[UpsertSink.overwrite]] as data. A non-empty `pk`
+  * writes the shadow in the bucketed layout so later merges take the
+  * incremental path, exactly like the single-table form.
+  */
+final case class TableWrite(table: String, df: DataFrame,
+                            pk: Seq[String] = Seq.empty)
+
 final class UpsertSink(spark: SparkSession, root: String,
                        numBuckets: Int = 64,
                        writerWaitMs: Long = 60000L) {
@@ -183,6 +191,7 @@ final class UpsertSink(spark: SparkSession, root: String,
     * rename sequence.
     */
   private def recover(table: String): Unit = {
+    rollForwardGroups()
     if (writerInFlight(table)) return
     val target = tableDir(table)
     val old = Paths.get(root, s".${table}__old")
@@ -226,6 +235,67 @@ final class UpsertSink(spark: SparkSession, root: String,
         }
       }
     finally listing.close()
+
+  /** Roll FORWARD any crashed multi-table group swap. A `.gswap__<id>`
+    * journal is [[overwriteMany]]'s commit point — written only after
+    * every member shadow is complete — so once it exists the only
+    * cross-table-consistent outcome is ALL-NEW: completing the
+    * remaining renames here is what makes the group write atomic
+    * against crashes, not merely against live readers. Skipped while
+    * any member's write-intent marker is still fresh (that is a LIVE
+    * writer mid-window, not a crash). Idempotent and reader-racing
+    * tolerant (every move is a [[tryMove]]; a W entry whose shadow is
+    * gone has already swapped, a D entry whose dir is gone has already
+    * dropped). Dead `__old`/`__trash` dirs are deleted BEFORE the
+    * journal: the journal is the only thing stopping the single-table
+    * `__old` restore from grafting a dead generation back over the
+    * rolled-forward one.
+    */
+  private def rollForwardGroups(): Unit = {
+    val rootP = Paths.get(root)
+    if (!Files.isDirectory(rootP)) return
+    val stream = Files.list(rootP)
+    val journals =
+      try stream.iterator().asScala.toSeq.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(".gswap__") && !n.endsWith(".tmp")
+      }
+      finally stream.close()
+    journals.foreach { j =>
+      val entries =
+        try new String(Files.readAllBytes(j), "UTF-8").split("\n").toSeq
+          .filter(_.contains("\t")).map { l =>
+            val Array(kind, t) = l.split("\t", 2); (kind, t)
+          }
+        catch {
+          // vanished mid-read: another recoverer just finished it
+          case _: java.io.IOException => Seq.empty[(String, String)]
+        }
+      if (entries.nonEmpty && !entries.exists(e => writerInFlight(e._2))) {
+        entries.foreach {
+          case ("W", t) =>
+            val shadow = Paths.get(root, s".${t}__shadow")
+            if (Files.exists(shadow)) {
+              val target = tableDir(t)
+              if (Files.exists(target))
+                tryMove(target, Paths.get(root, s".${t}__old"))
+              tryMove(shadow, target)
+            }
+          case ("D", t) =>
+            val target = tableDir(t)
+            if (Files.exists(target))
+              tryMove(target, Paths.get(root, s".${t}__trash"))
+          case _ => ()
+        }
+        entries.foreach { case (_, t) =>
+          deleteRecursively(Paths.get(root, s".${t}__old"))
+          deleteRecursively(Paths.get(root, s".${t}__trash"))
+        }
+        try Files.deleteIfExists(j)
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
 
   /** How long a write-intent marker stays credible as a LIVE writer.
     * The fenced windows are pure rename sequences (no Spark job, no
@@ -694,15 +764,156 @@ final class UpsertSink(spark: SparkSession, root: String,
     */
   def overwrite(table: String, df: DataFrame, pk: Seq[String] = Seq.empty): Unit =
     withWriterLease(Seq(table)) {
-    swapInShadow(table) { shadow =>
-      if (pk.nonEmpty) {
-        bucketAligned(withBucket(df, pk, numBuckets), numBuckets)
-          .write.mode(SaveMode.Overwrite)
-          .partitionBy(BucketCol).parquet(shadow.toString)
-        Files.write(bucketMarker(shadow), numBuckets.toString.getBytes("UTF-8"))
-      } else df.write.mode(SaveMode.Overwrite).parquet(shadow.toString)
+    swapInShadow(table)(writeShadowData(_, df, pk))
     }
+
+  private def writeShadowData(shadow: Path, df: DataFrame,
+                              pk: Seq[String]): Unit =
+    if (pk.nonEmpty) {
+      bucketAligned(withBucket(df, pk, numBuckets), numBuckets)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(BucketCol).parquet(shadow.toString)
+      Files.write(bucketMarker(shadow), numBuckets.toString.getBytes("UTF-8"))
+    } else df.write.mode(SaveMode.Overwrite).parquet(shadow.toString)
+
+  /** ATOMIC GROUP overwrite: replace (and/or drop) SEVERAL tables such
+    * that no reader — live or recovering from this writer's crash —
+    * ever observes a cross-table mix of generations. This is what a
+    * multi-table artifact (the ANN index's centroids + codebooks +
+    * code lists) needs from its rebuild: each single-table [[overwrite]]
+    * is atomic alone, but a sequence of them has windows where table 1
+    * is the new build and table 3 the old one.
+    *
+    * Mechanics, in crash-ordered phases:
+    *  1. Under ONE writer lease covering every member: per-table
+    *     recovery, then every shadow fully written and generation-
+    *     stamped, plus a shared `_graft_group` id across all members.
+    *     All Spark work happens here; a crash leaves every member on
+    *     the old generation (shadows are dot-prefixed — invisible).
+    *  2. The COMMIT POINT: fence every member's write-intent marker,
+    *     then write a `.gswap__<id>` journal (temp + ATOMIC_MOVE)
+    *     naming the group's writes and drops. Journal present means
+    *     committed: recovery from any later crash rolls FORWARD
+    *     ([[rollForwardGroups]]) so every member converges on the new
+    *     generation — never a mix.
+    *  3. The swap: per member, a pure rename pair (old aside, shadow
+    *     in), re-stamping the fence per table so a long member list
+    *     never outlives marker freshness. Drops move the dir aside
+    *     (rename — atomic) rather than deleting in-window.
+    *  4. Journal deleted, fences cleared, and only THEN the heavy
+    *     recursive deletes of dead generations — deferred outside the
+    *     fenced window on purpose.
+    *
+    * Concurrent readers of any member during phase 3 see the fence and
+    * wait ([[snapshot]]) or no-op ([[recover]]); [[snapshotMany]] adds
+    * the cross-table version re-check that makes a multi-table read
+    * all-or-nothing against this writer.
+    */
+  def overwriteMany(writes: Seq[TableWrite], drops: Seq[String] = Nil): Unit = {
+    val all = writes.map(_.table) ++ drops
+    require(all.nonEmpty, "overwriteMany needs at least one write or drop")
+    require(all.distinct.size == all.size,
+      s"overwriteMany: duplicate tables in [${all.mkString(", ")}]")
+    all.foreach(requireValidTableName)
+    withWriterLease(all) {
+      val groupId = java.util.UUID.randomUUID().toString
+      // phase 1 — every expensive step before any member changes
+      val shadows = writes.map { w =>
+        val shadow = Paths.get(root, s".${w.table}__shadow")
+        deleteRecursively(shadow)
+        recover(w.table)
+        dropLegacyBucketBackups(w.table)
+        deleteRecursively(Paths.get(root, s".${w.table}__old"))
+        writeShadowData(shadow, w.df, w.pk)
+        stampGeneration(shadow)
+        Files.write(shadow.resolve(GroupMarker), groupId.getBytes("UTF-8"))
+        w.table -> shadow
+      }
+      drops.foreach { t =>
+        recover(t)
+        deleteRecursively(Paths.get(root, s".${t}__old"))
+        deleteRecursively(Paths.get(root, s".${t}__trash"))
+      }
+      // phase 2 — fence all members, then the commit-point journal
+      all.foreach(stampWriteIntent)
+      val journal = Paths.get(root, s".gswap__$groupId")
+      try {
+        val tmp = Files.createTempFile(Paths.get(root), ".gswaptmp_", ".tmp")
+        Files.write(tmp, (writes.map(w => s"W\t${w.table}") ++
+          drops.map(d => s"D\t$d")).mkString("\n").getBytes("UTF-8"))
+        Files.move(tmp, journal, StandardCopyOption.ATOMIC_MOVE)
+        // phase 3 — pure rename sequences, fence re-stamped per member
+        shadows.foreach { case (table, shadow) =>
+          stampWriteIntent(table)
+          val target = tableDir(table)
+          val old = Paths.get(root, s".${table}__old")
+          if (Files.exists(target))
+            Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+          Files.move(shadow, target, StandardCopyOption.ATOMIC_MOVE)
+        }
+        drops.foreach { table =>
+          stampWriteIntent(table)
+          val target = tableDir(table)
+          if (Files.exists(target))
+            Files.move(target, Paths.get(root, s".${table}__trash"),
+              StandardCopyOption.ATOMIC_MOVE)
+        }
+        Files.delete(journal)
+      } finally all.foreach(t => Files.deleteIfExists(inFlightMarker(t)))
+      // phase 4 — deferred heavy I/O: dead generations, dropped tables
+      writes.foreach(w =>
+        deleteRecursively(Paths.get(root, s".${w.table}__old")))
+      drops.foreach { t =>
+        deleteRecursively(Paths.get(root, s".${t}__trash"))
+        dropLegacyBucketBackups(t)
+      }
     }
+  }
+
+  /** Cross-table POINT-IN-TIME snapshot: every member captured with
+    * [[snapshot]]'s per-table guarantees, then the GROUP validated —
+    * no member's content version moved while later members were being
+    * captured and no writer window is open over any member. An
+    * [[overwriteMany]] group write therefore appears in a multi-table
+    * read all-or-nothing. Returned snapshots align with `tables`;
+    * close every one (each pins its inodes independently).
+    */
+  def snapshotMany(tables: Seq[String]): Seq[TableSnapshot] = {
+    require(tables.nonEmpty && tables.distinct.size == tables.size,
+      s"snapshotMany needs distinct tables, got [${tables.mkString(", ")}]")
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val v0 = tables.map(version)
+      val snaps = tables.map(snapshot)
+      if (!tables.exists(writerInFlight) && tables.map(version) == v0)
+        return snaps
+      snaps.foreach(_.close())
+      // a swap landed inside the capture window; brief pause so the
+      // retry isn't phase-locked to a periodic writer
+      Thread.sleep(25L * attempt)
+    }
+    throw new IllegalStateException(
+      s"snapshotMany of [${tables.mkString(", ")}] saw concurrent writes " +
+        s"on all $attempt attempts — is a writer continuously rewriting?")
+  }
+
+  /** The shared group id stamped across every member of one
+    * [[overwriteMany]] write (`_graft_group`), or None for tables
+    * written alone. Readers holding multi-table decoded state (the ANN
+    * index quantizer caches) compare members' ids to detect a torn
+    * capture; PK merges into a member (index adds) preserve the id —
+    * same generation family.
+    */
+  def groupId(table: String): Option[String] = {
+    val p = tableDir(table).resolve(GroupMarker)
+    try {
+      if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8"))
+      else None
+    } catch { case _: java.io.IOException => None }
+  }
+
+  private val GroupMarker = "_graft_group"
 
   /** The whole-table swap skeleton: prepare a clean shadow dir, have
     * `writeShadow` fill it, then atomically replace the table. Touches
@@ -1045,6 +1256,7 @@ final class UpsertSink(spark: SparkSession, root: String,
     deleteRecursively(tableDir(table))
     deleteRecursively(Paths.get(root, s".${table}__old"))
     deleteRecursively(Paths.get(root, s".${table}__shadow"))
+    deleteRecursively(Paths.get(root, s".${table}__trash"))
     dropLegacyBucketBackups(table)
   }
 

@@ -402,6 +402,37 @@ class SimOpsSpec extends SparkSpec {
     }
   }
 
+  test("index build is one atomic generation: shared group id; a torn mix fails loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_anngen")
+    val sink = new graft.sink.UpsertSink(spark, root.toString)
+    val e = Tables.load(spark, sf, "embeddings").filter($"vec_id" < 200)
+    SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink).collect()
+    // the build lands all tables under ONE group write — shared id
+    val gids = Seq("ann_centroids", "ann_codebooks", "ann_codes")
+      .map(sink.groupId)
+    assert(gids.head.nonEmpty && gids.distinct.size == 1,
+      s"index tables carry mixed/missing group ids: $gids")
+    // an incremental add stays in the same generation family
+    SimOps.ivfPqIndexAdd(
+      Tables.load(spark, sf, "embeddings")
+        .filter($"vec_id" >= 200 && $"vec_id" < 210),
+      "vec_id", "embedding", sink)
+    assert(sink.groupId("ann_codes") == gids.head,
+      "index add must not leave the build's generation family")
+    // fabricate the failure the guard exists for: codes from another
+    // generation than the quantizers — the probe must refuse, not
+    // silently decode one generation's codes with another's codebooks
+    java.nio.file.Files.write(
+      root.resolve("ann_codes").resolve("_graft_group"),
+      "another-generation".getBytes("UTF-8"))
+    val queries = e.filter($"vec_id" % 50 === 0)
+    val ex = intercept[IllegalStateException] {
+      SimOps.ivfPqProbeIndex(queries, e, "vec_id", "embedding", sink, 5)
+    }
+    assert(ex.getMessage.contains("torn generations"),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
   test("diverseSelect: diversity beats redundancy, deterministic, size-bounded") {
     // cluster A around +x (ids 1-5: four near-copies + one genuinely
     // different direction), cluster B around -x (ids 11-12). With k=2,

@@ -2,6 +2,8 @@ package graft.sink
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 
 /** Upsert/merge semantics + retry policy — mirrors dbUpsert.test.ts
@@ -846,6 +848,136 @@ class UpsertSinkSpec extends SparkSpec {
     assert(torn.isEmpty, s"observed torn marker content: '${torn.peek()}'")
     val seen = stamps.iterator().asScala.toSeq.distinct
     assert(seen.nonEmpty, "watcher never observed the fenced window")
+  }
+
+  test("overwriteMany: group write round-trips, drops atomically, one shared group id") {
+    val sink = freshSink()
+    sink.overwrite("c", Seq((9L, "dead")).toDF("id", "v"))
+    sink.overwriteMany(Seq(
+      TableWrite("a", Seq((1L, "a1")).toDF("id", "v"), Seq("id")),
+      TableWrite("b", Seq((1L, 10L)).toDF("id", "n"))),
+      drops = Seq("c"))
+    assert(sink.read("a").as[(Long, String)].collect().toSeq == Seq((1L, "a1")))
+    assert(sink.read("b").as[(Long, Long)].collect().toSeq == Seq((1L, 10L)))
+    assert(!sink.exists("c"), "dropped member survived the group write")
+    val ga = sink.groupId("a")
+    assert(ga.nonEmpty && ga == sink.groupId("b"),
+      "group members must share one generation id")
+    // a PK merge into a member stays in the same generation family; a
+    // SOLO overwrite starts a new, ungrouped one
+    sink.merge("a", Seq((2L, "a2")).toDF("id", "v"), Seq("id"))
+    assert(sink.groupId("a") == ga, "merge must preserve the group id")
+    sink.overwrite("a", Seq((3L, "solo")).toDF("id", "v"))
+    assert(sink.groupId("a").isEmpty, "solo overwrite must clear the group id")
+    // duplicate members rejected loudly
+    assertThrows[IllegalArgumentException] {
+      sink.overwriteMany(Seq(
+        TableWrite("x", Seq((1L, "v")).toDF("id", "v"))), drops = Seq("x"))
+    }
+  }
+
+  test("group-swap crash: a committed journal rolls every member FORWARD — never a mix") {
+    // fabricate the exact post-commit crash state overwriteMany can
+    // leave: journal written (the commit point), member `a` already
+    // swapped to the new generation (its old dir parked), member `b`
+    // not yet (shadow still pending), drop of `c` not yet executed.
+    // The only cross-table-consistent outcome is ALL-NEW + c gone.
+    val root = Files.createTempDirectory("graft_gswap")
+    val sink = new UpsertSink(spark, root.toString)
+    sink.overwrite("a", Seq((1L, "old")).toDF("id", "v"))
+    sink.overwrite("b", Seq((1L, "old")).toDF("id", "v"))
+    sink.overwrite("c", Seq((1L, "old")).toDF("id", "v"))
+    val gid = java.util.UUID.randomUUID().toString
+    for (t <- Seq("a", "b")) {
+      val shadow = root.resolve(s".${t}__shadow")
+      Seq((1L, "new")).toDF("id", "v").write.parquet(shadow.toString)
+      Files.write(shadow.resolve("_graft_gen"),
+        java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+      Files.write(shadow.resolve("_graft_group"), gid.getBytes("UTF-8"))
+    }
+    // `a` crashed mid-swap AFTER its own renames completed
+    Files.move(root.resolve("a"), root.resolve(".a__old"))
+    Files.move(root.resolve(".a__shadow"), root.resolve("a"))
+    Files.write(root.resolve(s".gswap__$gid"),
+      "W\ta\nW\tb\nD\tc".getBytes("UTF-8"))
+    // any member read triggers recovery and converges the WHOLE group
+    assert(sink.read("b").as[(Long, String)].collect().toSeq
+      == Seq((1L, "new")))
+    assert(sink.read("a").as[(Long, String)].collect().toSeq
+      == Seq((1L, "new")))
+    assert(!sink.exists("c"), "journaled drop must complete on recovery")
+    assert(sink.groupId("a") == Some(gid) && sink.groupId("b") == Some(gid))
+    val leftovers = Files.list(root).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith(".gswap__") || n.endsWith("__old") ||
+        n.endsWith("__trash") || n.endsWith("__shadow")).toSeq
+    assert(leftovers.isEmpty, s"roll-forward left debris: $leftovers")
+  }
+
+  test("group-swap roll-forward defers to a LIVE writer's fresh fence") {
+    val root = Files.createTempDirectory("graft_gswap_live")
+    val sink = new UpsertSink(spark, root.toString)
+    sink.overwrite("b", Seq((1L, "old")).toDF("id", "v"))
+    val gid = java.util.UUID.randomUUID().toString
+    val shadow = root.resolve(".b__shadow")
+    Seq((1L, "new")).toDF("id", "v").write.parquet(shadow.toString)
+    Files.write(shadow.resolve("_graft_group"), gid.getBytes("UTF-8"))
+    Files.write(root.resolve(s".gswap__$gid"), "W\tb".getBytes("UTF-8"))
+    // a FRESH fence = live writer mid-window: recovery must not touch it
+    Files.write(root.resolve(".b__inflight"),
+      System.currentTimeMillis().toString.getBytes("UTF-8"))
+    assert(sink.read("b").as[(Long, String)].collect().toSeq
+      == Seq((1L, "old")), "recovery ran under a live writer's fence")
+    assert(Files.exists(root.resolve(s".gswap__$gid")),
+      "journal consumed under a live writer's fence")
+    // the writer dies (fence cleared): recovery now completes the swap
+    Files.delete(root.resolve(".b__inflight"))
+    assert(sink.read("b").as[(Long, String)].collect().toSeq
+      == Seq((1L, "new")))
+  }
+
+  test("snapshotMany vs a LIVE group-writer thread: never a cross-table generation mix") {
+    val sink = freshSink()
+    def gen(t: String, g: Int) =
+      (1L to 50L).map(i => (i, s"g$g")).toDF("id", "v")
+    sink.overwriteMany(Seq(
+      TableWrite("x", gen("x", 0), Seq("id")),
+      TableWrite("y", gen("y", 0), Seq("id"))))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var writerErr: Option[Throwable] = None
+    val writer = new Thread(() => {
+      try {
+        var i = 0
+        while (!stop.get()) {
+          i += 1
+          sink.overwriteMany(Seq(
+            TableWrite("x", gen("x", i), Seq("id")),
+            TableWrite("y", gen("y", i), Seq("id"))))
+          // churn, not a zero-gap rewrite loop (which is exactly the
+          // "continuously rewriting" state snapshotMany reports)
+          Thread.sleep(150L)
+        }
+      } catch { case t: Throwable => writerErr = Some(t) }
+    }, "graft-groupswap-churn-writer")
+    writer.start()
+    try {
+      for (round <- 1 to 3) {
+        val snaps = sink.snapshotMany(Seq("x", "y"))
+        try {
+          val gx = snaps(0).df.select("v").as[String].collect().distinct.toSeq
+          val gy = snaps(1).df.select("v").as[String].collect().distinct.toSeq
+          assert(gx.size == 1 && gy.size == 1,
+            s"round $round: torn per-table capture x=$gx y=$gy")
+          assert(gx == gy,
+            s"round $round: CROSS-TABLE generation mix x=$gx y=$gy")
+        } finally snaps.foreach(_.close())
+      }
+    } finally {
+      stop.set(true)
+      writer.join(60000)
+    }
+    assert(!writer.isAlive, "churn writer failed to stop")
+    writerErr.foreach(t => fail(s"group writer died mid-churn: $t", t))
   }
 
   test("retry: succeeds after transient failures, delays double") {
