@@ -3232,6 +3232,43 @@ object Catalog {
           .filter(col("dsir_mil").isNotNull)
           .orderBy(col("dsir_mil").desc, col("doc_id"))
           .limit(100)
+      }),
+
+    QueryDef("q109_incremental_neardup",
+      "INCREMENTAL near-dup admission — dedup a new batch against a " +
+        "persisted archive WITHOUT re-shingling the archive (the only " +
+        "dedup shape that works when the archive is 100 TB and the " +
+        "batch is a day's crawl): the archive's MinHash band postings " +
+        "+ shingle sets are built once into the store (one atomic " +
+        "group write), then the probe broadcasts the batch's band " +
+        "keys against the posting scan (map-only — the archive side " +
+        "never shuffles), broadcasts the batch-bounded candidate set " +
+        "against the shingle-set scan (map-only again), and " +
+        "exact-verifies Jaccard >= 0.5 on candidates only. Oracle: " +
+        "exhaustive archive x batch Jaccard (q29's recall argument — " +
+        "planted dups sit at j >= 0.9, miss probability ~1e-15).",
+      Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') w
+             |  FROM documents),
+             |sh AS (SELECT doc_id, CASE WHEN len(w) < 3
+             |    THEN [array_to_string(w, ' ')]
+             |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |                        for i in range(1, len(w) - 1)]) END AS s
+             |  FROM toks),
+             |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |      / len(list_distinct(list_concat(a.s, b.s))) AS j
+             |  FROM sh a JOIN sh b
+             |    ON a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0)
+             |SELECT a_id, b_id, round(j, 4) AS jac FROM p
+             |WHERE j >= 0.5 ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.freshSink(s, "neardup", dir)
+        TextOps.minhashStoreBuild(docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", sink)
+        TextOps.minhashStoreProbe(docs.filter(col("doc_id") % 3 === 0),
+            "doc_id", "text", sink, threshold = 0.5)
+          .orderBy("a_id", "b_id")
       })
   )
 

@@ -208,6 +208,102 @@ object TextOps {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  // ---- incremental near-dup: persisted MinHash store --------------------
+
+  private val NearDupBands = "neardup_bands"
+  private val NearDupShingles = "neardup_shingles"
+
+  /** Build the PERSISTED near-dup state for an archive: LSH band
+    * postings (band, doc_id) plus each document's distinct shingle set,
+    * landed as ONE atomic group write (a probe can never pair one
+    * generation's postings with another's shingle sets). This is the
+    * state that makes archive-scale dedup INCREMENTAL: admitting a new
+    * crawl batch against a 100 TB archive must not re-shingle the
+    * archive — [[minhashStoreProbe]] touches only these two compact
+    * tables, never the archive text.
+    */
+  def minhashStoreBuild(df: DataFrame, idCol: String, textCol: String,
+                        sink: graft.sink.UpsertSink, n: Int = 3,
+                        k: Int = 128, bands: Int = 32): Unit = {
+    graft.functions.MinHashFunctions.register(df.sparkSession)
+    val sh = shingles(col(textCol), n)
+    sink.overwriteMany(Seq(
+      graft.sink.TableWrite(NearDupBands,
+        df.select(col(idCol).as("doc_id"),
+          explode(graft.functions.MinHashFunctions.bandKeys(sh, k, bands))
+            .as("band")),
+        Seq("band", "doc_id")),
+      graft.sink.TableWrite(NearDupShingles,
+        df.select(col(idCol).as("doc_id"), sh.as("sh")),
+        Seq("doc_id"))))
+  }
+
+  /** Probe a NEW batch against the persisted archive state: near-dup
+    * pairs (a_id from the archive, b_id from the batch) with exact
+    * shingle Jaccard >= `threshold`. Candidate generation and verify
+    * both read ONLY the store:
+    *  - the batch's band keys broadcast against the posting scan
+    *    (map-only over the store — the archive side never shuffles),
+    *  - the candidate (a_id, b_id) set — batch-bounded — broadcasts
+    *    against the shingle-set scan, again map-only,
+    *  - exact Jaccard on the candidate pairs (LSH recall argument as
+    *    q29: at 128/32x4 a true j >= 0.9 pair is missed with
+    *    probability (1-0.9^4)^32 ~ 1e-15).
+    * `broadcastBatch = false` is the corpus-scale-batch escape hatch:
+    * both joins fall back to AQE-picked shuffled strategies.
+    */
+  def minhashStoreProbe(batch: DataFrame, idCol: String, textCol: String,
+                        sink: graft.sink.UpsertSink,
+                        threshold: Double = 0.5, n: Int = 3,
+                        k: Int = 128, bands: Int = 32,
+                        broadcastBatch: Boolean = true): DataFrame = {
+    graft.functions.MinHashFunctions.register(batch.sparkSession)
+    val sh = shingles(col(textCol), n)
+    val bc: DataFrame => DataFrame =
+      if (broadcastBatch) broadcast(_) else identity
+    val batchBands = batch.select(col(idCol).as("b_id"),
+      explode(graft.functions.MinHashFunctions.bandKeys(sh, k, bands))
+        .as("band"))
+    val cands = sink.read(NearDupBands).join(bc(batchBands), "band")
+      .select(col("doc_id").as("a_id"), col("b_id")).distinct()
+    sink.read(NearDupShingles).select(col("doc_id").as("a_id"),
+        col("sh").as("a_sh"))
+      .join(bc(cands), "a_id")
+      .join(bc(batch.select(col(idCol).as("b_id"), sh.as("b_sh"))), "b_id")
+      .withColumn("j", jaccard(col("a_sh"), col("b_sh")))
+      .filter(col("j") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("j"), 4).as("jac"))
+  }
+
+  /** Admission step: probe the batch against the archive state, then
+    * fold the batch INTO the state (one `mergeMany` round-trip, both
+    * tables' touched buckets learned in one job) so the next batch
+    * dedups against this one too. Returns the probe result — the pairs
+    * that existed BEFORE the batch joined the archive.
+    */
+  def minhashStoreAdmit(batch: DataFrame, idCol: String, textCol: String,
+                        sink: graft.sink.UpsertSink,
+                        threshold: Double = 0.5, n: Int = 3,
+                        k: Int = 128, bands: Int = 32): DataFrame = {
+    // eager localCheckpoint: the probe result is candidate-bounded but
+    // its PLAN reads the store files the merge below is about to
+    // rewrite — materialize it first or the returned frame dangles on
+    // swapped-away parts
+    val out = minhashStoreProbe(batch, idCol, textCol, sink, threshold,
+      n, k, bands).localCheckpoint(true)
+    val sh = shingles(col(textCol), n)
+    sink.mergeMany(Seq(
+      graft.sink.TableMerge(NearDupBands,
+        batch.select(col(idCol).as("doc_id"),
+          explode(graft.functions.MinHashFunctions.bandKeys(sh, k, bands))
+            .as("band")),
+        Seq("band", "doc_id"), pkUnique = true),
+      graft.sink.TableMerge(NearDupShingles,
+        batch.select(col(idCol).as("doc_id"), sh.as("sh")),
+        Seq("doc_id"), pkUnique = true)))
+    out
+  }
+
   /** Column-level SimHash vote for one bit of a word hash. */
   private def bitVote(hv: Column, cnt: Column, bit: Int): Column =
     when(shiftright(hv, bit).bitwiseAND(lit(1L)) === 1L, cnt).otherwise(-cnt)

