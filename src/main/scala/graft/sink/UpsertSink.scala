@@ -262,6 +262,7 @@ final class UpsertSink(spark: SparkSession, root: String,
       }
       finally stream.close()
     journals.foreach { j =>
+      val gid = j.getFileName.toString.stripPrefix(".gswap__")
       val entries =
         try new String(Files.readAllBytes(j), "UTF-8").split("\n").toSeq
           .filter(_.contains("\t")).map { l =>
@@ -272,10 +273,24 @@ final class UpsertSink(spark: SparkSession, root: String,
           case _: java.io.IOException => Seq.empty[(String, String)]
         }
       if (entries.nonEmpty && !entries.exists(e => writerInFlight(e._2))) {
+        // per-entry re-checks close the stale-recoverer window: a
+        // recoverer that read the journal, stalled past a sibling's
+        // full roll-forward AND a new writer's next generation, then
+        // resumed, must not apply dead entries. The journal-existence
+        // and fence re-checks shrink that window to one rename; the
+        // group-id gate on W entries closes it outright — a shadow is
+        // installable ONLY when its _graft_group content names THIS
+        // journal's id, so a newer writer's (half-written, differently
+        // stamped or unstamped) shadow can never be grafted in.
         entries.foreach {
           case ("W", t) =>
             val shadow = Paths.get(root, s".${t}__shadow")
-            if (Files.exists(shadow)) {
+            val marker = shadow.resolve(GroupMarker)
+            val belongs =
+              try Files.exists(marker) &&
+                new String(Files.readAllBytes(marker), "UTF-8") == gid
+              catch { case _: java.io.IOException => false }
+            if (belongs && Files.exists(j) && !writerInFlight(t)) {
               val target = tableDir(t)
               if (Files.exists(target))
                 tryMove(target, Paths.get(root, s".${t}__old"))
@@ -283,13 +298,16 @@ final class UpsertSink(spark: SparkSession, root: String,
             }
           case ("D", t) =>
             val target = tableDir(t)
-            if (Files.exists(target))
+            if (Files.exists(j) && !writerInFlight(t) &&
+                Files.exists(target))
               tryMove(target, Paths.get(root, s".${t}__trash"))
           case _ => ()
         }
         entries.foreach { case (_, t) =>
-          deleteRecursively(Paths.get(root, s".${t}__old"))
-          deleteRecursively(Paths.get(root, s".${t}__trash"))
+          if (Files.exists(j) && !writerInFlight(t)) {
+            deleteRecursively(Paths.get(root, s".${t}__old"))
+            deleteRecursively(Paths.get(root, s".${t}__trash"))
+          }
         }
         try Files.deleteIfExists(j)
         catch { case _: java.io.IOException => () }

@@ -914,6 +914,29 @@ class UpsertSinkSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"roll-forward left debris: $leftovers")
   }
 
+  test("group-swap roll-forward refuses a shadow that is not the journal's own") {
+    // the stale-recoverer hazard: a journal from a crashed group write
+    // plus a SHADOW stamped by some OTHER (newer, possibly mid-write)
+    // writer. The group-id gate must refuse the install — grafting a
+    // foreign half-written shadow over the live table would be silent
+    // corruption. The journal itself is still consumed (its own swap
+    // provably completed or its shadow is gone).
+    val root = Files.createTempDirectory("graft_gswap_foreign")
+    val sink = new UpsertSink(spark, root.toString)
+    sink.overwrite("b", Seq((1L, "live")).toDF("id", "v"))
+    val shadow = root.resolve(".b__shadow")
+    Seq((1L, "foreign")).toDF("id", "v").write.parquet(shadow.toString)
+    Files.write(shadow.resolve("_graft_group"),
+      "some-other-generation".getBytes("UTF-8"))
+    Files.write(root.resolve(".gswap__crashed-gid"), "W\tb".getBytes("UTF-8"))
+    assert(sink.read("b").as[(Long, String)].collect().toSeq
+      == Seq((1L, "live")), "foreign shadow grafted over the live table")
+    assert(!Files.exists(root.resolve(".gswap__crashed-gid")),
+      "journal with nothing left to do must still be consumed")
+    assert(Files.exists(shadow),
+      "the foreign writer's shadow is not roll-forward's to delete")
+  }
+
   test("group-swap roll-forward defers to a LIVE writer's fresh fence") {
     val root = Files.createTempDirectory("graft_gswap_live")
     val sink = new UpsertSink(spark, root.toString)
