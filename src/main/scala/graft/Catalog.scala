@@ -3269,6 +3269,50 @@ object Catalog {
         TextOps.minhashStoreProbe(docs.filter(col("doc_id") % 3 === 0),
             "doc_id", "text", sink, threshold = 0.5)
           .orderBy("a_id", "b_id")
+      }),
+
+    QueryDef("q110_incremental_segdedup",
+      "INCREMENTAL C4-style segment screen — q66's boilerplate removal " +
+        "for a daily batch against a persisted archive inventory, " +
+        "without re-tokenizing the archive: the store holds 16 bytes + " +
+        "a count per distinct 25-word segment; the probe broadcasts " +
+        "the batch's segment hashes against the inventory scan " +
+        "(map-only — the store never shuffles, and unlike q66 there " +
+        "is NO corpus-wide window: the archive's ordering work was " +
+        "paid once at build), drops every batch segment the archive " +
+        "has seen, and rebuilds the documents. Exact md5/integer " +
+        "semantics end to end -> full DuckDB oracle.",
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z]+') w FROM documents),
+             |segl AS (SELECT doc_id,
+             |    [{'i': i, 's': array_to_string(w[(i*25+1):(i*25+25)], ' ')}
+             |     for i in range(0, CAST(ceil(len(w)/25.0) AS INTEGER))] AS ss
+             |  FROM toks),
+             |seg AS (SELECT doc_id, u.i AS seg_idx, u.s AS s
+             |  FROM (SELECT doc_id, unnest(ss) AS u FROM segl)),
+             |arch AS (SELECT DISTINCT md5(s) AS h FROM seg
+             |  WHERE doc_id % 3 <> 0),
+             |bat AS (SELECT doc_id, seg_idx, s FROM seg WHERE doc_id % 3 = 0),
+             |keep AS (SELECT * FROM bat
+             |  WHERE md5(s) NOT IN (SELECT h FROM arch)),
+             |k AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+             |    string_agg(s, ' ' ORDER BY seg_idx) AS text_kept
+             |  FROM keep GROUP BY doc_id),
+             |n AS (SELECT doc_id,
+             |    CAST(COALESCE(ceil(len(w)/25.0), 0) AS INTEGER) AS n_segs
+             |  FROM toks WHERE doc_id % 3 = 0)
+             |SELECT n.doc_id, n.n_segs,
+             |  COALESCE(k.n_kept, 0) AS n_kept,
+             |  COALESCE(k.text_kept, '') AS text_kept
+             |FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.freshSink(s, "segdedup", dir)
+        TextOps.segmentStoreBuild(docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", sink)
+        TextOps.segmentStoreProbe(docs.filter(col("doc_id") % 3 === 0),
+            "doc_id", "text", sink)
+          .orderBy("doc_id")
       })
   )
 

@@ -888,6 +888,103 @@ object TextOps {
         coalesce(col("text_kept"), lit("")).as("text_kept"))
   }
 
+  // ---- incremental segment dedup: persisted segment-hash store ---------
+
+  private val SegStore = "segdedup_segs"
+
+  /** The per-document segment rows every segment-store operation shares:
+    * (id, seg_idx, __seg, __h) — one tokenize+chunk pass, md5 content
+    * hash per `segWords`-word segment.
+    */
+  private def segRows(df: DataFrame, idCol: String, textCol: String,
+                      segWords: Int): DataFrame = {
+    graft.functions.ChunkFunctions.register(df.sparkSession)
+    val segs = transform(
+      graft.functions.ChunkFunctions.arrayChunks(
+        tokens(col(textCol)), lit(segWords), lit(segWords)),
+      c => concat_ws(" ", c))
+    df.select(col(idCol), posexplode(segs).as(Seq("seg_idx", "__seg")))
+      .withColumn("__h", md5(col("__seg")))
+  }
+
+  /** Persist an archive's segment-hash inventory: (seg_hash, cnt) — the
+    * state that makes C4-style segment dedup ([[segmentDedup]])
+    * INCREMENTAL: screening a new batch against a 100 TB archive's
+    * boilerplate must not re-tokenize the archive. 16 bytes + a count
+    * per distinct segment, the compact summary of the whole corpus.
+    */
+  def segmentStoreBuild(df: DataFrame, idCol: String, textCol: String,
+                        sink: graft.sink.UpsertSink,
+                        segWords: Int = 25): Unit =
+    sink.overwrite(SegStore,
+      segRows(df, idCol, textCol, segWords)
+        .groupBy(col("__h").as("seg_hash"))
+        .agg(count(lit(1)).as("cnt")),
+      Seq("seg_hash"))
+
+  /** Screen a NEW batch against the persisted archive inventory: drop
+    * every segment whose exact content the archive has seen at least
+    * `minArchiveCount` times, rebuild each batch document from the
+    * survivors — (id, n_segs, n_kept, text_kept), [[segmentDedup]]'s
+    * output contract. The store side never shuffles: the batch's
+    * distinct segment hashes broadcast against the inventory scan
+    * (map-only), and the matched set — batch-bounded — broadcasts back
+    * over the batch rows. Unlike [[segmentDedup]] there is no
+    * corpus-wide window at all: the archive's ordering work was paid
+    * once at build time. `broadcastBatch = false` for corpus-sized
+    * batches (AQE picks the join strategies).
+    */
+  def segmentStoreProbe(batch: DataFrame, idCol: String, textCol: String,
+                        sink: graft.sink.UpsertSink, segWords: Int = 25,
+                        minArchiveCount: Long = 1,
+                        broadcastBatch: Boolean = true): DataFrame = {
+    val bc: DataFrame => DataFrame =
+      if (broadcastBatch) broadcast(_) else identity
+    val rows = segRows(batch, idCol, textCol, segWords)
+    val dup = sink.read(SegStore)
+      .filter(col("cnt") >= minArchiveCount)
+      .withColumnRenamed("seg_hash", "__h")
+      .join(bc(rows.select(col("__h")).distinct()), "__h")
+      .select(col("__h"), lit(true).as("__dup"))
+    val perDoc = rows.join(bc(dup), Seq("__h"), "left")
+      .groupBy(idCol)
+      .agg((max(col("seg_idx")) + 1).cast("int").as("n_segs"),
+        count(when(col("__dup").isNull, lit(1))).cast("int").as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("__dup").isNull, struct(col("seg_idx"), col("__seg"))))),
+          s => s.getField("__seg"))).as("text_kept"))
+    batch.select(col(idCol))
+      .join(bc(perDoc), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_segs"), lit(0)).as("n_segs"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
+  /** Admission: screen the batch, then fold its segment counts into the
+    * inventory (touched hashes only — existing counts are fetched by a
+    * broadcast lookup against the store scan, summed, and PK-merged) so
+    * the next batch screens against this one's boilerplate too.
+    */
+  def segmentStoreAdmit(batch: DataFrame, idCol: String, textCol: String,
+                        sink: graft.sink.UpsertSink, segWords: Int = 25,
+                        minArchiveCount: Long = 1): DataFrame = {
+    // eager localCheckpoint: the probe plan reads store files the merge
+    // below rewrites (same hazard as minhashStoreAdmit)
+    val out = segmentStoreProbe(batch, idCol, textCol, sink, segWords,
+      minArchiveCount).localCheckpoint(true)
+    val batchCounts = segRows(batch, idCol, textCol, segWords)
+      .groupBy(col("__h").as("seg_hash"))
+      .agg(count(lit(1)).as("__bcnt"))
+    val summed = sink.read(SegStore)
+      .join(broadcast(batchCounts), Seq("seg_hash"), "right")
+      .select(col("seg_hash"),
+        (coalesce(col("cnt"), lit(0L)) + col("__bcnt")).as("cnt"))
+    sink.merge(SegStore, summed, Seq("seg_hash"), pkUnique = true)
+    out
+  }
+
   /** Arbitrary-offset repeated-substring deduplication (the ExactSubstr
     * move of Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better"): remove every token covered by a `minTokens`-token

@@ -569,6 +569,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(docScans.nonEmpty, s"no batch scan found:\n$plan")
   }
 
+  test("q110: incremental segment screen — store never shuffles, no corpus window") {
+    // q66 pays a corpus-wide row_number window every run; the whole
+    // point of the persisted inventory is that the batch screen has NO
+    // window at all and the store side joins broadcast (map-only scan)
+    val plan = planOf("q110_incremental_segdedup")
+    assert(!plan.contains("Window"),
+      s"incremental screen re-introduced a corpus window:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"store shuffled for the screen join:\n$plan")
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2,
+      s"hash/dup joins not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+  }
+
   test("q104: centroid rides as a literal — top-k never sorts globally") {
     val plan = planOf("q104_domain_topk")
     assert(plan.contains("TakeOrderedAndProject"),

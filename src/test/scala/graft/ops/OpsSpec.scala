@@ -385,6 +385,48 @@ class OpsSpec extends SparkSpec {
       s"cumulative probe pairs wrong: $p2")
   }
 
+  test("segment store: probe matches segmentDedup semantics cross-set; admit sums counts") {
+    val root = java.nio.file.Files.createTempDirectory("graft_segstore")
+    val sink = new graft.sink.UpsertSink(spark, root.toString, numBuckets = 4)
+    // letters only: TextOps.tokens is [a-z]+, digits would collapse
+    // every "w1 w2 ..." fixture into identical tokens
+    def words(prefix: String, n: Int) =
+      (1 to n).map(i => prefix + ("a" * i)).mkString(" ")
+    val boiler = words("boiler", 4) // one exact 4-word segment
+    val archive = Seq(
+      (1L, boiler + " " + words("uniqa", 4)),
+      (2L, boiler + " " + words("uniqb", 4))
+    ).toDF("doc_id", "text")
+    TextOps.segmentStoreBuild(archive, "doc_id", "text", sink, segWords = 4)
+    // archive saw `boiler` twice, the unique tails once each
+    val cnt = sink.read("segdedup_segs")
+      .as[(String, Long)].collect().toMap
+    assert(cnt.values.toSeq.sorted == Seq(1L, 1L, 2L))
+    val batch = Seq(
+      (10L, boiler + " " + words("fresh", 4)), // boiler dropped, tail kept
+      (11L, words("allnew", 8))                // untouched
+    ).toDF("doc_id", "text")
+    val p = TextOps.segmentStoreAdmit(batch, "doc_id", "text", sink,
+        segWords = 4)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(p == Seq(
+      (10L, 2, 1, words("fresh", 4)),
+      (11L, 2, 2, words("allnew", 8))),
+      s"probe output wrong: $p")
+    // admit SUMMED the batch's 4 segment occurrences in (boiler now 3)
+    val cnt2 = sink.read("segdedup_segs").as[(String, Long)].collect().toMap
+    assert(cnt2.values.sum == cnt.values.sum + 4 &&
+      cnt2.values.max == 3L, s"counts not summed: $cnt2")
+    // and a later batch screens against batch1's segments too
+    val p2 = TextOps.segmentStoreProbe(
+        Seq((20L, words("fresh", 4) + " " + words("later", 4)))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", sink, segWords = 4)
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(p2 == Seq((20L, 2, 1, words("later", 4))),
+      s"cumulative screen wrong: $p2")
+  }
+
   test("saltedJoin equals the plain join on a skewed key (incl. misses)") {
     // 10k rows of one whale key + a long tail; dimension misses key 99
     val big = ((1 to 10000).map(_ => 1L) ++ (2L to 99L)).toDF("k")
