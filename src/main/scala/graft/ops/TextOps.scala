@@ -962,6 +962,82 @@ object TextOps {
         coalesce(col("text_kept"), lit("")).as("text_kept"))
   }
 
+  // ---- incremental exact dedup: persisted fingerprint store ------------
+
+  private val FpStore = "fingerprint_store"
+
+  /** Persist an archive's exact-dup state: the distinct content
+    * [[fingerprint]]s, 16 bytes per distinct document — the smallest
+    * possible summary a new batch needs to exact-dedup against 100 TB.
+    */
+  def fingerprintStoreBuild(df: DataFrame, idCol: String, textCol: String,
+                            sink: graft.sink.UpsertSink): Unit =
+    sink.overwrite(FpStore,
+      df.select(fingerprint(col(textCol)).as("fp")).distinct(), Seq("fp"))
+
+  /** (id, dup_exact: 0/1) for a new batch — dup_exact = 1 iff the
+    * document's content fingerprint already exists in the archive
+    * store. Batch fingerprints broadcast against the store scan
+    * (map-only); the matched set broadcasts back. Int, not boolean, so
+    * downstream oracle comparisons are representation-stable.
+    */
+  def fingerprintStoreProbe(batch: DataFrame, idCol: String,
+                            textCol: String,
+                            sink: graft.sink.UpsertSink,
+                            broadcastBatch: Boolean = true): DataFrame = {
+    val bc: DataFrame => DataFrame =
+      if (broadcastBatch) broadcast(_) else identity
+    val fps = batch.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+    val hit = sink.read(FpStore)
+      .join(bc(fps.select(col("fp")).distinct()), "fp")
+      .select(col("fp"), lit(1).as("__hit"))
+    fps.join(bc(hit), Seq("fp"), "left")
+      .select(col(idCol), coalesce(col("__hit"), lit(0)).as("dup_exact"))
+  }
+
+  /** The COMPOSED incremental admission screen — every per-document
+    * gate a daily-crawl admission runs against a persisted archive, in
+    * one query: quality heuristic, exact dedup (fingerprint store),
+    * segment boilerplate screen (segment inventory), MinHash near-dup
+    * (band + shingle store), language id. Gates are computed
+    * INDEPENDENTLY (one row per batch document with every signal — the
+    * operator's audit view) and `admitted` is their conjunction:
+    * quality >= minQualityMil, lang == wantLang, no exact dup, no
+    * near-dup at `neardupThreshold`. The archive is touched ONLY
+    * through its three compact stores; the batch text is scanned a
+    * bounded number of times, each map-only or broadcast-joined.
+    * All gates are integer/hash-exact, so the whole composition is
+    * DuckDB-oracle-checkable end to end.
+    */
+  def admissionScreen(batch: DataFrame, idCol: String, textCol: String,
+                      sink: graft.sink.UpsertSink,
+                      minQualityMil: Long = 500, wantLang: String = "en",
+                      neardupThreshold: Double = 0.5,
+                      segWords: Int = 25): DataFrame = {
+    val bc: DataFrame => DataFrame = broadcast(_)
+    val ex = fingerprintStoreProbe(batch, idCol, textCol, sink)
+    val seg = segmentStoreProbe(batch, idCol, textCol, sink, segWords)
+      .select(col(idCol), col("n_segs"), col("n_kept"))
+    val nd = minhashStoreProbe(batch, idCol, textCol, sink,
+        threshold = neardupThreshold)
+      .select(col("b_id").as(idCol)).distinct()
+      .withColumn("__nd", lit(1))
+    batch.select(col(idCol),
+        qualityScoreMil(col(textCol)).as("quality_mil"),
+        langId(col(textCol)).as("lang"))
+      .join(bc(ex), Seq(idCol), "left")
+      .join(bc(seg), Seq(idCol), "left")
+      .join(bc(nd), Seq(idCol), "left")
+      .select(col(idCol), col("quality_mil"), col("lang"),
+        col("dup_exact"), col("n_segs"), col("n_kept"),
+        coalesce(col("__nd"), lit(0)).as("neardup_hit"))
+      .withColumn("admitted",
+        (col("quality_mil") >= minQualityMil &&
+          col("lang") === wantLang &&
+          col("dup_exact") === 0 &&
+          col("neardup_hit") === 0).cast("int"))
+  }
+
   /** Admission: screen the batch, then fold its segment counts into the
     * inventory (touched hashes only — existing counts are fetched by a
     * broadcast lookup against the store scan, summed, and PK-merged) so

@@ -584,6 +584,17 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
   }
 
+  test("q111: composed admission screen — archive only via stores, every join broadcast") {
+    val plan = planOf("q111_incremental_admission")
+    assert(!plan.contains("Window"),
+      s"admission screen has a corpus window:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a store shuffled inside the screen:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"a gate fell onto a UDF:\n$plan")
+  }
+
   test("q104: centroid rides as a literal — top-k never sorts globally") {
     val plan = planOf("q104_domain_topk")
     assert(plan.contains("TakeOrderedAndProject"),

@@ -427,6 +427,39 @@ class OpsSpec extends SparkSpec {
       s"cumulative screen wrong: $p2")
   }
 
+  test("fingerprint store + admissionScreen: gates independent, admitted is their conjunction") {
+    val root = java.nio.file.Files.createTempDirectory("graft_admit")
+    val sink = new graft.sink.UpsertSink(spark, root.toString, numBuckets = 4)
+    val good = "the cat and the dog of the house sat in the big warm room " +
+      "and the day was long and the light was good and the end was near"
+    val archive = Seq((1L, good)).toDF("doc_id", "text")
+    TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink)
+    TextOps.segmentStoreBuild(archive, "doc_id", "text", sink)
+    TextOps.minhashStoreBuild(archive, "doc_id", "text", sink)
+    val batch = Seq(
+      (10L, "  THE cat and the dog of the house sat in the big warm room " +
+        "and the day was long and the light was good and the end was near  "),
+      (11L, good.replace("near", "here")), // near-dup, not exact
+      (12L, "der hund und die katze ist das haus und der tag war lang " +
+        "und das licht war gut und das ende war nah so ist das eben gut"),
+      (13L, "!!! ??? ... ;;;")
+    ).toDF("doc_id", "text")
+    val out = TextOps.admissionScreen(batch, "doc_id", "text", sink)
+      .select("doc_id", "dup_exact", "neardup_hit", "lang", "admitted")
+      .as[(Long, Int, Int, String, Int)].collect().sortBy(_._1).toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    // 10: exact dup (fingerprint is case/whitespace-normalized) — the
+    // near-dup gate fires too (identical content), both independent
+    assert(byId(10L)._2 == 1 && byId(10L)._3 == 1 && byId(10L)._5 == 0)
+    // 11: one word changed — not exact, IS a near-dup
+    assert(byId(11L)._2 == 0 && byId(11L)._3 == 1 && byId(11L)._5 == 0)
+    // 12: german — fails only the language gate
+    assert(byId(12L)._2 == 0 && byId(12L)._3 == 0 &&
+      byId(12L)._4 == "de" && byId(12L)._5 == 0)
+    // 13: punctuation soup — fails quality (and lang): not admitted
+    assert(byId(13L)._5 == 0)
+  }
+
   test("saltedJoin equals the plain join on a skewed key (incl. misses)") {
     // 10k rows of one whale key + a long tail; dimension misses key 99
     val big = ((1 to 10000).map(_ => 1L) ++ (2L to 99L)).toDF("k")
