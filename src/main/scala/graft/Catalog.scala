@@ -3392,6 +3392,56 @@ object Catalog {
         TextOps.admissionScreen(docs.filter(col("doc_id") % 3 === 0),
             "doc_id", "text", sink)
           .orderBy("doc_id")
+      }),
+
+    QueryDef("q112_store_retention",
+      "Inventory RETENTION as a lifecycle query (the q100/q105 pattern " +
+        "applied to the segment store): build the archive's segment " +
+        "inventory, COMPACT it to cnt >= 2 — at 100 TB the Zipfian " +
+        "singleton tail is most of the rows and none of the screening " +
+        "signal, and compaction preserves every screen at " +
+        "minArchiveCount >= 2 exactly — then screen the batch at " +
+        "minArchiveCount = 2 off the compacted store. The compaction " +
+        "sizes ride every row as audit columns (inv_kept/inv_dropped) " +
+        "so the harness grades the retention arithmetic, not just the " +
+        "screen. Exact md5/integer semantics -> full DuckDB oracle.",
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z]+') w FROM documents),
+             |segl AS (SELECT doc_id,
+             |    [{'i': i, 's': array_to_string(w[(i*25+1):(i*25+25)], ' ')}
+             |     for i in range(0, CAST(ceil(len(w)/25.0) AS INTEGER))] AS ss
+             |  FROM toks),
+             |seg AS (SELECT doc_id, u.i AS seg_idx, u.s AS s
+             |  FROM (SELECT doc_id, unnest(ss) AS u FROM segl)),
+             |ac AS (SELECT md5(s) AS hsh, count(*) AS c FROM seg
+             |  WHERE doc_id % 3 <> 0 GROUP BY md5(s)),
+             |inv AS (SELECT CAST(count(*) FILTER (WHERE c >= 2) AS BIGINT)
+             |      AS inv_kept,
+             |    CAST(count(*) FILTER (WHERE c < 2) AS BIGINT) AS inv_dropped
+             |  FROM ac),
+             |archs AS (SELECT hsh FROM ac WHERE c >= 2),
+             |batk AS (SELECT doc_id, count(*) FILTER (
+             |      WHERE md5(s) NOT IN (SELECT hsh FROM archs)) AS kept
+             |  FROM seg WHERE doc_id % 3 = 0 GROUP BY doc_id),
+             |segk AS (SELECT t.doc_id,
+             |    CAST(COALESCE(ceil(len(w)/25.0), 0) AS INTEGER) AS n_segs,
+             |    CAST(COALESCE(batk.kept, 0) AS INTEGER) AS n_kept
+             |  FROM toks t LEFT JOIN batk USING (doc_id)
+             |  WHERE t.doc_id % 3 = 0)
+             |SELECT doc_id, n_segs, n_kept, inv_kept, inv_dropped
+             |FROM segk, inv ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.freshSink(s, "segretain", dir)
+        TextOps.segmentStoreBuild(docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", sink)
+        val (kept, dropped) = TextOps.segmentStoreCompact(sink, minCount = 2)
+        TextOps.segmentStoreProbe(docs.filter(col("doc_id") % 3 === 0),
+            "doc_id", "text", sink, minArchiveCount = 2)
+          .drop("text_kept")
+          .withColumn("inv_kept", lit(kept))
+          .withColumn("inv_dropped", lit(dropped))
+          .orderBy("doc_id")
       })
   )
 

@@ -1038,6 +1038,29 @@ object TextOps {
           col("neardup_hit") === 0).cast("int"))
   }
 
+  /** Inventory RETENTION: atomically shrink the segment store to the
+    * rows with `cnt >= minCount`. At 100 TB the inventory is
+    * O(distinct segments) — corpus-scale — but screening only ever
+    * consults rows at or above its `minArchiveCount`, and segment
+    * frequency is Zipfian: the singleton tail is most of the rows and
+    * none of the screening signal. Compacting to minCount = K
+    * preserves [[segmentStoreProbe]] EXACTLY for every
+    * `minArchiveCount >= K` (the rows it drops could never match that
+    * filter) while shrinking the store by the tail's share. One
+    * filtered scan into the sink's atomic whole-table swap; readers
+    * never see a partial inventory. Returns (kept, dropped) row counts.
+    */
+  def segmentStoreCompact(sink: graft.sink.UpsertSink,
+                          minCount: Long): (Long, Long) = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val store = sink.read(SegStore)
+    val total = store.count()
+    val kept = store.filter(col("cnt") >= minCount)
+    sink.overwrite(SegStore, kept, Seq("seg_hash"))
+    val k = sink.read(SegStore).count()
+    (k, total - k)
+  }
+
   /** Admission: screen the batch, then fold its segment counts into the
     * inventory (touched hashes only — existing counts are fetched by a
     * broadcast lookup against the store scan, summed, and PK-merged) so

@@ -427,6 +427,40 @@ class OpsSpec extends SparkSpec {
       s"cumulative screen wrong: $p2")
   }
 
+  test("segmentStoreCompact: drops the sub-threshold tail, preserves screening at >= minCount exactly") {
+    val rootA = java.nio.file.Files.createTempDirectory("graft_segcompA")
+    val rootB = java.nio.file.Files.createTempDirectory("graft_segcompB")
+    val sinkA = new graft.sink.UpsertSink(spark, rootA.toString, numBuckets = 4)
+    val sinkB = new graft.sink.UpsertSink(spark, rootB.toString, numBuckets = 4)
+    def words(prefix: String, n: Int) =
+      (1 to n).map(i => prefix + ("a" * i)).mkString(" ")
+    val boiler = words("boiler", 4)
+    val once = words("once", 4)
+    val archive = Seq(
+      (1L, boiler + " " + once),
+      (2L, boiler + " " + words("uniqb", 4))
+    ).toDF("doc_id", "text")
+    TextOps.segmentStoreBuild(archive, "doc_id", "text", sinkA, segWords = 4)
+    TextOps.segmentStoreBuild(archive, "doc_id", "text", sinkB, segWords = 4)
+    val (kept, dropped) = TextOps.segmentStoreCompact(sinkA, minCount = 2)
+    // boiler (cnt 2) survives; the two singleton tails are evicted
+    assert((kept, dropped) == ((1L, 2L)), s"sizes wrong: ($kept, $dropped)")
+    val batch = Seq(
+      (10L, boiler + " " + once + " " + words("fresh", 4))
+    ).toDF("doc_id", "text")
+    def screen(sink: graft.sink.UpsertSink) =
+      TextOps.segmentStoreProbe(batch, "doc_id", "text", sink,
+          segWords = 4, minArchiveCount = 2)
+        .as[(Long, Int, Int, String)].collect().toSeq
+    val compacted = screen(sinkA)
+    // parity: compaction to minCount=2 cannot change a >=2 screen
+    assert(compacted == screen(sinkB), "compaction changed the screen")
+    // and the screen itself: boiler (archive cnt 2) dropped; `once`
+    // (archive cnt 1, below minArchiveCount) and fresh kept
+    assert(compacted == Seq((10L, 3, 2, once + " " + words("fresh", 4))),
+      s"screen wrong: $compacted")
+  }
+
   test("fingerprint store + admissionScreen: gates independent, admitted is their conjunction") {
     val root = java.nio.file.Files.createTempDirectory("graft_admit")
     val sink = new graft.sink.UpsertSink(spark, root.toString, numBuckets = 4)
