@@ -215,8 +215,13 @@ object Bench {
         }
         // a query that fails at a small SF records no verdict (its
         // near-zero failure time must not flag as superlinear); the
-        // artifact shows the hole instead of a fake ratio
-        val verdict = smalls.lastOption.flatMap(_._2)
+        // artifact shows the hole instead of a fake ratio. The verdict
+        // denominator must be the IMMEDIATE sf/10 sibling — with only
+        // sf/100 on disk, a two-decade ratio against the one-decade
+        // threshold would flag every linear expensive query
+        val midLbl = ScaleSlope.immediateSibling(sfDir).map(_._1)
+        val verdict = smalls.find(s => midLbl.contains(s._1))
+          .flatMap(_._2)
           .map(mid => ScaleSlope.judge(r.name, mid, r.min))
         SlopeRow(r.name,
           smalls.collect { case (l, Some(t)) => l -> t } :+ (mainLbl -> r.min),

@@ -78,8 +78,26 @@ object ScaleSlope {
   final case class Verdict(ratio: Double, superlinear: Boolean,
                            exempt: Boolean)
 
+  /** The IMMEDIATE (sf/10) sibling of `sfDir`, if it exists on disk —
+    * the only denominator [[judge]] is calibrated for. Judging against
+    * a 100x-smaller sibling (sf/10 missing, sf/100 present) would
+    * compare a two-decade ratio to the one-decade threshold and flag
+    * every perfectly linear expensive query.
+    */
+  def immediateSibling(sfDir: String): Option[(String, String)] = {
+    val p = java.nio.file.Paths.get(sfDir).toAbsolutePath
+    val name = p.getFileName.toString
+    if (!name.startsWith("sf")) return None
+    scala.util.Try(BigDecimal(name.stripPrefix("sf"))).toOption
+      .map(sf => "sf" + (sf / 10).bigDecimal.stripTrailingZeros.toPlainString)
+      .map(n => n -> p.resolveSibling(n).toString)
+      .filter(d =>
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d._2)))
+  }
+
   /** Judge the TOP decade: benchSec vs the mid-SF time (floored — see
-    * [[MinDenomSec]]).
+    * [[MinDenomSec]]). The mid time MUST come from the immediate sf/10
+    * sibling ([[immediateSibling]]).
     */
   def judge(name: String, midSec: Double, benchSec: Double): Verdict = {
     val ratio = benchSec / math.max(midSec, MinDenomSec)

@@ -229,7 +229,15 @@ case class Int8Codes(left: Expression, right: Expression)
 }
 
 object Int8Codes {
-  /** Shared by both eval paths — identical results by construction. */
+  /** Shared by both eval paths — identical results by construction.
+    * Non-finite products (a NaN/Inf component, or scale = NaN from an
+    * all-non-finite vector) quantize to 0 rather than crashing the job:
+    * BigDecimal.valueOf throws on NaN/Inf, and one malformed embedding
+    * in a 100 TB corpus must degrade that VECTOR, not kill the build.
+    * (Spark's own `round` passes NaN/Inf through unchanged; a byte has
+    * no such value to pass to, and 0 is the code whose dequantized
+    * contribution is nothing.)
+    */
   def codes(x: ArrayData, scale: Double): ArrayData = {
     val n = x.numElements()
     val out = new Array[Any](n)
@@ -237,9 +245,12 @@ object Int8Codes {
     while (i < n) {
       if (!x.isNullAt(i)) {
         val v = x.getFloat(i).toDouble * scale
-        out(i) = java.math.BigDecimal.valueOf(v)
-          .setScale(0, java.math.RoundingMode.HALF_UP)
-          .doubleValue().toByte
+        out(i) =
+          if (java.lang.Double.isFinite(v))
+            java.math.BigDecimal.valueOf(v)
+              .setScale(0, java.math.RoundingMode.HALF_UP)
+              .doubleValue().toByte
+          else 0.toByte
       }
       i += 1
     }

@@ -907,7 +907,10 @@ object SimOps {
             .withColumnRenamed("list", "__list")
             .withColumnRenamed("codes", "__codes")
         })
-        if (g0.flatten.distinct.size <= 1 && members.map(sink.groupId) == g0)
+        // distinct over the Option values INCLUDING None-ness: a mixed
+        // Some/None set is a legacy index mid-migration to a group
+        // write — exactly as torn as two different ids
+        if (g0.distinct.size <= 1 && members.map(sink.groupId) == g0)
           return IdxMeta(cents, books, lists)
       } catch {
         // a member dir transiently absent inside a swap window — the

@@ -251,6 +251,16 @@ object TextOps {
     *    probability (1-0.9^4)^32 ~ 1e-15).
     * `broadcastBatch = false` is the corpus-scale-batch escape hatch:
     * both joins fall back to AQE-picked shuffled strategies.
+    *
+    * Concurrency contract: admissions SERIALIZE per store (the sink's
+    * writer lease enforces it); a probe racing a live [[minhashStoreAdmit]]
+    * on the same store may transiently see the bands of a batch whose
+    * shingle rows haven't merged yet (mergeMany swaps the two tables
+    * concurrently, not atomically) — such candidates drop out of the
+    * verify join and reappear once the admit completes. A pipeline that
+    * probes between admits (the normal shape) never observes this; a
+    * concurrent reader needing exactness should read under
+    * `sink.snapshotMany(Seq("neardup_bands", "neardup_shingles"))`.
     */
   def minhashStoreProbe(batch: DataFrame, idCol: String, textCol: String,
                         sink: graft.sink.UpsertSink,
@@ -1076,8 +1086,16 @@ object TextOps {
     val batchCounts = segRows(batch, idCol, textCol, segWords)
       .groupBy(col("__h").as("seg_hash"))
       .agg(count(lit(1)).as("__bcnt"))
-    val summed = sink.read(SegStore)
-      .join(broadcast(batchCounts), Seq("seg_hash"), "right")
+    // two broadcast-legal joins, not one right-outer with a broadcast
+    // hint on its PRESERVED side (Spark cannot build a BHJ there and
+    // would silently shuffle the corpus-scale inventory): the store
+    // scan inner-joins the broadcast batch hashes (map-only, touched
+    // rows out), then the batch-bounded existing counts broadcast back
+    // onto the batch side
+    val existing = sink.read(SegStore)
+      .join(broadcast(batchCounts.select(col("seg_hash"))), "seg_hash")
+    val summed = batchCounts
+      .join(broadcast(existing), Seq("seg_hash"), "left")
       .select(col("seg_hash"),
         (coalesce(col("cnt"), lit(0L)) + col("__bcnt")).as("cnt"))
     sink.merge(SegStore, summed, Seq("seg_hash"), pkUnique = true)

@@ -191,7 +191,20 @@ final class UpsertSink(spark: SparkSession, root: String,
     * rename sequence.
     */
   private def recover(table: String): Unit = {
-    rollForwardGroups()
+    // ONE root listing feeds both the crash-journal sweep and the
+    // legacy-backup scan — recover runs on every read-path call, so
+    // the group-swap machinery must not add a scan of its own
+    val rootP = Paths.get(root)
+    val rootEntries: Seq[Path] =
+      if (!Files.isDirectory(rootP)) Seq.empty
+      else {
+        val s = Files.list(rootP)
+        try s.iterator().asScala.toSeq finally s.close()
+      }
+    rollForwardGroups(rootEntries.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith(".gswap__") && !n.endsWith(".tmp")
+    })
     if (writerInFlight(table)) return
     val target = tableDir(table)
     val old = Paths.get(root, s".${table}__old")
@@ -201,8 +214,12 @@ final class UpsertSink(spark: SparkSession, root: String,
       restoreBucketBackups(target, Files.list(target), ".bkup_")
       // pre-.bkup_ releases parked bucket backups NEXT TO the table
       // (`.{table}__old_N`): migrate them too, so a table that crashed
-      // mid-merge under the old layout doesn't silently lose a bucket
-      restoreBucketBackups(target, Files.list(Paths.get(root)), s".${table}__old_")
+      // mid-merge under the old layout doesn't silently lose a bucket.
+      // The listing predates the journal sweep above — entries it may
+      // have consumed vanish tolerantly (tryMove/delete).
+      restoreBucketBackups(target,
+        scala.jdk.CollectionConverters.SeqHasAsJava(rootEntries)
+          .asJava.stream(), s".${table}__old_")
     }
   }
 
@@ -251,16 +268,11 @@ final class UpsertSink(spark: SparkSession, root: String,
     * `__old` restore from grafting a dead generation back over the
     * rolled-forward one.
     */
-  private def rollForwardGroups(): Unit = {
-    val rootP = Paths.get(root)
-    if (!Files.isDirectory(rootP)) return
-    val stream = Files.list(rootP)
-    val journals =
-      try stream.iterator().asScala.toSeq.filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith(".gswap__") && !n.endsWith(".tmp")
-      }
-      finally stream.close()
+  /** `journals` comes from the ONE root listing [[recover]] already
+    * takes (shared with the legacy-backup scan), so the crash-journal
+    * sweep adds no directory scan of its own to the read path.
+    */
+  private def rollForwardGroups(journals: Seq[Path]): Unit = {
     journals.foreach { j =>
       val gid = j.getFileName.toString.stripPrefix(".gswap__")
       val entries =
@@ -352,6 +364,25 @@ final class UpsertSink(spark: SparkSession, root: String,
     * single-bucket step.
     */
   private def stampWriteIntent(table: String): Unit = {
+    // FENCING: every swap window begins by re-stamping the intent
+    // marker, so this is the chokepoint where a writer whose lease was
+    // broken out from under it (a stop-the-world pause past
+    // [[WriterLeaseMs]] — the renewal daemon pauses WITH the JVM — or
+    // a breaker racing a renewal) must ABORT instead of interleaving
+    // its remaining bucket swaps with the new holder's. One small
+    // file read per window; renewal-on-resume cannot help because the
+    // new holder's id already owns the lock.
+    heldLeases.get.get(table).foreach { id =>
+      val current =
+        try Some(new String(Files.readAllBytes(writerLock(table)), "UTF-8"))
+        catch { case _: java.io.IOException => None }
+      if (!current.contains(id))
+        throw new IllegalStateException(
+          s"writer lease on table '$table' was lost mid-write (JVM " +
+            "stall past the lease horizon, or a broken-and-reacquired " +
+            "lock) — aborting before any further swap; the new holder " +
+            "owns the table now")
+    }
     val tmp = Files.createTempFile(Paths.get(root),
       s".${table}__intent_", ".tmp")
     Files.write(tmp, System.currentTimeMillis().toString.getBytes("UTF-8"))
@@ -397,9 +428,10 @@ final class UpsertSink(spark: SparkSession, root: String,
     * path), and a nested acquire on a held table must pass through,
     * not deadlock against itself.
     */
-  private val heldLeases = new ThreadLocal[scala.collection.mutable.Set[String]] {
-    override def initialValue(): scala.collection.mutable.Set[String] =
-      scala.collection.mutable.Set.empty[String]
+  private val heldLeases = new ThreadLocal[
+      scala.collection.mutable.Map[String, String]] {
+    override def initialValue(): scala.collection.mutable.Map[String, String] =
+      scala.collection.mutable.Map.empty[String, String]
   }
 
   /** Serialize WRITERS per table across threads, sink instances, and
@@ -444,7 +476,7 @@ final class UpsertSink(spark: SparkSession, root: String,
       need.foreach { table =>
         val id = acquireWriterLease(table)
         owned += table -> id
-        heldLeases.get += table
+        heldLeases.get += table -> id
       }
       if (owned.nonEmpty) {
         val held = owned.toList
@@ -481,7 +513,7 @@ final class UpsertSink(spark: SparkSession, root: String,
         return id
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          val stale =
+          def mtimeStale(): Boolean =
             try System.currentTimeMillis() -
               Files.getLastModifiedTime(lock).toMillis > WriterLeaseMs
             catch {
@@ -489,9 +521,13 @@ final class UpsertSink(spark: SparkSession, root: String,
               // just released — retry the create immediately
               case _: java.nio.file.NoSuchFileException => false
             }
-          if (stale) {
-            // crashed holder: break the lease. Losing this delete race
-            // to another breaker is fine — createFile re-arbitrates.
+          if (mtimeStale() && mtimeStale()) {
+            // crashed holder, confirmed by a second probe immediately
+            // before the break (a holder whose renewal landed between
+            // the two reads is LIVE — deleting its freshly-renewed
+            // lease would admit a second writer under a live one).
+            // Losing this delete race to another breaker is fine —
+            // createFile re-arbitrates.
             try Files.deleteIfExists(lock)
             catch { case _: java.io.IOException => () }
           } else if (System.currentTimeMillis() >= deadline) {
@@ -838,8 +874,13 @@ final class UpsertSink(spark: SparkSession, root: String,
       // phase 1 — every expensive step before any member changes
       val shadows = writes.map { w =>
         val shadow = Paths.get(root, s".${w.table}__shadow")
-        deleteRecursively(shadow)
+        // recover BEFORE deleting the shadow: a committed crashed
+        // group's journal may still need this shadow (roll-forward
+        // treats a missing shadow as an already-completed swap —
+        // deleting first would silently strand that member on the old
+        // generation while its siblings converged)
         recover(w.table)
+        deleteRecursively(shadow)
         dropLegacyBucketBackups(w.table)
         deleteRecursively(Paths.get(root, s".${w.table}__old"))
         writeShadowData(shadow, w.df, w.pk)
@@ -903,9 +944,13 @@ final class UpsertSink(spark: SparkSession, root: String,
     while (attempt < 20) {
       attempt += 1
       val v0 = tables.map(version)
-      val snaps = tables.map(snapshot)
+      // a later member's snapshot throwing (missing table, exhausted
+      // retries) must not leak the earlier members' pinned inode dirs
+      val snaps = scala.collection.mutable.Buffer.empty[TableSnapshot]
+      try tables.foreach(t => snaps += snapshot(t))
+      catch { case e: Throwable => snaps.foreach(_.close()); throw e }
       if (!tables.exists(writerInFlight) && tables.map(version) == v0)
-        return snaps
+        return snaps.toSeq
       snaps.foreach(_.close())
       // a swap landed inside the capture window; brief pause so the
       // retry isn't phase-locked to a periodic writer
@@ -942,13 +987,16 @@ final class UpsertSink(spark: SparkSession, root: String,
   private def swapInShadow(table: String)(writeShadow: Path => Unit): Unit = {
     val target = tableDir(table)
     val shadow = Paths.get(root, s".${table}__shadow")
-    deleteRecursively(shadow)
-    // restore any crashed-merge state FIRST: if the shadow write below
-    // fails (disk full, job error), the table must still be whole — and
-    // once the swap succeeds, stale bucket backups vanish WITH the old
-    // table dir (they live inside it), so they can never be "recovered"
+    // restore any crashed-merge state FIRST — and before the stale
+    // shadow is deleted: a committed crashed GROUP journal may still
+    // need that shadow (roll-forward reads a missing shadow as an
+    // already-completed swap). Recovery also keeps the table whole if
+    // the shadow write below fails (disk full, job error); once the
+    // swap succeeds, stale bucket backups vanish WITH the old table
+    // dir (they live inside it), so they can never be "recovered"
     // into the rebuilt table and resurrect purged rows
     recover(table)
+    deleteRecursively(shadow)
     // any LEGACY root-level backup (.{table}__old_N, pre-.bkup_
     // releases) that SURVIVED recover() is provably orphaned — recover
     // consumes them whenever the target (or its whole-table backup)

@@ -21,6 +21,16 @@ class ScaleSlopeSpec extends SparkSpec {
     assert(ScaleSlope.siblingDirs("/root/testdata/sfoo").isEmpty)
   }
 
+  test("immediateSibling: only the sf/10 decade qualifies as the verdict denominator") {
+    // with sf0.01 missing but sf0.001 present, a two-decade ratio
+    // judged against the one-decade threshold would flag every linear
+    // expensive query — the verdict denominator must be sf/10 or none
+    assert(ScaleSlope.immediateSibling("/root/testdata/sf0.1")
+      .map(_._1) == Some("sf0.01"))
+    assert(ScaleSlope.immediateSibling("/root/testdata/sf0.001").isEmpty)
+    assert(ScaleSlope.immediateSibling("/tmp").isEmpty)
+  }
+
   test("judge: linear growth passes, quadratic flags, the overhead floor protects small queries") {
     // linear with overhead: 10x data, ~6x time — well under 13x
     assert(!ScaleSlope.judge("q", midSec = 1.0, benchSec = 6.0).superlinear)

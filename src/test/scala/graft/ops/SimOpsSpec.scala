@@ -431,6 +431,15 @@ class SimOpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("torn generations"),
       s"wrong failure: ${ex.getMessage}")
+    // a MISSING id among stamped siblings is as torn as a different
+    // one (legacy index mid-migration to a group write)
+    java.nio.file.Files.delete(
+      root.resolve("ann_codes").resolve("_graft_group"))
+    val ex2 = intercept[IllegalStateException] {
+      SimOps.ivfPqProbeIndex(queries, e, "vec_id", "embedding", sink, 5)
+    }
+    assert(ex2.getMessage.contains("torn generations"),
+      s"wrong failure: ${ex2.getMessage}")
   }
 
   test("diverseSelect: diversity beats redundancy, deterministic, size-bounded") {
@@ -640,5 +649,22 @@ class SimOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"quantize shuffles:\n$plan")
     assert(!plan.toLowerCase.contains("transform("),
       s"interpreted HOF still in the quantize plan:\n$plan")
+  }
+
+  test("int8Quantize degrades non-finite components to code 0 instead of killing the job") {
+    // one malformed embedding in a 100 TB corpus must not fail the
+    // whole build: BigDecimal.valueOf throws on NaN/Inf, so the native
+    // expression guards — NaN/Inf products quantize to 0
+    val bad = Seq(
+      (1L, Array(Float.NaN, 1.0f)),               // NaN component
+      (2L, Array(Float.PositiveInfinity, -1.0f)), // Inf absmax -> scale 0-ish
+      (3L, Array(1.0f, -2.0f))                    // sane control
+    ).toDF("vec_id", "embedding")
+    val out = SimOps.int8Quantize(bad, "vec_id", "embedding")
+      .select("vec_id", "q").as[(Long, Seq[Byte])].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(out(1L)(0) == 0, s"NaN component not degraded: ${out(1L)}")
+    assert(out(3L) == Seq(64, -127).map(_.toByte),
+      s"sane vector mis-quantized: ${out(3L)}")
   }
 }

@@ -937,6 +937,81 @@ class UpsertSinkSpec extends SparkSpec {
       "the foreign writer's shadow is not roll-forward's to delete")
   }
 
+  test("a new write on a member recovers a committed crashed group BEFORE touching its shadow") {
+    // the ordering bug this pins: deleting the stale shadow before
+    // recover() would make roll-forward read the pending W entry as
+    // "already swapped", stranding the member on the old generation
+    // while its sibling converged — observable when the new write then
+    // fails before landing anything
+    val root = Files.createTempDirectory("graft_gswap_order")
+    val sink = new UpsertSink(spark, root.toString)
+    sink.overwrite("t", Seq((1L, "g0")).toDF("id", "v"))
+    sink.overwrite("s", Seq((1L, "g0")).toDF("id", "v"))
+    val gid = java.util.UUID.randomUUID().toString
+    for (t <- Seq("t", "s")) {
+      val shadow = root.resolve(s".${t}__shadow")
+      Seq((1L, "g1")).toDF("id", "v").write.parquet(shadow.toString)
+      Files.write(shadow.resolve("_graft_group"), gid.getBytes("UTF-8"))
+    }
+    Files.write(root.resolve(s".gswap__$gid"), "W\tt\nW\ts".getBytes("UTF-8"))
+    // the new write's shadow job fails (ANSI division by zero) — but
+    // its entry into the swap machinery must FIRST roll the crashed
+    // group forward, so t is on g1 when the failure propagates
+    intercept[Exception] {
+      import org.apache.spark.sql.functions.{col, lit}
+      sink.overwrite("t",
+        Seq(1L).toDF("id").select(col("id"), (col("id") / lit(0)).as("v")))
+    }
+    assert(sink.read("t").as[(Long, String)].collect().toSeq
+      == Seq((1L, "g1")), "pending member stranded on the old generation")
+    assert(sink.read("s").as[(Long, String)].collect().toSeq
+      == Seq((1L, "g1")))
+  }
+
+  test("snapshotMany: a failing member releases the already-captured snapshots") {
+    val root = Files.createTempDirectory("graft_snapmany_fail")
+    val sink = new UpsertSink(spark, root.toString)
+    sink.overwrite("x", Seq((1L, "v")).toDF("id", "v"))
+    intercept[Exception] { sink.snapshotMany(Seq("x", "missing_table")) }
+    val snapRoot = root.resolve(".snapshots")
+    val leaked =
+      if (!Files.isDirectory(snapRoot)) Seq.empty
+      else {
+        val s = Files.list(snapRoot)
+        try s.iterator().asScala.toSeq finally s.close()
+      }
+    assert(leaked.isEmpty, s"partial snapshots leaked: $leaked")
+  }
+
+  test("a writer whose lease is broken mid-write aborts at the next swap window") {
+    // the fencing half of the lease contract: a holder that stalls
+    // past the lease horizon (GC pause) can have its lease broken and
+    // re-acquired; on resume it must ABORT at its next fenced swap
+    // instead of interleaving bucket swaps with the new holder
+    val root = Files.createTempDirectory("graft_lease_fence")
+    val sink = new UpsertSink(spark, root.toString)
+    import org.apache.spark.sql.functions.{col => c}
+    val slow = spark.range(1).select(c("id"),
+      org.apache.spark.sql.functions.udf(() => { Thread.sleep(3000); "v" })
+        .apply().as("v"))
+    @volatile var err: Option[Throwable] = None
+    // simulate the break directly: replace the lock content with a
+    // foreign id while the writer is deep in its (slow) shadow job
+    val holder = new Thread(() => {
+      try sink.overwrite("t", slow) catch { case e: Throwable => err = Some(e) }
+    })
+    holder.start()
+    Thread.sleep(1200) // inside the 3 s shadow job, lease held+renewing
+    Files.write(root.resolve(".t__writer"), "foreign-id".getBytes("UTF-8"))
+    holder.join(30000)
+    assert(!holder.isAlive, "writer failed to finish")
+    assert(err.exists(_.getMessage.contains("lease")),
+      s"fenced writer did not abort on a lost lease: $err")
+    // the abort fired BEFORE the first move of the swap window, so the
+    // (new) table was never created — nothing half-swapped
+    assert(!sink.exists("t"), "aborted writer still landed a swap")
+  }
+
   test("group-swap roll-forward defers to a LIVE writer's fresh fence") {
     val root = Files.createTempDirectory("graft_gswap_live")
     val sink = new UpsertSink(spark, root.toString)
