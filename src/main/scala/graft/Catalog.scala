@@ -3442,6 +3442,33 @@ object Catalog {
           .withColumn("inv_kept", lit(kept))
           .withColumn("inv_dropped", lit(dropped))
           .orderBy("doc_id")
+      }),
+
+    QueryDef("q113_incremental_embdup",
+      "INCREMENTAL embedding near-dup — the q109 operating mode for the " +
+        "EMBEDDING modality: the archive's LSH bucket postings + exact " +
+        "vectors persist as one atomic group write; the probe " +
+        "broadcasts the batch's signatures against the posting scan " +
+        "and the batch-bounded candidate set against the vector scan " +
+        "(both map-only — the archive never re-hashes, never " +
+        "shuffles), then exact-cosine-verifies candidates at >= 0.45. " +
+        "Oracle: exhaustive archive x batch cosine (q41's recall " +
+        "argument — candidate recall 1.0 at these parameters).",
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |    ${sqlCosine("a.embedding", "b.embedding")} AS c
+             |  FROM e a JOIN e b
+             |    ON a.vec_id % 3 <> 0 AND b.vec_id % 3 = 0)
+             |SELECT a_id, b_id, round(c, 6) AS cosine FROM p
+             |WHERE round(c, 6) >= 0.45 ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val sink = tempStore.freshSink(s, "embdup", dir)
+        SimOps.embLshStoreBuild(e.filter(col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", sink)
+        SimOps.embLshStoreProbe(e.filter(col("vec_id") % 3 === 0),
+            "vec_id", "embedding", sink, threshold = 0.45)
+          .orderBy("a_id", "b_id")
       })
   )
 

@@ -1196,6 +1196,96 @@ object SimOps {
       .distinct() // duplicate table hits of the same surviving pair
   }
 
+  // ---- incremental embedding near-dup: persisted LSH store -------------
+
+  private val EmbSigs = "embdup_sigs"
+  private val EmbVecs = "embdup_vecs"
+
+  /** Persist an archive's embedding near-dup state: LSH bucket postings
+    * ((t, s, id) per signature table) plus exact vectors + norms for
+    * the verify stage — the embedding analog of the text family's
+    * MinHash store, landed as ONE atomic group write. Admitting a new
+    * embedding batch against a 100 TB archive then touches only these
+    * two tables ([[embLshStoreProbe]]), never re-hashing the archive.
+    */
+  def embLshStoreBuild(vecs: DataFrame, idCol: String, vecCol: String,
+                       sink: graft.sink.UpsertSink, planes: Int = 4,
+                       tables: Int = 48, dim: Int = 64): Unit = {
+    VectorFunctions.register(vecs.sparkSession)
+    LshFunctions.register(vecs.sparkSession)
+    sink.overwriteMany(Seq(
+      graft.sink.TableWrite(EmbSigs,
+        vecs.select(col(idCol).as("id"),
+            posexplode(LshFunctions.signatures(col(vecCol), planes,
+              tables, dim)).as(Seq("t", "s")))
+          .select(col("t"), col("s"), col("id")),
+        Seq("t", "s", "id")),
+      graft.sink.TableWrite(EmbVecs,
+        vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+          norm(col(vecCol)).as("n")),
+        Seq("id"))))
+  }
+
+  /** Probe a NEW batch against the persisted archive state: near-dup
+    * pairs (a_id archive, b_id batch) at exact cosine >= `threshold`.
+    * Candidate generation broadcasts the batch's (t, s) signatures
+    * against the posting scan (map-only — the archive side never
+    * shuffles); the batch-bounded candidate set broadcasts against the
+    * vector scan for the exact verify. Same signature parameters as
+    * the build, same recall argument as q41 (params tuned so candidate
+    * recall is 1.0 at the target threshold regime).
+    */
+  def embLshStoreProbe(batch: DataFrame, idCol: String, vecCol: String,
+                       sink: graft.sink.UpsertSink, threshold: Double,
+                       planes: Int = 4, tables: Int = 48, dim: Int = 64,
+                       broadcastBatch: Boolean = true): DataFrame = {
+    VectorFunctions.register(batch.sparkSession)
+    LshFunctions.register(batch.sparkSession)
+    val bc: DataFrame => DataFrame =
+      if (broadcastBatch) broadcast(_) else identity
+    val batchSigs = batch.select(col(idCol).as("b_id"),
+        posexplode(LshFunctions.signatures(col(vecCol), planes,
+          tables, dim)).as(Seq("t", "s")))
+    val cands = sink.read(EmbSigs).join(bc(batchSigs), Seq("t", "s"))
+      .select(col("id").as("a_id"), col("b_id")).distinct()
+    sink.read(EmbVecs)
+      .select(col("id").as("a_id"), col("v").as("__av"),
+        col("n").as("__an"))
+      .join(bc(cands), "a_id")
+      .join(bc(batch.select(col(idCol).as("b_id"), col(vecCol).as("__bv"),
+        norm(col(vecCol)).as("__bn"))), "b_id")
+      .withColumn("cosine",
+        safeCos(dot(col("__av"), col("__bv")), col("__an"), col("__bn")))
+      .filter(round(col("cosine"), 6) >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Admission: probe, then fold the batch into the store (one
+    * mergeMany round-trip over both tables) so later batches dedup
+    * against this one too. Returns the pre-admission pairs.
+    */
+  def embLshStoreAdmit(batch: DataFrame, idCol: String, vecCol: String,
+                       sink: graft.sink.UpsertSink, threshold: Double,
+                       planes: Int = 4, tables: Int = 48,
+                       dim: Int = 64): DataFrame = {
+    // eager localCheckpoint: the probe plan reads the store files the
+    // merge below rewrites
+    val out = embLshStoreProbe(batch, idCol, vecCol, sink, threshold,
+      planes, tables, dim).localCheckpoint(true)
+    sink.mergeMany(Seq(
+      graft.sink.TableMerge(EmbSigs,
+        batch.select(col(idCol).as("id"),
+            posexplode(LshFunctions.signatures(col(vecCol), planes,
+              tables, dim)).as(Seq("t", "s")))
+          .select(col("t"), col("s"), col("id")),
+        Seq("t", "s", "id"), pkUnique = true),
+      graft.sink.TableMerge(EmbVecs,
+        batch.select(col(idCol).as("id"), col(vecCol).as("v"),
+          norm(col(vecCol)).as("n")),
+        Seq("id"), pkUnique = true)))
+    out
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dedup
     * scoped to trained k-means clusters — the scale answer to exhaustive
     * q33-style pairing: pairwise cosine runs only WITHIN a cluster, so

@@ -595,6 +595,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), s"a gate fell onto a UDF:\n$plan")
   }
 
+  test("q113: incremental embedding near-dup — archive store never shuffles") {
+    val plan = planOf("q113_incremental_embdup")
+    assert(!plan.contains("SortMergeJoin"),
+      s"archive store shuffled for the probe join:\n$plan")
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 3,
+      s"signature/candidate/batch joins not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"cosine fell onto a UDF:\n$plan")
+  }
+
   test("q104: centroid rides as a literal — top-k never sorts globally") {
     val plan = planOf("q104_domain_topk")
     assert(plan.contains("TakeOrderedAndProject"),

@@ -442,6 +442,31 @@ class SimOpsSpec extends SparkSpec {
       s"wrong failure: ${ex2.getMessage}")
   }
 
+  test("embedding LSH store: probe finds cross-set near-dups; admit makes batches cumulative") {
+    val root = java.nio.file.Files.createTempDirectory("graft_embstore")
+    val sink = new graft.sink.UpsertSink(spark, root.toString, numBuckets = 4)
+    def unit(x: Float, y: Float) = { val n = math.sqrt(x * x + y * y).toFloat
+      Array(x / n, y / n) }
+    val archive = Seq(
+      (1L, unit(1f, 0f)),
+      (2L, unit(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    SimOps.embLshStoreBuild(archive, "vec_id", "embedding", sink, dim = 2)
+    assert(sink.groupId("embdup_sigs").nonEmpty &&
+      sink.groupId("embdup_sigs") == sink.groupId("embdup_vecs"))
+    val batch1 = Seq((10L, unit(0.99f, 0.05f))).toDF("vec_id", "embedding")
+    val p1 = SimOps.embLshStoreAdmit(batch1, "vec_id", "embedding", sink,
+        threshold = 0.9, dim = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(p1 == Set((1L, 10L)), s"probe pairs wrong: $p1")
+    // a later batch near batch1's vector dedups against it too
+    val p2 = SimOps.embLshStoreProbe(
+        Seq((20L, unit(0.98f, 0.08f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", sink, threshold = 0.9, dim = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(p2 == Set((1L, 20L), (10L, 20L)), s"cumulative pairs wrong: $p2")
+  }
+
   test("diverseSelect: diversity beats redundancy, deterministic, size-bounded") {
     // cluster A around +x (ids 1-5: four near-copies + one genuinely
     // different direction), cluster B around -x (ids 11-12). With k=2,
