@@ -3469,6 +3469,109 @@ object Catalog {
         SimOps.embLshStoreProbe(e.filter(col("vec_id") % 3 === 0),
             "vec_id", "embedding", sink, threshold = 0.45)
           .orderBy("a_id", "b_id")
+      }),
+
+    QueryDef("q114_multimodal_admission",
+      "The MULTIMODAL admission capstone: q111's text gates (quality, " +
+        "exact dedup, segment screen, MinHash near-dup, langid) JOINED " +
+        "with q113's embedding near-dup gate over the 1:1 " +
+        "documents-embeddings pairing — a real pipeline dedups on BOTH " +
+        "surface text and semantic similarity, because paraphrases " +
+        "evade string dedup and templated text evades embedding " +
+        "dedup. Every gate an independent audit column; `admitted` is " +
+        "the full conjunction. The archive exists only as its FOUR " +
+        "compact stores (fingerprints, segment inventory, MinHash " +
+        "bands+shingles, embedding LSH postings+vectors); all probe " +
+        "joins broadcast. Exact end to end -> one composed DuckDB " +
+        "oracle across both tables.",
+      Some {
+        val (hitExprs, maxExpr, nWin, firstWin) = sqlLangPieces
+        s"""WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+           |a AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+           |h AS (SELECT doc_id, $sqlQualityMil AS quality_mil,
+           |  $hitExprs FROM b),
+           |m AS (SELECT *, $maxExpr AS mx FROM h),
+           |lg AS (SELECT doc_id, quality_mil, CASE WHEN mx = 0 OR ($nWin) > 1
+           |    THEN 'und' ELSE ($firstWin) END AS lang FROM m),
+           |afp AS (SELECT DISTINCT
+           |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+           |  FROM a),
+           |ex AS (SELECT doc_id, CASE WHEN
+           |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           |      IN (SELECT fp FROM afp) THEN 1 ELSE 0 END AS dup_exact
+           |  FROM b),
+           |toksall AS (SELECT doc_id,
+           |    regexp_extract_all(lower(text), '[a-z]+') w FROM documents),
+           |segl AS (SELECT doc_id,
+           |    [{'i': i, 's': array_to_string(w[(i*25+1):(i*25+25)], ' ')}
+           |     for i in range(0, CAST(ceil(len(w)/25.0) AS INTEGER))] AS ss
+           |  FROM toksall),
+           |seg AS (SELECT doc_id, u.i AS seg_idx, u.s AS s
+           |  FROM (SELECT doc_id, unnest(ss) AS u FROM segl)),
+           |archs AS (SELECT DISTINCT md5(s) AS hsh FROM seg
+           |  WHERE doc_id % 3 <> 0),
+           |batk AS (SELECT doc_id, count(*) FILTER (
+           |      WHERE md5(s) NOT IN (SELECT hsh FROM archs)) AS kept
+           |  FROM seg WHERE doc_id % 3 = 0 GROUP BY doc_id),
+           |segk AS (SELECT t.doc_id,
+           |    CAST(COALESCE(ceil(len(w)/25.0), 0) AS INTEGER) AS n_segs,
+           |    CAST(COALESCE(batk.kept, 0) AS INTEGER) AS n_kept
+           |  FROM toksall t LEFT JOIN batk USING (doc_id)
+           |  WHERE t.doc_id % 3 = 0),
+           |sh AS (SELECT doc_id, CASE WHEN len(w) < 3
+           |    THEN [array_to_string(w, ' ')]
+           |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           |                        for i in range(1, len(w) - 1)]) END AS sss
+           |  FROM toksall),
+           |ndh AS (SELECT DISTINCT bsh.doc_id FROM sh ash JOIN sh bsh
+           |  ON ash.doc_id % 3 <> 0 AND bsh.doc_id % 3 = 0
+           |  AND CAST(len(list_intersect(ash.sss, bsh.sss)) AS DOUBLE)
+           |      / len(list_distinct(list_concat(ash.sss, bsh.sss))) >= 0.5),
+           |emb AS (SELECT vec_id, embedding FROM embeddings),
+           |edh AS (SELECT DISTINCT eb.vec_id AS doc_id
+           |  FROM emb ea JOIN emb eb
+           |  ON ea.vec_id % 3 <> 0 AND eb.vec_id % 3 = 0
+           |  AND round(${sqlCosine("ea.embedding", "eb.embedding")}, 6)
+           |      >= 0.45)
+           |SELECT lg.doc_id, lg.quality_mil, lg.lang, ex.dup_exact,
+           |  segk.n_segs, segk.n_kept,
+           |  CASE WHEN ndh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS neardup_hit,
+           |  CASE WHEN edh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS embdup_hit,
+           |  CASE WHEN lg.quality_mil >= 500 AND lg.lang = 'en'
+           |       AND ex.dup_exact = 0 AND ndh.doc_id IS NULL
+           |       AND edh.doc_id IS NULL
+           |       THEN 1 ELSE 0 END AS admitted
+           |FROM lg JOIN ex USING (doc_id) JOIN segk USING (doc_id)
+           |  LEFT JOIN ndh USING (doc_id) LEFT JOIN edh USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      },
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val e = t(s, dir, "embeddings")
+        val sink = tempStore.freshSink(s, "admit114", dir)
+        val archive = docs.filter(col("doc_id") % 3 =!= 0)
+        TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink)
+        TextOps.segmentStoreBuild(archive, "doc_id", "text", sink)
+        TextOps.minhashStoreBuild(archive, "doc_id", "text", sink)
+        SimOps.embLshStoreBuild(e.filter(col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", sink)
+        val txt = TextOps.admissionScreen(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", sink)
+        val embHits = SimOps.embLshStoreProbe(
+            e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+            sink, threshold = 0.45)
+          .select(col("b_id").as("doc_id")).distinct()
+          .withColumn("__ed", lit(1))
+        txt.join(broadcast(embHits), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("quality_mil"), col("lang"),
+            col("dup_exact"), col("n_segs"), col("n_kept"),
+            col("neardup_hit"),
+            coalesce(col("__ed"), lit(0)).as("embdup_hit"))
+          .withColumn("admitted",
+            (col("quality_mil") >= 500 && col("lang") === "en" &&
+              col("dup_exact") === 0 && col("neardup_hit") === 0 &&
+              col("embdup_hit") === 0).cast("int"))
+          .orderBy("doc_id")
       })
   )
 

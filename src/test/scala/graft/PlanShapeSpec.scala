@@ -606,6 +606,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), s"cosine fell onto a UDF:\n$plan")
   }
 
+  test("q114: multimodal admission — no corpus window, no store shuffle, no UDF") {
+    val plan = planOf("q114_multimodal_admission")
+    assert(!plan.contains("Window"),
+      s"multimodal screen has a corpus window:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a store shuffled inside the screen:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"a gate fell onto a UDF:\n$plan")
+  }
+
   test("q104: centroid rides as a literal — top-k never sorts globally") {
     val plan = planOf("q104_domain_topk")
     assert(plan.contains("TakeOrderedAndProject"),
