@@ -1614,10 +1614,12 @@ object Catalog {
         "survives whole. Offset-invariant where q66's fixed segments " +
         "are not — shifted boilerplate (a header preceded by one extra " +
         "word) is caught because every window at stride 1 is hashed. " +
-        "Tokenize once via posexplode, grams assembled relationally by " +
-        "a per-doc frame window; keeper = row_number partitioned by " +
-        "window hash; coverage = running duplicate-start count over the " +
-        "trailing 20 positions.",
+        "Window digests are native map-only codegen (GramMd5s: one md5 " +
+        "per position off the token bytes, bit-identical to the SQL " +
+        "md5-of-joined-window so collisions transfer); keeper = " +
+        "row_number partitioned by the 16-byte digest — the ONE " +
+        "corpus-scale shuffle; span coverage + rebuild are the native " +
+        "CutSpans sorted-merge walk, map-only.",
       Some("""WITH toks AS (SELECT doc_id,
              |    regexp_extract_all(lower(text), '[a-z]+') w FROM documents),
              |ex AS (SELECT doc_id, u.i AS pos, u.t AS tok, u.h AS h FROM (
@@ -3571,6 +3573,60 @@ object Catalog {
             (col("quality_mil") >= 500 && col("lang") === "en" &&
               col("dup_exact") === 0 && col("neardup_hit") === 0 &&
               col("embdup_hit") === 0).cast("int"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q115_incremental_substrdedup",
+      "INCREMENTAL arbitrary-offset substring dedup — q68's ExactSubstr " +
+        "semantics against a PERSISTED archive: the archive's 20-token " +
+        "window inventory (16-byte digest + count per DISTINCT window — " +
+        "the per-position granularity the published suffix-array " +
+        "implementation also pays, paid ONCE) is built into the store; " +
+        "the probe broadcasts the batch's window digests over the " +
+        "inventory scan (map-only — the archive is never re-tokenized " +
+        "and never shuffles), the matched batch-bounded set broadcasts " +
+        "back, and the span cut is the native map-only CutSpans walk. " +
+        "NO window operator anywhere in the probe — the archive's " +
+        "ordering work was paid at build. Output = q68's contract on " +
+        "the batch. Oracle: exact window-membership replication.",
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z]+') w FROM documents),
+             |aw AS (SELECT DISTINCT u AS h FROM (
+             |  SELECT unnest([md5(array_to_string(w[(i+1):(i+20)], ' '))
+             |                 for i in range(0, len(w) - 19)]) AS u
+             |  FROM toks WHERE doc_id % 3 <> 0)),
+             |ex AS (SELECT doc_id, u.i AS pos, u.t AS tok, u.h AS h FROM (
+             |  SELECT doc_id, unnest([{'i': i, 't': w[i+1],
+             |      'h': CASE WHEN i <= len(w) - 20
+             |        THEN md5(array_to_string(w[(i+1):(i+20)], ' ')) END}
+             |    for i in range(0, len(w))]) u
+             |  FROM toks WHERE doc_id % 3 = 0)),
+             |mk AS (SELECT doc_id, pos, tok,
+             |    CASE WHEN h IS NOT NULL AND h IN (SELECT h FROM aw)
+             |      THEN 1 ELSE 0 END AS ds
+             |  FROM ex),
+             |cov AS (SELECT doc_id, pos, tok,
+             |    sum(ds) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) > 0 AS covered
+             |  FROM mk),
+             |k AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+             |    CAST(count(*) FILTER (WHERE covered) AS INTEGER) AS n_removed,
+             |    string_agg(tok, ' ' ORDER BY pos)
+             |      FILTER (WHERE NOT covered) AS text_kept
+             |  FROM cov GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(k.n_tokens, 0) AS n_tokens,
+             |  COALESCE(k.n_removed, 0) AS n_removed,
+             |  COALESCE(k.text_kept, '') AS text_kept
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+             |LEFT JOIN k USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.freshSink(s, "substrstore", dir)
+        TextOps.substrStoreBuild(docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", sink)
+        TextOps.substrStoreProbe(docs.filter(col("doc_id") % 3 === 0),
+            "doc_id", "text", sink)
           .orderBy("doc_id")
       })
   )

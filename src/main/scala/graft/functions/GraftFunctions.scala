@@ -31,7 +31,8 @@ object GraftFunctions {
       WinnowFunctions.builders ++ NormalizeFunctions.builders ++
       BloomFunctions.builders ++ BpeFunctions.builders ++
       RepetitionFunctions.builders ++ DsirFunctions.builders ++
-      MarginFunctions.builders ++ ChunkFunctions.builders
+      MarginFunctions.builders ++ ChunkFunctions.builders ++
+      SpanFunctions.builders
 
   /** Idempotent session registration of a module's builders (the shared
     * body of every module's `register`).

@@ -1119,23 +1119,24 @@ object TextOps {
     * suffix array the published implementation uses — gram anchors keep
     * every step equi-keyed.)
     *
-    * Scale shape: the corpus is tokenized ONCE via a posexplode (one
-    * regex evaluation per document — window grams are then assembled
-    * RELATIONALLY with a per-document `collect_list` frame window, never
-    * by slicing a token array inside a lambda, where projection collapse
-    * would inline the tokenizer regex per element and turn long
-    * documents quadratic). Only the 32-char window hash survives past
-    * that projection. The keeper decision is a row_number window
-    * partitioned by the window hash (equi-keyed; group size = a
-    * window's duplication count; tail positions with no full window get
-    * a synthetic per-row key so no giant null-hash group forms).
-    * Coverage is a per-document running count of duplicate window
-    * STARTS over the trailing minTokens positions (rows are dense in
-    * position, so a ROWS frame of minTokens-1 PRECEDING is exactly the
-    * span-cover test). Three equi-keyed shuffles (doc id, window hash,
-    * doc id), no cartesian product, no global window, no driver-side
-    * state; the final per-doc rebuild groups on the coverage window's
-    * own partitioning, so it adds no exchange.
+    * Scale shape: ONE corpus-scale shuffle. Window digests come off the
+    * token array map-only ([[graft.functions.GramMd5s]] — one md5 per
+    * position, token bytes digested in place, bit-identical to
+    * `md5(array_to_string(ws[i:i+L-1], ' '))` so the SQL oracle
+    * reproduces every collision), and only (id, pos, 16-byte digest)
+    * rides the keeper shuffle — not tokens, not hex strings. The
+    * keeper decision is a row_number window partitioned by the digest
+    * (equi-keyed; group size = a window's duplication count; positions
+    * without a full window never produce a digest, so no null-key
+    * group forms). Duplicate starts — a corpus-bounded minority —
+    * regroup per doc and join back to the source scan, where span
+    * coverage and rebuild are again map-only
+    * ([[graft.functions.CutSpans]]: one sorted-merge walk over
+    * (tokens, starts)). The earlier relational form paid THREE
+    * corpus×len shuffles (an id-window assembling every L-token gram
+    * via a collect_list frame — an L× row-size amplification — the
+    * keeper, and a second id-window for coverage); this shape pays
+    * the keeper alone and carries 16 bytes per position through it.
     *
     * Output per input document (total — docs with null/empty text or
     * fully-removed content still appear):
@@ -1145,37 +1146,142 @@ object TextOps {
                      minTokens: Int = 20): DataFrame = {
     require(minTokens > 0, s"minTokens must be positive, got $minTokens")
     val L = minTokens
-    val ex = df.select(col(idCol),
-      posexplode(tokens(col(textCol))).as(Seq("pos", "__tok")))
-    val gramW = Window.partitionBy(idCol).orderBy("pos")
-      .rowsBetween(Window.currentRow, L - 1)
-    val hashed = ex
-      .withColumn("__gram", collect_list(col("__tok")).over(gramW))
-      .withColumn("__h",
-        when(size(col("__gram")) === L, md5(concat_ws(" ", col("__gram")))))
-      .drop("__gram")
-    val keyed = hashed.withColumn("__k",
-      coalesce(col("__h"), concat_ws(":", lit("t"), col(idCol), col("pos"))))
-    val keeper = Window.partitionBy("__k").orderBy(col(idCol), col("pos"))
-    val marked = keyed.withColumn("__ds",
-      when(col("__h").isNotNull && row_number().over(keeper) > 1, lit(1))
-        .otherwise(lit(0)))
-    val coverW = Window.partitionBy(idCol).orderBy("pos")
-      .rowsBetween(-(L - 1), Window.currentRow)
-    val covered = marked.withColumn("__cov", sum(col("__ds")).over(coverW) > 0)
-    val perDoc = covered.groupBy(idCol).agg(
-      count(lit(1)).cast("int").as("n_tokens"),
-      count(when(col("__cov"), lit(1))).cast("int").as("n_removed"),
-      concat_ws(" ", transform(
-        array_sort(collect_list(
-          when(!col("__cov"), struct(col("pos"), col("__tok"))))),
-        s => s.getField("__tok"))).as("text_kept"))
-    df.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
+    graft.functions.SpanFunctions.register(df.sparkSession)
+    val toks = tokens(col(textCol))
+    val grams = df.select(col(idCol),
+      posexplode(graft.functions.SpanFunctions.gramMd5s(toks, L))
+        .as(Seq("pos", "__gh")))
+    val keeper = Window.partitionBy("__gh").orderBy(col(idCol), col("pos"))
+    val dupStarts = grams
+      .withColumn("__rn", row_number().over(keeper))
+      .filter(col("__rn") > 1)
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    cutBySpans(df, idCol, textCol, dupStarts, L)
+  }
+
+  /** Shared tail of batch and incremental substring dedup:
+    * (id, n_tokens, n_removed, text_kept) from docs ⟕ per-doc sorted
+    * duplicate-start lists (`__starts`), the cut itself the map-only
+    * [[graft.functions.CutSpans]] walk. `bc` wraps the starts side
+    * (broadcast for batch-bounded probes, identity for corpus runs —
+    * AQE still may).
+    */
+  private def cutBySpans(docs: DataFrame, idCol: String, textCol: String,
+                         starts: DataFrame, minTokens: Int,
+                         bc: DataFrame => DataFrame = identity): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.join(bc(starts), Seq(idCol), "left")
+      .select(col(idCol), size(toks).as("n_tokens"),
+        graft.functions.SpanFunctions.cutSpans(toks,
+          coalesce(col("__starts"), typedlit(Array.empty[Int])), minTokens)
+          .as("text_kept"))
       .select(col(idCol),
         coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
-        coalesce(col("n_removed"), lit(0)).as("n_removed"),
+        (coalesce(col("n_tokens"), lit(0)) -
+          when(coalesce(col("text_kept"), lit("")) === "", lit(0))
+            .otherwise(size(split(col("text_kept"), " "))))
+          .cast("int").as("n_removed"),
         coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
+  // ---- incremental substring dedup: persisted window-digest store ------
+
+  private val SubstrStore = "substr_windows"
+
+  /** (id, pos, __gh) — one 16-byte md5 digest per full minTokens-token
+    * window, computed map-only off the token array
+    * ([[graft.functions.GramMd5s]]).
+    */
+  private def windowRows(df: DataFrame, idCol: String, textCol: String,
+                         minTokens: Int): DataFrame = {
+    graft.functions.SpanFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+      posexplode(graft.functions.SpanFunctions.gramMd5s(
+        tokens(col(textCol)), minTokens)).as(Seq("pos", "__gh")))
+  }
+
+  /** Persist an archive's substring-window inventory: (win_hash, cnt) —
+    * 16 bytes + a count per DISTINCT minTokens-token window, the state
+    * that makes arbitrary-offset substring dedup ([[substringDedup]])
+    * INCREMENTAL: screening a day's crawl against a 100 TB archive must
+    * not re-tokenize the archive. Per-position granularity is the price
+    * of offset-invariance — the store is O(distinct windows), the same
+    * order the published suffix-array ExactSubstr implementation pays
+    * (~8 bytes per corpus position) — but it is paid ONCE; every probe
+    * after that touches only batch-bounded data.
+    */
+  def substrStoreBuild(df: DataFrame, idCol: String, textCol: String,
+                       sink: graft.sink.UpsertSink,
+                       minTokens: Int = 20): Unit =
+    sink.overwrite(SubstrStore,
+      windowRows(df, idCol, textCol, minTokens)
+        .groupBy(col("__gh").as("win_hash"))
+        .agg(count(lit(1)).as("cnt")),
+      Seq("win_hash"))
+
+  /** Screen a NEW batch against the persisted window inventory: every
+    * batch token covered by a minTokens-token window the archive has
+    * seen at least `minArchiveCount` times is removed; output is
+    * [[substringDedup]]'s contract on the batch — (id, n_tokens,
+    * n_removed, text_kept). The store side never shuffles: the batch's
+    * distinct window digests broadcast against the inventory scan
+    * (map-only), the matched set — batch-bounded — broadcasts back
+    * over the batch's window rows, and the span cut is the map-only
+    * [[graft.functions.CutSpans]] walk. Unlike [[substringDedup]]
+    * there is NO window operator at all: the archive's keeper ordering
+    * was paid once at build. Batch-internal repeats are NOT screened
+    * here (the family convention — [[segmentStoreProbe]] likewise);
+    * run [[substringDedup]] within the batch first if that matters.
+    * `broadcastBatch = false` for corpus-sized batches.
+    */
+  def substrStoreProbe(batch: DataFrame, idCol: String, textCol: String,
+                       sink: graft.sink.UpsertSink, minTokens: Int = 20,
+                       minArchiveCount: Long = 1,
+                       broadcastBatch: Boolean = true): DataFrame = {
+    val bc: DataFrame => DataFrame =
+      if (broadcastBatch) broadcast(_) else identity
+    val rows = windowRows(batch, idCol, textCol, minTokens)
+    val hit = sink.read(SubstrStore)
+      .filter(col("cnt") >= minArchiveCount)
+      .withColumnRenamed("win_hash", "__gh")
+      .join(bc(rows.select(col("__gh")).distinct()), "__gh")
+      .select(col("__gh"), lit(true).as("__dup"))
+    val starts = rows.join(bc(hit), Seq("__gh"), "left")
+      .filter(col("__dup").isNotNull)
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    cutBySpans(batch, idCol, textCol, starts, minTokens, bc)
+  }
+
+  /** [[substrStoreProbe]] then fold the batch's windows INTO the
+    * inventory (additive count merge — touched hashes only), so the
+    * next batch also screens against this one: cumulative admission.
+    * Screen-before-fold, so a batch never dedups against itself.
+    * Admissions serialize per store under the sink's writer lease.
+    */
+  def substrStoreAdmit(batch: DataFrame, idCol: String, textCol: String,
+                       sink: graft.sink.UpsertSink, minTokens: Int = 20,
+                       minArchiveCount: Long = 1): DataFrame = {
+    // eager localCheckpoint: the probe plan reads store files the merge
+    // below rewrites (same hazard as minhashStoreAdmit)
+    val out = substrStoreProbe(batch, idCol, textCol, sink, minTokens,
+      minArchiveCount).localCheckpoint(true)
+    val batchCounts = windowRows(batch, idCol, textCol, minTokens)
+      .groupBy(col("__gh").as("win_hash"))
+      .agg(count(lit(1)).as("__bcnt"))
+    // broadcast-legal orientation (the segmentStoreAdmit lesson): the
+    // store scan inner-joins the broadcast batch hashes (map-only,
+    // touched rows out), then the batch-bounded existing counts
+    // broadcast back onto the batch side
+    val existing = sink.read(SubstrStore)
+      .join(broadcast(batchCounts.select(col("win_hash"))), "win_hash")
+    val summed = batchCounts
+      .join(broadcast(existing), Seq("win_hash"), "left")
+      .select(col("win_hash"),
+        (coalesce(col("cnt"), lit(0L)) + col("__bcnt")).as("cnt"))
+    sink.merge(SubstrStore, summed, Seq("win_hash"), pkUnique = true)
+    out
   }
 
   /** Language-ID heuristic: per-language stopword hit counts; argmax with

@@ -214,19 +214,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Generate"), s"no fan-out generate found:\n$plan")
   }
 
-  test("q68: substring-dedup windows stay partitioned — no cartesian, no global") {
+  test("q68: substring-dedup pays ONE corpus window — the digest keeper") {
     val plan = planOf("q68_substring_dedup")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"all-pairs join in the substring-dedup plan:\n$plan")
     val keepers = plan.linesIterator
       .filter(l => l.contains("Window") && l.contains("row_number")).toSeq
     assert(keepers.nonEmpty, s"no keeper window found:\n$plan")
-    assert(keepers.forall(_.contains("__k")),
-      s"keeper window lost its window-hash partitioning:\n$keepers")
-    // gram assembly + coverage windows must partition on the doc id;
-    // a single-partition exchange = the whole exploded corpus on one core
+    assert(keepers.forall(_.contains("__gh")),
+      s"keeper window lost its digest partitioning:\n$keepers")
+    // gram digests and span coverage are map-only native expressions
+    // now — the digest keeper must be the ONLY window in the plan (the
+    // old relational form paid an id-window to assemble grams and a
+    // second one for coverage)
+    assert(plan.split("\\bWindow\\b").length - 1 == 1,
+      s"extra window stage crept back into the plan:\n$plan")
+    assert(plan.toLowerCase.contains("grammd5s"),
+      s"window digests not produced by the batched expression:\n$plan")
+    assert(plan.toLowerCase.contains("cutspans"),
+      s"span cut not the native map-only expression:\n$plan")
     assert(!plan.contains("Exchange SinglePartition"),
       s"global (single-partition) stage in the plan:\n$plan")
+  }
+
+  test("q115: incremental substring probe is WINDOW-FREE — store scans map-only") {
+    val plan = planOf("q115_incremental_substrdedup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in the incremental substring plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"store side shuffled (SMJ) — the inventory scan must stay map-only:\n$plan")
+    // the whole point vs q68: the archive's keeper ordering was paid at
+    // build time, so the probe has NO window operator at all
+    assert(!plan.contains("Window"),
+      s"window operator crept into the window-free probe:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe joins not broadcast:\n$plan")
+    assert(plan.toLowerCase.contains("cutspans"),
+      s"span cut not the native map-only expression:\n$plan")
   }
 
   test("q71: PII scrub is a map-only scan — no hash exchange, no UDF") {

@@ -334,6 +334,44 @@ class OpsSpec extends SparkSpec {
     assert(out(4) == ((5L, 0, 0, "")))
   }
 
+  test("substr store: probe cuts archive-seen spans at any offset; admit folds cumulative") {
+    val root = java.nio.file.Files.createTempDirectory("graft_substrstore")
+    val sink = new graft.sink.UpsertSink(spark, root.toString, numBuckets = 4)
+    def words(prefix: String, n: Int) =
+      (1 to n).map(i => prefix + ("a" * i)).mkString(" ")
+    val boiler = words("boil", 8)
+    val archive = Seq(
+      (1L, s"$boiler ${words("tail", 4)}"),
+      (2L, words("uniq", 6))).toDF("doc_id", "text")
+    TextOps.substrStoreBuild(archive, "doc_id", "text", sink, minTokens = 5)
+    // doc1: 12 tokens -> 8 windows; doc2: 6 -> 2; all distinct
+    val inv = sink.read("substr_windows").as[(Array[Byte], Long)].collect()
+    assert(inv.length == 10 && inv.map(_._2).sum == 10L,
+      s"inventory wrong: ${inv.length} rows")
+    val pre = words("pre", 2)
+    val fresh = words("fresh", 6)
+    val batch = Seq(
+      (10L, s"$pre $boiler $fresh"), // boiler SHIFTED +2: still cut whole
+      (11L, words("new", 8)),        // untouched
+      (12L, words("tiny", 3)))       // below one window
+      .toDF("doc_id", "text")
+    val p = TextOps.substrStoreAdmit(batch, "doc_id", "text", sink,
+        minTokens = 5)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(p == Seq(
+      (10L, 16, 8, s"$pre $fresh"),
+      (11L, 8, 0, words("new", 8)),
+      (12L, 3, 0, words("tiny", 3))), s"probe wrong: $p")
+    // admit folded the batch in: a later batch repeating doc10's fresh
+    // span (at a different offset) is screened against it
+    val p2 = TextOps.substrStoreProbe(
+        Seq((20L, s"$fresh ${words("later", 2)}")).toDF("doc_id", "text"),
+        "doc_id", "text", sink, minTokens = 5)
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(p2 == Seq((20L, 8, 6, words("later", 2))),
+      s"cumulative screen wrong: $p2")
+  }
+
   test("chunkTokens: stride overlap, no redundant suffix chunk, every token covered") {
     val words = (1 to 40).map(lw("w", _))
     val docs = Seq((1L, words.mkString(" ")), (2L, "a b c"), (3L, ""))
