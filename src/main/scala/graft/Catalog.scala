@@ -3628,6 +3628,69 @@ object Catalog {
         TextOps.substrStoreProbe(docs.filter(col("doc_id") % 3 === 0),
             "doc_id", "text", sink)
           .orderBy("doc_id")
+      }),
+
+    QueryDef("q116_incremental_selection",
+      "INCREMENTAL targeted selection — a persisted DSIR POLICY store: " +
+        "the per-bucket affinity table (q102's integer fixed-point " +
+        "form, Xie et al. 2023) is fit ONCE on the archive (target " +
+        "sample = archive docs with id % 11 = 0, raw pool = archive " +
+        "minus target by id) and persisted as 512 (bucket, aff_mil) " +
+        "rows; a new batch is then scored + admission-gated WITHOUT " +
+        "touching the archive at all — the store read is bounded (= " +
+        "buckets rows, verified dense), and scoring is ONE map-only " +
+        "codegen scan with the table riding the plan as a single " +
+        "array literal. Completes the incremental-store family: dedup " +
+        "stores screen what the archive has SEEN; the policy store " +
+        "screens what the target DISTRIBUTION wants. Integer " +
+        "arithmetic end to end -> bit-exact DuckDB oracle.",
+      Some("""WITH g AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 3 <> 0 AND doc_id % 11 = 0 THEN 'tgt'
+             |         WHEN doc_id % 3 <> 0 THEN 'raw' ELSE 'bat' END AS part,
+             |    regexp_extract_all(lower(text), '[a-z]+') AS ws
+             |  FROM documents),
+             |gr AS (SELECT doc_id, part, ws || CASE WHEN len(ws) < 2
+             |      THEN CAST([] AS VARCHAR[])
+             |      ELSE [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+             |    END AS grams
+             |  FROM g),
+             |occ AS (SELECT doc_id, part,
+             |    CAST(concat('0x', substr(md5(unnest(grams)), 1, 15))
+             |      AS BIGINT) % 512 AS b
+             |  FROM gr),
+             |ht AS (SELECT b, COUNT(*) AS ct FROM occ WHERE part = 'tgt'
+             |  GROUP BY b),
+             |hr AS (SELECT b, COUNT(*) AS cr FROM occ WHERE part = 'raw'
+             |  GROUP BY b),
+             |aff AS (SELECT doc_id,
+             |    (1000 * (COALESCE(ct, 0) + 1))
+             |      // (COALESCE(ct, 0) + COALESCE(cr, 0) + 2) AS a
+             |  FROM occ LEFT JOIN ht USING (b) LEFT JOIN hr USING (b)
+             |  WHERE part = 'bat'),
+             |sc AS (SELECT doc_id, COUNT(*) AS n, SUM(a) AS sa
+             |  FROM aff GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(COALESCE(sc.n, 0) AS INTEGER) AS n_grams,
+             |  CAST(sc.sa // sc.n AS BIGINT) AS dsir_mil,
+             |  CAST(CASE WHEN sc.sa // sc.n >= 101 THEN 1 ELSE 0 END
+             |    AS INTEGER) AS admitted
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+             |LEFT JOIN sc USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.freshSink(s, "selstore", dir)
+        val archive = docs.filter(col("doc_id") % 3 =!= 0)
+        SelectOps.selectionStoreBuild(archive,
+          archive.filter(col("doc_id") % 11 === 0),
+          "doc_id", "text", sink, buckets = 512)
+        SelectOps.selectionStoreScore(
+            docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", sink,
+            // the synthetic corpus's in-pool median (the target sample
+            // is sparse, so absolute scores sit low): the gate must
+            // actually SPLIT the batch for the audit column to mean
+            // anything — 520 would admit nobody here
+            minMil = 101L)
+          .orderBy("doc_id")
       })
   )
 

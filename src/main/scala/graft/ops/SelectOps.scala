@@ -152,21 +152,86 @@ object SelectOps {
     * downstream of the histograms, no UDF.
     */
   def dsirAffinityMil(corpus: DataFrame, target: DataFrame, idCol: String,
-                      textCol: String, buckets: Int = 1024): DataFrame = {
-    val aff = affinityTableMil(target, rawPool(corpus, target, idCol),
-      textCol, buckets)
-    graft.functions.DsirFunctions.register(corpus.sparkSession)
+                      textCol: String, buckets: Int = 1024): DataFrame =
+    scoreAffinityMil(corpus, idCol, textCol,
+      affinityTableMil(target, rawPool(corpus, target, idCol),
+        textCol, buckets))
+
+  /** The map-only scoring tail shared by [[dsirAffinityMil]] and the
+    * persisted-policy path ([[selectionStoreScore]]): (idCol, n_grams
+    * int, dsir_mil bigint — null when gram-less) with the affinity
+    * table riding the plan as one long[] reference object.
+    */
+  private def scoreAffinityMil(df: DataFrame, idCol: String,
+                               textCol: String,
+                               aff: Array[Long]): DataFrame = {
+    graft.functions.DsirFunctions.register(df.sparkSession)
     val toks = TextOps.tokens(col(textCol))
     // n unigrams + (n-1) bigrams = 2n-1 grams for n >= 1 tokens
     val n = when(size(toks) === 0, lit(0)).otherwise(size(toks) * 2 - 1)
     val sumAff = graft.functions.DsirFunctions.sumAffMil(toks, aff)
-    corpus.select(col(idCol), n.as("n_grams"), sumAff.as("__sa"))
+    df.select(col(idCol), n.as("n_grams"), sumAff.as("__sa"))
       .select(col(idCol), col("n_grams"),
         // `div`, not `/`: integer floor-quotient on non-negative values,
         // bit-matching DuckDB's `//` (the q94 convention). CaseWhen
         // short-circuits, so the gram-less row never divides by zero.
         when(col("n_grams") === 0, lit(null).cast("long"))
           .otherwise(expr("__sa div n_grams")).as("dsir_mil"))
+  }
+
+  // --- incremental selection: persisted DSIR affinity policy -------------
+
+  private val AffStore = "dsir_affinity"
+
+  /** Persist a SELECTION POLICY: the dense per-bucket DSIR affinity
+    * table fit on an archive (target sample vs [[rawPool]]), `buckets`
+    * rows of (bucket int, aff_mil long). This is the missing
+    * incremental-store modality next to dedup ([[graft.ops.TextOps]]
+    * stores) — at 100 TB the policy is fit ONCE per archive/target
+    * refresh (two bounded histograms over the archive), and every
+    * daily batch after that is scored WITHOUT touching the archive at
+    * all: the store is ≤ `buckets` rows, the probe one map-only scan.
+    */
+  def selectionStoreBuild(archive: DataFrame, target: DataFrame,
+                          idCol: String, textCol: String,
+                          sink: graft.sink.UpsertSink,
+                          buckets: Int = 512): Unit = {
+    val aff = affinityTableMil(target, rawPool(archive, target, idCol),
+      textCol, buckets)
+    val s = archive.sparkSession
+    import s.implicits._
+    sink.overwrite(AffStore,
+      aff.toSeq.zipWithIndex.map { case (a, b) => (b, a) }
+        .toDF("bucket", "aff_mil"),
+      Seq("bucket"))
+  }
+
+  /** Score a NEW batch against the persisted policy, map-only:
+    * (idCol, n_grams, dsir_mil, admitted int — dsir_mil >= minMil;
+    * gram-less docs score null and are not admitted). The store read
+    * is bounded (= `buckets` rows) and verified DENSE — a torn or
+    * truncated policy table fails loudly rather than silently scoring
+    * against a shifted bucket mapping.
+    */
+  def selectionStoreScore(batch: DataFrame, idCol: String,
+                          textCol: String, sink: graft.sink.UpsertSink,
+                          minMil: Long = 520L): DataFrame = {
+    val rows = sink.read(AffStore).collect()
+    val buckets = rows.length
+    require(buckets > 0, "selection store is empty — build the policy first")
+    val aff = new Array[Long](buckets)
+    val seen = new Array[Boolean](buckets)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      require(b >= 0 && b < buckets && !seen(b),
+        s"selection store is torn: bucket $b not in a dense " +
+          s"0..${buckets - 1} layout")
+      seen(b) = true
+      aff(b) = r.getAs[Long]("aff_mil")
+    }
+    scoreAffinityMil(batch, idCol, textCol, aff)
+      .withColumn("admitted",
+        when(col("dsir_mil") >= minMil, lit(1)).otherwise(lit(0)))
   }
 
   /** True-to-the-paper DSIR log importance weights:

@@ -253,6 +253,19 @@ class PlanShapeSpec extends SparkSpec {
       s"span cut not the native map-only expression:\n$plan")
   }
 
+  test("q116: policy-store scoring is ONE map-only scan — no exchange but the presentation sort") {
+    val plan = planOf("q116_incremental_selection")
+    // the histograms were paid at BUILD time into the store; the probe
+    // plan the user runs daily must be scan -> codegen score -> sort
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"probe-side shuffle — the policy must ride as a literal:\n$plan")
+    assert(!plan.contains("Window"), s"window crept into the probe:\n$plan")
+    assert(plan.toLowerCase.contains("dsirsumaffmil"),
+      s"scoring not the one-pass codegen expression:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"scoring fell onto a UDF:\n$plan")
+  }
+
   test("q71: PII scrub is a map-only scan — no hash exchange, no UDF") {
     val plan = planOf("q71_pii_redact")
     // the only exchange allowed is the presentation orderBy's range

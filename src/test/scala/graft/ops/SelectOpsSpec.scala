@@ -155,6 +155,58 @@ class SelectOpsSpec extends SparkSpec {
     }
   }
 
+  test("selection store: persisted policy scores a batch exactly like an in-memory fit") {
+    val root = java.nio.file.Files.createTempDirectory("graft_selstore")
+    val sink = new graft.sink.UpsertSink(spark, root.toString, numBuckets = 4)
+    val archive = pool.filter($"id" <= 40)
+    // target = ALL medical docs: the raw pool is then purely finance,
+    // so medical grams sit high (~954) and finance grams low (~45) —
+    // a clean admission split around the 520 gate
+    val target = archive.filter($"id" <= 20)
+    SelectOps.selectionStoreBuild(archive, target, "id", "text", sink,
+      buckets = 64)
+    // round-trip: the persisted dense table IS affinityTableMil's output
+    val expected = SelectOps.affinityTableMil(
+      target, archive.join(broadcast(target.select($"id")), Seq("id"),
+        "left_anti"), "text", 64)
+    val stored = sink.read("dsir_affinity")
+      .as[(Int, Long)].collect().sortBy(_._1)
+    assert(stored.map(_._1).toSeq == (0 until 64) &&
+      stored.map(_._2).toSeq == expected.toSeq,
+      "persisted policy drifted from the in-memory fit")
+    // batch scoring: medical-leaning docs admitted, finance not; the
+    // scores must be exactly what scoring against `expected` yields
+    val batch = Seq(
+      (101L, "patient dosage clinical trial symptom diagnosis extra"),
+      (102L, "market equity dividend portfolio hedge yield extra"),
+      (103L, "")).toDF("id", "text")
+    val out = SelectOps.selectionStoreScore(batch, "id", "text", sink,
+        minMil = 520L)
+      .orderBy("id")
+      .as[(Long, Int, Option[Long], Int)].collect().toSeq
+    assert(out.map(_._1) == Seq(101L, 102L, 103L))
+    val med = out(0); val fin = out(1); val empty = out(2)
+    assert(med._3.get > fin._3.get,
+      s"in-domain batch doc must outscore off-domain: $out")
+    assert(med._4 == 1 && fin._4 == 0,
+      s"admission gate wrong at minMil=520: $out")
+    assert(empty == ((103L, 0, None, 0)), s"gram-less row wrong: $empty")
+  }
+
+  test("selection store: a torn (non-dense) policy table is rejected loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_selstore_torn")
+    val sink = new graft.sink.UpsertSink(spark, root.toString, numBuckets = 4)
+    // bucket ids 0,2 with a hole at 1: collect() sees 2 rows and a
+    // bucket id outside the dense 0..1 range
+    sink.overwrite("dsir_affinity",
+      Seq((0, 500L), (2, 700L)).toDF("bucket", "aff_mil"), Seq("bucket"))
+    val ex = intercept[IllegalArgumentException] {
+      SelectOps.selectionStoreScore(
+        Seq((1L, "a b")).toDF("id", "text"), "id", "text", sink)
+    }
+    assert(ex.getMessage.contains("torn"), s"wrong rejection: $ex")
+  }
+
   test("null text propagates as null scores; never NPEs, never skews") {
     // the synthetic corpus has no null text, so neither the DuckDB
     // oracle nor the randomized reference exercises this edge
