@@ -3691,6 +3691,182 @@ object Catalog {
             // anything — 520 would admit nobody here
             minMil = 101L)
           .orderBy("doc_id")
+      }),
+
+    QueryDef("q117_curation_admission",
+      "The GRAND admission capstone: every store-backed gate the " +
+        "engine ships, composed over one batch under ONE exact " +
+        "oracle — q114's gates (quality, langid, exact-dup " +
+        "fingerprints, segment screen, MinHash near-dup, embedding " +
+        "near-dup) PLUS the round's two new stores: the substring " +
+        "WINDOW inventory (gate: >= 80% of tokens survive " +
+        "arbitrary-offset span removal — heavy boilerplate overlap " +
+        "rejects even when no whole segment matches) and the DSIR " +
+        "selection POLICY (gate: target-affinity at or above the " +
+        "pool median — dedup says UNSEEN, selection says WANTED; a " +
+        "real curation pipeline requires both). The archive exists " +
+        "only as its SIX compact stores; every probe join broadcasts; " +
+        "the only window is the batch-side span-coverage frame. " +
+        "Every gate rides as an independent audit column; `admitted` " +
+        "is the full conjunction.",
+      Some {
+        val (hitExprs, maxExpr, nWin, firstWin) = sqlLangPieces
+        s"""WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+           |a AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+           |h AS (SELECT doc_id, $sqlQualityMil AS quality_mil,
+           |  $hitExprs FROM b),
+           |m AS (SELECT *, $maxExpr AS mx FROM h),
+           |lg AS (SELECT doc_id, quality_mil, CASE WHEN mx = 0 OR ($nWin) > 1
+           |    THEN 'und' ELSE ($firstWin) END AS lang FROM m),
+           |afp AS (SELECT DISTINCT
+           |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+           |  FROM a),
+           |ex AS (SELECT doc_id, CASE WHEN
+           |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           |      IN (SELECT fp FROM afp) THEN 1 ELSE 0 END AS dup_exact
+           |  FROM b),
+           |toksall AS (SELECT doc_id,
+           |    regexp_extract_all(lower(text), '[a-z]+') w FROM documents),
+           |segl AS (SELECT doc_id,
+           |    [{'i': i, 's': array_to_string(w[(i*25+1):(i*25+25)], ' ')}
+           |     for i in range(0, CAST(ceil(len(w)/25.0) AS INTEGER))] AS ss
+           |  FROM toksall),
+           |seg AS (SELECT doc_id, u.i AS seg_idx, u.s AS s
+           |  FROM (SELECT doc_id, unnest(ss) AS u FROM segl)),
+           |archs AS (SELECT DISTINCT md5(s) AS hsh FROM seg
+           |  WHERE doc_id % 3 <> 0),
+           |batk AS (SELECT doc_id, count(*) FILTER (
+           |      WHERE md5(s) NOT IN (SELECT hsh FROM archs)) AS kept
+           |  FROM seg WHERE doc_id % 3 = 0 GROUP BY doc_id),
+           |segk AS (SELECT t.doc_id,
+           |    CAST(COALESCE(ceil(len(w)/25.0), 0) AS INTEGER) AS n_segs,
+           |    CAST(COALESCE(batk.kept, 0) AS INTEGER) AS n_kept
+           |  FROM toksall t LEFT JOIN batk USING (doc_id)
+           |  WHERE t.doc_id % 3 = 0),
+           |sh AS (SELECT doc_id, CASE WHEN len(w) < 3
+           |    THEN [array_to_string(w, ' ')]
+           |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           |                        for i in range(1, len(w) - 1)]) END AS sss
+           |  FROM toksall),
+           |ndh AS (SELECT DISTINCT bsh.doc_id FROM sh ash JOIN sh bsh
+           |  ON ash.doc_id % 3 <> 0 AND bsh.doc_id % 3 = 0
+           |  AND CAST(len(list_intersect(ash.sss, bsh.sss)) AS DOUBLE)
+           |      / len(list_distinct(list_concat(ash.sss, bsh.sss))) >= 0.5),
+           |emb AS (SELECT vec_id, embedding FROM embeddings),
+           |edh AS (SELECT DISTINCT eb.vec_id AS doc_id
+           |  FROM emb ea JOIN emb eb
+           |  ON ea.vec_id % 3 <> 0 AND eb.vec_id % 3 = 0
+           |  AND round(${sqlCosine("ea.embedding", "eb.embedding")}, 6)
+           |      >= 0.45),
+           |swa AS (SELECT DISTINCT u AS hh FROM (
+           |  SELECT unnest([md5(array_to_string(w[(i+1):(i+20)], ' '))
+           |                 for i in range(0, len(w) - 19)]) AS u
+           |  FROM toksall WHERE doc_id % 3 <> 0)),
+           |sex AS (SELECT doc_id, u.i AS pos, u.h AS hh FROM (
+           |  SELECT doc_id, unnest([{'i': i,
+           |      'h': CASE WHEN i <= len(w) - 20
+           |        THEN md5(array_to_string(w[(i+1):(i+20)], ' ')) END}
+           |    for i in range(0, len(w))]) u
+           |  FROM toksall WHERE doc_id % 3 = 0)),
+           |smk AS (SELECT doc_id, pos, CASE WHEN hh IS NOT NULL
+           |      AND hh IN (SELECT hh FROM swa) THEN 1 ELSE 0 END AS ds
+           |  FROM sex),
+           |scov AS (SELECT doc_id,
+           |    sum(ds) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) > 0 AS covered
+           |  FROM smk),
+           |sk AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+           |    CAST(count(*) FILTER (WHERE covered) AS INTEGER)
+           |      AS n_span_removed
+           |  FROM scov GROUP BY doc_id),
+           |dgr AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 3 <> 0 AND doc_id % 11 = 0 THEN 'tgt'
+           |         WHEN doc_id % 3 <> 0 THEN 'raw' ELSE 'bat' END AS part,
+           |    w || CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+           |      ELSE [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+           |    END AS grams
+           |  FROM toksall),
+           |docc AS (SELECT doc_id, part,
+           |    CAST(concat('0x', substr(md5(unnest(grams)), 1, 15))
+           |      AS BIGINT) % 512 AS bk
+           |  FROM dgr),
+           |dht AS (SELECT bk, COUNT(*) AS ct FROM docc WHERE part = 'tgt'
+           |  GROUP BY bk),
+           |dhr AS (SELECT bk, COUNT(*) AS cr FROM docc WHERE part = 'raw'
+           |  GROUP BY bk),
+           |daff AS (SELECT doc_id,
+           |    (1000 * (COALESCE(ct, 0) + 1))
+           |      // (COALESCE(ct, 0) + COALESCE(cr, 0) + 2) AS aa
+           |  FROM docc LEFT JOIN dht USING (bk) LEFT JOIN dhr USING (bk)
+           |  WHERE part = 'bat'),
+           |dsc AS (SELECT doc_id, COUNT(*) AS n, SUM(aa) AS sa
+           |  FROM daff GROUP BY doc_id)
+           |SELECT lg.doc_id, lg.quality_mil, lg.lang, ex.dup_exact,
+           |  segk.n_segs, segk.n_kept,
+           |  CASE WHEN ndh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS neardup_hit,
+           |  CASE WHEN edh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS embdup_hit,
+           |  COALESCE(sk.n_tokens, 0) AS n_tokens,
+           |  COALESCE(sk.n_span_removed, 0) AS n_span_removed,
+           |  CAST(dsc.sa // dsc.n AS BIGINT) AS dsir_mil,
+           |  CAST(CASE WHEN dsc.sa // dsc.n >= 101 THEN 1 ELSE 0 END
+           |    AS INTEGER) AS sel_admit,
+           |  CASE WHEN lg.quality_mil >= 500 AND lg.lang = 'en'
+           |       AND ex.dup_exact = 0 AND ndh.doc_id IS NULL
+           |       AND edh.doc_id IS NULL
+           |       AND COALESCE(sk.n_span_removed, 0) * 5
+           |           <= COALESCE(sk.n_tokens, 0)
+           |       AND COALESCE(dsc.sa // dsc.n >= 101, FALSE)
+           |       THEN 1 ELSE 0 END AS admitted
+           |FROM lg JOIN ex USING (doc_id) JOIN segk USING (doc_id)
+           |  LEFT JOIN ndh USING (doc_id) LEFT JOIN edh USING (doc_id)
+           |  LEFT JOIN sk USING (doc_id) LEFT JOIN dsc USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      },
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val e = t(s, dir, "embeddings")
+        val sink = tempStore.freshSink(s, "admit117", dir)
+        val archive = docs.filter(col("doc_id") % 3 =!= 0)
+        TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink)
+        TextOps.segmentStoreBuild(archive, "doc_id", "text", sink)
+        TextOps.minhashStoreBuild(archive, "doc_id", "text", sink)
+        TextOps.substrStoreBuild(archive, "doc_id", "text", sink)
+        SelectOps.selectionStoreBuild(archive,
+          archive.filter(col("doc_id") % 11 === 0),
+          "doc_id", "text", sink, buckets = 512)
+        SimOps.embLshStoreBuild(e.filter(col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", sink)
+        val batch = docs.filter(col("doc_id") % 3 === 0)
+        val txt = TextOps.admissionScreen(batch, "doc_id", "text", sink)
+          .drop("admitted")
+        val sub = TextOps.substrStoreProbe(batch, "doc_id", "text", sink)
+          .select(col("doc_id"), col("n_tokens"),
+            col("n_removed").as("n_span_removed"))
+        val sel = SelectOps.selectionStoreScore(batch, "doc_id", "text",
+            sink, minMil = 101L)
+          .select(col("doc_id"), col("dsir_mil"),
+            col("admitted").as("sel_admit"))
+        val embHits = SimOps.embLshStoreProbe(
+            e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+            sink, threshold = 0.45)
+          .select(col("b_id").as("doc_id")).distinct()
+          .withColumn("__ed", lit(1))
+        txt.join(broadcast(embHits), Seq("doc_id"), "left")
+          .join(broadcast(sub), Seq("doc_id"), "left")
+          .join(broadcast(sel), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("quality_mil"), col("lang"),
+            col("dup_exact"), col("n_segs"), col("n_kept"),
+            col("neardup_hit"),
+            coalesce(col("__ed"), lit(0)).as("embdup_hit"),
+            col("n_tokens"), col("n_span_removed"), col("dsir_mil"),
+            col("sel_admit"))
+          .withColumn("admitted",
+            (col("quality_mil") >= 500 && col("lang") === "en" &&
+              col("dup_exact") === 0 && col("neardup_hit") === 0 &&
+              col("embdup_hit") === 0 &&
+              col("n_span_removed") * 5 <= col("n_tokens") &&
+              col("sel_admit") === 1).cast("int"))
+          .orderBy("doc_id")
       })
   )
 

@@ -654,6 +654,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), s"a gate fell onto a UDF:\n$plan")
   }
 
+  test("q117: grand admission — no window, no store shuffle, no UDF, all gates broadcast") {
+    val plan = planOf("q117_curation_admission")
+    // all seven gates compose window-free: the substring screen's keeper
+    // ordering was paid into the store, the policy rides as a literal
+    assert(!plan.contains("Window"),
+      s"curation screen has a window:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a store shuffled inside the screen:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"a gate fell onto a UDF:\n$plan")
+    assert(plan.toLowerCase.contains("cutspans") &&
+      plan.toLowerCase.contains("dsirsumaffmil"),
+      s"native gate expressions missing from the plan:\n$plan")
+  }
+
   test("q104: centroid rides as a literal — top-k never sorts globally") {
     val plan = planOf("q104_domain_topk")
     assert(plan.contains("TakeOrderedAndProject"),
