@@ -1119,24 +1119,25 @@ object TextOps {
     * suffix array the published implementation uses — gram anchors keep
     * every step equi-keyed.)
     *
-    * Scale shape: ONE corpus-scale shuffle. Window digests come off the
-    * token array map-only ([[graft.functions.GramMd5s]] — one md5 per
-    * position, token bytes digested in place, bit-identical to
+    * Scale shape: ONE corpus×len-scale shuffle. Window digests come off
+    * the token array map-only ([[graft.functions.GramMd5s]] — one md5
+    * per position, token bytes digested in place, bit-identical to
     * `md5(array_to_string(ws[i:i+L-1], ' '))` so the SQL oracle
     * reproduces every collision), and only (id, pos, 16-byte digest)
     * rides the keeper shuffle — not tokens, not hex strings. The
     * keeper decision is a row_number window partitioned by the digest
     * (equi-keyed; group size = a window's duplication count; positions
     * without a full window never produce a digest, so no null-key
-    * group forms). Duplicate starts — a corpus-bounded minority —
-    * regroup per doc and join back to the source scan, where span
-    * coverage and rebuild are again map-only
+    * group forms). Duplicate starts regroup per doc and join back to
+    * the source scan — DOC-granular exchanges, len× smaller than the
+    * keeper — where span coverage and rebuild are again map-only
     * ([[graft.functions.CutSpans]]: one sorted-merge walk over
     * (tokens, starts)). The earlier relational form paid THREE
     * corpus×len shuffles (an id-window assembling every L-token gram
     * via a collect_list frame — an L× row-size amplification — the
     * keeper, and a second id-window for coverage); this shape pays
-    * the keeper alone and carries 16 bytes per position through it.
+    * the keeper alone at position granularity and carries 16 bytes
+    * per position through it.
     *
     * Output per input document (total — docs with null/empty text or
     * fully-removed content still appear):
