@@ -32,7 +32,7 @@ object GraftFunctions {
       BloomFunctions.builders ++ BpeFunctions.builders ++
       RepetitionFunctions.builders ++ DsirFunctions.builders ++
       MarginFunctions.builders ++ ChunkFunctions.builders ++
-      SpanFunctions.builders
+      SpanFunctions.builders ++ MarkerFunctions.builders
 
   /** Idempotent session registration of a module's builders (the shared
     * body of every module's `register`).

@@ -88,8 +88,11 @@ object TextOps {
 
   def stopwordRatioMil(text: Column): Column = {
     val toks = tokens(text)
-    val stops = filter(toks, t => t.isInCollection(stopwords))
-    floor(lit(1000) * size(stops) / greatest(size(toks), lit(1))).cast("long")
+    // native one-pass hit count — the filter-HOF form ran interpreted
+    // with the tokenizer inlined into the lambda (see MarkerGroupHits)
+    val stops = element_at(
+      graft.functions.MarkerFunctions.groupHits(toks, Seq(stopwords)), 1)
+    floor(lit(1000) * stops / greatest(size(toks), lit(1))).cast("long")
   }
 
   /** Duplicate-LINE fraction (per-mille, integer) — the Gopher/
@@ -1296,24 +1299,22 @@ object TextOps {
     "fr" -> Seq("le", "les", "est", "et", "dans"),
     "zh" -> Seq("de", "shi", "bu", "le", "wo"))
 
-  def langHits(text: Column, markers: Seq[String]): Column = {
-    val toks = tokens(text)
-    size(filter(toks, t => t.isInCollection(markers)))
-  }
+  def langHits(text: Column, markers: Seq[String]): Column =
+    element_at(graft.functions.MarkerFunctions.groupHits(
+      tokens(text), Seq(markers)), 1)
 
   /** Best-guess language: highest marker-hit count, ties -> 'und'ecided
     * unless one language strictly wins.
     */
   def langId(text: Column): Column = {
     val langs = langMarkers.keys.toSeq.sorted
-    val hits = langs.map(l => langHits(text, langMarkers(l)))
-    val maxHits = hits.reduce((a, b) => greatest(a, b))
-    val winners = langs.zip(hits).map { case (l, h) =>
-      when(h === maxHits && maxHits > 0, lit(l)).otherwise(lit(null))
-    }
-    val nWinners = winners.map(w => when(w.isNotNull, 1).otherwise(0)).reduce(_ + _)
-    when(maxHits === 0 || nWinners > 1, lit("und"))
-      .otherwise(coalesce(winners: _*))
+    // ONE expression node: count + argmax + tie rule all inside
+    // LangGuess (the counts-column formulation fanned the counting
+    // subtree into a when/greatest/coalesce tree ~60 references wide —
+    // fine under ProjectExec subexpression elimination, re-evaluated
+    // per reference inside FILTER predicates, which get no CSE)
+    graft.functions.MarkerFunctions.langGuess(
+      tokens(text), langs.map(langMarkers), langs)
   }
 
   // --- PII detection / redaction ----------------------------------------
