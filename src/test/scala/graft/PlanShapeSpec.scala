@@ -670,6 +670,25 @@ class PlanShapeSpec extends SparkSpec {
       s"native gate expressions missing from the plan:\n$plan")
   }
 
+  test("q118: exact profile = two pruned scans, hash aggregation, NO Expand") {
+    val plan = planOf("q118_table_profile")
+    assert(plan.split("Scan parquet").length - 1 == 2,
+      s"profile should pay exactly two column-pruned scans (stats + " +
+        s"exact distinct):\n$plan")
+    // the rejected shape: count(DISTINCT c) columns in one aggregate =
+    // k-way Expand + SortAggregate on an all-columns immutable key
+    // (measured 18.5 s vs 3.9 s here)
+    assert(!plan.contains("Expand"),
+      s"multi-distinct Expand crept back into the profile plan:\n$plan")
+    // (keyless SortAggregate for the stats pass is fine — with key=[]
+    // there is nothing to sort; the rejected shape sorted the expanded
+    // corpus on an all-columns key)
+    assert(plan.contains("partial_"),
+      s"no partial (map-side) aggregate below the exchange:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"profile fell onto a UDF:\n$plan")
+  }
+
   test("q104: centroid rides as a literal — top-k never sorts globally") {
     val plan = planOf("q104_domain_topk")
     assert(plan.contains("TakeOrderedAndProject"),

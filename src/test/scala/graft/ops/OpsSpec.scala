@@ -532,6 +532,38 @@ class OpsSpec extends SparkSpec {
     assert(byId(13L)._5 == 0)
   }
 
+  test("profile: exact per-column stats over one pass, nulls and ordering honest") {
+    val df = Seq(
+      (1L, Some(10.5), Some("b")),
+      (2L, None, Some("a")),
+      (3L, Some(2.25), None),
+      (4L, Some(10.5), Some("a")),
+      (5L, None, Some("c")))
+      .toDF("id", "v", "s")
+    val out = RelOps.profile(df, Seq("id", "v", "s"), exact = true)
+      .as[(String, Long, Long, Long, String, String)].collect().toSeq
+    assert(out == Seq(
+      ("id", 5L, 0L, 5L, "1", "5"),
+      // native numeric ordering: 2.25 < 10.5 (lexicographic would flip)
+      ("s", 5L, 1L, 3L, "a", "c"),
+      ("v", 5L, 2L, 2L, "2.25", "10.5")), s"profile wrong: $out")
+    // approx mode: distinct within HLL bounds, everything else identical
+    val ap = RelOps.profile(df, Seq("id", "v", "s"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    out.foreach { e =>
+      val a = ap(e._1)
+      assert((a._4 - e._4).abs <= math.max(1L, e._4 / 10),
+        s"approx distinct off for ${e._1}: ${a._4} vs ${e._4}")
+      assert((a._2, a._3, a._5, a._6) == ((e._2, e._3, e._5, e._6)))
+    }
+    // unknown columns rejected loudly
+    val ex = intercept[IllegalArgumentException] {
+      RelOps.profile(df, Seq("nope"))
+    }
+    assert(ex.getMessage.contains("no such columns"))
+  }
+
   test("saltedJoin equals the plain join on a skewed key (incl. misses)") {
     // 10k rows of one whale key + a long tail; dimension misses key 99
     val big = ((1 to 10000).map(_ => 1L) ++ (2L to 99L)).toDF("k")
