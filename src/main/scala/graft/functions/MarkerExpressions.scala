@@ -31,13 +31,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MarkerOps {
 
-  /** counts(g) = |{i : tokens(i) ∈ group g}|. `lookup` maps token →
-    * bitmask of the groups containing it (a token may sit in several
-    * lists — e.g. "de" is a German AND a pinyin marker).
+  /** The shared counting kernel: counts(g) = |{i : tokens(i) ∈ group
+    * g}| — ONE copy, so a fix here (the contract both expressions'
+    * consumers depend on) can never diverge between them.
     */
-  def groupHits(arr: ArrayData,
-                lookup: java.util.HashMap[UTF8String, Integer],
-                nGroups: Int): ArrayData = {
+  private def countsOf(arr: ArrayData,
+                       lookup: java.util.HashMap[UTF8String, Integer],
+                       nGroups: Int): Array[Int] = {
     val counts = new Array[Int](nGroups)
     val n = arr.numElements()
     var i = 0
@@ -52,8 +52,44 @@ object MarkerOps {
       }
       i += 1
     }
-    new GenericArrayData(counts)
+    counts
   }
+
+  /** Compile marker groups (an `array<array<string>>` literal's value)
+    * to the token → group-bitmask map both expressions ship to
+    * executors.
+    */
+  private[functions] def compileLookup(gd: ArrayData)
+      : java.util.HashMap[UTF8String, Integer] = {
+    require(gd != null && gd.numElements() > 0 && gd.numElements() <= 32,
+      s"marker expressions need 1..32 marker groups, got " +
+        s"${if (gd == null) "null" else gd.numElements().toString}")
+    val n = gd.numElements()
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    var g = 0
+    while (g < n) {
+      val markers = gd.getArray(g)
+      var j = 0
+      while (j < markers.numElements()) {
+        val t = markers.getUTF8String(j).clone()
+        val prev = m.get(t)
+        m.put(t, Integer.valueOf(
+          (if (prev == null) 0 else prev.intValue()) | (1 << g)))
+        j += 1
+      }
+      g += 1
+    }
+    m
+  }
+
+  /** `lookup` maps token → bitmask of the groups containing it (a
+    * token may sit in several lists — e.g. "de" is a German AND a
+    * pinyin marker).
+    */
+  def groupHits(arr: ArrayData,
+                lookup: java.util.HashMap[UTF8String, Integer],
+                nGroups: Int): ArrayData =
+    new GenericArrayData(countsOf(arr, lookup, nGroups))
 
   private val Und = UTF8String.fromString("und")
 
@@ -66,20 +102,7 @@ object MarkerOps {
                 lookup: java.util.HashMap[UTF8String, Integer],
                 codes: Array[UTF8String]): UTF8String = {
     val nGroups = codes.length
-    val counts = new Array[Int](nGroups)
-    val n = arr.numElements()
-    var i = 0
-    while (i < n) {
-      val m = lookup.get(arr.getUTF8String(i))
-      if (m != null) {
-        var mask = m.intValue()
-        while (mask != 0) {
-          counts(java.lang.Integer.numberOfTrailingZeros(mask)) += 1
-          mask &= mask - 1
-        }
-      }
-      i += 1
-    }
+    val counts = countsOf(arr, lookup, nGroups)
     var best = -1
     var bestCnt = 0
     var ties = 0
@@ -117,32 +140,8 @@ case class MarkerGroupHits(tokens: Expression, groups: Expression)
   @transient private lazy val compiled
       : (java.util.HashMap[UTF8String, Integer], Int) = {
     val gd = groups.eval().asInstanceOf[ArrayData]
-    require(gd != null && gd.numElements() > 0 && gd.numElements() <= 32,
-      s"$prettyName: need 1..32 marker groups, got " +
-        s"${if (gd == null) "null" else gd.numElements().toString}")
-    val n = gd.numElements()
-    val m = new java.util.HashMap[UTF8String, Integer]()
-    var g = 0
-    while (g < n) {
-      val markers = gd.getArray(g)
-      var j = 0
-      while (j < markers.numElements()) {
-        val t = markers.getUTF8String(j).clone()
-        val prev = m.get(t)
-        m.put(t, Integer.valueOf(
-          (if (prev == null) 0 else prev.intValue()) | (1 << g)))
-        j += 1
-      }
-      g += 1
-    }
-    (m, n)
+    (MarkerOps.compileLookup(gd), gd.numElements())
   }
-
-  /** The compiled token → group-bitmask map (shared with [[LangGuess]],
-    * whose marker-group child has identical semantics).
-    */
-  private[functions] def lookupFor(): java.util.HashMap[UTF8String, Integer] =
-    compiled._1
 
   override def nullIntolerant: Boolean = true
 
@@ -196,16 +195,16 @@ case class LangGuess(first: Expression, second: Expression,
 
   @transient private lazy val compiled
       : (java.util.HashMap[UTF8String, Integer], Array[UTF8String]) = {
-    val gh = MarkerGroupHits(first, second)
     val cd = third.eval().asInstanceOf[ArrayData]
     val gd = second.eval().asInstanceOf[ArrayData]
-    require(cd != null && cd.numElements() == gd.numElements(),
+    require(cd != null && gd != null &&
+      cd.numElements() == gd.numElements(),
       s"$prettyName: need one code per marker group " +
         s"(${cd.numElements()} codes, ${gd.numElements()} groups)")
     val codes = new Array[UTF8String](cd.numElements())
     var i = 0
     while (i < codes.length) { codes(i) = cd.getUTF8String(i).clone(); i += 1 }
-    (gh.lookupFor(), codes)
+    (MarkerOps.compileLookup(gd), codes)
   }
 
   override def nullIntolerant: Boolean = true

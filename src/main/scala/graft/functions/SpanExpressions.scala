@@ -33,7 +33,10 @@ object SpanOps {
   /** md5 digest of each FULL n-token window (positions 0..len-n), the
     * digest fed token bytes joined by a single `' '` byte — exactly
     * `md5(tok_i || ' ' || ... || tok_{i+n-1})` without building the
-    * string. Empty result for arrays shorter than n.
+    * string. Empty result for arrays shorter than n. Null token
+    * elements NPE loudly rather than silently skewing digests (the
+    * [[DsirOps]] contract — the `[a-z]+` tokenizer never yields null
+    * elements).
     */
   def gramMd5s(arr: ArrayData, n: Int): ArrayData = {
     val len = arr.numElements()
@@ -62,24 +65,32 @@ object SpanOps {
 
   /** Tokens OUTSIDE the union of [s, s+n) over `starts`, joined by a
     * single space. `starts` must be sorted ascending (collect via
-    * `sort_array`); enforced loudly because an unsorted list silently
-    * under-removes.
+    * `sort_array`); enforced loudly over the WHOLE array up front —
+    * a lazy check while consuming would never inspect starts at or
+    * past the token count, and an unsorted tail would silently
+    * under-remove. Null token elements NPE loudly (the [[DsirOps]]
+    * contract): tokens come from `regexp_extract_all`, which never
+    * yields null elements, and skipping would silently change which
+    * spans exist.
     */
   def cutSpans(arr: ArrayData, starts: ArrayData, n: Int): UTF8String = {
     val len = arr.numElements()
     val k = starts.numElements()
+    var i = 1
+    while (i < k) {
+      if (starts.getInt(i) < starts.getInt(i - 1))
+        throw new IllegalArgumentException(
+          s"cutSpans: starts must be sorted ascending, got " +
+            s"${starts.getInt(i)} after ${starts.getInt(i - 1)}")
+      i += 1
+    }
     val sb = new java.lang.StringBuilder
     var si = 0
     var removedUntil = -1
-    var prev = -1
     var p = 0
     while (p < len) {
       while (si < k && starts.getInt(si) <= p) {
-        val s = starts.getInt(si)
-        if (s < prev) throw new IllegalArgumentException(
-          s"cutSpans: starts must be sorted ascending, got $s after $prev")
-        prev = s
-        val e = s + n
+        val e = starts.getInt(si) + n
         if (e > removedUntil) removedUntil = e
         si += 1
       }

@@ -255,21 +255,27 @@ object RelOps {
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"profile: no such columns: " +
       s"${missing.mkString(", ")} (have ${df.columns.mkString(", ")})")
+    // exact mode must not ALSO pay the per-row HLL sketch updates in
+    // the stats pass — Catalyst cannot prune a struct field built
+    // inside inline() back through the Generate into the Aggregate,
+    // so the sketches only stay out if they are never aggregated
     val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
       Seq(
         count(when(col(c).isNull, lit(1))).as(s"__null_$c"),
-        approx_count_distinct(col(c)).as(s"__dist_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+        max(col(c)).cast("string").as(s"__max_$c")) ++
+        (if (exact) Seq.empty
+         else Seq(approx_count_distinct(col(c)).as(s"__dist_$c")))
     }
     val base = df.agg(aggs.head, aggs.tail: _*)
       .select(inline(array(cols.map { c =>
-        struct(lit(c).as("col_name"),
+        struct(Seq(lit(c).as("col_name"),
           col("__n").as("n_rows"),
-          col(s"__null_$c").as("n_null"),
-          col(s"__dist_$c").as("n_distinct"),
-          col(s"__min_$c").as("min_val"),
-          col(s"__max_$c").as("max_val"))
+          col(s"__null_$c").as("n_null")) ++
+          (if (exact) Seq.empty
+           else Seq(col(s"__dist_$c").as("n_distinct"))) ++
+          Seq(col(s"__min_$c").as("min_val"),
+            col(s"__max_$c").as("max_val")): _*)
       }: _*)))
     val withDistinct =
       if (!exact) base
@@ -279,8 +285,7 @@ object RelOps {
         }: _*)))
         val dist = unpiv.groupBy("col_name")
           .agg(count_distinct(col("__v")).as("__exact"))
-        base.drop("n_distinct")
-          .join(broadcast(dist), Seq("col_name"), "left")
+        base.join(broadcast(dist), Seq("col_name"), "left")
           .select(col("col_name"), col("n_rows"), col("n_null"),
             coalesce(col("__exact"), lit(0L)).as("n_distinct"),
             col("min_val"), col("max_val"))

@@ -1242,10 +1242,21 @@ object TextOps {
   def substrStoreProbe(batch: DataFrame, idCol: String, textCol: String,
                        sink: graft.sink.UpsertSink, minTokens: Int = 20,
                        minArchiveCount: Long = 1,
-                       broadcastBatch: Boolean = true): DataFrame = {
+                       broadcastBatch: Boolean = true): DataFrame =
+    substrProbeFromRows(batch, windowRows(batch, idCol, textCol, minTokens),
+      idCol, textCol, sink, minTokens, minArchiveCount, broadcastBatch)
+
+  /** [[substrStoreProbe]] body over PRE-COMPUTED window rows, so
+    * [[substrStoreAdmit]] pays the tokenize + per-position digest scan
+    * once for its probe AND its count fold.
+    */
+  private def substrProbeFromRows(batch: DataFrame, rows: DataFrame,
+                                  idCol: String, textCol: String,
+                                  sink: graft.sink.UpsertSink,
+                                  minTokens: Int, minArchiveCount: Long,
+                                  broadcastBatch: Boolean): DataFrame = {
     val bc: DataFrame => DataFrame =
       if (broadcastBatch) broadcast(_) else identity
-    val rows = windowRows(batch, idCol, textCol, minTokens)
     val hit = sink.read(SubstrStore)
       .filter(col("cnt") >= minArchiveCount)
       .withColumnRenamed("win_hash", "__gh")
@@ -1267,11 +1278,17 @@ object TextOps {
   def substrStoreAdmit(batch: DataFrame, idCol: String, textCol: String,
                        sink: graft.sink.UpsertSink, minTokens: Int = 20,
                        minArchiveCount: Long = 1): DataFrame = {
+    // window rows checkpointed ONCE: the probe and the count fold both
+    // consume them, and the tokenize + per-position digest scan is the
+    // dominant map cost of an admission
+    val rows = windowRows(batch, idCol, textCol, minTokens)
+      .localCheckpoint(true)
     // eager localCheckpoint: the probe plan reads store files the merge
     // below rewrites (same hazard as minhashStoreAdmit)
-    val out = substrStoreProbe(batch, idCol, textCol, sink, minTokens,
-      minArchiveCount).localCheckpoint(true)
-    val batchCounts = windowRows(batch, idCol, textCol, minTokens)
+    val out = substrProbeFromRows(batch, rows, idCol, textCol, sink,
+      minTokens, minArchiveCount, broadcastBatch = true)
+      .localCheckpoint(true)
+    val batchCounts = rows
       .groupBy(col("__gh").as("win_hash"))
       .agg(count(lit(1)).as("__bcnt"))
     // broadcast-legal orientation (the segmentStoreAdmit lesson): the

@@ -82,13 +82,16 @@ class MarkerExpressionsSpec extends SparkSpec {
     val expr = MarkerFunctions.groupHits($"toks", groups).as("c")
     val viaCodegen = df.select($"id", expr)
       .as[(Long, Seq[Int])].collect().toMap
-    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    // factoryMode=NO_CODEGEN forces InterpretedUnsafeProjection, which
+    // actually runs nullSafeEval — wholeStage=false alone still calls
+    // each expression's doGenCode through GenerateUnsafeProjection
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
       val interpreted = df.select($"id", expr)
         .as[(Long, Seq[Int])].collect().toMap
       assert(viaCodegen == interpreted)
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
     assert(viaCodegen(99L) == null)
   }
 

@@ -58,19 +58,30 @@ class SpanExpressionsSpec extends SparkSpec {
     assert(cut(Seq(28), 5) == toks.take(28).mkString(" "))
   }
 
-  test("CutSpans rejects unsorted starts loudly") {
+  test("CutSpans rejects unsorted starts loudly — even past the token range") {
     SpanFunctions.register(spark)
-    val ex = intercept[Exception] {
-      Seq((Seq("a", "b", "c", "d"), Seq(2, 0))).toDF("t", "s")
-        .select(SpanFunctions.cutSpans($"t", $"s", 2))
-        .collect()
-    }
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: causes(t.getCause)
-    assert(causes(ex).exists(_.getMessage != null) &&
-      causes(ex).exists(c =>
+    def rejects(starts: Seq[Int]): Unit = {
+      val ex = intercept[Exception] {
+        Seq((Seq("a", "b", "c", "d"), starts)).toDF("t", "s")
+          .select(SpanFunctions.cutSpans($"t", $"s", 2))
+          .collect()
+      }
+      assert(causes(ex).exists(c =>
         c.getMessage != null && c.getMessage.contains("sorted ascending")),
-      s"unsorted starts not rejected: $ex")
+        s"unsorted starts $starts not rejected: $ex")
+    }
+    rejects(Seq(2, 0))
+    // the lazy-while-consuming check's blind spot: a first start AT or
+    // past the token count is never consumed by the walk, so the
+    // out-of-order start behind it would silently under-remove
+    rejects(Seq(10, 2))
+    // in-range starts past the end are legal (spans cap at the array)
+    val ok = Seq((Seq("a", "b", "c", "d"), Seq(1, 9))).toDF("t", "s")
+      .select(SpanFunctions.cutSpans($"t", $"s", 2).as("c"))
+      .as[String].head()
+    assert(ok == "a d", s"tail-start handling wrong: $ok")
   }
 
   test("interpreted and codegen paths agree; null children yield null") {
@@ -90,14 +101,17 @@ class SpanExpressionsSpec extends SparkSpec {
     val viaCodegen = df.select($"id" +: exprs: _*)
       .as[(Long, Seq[String], String)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
-    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    // factoryMode=NO_CODEGEN forces InterpretedUnsafeProjection, which
+    // actually runs nullSafeEval — wholeStage=false alone still calls
+    // each expression's doGenCode through GenerateUnsafeProjection
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
       val interpreted = df.select($"id" +: exprs: _*)
         .as[(Long, Seq[String], String)].collect()
         .map(r => r._1 -> ((r._2, r._3))).toMap
       assert(viaCodegen == interpreted)
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
     assert(viaCodegen(998L) == ((null, null)))
     // null starts coalesced to empty -> full text survives
     assert(viaCodegen(999L) == ((Seq.empty, "a")))
