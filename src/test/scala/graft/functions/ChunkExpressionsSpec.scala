@@ -48,15 +48,16 @@ class ChunkExpressionsSpec extends SparkSpec {
     val expr = ChunkFunctions.arrayChunks($"a", lit(8), lit(4))
     val viaCodegen = df.select($"id", expr.as("c"))
       .as[(Long, Seq[Seq[String]])].collect().toMap
-    // interpreted path: evaluate through a filter that disables
-    // whole-stage codegen for this plan
-    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    // factoryMode=NO_CODEGEN forces InterpretedUnsafeProjection, which
+    // actually runs nullSafeEval — wholeStage=false alone still calls
+    // the expression's doGenCode through GenerateUnsafeProjection
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
       val interpreted = df.select($"id", expr.as("c"))
         .as[(Long, Seq[Seq[String]])].collect().toMap
       assert(viaCodegen == interpreted)
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
     assert(viaCodegen(999L) == null)
     // tokenize-once is the point: the plan carries ONE regex
     val plan = graft.ops.SampleOps.chunkTokens(
