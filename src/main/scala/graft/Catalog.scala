@@ -3900,7 +3900,73 @@ object Catalog {
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
           "l_quantity", "l_extendedprice", "l_discount", "l_tax",
           "l_returnflag", "l_linestatus", "l_shipdate"),
-        exact = true))
+        exact = true)),
+
+    QueryDef("q119_exactly_once_admission",
+      "EXACTLY-ONCE incremental admission under re-delivery — the " +
+        "crash-replay case every streaming fold must survive: the " +
+        "substring-window fold is keyed (win_hash, batch_id), so " +
+        "re-admitting the SAME batch (here: admitted twice, the " +
+        "simulated foreachBatch replay) merges byte-identical rows " +
+        "instead of double-counting. The query screens a second " +
+        "batch at minArchiveCount = 2, the threshold built to EXPOSE " +
+        "double-counting: the oracle counts the replayed batch ONCE, " +
+        "so an at-least-once additive fold (substrStoreAdmit's " +
+        "contract) would over-remove every window unique to the " +
+        "replayed batch and hash-mismatch. Store scans stay map-only " +
+        "(semi-join against broadcast batch digests); only the " +
+        "batch-bounded matched subset aggregates.",
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z]+') w FROM documents),
+             |wocc AS (SELECT unnest([md5(array_to_string(w[(i+1):(i+20)], ' '))
+             |                 for i in range(0, len(w) - 19)]) AS h
+             |  FROM toks WHERE doc_id % 3 <> 0 OR doc_id % 2 = 0),
+             |dup AS (SELECT h FROM wocc GROUP BY h HAVING COUNT(*) >= 2),
+             |ex AS (SELECT doc_id, u.i AS pos, u.t AS tok, u.h AS h FROM (
+             |  SELECT doc_id, unnest([{'i': i, 't': w[i+1],
+             |      'h': CASE WHEN i <= len(w) - 20
+             |        THEN md5(array_to_string(w[(i+1):(i+20)], ' ')) END}
+             |    for i in range(0, len(w))]) u
+             |  FROM toks WHERE doc_id % 3 = 0 AND doc_id % 2 = 1)),
+             |mk AS (SELECT doc_id, pos, tok,
+             |    CASE WHEN h IS NOT NULL AND h IN (SELECT h FROM dup)
+             |      THEN 1 ELSE 0 END AS ds
+             |  FROM ex),
+             |cov AS (SELECT doc_id, pos, tok,
+             |    sum(ds) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) > 0 AS covered
+             |  FROM mk),
+             |k AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+             |    CAST(count(*) FILTER (WHERE covered) AS INTEGER) AS n_removed,
+             |    string_agg(tok, ' ' ORDER BY pos)
+             |      FILTER (WHERE NOT covered) AS text_kept
+             |  FROM cov GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(k.n_tokens, 0) AS n_tokens,
+             |  COALESCE(k.n_removed, 0) AS n_removed,
+             |  COALESCE(k.text_kept, '') AS text_kept
+             |FROM (SELECT doc_id FROM documents
+             |      WHERE doc_id % 3 = 0 AND doc_id % 2 = 1) d
+             |LEFT JOIN k USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.freshSink(s, "substrdelta", dir)
+        TextOps.substrDeltaBuild(docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", sink)
+        val b1 = docs.filter(col("doc_id") % 3 === 0 &&
+          col("doc_id") % 2 === 0)
+        // the simulated crash re-delivery: the SAME batch admitted
+        // TWICE under the same batch id — the second admit must leave
+        // the store byte-identical or the oracle below mismatches
+        TextOps.substrDeltaAdmit(b1, "doc_id", "text", sink,
+          batchId = 1L, minArchiveCount = 2)
+        TextOps.substrDeltaAdmit(b1, "doc_id", "text", sink,
+          batchId = 1L, minArchiveCount = 2)
+        TextOps.substrDeltaProbe(
+            docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 1),
+            "doc_id", "text", sink, minArchiveCount = 2)
+          .orderBy("doc_id")
+      })
   )
 
   /** Shared oracle CTE: winnowed fingerprint sets per document (k=8,

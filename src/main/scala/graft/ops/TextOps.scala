@@ -1274,6 +1274,13 @@ object TextOps {
     * next batch also screens against this one: cumulative admission.
     * Screen-before-fold, so a batch never dedups against itself.
     * Admissions serialize per store under the sink's writer lease.
+    *
+    * Delivery contract: AT-LEAST-ONCE. The fold is additive, so a
+    * re-delivered batch (a micro-batch replayed after a crash between
+    * the fold and the caller's own offset commit) double-counts its
+    * windows. Where that matters — any `minArchiveCount > 1` screen,
+    * or count-derived retention — use [[substrDeltaAdmit]], whose
+    * per-(window, batch) keyed fold is idempotent under re-delivery.
     */
   def substrStoreAdmit(batch: DataFrame, idCol: String, textCol: String,
                        sink: graft.sink.UpsertSink, minTokens: Int = 20,
@@ -1303,6 +1310,122 @@ object TextOps {
         (coalesce(col("cnt"), lit(0L)) + col("__bcnt")).as("cnt"))
     sink.merge(SubstrStore, summed, Seq("win_hash"), pkUnique = true)
     out
+  }
+
+  // ---- exactly-once substring admission: per-batch delta layout --------
+
+  private val SubstrDelta = "substr_windows_delta"
+
+  /** Per-(window, BATCH) delta rows for one batch: (win_hash, batch_id,
+    * cnt) — the layout that makes count folding IDEMPOTENT: the fold
+    * is a PK merge on (win_hash, batch_id), so a re-delivered batch
+    * rewrites the same rows with the same values and no double count
+    * can ever form, whatever the crash/replay interleaving. The price
+    * vs [[substrStoreAdmit]]'s summed inventory is one extra store row
+    * per (batch, distinct window) until [[substrDeltaCompact]] folds
+    * settled batches together.
+    */
+  private def deltaRows(df: DataFrame, idCol: String, textCol: String,
+                        batchId: Long, minTokens: Int): DataFrame =
+    windowRows(df, idCol, textCol, minTokens)
+      .groupBy(col("__gh").as("win_hash"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("batch_id", lit(batchId))
+
+  /** Initialize the delta store from an archive (reserved batch id 0).
+    */
+  def substrDeltaBuild(df: DataFrame, idCol: String, textCol: String,
+                       sink: graft.sink.UpsertSink,
+                       minTokens: Int = 20): Unit =
+    sink.overwrite(SubstrDelta,
+      deltaRows(df, idCol, textCol, batchId = 0L, minTokens),
+      Seq("win_hash", "batch_id"))
+
+  /** [[substrStoreProbe]] semantics against the DELTA store: a batch
+    * token is removed when the store's TOTAL count for a covering
+    * window reaches `minArchiveCount`. The store scan stays map-only
+    * (semi-join against the broadcast batch digests); only the
+    * MATCHED — batch-bounded — subset is aggregated per digest.
+    */
+  def substrDeltaProbe(batch: DataFrame, idCol: String, textCol: String,
+                       sink: graft.sink.UpsertSink, minTokens: Int = 20,
+                       minArchiveCount: Long = 1,
+                       broadcastBatch: Boolean = true): DataFrame =
+    substrDeltaProbeFromRows(batch,
+      windowRows(batch, idCol, textCol, minTokens), idCol, textCol,
+      sink, minTokens, minArchiveCount, broadcastBatch)
+
+  private def substrDeltaProbeFromRows(batch: DataFrame, rows: DataFrame,
+                                       idCol: String, textCol: String,
+                                       sink: graft.sink.UpsertSink,
+                                       minTokens: Int,
+                                       minArchiveCount: Long,
+                                       broadcastBatch: Boolean): DataFrame = {
+    val bc: DataFrame => DataFrame =
+      if (broadcastBatch) broadcast(_) else identity
+    val hit = sink.read(SubstrDelta)
+      .withColumnRenamed("win_hash", "__gh")
+      .join(bc(rows.select(col("__gh")).distinct()), "__gh")
+      .groupBy("__gh").agg(sum(col("cnt")).as("__total"))
+      .filter(col("__total") >= minArchiveCount)
+      .select(col("__gh"), lit(true).as("__dup"))
+    val starts = rows.join(bc(hit), Seq("__gh"), "left")
+      .filter(col("__dup").isNotNull)
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    cutBySpans(batch, idCol, textCol, starts, minTokens, bc)
+  }
+
+  /** EXACTLY-ONCE cumulative admission: probe, then fold this batch's
+    * deltas keyed (win_hash, `batchId`). Re-delivering the same
+    * (batch, batchId) — the crash-replay case [[substrStoreAdmit]]'s
+    * additive fold double-counts — merges byte-identical rows, so the
+    * store converges to the same state however many times the batch
+    * is replayed. Caller contract: batchId is the STREAM's batch
+    * identity (e.g. Structured Streaming's foreachBatch id, plus 1 to
+    * clear the reserved archive id 0) and a given id always carries
+    * the same rows. Screen-before-fold, so a batch never dedups
+    * against itself; admissions serialize under the writer lease.
+    */
+  def substrDeltaAdmit(batch: DataFrame, idCol: String, textCol: String,
+                       sink: graft.sink.UpsertSink, batchId: Long,
+                       minTokens: Int = 20,
+                       minArchiveCount: Long = 1): DataFrame = {
+    require(batchId > 0, s"batchId must be > 0 (0 is the archive), got $batchId")
+    val rows = windowRows(batch, idCol, textCol, minTokens)
+      .localCheckpoint(true)
+    val out = substrDeltaProbeFromRows(batch, rows, idCol, textCol, sink,
+      minTokens, minArchiveCount, broadcastBatch = true)
+      .localCheckpoint(true)
+    val deltas = rows
+      .groupBy(col("__gh").as("win_hash"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("batch_id", lit(batchId))
+    sink.merge(SubstrDelta, deltas, Seq("win_hash", "batch_id"),
+      pkUnique = true)
+    out
+  }
+
+  /** Retention for the delta store: fold every batch with
+    * `batch_id <= settledBefore` into the archive row (batch id 0) —
+    * one summed row per window — and keep later batches' deltas
+    * as-is. Probe-preserving exactly (totals unchanged); run it only
+    * for batches past any possible re-delivery horizon, because a
+    * batch folded into the archive loses its idempotency key.
+    * Returns (rows_before, rows_after).
+    */
+  def substrDeltaCompact(sink: graft.sink.UpsertSink,
+                         settledBefore: Long): (Long, Long) = {
+    val store = sink.read(SubstrDelta)
+    val before = store.count()
+    val settled = store.filter(col("batch_id") <= settledBefore)
+      .groupBy("win_hash").agg(sum(col("cnt")).as("cnt"))
+      .withColumn("batch_id", lit(0L))
+    val live = store.filter(col("batch_id") > settledBefore)
+    sink.overwrite(SubstrDelta,
+      settled.unionByName(live.select("win_hash", "cnt", "batch_id")),
+      Seq("win_hash", "batch_id"))
+    (before, sink.read(SubstrDelta).count())
   }
 
   /** Language-ID heuristic: per-language stopword hit counts; argmax with

@@ -266,6 +266,18 @@ class PlanShapeSpec extends SparkSpec {
       s"scoring fell onto a UDF:\n$plan")
   }
 
+  test("q119: delta-store probe keeps the store scan map-only — no SMJ, no window") {
+    val plan = planOf("q119_exactly_once_admission")
+    assert(!plan.contains("SortMergeJoin"),
+      s"delta store shuffled (SMJ) in the probe:\n$plan")
+    assert(!plan.contains("Window"),
+      s"window crept into the delta probe:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe joins not broadcast:\n$plan")
+  }
+
   test("q71: PII scrub is a map-only scan — no hash exchange, no UDF") {
     val plan = planOf("q71_pii_redact")
     // the only exchange allowed is the presentation orderBy's range

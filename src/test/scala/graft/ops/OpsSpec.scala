@@ -372,6 +372,50 @@ class OpsSpec extends SparkSpec {
       s"cumulative screen wrong: $p2")
   }
 
+  test("substr delta store: re-delivered admit is a no-op; totals screen exactly once") {
+    val root = java.nio.file.Files.createTempDirectory("graft_substrdelta")
+    val sink = new graft.sink.UpsertSink(spark, root.toString, numBuckets = 4)
+    def words(prefix: String, n: Int) =
+      (1 to n).map(i => prefix + ("a" * i)).mkString(" ")
+    val shared = words("share", 6)   // in archive AND in batch1
+    val b1only = words("bonly", 6)   // ONLY in batch1 (once)
+    TextOps.substrDeltaBuild(
+      Seq((1L, s"$shared ${words("arch", 4)}")).toDF("doc_id", "text"),
+      "doc_id", "text", sink, minTokens = 5)
+    val b1 = Seq((10L, s"$shared $b1only")).toDF("doc_id", "text")
+    TextOps.substrDeltaAdmit(b1, "doc_id", "text", sink, batchId = 1L,
+      minTokens = 5, minArchiveCount = 2)
+    val snap1 = sink.read("substr_windows_delta")
+      .as[(Array[Byte], Long, Long)].collect()
+      .map(r => (r._1.toSeq, r._2, r._3)).sortBy(_.toString)
+    // the RE-DELIVERY: same batch, same id — store must not move
+    TextOps.substrDeltaAdmit(b1, "doc_id", "text", sink, batchId = 1L,
+      minTokens = 5, minArchiveCount = 2)
+    val snap2 = sink.read("substr_windows_delta")
+      .as[(Array[Byte], Long, Long)].collect()
+      .map(r => (r._1.toSeq, r._2, r._3)).sortBy(_.toString)
+    assert(snap1.toSeq == snap2.toSeq,
+      "re-delivered admit changed the store — the fold double-counted")
+    // screen at total >= 2: `shared` (archive 1 + batch1 1 = 2) is cut;
+    // `b1only` (1, and still 1 after the replay) must SURVIVE — an
+    // additive fold would have pushed it to 2 and over-removed
+    val p = TextOps.substrDeltaProbe(
+        Seq((20L, s"$shared $b1only")).toDF("doc_id", "text"),
+        "doc_id", "text", sink, minTokens = 5, minArchiveCount = 2)
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(p == Seq((20L, 12, 6, b1only)), s"once-counted screen wrong: $p")
+    // compaction folds settled batches into the archive row and
+    // preserves the probe exactly
+    val (before, after) = TextOps.substrDeltaCompact(sink, settledBefore = 1L)
+    assert(after < before, s"compact dropped nothing: $before -> $after")
+    val p2 = TextOps.substrDeltaProbe(
+        Seq((21L, s"$shared $b1only")).toDF("doc_id", "text"),
+        "doc_id", "text", sink, minTokens = 5, minArchiveCount = 2)
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(p2 == Seq((21L, 12, 6, b1only)),
+      s"compaction changed the screen: $p2")
+  }
+
   test("chunkTokens: stride overlap, no redundant suffix chunk, every token covered") {
     val words = (1 to 40).map(lw("w", _))
     val docs = Seq((1L, words.mkString(" ")), (2L, "a b c"), (3L, ""))
