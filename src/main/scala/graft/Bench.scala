@@ -233,6 +233,34 @@ object Bench {
       s"bench: WARN $n grew superlinearly across the top SF decade — " +
         "see the 'scale' section of the bench artifact"))
 
+    // ---- store-slope audit (round-11 verdict #1): the incremental-
+    // store family's headline claim — probe cost does NOT scale with
+    // the ARCHIVE — measured per modality: build each store at the
+    // bench SF's archive and at its sf/10 sibling's, probe the SAME
+    // sibling batch against both, record the growth ratio (StoreSlope).
+    // Same gating as the scale-slope audit: off under BENCH_ONLY or
+    // SPARK_GRAFT_BENCH_STORE_SLOPE=0, and runs after everything timed.
+    val storeOn =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STORE_SLOPE", "1") != "0" &&
+        only.isEmpty
+    val storeRows: Seq[StoreSlope.Result] =
+      if (!storeOn) Nil
+      else ScaleSlope.immediateSibling(sfDir) match {
+        case Some((_, smallDir)) =>
+          try StoreSlope.measure(spark, smallDir, sfDir)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"bench: store-slope audit failed: $e")
+              Nil
+          }
+        case None => Nil
+      }
+    val storeWarn = storeRows.count(_.warn)
+    storeRows.filter(_.warn).foreach(r => System.err.println(
+      f"bench: WARN store '${r.name}' probe grew ${r.ratio}%.2fx across " +
+        f"a 10x ARCHIVE decade (${r.tSmall}%.2fs -> ${r.tBig}%.2fs, " +
+        f"same batch) — archive-rescan term suspected"))
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -298,6 +326,9 @@ object Bench {
       .map { case (n, why) => s"${jstr(n)}:${jstr(why)}" }
       .mkString("{", ",", "}")
     val slopeWarnJson = slopeWarnNames.map(jstr).mkString("[", ",", "]")
+    val storeSlopeJson = storeRows.map { r =>
+      "\"" + r.name + f"""\":{"t_small":${r.tSmall}%.3f,"t_big":${r.tBig}%.3f,"ratio":${r.ratio}%.2f,"warn":${r.warn}}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_.min).sum
     val nBand = results.count(_.bandExceeded.isDefined)
     // ONE stdout line in the driver's documented shape (queries = min of
@@ -306,8 +337,8 @@ object Bench {
     // rides the line as a single integer: a nonzero value says "this
     // run's environment degraded N queries past their known-good bands —
     // read the file artifact before trusting the total".
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errsShort,"band_warn":$nBand,"slope_warn":${slopeWarnNames.size},"passes":$passes,"n_queries":${results.size},"sf":"$sfDir","artifact":${jstr(outPath)}}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"times":$allTimes,"gc_ms":$gcs,"jit_ms":$jits,"code_cache_mb":$ccs,"code_cache_max_mb":$codeCacheMaxMb,"band_exceeded":$bandsExceeded,"band_retry_passes":$extras,"spread_retry_passes":$spreads,"errors":$errs,"scale":$scaleJson,"slope_warn":${slopeWarnNames.size},"slope_warn_queries":$slopeWarnJson,"slope_exempt":$exemptJson,"passes":$passes,"n_queries":${results.size},"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errsShort,"band_warn":$nBand,"slope_warn":${slopeWarnNames.size},"store_warn":$storeWarn,"passes":$passes,"n_queries":${results.size},"sf":"$sfDir","artifact":${jstr(outPath)}}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"times":$allTimes,"gc_ms":$gcs,"jit_ms":$jits,"code_cache_mb":$ccs,"code_cache_max_mb":$codeCacheMaxMb,"band_exceeded":$bandsExceeded,"band_retry_passes":$extras,"spread_retry_passes":$spreads,"errors":$errs,"scale":$scaleJson,"slope_warn":${slopeWarnNames.size},"slope_warn_queries":$slopeWarnJson,"slope_exempt":$exemptJson,"store_slope":$storeSlopeJson,"store_warn":$storeWarn,"passes":$passes,"n_queries":${results.size},"sf":"$sfDir"}"""
     // stdout FIRST: a failed file write (read-only target dir) must not
     // destroy both artifacts after a multi-minute run
     println(line)

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{SelectOps, SimOps, TextOps}
+
+/** Archive-growth audit for the incremental-store family (round-11
+  * verdict #1): convert the family's headline claim — "probe/admit cost
+  * never archive-scales; a daily batch screens against a 100 TB archive
+  * through its compact stores without ever rescanning archive text" —
+  * from scaladoc prose into a NUMBER the driver checks every round.
+  *
+  * Protocol, per store modality: build the store from the archive slice
+  * (`id % 3 <> 0`) of the bench SF AND of its sf/10 sibling, then probe
+  * the SAME sibling-SF batch (`id % 3 = 0`) against both and compare
+  * the probe walls. The batch is FIXED, so the only term that can grow
+  * is the store-read side. A probe that secretly re-tokenized /
+  * re-hashed the archive (the thing the family exists to avoid) would
+  * track the archive's 10x decade at ~10x; the honest store-read term —
+  * a column-pruned, broadcast-filtered map-only scan of a compact
+  * posting/inventory table — grows far slower. [[MaxRatio]] (3x per
+  * 10x archive decade) separates the two regimes with headroom for the
+  * scan term and box noise, and [[MinDenomSec]] keeps sub-overhead
+  * probes from flagging on timer noise (same floor rationale as
+  * [[ScaleSlope.MinDenomSec]]).
+  *
+  * Results land in the bench artifact's `store_slope` section with a
+  * `store_warn` count on the stdout line; [[StoreSlopeSpec]] pins the
+  * modality inventory and the judge, and measures one live decade at
+  * spec-affordable scale.
+  */
+object StoreSlope {
+
+  /** Probe-growth bound across one 10x ARCHIVE decade with the batch
+    * fixed. An archive-rescanning probe tracks the decade (~10x); the
+    * store-read term of an honest probe stays well under this.
+    */
+  val MaxRatio = 3.0
+
+  /** Denominator floor: below this the small-archive probe is timer +
+    * session overhead and a ratio against it would flag noise.
+    */
+  val MinDenomSec = 0.15
+
+  /** One store modality: `build` persists the archive slice of
+    * `archiveDir` into the sink; `probe` screens the batch slice of
+    * `batchDir` against it. Both use the exact catalog-query
+    * parameters (q109/q110/q111/q113/q115/q116) so the audit measures
+    * the shipped shapes, not simplified stand-ins.
+    */
+  final case class Modality(name: String,
+      build: (SparkSession, String, graft.sink.UpsertSink) => Unit,
+      probe: (SparkSession, String, graft.sink.UpsertSink) => DataFrame)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+  private def arch(df: DataFrame, idCol: String): DataFrame =
+    df.filter(col(idCol) % 3 =!= 0)
+  private def bat(df: DataFrame, idCol: String): DataFrame =
+    df.filter(col(idCol) % 3 === 0)
+
+  /** The six persisted-store modalities, catalog-parameter-exact. */
+  val modalities: Seq[Modality] = Seq(
+    Modality("minhash",
+      (s, d, k) => TextOps.minhashStoreBuild(
+        arch(docs(s, d), "doc_id"), "doc_id", "text", k),
+      (s, d, k) => TextOps.minhashStoreProbe(
+        bat(docs(s, d), "doc_id"), "doc_id", "text", k, threshold = 0.5)),
+    Modality("segment",
+      (s, d, k) => TextOps.segmentStoreBuild(
+        arch(docs(s, d), "doc_id"), "doc_id", "text", k),
+      (s, d, k) => TextOps.segmentStoreProbe(
+        bat(docs(s, d), "doc_id"), "doc_id", "text", k)),
+    Modality("fingerprint",
+      (s, d, k) => TextOps.fingerprintStoreBuild(
+        arch(docs(s, d), "doc_id"), "doc_id", "text", k),
+      (s, d, k) => TextOps.fingerprintStoreProbe(
+        bat(docs(s, d), "doc_id"), "doc_id", "text", k)),
+    Modality("substr",
+      (s, d, k) => TextOps.substrStoreBuild(
+        arch(docs(s, d), "doc_id"), "doc_id", "text", k),
+      (s, d, k) => TextOps.substrStoreProbe(
+        bat(docs(s, d), "doc_id"), "doc_id", "text", k)),
+    Modality("emblsh",
+      (s, d, k) => SimOps.embLshStoreBuild(
+        arch(emb(s, d), "vec_id"), "vec_id", "embedding", k),
+      (s, d, k) => SimOps.embLshStoreProbe(
+        bat(emb(s, d), "vec_id"), "vec_id", "embedding", k,
+        threshold = 0.45)),
+    Modality("selection",
+      (s, d, k) => {
+        val a = arch(docs(s, d), "doc_id")
+        SelectOps.selectionStoreBuild(a,
+          a.filter(col("doc_id") % 11 === 0), "doc_id", "text", k,
+          buckets = 512)
+      },
+      (s, d, k) => SelectOps.selectionStoreScore(
+        bat(docs(s, d), "doc_id"), "doc_id", "text", k, minMil = 101L)))
+
+  /** One modality's measurement: probe walls against the small and big
+    * archives (same batch), the growth ratio, and the flag.
+    */
+  final case class Result(name: String, tSmall: Double, tBig: Double,
+                          ratio: Double, warn: Boolean)
+
+  def judge(tSmall: Double, tBig: Double): (Double, Boolean) = {
+    val ratio = tBig / math.max(tSmall, MinDenomSec)
+    (ratio, ratio > MaxRatio)
+  }
+
+  /** Build the store at `archiveDir` scale in a throwaway root, then
+    * time the probe of `batchDir`'s batch slice against it: one untimed
+    * warm pass (file listing, codegen, the selection policy collect),
+    * then min of 2. The store build is NOT timed — build cost is
+    * archive-scaled by design (paid once per archive); the family's
+    * claim is about the probe.
+    */
+  def probeSeconds(spark: SparkSession, m: Modality, archiveDir: String,
+                   batchDir: String): Double = {
+    val root = java.nio.file.Files.createTempDirectory(
+      s"graft_storeslope_${m.name}")
+    try {
+      val sink = new graft.sink.UpsertSink(spark, root.toString,
+        numBuckets = 8)
+      m.build(spark, archiveDir, sink)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        m.probe(spark, batchDir, sink)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      math.min(once(), once())
+    } finally graft.sink.Fs.deleteRecursively(root)
+  }
+
+  /** The full audit: per modality, probe the SAME `smallDir` batch
+    * against a `smallDir`-archive store and a `bigDir`-archive store
+    * (one 10x decade apart).
+    */
+  def measure(spark: SparkSession, smallDir: String,
+              bigDir: String): Seq[Result] =
+    modalities.map { m =>
+      val tS = probeSeconds(spark, m, smallDir, smallDir)
+      val tB = probeSeconds(spark, m, bigDir, smallDir)
+      val (ratio, warn) = judge(tS, tB)
+      Result(m.name, tS, tB, ratio, warn)
+    }
+}

@@ -64,8 +64,10 @@ object SpanOps {
   }
 
   /** Tokens OUTSIDE the union of [s, s+n) over `starts`, joined by a
-    * single space. `starts` must be sorted ascending (collect via
-    * `sort_array`); enforced loudly over the WHOLE array up front —
+    * single space. `starts` must be sorted ascending and non-negative
+    * (collect via `sort_array`; a negative start would silently
+    * truncate its span to [0, s+n)); enforced loudly over the WHOLE
+    * array up front —
     * a lazy check while consuming would never inspect starts at or
     * past the token count, and an unsorted tail would silently
     * under-remove. Null token elements NPE loudly (the [[DsirOps]]
@@ -76,6 +78,9 @@ object SpanOps {
   def cutSpans(arr: ArrayData, starts: ArrayData, n: Int): UTF8String = {
     val len = arr.numElements()
     val k = starts.numElements()
+    if (k > 0 && starts.getInt(0) < 0)
+      throw new IllegalArgumentException(
+        s"cutSpans: starts must be non-negative, got ${starts.getInt(0)}")
     var i = 1
     while (i < k) {
       if (starts.getInt(i) < starts.getInt(i - 1))

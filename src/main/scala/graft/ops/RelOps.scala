@@ -247,14 +247,32 @@ object RelOps {
     * string image — injective for longs/ints/strings/timestamps and
     * for doubles under shortest-round-trip printing (caveat: 0.0 vs
     * -0.0 and NaN-vs-NaN count as distinct here where native distinct
-    * normalizes them).
+    * normalizes them). Nested types are rejected up front in exact
+    * mode: their string image is NOT injective (array('a, b') and
+    * array('a','b') both render "[a, b]"), which would silently
+    * under-count distincts.
     */
   def profile(df: DataFrame, cols: Seq[String],
               exact: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile: need at least one column")
+    require(cols.distinct.size == cols.size, s"profile: duplicate " +
+      s"columns: ${cols.diff(cols.distinct).distinct.mkString(", ")}")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"profile: no such columns: " +
       s"${missing.mkString(", ")} (have ${df.columns.mkString(", ")})")
+    if (exact) {
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      val nested = cols.filter { c =>
+        df.schema(c).dataType match {
+          case _: ArrayType | _: MapType | _: StructType => true
+          case _ => false
+        }
+      }
+      require(nested.isEmpty, s"profile(exact=true): non-atomic columns " +
+        s"${nested.mkString(", ")} — the canonical string image is not " +
+        s"injective for nested types (array('a, b') and array('a','b') " +
+        s"both render \"[a, b]\"); use exact=false (HLL) for these")
+    }
     // exact mode must not ALSO pay the per-row HLL sketch updates in
     // the stats pass — Catalyst cannot prune a struct field built
     // inside inline() back through the Generate into the Aggregate,

@@ -1304,10 +1304,15 @@ object TextOps {
     // broadcast back onto the batch side
     val existing = sink.read(SubstrStore)
       .join(broadcast(batchCounts.select(col("win_hash"))), "win_hash")
+    // eager checkpoint (batch-bounded, so cheap): `summed` reads the
+    // substr_windows store the merge below rewrites — without full
+    // materialization an executor loss mid-merge would recompute a
+    // partition from post-swap files and double-fold counts
     val summed = batchCounts
       .join(broadcast(existing), Seq("win_hash"), "left")
       .select(col("win_hash"),
         (coalesce(col("cnt"), lit(0L)) + col("__bcnt")).as("cnt"))
+      .localCheckpoint(true)
     sink.merge(SubstrStore, summed, Seq("win_hash"), pkUnique = true)
     out
   }

@@ -13,4 +13,16 @@ trait SparkSpec extends AnyFunSuite {
     s
   }
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Run `body` with the TRUE interpreted expression path:
+    * factoryMode=NO_CODEGEN forces InterpretedUnsafeProjection, which
+    * actually runs nullSafeEval — wholeStage=false alone still calls
+    * each expression's doGenCode through GenerateUnsafeProjection.
+    */
+  def withInterpreted[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try body
+    finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+  }
 }

@@ -1,0 +1,58 @@
+package graft
+
+/** The store-slope audit's machinery pinned deterministically, plus a
+  * live archive-growth measurement at spec-affordable scale. The
+  * authoritative audit runs inside every full Bench invocation (six
+  * modalities, sf/10-archive vs bench-archive, same batch) and lands
+  * in the bench artifact's `store_slope` section — this spec
+  * guarantees the modality inventory and the judge cannot rot, and
+  * that the family's claim (probe cost does not archive-scale) holds
+  * over one real 10x archive decade where a spec can afford to
+  * measure it.
+  */
+class StoreSlopeSpec extends SparkSpec {
+
+  test("the modality inventory covers all six persisted-store families") {
+    assert(StoreSlope.modalities.map(_.name) ==
+      Seq("minhash", "segment", "fingerprint", "substr", "emblsh",
+        "selection"))
+  }
+
+  test("judge: flat passes, archive-tracking flags, the floor protects overhead-regime probes") {
+    // flat probe: 10x archive, ~1.2x wall — passes
+    assert(!StoreSlope.judge(1.0, 1.2)._2)
+    // archive-rescanning probe: tracks the decade at ~10x — flagged
+    assert(StoreSlope.judge(0.5, 5.0)._2)
+    // the floor: a small-archive probe in the overhead regime cannot
+    // flag anything cheaper than MaxRatio x MinDenomSec at bench scale
+    assert(!StoreSlope.judge(0.01, 0.4)._2)
+    assert(StoreSlope.judge(0.01, 0.6)._2)
+  }
+
+  test("live archive-growth bound: every store's probe stays ~flat across a real 10x archive decade") {
+    // The spec-affordable slice of the real audit: archives at sf0.001
+    // and sf0.01 (a true 10x decade), the SAME sf0.001 batch probed
+    // against both. The bound is deliberately generous (2x the harness
+    // bound) because at these tiny SFs session overhead dominates and
+    // box contention is real — this is the archive-rescan tripwire;
+    // the tight 3x bound runs in Bench where the stores are 100x
+    // bigger. A probe that re-tokenized the archive would still blow
+    // through 2x MaxRatio = 6x here only at Bench scale, so the spec
+    // additionally asserts the ABSOLUTE small-scale walls stay in the
+    // overhead regime (< 10 s) — a rescan term that big would show.
+    StoreSlope.modalities.foreach { m =>
+      val tSmall = StoreSlope.probeSeconds(spark, m,
+        "/root/testdata/sf0.001", "/root/testdata/sf0.001")
+      val tBig = StoreSlope.probeSeconds(spark, m,
+        "/root/testdata/sf0.01", "/root/testdata/sf0.001")
+      val (ratio, _) = StoreSlope.judge(tSmall, tBig)
+      assert(ratio <= 2 * StoreSlope.MaxRatio,
+        f"${m.name}: probe grew $ratio%.1fx across a 10x archive decade " +
+          f"($tSmall%.2fs -> $tBig%.2fs, same batch) — archive-rescan " +
+          "term suspected")
+      assert(tBig < 10.0,
+        f"${m.name}: probe wall $tBig%.1fs at sf0.01 archive is outside " +
+          "the overhead regime for this scale")
+    }
+  }
+}

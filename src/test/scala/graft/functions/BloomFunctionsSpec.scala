@@ -43,6 +43,19 @@ class BloomFunctionsSpec extends SparkSpec {
     assert(bloom == exact)
   }
 
+  test("true interpreted plan (NO_CODEGEN) matches codegen end-to-end") {
+    BloomFunctions.register(spark)
+    val keys = (0L until 2000L).map(_ * 7L)
+    val blob = BloomFunctions.build(keys.toDF("k"), col("k"),
+      numItems = 4000L, numBits = 65536L)
+    val df = (0L until 10000L).toDF("k")
+      .select(col("k"), BloomFunctions.mightContain(blob, col("k")).as("hit"))
+    def run() = df.as[(Long, Boolean)].collect().toMap
+    val viaCodegen = run()
+    val interp = withInterpreted(run())
+    assert(interp == viaCodegen)
+  }
+
   test("empty benchmark yields zero contamination rows") {
     val docs = graft.Tables.load(spark, sf, "documents")
     val none = docs.filter(lit(false))

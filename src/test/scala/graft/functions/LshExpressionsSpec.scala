@@ -68,6 +68,18 @@ class LshExpressionsSpec extends SparkSpec {
     assert(interp == viaCodegen.head)
   }
 
+  test("true interpreted plan (NO_CODEGEN) matches codegen end-to-end") {
+    LshFunctions.register(spark)
+    val df = ((1 to 20).map(s => (s, vec(s))) :+ ((99, null: Array[Float])))
+      .toDF("id", "v")
+      .select($"id", LshFunctions.signatures($"v", 4, 3, dim).as("s"))
+    def run() = df.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val viaCodegen = run()
+    val interp = withInterpreted(run())
+    assert(interp == viaCodegen)
+  }
+
   test("null input yields null; bad arity/type is rejected") {
     LshFunctions.register(spark)
     val df = Seq((1, null: Array[Float]), (2, vec(2))).toDF("id", "v")

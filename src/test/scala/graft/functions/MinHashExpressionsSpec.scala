@@ -85,6 +85,21 @@ class MinHashExpressionsSpec extends SparkSpec {
     assert(interpBands == codegenBands)
   }
 
+  test("true interpreted plan (NO_CODEGEN) matches codegen end-to-end") {
+    MinHashFunctions.register(spark)
+    val df = docs.select($"doc_id",
+      MinHashFunctions.signatures(TextOps.shingles($"text", 3), k).as("sig"),
+      MinHashFunctions.bandKeys(TextOps.shingles($"text", 3), k, bands)
+        .as("keys"))
+    val viaCodegen = df.collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+    val interp = withInterpreted {
+      df.collect()
+        .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+    }
+    assert(interp == viaCodegen)
+  }
+
   test("null array yields null; type errors are rejected") {
     MinHashFunctions.register(spark)
     val out = Seq(Tuple1(null: Seq[String])).toDF("sh")

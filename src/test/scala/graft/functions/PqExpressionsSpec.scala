@@ -115,6 +115,24 @@ class PqExpressionsSpec extends SparkSpec {
     assert(expr.eval(null).asInstanceOf[Double] == rows(0).getDouble(1))
   }
 
+  test("true interpreted plan (NO_CODEGEN) matches codegen end-to-end") {
+    VectorFunctions.register(spark)
+    PqFunctions.register(spark)
+    val b = books
+    val df = ((1 to 20).map(s => (s, vec(s), vec(s * 7 + 1)))
+        :+ ((99, null: Array[Float], vec(2)))).toDF("id", "q", "cand")
+      .select($"id",
+        PqFunctions.codes($"cand", b).as("codes"),
+        PqFunctions.adcScore($"q", PqFunctions.codes($"cand", b), b).as("s"))
+    def run() = df.collect().map { r =>
+      r.getInt(0) -> (r.getSeq[Byte](1),
+        if (r.isNullAt(2)) null else r.getDouble(2))
+    }.toMap
+    val viaCodegen = run()
+    val interp = withInterpreted(run())
+    assert(interp == viaCodegen)
+  }
+
   test("ragged (shorter-than-dim) vectors code like zero-padded slices") {
     VectorFunctions.register(spark)
     PqFunctions.register(spark)

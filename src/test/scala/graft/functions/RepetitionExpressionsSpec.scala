@@ -76,4 +76,19 @@ class RepetitionExpressionsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq
     assert(interp == Seq(1L))
   }
+
+  test("true interpreted plan (NO_CODEGEN) matches codegen end-to-end") {
+    RepetitionFunctions.register(spark)
+    val df = Seq(
+      (1L, "spam eggs\n  \nspam eggs\neggs ham\nham spam"),
+      (2L, ""), (3L, "word"), (4L, "dup\ndup\ndup\ndup"),
+      (5L, null: String)).toDF("id", "text")
+      .select($"id", TextOps.dupLineRatioMil($"text").as("l"),
+        TextOps.dupWordRatioMil($"text").as("w"),
+        TextOps.topBigramShareMil($"text").as("b"))
+    def run() = df.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val viaCodegen = run()
+    val interp = withInterpreted(run())
+    assert(interp == viaCodegen)
+  }
 }

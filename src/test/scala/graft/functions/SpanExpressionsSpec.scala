@@ -77,6 +77,15 @@ class SpanExpressionsSpec extends SparkSpec {
     // past the token count is never consumed by the walk, so the
     // out-of-order start behind it would silently under-remove
     rejects(Seq(10, 2))
+    // negative starts rejected too — they would silently truncate the
+    // span to [0, s+n) instead of removing n tokens
+    val neg = intercept[Exception] {
+      Seq((Seq("a", "b", "c", "d"), Seq(-1, 2))).toDF("t", "s")
+        .select(SpanFunctions.cutSpans($"t", $"s", 2)).collect()
+    }
+    assert(causes(neg).exists(c =>
+      c.getMessage != null && c.getMessage.contains("non-negative")),
+      s"negative start not rejected: $neg")
     // in-range starts past the end are legal (spans cap at the array)
     val ok = Seq((Seq("a", "b", "c", "d"), Seq(1, 9))).toDF("t", "s")
       .select(SpanFunctions.cutSpans($"t", $"s", 2).as("c"))

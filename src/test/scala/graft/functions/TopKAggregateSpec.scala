@@ -64,6 +64,16 @@ class TopKAggregateSpec extends SparkSpec {
     assert(got.map(_._1) == Seq(42L, 1L, 2L))
   }
 
+  test("true interpreted plan (NO_CODEGEN) matches codegen end-to-end") {
+    val df = rows.toDF("g", "score", "id")
+    def run() = df.groupBy("g")
+      .agg(TopKAggregate.top($"score", $"id", 5).as("top"))
+      .orderBy("g").as[(Long, Seq[(Long, Double)])].collect().toSeq
+    val viaCodegen = run()
+    val interp = withInterpreted(run())
+    assert(interp == viaCodegen)
+  }
+
   test("map-side partial aggregation: the plan carries a partial_ stage") {
     val df = rows.toDF("g", "score", "id")
     val plan = df.groupBy("g")

@@ -68,6 +68,25 @@ class WinnowExpressionsSpec extends SparkSpec {
     assert(codegen == interp)
   }
 
+  test("true interpreted plan (NO_CODEGEN) matches codegen end-to-end") {
+    WinnowFunctions.register(spark)
+    val df = Seq(
+      (1L, "winnowing local algorithms for document fingerprinting"),
+      (2L, "short"), (3L, ""), (4L, "aaaaaaaaaaaaaaaaaaaa"),
+      (5L, null: String)).toDF("id", "t")
+      .select($"id", WinnowFunctions.fingerprints($"t", 8, 4).as("fp"),
+        WinnowFunctions.sortedIntersectCount(
+          array(lit(1L), lit(3L), lit(9L)), array(lit(3L), lit(9L)))
+          .as("ic"))
+    val viaCodegen = df.collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getInt(2))).toMap
+    val interp = withInterpreted {
+      df.collect()
+        .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getInt(2))).toMap
+    }
+    assert(interp == viaCodegen)
+  }
+
   test("null in, null out; type errors rejected") {
     WinnowFunctions.register(spark)
     val out = Seq(Tuple1(null: String)).toDF("t")

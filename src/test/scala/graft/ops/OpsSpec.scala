@@ -606,6 +606,21 @@ class OpsSpec extends SparkSpec {
       RelOps.profile(df, Seq("nope"))
     }
     assert(ex.getMessage.contains("no such columns"))
+    // duplicate columns rejected loudly (they would otherwise fail later
+    // with an opaque ambiguous-reference analysis error)
+    val dup = intercept[IllegalArgumentException] {
+      RelOps.profile(df, Seq("id", "v", "id"))
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    // nested columns rejected in exact mode: the canonical string image
+    // is not injective for them (array('a, b') renders like array('a','b'))
+    val nested = df.withColumn("arr", array($"s", $"s"))
+    val nx = intercept[IllegalArgumentException] {
+      RelOps.profile(nested, Seq("id", "arr"), exact = true)
+    }
+    assert(nx.getMessage.contains("non-atomic"))
+    // ...but approx (HLL) mode profiles nested columns fine
+    assert(RelOps.profile(nested, Seq("arr")).count() == 1)
   }
 
   test("saltedJoin equals the plain join on a skewed key (incl. misses)") {
