@@ -1,0 +1,1050 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{MinHashFunctions, WinnowFunctions}
+import graft.ops.{BpeOps, ChatOps, ClassifierOps, GraphOps, MultimodalOps, RelOps, SampleOps, SelectOps, SimOps, TextOps, WebOps}
+
+/** Index lifecycle, streams, classifiers, selection (q80-q105). */
+private[graft] trait CatalogServing extends CatalogShared {
+
+  // ---------------------------------------------------------------------
+  // Serving-side analytics beyond the reference's own surface
+  // ---------------------------------------------------------------------
+
+  val serving: Seq[QueryDef] = Seq(
+
+    QueryDef("q80_unicode_tokens",
+      "Unicode-aware tokenization mode ([\\p{L}\\p{N}]+ — the RE2 ∩ " +
+        "java.util.regex common subset, like the PII patterns): digits, " +
+        "accented Latin, Greek and CJK all survive, where the default " +
+        "letters mode's [a-z]+ silently drops them. The letters contract " +
+        "is KEPT by every fingerprint/shingle/MinHash/winnow query " +
+        "(their oracles hash ASCII code points) — this query documents " +
+        "the delta and oracle-proves the unicode mode exactly. " +
+        "Mixed-script text is synthesized IDENTICALLY on both sides " +
+        "(the corpus is ASCII; the suffix is lowercase-stable so both " +
+        "engines' case folds agree) and the oracle compares both modes' " +
+        "counts plus the full unicode token stream byte-for-byte. " +
+        "Map-only column expressions — no shuffle at any scale.",
+      Some("""WITH p AS (SELECT doc_id,
+             |  text || ' café' || CAST(doc_id % 100 AS VARCHAR)
+             |       || ' δύο λέξεις 模型7 données 2024' AS t FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(lower(t), '[a-z]+')) AS INTEGER)
+             |    AS n_letters,
+             |  CAST(len(regexp_extract_all(lower(t), '[\p{L}\p{N}]+')) AS INTEGER)
+             |    AS n_unicode,
+             |  array_to_string(regexp_extract_all(lower(t), '[\p{L}\p{N}]+'), ' ')
+             |    AS uni_text
+             |FROM p ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val tt = concat(col("text"), lit(" café"),
+          (col("doc_id") % 100).cast("string"),
+          lit(" δύο λέξεις 模型7 données 2024"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), tt.as("__t"))
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("__t"))).as("n_letters"),
+            size(TextOps.tokens(col("__t"), "unicode")).as("n_unicode"),
+            concat_ws(" ", TextOps.tokens(col("__t"), "unicode")).as("uni_text"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q81_ann_index_build",
+      "IVF-PQ index BUILD, persisted (the FAISS build/probe split q70 " +
+        "deliberately folds into one query): trains the coarse " +
+        "quantizer + PQ codebooks, encodes the corpus to m-byte codes, " +
+        "and stores centroids/codebooks/codes through UpsertSink (the " +
+        "q59->q63 materialization pattern). Output: per-list occupancy " +
+        "— the index statistic an operator monitors (empty/overfull " +
+        "lists are the recall/latency smell). k-means internals -> no " +
+        "SQL oracle (driver rows-only); SimOpsSpec asserts the stored " +
+        "probe's parity with the in-query build.",
+      None,
+      (s, dir) =>
+        SimOps.buildIvfPqIndex(t(s, dir, "embeddings"),
+            "vec_id", "embedding", tempStore.sink(s, "annidx", dir))
+          .orderBy("list")),
+
+    QueryDef("q82_ann_index_probe",
+      "IVF-PQ PROBE against the q81 persisted index: identical ADC " +
+        "code-lookup shortlist + exact-cosine refine math to q70, but " +
+        "NO training and no corpus encode inside the query — centroids " +
+        "and codebooks load as two bounded collects and candidates " +
+        "stream from the stored m-byte code lists. This is the serving " +
+        "amortization at 100 TB: rebuild on corpus change, probe per " +
+        "query batch. Builds the index first only if q81 has not run " +
+        "in this JVM. Approximate by design -> rows-only check.",
+      None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val sink = tempStore.sink(s, "annidx", dir)
+        if (!SimOps.ivfPqIndexExists(sink))
+          SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink)
+        val q = e.filter(col("vec_id") % 100 === 0)
+        SimOps.withRecallAudit(
+            SimOps.ivfPqProbeIndex(q, e, "vec_id", "embedding", sink, 5),
+            SimOps.bruteForceTopK(q, e, "vec_id", "embedding", 5), 5)
+          .orderBy("query_id", "rank")
+      }),
+
+    QueryDef("q83_curation_stream",
+      "The COMPOSED curation stream, batch-replay form (q76 -> q72 -> " +
+        "q71 -> q64 as ONE foreachBatch chain, the CurationPipeline " +
+        "core): documents arrive in 4 ordered micro-batches; each batch " +
+        "is URL-screened (canonicalize, in-batch crawl-dup collapse, " +
+        "domain blocklist — batch 0 dies entirely on the blocklist), " +
+        "line-filtered (>= 4-word lines survive), PII-redacted, and the " +
+        "survivors run the EXACT near-dup admission core against the " +
+        "accumulated corpus. The stateless screens are O(batch) " +
+        "regardless of corpus size; admission bounds corpus reads to " +
+        "band collisions. URL/line/PII synthesis reuses the q76/q72/q71 " +
+        "formulas verbatim on both sides; the oracle replays the same 4 " +
+        "batches with exhaustive Jaccard over the CURATED text and " +
+        "compares the admitted corpus — ids, batches, and final " +
+        "redacted text byte-for-byte.",
+      Some("""WITH u AS (SELECT doc_id, doc_id % 4 AS b,
+             |  'https://Site' || CAST(doc_id % 10 AS VARCHAR)
+             |   || CASE WHEN doc_id % 4 = 0 THEN '.spam.example'
+             |           ELSE '.example.org' END
+             |   || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+             |   || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+             |   || CASE WHEN doc_id % 3 = 0 THEN '?utm=x' ELSE '' END
+             |   || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS raw
+             |  FROM documents),
+             |s AS (SELECT doc_id, b, regexp_replace(regexp_replace(
+             |    raw, '#.*$', ''), '\?.*$', '') AS st FROM u),
+             |c AS (SELECT doc_id, b, regexp_replace(
+             |    lower(regexp_extract(st, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1))
+             |      || substr(st, len(regexp_extract(st,
+             |           '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1)) + 1),
+             |    '/$', '') AS url FROM s),
+             |h AS (SELECT doc_id, b, url,
+             |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS host
+             |  FROM c),
+             |k AS (SELECT b, url, host, MIN(doc_id) AS doc_id
+             |  FROM h GROUP BY b, url, host),
+             |scr AS (SELECT doc_id FROM k
+             |  WHERE NOT (host = 'spam.example' OR ends_with(host, '.spam.example'))),
+             |toks AS (SELECT doc_id,
+             |    COALESCE(regexp_extract_all(lower(text), '[a-z]+'),
+             |             CAST([] AS VARCHAR[])) AS w FROM documents),
+             |ln AS (SELECT doc_id, CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+             |    ELSE [array_to_string(w[(i*6+1):(i*6+6)], ' ')
+             |          for i in range(0, CAST(ceil(len(w)/6.0) AS INTEGER))] END AS lines
+             |  FROM toks),
+             |tx AS (SELECT doc_id, array_to_string(flatten(
+             |    [CASE WHEN i % 2 = 1 THEN ['home login menu', lines[i]]
+             |          ELSE [lines[i]] END
+             |     for i in range(1, len(lines)+1)]), chr(10))
+             |  || ' contact user' || doc_id || '@example.com'
+             |  || CASE WHEN doc_id % 3 = 0 THEN ' call +1415555' ||
+             |       lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') ELSE '' END
+             |  || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' ||
+             |       CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+             |       CAST(doc_id % 200 + 1 AS VARCHAR) ELSE '' END AS t
+             |  FROM ln),
+             |sp AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM tx),
+             |cl AS (SELECT doc_id, array_to_string([l for l in ls
+             |    if len(regexp_extract_all(lower(l), '[a-z]+')) >= 4], chr(10)) AS ct
+             |  FROM sp),
+             |rd AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(ct,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+             |    '\+[0-9]{1,3}[0-9 -]{6,12}[0-9]', '<PHONE>', 'g') AS rt FROM cl),
+             |f AS (SELECT rd.doc_id, rd.doc_id % 4 AS b, rt
+             |  FROM rd JOIN scr ON rd.doc_id = scr.doc_id),
+             |tk2 AS (SELECT doc_id, b, regexp_extract_all(lower(rt), '[a-z]+') w2
+             |  FROM f),
+             |d AS (SELECT doc_id, b, CASE WHEN len(w2) < 3
+             |    THEN [array_to_string(w2, ' ')]
+             |    ELSE list_distinct([w2[i] || ' ' || w2[i+1] || ' ' || w2[i+2]
+             |                        for i in range(1, len(w2) - 1)]) END AS s
+             |  FROM tk2),
+             |pair AS (SELECT a.doc_id AS a_id, x.doc_id AS b_id, x.b AS bb
+             |  FROM d a JOIN d x ON a.doc_id <> x.doc_id
+             |  WHERE CAST(len(list_intersect(a.s, x.s)) AS DOUBLE)
+             |        / len(list_distinct(list_concat(a.s, x.s))) >= 0.5),
+             |a0 AS (SELECT doc_id FROM d WHERE b = 0 AND NOT EXISTS (
+             |    SELECT 1 FROM pair p WHERE p.a_id = d.doc_id
+             |      AND p.bb = 0 AND p.b_id < d.doc_id)),
+             |a1 AS (SELECT doc_id FROM d WHERE b = 1
+             |  AND NOT EXISTS (SELECT 1 FROM pair p WHERE p.a_id = d.doc_id
+             |    AND p.bb = 1 AND p.b_id < d.doc_id)
+             |  AND NOT EXISTS (SELECT 1 FROM pair p JOIN a0 ON p.b_id = a0.doc_id
+             |    WHERE p.a_id = d.doc_id)),
+             |adm01 AS (SELECT doc_id FROM a0 UNION ALL SELECT doc_id FROM a1),
+             |a2 AS (SELECT doc_id FROM d WHERE b = 2
+             |  AND NOT EXISTS (SELECT 1 FROM pair p WHERE p.a_id = d.doc_id
+             |    AND p.bb = 2 AND p.b_id < d.doc_id)
+             |  AND NOT EXISTS (SELECT 1 FROM pair p JOIN adm01 ON p.b_id = adm01.doc_id
+             |    WHERE p.a_id = d.doc_id)),
+             |adm012 AS (SELECT doc_id FROM adm01 UNION ALL SELECT doc_id FROM a2),
+             |a3 AS (SELECT doc_id FROM d WHERE b = 3
+             |  AND NOT EXISTS (SELECT 1 FROM pair p WHERE p.a_id = d.doc_id
+             |    AND p.bb = 3 AND p.b_id < d.doc_id)
+             |  AND NOT EXISTS (SELECT 1 FROM pair p JOIN adm012 ON p.b_id = adm012.doc_id
+             |    WHERE p.a_id = d.doc_id)),
+             |adm AS (SELECT doc_id FROM adm012 UNION ALL SELECT doc_id FROM a3)
+             |SELECT f.doc_id, CAST(f.b AS BIGINT) AS batch, f.rt AS text
+             |FROM f JOIN adm ON f.doc_id = adm.doc_id
+             |ORDER BY f.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val raw = concat(lit("https://Site"),
+          (col("doc_id") % 10).cast("string"),
+          when(col("doc_id") % 4 === 0, lit(".spam.example"))
+            .otherwise(lit(".example.org")),
+          lit("/p/"), (col("doc_id") % 50).cast("string"),
+          when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit("?utm=x")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+        val toks = TextOps.tokens(col("text"))
+        val lines = when(size(toks) > 0,
+          transform(sequence(lit(0),
+              ceil(size(toks) / lit(6.0)).cast("int") - 1),
+            i => array_join(slice(toks, i * 6 + 1, lit(6)), " ")))
+          .otherwise(array().cast("array<string>"))
+        val lined = array_join(flatten(transform(lines, (l, i) =>
+          when(i % 2 === 0, array(lit("home login menu"), l))
+            .otherwise(array(l)))), "\n")
+        val withPii = concat(lined,
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" call +1415555"),
+              lpad((col("doc_id") % 1000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+              lit(".0."), (col("doc_id") % 200 + 1).cast("string")))
+            .otherwise(lit("")))
+        val feed = docs.select(col("doc_id"), raw.as("raw_url"),
+          withPii.as("text"))
+        // fresh store per invocation, same replay contract as q64
+        val sink = tempStore.freshSink(s, "curate", dir)
+        (0 until 4).foreach { b =>
+          graft.streaming.DedupPipeline.admitNearDups(sink, "corpus", "bands",
+            graft.streaming.CurationPipeline.curateBatch(
+              feed.filter(col("doc_id") % 4 === b),
+              "doc_id", "raw_url", "text", Seq("spam.example")))
+        }
+        sink.read("corpus")
+          .select(col("doc_id"), (col("doc_id") % 4).as("batch"), col("text"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q84_nfc_normalize",
+      "Unicode NFC normalization (UAX #15) as a codegen'd expression " +
+        "(functions/NormalizeExpressions.scala): composed and decomposed " +
+        "renderings of the same text are different BYTE strings, so " +
+        "every hash-based operator (exact dedup, MinHash, winnowing) " +
+        "must normalize first or miss dups the user cannot see. Input " +
+        "is synthesized identically on both sides: ASCII corpus text " +
+        "plus a decomposed e+U+0301 (composes to é), the U+212B " +
+        "angstrom singleton (maps to Å), the U+FB01 fi-ligature (NFC " +
+        "keeps it — proving this is NFC, not NFKC) and a decomposed " +
+        "i+U+0308 (composes to ï). Oracle is DuckDB's nfc_normalize — " +
+        "two independent UAX #15 implementations must agree " +
+        "byte-for-byte. Map-only scan: ASCII rows exit on a byte-scan " +
+        "fast path with zero allocation; no shuffle at any scale.",
+      Some("""WITH p AS (SELECT doc_id,
+             |  text || ' cafe' || chr(769) || ' ' || chr(8491) || ' '
+             |       || chr(64257) || 'n nai' || chr(776) || 've '
+             |       || CAST(doc_id % 100 AS VARCHAR) AS t FROM documents)
+             |SELECT doc_id, nfc_normalize(t) AS nfc_text,
+             |  (nfc_normalize(t) <> t) AS changed,
+             |  CAST(len(t) AS INTEGER) AS n_raw,
+             |  CAST(len(nfc_normalize(t)) AS INTEGER) AS n_nfc
+             |FROM p ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        graft.functions.NormalizeFunctions.register(s)
+        // explicit escapes: a raw decomposed literal in source could be
+        // silently NFC'd by tooling and the fixture would test nothing
+        val raw = concat(col("text"),
+          lit(" cafe\u0301 \u212B \uFB01n nai\u0308ve "),
+          (col("doc_id") % 100).cast("string"))
+        val nfc = graft.functions.NormalizeFunctions.normalize(col("__t"), "NFC")
+        t(s, dir, "documents")
+          .select(col("doc_id"), raw.as("__t"))
+          .select(col("doc_id"), nfc.as("nfc_text"),
+            (nfc =!= col("__t")).as("changed"),
+            length(col("__t")).as("n_raw"),
+            length(nfc).as("n_nfc"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q85_nfc_dedup",
+      "Normalization-aware exact dedup (q84 composed with the q28 " +
+        "hash-groupBy): every document is doubled into a composed " +
+        "(U+00E9) and a decomposed (e+U+0301) rendering of the SAME " +
+        "visible text. Raw md5 keys see 2 distinct documents per pair " +
+        "— the silent dup leak every un-normalized corpus carries — " +
+        "while NFC-first keys collapse them to 1 and the keeper is the " +
+        "min id, exactly the q28 keeper rule. The NFC digest itself is " +
+        "an output column, so the oracle hash-compares the md5-over-" +
+        "UTF-8-bytes of BOTH engines' independently normalized text. " +
+        "One md5-keyed aggregation — the q28 scale shape unchanged; " +
+        "normalization adds a map-only pass.",
+      Some("""WITH u AS (
+             |  SELECT doc_id AS id, doc_id AS grp,
+             |         text || ' caf' || chr(233) AS t FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, doc_id,
+             |         text || ' cafe' || chr(769) FROM documents)
+             |SELECT grp AS doc_id, MIN(id) AS keeper,
+             |  COUNT(DISTINCT md5(t)) AS n_raw_keys,
+             |  COUNT(DISTINCT md5(nfc_normalize(t))) AS n_nfc_keys,
+             |  MIN(md5(nfc_normalize(t))) AS nfc_key
+             |FROM u GROUP BY grp ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        graft.functions.NormalizeFunctions.register(s)
+        val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val comp = base.select(col("doc_id").as("id"),
+          col("doc_id").as("grp"),
+          concat(col("text"), lit(" caf\u00E9")).as("t"))
+        val deco = base.select((col("doc_id") + 100000).as("id"),
+          col("doc_id").as("grp"),
+          concat(col("text"), lit(" cafe\u0301")).as("t"))
+        val nfcKey = md5(encode(
+          graft.functions.NormalizeFunctions.normalize(col("t"), "NFC"),
+          "UTF-8"))
+        comp.unionByName(deco)
+          .groupBy("grp")
+          .agg(min(col("id")).as("keeper"),
+            countDistinct(md5(encode(col("t"), "UTF-8"))).as("n_raw_keys"),
+            countDistinct(nfcKey).as("n_nfc_keys"),
+            min(nfcKey).as("nfc_key"))
+          .select(col("grp").as("doc_id"), col("keeper"),
+            col("n_raw_keys"), col("n_nfc_keys"), col("nfc_key"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q86_bigram_lm_ln",
+      "ln-space bigram LM scoring (the KenLM-shipping form of q74): " +
+        "per bigram ln P(w2|w1) = ln(c12+1) - ln(c1+V), per document " +
+        "the mean log-probability and its perplexity exp(-mean). Same " +
+        "count/join subtree as q74 (two vocab-keyed shuffles, 1-row " +
+        "vocab broadcast) — only the per-bigram projection and final " +
+        "aggregate differ. Float-valued by construction, so both sides " +
+        "round to 6 dp before the hash compare (the q36 convention); " +
+        "double-sum association differences vanish at that precision.",
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+             |uni AS (SELECT w1, COUNT(*) AS c1 FROM (
+             |    SELECT unnest(w) AS w1 FROM toks) GROUP BY w1),
+             |v AS (SELECT COUNT(*) AS vs FROM uni),
+             |bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+             |    SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]}
+             |      for i in range(1, len(w))]) AS u FROM toks)),
+             |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+             |per AS (SELECT doc_id, ln(c12 + 1.0) - ln(c1 + vs) AS lnp
+             |  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v),
+             |sc AS (SELECT doc_id, COUNT(*) AS nb, SUM(lnp) AS sl
+             |  FROM per GROUP BY doc_id)
+             |SELECT t.doc_id, CAST(COALESCE(sc.nb, 0) AS INTEGER) AS n_bigrams,
+             |  ROUND(sc.sl / sc.nb, 6) AS avg_ln_p,
+             |  ROUND(exp(-(sc.sl / sc.nb)), 6) AS perplexity
+             |FROM toks t LEFT JOIN sc ON t.doc_id = sc.doc_id
+             |ORDER BY t.doc_id""".stripMargin),
+      (s, dir) =>
+        TextOps.bigramLmScoresLn(t(s, dir, "documents"), "doc_id", "text")
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("avg_ln_p"), 6).as("avg_ln_p"),
+            round(col("perplexity"), 6).as("perplexity"))
+          .orderBy("doc_id")),
+
+    QueryDef("q87_bm25",
+      "BM25 relevance scoring (k1=1.2, b=0.75, the Lucene +1-in-the-ln " +
+        "IDF): q62's integer TF-IDF upgraded with term-frequency " +
+        "saturation and document-length normalization against the " +
+        "corpus mean length — the ranking function retrieval-based " +
+        "curation and RAG indexing actually ship. tf touches only " +
+        "term-matching rows; df and the (N, avgdl) scalars broadcast; " +
+        "the length join is co-keyed on doc_id. Float-valued -> both " +
+        "sides round to 6 dp (q36 convention); every matching doc is " +
+        "output ordered by id, so no top-k boundary rides on float " +
+        "rounding.",
+      Some("""WITH lens AS (SELECT doc_id,
+             |    len(regexp_extract_all(lower(text), '[a-z]+')) AS dl
+             |  FROM documents),
+             |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |    AVG(dl) AS avgdl FROM lens),
+             |tok AS (SELECT doc_id,
+             |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             |  FROM documents),
+             |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+             |  WHERE w IN ('vector', 'merge', 'stream') GROUP BY doc_id, w),
+             |dfr AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df
+             |  FROM tf GROUP BY w)
+             |SELECT tf.doc_id,
+             |  ROUND(SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |    * (tf * (1.2 + 1.0)
+             |       / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))), 6)
+             |    AS score
+             |FROM tf JOIN dfr USING (w) CROSS JOIN stats
+             |  JOIN lens ON tf.doc_id = lens.doc_id
+             |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin),
+      (s, dir) =>
+        TextOps.bm25Scores(t(s, dir, "documents"), "doc_id", "text",
+            Seq("vector", "merge", "stream"))
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
+          .orderBy("doc_id")),
+
+    QueryDef("q88_hybrid_rrf",
+      "Hybrid ranking by Reciprocal-Rank Fusion (Cormack et al. 2009, " +
+        "k0=60): the q87 BM25 lexical ranking fused with the q74 " +
+        "integer-ppm LM quality prior — the standard hybrid-retrieval " +
+        "composition that needs no calibration between incomparable " +
+        "score scales. Each side reduces to its bounded top-100 FIRST " +
+        "(TakeOrdered), so rank windows and the full-outer fuse join " +
+        "touch <= 100 rows; ranks assign on the 6-dp-ROUNDED BM25 " +
+        "score (ties to lower id) so rank selection cannot flip on " +
+        "engine float ulps. Output: every doc in either list with its " +
+        "ranks and fused score.",
+      Some("""WITH lens AS (SELECT doc_id,
+             |    len(regexp_extract_all(lower(text), '[a-z]+')) AS dl
+             |  FROM documents),
+             |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |    AVG(dl) AS avgdl FROM lens),
+             |tok AS (SELECT doc_id,
+             |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             |  FROM documents),
+             |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+             |  WHERE w IN ('vector', 'merge', 'stream') GROUP BY doc_id, w),
+             |dfr AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df
+             |  FROM tf GROUP BY w),
+             |bm AS (SELECT tf.doc_id,
+             |    ROUND(SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |      * (tf * (1.2 + 1.0)
+             |         / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))), 6)
+             |      AS score
+             |  FROM tf JOIN dfr USING (w) CROSS JOIN stats
+             |    JOIN lens ON tf.doc_id = lens.doc_id
+             |  GROUP BY tf.doc_id),
+             |uni AS (SELECT w1, COUNT(*) AS c1 FROM (
+             |    SELECT unnest(w) AS w1 FROM (SELECT doc_id,
+             |      regexp_extract_all(lower(text), '[a-z]+') AS w
+             |      FROM documents)) GROUP BY w1),
+             |v AS (SELECT COUNT(*) AS vs FROM uni),
+             |bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+             |    SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]}
+             |      for i in range(1, len(w))]) AS u FROM (SELECT doc_id,
+             |      regexp_extract_all(lower(text), '[a-z]+') AS w
+             |      FROM documents))),
+             |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+             |per AS (SELECT doc_id,
+             |    (1000000 * (c12 + 1)) // (c1 + vs) AS ppm
+             |  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v),
+             |lm AS (SELECT doc_id, CAST(SUM(ppm) // COUNT(*) AS BIGINT)
+             |    AS score FROM per GROUP BY doc_id),
+             |ra AS (SELECT doc_id, CAST(row_number() OVER (
+             |      ORDER BY score DESC, doc_id) AS INTEGER) AS rank_a
+             |  FROM (SELECT * FROM bm ORDER BY score DESC, doc_id LIMIT 100)),
+             |rb AS (SELECT doc_id, CAST(row_number() OVER (
+             |      ORDER BY score DESC, doc_id) AS INTEGER) AS rank_b
+             |  FROM (SELECT * FROM lm ORDER BY score DESC, doc_id LIMIT 100))
+             |SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+             |  rank_a, rank_b,
+             |  ROUND(COALESCE(1.0 / (60 + rank_a), 0.0)
+             |      + COALESCE(1.0 / (60 + rank_b), 0.0), 6) AS rrf
+             |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bm = TextOps.bm25Scores(docs, "doc_id", "text",
+            Seq("vector", "merge", "stream"))
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
+        val lm = TextOps.bigramLmScores(docs, "doc_id", "text")
+          .filter(col("score_ppm").isNotNull)
+          .select(col("doc_id"), col("score_ppm").as("score"))
+        TextOps.rrfFuse(bm, lm, "doc_id")
+          .select(col("doc_id"), col("rank_a"), col("rank_b"),
+            round(col("rrf"), 6).as("rrf"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q89_semantic_admit",
+      "Streaming SEMANTIC admission, batch-replay form (the q64 " +
+        "pattern in embedding space, and the composition the q81/q82 " +
+        "persisted-index split exists for): vectors arrive in 4 ordered " +
+        "micro-batches (batch = vec_id % 4); batch 1 bootstraps — " +
+        "admit after in-batch dedup, train + persist the IVF-PQ index; " +
+        "every later batch probes the STORED index (no training, no " +
+        "corpus encode, candidates list-bounded) and is admitted only " +
+        "where no stored embedding scores cosine >= 0.45 (SemDeDup's " +
+        "criterion, online); admissions extend the code lists via " +
+        "FAISS-style add-after-train. Per-batch cost is batch-scaled, " +
+        "never corpus-scaled. k-means inside -> no SQL oracle (driver " +
+        "rows-only); SemanticAdmitPipelineSpec pins the semantics: " +
+        "stored dups die via the index, in-batch dups collapse, novel " +
+        "vectors land AND become immediately screenable, restart " +
+        "replays clean.",
+      None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val sink = tempStore.freshSink(s, "semadmit", dir)
+        (0 until 4).foreach { b =>
+          graft.streaming.SemanticAdmitPipeline.admitBatch(sink,
+            "sem_corpus", e.filter(col("vec_id") % 4 === b),
+            "vec_id", "embedding", threshold = 0.45)
+        }
+        sink.read("sem_corpus")
+          .select(col("vec_id"), (col("vec_id") % 4).as("batch"))
+          .orderBy("vec_id")
+      }),
+
+    QueryDef("q90_ann_filtered",
+      "FILTERED vector search over the persisted index (the serving " +
+        "feature every vector store ships): the q81 build stores attr " +
+        "columns ALONGSIDE the m-byte codes, and the probe's predicate " +
+        "(label = 3 here) applies to the code-list scan itself — " +
+        "reaching the parquet reader as a pushed filter, so candidates " +
+        "prune BEFORE any scoring. PRE-filter semantics: the k results " +
+        "are the best among MATCHING vectors (post-filtering a plain " +
+        "top-k returns fewer than k, or none, under a selective " +
+        "predicate). Approximate by design -> rows-only check; " +
+        "SimOpsSpec pins predicate totality on the results and " +
+        "recall >= 0.6 vs exact brute force over the filtered corpus.",
+      None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val sink = tempStore.sink(s, "annidxf", dir)
+        if (!SimOps.ivfPqIndexExists(sink))
+          SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink,
+            attrCols = Seq("label"))
+        val q = e.filter(col("vec_id") % 100 === 0)
+        SimOps.withRecallAudit(
+            SimOps.ivfPqProbeIndex(q, e, "vec_id", "embedding", sink, 5,
+              candidateFilter = Some(col("label") === 3)),
+            // pre-filter ground truth: exact top-k among MATCHING vectors
+            SimOps.bruteForceTopK(q, e.filter(col("label") === 3),
+              "vec_id", "embedding", 5), 5)
+          .orderBy("query_id", "rank")
+      }),
+
+    QueryDef("q91_int8_quantize",
+      "INT8 scalar quantization of the embedding corpus (symmetric " +
+        "absmax — the SQ8 codec vector stores and int8 inference " +
+        "kernels use): per vector scale = 127/max|x|, q_i = " +
+        "round(x_i*scale) as one signed byte — 4x smaller storage, " +
+        "map-only, no shuffle. Zero vectors quantize to scale 0 and " +
+        "all-zero codes. float->double promotion, round-half-away-" +
+        "from-zero, and byte cast are step-identical across engines, " +
+        "so the CODES hash-compare exactly; the scale column rounds " +
+        "to 6 dp (display convention). Output convention (QueryDef " +
+        "scaladoc): oracle-compared results carry no raw arrays, so " +
+        "the codes travel as the comma-joined decimal string of the " +
+        "byte sequence — still a byte-exact compare, one string per " +
+        "vector.",
+      Some("""WITH a AS (SELECT vec_id, embedding,
+             |    CAST(list_max(list_transform(embedding, x -> abs(x)))
+             |         AS DOUBLE) AS am
+             |  FROM embeddings)
+             |SELECT vec_id,
+             |  ROUND(CASE WHEN am = 0 OR am IS NULL THEN 0.0
+             |             ELSE 127.0 / am END, 6) AS scale,
+             |  array_to_string(CASE WHEN am = 0 OR am IS NULL
+             |       THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
+             |       ELSE list_transform(embedding,
+             |              x -> CAST(round(x * (127.0 / am)) AS TINYINT)) END,
+             |    ',') AS q
+             |FROM a ORDER BY vec_id""".stripMargin),
+      (s, dir) =>
+        SimOps.int8Quantize(t(s, dir, "embeddings"), "vec_id", "embedding")
+          .withColumn("q", array_join(col("q"), ","))
+          .orderBy("vec_id")),
+
+    QueryDef("q92_bpe_tokenize",
+      "BPE subword tokenizer LEARNED from the corpus, then applied " +
+        "back over it (Sennrich 2016; greedy lowest-rank apply as in " +
+        "GPT-2's encoder). The ONLY corpus-scale job is the word-" +
+        "frequency rollup (map-side-combined groupBy over the unicode " +
+        "tokenizer); 200 merges then learn from the collected frequency " +
+        "dictionary — vocabulary-bounded (Heaps' law), capped at " +
+        "maxWords with the dropped tail mass REPORTED, which is how " +
+        "subword-nmt/HF-tokenizers/SentencePiece all learn. The encode " +
+        "pass back over the corpus is map-only codegen, the merge " +
+        "table riding the plan as a reference object. Iterative merge " +
+        "selection -> no SQL oracle (driver rows-only); BpeOpsSpec " +
+        "pins the merge loop on the hand-computable Sennrich " +
+        "dictionary, greedy rank order on the encoder, the lossless " +
+        "round-trip (tokens reconcatenate to the tokenized text) over " +
+        "the real corpus, and the map-only encode plan.",
+      None,
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = BpeOps.learnBpe(docs, "text", numMerges = 200)
+        BpeOps.encode(docs, "text", model.merges)
+          .select(col("doc_id"), col("n_tokens"),
+            array_join(slice(col("bpe_tokens"), 1, 12), " ").as("head_tokens"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q93_ann_sq8_probe",
+      "SELF-CONTAINED index probe: the q81 build additionally stores " +
+        "the corpus under SQ8 scalar quantization (ann_vecs8 — the q91 " +
+        "codec, 1 byte per component), and the probe re-ranks its ADC " +
+        "shortlist from those stored codes instead of fetching exact " +
+        "float vectors from the corpus table. Cosine is scale-" +
+        "invariant, so the codes alone carry the angle (fused " +
+        "Int8Cosine, no dequantized array per row). The probe then " +
+        "reads ONLY index tables — the serving path ships the index " +
+        "directory alone, and refine I/O is 4x smaller. Approximate " +
+        "by design -> rows-only check; SimOpsSpec pins shortlist " +
+        "parity vs the exact-refine probe and recall vs brute force; " +
+        "PlanShapeSpec pins that no corpus-table scan appears in the " +
+        "probe plan.",
+      None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val sink = tempStore.sink(s, "annidx8", dir)
+        if (!SimOps.ivfPqIndexExists(sink))
+          SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink,
+            storeSq8 = true)
+        val q = e.filter(col("vec_id") % 100 === 0)
+        SimOps.withRecallAudit(
+            SimOps.ivfPqProbeIndex(q, e, "vec_id", "embedding", sink, 5,
+              refineFromSq8 = true),
+            // index-tables-only ground truth: exhaustive scan of the
+            // stored SQ8 codes — the probe's no-corpus-scan contract
+            // holds through the audit
+            SimOps.sq8BruteForceTopK(q, "vec_id", "embedding", sink, 5), 5)
+          .orderBy("query_id", "rank")
+      }),
+
+    QueryDef("q94_lang_token_rollup",
+      "Per-LANGUAGE corpus composition — the first statistic any " +
+        "multilingual training-data pipeline reports: language-ID " +
+        "(the q26 n-gram heuristic) composed with whitespace token " +
+        "counting (q24) into a per-guess rollup (docs, total tokens, " +
+        "mean tokens/doc, first doc id). One map-only scan derives " +
+        "both signals per row, then one shuffle on the guess key with " +
+        "map-side partial aggregation — composition costs nothing " +
+        "beyond the q26 scan at any corpus scale.",
+      Some {
+        val (hitExprs, maxExpr, nWin, firstWin) = sqlLangPieces
+        s"""WITH h AS (SELECT doc_id, $hitExprs,
+           |    len(regexp_extract_all(text, '\\S+')) AS ntok
+           |  FROM documents),
+           |m AS (SELECT *, $maxExpr AS mx FROM h),
+           |g AS (SELECT doc_id, ntok, CASE WHEN mx = 0 OR ($nWin) > 1
+           |    THEN 'und' ELSE ($firstWin) END AS guess FROM m)
+           |SELECT guess, COUNT(*) AS n_docs,
+           |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           |  CAST(SUM(ntok) AS BIGINT) // COUNT(*) AS mean_tokens,
+           |  MIN(doc_id) AS first_doc
+           |FROM g GROUP BY guess ORDER BY guess""".stripMargin
+      },
+      (s, dir) => t(s, dir, "documents")
+        .select(TextOps.langId(col("text")).as("guess"),
+          TextOps.tokenCount(col("text")).as("ntok"), col("doc_id"))
+        .groupBy("guess")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("total_tokens"),
+          // integer `div`, not `/`: float division + cast could round
+          // differently from DuckDB's exact `//` on a large-enough sum
+          expr("sum(ntok) div count(1)").as("mean_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("guess")),
+
+    QueryDef("q95_classifier_train",
+      "TRAIN the q79-shape hashed quality classifier on the engine " +
+        "itself (the CCNet/fastText practice: the filter a pipeline " +
+        "applies map-only at 100 TB is a LEARNED linear model): batch-" +
+        "gradient logistic regression over hashed token-count " +
+        "features, distilling the integer quality-gate rule " +
+        "(label = quality_mil >= 500) into trained weights. Per " +
+        "iteration: map-only margins (weights ride the plan as an " +
+        "array literal, the exact q79 apply shape), ONE bucket-keyed " +
+        "gradient shuffle with DECIMAL sums (deterministic at any " +
+        "parallelism), a buckets-row collect. Output: per-doc label, " +
+        "learned margin, prediction. Iterative float optimization -> " +
+        "no SQL oracle (rows-only); ClassifierOpsSpec pins class " +
+        "separation, parallelism-invariant determinism, and the " +
+        "map-only apply plan.",
+      None,
+      (s, dir) => {
+        val labeled = t(s, dir, "documents").withColumn("y",
+          (TextOps.qualityScoreMil(col("text")) >= 500).cast("int"))
+        val m = ClassifierOps.trainHashedClassifier(labeled, "text", "y",
+          buckets = 1024, iters = 6)
+        // margin computed ONCE: the aggregate HOF is interpreted-eval
+        // (no whole-stage subexpression elimination), so repeating the
+        // expression would run the full tokenize+hash+fold twice per row
+        labeled.select(col("doc_id"), col("y"),
+            m.margin(col("text")).as("__m"))
+          .select(col("doc_id"), col("y"),
+            round(col("__m"), 6).as("margin"),
+            (col("__m") > 0).cast("int").as("pred"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q96_interval_join",
+      "INTERVAL (range-containment) join as a bucketed EQUI-join — " +
+        "the range-join optimization OSS Spark lacks natively: " +
+        "ts-BETWEEN-bounds planned directly is a nested-loop over " +
+        "every (row, interval) pair. Here each event carries its one " +
+        "time bucket, each interval explodes to the <=2 buckets it " +
+        "overlaps, candidates meet in a hash equi-join on the bucket " +
+        "id and the exact BETWEEN refines them — every qualifying " +
+        "pair meets in exactly one bucket, so no dedup pass. The " +
+        "query: +/-30-minute windows around sampled purchase events, " +
+        "rolled up to per-window event counts and id bounds (integer-" +
+        "exact output; PlanShapeSpec pins the no-nested-loop claim).",
+      Some("""SELECT w.event_id AS window_id,
+             |  COUNT(*) AS n_events,
+             |  MIN(e.event_id) AS first_event,
+             |  MAX(e.event_id) AS last_event
+             |FROM (SELECT event_id,
+             |        ts - INTERVAL 30 MINUTE AS w_start,
+             |        ts + INTERVAL 30 MINUTE AS w_end
+             |      FROM events
+             |      WHERE event_type = 'purchase' AND event_id % 7 = 0) w
+             |JOIN events e ON e.ts BETWEEN w.w_start AND w.w_end
+             |GROUP BY window_id ORDER BY window_id""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val win = ev
+          .filter(col("event_type") === "purchase" && col("event_id") % 7 === 0)
+          .select(col("event_id").as("window_id"),
+            (col("ts") - expr("INTERVAL 30 MINUTES")).as("w_start"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+        RelOps.intervalJoin(ev, "ts", win, "w_start", "w_end",
+            bucketWidthSec = 3600L)
+          .groupBy("window_id")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("event_id")).as("first_event"),
+            max(col("event_id")).as("last_event"))
+          .orderBy("window_id")
+      }),
+
+    QueryDef("q97_ann_drift",
+      "Index DRIFT monitoring — the measurable signal behind 'rebuild " +
+        "on drift is the owner's call' (q81/q89's add-after-train " +
+        "contract): assign a fresh vector batch to inverted lists " +
+        "under the STORED centroids and compare its list-share " +
+        "distribution to the stored code lists' — per list, both " +
+        "counts, exact integer ppm shares, and the absolute gap; " +
+        "total variation = sum(gap_ppm)/2e6 drives the retrain alarm. " +
+        "One aggregated scan of stored codes + one map-side batch " +
+        "assignment; no training. k-means inside -> rows-only; " +
+        "SimOpsSpec pins low self-drift vs high shifted-batch drift.",
+      None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val sink = tempStore.sink(s, "annidx", dir)
+        if (!SimOps.ivfPqIndexExists(sink))
+          SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink)
+        SimOps.ivfIndexDriftStats(e.filter(col("vec_id") % 3 === 0),
+            "vec_id", "embedding", sink)
+          .orderBy("list")
+      }),
+
+    QueryDef("q98_diverse_select",
+      "CORESET / diversity selection — the SELECTION counterpart of " +
+        "q75's SemDeDup deletion (k-center greedy / farthest-first per " +
+        "trained cluster; Gonzalez 1985, Sener & Savarese ICLR 2018): " +
+        "keep the 5 most diverse representatives of each of 8 " +
+        "clusters instead of deleting near-dups. One deterministic " +
+        "quantizer training, map-side assignment, one cluster-keyed " +
+        "shuffle into per-cluster in-memory greedy (O(k*|cluster|*dim) " +
+        "per cluster; |cluster| held constant by growing nlist with " +
+        "the corpus — the q75 posture). Deterministic at any " +
+        "parallelism: seed = min id, ties to the smaller id. k-means " +
+        "inside -> rows-only; SimOpsSpec pins diversity-beats-" +
+        "redundancy on planted geometry, per-cluster sizes, and " +
+        "partition invariance.",
+      None,
+      (s, dir) =>
+        SimOps.diverseSelect(t(s, dir, "embeddings"), "vec_id",
+            "embedding", k = 5, nlist = 8)
+          .orderBy("cluster", "rank")),
+
+    QueryDef("q99_model_serve",
+      "SERVING path for persisted models — the train-once/apply-" +
+        "everywhere split a 100 TB deployment actually runs (q92/q95 " +
+        "pay training inside the query; a production pipeline trains " +
+        "per corpus GENERATION and applies from stored coefficients " +
+        "everywhere else): loadModel the stored BPE merges and the " +
+        "trained classifier weights and apply BOTH in one map-only " +
+        "pass over the corpus — subword tokens + token count from the " +
+        "codegen BpeEncode (merge table rides the plan), quality " +
+        "margin/keep from the q79-shape hashed-weights HOF. The " +
+        "models bootstrap through the sink on first invocation (same " +
+        "guard shape as q81-probe's build) and load on every " +
+        "subsequent one; the apply stage itself reads NOTHING but the " +
+        "corpus — driver-side coefficients, no training job, no " +
+        "shuffle before the output sort. Trained coefficients inside " +
+        "-> rows-only; BpeOpsSpec/ClassifierOpsSpec pin stored-model " +
+        "round-trips, CatalogSpec pins serve ≡ train-in-query parity, " +
+        "PlanShapeSpec pins the no-shuffle no-UDF apply plan.",
+      None,
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.sink(s, "models", dir)
+        if (!BpeOps.modelExists(sink))
+          BpeOps.saveModel(sink, BpeOps.learnBpe(docs, "text", numMerges = 200))
+        if (!ClassifierOps.modelExists(sink))
+          ClassifierOps.saveModel(sink, ClassifierOps.trainHashedClassifier(
+            docs.withColumn("y",
+              (TextOps.qualityScoreMil(col("text")) >= 500).cast("int")),
+            "text", "y", buckets = 1024, iters = 6))
+        val bpe = BpeOps.loadModel(sink)
+        val clf = ClassifierOps.loadModel(sink)
+        // margin aliased ONCE then referenced twice: CollapseProject
+        // keeps non-cheap multi-referenced aliases, so the tokenize+
+        // hash+fold HOF runs once per row, not once per output column
+        BpeOps.encode(docs, "text", bpe.merges)
+          .select(col("doc_id"), col("n_tokens"),
+            array_join(slice(col("bpe_tokens"), 1, 8), " ").as("head_tokens"),
+            clf.margin(col("text")).as("__m"))
+          .select(col("doc_id"), col("n_tokens"), col("head_tokens"),
+            round(col("__m"), 6).as("margin"),
+            (col("__m") > 0).cast("int").as("keep"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q100_retention_sweep",
+      "PK DELETE + rebucket as an ORACLE-CHECKED lifecycle — the " +
+        "retention/right-to-erasure sweep a 100 TB store actually " +
+        "runs, end-to-end through the sink: load the corpus into the " +
+        "bucketed store, DELETE every key the q25 quality gate fails " +
+        "(rewriting only touched buckets — O(batch), never O(table)), " +
+        "compact the now-smaller table to a narrower modulus " +
+        "(rebucket under the atomic shadow swap), and read the " +
+        "survivors back. Content must equal a pure anti-join over the " +
+        "source — which makes the sink's physical delete/rebucket " +
+        "machinery answer to a DuckDB oracle instead of only its own " +
+        "specs. The store is rebuilt fresh per invocation so replays " +
+        "are deterministic.",
+      Some(s"""SELECT doc_id, length(text) AS n_chars
+             |FROM documents
+             |WHERE $sqlQualityMil >= 500
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.freshSink(s, "retain", dir)
+        sink.merge("corpus", docs.select(col("doc_id"), col("text")),
+          Seq("doc_id"), pkUnique = true)
+        sink.delete("corpus",
+          docs.filter(TextOps.qualityScoreMil(col("text")) < 500)
+            .select("doc_id"),
+          Seq("doc_id"))
+        sink.rebucket("corpus", Seq("doc_id"), newBuckets = 4)
+        sink.read("corpus")
+          .select(col("doc_id"), length(col("text")).as("n_chars"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q101_repetition",
+      "In-document REPETITION signals — the Gopher/MassiveText " +
+        "repetition-filter family (duplicate-line fraction, " +
+        "duplicate-word fraction, share of the most frequent word " +
+        "bigram): machine-generated and boilerplate text repeats " +
+        "itself, and these are the standard cheap screens a curation " +
+        "pipeline runs before anything model-based. All three are " +
+        "map-only per-mille integers; the dominant-bigram share uses " +
+        "the O(n) codegen TopCountShareMil hash pass where builtins " +
+        "would cost O(n²) per document (HOF count-by-filter) or two " +
+        "corpus-scale shuffles (explode + double aggregate). Exact " +
+        "integer oracle.",
+      Some("""WITH l AS (SELECT doc_id,
+             |    list_filter([trim(x) for x in str_split(text, chr(10))],
+             |                x -> x <> '') AS ls,
+             |    regexp_extract_all(lower(text), '[a-z]+') AS ws
+             |  FROM documents),
+             |b AS (SELECT doc_id, ls, ws,
+             |    CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+             |      ELSE [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+             |    END AS bg
+             |  FROM l)
+             |SELECT doc_id,
+             |  CAST(floor(1000 * (len(ls) - len(list_distinct(ls)))
+             |       / greatest(len(ls), 1)) AS BIGINT) AS dup_line_mil,
+             |  CAST(floor(1000 * (len(ws) - len(list_distinct(ws)))
+             |       / greatest(len(ws), 1)) AS BIGINT) AS dup_word_mil,
+             |  CAST(CASE WHEN len(bg) = 0 THEN 0
+             |       ELSE 1000 * list_max([len(list_filter(bg, y -> y = x))
+             |                             for x in bg]) // len(bg)
+             |       END AS BIGINT) AS top_bigram_mil
+             |FROM b ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        graft.functions.RepetitionFunctions.register(s)
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextOps.dupLineRatioMil(col("text")).as("dup_line_mil"),
+            TextOps.dupWordRatioMil(col("text")).as("dup_word_mil"),
+            TextOps.topBigramShareMil(col("text")).as("top_bigram_mil"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q102_dsir_select",
+      "DSIR targeted selection, integer fixed-point form (Xie et al. " +
+        "2023): fit hashed-ngram histograms on a small target sample " +
+        "(every 11th doc) and on the raw pool (corpus MINUS the target " +
+        "rows, by id — the documented in-pool convention), then score " +
+        "every document's mean per-mille target affinity. The bucket " +
+        "hash is md5-stable and the Laplace posterior is floor-divided " +
+        "per-mille, so DuckDB reproduces every score bit-for-bit. " +
+        "Plan: two bucket-BOUNDED histograms (<= 512 keys, map-side " +
+        "combinable), then ONE map-only scoring scan with the affinity " +
+        "table riding the plan as a single array literal — no shuffle " +
+        "downstream of the histograms, no UDF.",
+      Some("""WITH g AS (SELECT doc_id, doc_id % 11 = 0 AS tgt,
+             |    regexp_extract_all(lower(text), '[a-z]+') AS ws
+             |  FROM documents),
+             |gr AS (SELECT doc_id, tgt, ws || CASE WHEN len(ws) < 2
+             |      THEN CAST([] AS VARCHAR[])
+             |      ELSE [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+             |    END AS grams
+             |  FROM g),
+             |occ AS (SELECT doc_id, tgt,
+             |    CAST(concat('0x', substr(md5(unnest(grams)), 1, 15))
+             |      AS BIGINT) % 512 AS b
+             |  FROM gr),
+             |ht AS (SELECT b, COUNT(*) AS ct FROM occ WHERE tgt GROUP BY b),
+             |hr AS (SELECT b, COUNT(*) AS cr FROM occ WHERE NOT tgt GROUP BY b),
+             |aff AS (SELECT doc_id,
+             |    (1000 * (COALESCE(ct, 0) + 1))
+             |      // (COALESCE(ct, 0) + COALESCE(cr, 0) + 2) AS a
+             |  FROM occ LEFT JOIN ht USING (b) LEFT JOIN hr USING (b)),
+             |sc AS (SELECT doc_id, COUNT(*) AS n, SUM(a) AS sa
+             |  FROM aff GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(COALESCE(sc.n, 0) AS INTEGER) AS n_grams,
+             |  CAST(sc.sa // sc.n AS BIGINT) AS dsir_mil
+             |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        SelectOps.dsirAffinityMil(docs,
+            docs.filter(col("doc_id") % 11 === 0),
+            "doc_id", "text", buckets = 512)
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q103_perplexity_tiers",
+      "CCNet perplexity bucketing, exact ORACLE form (Wenzek et al. " +
+        "2020): language-ID + the q74 corpus-trained integer bigram-LM " +
+        "score, then ntile(3) per language over (score desc, id) — " +
+        "head = most fluent third, the tier downstream mixing " +
+        "oversamples. Tie rule: ntile splits equal scores by id (both " +
+        "engines order identically, so the split is deterministic). " +
+        "This exact form is single-reducer-per-language by design; the " +
+        "100 TB path is perplexityBucketsByThreshold (broadcast " +
+        "per-language cutoffs, map-side tiers, no window) — " +
+        "plan-pinned in PlanShapeSpec, agreement spec-pinned in " +
+        "SelectOpsSpec, and both consume ONE shared LM pass via " +
+        "perplexityScored.",
+      Some {
+        val (hitExprs, maxExpr, nWin, firstWin) = sqlLangPieces
+        s"""WITH toks AS (SELECT doc_id,
+           |    regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+           |uni AS (SELECT w1, COUNT(*) AS c1 FROM (
+           |    SELECT unnest(w) AS w1 FROM toks) GROUP BY w1),
+           |v AS (SELECT COUNT(*) AS vs FROM uni),
+           |bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+           |    SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]}
+           |      for i in range(1, len(w))]) AS u FROM toks)),
+           |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+           |per AS (SELECT doc_id,
+           |    (1000000 * (c12 + 1)) // (c1 + vs) AS ppm
+           |  FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v),
+           |sc AS (SELECT doc_id, COUNT(*) AS nb, SUM(ppm) AS sp
+           |  FROM per GROUP BY doc_id),
+           |h AS (SELECT doc_id, $hitExprs FROM documents),
+           |m AS (SELECT *, $maxExpr AS mx FROM h),
+           |lg AS (SELECT doc_id, CASE WHEN mx = 0 OR ($nWin) > 1
+           |    THEN 'und' ELSE ($firstWin) END AS lang FROM m),
+           |s2 AS (SELECT sc.doc_id, lg.lang,
+           |    CAST(sc.sp // sc.nb AS BIGINT) AS score_ppm
+           |  FROM sc JOIN lg ON sc.doc_id = lg.doc_id WHERE sc.nb >= 1),
+           |nt AS (SELECT doc_id, lang, score_ppm,
+           |    ntile(3) OVER (PARTITION BY lang
+           |      ORDER BY score_ppm DESC, doc_id) AS t FROM s2)
+           |SELECT doc_id, lang, score_ppm,
+           |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+           |    ELSE 'tail' END AS ppl_bucket
+           |FROM nt ORDER BY doc_id""".stripMargin
+      },
+      (s, dir) =>
+        SelectOps.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")),
+
+    QueryDef("q104_domain_topk",
+      "Embedding domain-centroid selection — the embedding-space " +
+        "analogue of q102's DSIR (DsDm-style retrieval curation): rank " +
+        "the pool by cosine to the target sample's centroid, keep the " +
+        "top 100. The centroid is quantized to exact fixed point " +
+        "(floor(v*1000) sums, floor division, /1000 -> float) so both " +
+        "engines derive the IDENTICAL vector; cosine then follows the " +
+        "q33 round-to-6dp convention. Plan: one dim-BOUNDED centroid " +
+        "aggregate (<= 64 keys), then a map-only codegen dot-product " +
+        "scan with the centroid as a plan literal, and (cosine desc, " +
+        "id) top-k via TakeOrderedAndProject — no global sort, no " +
+        "per-row shuffle, driver state corpus-size-independent.",
+      Some(s"""WITH tgt AS (SELECT embedding AS e FROM embeddings
+             |  WHERE vec_id % 25 = 0),
+             |dims AS (SELECT unnest(range(1,
+             |    (SELECT max(len(e)) FROM tgt) + 1)) AS d),
+             |cs AS (SELECT d,
+             |    SUM(CAST(floor(CAST(e[d] AS DOUBLE) * 1000) AS BIGINT)) AS s,
+             |    COUNT(*) AS n
+             |  FROM tgt, dims WHERE d <= len(e) GROUP BY d),
+             |cent AS (SELECT list(CAST(
+             |      CAST(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS DOUBLE)
+             |        / CAST(1000 AS DOUBLE) AS FLOAT) ORDER BY d) AS c
+             |  FROM cs),
+             |p AS (SELECT vec_id,
+             |    round(${sqlCosine("embeddings.embedding", "cent.c")}, 6)
+             |      AS cosine
+             |  FROM embeddings, cent)
+             |SELECT vec_id, cosine FROM p
+             |ORDER BY cosine DESC, vec_id LIMIT 100""".stripMargin),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        SelectOps.domainTopK(e, e.filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", k = 100)
+      }),
+
+    QueryDef("q105_drift_rebuild",
+      "The FULL index-maintenance arc as one query — q97's drift " +
+        "monitoring closed into the drift->rebuild->probe lifecycle " +
+        "(the q100 pattern applied to the ANN index): build the IVF-PQ " +
+        "index, measure a self-sample batch (stable: rebuild must NOT " +
+        "fire — the stable path costs one aggregated code scan + one " +
+        "map-side batch assignment, nothing corpus-scale), then ingest " +
+        "a mode-collapsed batch (every vector one direction — the " +
+        "unambiguous retrain signal), rebuild from the grown corpus " +
+        "under the sink's atomic shadow swap, and serve probes off the " +
+        "rebuilt index. Both DriftDecisions ride the output as audit " +
+        "columns so the harness sees the arc, not just the probes. " +
+        "k-means + approximate probes inside -> rows-only; " +
+        "SimOpsSpec pins the stable/drifted/swap semantics, " +
+        "PlanShapeSpec pins the no-corpus-scan stable path.",
+      None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val sink = tempStore.freshSink(s, "driftrb", dir)
+        SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink)
+        val stable = SimOps.rebuildIfDrifted(
+          e.filter(col("vec_id") % 3 === 0), e, "vec_id", "embedding", sink)
+        val batch = e.filter(col("vec_id") % 3 === 1)
+          .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+            transform(col("embedding"), x => x * lit(0.0f) + lit(0.37f))
+              .as("embedding"))
+        val corpus2 = e.unionByName(batch)
+        val drifted = SimOps.rebuildIfDrifted(batch, corpus2,
+          "vec_id", "embedding", sink)
+        SimOps.ivfPqProbeIndex(e.filter(col("vec_id") % 100 === 0), corpus2,
+            "vec_id", "embedding", sink, k = 3)
+          .withColumn("stable_rebuilt", lit(if (stable.rebuilt) 1 else 0))
+          .withColumn("drift_rebuilt", lit(if (drifted.rebuilt) 1 else 0))
+          .withColumn("drift_tv_mil",
+            lit((drifted.totalVariation * 1000).toLong))
+          .orderBy("query_id", "rank")
+      })
+  )
+}

@@ -1,0 +1,866 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{MinHashFunctions, WinnowFunctions}
+import graft.ops.{BpeOps, ChatOps, ClassifierOps, GraphOps, MultimodalOps, RelOps, SampleOps, SelectOps, SimOps, TextOps, WebOps}
+
+/** Incremental stores + lifecycle capstones (q106-q119). */
+private[graft] trait CatalogStores extends CatalogShared {
+
+  // ---------------------------------------------------------------------
+  // Serving-side analytics beyond the reference's own surface
+  // ---------------------------------------------------------------------
+
+  val stores: Seq[QueryDef] = Seq(
+
+    QueryDef("q106_dsir_resample",
+      "DSIR's actual SELECTION step (Xie et al. 2023 §2): k draws " +
+        "WITHOUT replacement with inclusion odds proportional to the " +
+        "importance weights, via the Gumbel-max trick — each doc's key " +
+        "is log_w + Gumbel(0,1) with the noise derived " +
+        "deterministically from md5(id:seed), so the sample is fully " +
+        "reproducible given (seed, corpus) yet statistically correct. " +
+        "Float log-weights inside -> rows-only; SelectOpsSpec pins " +
+        "seeded determinism and weight-monotone inclusion (in-domain " +
+        "docs dominate across seeds). Plan: two bounded histograms " +
+        "driver-side, then ONE map-only scoring scan + " +
+        "TakeOrderedAndProject — resampling 100 TB never sorts " +
+        "globally.",
+      None,
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        SelectOps.dsirResample(docs, docs.filter(col("doc_id") % 11 === 0),
+          "doc_id", "text", k = 50, seed = 42L, buckets = 512)
+      }),
+
+    QueryDef("q107_perplexity_scale",
+      "The perplexity-bucketing 100 TB PATH as a driver-visible query " +
+        "(q103 is the exact ntile oracle form): ONE LM pass " +
+        "(perplexityScored, materialized), percentile_approx " +
+        "per-language cutoffs (GK sketch — single-pass, mergeable; " +
+        "#langs rows), then map-side tier assignment through a " +
+        "BROADCAST cutoff join — no per-language window, no global " +
+        "sort, the corpus never shuffles. Sketch-derived cutoffs have " +
+        "no cross-engine oracle -> rows-only; CatalogSpec pins " +
+        ">=80% tier agreement with q103's exact form on the real " +
+        "corpus, PlanShapeSpec pins the broadcast/no-window/no-" +
+        "recomputed-LM plan.",
+      None,
+      (s, dir) => {
+        val scored = SelectOps
+          .perplexityScored(t(s, dir, "documents"), "doc_id", "text")
+          .localCheckpoint() // ONE LM pass feeds thresholds AND tiers
+        SelectOps.perplexityBucketsByThresholdFromScored(scored, "doc_id",
+            SelectOps.perplexityThresholdsFromScored(scored))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q108_curation_select",
+      "The pretraining-data pipeline COMPOSED, end to end, under one " +
+        "exact oracle: quality gate (q25's integer heuristic >= 500) " +
+        "-> exact dedup (q28's fingerprint, min-id keeper via one " +
+        "fp-keyed window) -> language filter (q26's deterministic " +
+        "argmax = 'en') -> DSIR selection (q102's integer affinity, " +
+        "target = every 11th surviving doc, histograms fit on the " +
+        "SURVIVORS — selection composes after cleaning, as the papers " +
+        "do) -> top-100 by (dsir_mil desc, id). Every stage is " +
+        "integer/hash-exact, so the whole composition hash-matches " +
+        "DuckDB — the integration check that the stages agree on " +
+        "SHARED intermediate data, not just in isolation. Scale " +
+        "shape: map-only gates, ONE corpus-scale shuffle (the " +
+        "fingerprint window), two bounded histograms, map-only " +
+        "scoring, TakeOrderedAndProject.",
+      Some {
+        val (hitExprs, maxExpr, nWin, firstWin) = sqlLangPieces
+        s"""WITH q AS (SELECT doc_id, text FROM documents
+           |  WHERE $sqlQualityMil >= 500),
+           |fp AS (SELECT doc_id, text, row_number() OVER (
+           |    PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           |    ORDER BY doc_id) AS rn FROM q),
+           |d AS (SELECT doc_id, text FROM fp WHERE rn = 1),
+           |h AS (SELECT doc_id, $hitExprs FROM d),
+           |m AS (SELECT *, $maxExpr AS mx FROM h),
+           |lg AS (SELECT doc_id, CASE WHEN mx = 0 OR ($nWin) > 1
+           |    THEN 'und' ELSE ($firstWin) END AS lang FROM m),
+           |en AS (SELECT d.doc_id, d.text FROM d
+           |  JOIN lg ON d.doc_id = lg.doc_id WHERE lg.lang = 'en'),
+           |g AS (SELECT doc_id, doc_id % 11 = 0 AS tgt,
+           |    regexp_extract_all(lower(text), '[a-z]+') AS ws FROM en),
+           |gr AS (SELECT doc_id, tgt, ws || CASE WHEN len(ws) < 2
+           |      THEN CAST([] AS VARCHAR[])
+           |      ELSE [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+           |    END AS grams
+           |  FROM g),
+           |occ AS (SELECT doc_id, tgt,
+           |    CAST(concat('0x', substr(md5(unnest(grams)), 1, 15))
+           |      AS BIGINT) % 512 AS b
+           |  FROM gr),
+           |ht AS (SELECT b, COUNT(*) AS ct FROM occ WHERE tgt GROUP BY b),
+           |hr AS (SELECT b, COUNT(*) AS cr FROM occ WHERE NOT tgt GROUP BY b),
+           |aff AS (SELECT doc_id,
+           |    (1000 * (COALESCE(ct, 0) + 1))
+           |      // (COALESCE(ct, 0) + COALESCE(cr, 0) + 2) AS a
+           |  FROM occ LEFT JOIN ht USING (b) LEFT JOIN hr USING (b)),
+           |sc AS (SELECT doc_id, COUNT(*) AS n, SUM(a) AS sa
+           |  FROM aff GROUP BY doc_id)
+           |SELECT doc_id, CAST(sc.n AS INTEGER) AS n_grams,
+           |  CAST(sc.sa // sc.n AS BIGINT) AS dsir_mil
+           |FROM sc
+           |ORDER BY dsir_mil DESC, doc_id LIMIT 100""".stripMargin
+      },
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val quality = docs
+          .filter(TextOps.qualityScoreMil(col("text")) >= 500)
+        val w = Window
+          .partitionBy(TextOps.fingerprint(col("text")))
+          .orderBy("doc_id")
+        val kept = quality
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+        val en = kept.filter(TextOps.langId(col("text")) === "en")
+          .select("doc_id", "text")
+        SelectOps.dsirAffinityMil(en,
+            en.filter(col("doc_id") % 11 === 0),
+            "doc_id", "text", buckets = 512)
+          .filter(col("dsir_mil").isNotNull)
+          .orderBy(col("dsir_mil").desc, col("doc_id"))
+          .limit(100)
+      }),
+
+    QueryDef("q109_incremental_neardup",
+      "INCREMENTAL near-dup admission — dedup a new batch against a " +
+        "persisted archive WITHOUT re-shingling the archive (the only " +
+        "dedup shape that works when the archive is 100 TB and the " +
+        "batch is a day's crawl): the archive's MinHash band postings " +
+        "+ shingle sets are built once into the store (one atomic " +
+        "group write), then the probe broadcasts the batch's band " +
+        "keys against the posting scan (map-only — the archive side " +
+        "never shuffles), broadcasts the batch-bounded candidate set " +
+        "against the shingle-set scan (map-only again), and " +
+        "exact-verifies Jaccard >= 0.5 on candidates only. Oracle: " +
+        "exhaustive archive x batch Jaccard (q29's recall argument — " +
+        "planted dups sit at j >= 0.9, miss probability ~1e-15).",
+      Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') w
+             |  FROM documents),
+             |sh AS (SELECT doc_id, CASE WHEN len(w) < 3
+             |    THEN [array_to_string(w, ' ')]
+             |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |                        for i in range(1, len(w) - 1)]) END AS s
+             |  FROM toks),
+             |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |      / len(list_distinct(list_concat(a.s, b.s))) AS j
+             |  FROM sh a JOIN sh b
+             |    ON a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0)
+             |SELECT a_id, b_id, round(j, 4) AS jac FROM p
+             |WHERE j >= 0.5 ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.freshSink(s, "neardup", dir)
+        TextOps.minhashStoreBuild(docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", sink)
+        TextOps.minhashStoreProbe(docs.filter(col("doc_id") % 3 === 0),
+            "doc_id", "text", sink, threshold = 0.5)
+          .orderBy("a_id", "b_id")
+      }),
+
+    QueryDef("q110_incremental_segdedup",
+      "INCREMENTAL C4-style segment screen — q66's boilerplate removal " +
+        "for a daily batch against a persisted archive inventory, " +
+        "without re-tokenizing the archive: the store holds 16 bytes + " +
+        "a count per distinct 25-word segment; the probe broadcasts " +
+        "the batch's segment hashes against the inventory scan " +
+        "(map-only — the store never shuffles, and unlike q66 there " +
+        "is NO corpus-wide window: the archive's ordering work was " +
+        "paid once at build), drops every batch segment the archive " +
+        "has seen, and rebuilds the documents. Exact md5/integer " +
+        "semantics end to end -> full DuckDB oracle.",
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z]+') w FROM documents),
+             |segl AS (SELECT doc_id,
+             |    [{'i': i, 's': array_to_string(w[(i*25+1):(i*25+25)], ' ')}
+             |     for i in range(0, CAST(ceil(len(w)/25.0) AS INTEGER))] AS ss
+             |  FROM toks),
+             |seg AS (SELECT doc_id, u.i AS seg_idx, u.s AS s
+             |  FROM (SELECT doc_id, unnest(ss) AS u FROM segl)),
+             |arch AS (SELECT DISTINCT md5(s) AS h FROM seg
+             |  WHERE doc_id % 3 <> 0),
+             |bat AS (SELECT doc_id, seg_idx, s FROM seg WHERE doc_id % 3 = 0),
+             |keep AS (SELECT * FROM bat
+             |  WHERE md5(s) NOT IN (SELECT h FROM arch)),
+             |k AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+             |    string_agg(s, ' ' ORDER BY seg_idx) AS text_kept
+             |  FROM keep GROUP BY doc_id),
+             |n AS (SELECT doc_id,
+             |    CAST(COALESCE(ceil(len(w)/25.0), 0) AS INTEGER) AS n_segs
+             |  FROM toks WHERE doc_id % 3 = 0)
+             |SELECT n.doc_id, n.n_segs,
+             |  COALESCE(k.n_kept, 0) AS n_kept,
+             |  COALESCE(k.text_kept, '') AS text_kept
+             |FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.freshSink(s, "segdedup", dir)
+        TextOps.segmentStoreBuild(docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", sink)
+        TextOps.segmentStoreProbe(docs.filter(col("doc_id") % 3 === 0),
+            "doc_id", "text", sink)
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q111_incremental_admission",
+      "The COMPOSED incremental admission screen — the daily-crawl " +
+        "operating mode at 100 TB, under ONE exact oracle: every " +
+        "per-document gate (quality heuristic, exact dedup vs the " +
+        "archive's fingerprint store, 25-word segment screen vs its " +
+        "segment inventory, MinHash near-dup vs its band+shingle " +
+        "store, language id) computed independently as audit columns, " +
+        "`admitted` their conjunction. The archive is touched ONLY " +
+        "through its three compact stores (built once here; amortized " +
+        "across batches in production) — no archive text is " +
+        "re-tokenized at screen time, every store-side join is a " +
+        "map-only broadcast. Integer/hash-exact gates -> the whole " +
+        "composition hash-matches DuckDB, including the near-dup " +
+        "column (q29's LSH recall argument).",
+      Some {
+        val (hitExprs, maxExpr, nWin, firstWin) = sqlLangPieces
+        s"""WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+           |a AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+           |h AS (SELECT doc_id, $sqlQualityMil AS quality_mil,
+           |  $hitExprs FROM b),
+           |m AS (SELECT *, $maxExpr AS mx FROM h),
+           |lg AS (SELECT doc_id, quality_mil, CASE WHEN mx = 0 OR ($nWin) > 1
+           |    THEN 'und' ELSE ($firstWin) END AS lang FROM m),
+           |afp AS (SELECT DISTINCT
+           |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+           |  FROM a),
+           |ex AS (SELECT doc_id, CASE WHEN
+           |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           |      IN (SELECT fp FROM afp) THEN 1 ELSE 0 END AS dup_exact
+           |  FROM b),
+           |toksall AS (SELECT doc_id,
+           |    regexp_extract_all(lower(text), '[a-z]+') w FROM documents),
+           |segl AS (SELECT doc_id,
+           |    [{'i': i, 's': array_to_string(w[(i*25+1):(i*25+25)], ' ')}
+           |     for i in range(0, CAST(ceil(len(w)/25.0) AS INTEGER))] AS ss
+           |  FROM toksall),
+           |seg AS (SELECT doc_id, u.i AS seg_idx, u.s AS s
+           |  FROM (SELECT doc_id, unnest(ss) AS u FROM segl)),
+           |archs AS (SELECT DISTINCT md5(s) AS hsh FROM seg
+           |  WHERE doc_id % 3 <> 0),
+           |batk AS (SELECT doc_id, count(*) FILTER (
+           |      WHERE md5(s) NOT IN (SELECT hsh FROM archs)) AS kept
+           |  FROM seg WHERE doc_id % 3 = 0 GROUP BY doc_id),
+           |segk AS (SELECT t.doc_id,
+           |    CAST(COALESCE(ceil(len(w)/25.0), 0) AS INTEGER) AS n_segs,
+           |    CAST(COALESCE(batk.kept, 0) AS INTEGER) AS n_kept
+           |  FROM toksall t LEFT JOIN batk USING (doc_id)
+           |  WHERE t.doc_id % 3 = 0),
+           |sh AS (SELECT doc_id, CASE WHEN len(w) < 3
+           |    THEN [array_to_string(w, ' ')]
+           |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           |                        for i in range(1, len(w) - 1)]) END AS sss
+           |  FROM toksall),
+           |ndh AS (SELECT DISTINCT bsh.doc_id FROM sh ash JOIN sh bsh
+           |  ON ash.doc_id % 3 <> 0 AND bsh.doc_id % 3 = 0
+           |  AND CAST(len(list_intersect(ash.sss, bsh.sss)) AS DOUBLE)
+           |      / len(list_distinct(list_concat(ash.sss, bsh.sss))) >= 0.5)
+           |SELECT lg.doc_id, lg.quality_mil, lg.lang, ex.dup_exact,
+           |  segk.n_segs, segk.n_kept,
+           |  CASE WHEN ndh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS neardup_hit,
+           |  CASE WHEN lg.quality_mil >= 500 AND lg.lang = 'en'
+           |       AND ex.dup_exact = 0 AND ndh.doc_id IS NULL
+           |       THEN 1 ELSE 0 END AS admitted
+           |FROM lg JOIN ex USING (doc_id) JOIN segk USING (doc_id)
+           |  LEFT JOIN ndh USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      },
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.freshSink(s, "admit111", dir)
+        val archive = docs.filter(col("doc_id") % 3 =!= 0)
+        TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink)
+        TextOps.segmentStoreBuild(archive, "doc_id", "text", sink)
+        TextOps.minhashStoreBuild(archive, "doc_id", "text", sink)
+        TextOps.admissionScreen(docs.filter(col("doc_id") % 3 === 0),
+            "doc_id", "text", sink)
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q112_store_retention",
+      "Inventory RETENTION as a lifecycle query (the q100/q105 pattern " +
+        "applied to the segment store): build the archive's segment " +
+        "inventory, COMPACT it to cnt >= 2 — at 100 TB the Zipfian " +
+        "singleton tail is most of the rows and none of the screening " +
+        "signal, and compaction preserves every screen at " +
+        "minArchiveCount >= 2 exactly — then screen the batch at " +
+        "minArchiveCount = 2 off the compacted store. The compaction " +
+        "sizes ride every row as audit columns (inv_kept/inv_dropped) " +
+        "so the harness grades the retention arithmetic, not just the " +
+        "screen. Exact md5/integer semantics -> full DuckDB oracle.",
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z]+') w FROM documents),
+             |segl AS (SELECT doc_id,
+             |    [{'i': i, 's': array_to_string(w[(i*25+1):(i*25+25)], ' ')}
+             |     for i in range(0, CAST(ceil(len(w)/25.0) AS INTEGER))] AS ss
+             |  FROM toks),
+             |seg AS (SELECT doc_id, u.i AS seg_idx, u.s AS s
+             |  FROM (SELECT doc_id, unnest(ss) AS u FROM segl)),
+             |ac AS (SELECT md5(s) AS hsh, count(*) AS c FROM seg
+             |  WHERE doc_id % 3 <> 0 GROUP BY md5(s)),
+             |inv AS (SELECT CAST(count(*) FILTER (WHERE c >= 2) AS BIGINT)
+             |      AS inv_kept,
+             |    CAST(count(*) FILTER (WHERE c < 2) AS BIGINT) AS inv_dropped
+             |  FROM ac),
+             |archs AS (SELECT hsh FROM ac WHERE c >= 2),
+             |batk AS (SELECT doc_id, count(*) FILTER (
+             |      WHERE md5(s) NOT IN (SELECT hsh FROM archs)) AS kept
+             |  FROM seg WHERE doc_id % 3 = 0 GROUP BY doc_id),
+             |segk AS (SELECT t.doc_id,
+             |    CAST(COALESCE(ceil(len(w)/25.0), 0) AS INTEGER) AS n_segs,
+             |    CAST(COALESCE(batk.kept, 0) AS INTEGER) AS n_kept
+             |  FROM toks t LEFT JOIN batk USING (doc_id)
+             |  WHERE t.doc_id % 3 = 0)
+             |SELECT doc_id, n_segs, n_kept, inv_kept, inv_dropped
+             |FROM segk, inv ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.freshSink(s, "segretain", dir)
+        TextOps.segmentStoreBuild(docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", sink)
+        val (kept, dropped) = TextOps.segmentStoreCompact(sink, minCount = 2)
+        TextOps.segmentStoreProbe(docs.filter(col("doc_id") % 3 === 0),
+            "doc_id", "text", sink, minArchiveCount = 2)
+          .drop("text_kept")
+          .withColumn("inv_kept", lit(kept))
+          .withColumn("inv_dropped", lit(dropped))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q113_incremental_embdup",
+      "INCREMENTAL embedding near-dup — the q109 operating mode for the " +
+        "EMBEDDING modality: the archive's LSH bucket postings + exact " +
+        "vectors persist as one atomic group write; the probe " +
+        "broadcasts the batch's signatures against the posting scan " +
+        "and the batch-bounded candidate set against the vector scan " +
+        "(both map-only — the archive never re-hashes, never " +
+        "shuffles), then exact-cosine-verifies candidates at >= 0.45. " +
+        "Oracle: exhaustive archive x batch cosine (q41's recall " +
+        "argument — candidate recall 1.0 at these parameters).",
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |    ${sqlCosine("a.embedding", "b.embedding")} AS c
+             |  FROM e a JOIN e b
+             |    ON a.vec_id % 3 <> 0 AND b.vec_id % 3 = 0)
+             |SELECT a_id, b_id, round(c, 6) AS cosine FROM p
+             |WHERE round(c, 6) >= 0.45 ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val sink = tempStore.freshSink(s, "embdup", dir)
+        SimOps.embLshStoreBuild(e.filter(col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", sink)
+        SimOps.embLshStoreProbe(e.filter(col("vec_id") % 3 === 0),
+            "vec_id", "embedding", sink, threshold = 0.45)
+          .orderBy("a_id", "b_id")
+      }),
+
+    QueryDef("q114_multimodal_admission",
+      "The MULTIMODAL admission capstone: q111's text gates (quality, " +
+        "exact dedup, segment screen, MinHash near-dup, langid) JOINED " +
+        "with q113's embedding near-dup gate over the 1:1 " +
+        "documents-embeddings pairing — a real pipeline dedups on BOTH " +
+        "surface text and semantic similarity, because paraphrases " +
+        "evade string dedup and templated text evades embedding " +
+        "dedup. Every gate an independent audit column; `admitted` is " +
+        "the full conjunction. The archive exists only as its FOUR " +
+        "compact stores (fingerprints, segment inventory, MinHash " +
+        "bands+shingles, embedding LSH postings+vectors); all probe " +
+        "joins broadcast. Exact end to end -> one composed DuckDB " +
+        "oracle across both tables.",
+      Some {
+        val (hitExprs, maxExpr, nWin, firstWin) = sqlLangPieces
+        s"""WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+           |a AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+           |h AS (SELECT doc_id, $sqlQualityMil AS quality_mil,
+           |  $hitExprs FROM b),
+           |m AS (SELECT *, $maxExpr AS mx FROM h),
+           |lg AS (SELECT doc_id, quality_mil, CASE WHEN mx = 0 OR ($nWin) > 1
+           |    THEN 'und' ELSE ($firstWin) END AS lang FROM m),
+           |afp AS (SELECT DISTINCT
+           |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+           |  FROM a),
+           |ex AS (SELECT doc_id, CASE WHEN
+           |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           |      IN (SELECT fp FROM afp) THEN 1 ELSE 0 END AS dup_exact
+           |  FROM b),
+           |toksall AS (SELECT doc_id,
+           |    regexp_extract_all(lower(text), '[a-z]+') w FROM documents),
+           |segl AS (SELECT doc_id,
+           |    [{'i': i, 's': array_to_string(w[(i*25+1):(i*25+25)], ' ')}
+           |     for i in range(0, CAST(ceil(len(w)/25.0) AS INTEGER))] AS ss
+           |  FROM toksall),
+           |seg AS (SELECT doc_id, u.i AS seg_idx, u.s AS s
+           |  FROM (SELECT doc_id, unnest(ss) AS u FROM segl)),
+           |archs AS (SELECT DISTINCT md5(s) AS hsh FROM seg
+           |  WHERE doc_id % 3 <> 0),
+           |batk AS (SELECT doc_id, count(*) FILTER (
+           |      WHERE md5(s) NOT IN (SELECT hsh FROM archs)) AS kept
+           |  FROM seg WHERE doc_id % 3 = 0 GROUP BY doc_id),
+           |segk AS (SELECT t.doc_id,
+           |    CAST(COALESCE(ceil(len(w)/25.0), 0) AS INTEGER) AS n_segs,
+           |    CAST(COALESCE(batk.kept, 0) AS INTEGER) AS n_kept
+           |  FROM toksall t LEFT JOIN batk USING (doc_id)
+           |  WHERE t.doc_id % 3 = 0),
+           |sh AS (SELECT doc_id, CASE WHEN len(w) < 3
+           |    THEN [array_to_string(w, ' ')]
+           |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           |                        for i in range(1, len(w) - 1)]) END AS sss
+           |  FROM toksall),
+           |ndh AS (SELECT DISTINCT bsh.doc_id FROM sh ash JOIN sh bsh
+           |  ON ash.doc_id % 3 <> 0 AND bsh.doc_id % 3 = 0
+           |  AND CAST(len(list_intersect(ash.sss, bsh.sss)) AS DOUBLE)
+           |      / len(list_distinct(list_concat(ash.sss, bsh.sss))) >= 0.5),
+           |emb AS (SELECT vec_id, embedding FROM embeddings),
+           |edh AS (SELECT DISTINCT eb.vec_id AS doc_id
+           |  FROM emb ea JOIN emb eb
+           |  ON ea.vec_id % 3 <> 0 AND eb.vec_id % 3 = 0
+           |  AND round(${sqlCosine("ea.embedding", "eb.embedding")}, 6)
+           |      >= 0.45)
+           |SELECT lg.doc_id, lg.quality_mil, lg.lang, ex.dup_exact,
+           |  segk.n_segs, segk.n_kept,
+           |  CASE WHEN ndh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS neardup_hit,
+           |  CASE WHEN edh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS embdup_hit,
+           |  CASE WHEN lg.quality_mil >= 500 AND lg.lang = 'en'
+           |       AND ex.dup_exact = 0 AND ndh.doc_id IS NULL
+           |       AND edh.doc_id IS NULL
+           |       THEN 1 ELSE 0 END AS admitted
+           |FROM lg JOIN ex USING (doc_id) JOIN segk USING (doc_id)
+           |  LEFT JOIN ndh USING (doc_id) LEFT JOIN edh USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      },
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val e = t(s, dir, "embeddings")
+        val sink = tempStore.freshSink(s, "admit114", dir)
+        val archive = docs.filter(col("doc_id") % 3 =!= 0)
+        TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink)
+        TextOps.segmentStoreBuild(archive, "doc_id", "text", sink)
+        TextOps.minhashStoreBuild(archive, "doc_id", "text", sink)
+        SimOps.embLshStoreBuild(e.filter(col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", sink)
+        val txt = TextOps.admissionScreen(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", sink)
+        val embHits = SimOps.embLshStoreProbe(
+            e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+            sink, threshold = 0.45)
+          .select(col("b_id").as("doc_id")).distinct()
+          .withColumn("__ed", lit(1))
+        txt.join(broadcast(embHits), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("quality_mil"), col("lang"),
+            col("dup_exact"), col("n_segs"), col("n_kept"),
+            col("neardup_hit"),
+            coalesce(col("__ed"), lit(0)).as("embdup_hit"))
+          .withColumn("admitted",
+            (col("quality_mil") >= 500 && col("lang") === "en" &&
+              col("dup_exact") === 0 && col("neardup_hit") === 0 &&
+              col("embdup_hit") === 0).cast("int"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q115_incremental_substrdedup",
+      "INCREMENTAL arbitrary-offset substring dedup — q68's ExactSubstr " +
+        "semantics against a PERSISTED archive: the archive's 20-token " +
+        "window inventory (16-byte digest + count per DISTINCT window — " +
+        "the per-position granularity the published suffix-array " +
+        "implementation also pays, paid ONCE) is built into the store; " +
+        "the probe broadcasts the batch's window digests over the " +
+        "inventory scan (map-only — the archive is never re-tokenized " +
+        "and never shuffles), the matched batch-bounded set broadcasts " +
+        "back, and the span cut is the native map-only CutSpans walk. " +
+        "NO window operator anywhere in the probe — the archive's " +
+        "ordering work was paid at build. Output = q68's contract on " +
+        "the batch. Oracle: exact window-membership replication.",
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z]+') w FROM documents),
+             |aw AS (SELECT DISTINCT u AS h FROM (
+             |  SELECT unnest([md5(array_to_string(w[(i+1):(i+20)], ' '))
+             |                 for i in range(0, len(w) - 19)]) AS u
+             |  FROM toks WHERE doc_id % 3 <> 0)),
+             |ex AS (SELECT doc_id, u.i AS pos, u.t AS tok, u.h AS h FROM (
+             |  SELECT doc_id, unnest([{'i': i, 't': w[i+1],
+             |      'h': CASE WHEN i <= len(w) - 20
+             |        THEN md5(array_to_string(w[(i+1):(i+20)], ' ')) END}
+             |    for i in range(0, len(w))]) u
+             |  FROM toks WHERE doc_id % 3 = 0)),
+             |mk AS (SELECT doc_id, pos, tok,
+             |    CASE WHEN h IS NOT NULL AND h IN (SELECT h FROM aw)
+             |      THEN 1 ELSE 0 END AS ds
+             |  FROM ex),
+             |cov AS (SELECT doc_id, pos, tok,
+             |    sum(ds) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) > 0 AS covered
+             |  FROM mk),
+             |k AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+             |    CAST(count(*) FILTER (WHERE covered) AS INTEGER) AS n_removed,
+             |    string_agg(tok, ' ' ORDER BY pos)
+             |      FILTER (WHERE NOT covered) AS text_kept
+             |  FROM cov GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(k.n_tokens, 0) AS n_tokens,
+             |  COALESCE(k.n_removed, 0) AS n_removed,
+             |  COALESCE(k.text_kept, '') AS text_kept
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+             |LEFT JOIN k USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.freshSink(s, "substrstore", dir)
+        TextOps.substrStoreBuild(docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", sink)
+        TextOps.substrStoreProbe(docs.filter(col("doc_id") % 3 === 0),
+            "doc_id", "text", sink)
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q116_incremental_selection",
+      "INCREMENTAL targeted selection — a persisted DSIR POLICY store: " +
+        "the per-bucket affinity table (q102's integer fixed-point " +
+        "form, Xie et al. 2023) is fit ONCE on the archive (target " +
+        "sample = archive docs with id % 11 = 0, raw pool = archive " +
+        "minus target by id) and persisted as 512 (bucket, aff_mil) " +
+        "rows; a new batch is then scored + admission-gated WITHOUT " +
+        "touching the archive at all — the store read is bounded (= " +
+        "buckets rows, verified dense), and scoring is ONE map-only " +
+        "codegen scan with the table riding the plan as a single " +
+        "array literal. Completes the incremental-store family: dedup " +
+        "stores screen what the archive has SEEN; the policy store " +
+        "screens what the target DISTRIBUTION wants. Integer " +
+        "arithmetic end to end -> bit-exact DuckDB oracle.",
+      Some("""WITH g AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 3 <> 0 AND doc_id % 11 = 0 THEN 'tgt'
+             |         WHEN doc_id % 3 <> 0 THEN 'raw' ELSE 'bat' END AS part,
+             |    regexp_extract_all(lower(text), '[a-z]+') AS ws
+             |  FROM documents),
+             |gr AS (SELECT doc_id, part, ws || CASE WHEN len(ws) < 2
+             |      THEN CAST([] AS VARCHAR[])
+             |      ELSE [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+             |    END AS grams
+             |  FROM g),
+             |occ AS (SELECT doc_id, part,
+             |    CAST(concat('0x', substr(md5(unnest(grams)), 1, 15))
+             |      AS BIGINT) % 512 AS b
+             |  FROM gr),
+             |ht AS (SELECT b, COUNT(*) AS ct FROM occ WHERE part = 'tgt'
+             |  GROUP BY b),
+             |hr AS (SELECT b, COUNT(*) AS cr FROM occ WHERE part = 'raw'
+             |  GROUP BY b),
+             |aff AS (SELECT doc_id,
+             |    (1000 * (COALESCE(ct, 0) + 1))
+             |      // (COALESCE(ct, 0) + COALESCE(cr, 0) + 2) AS a
+             |  FROM occ LEFT JOIN ht USING (b) LEFT JOIN hr USING (b)
+             |  WHERE part = 'bat'),
+             |sc AS (SELECT doc_id, COUNT(*) AS n, SUM(a) AS sa
+             |  FROM aff GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(COALESCE(sc.n, 0) AS INTEGER) AS n_grams,
+             |  CAST(sc.sa // sc.n AS BIGINT) AS dsir_mil,
+             |  CAST(CASE WHEN sc.sa // sc.n >= 101 THEN 1 ELSE 0 END
+             |    AS INTEGER) AS admitted
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+             |LEFT JOIN sc USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.freshSink(s, "selstore", dir)
+        val archive = docs.filter(col("doc_id") % 3 =!= 0)
+        SelectOps.selectionStoreBuild(archive,
+          archive.filter(col("doc_id") % 11 === 0),
+          "doc_id", "text", sink, buckets = 512)
+        SelectOps.selectionStoreScore(
+            docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", sink,
+            // the synthetic corpus's in-pool median (the target sample
+            // is sparse, so absolute scores sit low): the gate must
+            // actually SPLIT the batch for the audit column to mean
+            // anything — 520 would admit nobody here
+            minMil = 101L)
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q117_curation_admission",
+      "The GRAND admission capstone: every store-backed gate the " +
+        "engine ships, composed over one batch under ONE exact " +
+        "oracle — q114's gates (quality, langid, exact-dup " +
+        "fingerprints, segment screen, MinHash near-dup, embedding " +
+        "near-dup) PLUS the round's two new stores: the substring " +
+        "WINDOW inventory (gate: >= 80% of tokens survive " +
+        "arbitrary-offset span removal — heavy boilerplate overlap " +
+        "rejects even when no whole segment matches) and the DSIR " +
+        "selection POLICY (gate: target-affinity at or above the " +
+        "pool median — dedup says UNSEEN, selection says WANTED; a " +
+        "real curation pipeline requires both). The archive exists " +
+        "only as its SIX compact stores; every probe join broadcasts; " +
+        "the only window is the batch-side span-coverage frame. " +
+        "Every gate rides as an independent audit column; `admitted` " +
+        "is the full conjunction.",
+      Some {
+        val (hitExprs, maxExpr, nWin, firstWin) = sqlLangPieces
+        s"""WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+           |a AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+           |h AS (SELECT doc_id, $sqlQualityMil AS quality_mil,
+           |  $hitExprs FROM b),
+           |m AS (SELECT *, $maxExpr AS mx FROM h),
+           |lg AS (SELECT doc_id, quality_mil, CASE WHEN mx = 0 OR ($nWin) > 1
+           |    THEN 'und' ELSE ($firstWin) END AS lang FROM m),
+           |afp AS (SELECT DISTINCT
+           |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+           |  FROM a),
+           |ex AS (SELECT doc_id, CASE WHEN
+           |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           |      IN (SELECT fp FROM afp) THEN 1 ELSE 0 END AS dup_exact
+           |  FROM b),
+           |toksall AS (SELECT doc_id,
+           |    regexp_extract_all(lower(text), '[a-z]+') w FROM documents),
+           |segl AS (SELECT doc_id,
+           |    [{'i': i, 's': array_to_string(w[(i*25+1):(i*25+25)], ' ')}
+           |     for i in range(0, CAST(ceil(len(w)/25.0) AS INTEGER))] AS ss
+           |  FROM toksall),
+           |seg AS (SELECT doc_id, u.i AS seg_idx, u.s AS s
+           |  FROM (SELECT doc_id, unnest(ss) AS u FROM segl)),
+           |archs AS (SELECT DISTINCT md5(s) AS hsh FROM seg
+           |  WHERE doc_id % 3 <> 0),
+           |batk AS (SELECT doc_id, count(*) FILTER (
+           |      WHERE md5(s) NOT IN (SELECT hsh FROM archs)) AS kept
+           |  FROM seg WHERE doc_id % 3 = 0 GROUP BY doc_id),
+           |segk AS (SELECT t.doc_id,
+           |    CAST(COALESCE(ceil(len(w)/25.0), 0) AS INTEGER) AS n_segs,
+           |    CAST(COALESCE(batk.kept, 0) AS INTEGER) AS n_kept
+           |  FROM toksall t LEFT JOIN batk USING (doc_id)
+           |  WHERE t.doc_id % 3 = 0),
+           |sh AS (SELECT doc_id, CASE WHEN len(w) < 3
+           |    THEN [array_to_string(w, ' ')]
+           |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           |                        for i in range(1, len(w) - 1)]) END AS sss
+           |  FROM toksall),
+           |ndh AS (SELECT DISTINCT bsh.doc_id FROM sh ash JOIN sh bsh
+           |  ON ash.doc_id % 3 <> 0 AND bsh.doc_id % 3 = 0
+           |  AND CAST(len(list_intersect(ash.sss, bsh.sss)) AS DOUBLE)
+           |      / len(list_distinct(list_concat(ash.sss, bsh.sss))) >= 0.5),
+           |emb AS (SELECT vec_id, embedding FROM embeddings),
+           |edh AS (SELECT DISTINCT eb.vec_id AS doc_id
+           |  FROM emb ea JOIN emb eb
+           |  ON ea.vec_id % 3 <> 0 AND eb.vec_id % 3 = 0
+           |  AND round(${sqlCosine("ea.embedding", "eb.embedding")}, 6)
+           |      >= 0.45),
+           |swa AS (SELECT DISTINCT u AS hh FROM (
+           |  SELECT unnest([md5(array_to_string(w[(i+1):(i+20)], ' '))
+           |                 for i in range(0, len(w) - 19)]) AS u
+           |  FROM toksall WHERE doc_id % 3 <> 0)),
+           |sex AS (SELECT doc_id, u.i AS pos, u.h AS hh FROM (
+           |  SELECT doc_id, unnest([{'i': i,
+           |      'h': CASE WHEN i <= len(w) - 20
+           |        THEN md5(array_to_string(w[(i+1):(i+20)], ' ')) END}
+           |    for i in range(0, len(w))]) u
+           |  FROM toksall WHERE doc_id % 3 = 0)),
+           |smk AS (SELECT doc_id, pos, CASE WHEN hh IS NOT NULL
+           |      AND hh IN (SELECT hh FROM swa) THEN 1 ELSE 0 END AS ds
+           |  FROM sex),
+           |scov AS (SELECT doc_id,
+           |    sum(ds) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) > 0 AS covered
+           |  FROM smk),
+           |sk AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+           |    CAST(count(*) FILTER (WHERE covered) AS INTEGER)
+           |      AS n_span_removed
+           |  FROM scov GROUP BY doc_id),
+           |dgr AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 3 <> 0 AND doc_id % 11 = 0 THEN 'tgt'
+           |         WHEN doc_id % 3 <> 0 THEN 'raw' ELSE 'bat' END AS part,
+           |    w || CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+           |      ELSE [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+           |    END AS grams
+           |  FROM toksall),
+           |docc AS (SELECT doc_id, part,
+           |    CAST(concat('0x', substr(md5(unnest(grams)), 1, 15))
+           |      AS BIGINT) % 512 AS bk
+           |  FROM dgr),
+           |dht AS (SELECT bk, COUNT(*) AS ct FROM docc WHERE part = 'tgt'
+           |  GROUP BY bk),
+           |dhr AS (SELECT bk, COUNT(*) AS cr FROM docc WHERE part = 'raw'
+           |  GROUP BY bk),
+           |daff AS (SELECT doc_id,
+           |    (1000 * (COALESCE(ct, 0) + 1))
+           |      // (COALESCE(ct, 0) + COALESCE(cr, 0) + 2) AS aa
+           |  FROM docc LEFT JOIN dht USING (bk) LEFT JOIN dhr USING (bk)
+           |  WHERE part = 'bat'),
+           |dsc AS (SELECT doc_id, COUNT(*) AS n, SUM(aa) AS sa
+           |  FROM daff GROUP BY doc_id)
+           |SELECT lg.doc_id, lg.quality_mil, lg.lang, ex.dup_exact,
+           |  segk.n_segs, segk.n_kept,
+           |  CASE WHEN ndh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS neardup_hit,
+           |  CASE WHEN edh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS embdup_hit,
+           |  COALESCE(sk.n_tokens, 0) AS n_tokens,
+           |  COALESCE(sk.n_span_removed, 0) AS n_span_removed,
+           |  CAST(dsc.sa // dsc.n AS BIGINT) AS dsir_mil,
+           |  CAST(CASE WHEN dsc.sa // dsc.n >= 101 THEN 1 ELSE 0 END
+           |    AS INTEGER) AS sel_admit,
+           |  CASE WHEN lg.quality_mil >= 500 AND lg.lang = 'en'
+           |       AND ex.dup_exact = 0 AND ndh.doc_id IS NULL
+           |       AND edh.doc_id IS NULL
+           |       AND COALESCE(sk.n_span_removed, 0) * 5
+           |           <= COALESCE(sk.n_tokens, 0)
+           |       AND COALESCE(dsc.sa // dsc.n >= 101, FALSE)
+           |       THEN 1 ELSE 0 END AS admitted
+           |FROM lg JOIN ex USING (doc_id) JOIN segk USING (doc_id)
+           |  LEFT JOIN ndh USING (doc_id) LEFT JOIN edh USING (doc_id)
+           |  LEFT JOIN sk USING (doc_id) LEFT JOIN dsc USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      },
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val e = t(s, dir, "embeddings")
+        val sink = tempStore.freshSink(s, "admit117", dir)
+        val archive = docs.filter(col("doc_id") % 3 =!= 0)
+        TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink)
+        TextOps.segmentStoreBuild(archive, "doc_id", "text", sink)
+        TextOps.minhashStoreBuild(archive, "doc_id", "text", sink)
+        TextOps.substrStoreBuild(archive, "doc_id", "text", sink)
+        SelectOps.selectionStoreBuild(archive,
+          archive.filter(col("doc_id") % 11 === 0),
+          "doc_id", "text", sink, buckets = 512)
+        SimOps.embLshStoreBuild(e.filter(col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", sink)
+        val batch = docs.filter(col("doc_id") % 3 === 0)
+        val txt = TextOps.admissionScreen(batch, "doc_id", "text", sink)
+          .drop("admitted")
+        val sub = TextOps.substrStoreProbe(batch, "doc_id", "text", sink)
+          .select(col("doc_id"), col("n_tokens"),
+            col("n_removed").as("n_span_removed"))
+        val sel = SelectOps.selectionStoreScore(batch, "doc_id", "text",
+            sink, minMil = 101L)
+          .select(col("doc_id"), col("dsir_mil"),
+            col("admitted").as("sel_admit"))
+        val embHits = SimOps.embLshStoreProbe(
+            e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+            sink, threshold = 0.45)
+          .select(col("b_id").as("doc_id")).distinct()
+          .withColumn("__ed", lit(1))
+        txt.join(broadcast(embHits), Seq("doc_id"), "left")
+          .join(broadcast(sub), Seq("doc_id"), "left")
+          .join(broadcast(sel), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("quality_mil"), col("lang"),
+            col("dup_exact"), col("n_segs"), col("n_kept"),
+            col("neardup_hit"),
+            coalesce(col("__ed"), lit(0)).as("embdup_hit"),
+            col("n_tokens"), col("n_span_removed"), col("dsir_mil"),
+            col("sel_admit"))
+          .withColumn("admitted",
+            (col("quality_mil") >= 500 && col("lang") === "en" &&
+              col("dup_exact") === 0 && col("neardup_hit") === 0 &&
+              col("embdup_hit") === 0 &&
+              col("n_span_removed") * 5 <= col("n_tokens") &&
+              col("sel_admit") === 1).cast("int"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q118_table_profile",
+      "ONE-PASS table profile — the trust-but-verify step before a " +
+        "100 TB input enters a pipeline: per column, row count, null " +
+        "count, exact distinct count, and min/max in canonical string " +
+        "form (cast AFTER the native-ordered min/max, so numeric and " +
+        "timestamp ordering is never lexicographic). Counts/min/max " +
+        "ride ONE global aggregate over one pruned scan; exact " +
+        "distincts come from a SECOND pruned scan unpivoted to " +
+        "(column, canonical value) with a per-column two-phase " +
+        "count-distinct — hash aggregation throughout, NO Expand " +
+        "(the naive multi-distinct aggregate plans a k-way Expand + " +
+        "SortAggregate on an all-columns key: measured 4.7x slower). " +
+        "The approx_count_distinct variant profiles in the single " +
+        "pass with no shuffle and is the 100 TB default, spec-pinned " +
+        "within HLL bounds.",
+      Some {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+          "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+        cols.map { c =>
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+             |  COUNT(*) FILTER (WHERE $c IS NULL) AS n_null,
+             |  COUNT(DISTINCT $c) AS n_distinct,
+             |  CAST(MIN($c) AS VARCHAR) AS min_val,
+             |  CAST(MAX($c) AS VARCHAR) AS max_val FROM lineitem""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      },
+      (s, dir) => RelOps.profile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate"),
+        exact = true)),
+
+    QueryDef("q119_exactly_once_admission",
+      "EXACTLY-ONCE incremental admission under re-delivery — the " +
+        "crash-replay case every streaming fold must survive: the " +
+        "substring-window fold is keyed (win_hash, batch_id), so " +
+        "re-admitting the SAME batch (here: admitted twice, the " +
+        "simulated foreachBatch replay) merges byte-identical rows " +
+        "instead of double-counting. The query screens a second " +
+        "batch at minArchiveCount = 2, the threshold built to EXPOSE " +
+        "double-counting: the oracle counts the replayed batch ONCE, " +
+        "so an at-least-once additive fold (substrStoreAdmit's " +
+        "contract) would over-remove every window unique to the " +
+        "replayed batch and hash-mismatch. Store scans stay map-only " +
+        "(semi-join against broadcast batch digests); only the " +
+        "batch-bounded matched subset aggregates.",
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z]+') w FROM documents),
+             |wocc AS (SELECT unnest([md5(array_to_string(w[(i+1):(i+20)], ' '))
+             |                 for i in range(0, len(w) - 19)]) AS h
+             |  FROM toks WHERE doc_id % 3 <> 0 OR doc_id % 2 = 0),
+             |dup AS (SELECT h FROM wocc GROUP BY h HAVING COUNT(*) >= 2),
+             |ex AS (SELECT doc_id, u.i AS pos, u.t AS tok, u.h AS h FROM (
+             |  SELECT doc_id, unnest([{'i': i, 't': w[i+1],
+             |      'h': CASE WHEN i <= len(w) - 20
+             |        THEN md5(array_to_string(w[(i+1):(i+20)], ' ')) END}
+             |    for i in range(0, len(w))]) u
+             |  FROM toks WHERE doc_id % 3 = 0 AND doc_id % 2 = 1)),
+             |mk AS (SELECT doc_id, pos, tok,
+             |    CASE WHEN h IS NOT NULL AND h IN (SELECT h FROM dup)
+             |      THEN 1 ELSE 0 END AS ds
+             |  FROM ex),
+             |cov AS (SELECT doc_id, pos, tok,
+             |    sum(ds) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) > 0 AS covered
+             |  FROM mk),
+             |k AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+             |    CAST(count(*) FILTER (WHERE covered) AS INTEGER) AS n_removed,
+             |    string_agg(tok, ' ' ORDER BY pos)
+             |      FILTER (WHERE NOT covered) AS text_kept
+             |  FROM cov GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(k.n_tokens, 0) AS n_tokens,
+             |  COALESCE(k.n_removed, 0) AS n_removed,
+             |  COALESCE(k.text_kept, '') AS text_kept
+             |FROM (SELECT doc_id FROM documents
+             |      WHERE doc_id % 3 = 0 AND doc_id % 2 = 1) d
+             |LEFT JOIN k USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.freshSink(s, "substrdelta", dir)
+        TextOps.substrDeltaBuild(docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", sink)
+        val b1 = docs.filter(col("doc_id") % 3 === 0 &&
+          col("doc_id") % 2 === 0)
+        // the simulated crash re-delivery: the SAME batch admitted
+        // TWICE under the same batch id — the second admit must leave
+        // the store byte-identical or the oracle below mismatches
+        TextOps.substrDeltaAdmit(b1, "doc_id", "text", sink,
+          batchId = 1L, minArchiveCount = 2)
+        TextOps.substrDeltaAdmit(b1, "doc_id", "text", sink,
+          batchId = 1L, minArchiveCount = 2)
+        TextOps.substrDeltaProbe(
+            docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 1),
+            "doc_id", "text", sink, minArchiveCount = 2)
+          .orderBy("doc_id")
+      })
+  )
+}
