@@ -264,6 +264,9 @@ object TextOps {
     * probes between admits (the normal shape) never observes this; a
     * concurrent reader needing exactness should read under
     * `sink.snapshotMany(Seq("neardup_bands", "neardup_shingles"))`.
+    * PINNED behavior (StoreConcurrencySpec): snapshotMany captures are
+    * never torn across the group under a live admitter, and admissions
+    * are never lost — each batch is screenable by the next probe.
     */
   def minhashStoreProbe(batch: DataFrame, idCol: String, textCol: String,
                         sink: graft.sink.UpsertSink,

@@ -1,0 +1,127 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sink.UpsertSink
+
+/** Concurrent admit-vs-read over a persisted store GROUP (round-11
+  * verdict #5) — the [[TextOps.minhashStoreProbe]] concurrency contract
+  * moved from scaladoc prose to pinned behavior:
+  *
+  *  - admissions SERIALIZE per store (one admitter thread here — the
+  *    sink's writer lease enforces single-writer anyway);
+  *  - a concurrent reader under `snapshotMany` NEVER sees a torn group:
+  *    every band posting's doc has its shingle row in the SAME capture
+  *    (no phantom candidates — [[UpsertSink.mergeMany]] holds one lease
+  *    across both tables and snapshotMany re-captures around any open
+  *    writer window);
+  *  - no admission is lost under the concurrent reader load: every
+  *    admitted batch is immediately screenable (a later batch's dup of
+  *    an EARLIER BATCH's doc — not just the archive's — must surface in
+  *    the probe), and the final store holds archive + every batch.
+  */
+class StoreConcurrencySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docsDF(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def uniqueText(seed: Long): String =
+    (0 until 12).map(i => s"w${seed}x$i").mkString(" ")
+
+  test("admit thread vs snapshotMany reader: no torn group, no lost admission") {
+    val sink = new UpsertSink(spark,
+      Files.createTempDirectory("graft_store_conc").toString, numBuckets = 4)
+    val archive = docsDF((1L to 30L).map(i => (i, uniqueText(i))))
+    TextOps.minhashStoreBuild(archive, "doc_id", "text", sink,
+      n = 3, k = 32, bands = 8)
+
+    // 3 batches; batch b's ids live in [100b, 100b+9]. Each batch
+    // carries one exact dup of an ARCHIVE doc and — from batch 1 on —
+    // one exact dup of the PREVIOUS batch's first novel doc, so the
+    // probe output proves the previous admission landed.
+    def batch(b: Long): DataFrame = {
+      val novel = (0L until 8L).map(i => (100 * b + i, uniqueText(1000 + 10 * b + i)))
+      val archDup = (100 * b + 8, uniqueText(b + 1)) // dup of archive doc b+1
+      val prevDup =
+        if (b == 0) (100 * b + 9, uniqueText(5000 + b)) // novel for batch 0
+        else (100 * b + 9, uniqueText(1000 + 10 * (b - 1))) // dup of batch b-1's first novel
+      docsDF(novel :+ archDup :+ prevDup)
+    }
+
+    val admitterDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var admitErr: Option[Throwable] = None
+    val pairsByBatch =
+      new java.util.concurrent.ConcurrentHashMap[Long, Set[(Long, Long)]]()
+    val admitter = new Thread(() => {
+      try {
+        (0L until 3L).foreach { b =>
+          val out = TextOps.minhashStoreAdmit(batch(b), "doc_id", "text",
+            sink, threshold = 0.9, n = 3, k = 32, bands = 8)
+          pairsByBatch.put(b,
+            out.select("a_id", "b_id").as[(Long, Long)].collect().toSet)
+        }
+      } catch { case t: Throwable => admitErr = Some(t) }
+      finally admitterDone.set(true)
+    }, "graft-store-admitter")
+
+    @volatile var readerErr: Option[Throwable] = None
+    var coherentRounds = 0
+    val reader = new Thread(() => {
+      try {
+        while (!admitterDone.get()) {
+          val snaps = sink.snapshotMany(Seq("neardup_bands", "neardup_shingles"))
+          try {
+            val bandDocs = snaps(0).df.select("doc_id").as[Long]
+              .collect().toSet
+            val shingleDocs = snaps(1).df.select("doc_id").as[Long]
+              .collect().toSet
+            // the contract: NEVER a band posting without its shingle
+            // row (phantom candidate) nor a shingle row without its
+            // postings — the group capture is one generation
+            assert(bandDocs == shingleDocs,
+              s"torn group capture: bands-only=${(bandDocs -- shingleDocs).toSeq.sorted.take(5)} " +
+                s"shingles-only=${(shingleDocs -- bandDocs).toSeq.sorted.take(5)}")
+            coherentRounds += 1
+          } finally snaps.foreach(_.close())
+        }
+      } catch { case t: Throwable => readerErr = Some(t) }
+    }, "graft-store-snapshot-reader")
+
+    admitter.start(); reader.start()
+    admitter.join(300000); reader.join(300000)
+    assert(!admitter.isAlive && !reader.isAlive, "threads failed to finish")
+    admitErr.foreach(t => fail(s"admitter died: $t", t))
+    readerErr.foreach(t => fail(s"snapshot reader died: $t", t))
+    assert(coherentRounds > 0, "reader never captured a snapshot round")
+
+    // no lost admissions, part 1: every batch's ARCHIVE dup surfaced
+    (0L until 3L).foreach { b =>
+      assert(pairsByBatch.get(b).contains((b + 1, 100 * b + 8)),
+        s"batch $b: archive dup not screened: ${pairsByBatch.get(b)}")
+    }
+    // part 2: batch b's dup of batch b-1's doc surfaced — the PREVIOUS
+    // admission was live in the store when batch b probed
+    (1L until 3L).foreach { b =>
+      assert(pairsByBatch.get(b).contains((100 * (b - 1), 100 * b + 9)),
+        s"batch $b: previous batch's admission invisible to the probe: " +
+          s"${pairsByBatch.get(b)}")
+    }
+    // part 3: the final store holds archive + all three batches, both
+    // tables agreeing doc-for-doc
+    val want = (1L to 30L).toSet ++
+      (0L until 3L).flatMap(b => (100 * b) to (100 * b + 9)).toSet
+    val bandDocs = sink.read("neardup_bands").select("doc_id")
+      .distinct().as[Long].collect().toSet
+    val shingleDocs = sink.read("neardup_shingles").select("doc_id")
+      .as[Long].collect().toSet
+    assert(bandDocs == want, s"bands missing ${(want -- bandDocs).toSeq.sorted}")
+    assert(shingleDocs == want,
+      s"shingles missing ${(want -- shingleDocs).toSeq.sorted}")
+  }
+}
