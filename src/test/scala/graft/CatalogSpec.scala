@@ -146,4 +146,41 @@ class CatalogSpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.forall(_.getAs[Double]("jac") >= 0.5))
   }
+
+  test("sketch family: in-query err_ppm audit columns meet the operator bounds") {
+    // q54/q55/q61 are no-oracle by nature; their sketch error now rides
+    // the result as *_err_ppm columns (the recall_mil pattern) so the
+    // driver sees it every round — bounded here at the operator specs
+    // (GK accuracy 10000 -> rank error <= 100 ppm, doubled for
+    // interpolation slack; HLL rsd 0.02 -> 5%; CMS overcounts only,
+    // eps bound in SketchSpec)
+    val q54 = Catalog.byName("q54_quantile_sketch").fn(spark, sf).collect()
+    assert(q54.nonEmpty)
+    q54.foreach { r =>
+      Seq("p50_err_ppm", "p90_err_ppm", "p99_err_ppm", "med_err_ppm")
+        .foreach { c =>
+          val e = r.getAs[Long](c)
+          assert(e >= 0 && e <= 200, s"q54 ${r.getString(0)} $c = $e")
+        }
+    }
+    val q55 = Catalog.byName("q55_distinct_sketch").fn(spark, sf).collect()
+    assert(q55.nonEmpty)
+    q55.foreach { r =>
+      Seq("orders_err_ppm", "parts_err_ppm").foreach { c =>
+        val e = r.getAs[Long](c)
+        assert(e >= 0 && e <= 50000, s"q55 ${r.getString(0)} $c = $e")
+      }
+    }
+    val q61 = Catalog.byName("q61_cms_heavy_hitters").fn(spark, sf).collect()
+    assert(q61.length == 20)
+    q61.foreach { r =>
+      val e = r.getAs[Long]("err_ppm")
+      // CMS overcounts ONLY — a negative err_ppm is an undercount bug
+      assert(e >= 0, s"q61 ${r.getString(0)} err_ppm = $e undercounted")
+      assert(e == math.floorDiv(
+        (r.getAs[Long]("est") - r.getAs[Long]("cnt")) * 1000000L,
+        math.max(r.getAs[Long]("cnt"), 1L)),
+        s"q61 ${r.getString(0)}: err_ppm inconsistent with est/cnt")
+    }
+  }
 }
