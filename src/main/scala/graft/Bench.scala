@@ -255,11 +255,13 @@ object Bench {
           }
         case None => Nil
       }
-    val storeWarn = storeRows.count(_.warn)
-    storeRows.filter(_.warn).foreach(r => System.err.println(
-      f"bench: WARN store '${r.name}' probe grew ${r.ratio}%.2fx across " +
-        f"a 10x ARCHIVE decade (${r.tSmall}%.2fs -> ${r.tBig}%.2fs, " +
-        f"same batch) — archive-rescan term suspected"))
+    val storeWarn = storeRows.count(r => r.warn || r.admitWarn)
+    storeRows.filter(r => r.warn || r.admitWarn).foreach(r =>
+      System.err.println(
+        f"bench: WARN store '${r.name}' probe/admit grew " +
+          f"${r.ratio}%.2fx/${r.admitRatio.getOrElse(0.0)}%.2fx across " +
+          f"a 10x ARCHIVE decade (probe ${r.tSmall}%.2fs -> ${r.tBig}%.2fs, " +
+          f"same batch) — archive-rescan term suspected"))
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -327,7 +329,11 @@ object Bench {
       .mkString("{", ",", "}")
     val slopeWarnJson = slopeWarnNames.map(jstr).mkString("[", ",", "]")
     val storeSlopeJson = storeRows.map { r =>
-      "\"" + r.name + f"""\":{"t_small":${r.tSmall}%.3f,"t_big":${r.tBig}%.3f,"ratio":${r.ratio}%.2f,"warn":${r.warn}}"""
+      val admit = (for (s <- r.tAdmitSmall; b <- r.tAdmitBig;
+                        ar <- r.admitRatio) yield
+        f""","t_admit_small":$s%.3f,"t_admit_big":$b%.3f,"admit_ratio":$ar%.2f,"admit_warn":${r.admitWarn}""")
+        .getOrElse("")
+      "\"" + r.name + f"""\":{"t_small":${r.tSmall}%.3f,"t_big":${r.tBig}%.3f,"ratio":${r.ratio}%.2f,"warn":${r.warn}$admit}"""
     }.mkString("{", ",", "}")
     val total = results.map(_.min).sum
     val nBand = results.count(_.bandExceeded.isDefined)

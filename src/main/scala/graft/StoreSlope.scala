@@ -45,13 +45,17 @@ object StoreSlope {
 
   /** One store modality: `build` persists the archive slice of
     * `archiveDir` into the sink; `probe` screens the batch slice of
-    * `batchDir` against it. Both use the exact catalog-query
-    * parameters (q109/q110/q111/q113/q115/q116) so the audit measures
-    * the shipped shapes, not simplified stand-ins.
+    * `batchDir` against it; `admit` (where the modality ships one)
+    * additionally FOLDS a given batch frame into the store —
+    * probe + touched-bucket merge, the daily-crawl write path. All use
+    * the exact catalog-query parameters (q109/q110/q111/q113/q115/
+    * q116) so the audit measures the shipped shapes, not simplified
+    * stand-ins.
     */
   final case class Modality(name: String,
       build: (SparkSession, String, graft.sink.UpsertSink) => Unit,
-      probe: (SparkSession, String, graft.sink.UpsertSink) => DataFrame)
+      probe: (SparkSession, String, graft.sink.UpsertSink) => DataFrame,
+      admit: Option[(DataFrame, graft.sink.UpsertSink) => Unit] = None)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -68,12 +72,20 @@ object StoreSlope {
       (s, d, k) => TextOps.minhashStoreBuild(
         arch(docs(s, d), "doc_id"), "doc_id", "text", k),
       (s, d, k) => TextOps.minhashStoreProbe(
-        bat(docs(s, d), "doc_id"), "doc_id", "text", k, threshold = 0.5)),
+        bat(docs(s, d), "doc_id"), "doc_id", "text", k, threshold = 0.5),
+      Some((b, k) => {
+        TextOps.minhashStoreAdmit(b, "doc_id", "text", k, threshold = 0.5)
+        ()
+      })),
     Modality("segment",
       (s, d, k) => TextOps.segmentStoreBuild(
         arch(docs(s, d), "doc_id"), "doc_id", "text", k),
       (s, d, k) => TextOps.segmentStoreProbe(
-        bat(docs(s, d), "doc_id"), "doc_id", "text", k)),
+        bat(docs(s, d), "doc_id"), "doc_id", "text", k),
+      Some((b, k) => {
+        TextOps.segmentStoreAdmit(b, "doc_id", "text", k)
+        ()
+      })),
     Modality("fingerprint",
       (s, d, k) => TextOps.fingerprintStoreBuild(
         arch(docs(s, d), "doc_id"), "doc_id", "text", k),
@@ -83,13 +95,22 @@ object StoreSlope {
       (s, d, k) => TextOps.substrStoreBuild(
         arch(docs(s, d), "doc_id"), "doc_id", "text", k),
       (s, d, k) => TextOps.substrStoreProbe(
-        bat(docs(s, d), "doc_id"), "doc_id", "text", k)),
+        bat(docs(s, d), "doc_id"), "doc_id", "text", k),
+      Some((b, k) => {
+        TextOps.substrStoreAdmit(b, "doc_id", "text", k)
+        ()
+      })),
     Modality("emblsh",
       (s, d, k) => SimOps.embLshStoreBuild(
         arch(emb(s, d), "vec_id"), "vec_id", "embedding", k),
       (s, d, k) => SimOps.embLshStoreProbe(
         bat(emb(s, d), "vec_id"), "vec_id", "embedding", k,
-        threshold = 0.45)),
+        threshold = 0.45),
+      Some((b, k) => {
+        SimOps.embLshStoreAdmit(b, "vec_id", "embedding", k,
+          threshold = 0.45)
+        ()
+      })),
     Modality("selection",
       (s, d, k) => {
         val a = arch(docs(s, d), "doc_id")
@@ -100,11 +121,30 @@ object StoreSlope {
       (s, d, k) => SelectOps.selectionStoreScore(
         bat(docs(s, d), "doc_id"), "doc_id", "text", k, minMil = 101L)))
 
-  /** One modality's measurement: probe walls against the small and big
-    * archives (same batch), the growth ratio, and the flag.
+  /** The batch frame an [[Modality.admit]] folds: half the batch slice
+    * (`id % 2 = h`), so one built store affords TWO disjoint timed
+    * admissions (admits mutate — min-of-2 needs disjoint halves; the
+    * second admit's store is bigger by half a batch, a negligible
+    * skew vs the 10x archive decade under audit).
+    */
+  def admitHalf(spark: SparkSession, m: Modality, batchDir: String,
+                h: Int): DataFrame = {
+    val (df, idCol) =
+      if (m.name == "emblsh") (emb(spark, batchDir), "vec_id")
+      else (docs(spark, batchDir), "doc_id")
+    bat(df, idCol).filter(col(idCol) % 2 === h)
+  }
+
+  /** One modality's measurement: probe (and, where shipped, admit)
+    * walls against the small and big archives (same batch), the growth
+    * ratios, and the flags. Admit fields are None for probe-only
+    * modalities (fingerprint, selection).
     */
   final case class Result(name: String, tSmall: Double, tBig: Double,
-                          ratio: Double, warn: Boolean)
+                          ratio: Double, warn: Boolean,
+                          tAdmitSmall: Option[Double],
+                          tAdmitBig: Option[Double],
+                          admitRatio: Option[Double], admitWarn: Boolean)
 
   def judge(tSmall: Double, tBig: Double): (Double, Boolean) = {
     val ratio = tBig / math.max(tSmall, MinDenomSec)
@@ -112,14 +152,18 @@ object StoreSlope {
   }
 
   /** Build the store at `archiveDir` scale in a throwaway root, then
-    * time the probe of `batchDir`'s batch slice against it: one untimed
-    * warm pass (file listing, codegen, the selection policy collect),
-    * then min of 2. The store build is NOT timed — build cost is
+    * time the batch work against it: one untimed warm probe (file
+    * listing, codegen, the selection policy collect), then min-of-2
+    * probes, then — where the modality ships an admit — min-of-2
+    * admissions of DISJOINT batch halves (admits mutate the store, so
+    * the same rows cannot be folded twice; the second admit sees a
+    * store bigger by half a batch, negligible vs the decade under
+    * audit). The store build is NOT timed — build cost is
     * archive-scaled by design (paid once per archive); the family's
-    * claim is about the probe.
+    * claim is about the per-batch path.
     */
-  def probeSeconds(spark: SparkSession, m: Modality, archiveDir: String,
-                   batchDir: String): Double = {
+  def batchSeconds(spark: SparkSession, m: Modality, archiveDir: String,
+                   batchDir: String): (Double, Option[Double]) = {
     val root = java.nio.file.Files.createTempDirectory(
       s"graft_storeslope_${m.name}")
     try {
@@ -133,20 +177,37 @@ object StoreSlope {
         (System.nanoTime() - t0) / 1e9
       }
       once()
-      math.min(once(), once())
+      val probeSec = math.min(once(), once())
+      val admitSec = m.admit.map { adm =>
+        def admitOnce(h: Int): Double = {
+          val b = admitHalf(spark, m, batchDir, h)
+          val t0 = System.nanoTime()
+          adm(b, sink)
+          (System.nanoTime() - t0) / 1e9
+        }
+        math.min(admitOnce(0), admitOnce(1))
+      }
+      (probeSec, admitSec)
     } finally graft.sink.Fs.deleteRecursively(root)
   }
 
-  /** The full audit: per modality, probe the SAME `smallDir` batch
-    * against a `smallDir`-archive store and a `bigDir`-archive store
-    * (one 10x decade apart).
+  /** [[batchSeconds]]'s probe leg alone — kept as the spec-facing name. */
+  def probeSeconds(spark: SparkSession, m: Modality, archiveDir: String,
+                   batchDir: String): Double =
+    batchSeconds(spark, m.copy(admit = None), archiveDir, batchDir)._1
+
+  /** The full audit: per modality, probe (and admit) the SAME
+    * `smallDir` batch against a `smallDir`-archive store and a
+    * `bigDir`-archive store (one 10x decade apart).
     */
   def measure(spark: SparkSession, smallDir: String,
               bigDir: String): Seq[Result] =
     modalities.map { m =>
-      val tS = probeSeconds(spark, m, smallDir, smallDir)
-      val tB = probeSeconds(spark, m, bigDir, smallDir)
+      val (tS, aS) = batchSeconds(spark, m, smallDir, smallDir)
+      val (tB, aB) = batchSeconds(spark, m, bigDir, smallDir)
       val (ratio, warn) = judge(tS, tB)
-      Result(m.name, tS, tB, ratio, warn)
+      val admitJudged = for (s <- aS; b <- aB) yield judge(s, b)
+      Result(m.name, tS, tB, ratio, warn,
+        aS, aB, admitJudged.map(_._1), admitJudged.exists(_._2))
     }
 }

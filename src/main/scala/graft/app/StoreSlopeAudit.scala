@@ -18,9 +18,12 @@ object StoreSlopeAudit {
     println(f"[store-slope] archive decades: $smallDir -> $bigDir " +
       s"(batch fixed at $smallDir)")
     StoreSlope.measure(spark, smallDir, bigDir).foreach { r =>
-      println(f"[store-slope] ${r.name}%-12s t_small ${r.tSmall}%6.2f s   " +
-        f"t_big ${r.tBig}%6.2f s   ratio ${r.ratio}%5.2f   " +
-        (if (r.warn) "WARN" else "ok"))
+      val admit = (for (s <- r.tAdmitSmall; b <- r.tAdmitBig;
+                        ar <- r.admitRatio) yield
+        f"   admit $s%5.2f -> $b%5.2f s ratio $ar%5.2f").getOrElse("")
+      println(f"[store-slope] ${r.name}%-12s probe ${r.tSmall}%5.2f -> " +
+        f"${r.tBig}%5.2f s ratio ${r.ratio}%5.2f$admit   " +
+        (if (r.warn || r.admitWarn) "WARN" else "ok"))
     }
     spark.stop()
   }

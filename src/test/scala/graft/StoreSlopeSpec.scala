@@ -41,9 +41,9 @@ class StoreSlopeSpec extends SparkSpec {
     // additionally asserts the ABSOLUTE small-scale walls stay in the
     // overhead regime (< 10 s) — a rescan term that big would show.
     StoreSlope.modalities.foreach { m =>
-      val tSmall = StoreSlope.probeSeconds(spark, m,
+      val (tSmall, aSmall) = StoreSlope.batchSeconds(spark, m,
         "/root/testdata/sf0.001", "/root/testdata/sf0.001")
-      val tBig = StoreSlope.probeSeconds(spark, m,
+      val (tBig, aBig) = StoreSlope.batchSeconds(spark, m,
         "/root/testdata/sf0.01", "/root/testdata/sf0.001")
       val (ratio, _) = StoreSlope.judge(tSmall, tBig)
       assert(ratio <= 2 * StoreSlope.MaxRatio,
@@ -53,6 +53,18 @@ class StoreSlopeSpec extends SparkSpec {
       assert(tBig < 10.0,
         f"${m.name}: probe wall $tBig%.1fs at sf0.01 archive is outside " +
           "the overhead regime for this scale")
+      // the admit leg (probe + touched-bucket fold) must be just as
+      // archive-flat — its merge rewrites batch-touched buckets only
+      for (s <- aSmall; b <- aBig) {
+        val (ar, _) = StoreSlope.judge(s, b)
+        assert(ar <= 2 * StoreSlope.MaxRatio,
+          f"${m.name}: admit grew $ar%.1fx across a 10x archive decade " +
+            f"($s%.2fs -> $b%.2fs, same batch halves)")
+        assert(b < 15.0,
+          f"${m.name}: admit wall $b%.1fs at sf0.01 archive is outside " +
+            "the overhead regime for this scale")
+      }
+      assert(m.admit.isDefined == (aSmall.isDefined && aBig.isDefined))
     }
   }
 }
