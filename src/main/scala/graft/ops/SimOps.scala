@@ -1093,13 +1093,53 @@ object SimOps {
     * pipeline's cadence hook) cannot silently strip the attribute
     * pushdown a filtered-probe deployment depends on.
     */
+  /** The coarse-quantizer width a corpus of `n` vectors wants — the
+    * FAISS sizing rule (nlist ~ 4*sqrt(N)), clamped to the design
+    * envelope:
+    *  - floor `minNlist` (tiny corpora keep the caller's shape);
+    *  - n/39 (k-means needs ~39 training points per centroid — FAISS's
+    *    own warning threshold — or empty/degenerate lists appear);
+    *  - `maxNlist` cap: centroids ride probe plans as a driver-side
+    *    reference object and every scan row scores all nlist of them,
+    *    so the single-index design envelope tops out around a few
+    *    thousand lists (4096 x 64 floats ~ 1 MB). A corpus past
+    *    ~maxNlist²/16 vectors wants SHARDED indexes (one per corpus
+    *    partition, probe = union of shard probes), not a wider one.
+    *
+    * Why this exists (the q89 floor analysis): per-batch probe work is
+    * ~ corpus x nprobe/nlist, so a FIXED nlist silently converts the
+    * "flat per-batch admission" contract into a linear one as the
+    * corpus accumulates. Re-deriving nlist at every drift rebuild
+    * keeps per-LIST occupancy ~ sqrt(N): with nprobe fixed, candidate
+    * volume per batch grows ~ sqrt(N) instead of N — the standard
+    * IVF operating posture.
+    */
+  def nlistForCorpus(n: Long, minNlist: Int = 16,
+                     maxNlist: Int = 4096): Int = {
+    require(n > 0, s"nlistForCorpus: corpus size must be positive, got $n")
+    val want = 4.0 * math.sqrt(n.toDouble)
+    val trainable = math.max(1L, n / 39L)
+    math.max(minNlist.toLong,
+      math.min(math.min(want.toLong, trainable), maxNlist.toLong)).toInt
+  }
+
+  /** `scaleNlist = true` re-derives nlist from the CURRENT corpus size
+    * ([[nlistForCorpus]], floored at the passed `nlist`) whenever the
+    * drift gate fires — the add-after-train lifecycle's missing knob:
+    * without it every rebuild re-trains at the bootstrap-era width and
+    * per-batch probe cost grows linearly with the accumulated corpus.
+    * Probes adapt automatically (index metadata is decoded from the
+    * stored tables); with nprobe fixed, a scaled rebuild RESTORES
+    * ~flat candidate volume per batch.
+    */
   def rebuildIfDrifted(batch: DataFrame, corpus: DataFrame,
                        idCol: String, vecCol: String,
                        sink: graft.sink.UpsertSink,
                        threshold: Double = 0.25,
                        nlist: Int = 16, m: Int = 16, ksub: Int = 32,
                        coarseIters: Int = 2,
-                       attrCols: Seq[String] = Nil): DriftDecision = {
+                       attrCols: Seq[String] = Nil,
+                       scaleNlist: Boolean = false): DriftDecision = {
     require(threshold > 0 && threshold <= 1,
       s"total-variation threshold must be in (0, 1]: $threshold")
     val gapSum = ivfIndexDriftStats(batch, idCol, vecCol, sink)
@@ -1110,7 +1150,10 @@ object SimOps {
       val keepSq8 = sink.exists(IdxVecs8) // build drops it first
       val keepAttrs =
         if (attrCols.nonEmpty) attrCols else storedAttrCols(sink)
-      buildIvfPqIndex(corpus, idCol, vecCol, sink, nlist = nlist, m = m,
+      val useNlist =
+        if (!scaleNlist) nlist
+        else math.max(nlist, nlistForCorpus(corpus.count(), nlist))
+      buildIvfPqIndex(corpus, idCol, vecCol, sink, nlist = useNlist, m = m,
         ksub = ksub, coarseIters = coarseIters, attrCols = keepAttrs,
         storeSq8 = keepSq8)
     }

@@ -48,7 +48,8 @@ object SemanticAdmitPipeline {
             trigger: Trigger = Trigger.AvailableNow(),
             exactDedupMaxBatch: Int = 4096,
             maintainEvery: Int = 0,
-            driftThreshold: Double = 0.25): StreamingQuery =
+            driftThreshold: Double = 0.25,
+            scaleNlist: Boolean = false): StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -58,7 +59,7 @@ object SemanticAdmitPipeline {
           nlist, m, ksub, nprobe, exactDedupMaxBatch)
         if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
           maintainIndex(sink, corpusTable, batch, idCol, vecCol,
-            driftThreshold, nlist, m, ksub)
+            driftThreshold, nlist, m, ksub, scaleNlist)
           ()
         }
       }
@@ -76,13 +77,15 @@ object SemanticAdmitPipeline {
                     idCol: String, vecCol: String,
                     driftThreshold: Double = 0.25,
                     nlist: Int = 16, m: Int = 16,
-                    ksub: Int = 32): Option[SimOps.DriftDecision] = {
+                    ksub: Int = 32,
+                    scaleNlist: Boolean = false): Option[SimOps.DriftDecision] = {
     if (!SimOps.ivfPqIndexExists(sink) || !sink.exists(corpusTable))
       return None
     val probe = batch.dropDuplicates(idCol).filter(col(vecCol).isNotNull)
     if (probe.isEmpty) return None
     Some(SimOps.rebuildIfDrifted(probe, sink.read(corpusTable), idCol,
-      vecCol, sink, driftThreshold, nlist = nlist, m = m, ksub = ksub))
+      vecCol, sink, driftThreshold, nlist = nlist, m = m, ksub = ksub,
+      scaleNlist = scaleNlist))
   }
 
   /** One micro-batch through the admission core (shared with any batch

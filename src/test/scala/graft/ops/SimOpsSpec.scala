@@ -570,6 +570,52 @@ class SimOpsSpec extends SparkSpec {
       "post-rebuild probe lost queries or ranks")
   }
 
+  test("nlistForCorpus: 4*sqrt(N) inside the floor / trainability / cap clamps") {
+    // floor: tiny corpora keep the caller's shape
+    assert(SimOps.nlistForCorpus(10) == 16)
+    // the sqrt region: 4*sqrt(N) once past the clamps
+    assert(SimOps.nlistForCorpus(1000000) == 4000)
+    // trainability clamp: k-means wants >= 39 points per centroid
+    // (4*sqrt(1000) = 126 wants more lists than 1000/39 = 25 affords)
+    assert(SimOps.nlistForCorpus(1000) == 25)
+    assert(SimOps.nlistForCorpus(1000, minNlist = 1) == 25)
+    // cap: the single-index design envelope
+    assert(SimOps.nlistForCorpus(100000000L) == 4096)
+    assert(SimOps.nlistForCorpus(100000000L, maxNlist = 8192) == 8192)
+    intercept[IllegalArgumentException] { SimOps.nlistForCorpus(0) }
+  }
+
+  test("scaleNlist rebuild re-derives the quantizer width from the corpus") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annscale")
+    val sink = new graft.sink.UpsertSink(spark, root.toString)
+    val e = Tables.load(spark, sf, "embeddings")
+    val n = e.count()
+    // bootstrap-era width: 4 lists (the corpus long ago outgrew it)
+    SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink, nlist = 4)
+      .collect()
+    assert(sink.read("ann_centroids").select("list").distinct().count() == 4)
+    val collapsed = e.limit(100).select($"vec_id",
+      transform($"embedding", x => x * lit(0.0f) + lit(0.37f)).as("embedding"))
+    // without the knob: the rebuild re-trains at the stale width
+    val fixed = SimOps.rebuildIfDrifted(collapsed, e, "vec_id", "embedding",
+      sink, nlist = 4)
+    assert(fixed.rebuilt)
+    assert(sink.read("ann_centroids").select("list").distinct().count() == 4)
+    // with it: nlist re-derives from the CURRENT corpus size (floored
+    // at the caller's nlist), and the probe works off the wider index
+    val scaled = SimOps.rebuildIfDrifted(collapsed, e, "vec_id", "embedding",
+      sink, nlist = 4, scaleNlist = true)
+    assert(scaled.rebuilt)
+    val wantNlist = SimOps.nlistForCorpus(n, minNlist = 4)
+    assert(wantNlist > 4, s"fixture too small to exercise scaling ($n rows)")
+    assert(sink.read("ann_centroids").select("list").distinct().count()
+      == wantNlist)
+    val nq = e.filter($"vec_id" % 100 === 0).count()
+    val probe = SimOps.ivfPqProbeIndex(e.filter($"vec_id" % 100 === 0), e,
+      "vec_id", "embedding", sink, 3)
+    assert(probe.count() == nq * 3, "probe broken after the scaled rebuild")
+  }
+
   test("drift rebuild preserves stored attr columns without being told") {
     // the maintenance caller (streaming cadence hook) knows nothing
     // about how the index was built: the rebuild must recover the attr
