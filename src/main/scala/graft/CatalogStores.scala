@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{MinHashFunctions, WinnowFunctions}
 import graft.ops.{BpeOps, ChatOps, ClassifierOps, GraphOps, MultimodalOps, RelOps, SampleOps, SelectOps, SimOps, TextOps, WebOps}
 
-/** Incremental stores + lifecycle capstones (q106-q119). */
+/** Incremental stores + lifecycle capstones (q106-q120). */
 private[graft] trait CatalogStores extends CatalogShared {
 
   // ---------------------------------------------------------------------
@@ -861,6 +861,49 @@ private[graft] trait CatalogStores extends CatalogShared {
             docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 1),
             "doc_id", "text", sink, minArchiveCount = 2)
           .orderBy("doc_id")
+      }),
+
+    QueryDef("q120_scaled_rebuild",
+      "q105's maintenance arc with the quantizer-width lifecycle " +
+        "CLOSED (the q89 floor analysis's design gap): per-batch probe " +
+        "work is ~corpus x nprobe/nlist, so an index rebuilt forever " +
+        "at its bootstrap-era nlist silently converts flat per-batch " +
+        "admission into a linear one as the corpus accumulates. Here " +
+        "the index bootstraps deliberately narrow (nlist=4), a " +
+        "mode-collapsed batch fires the drift gate, and the rebuild " +
+        "re-derives nlist from the CURRENT corpus (FAISS's 4*sqrt(N) " +
+        "rule, trainability- and envelope-clamped) — probes adapt " +
+        "automatically off the stored metadata. nlist_before/after " +
+        "and the drift decision ride as audit columns; recall_mil " +
+        "audits the served quality vs exact brute force in-query. " +
+        "k-means + approximate probes inside -> rows-only; SimOpsSpec " +
+        "pins the clamp arithmetic and the fixed-vs-scaled arc.",
+      None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val sink = tempStore.freshSink(s, "scalerb", dir)
+        def width(): Long =
+          sink.read("ann_centroids").select("list").distinct().count()
+        SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink, nlist = 4)
+        val before = width()
+        val batch = e.filter(col("vec_id") % 3 === 1)
+          .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+            transform(col("embedding"), x => x * lit(0.0f) + lit(0.37f))
+              .as("embedding"))
+        val corpus2 = e.unionByName(batch)
+        val d = SimOps.rebuildIfDrifted(batch, corpus2, "vec_id",
+          "embedding", sink, nlist = 4, scaleNlist = true)
+        val after = width()
+        val queries = e.filter(col("vec_id") % 100 === 0)
+        SimOps.withRecallAudit(
+            SimOps.ivfPqProbeIndex(queries, corpus2, "vec_id", "embedding",
+              sink, k = 3),
+            SimOps.bruteForceTopK(queries, corpus2, "vec_id", "embedding", 3),
+            3)
+          .withColumn("nlist_before", lit(before))
+          .withColumn("nlist_after", lit(after))
+          .withColumn("rebuilt", lit(if (d.rebuilt) 1 else 0))
+          .orderBy("query_id", "rank")
       })
   )
 }

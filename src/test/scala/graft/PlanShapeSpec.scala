@@ -428,6 +428,33 @@ class PlanShapeSpec extends SparkSpec {
       s"catalog q90 lost the pushed filter:\n$catalogPlan")
   }
 
+  test("q120 (operator): the probe stays candidate-bounded after a SCALED rebuild") {
+    // the scaled rebuild re-derives nlist from the corpus; the probe
+    // decodes the NEW width from the stored tables and must keep the
+    // equi-keyed candidate-bounded shape — an optimizer flip under the
+    // wider metadata would silently restore the n² cost the scaling
+    // exists to prevent
+    import org.apache.spark.sql.functions._
+    val e = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft_q120plan")
+    val sink = new graft.sink.UpsertSink(spark, root.toString, numBuckets = 8)
+    graft.ops.SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink,
+      nlist = 4).collect()
+    val collapsed = e.limit(100).select(col("vec_id"),
+      transform(col("embedding"), x => x * lit(0.0f) + lit(0.37f))
+        .as("embedding"))
+    val d = graft.ops.SimOps.rebuildIfDrifted(collapsed, e, "vec_id",
+      "embedding", sink, nlist = 4, scaleNlist = true)
+    assert(d.rebuilt, "fixture failed to trigger the scaled rebuild")
+    val plan = graft.ops.SimOps.ivfPqProbeIndex(
+        e.filter(col("vec_id") % 100 === 0), e, "vec_id", "embedding",
+        sink, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"all-pairs join in the post-scaling probe:\n$plan")
+  }
+
   test("q89: the admission screen's stored-index probe stays broadcast-bounded") {
     // one admitBatch's corpus-facing stage, plan-pinned (round-7 brief
     // #5): the probe's joins must ride broadcasts of the BATCH-bounded
