@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{MinHashFunctions, WinnowFunctions}
 import graft.ops.{BpeOps, ChatOps, ClassifierOps, GraphOps, MultimodalOps, RelOps, SampleOps, SelectOps, SimOps, TextOps, WebOps}
 
-/** Incremental stores + lifecycle capstones (q106-q120). */
+/** Incremental stores + lifecycle capstones (q106-q121). */
 private[graft] trait CatalogStores extends CatalogShared {
 
   // ---------------------------------------------------------------------
@@ -903,6 +903,36 @@ private[graft] trait CatalogStores extends CatalogShared {
           .withColumn("nlist_before", lit(before))
           .withColumn("nlist_after", lit(after))
           .withColumn("rebuilt", lit(if (d.rebuilt) 1 else 0))
+          .orderBy("query_id", "rank")
+      }),
+
+    QueryDef("q121_sharded_ann",
+      "SHARDED vector search — the scale path PAST the single-index " +
+        "envelope q120's nlist scaling tops out at: the corpus hash-" +
+        "routes into independent full IVF-PQ indexes (one per shard, " +
+        "own quantizers, own sub-root — builds/rebuilds are " +
+        "independent jobs a 1000-executor cluster runs in parallel, " +
+        "and a drifted shard rebuilds ALONE), the probe fans out to " +
+        "every shard's ordinary list-bounded probe and one bounded " +
+        "TopKAggregate re-ranks the union to the global top-k — the " +
+        "distributed-top-k identity, exact relative to the per-shard " +
+        "results; ids partition across shards so no neighbor can " +
+        "duplicate. Build amortized across invocations (the q81/q82 " +
+        "split); k-means + approximate probes inside -> rows-only; " +
+        "recall_mil audits served quality vs exact brute force " +
+        "in-query; SimOpsSpec pins union exactness, dupe-freedom, " +
+        "per-shard scaleNlist.",
+      None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val sink = tempStore.sink(s, "annshard", dir)
+        if (!SimOps.shardedIndexExists(s, sink))
+          SimOps.buildShardedIvfPqIndex(e, "vec_id", "embedding", sink,
+            shards = 4, nlist = 16)
+        val q = e.filter(col("vec_id") % 100 === 0)
+        SimOps.withRecallAudit(
+            SimOps.shardedProbeIndex(q, e, "vec_id", "embedding", sink, 5),
+            SimOps.bruteForceTopK(q, e, "vec_id", "embedding", 5), 5)
           .orderBy("query_id", "rank")
       })
   )

@@ -1169,6 +1169,114 @@ object SimOps {
     sink.read(IdxCodes).schema.map(_.name)
       .filterNot(Set("id", "list", "codes"))
 
+  // -------------------------------------------------------------------
+  // Sharded IVF-PQ: one index per corpus shard (the 100 TB envelope)
+  // -------------------------------------------------------------------
+
+  private val ShardMeta = "ann_shard_meta"
+
+  /** Per-shard sub-sinks under the parent root: each shard is a FULL
+    * ordinary index (same tables, same metadata caches keyed on its
+    * own root), so build/probe/add/rebuild machinery reuses verbatim.
+    */
+  private def shardSinks(spark: org.apache.spark.sql.SparkSession,
+                         sink: graft.sink.UpsertSink,
+                         shards: Int): Seq[graft.sink.UpsertSink] =
+    (0 until shards).map(s => new graft.sink.UpsertSink(spark,
+      java.nio.file.Paths.get(sink.rootPath, f"ann_shard_$s%04d").toString,
+      numBuckets = 8))
+
+  /** Deterministic shard route: pmod(xxhash64(id), shards) — the same
+    * column expression at build and probe time, so an id's shard never
+    * moves. ids partition across shards, so a neighbor exists in
+    * EXACTLY ONE shard and the probe union can never duplicate it.
+    */
+  private def shardOf(idCol: String, shards: Int): Column =
+    pmod(xxhash64(col(idCol)), lit(shards.toLong))
+
+  /** Build a SHARDED IVF-PQ index: the corpus splits into `shards`
+    * hash-routed slices, each trained and encoded as an independent
+    * full index under its own sub-root. This is the scale path PAST
+    * [[nlistForCorpus]]'s single-index envelope: a wider quantizer
+    * stops paying once every scan row scores thousands of centroids,
+    * but shards scale HORIZONTALLY — per-shard nlist stays inside the
+    * envelope (re-derived per shard when `scaleNlist`), per-shard
+    * training samples stay bounded, and shard builds/rebuilds are
+    * independent jobs a scheduler can run in parallel or incrementally
+    * (rebuild only the drifted shard, not the fleet). The shard count
+    * is persisted (`ann_shard_meta`) so probes route identically
+    * forever; changing it is a full rebuild by design (hash routes
+    * move), exactly like a bucket-modulus change ([[graft.sink
+    * .UpsertSink.rebucket]]).
+    */
+  def buildShardedIvfPqIndex(corpus: DataFrame, idCol: String,
+                             vecCol: String, sink: graft.sink.UpsertSink,
+                             shards: Int = 4, nlist: Int = 16, m: Int = 16,
+                             ksub: Int = 32, coarseIters: Int = 2,
+                             scaleNlist: Boolean = false,
+                             storeSq8: Boolean = false): Unit = {
+    require(shards >= 1 && shards <= 4096,
+      s"shard count must be in [1, 4096]: $shards")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    sink.overwrite(ShardMeta, Seq(shards).toDF("shards"), Seq("shards"))
+    shardSinks(spark, sink, shards).zipWithIndex.foreach { case (ss, s) =>
+      val slice = corpus.filter(shardOf(idCol, shards) === s)
+      val useNlist =
+        if (!scaleNlist) nlist
+        else math.max(nlist, nlistForCorpus(math.max(1L, slice.count()),
+          nlist))
+      buildIvfPqIndex(slice, idCol, vecCol, ss, nlist = useNlist, m = m,
+        ksub = ksub, coarseIters = coarseIters, storeSq8 = storeSq8)
+    }
+  }
+
+  /** True iff a sharded index (meta + every shard's tables) exists. */
+  def shardedIndexExists(spark: org.apache.spark.sql.SparkSession,
+                         sink: graft.sink.UpsertSink): Boolean =
+    sink.exists(ShardMeta) && {
+      val n = sink.read(ShardMeta).collect()(0).getInt(0)
+      shardSinks(spark, sink, n).forall(ivfPqIndexExists)
+    }
+
+  /** Probe a SHARDED index: every shard probes independently (each the
+    * ordinary [[ivfPqProbeIndex]] — list-bounded ADC shortlist + exact
+    * refine), and the per-shard top-k union re-ranks to the GLOBAL
+    * top-k per query through one bounded [[graft.functions
+    * .TopKAggregate]] pass — the standard distributed-top-k identity:
+    * the global best k all live in some shard's local best k, so the
+    * union re-rank is exact relative to the per-shard results. Output
+    * schema identical to the unsharded probe. Ranking ties at the
+    * re-rank see the probe's 6-dp rounded cosine (documented output
+    * convention) — an approximate operator's tie-break, same class as
+    * the per-shard one.
+    */
+  def shardedProbeIndex(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String,
+                        sink: graft.sink.UpsertSink, k: Int,
+                        nprobe: Int = 10, refine: Int = 8,
+                        broadcastQueries: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    require(sink.exists(ShardMeta),
+      s"no sharded index under ${sink.rootPath} — run buildShardedIvfPqIndex")
+    val shards = sink.read(ShardMeta).collect()(0).getInt(0)
+    val perShard = shardSinks(spark, sink, shards).map { ss =>
+      ivfPqProbeIndex(queries, corpus, idCol, vecCol, ss, k, nprobe,
+        refine, broadcastQueries = broadcastQueries)
+    }
+    val union = perShard.reduce(_.unionByName(_))
+    union
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAggregate.top(
+        coalesce(col("cosine"), lit(Double.NegativeInfinity)),
+        col("neighbor_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col("query_id"), col("__e._1").as("neighbor_id"),
+        when(col("__e._2") === lit(Double.NegativeInfinity), lit(null))
+          .otherwise(col("__e._2")).as("cosine"),
+        (col("__i") + 1).cast("int").as("rank"))
+  }
+
   /** Deterministic +/-1 hyperplane for (table, plane) — shared with the
     * batched [[graft.functions.LshSignatures]] expression so buckets are
     * identical however the signature is computed.

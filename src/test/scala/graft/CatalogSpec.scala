@@ -111,7 +111,7 @@ class CatalogSpec extends SparkSpec {
     val bounds = Seq(
       "q34_ann_lsh" -> 800, "q42_ann_ivf" -> 600,
       "q46_ann_ivf_trained" -> 600, "q70_ann_ivfpq" -> 650,
-      "q82_ann_index_probe" -> 650, "q90_ann_filtered" -> 450,
+      "q82_ann_index_probe" -> 650, "q90_ann_filtered" -> 450, "q121_sharded_ann" -> 650,
       "q93_ann_sq8_probe" -> 750)
     import org.apache.spark.sql.functions._
     bounds.foreach { case (name, bound) =>

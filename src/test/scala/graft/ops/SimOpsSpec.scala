@@ -616,6 +616,60 @@ class SimOpsSpec extends SparkSpec {
     assert(probe.count() == nq * 3, "probe broken after the scaled rebuild")
   }
 
+  test("sharded IVF-PQ: exact-union re-rank, no cross-shard dupes, recall holds") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annshard")
+    val sink = new graft.sink.UpsertSink(spark, root.toString)
+    val e = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    assert(!SimOps.shardedIndexExists(spark, sink))
+    SimOps.buildShardedIvfPqIndex(e, "vec_id", "embedding", sink,
+      shards = 3, nlist = 8)
+    assert(SimOps.shardedIndexExists(spark, sink))
+    val queries = e.filter($"vec_id" % 50 === 0)
+    val nq = queries.count()
+    val got = SimOps.shardedProbeIndex(queries, e, "vec_id", "embedding",
+      sink, k = 3)
+    val rows = got.collect()
+    // schema parity with the unsharded probe
+    assert(got.columns.toSeq == Seq("query_id", "neighbor_id", "cosine", "rank"))
+    assert(rows.length == nq * 3, s"expected ${nq * 3} rows, got ${rows.length}")
+    // ids partition across shards -> a neighbor can never appear twice
+    val perQuery = rows.groupBy(_.getLong(0))
+    perQuery.foreach { case (q, rs) =>
+      val ns = rs.map(_.getLong(1)).toSeq
+      assert(ns.distinct.size == ns.size, s"query $q: duplicate neighbors $ns")
+    }
+    // recall vs exact brute force (the q70 convention)
+    val exact = SimOps.bruteForceTopK(queries, e, "vec_id", "embedding", 3)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val hits = perQuery.map { case (q, rs) =>
+      rs.map(_.getLong(1)).count(exact(q).contains).toDouble / 3 }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.8, f"sharded recall@3 $recall%.2f < 0.8")
+    // determinism
+    val again = SimOps.shardedProbeIndex(queries, e, "vec_id", "embedding",
+      sink, k = 3).collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+    assert(again.sorted.toSeq ==
+      rows.map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).sorted.toSeq)
+  }
+
+  test("sharded build with scaleNlist sizes each shard's quantizer to its slice") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annshardscale")
+    val sink = new graft.sink.UpsertSink(spark, root.toString)
+    val e = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    SimOps.buildShardedIvfPqIndex(e, "vec_id", "embedding", sink,
+      shards = 2, nlist = 4, scaleNlist = true)
+    (0 until 2).foreach { s =>
+      val shardRoot = java.nio.file.Paths.get(root.toString, f"ann_shard_$s%04d")
+      val ss = new graft.sink.UpsertSink(spark, shardRoot.toString, numBuckets = 8)
+      val sliceN = ss.read("ann_codes").count()
+      val want = math.max(4, SimOps.nlistForCorpus(sliceN, 4))
+      val gotNlist = ss.read("ann_centroids").select("list").distinct().count()
+      assert(gotNlist == want,
+        s"shard $s: nlist $gotNlist != $want for a $sliceN-vector slice")
+    }
+  }
+
   test("drift rebuild preserves stored attr columns without being told") {
     // the maintenance caller (streaming cadence hook) knows nothing
     // about how the index was built: the rebuild must recover the attr
