@@ -1255,14 +1255,17 @@ object SimOps {
                         idCol: String, vecCol: String,
                         sink: graft.sink.UpsertSink, k: Int,
                         nprobe: Int = 10, refine: Int = 8,
-                        broadcastQueries: Boolean = true): DataFrame = {
+                        candidateFilter: Option[Column] = None,
+                        broadcastQueries: Boolean = true,
+                        refineFromSq8: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     require(sink.exists(ShardMeta),
       s"no sharded index under ${sink.rootPath} — run buildShardedIvfPqIndex")
     val shards = sink.read(ShardMeta).collect()(0).getInt(0)
     val perShard = shardSinks(spark, sink, shards).map { ss =>
       ivfPqProbeIndex(queries, corpus, idCol, vecCol, ss, k, nprobe,
-        refine, broadcastQueries = broadcastQueries)
+        refine, candidateFilter = candidateFilter,
+        broadcastQueries = broadcastQueries, refineFromSq8 = refineFromSq8)
     }
     val union = perShard.reduce(_.unionByName(_))
     union
@@ -1275,6 +1278,40 @@ object SimOps {
         when(col("__e._2") === lit(Double.NegativeInfinity), lit(null))
           .otherwise(col("__e._2")).as("cosine"),
         (col("__i") + 1).cast("int").as("rank"))
+  }
+
+  /** Per-shard drift decisions for one fresh batch. */
+  final case class ShardDrift(shard: Int, decision: DriftDecision)
+
+  /** Maintain a SHARDED index against a fresh batch: the batch routes
+    * by the persisted shard modulus, each non-empty slice measures
+    * drift against ITS OWN shard, and ONLY the drifted shards rebuild
+    * (from their slice of `corpus`, optionally [[nlistForCorpus]]-
+    * re-sized) — the operational payoff of sharding: a distribution
+    * shift concentrated in one hash range re-trains 1/shards of the
+    * fleet while every other shard keeps serving untouched, and the
+    * rebuilds are independent atomic swaps. Returns one decision per
+    * measured shard (empty slices skip — nothing to measure).
+    */
+  def maintainShardedIndex(batch: DataFrame, corpus: DataFrame,
+                           idCol: String, vecCol: String,
+                           sink: graft.sink.UpsertSink,
+                           threshold: Double = 0.25,
+                           nlist: Int = 16, m: Int = 16, ksub: Int = 32,
+                           scaleNlist: Boolean = false): Seq[ShardDrift] = {
+    val spark = corpus.sparkSession
+    require(sink.exists(ShardMeta),
+      s"no sharded index under ${sink.rootPath} — run buildShardedIvfPqIndex")
+    val shards = sink.read(ShardMeta).collect()(0).getInt(0)
+    shardSinks(spark, sink, shards).zipWithIndex.flatMap { case (ss, s) =>
+      val slice = batch.filter(shardOf(idCol, shards) === s)
+        .dropDuplicates(idCol).filter(col(vecCol).isNotNull)
+      if (slice.isEmpty) None
+      else Some(ShardDrift(s, rebuildIfDrifted(slice,
+        corpus.filter(shardOf(idCol, shards) === s), idCol, vecCol, ss,
+        threshold, nlist = nlist, m = m, ksub = ksub,
+        scaleNlist = scaleNlist)))
+    }
   }
 
   /** Deterministic +/-1 hyperplane for (table, plane) — shared with the

@@ -653,6 +653,38 @@ class SimOpsSpec extends SparkSpec {
       rows.map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).sorted.toSeq)
   }
 
+  test("sharded maintenance rebuilds ONLY the drifted shard") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annshardmaint")
+    val sink = new graft.sink.UpsertSink(spark, root.toString)
+    val e = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    SimOps.buildShardedIvfPqIndex(e, "vec_id", "embedding", sink,
+      shards = 2, nlist = 8)
+    def shardSink(s: Int) = new graft.sink.UpsertSink(spark,
+      java.nio.file.Paths.get(root.toString, f"ann_shard_$s%04d").toString,
+      numBuckets = 8)
+    val v0 = (0 until 2).map(s => shardSink(s).version("ann_codes"))
+    // a mode-collapsed batch whose ids ALL route to shard 0: shard 0
+    // must rebuild, shard 1 must not even be measured (empty slice)
+    val toShard0 = e.filter(pmod(xxhash64($"vec_id"), lit(2L)) === 0L)
+      .limit(100)
+      .select($"vec_id",
+        transform($"embedding", x => x * lit(0.0f) + lit(0.41f))
+          .as("embedding"))
+    val decisions = SimOps.maintainShardedIndex(toShard0, e, "vec_id",
+      "embedding", sink)
+    assert(decisions.map(_.shard) == Seq(0),
+      s"expected only shard 0 measured, got $decisions")
+    assert(decisions.head.decision.rebuilt, "collapsed slice did not rebuild")
+    assert(shardSink(0).version("ann_codes") != v0(0),
+      "drifted shard 0 not rewritten")
+    assert(shardSink(1).version("ann_codes") == v0(1),
+      "undrifted shard 1 was rewritten")
+    // and the sharded probe still serves across the mixed generations
+    val q = e.filter($"vec_id" % 100 === 0)
+    assert(SimOps.shardedProbeIndex(q, e, "vec_id", "embedding", sink, 3)
+      .count() == q.count() * 3)
+  }
+
   test("sharded build with scaleNlist sizes each shard's quantizer to its slice") {
     val root = java.nio.file.Files.createTempDirectory("graft_annshardscale")
     val sink = new graft.sink.UpsertSink(spark, root.toString)
