@@ -44,17 +44,31 @@ private[graft] trait CatalogStores extends CatalogShared {
         "#langs rows), then map-side tier assignment through a " +
         "BROADCAST cutoff join — no per-language window, no global " +
         "sort, the corpus never shuffles. Sketch-derived cutoffs have " +
-        "no cross-engine oracle -> rows-only; CatalogSpec pins " +
-        ">=80% tier agreement with q103's exact form on the real " +
-        "corpus, PlanShapeSpec pins the broadcast/no-window/no-" +
-        "recomputed-LM plan.",
+        "no cross-engine oracle -> rows-only, but the agreement with " +
+        "the EXACT ntile form is DRIVER-CHECKED every round (r12, the " +
+        "recall_mil pattern): agree_mil — the per-mille of docs whose " +
+        "sketch tier equals the exact tier, computed off the SAME " +
+        "checkpointed scored frame — rides every row; CatalogSpec " +
+        "bounds it >= 800 and pins no two-tier flips. The exact-tier " +
+        "window is the AUDIT harness, not the scale path (at 100 TB " +
+        "run the sketch path alone); PlanShapeSpec pins the " +
+        "broadcast/no-window/no-recomputed-LM plan on the operator.",
       None,
       (s, dir) => {
         val scored = SelectOps
           .perplexityScored(t(s, dir, "documents"), "doc_id", "text")
           .localCheckpoint() // ONE LM pass feeds thresholds AND tiers
-        SelectOps.perplexityBucketsByThresholdFromScored(scored, "doc_id",
-            SelectOps.perplexityThresholdsFromScored(scored))
+        val tiers = SelectOps.perplexityBucketsByThresholdFromScored(
+          scored, "doc_id", SelectOps.perplexityThresholdsFromScored(scored))
+        val exact = SelectOps.perplexityBucketsFromScored(scored, "doc_id")
+          .select(col("doc_id"), col("ppl_bucket").as("__exact"))
+        val joined = tiers.join(exact, "doc_id")
+        val agree = joined.agg(
+          floor(avg(when(col("ppl_bucket") === col("__exact"), lit(1000.0))
+            .otherwise(lit(0.0)))).cast("long").as("__agree")).collect()(0)
+          .getLong(0)
+        joined.drop("__exact")
+          .withColumn("agree_mil", lit(agree))
           .orderBy("doc_id")
       }),
 

@@ -131,14 +131,22 @@ class CatalogSpec extends SparkSpec {
     // that is a bounded minority, and a two-tier flip is never right
     val exact = Catalog.byName("q103_perplexity_tiers").fn(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
-    val scale = Catalog.byName("q107_perplexity_scale").fn(spark, sf)
-      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val scaleRows = Catalog.byName("q107_perplexity_scale").fn(spark, sf)
+      .collect()
+    val scale = scaleRows.map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(scale.keySet == exact.keySet)
     val agree = exact.keys.count(k => exact(k) == scale(k)).toDouble / exact.size
     assert(agree >= 0.8,
       f"scale path agrees with the exact form on only $agree%.2f of docs")
     assert(!exact.keys.exists(k => Set(exact(k), scale(k)) == Set("head", "tail")),
       "scale path flipped a doc across two tiers")
+    // the in-query agree_mil audit column (driver-visible every round)
+    // must carry the same number this spec just derived independently
+    val agreeMil = scaleRows.map(_.getAs[Long]("agree_mil")).distinct
+    assert(agreeMil.length == 1, s"agree_mil not constant: $agreeMil")
+    assert(agreeMil.head >= 800, s"agree_mil ${agreeMil.head} < 800")
+    assert(math.abs(agreeMil.head - math.floor(agree * 1000)) <= 1,
+      f"agree_mil ${agreeMil.head} inconsistent with measured $agree%.3f")
   }
 
   test("q29 finds the planted near-duplicate clusters") {
