@@ -571,15 +571,24 @@ private[graft] trait CatalogServing extends CatalogShared {
         "selection -> no SQL oracle (driver rows-only); BpeOpsSpec " +
         "pins the merge loop on the hand-computable Sennrich " +
         "dictionary, greedy rank order on the encoder, the lossless " +
-        "round-trip (tokens reconcatenate to the tokenized text) over " +
-        "the real corpus, and the map-only encode plan.",
+        "round-trip over the real corpus, and the map-only encode " +
+        "plan — and the round-trip is additionally DRIVER-CHECKED " +
+        "every round (r12): `lossless` rides each row (1 iff the BPE " +
+        "tokens reconcatenate exactly to the tokenized words, each " +
+        "</w>-suffixed — BPE re-segments, never rewrites), bounded " +
+        "all-1 in CatalogSpec.",
       None,
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val model = BpeOps.learnBpe(docs, "text", numMerges = 200)
+        val words = TextOps.tokens(col("text"), "unicode")
         BpeOps.encode(docs, "text", model.merges)
           .select(col("doc_id"), col("n_tokens"),
-            array_join(slice(col("bpe_tokens"), 1, 12), " ").as("head_tokens"))
+            array_join(slice(col("bpe_tokens"), 1, 12), " ").as("head_tokens"),
+            when(array_join(col("bpe_tokens"), "") ===
+              when(size(words) === 0, lit(""))
+                .otherwise(concat(array_join(words, "</w>"), lit("</w>"))),
+              lit(1)).otherwise(lit(0)).as("lossless"))
           .orderBy("doc_id")
       }),
 
@@ -662,9 +671,12 @@ private[graft] trait CatalogServing extends CatalogShared {
         "gradient shuffle with DECIMAL sums (deterministic at any " +
         "parallelism), a buckets-row collect. Output: per-doc label, " +
         "learned margin, prediction. Iterative float optimization -> " +
-        "no SQL oracle (rows-only); ClassifierOpsSpec pins class " +
-        "separation, parallelism-invariant determinism, and the " +
-        "map-only apply plan.",
+        "no SQL oracle (rows-only), but the training QUALITY is " +
+        "DRIVER-CHECKED every round (r12): acc_mil — the per-mille of " +
+        "docs whose prediction matches the label — rides every row, " +
+        "bounded >= 950 in CatalogSpec (mirroring ClassifierOpsSpec's " +
+        "separation bound). ClassifierOpsSpec additionally pins " +
+        "parallelism-invariant determinism and the map-only apply plan.",
       None,
       (s, dir) => {
         val labeled = t(s, dir, "documents").withColumn("y",
@@ -674,12 +686,16 @@ private[graft] trait CatalogServing extends CatalogShared {
         // margin computed ONCE: the aggregate HOF is interpreted-eval
         // (no whole-stage subexpression elimination), so repeating the
         // expression would run the full tokenize+hash+fold twice per row
-        labeled.select(col("doc_id"), col("y"),
+        val scored = labeled.select(col("doc_id"), col("y"),
             m.margin(col("text")).as("__m"))
           .select(col("doc_id"), col("y"),
             round(col("__m"), 6).as("margin"),
             (col("__m") > 0).cast("int").as("pred"))
-          .orderBy("doc_id")
+          .localCheckpoint() // ONE scoring pass feeds rows AND the audit
+        val acc = scored.agg(
+          floor(avg(when(col("pred") === col("y"), lit(1000.0))
+            .otherwise(lit(0.0)))).cast("long")).collect()(0).getLong(0)
+        scored.withColumn("acc_mil", lit(acc)).orderBy("doc_id")
       }),
 
     QueryDef("q96_interval_join",

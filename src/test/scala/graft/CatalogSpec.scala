@@ -155,6 +155,29 @@ class CatalogSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("jac") >= 0.5))
   }
 
+  test("trainer audits: q92 lossless round-trip and q95 training accuracy ride the output") {
+    // the two iterative trainers are no-oracle by nature; their core
+    // quality claims now ride the rows so the driver checks them every
+    // round — q92: BPE re-segments, never rewrites (lossless == 1 on
+    // every doc); q95: the distilled gate separates (>= 950 mil,
+    // mirroring ClassifierOpsSpec's separation bound)
+    val q92 = Catalog.byName("q92_bpe_tokenize").fn(spark, sf).collect()
+    assert(q92.nonEmpty)
+    assert(q92.forall(_.getAs[Int]("lossless") == 1),
+      "BPE round-trip broke on " +
+        q92.filter(_.getAs[Int]("lossless") == 0).take(3)
+          .map(_.getLong(0)).mkString(", "))
+    val q95 = Catalog.byName("q95_classifier_train").fn(spark, sf).collect()
+    assert(q95.nonEmpty)
+    val acc = q95.map(_.getAs[Long]("acc_mil")).distinct
+    assert(acc.length == 1, s"acc_mil not constant: $acc")
+    assert(acc.head >= 950, s"training accuracy ${acc.head} mil < 950")
+    // and the column is consistent with the rows it rides on
+    val derived = 1000 * q95.count(r => r.getAs[Int]("pred") == r.getAs[Int]("y")) / q95.length
+    assert(math.abs(acc.head - derived) <= 1,
+      s"acc_mil ${acc.head} inconsistent with derived $derived")
+  }
+
   test("sketch family: in-query err_ppm audit columns meet the operator bounds") {
     // q54/q55/q61 are no-oracle by nature; their sketch error now rides
     // the result as *_err_ppm columns (the recall_mil pattern) so the
