@@ -1222,21 +1222,28 @@ object SimOps {
     sink.overwrite(ShardMeta, Seq(shards).toDF("shards"), Seq("shards"))
     shardSinks(spark, sink, shards).zipWithIndex.foreach { case (ss, s) =>
       val slice = corpus.filter(shardOf(idCol, shards) === s)
-      val useNlist =
-        if (!scaleNlist) nlist
-        else math.max(nlist, nlistForCorpus(math.max(1L, slice.count()),
-          nlist))
-      buildIvfPqIndex(slice, idCol, vecCol, ss, nlist = useNlist, m = m,
-        ksub = ksub, coarseIters = coarseIters, storeSq8 = storeSq8)
+      val n = slice.count()
+      // an EMPTY hash range builds no index (a high shard count over a
+      // small corpus leaves gaps) — probe/maintenance skip it, which is
+      // the correct semantics: an empty shard holds no neighbors
+      if (n > 0) {
+        val useNlist =
+          if (!scaleNlist) nlist
+          else math.max(nlist, nlistForCorpus(n, nlist))
+        buildIvfPqIndex(slice, idCol, vecCol, ss, nlist = useNlist, m = m,
+          ksub = ksub, coarseIters = coarseIters, storeSq8 = storeSq8)
+      }
     }
   }
 
-  /** True iff a sharded index (meta + every shard's tables) exists. */
+  /** True iff a sharded index exists: the meta row plus at least one
+    * built shard (empty hash ranges legitimately build none).
+    */
   def shardedIndexExists(spark: org.apache.spark.sql.SparkSession,
                          sink: graft.sink.UpsertSink): Boolean =
     sink.exists(ShardMeta) && {
       val n = sink.read(ShardMeta).collect()(0).getInt(0)
-      shardSinks(spark, sink, n).forall(ivfPqIndexExists)
+      shardSinks(spark, sink, n).exists(ivfPqIndexExists)
     }
 
   /** Probe a SHARDED index: every shard probes independently (each the
@@ -1262,7 +1269,10 @@ object SimOps {
     require(sink.exists(ShardMeta),
       s"no sharded index under ${sink.rootPath} — run buildShardedIvfPqIndex")
     val shards = sink.read(ShardMeta).collect()(0).getInt(0)
-    val perShard = shardSinks(spark, sink, shards).map { ss =>
+    val built = shardSinks(spark, sink, shards).filter(ivfPqIndexExists)
+    require(built.nonEmpty,
+      s"sharded index under ${sink.rootPath} has no built shards")
+    val perShard = built.map { ss =>
       ivfPqProbeIndex(queries, corpus, idCol, vecCol, ss, k, nprobe,
         refine, candidateFilter = candidateFilter,
         broadcastQueries = broadcastQueries, refineFromSq8 = refineFromSq8)
@@ -1306,7 +1316,10 @@ object SimOps {
     shardSinks(spark, sink, shards).zipWithIndex.flatMap { case (ss, s) =>
       val slice = batch.filter(shardOf(idCol, shards) === s)
         .dropDuplicates(idCol).filter(col(vecCol).isNotNull)
-      if (slice.isEmpty) None
+      // skip empty batch slices (nothing to measure) AND never-built
+      // shards (an empty hash range at build time has no index to
+      // drift — its first vectors arrive through a rebuild elsewhere)
+      if (slice.isEmpty || !ivfPqIndexExists(ss)) None
       else Some(ShardDrift(s, rebuildIfDrifted(slice,
         corpus.filter(shardOf(idCol, shards) === s), idCol, vecCol, ss,
         threshold, nlist = nlist, m = m, ksub = ksub,

@@ -124,4 +124,58 @@ class StoreConcurrencySpec extends SparkSpec {
     assert(shingleDocs == want,
       s"shingles missing ${(want -- shingleDocs).toSeq.sorted}")
   }
+
+  test("embedding store group: the same contract holds for postings + vectors") {
+    // the EMBEDDING modality's group (embdup_sigs LSH postings +
+    // embdup_vecs exact vectors) lives under the same mergeMany
+    // machinery — pin that a snapshotMany reader racing admissions
+    // never captures a posting whose vector row is missing (a phantom
+    // candidate would silently drop from the verify join)
+    val sink = new UpsertSink(spark,
+      Files.createTempDirectory("graft_emb_conc").toString, numBuckets = 4)
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(16)(i => math.sin(seed * 31 + i).toFloat)
+    val archive = (1 to 20).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    SimOps.embLshStoreBuild(archive, "vec_id", "embedding", sink,
+      planes = 4, tables = 8, dim = 16)
+    val admitterDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var admitErr: Option[Throwable] = None
+    val admitter = new Thread(() => {
+      try (0 until 3).foreach { b =>
+        val batch = (0 until 10)
+          .map(i => ((100 * b + i).toLong, vec(1000 + 10 * b + i)))
+          .toDF("vec_id", "embedding")
+        SimOps.embLshStoreAdmit(batch, "vec_id", "embedding", sink,
+          threshold = 0.9, planes = 4, tables = 8, dim = 16)
+      } catch { case t: Throwable => admitErr = Some(t) }
+      finally admitterDone.set(true)
+    }, "graft-embstore-admitter")
+    @volatile var readerErr: Option[Throwable] = None
+    var rounds = 0
+    val reader = new Thread(() => {
+      try while (!admitterDone.get()) {
+        val snaps = sink.snapshotMany(Seq("embdup_sigs", "embdup_vecs"))
+        try {
+          val sigIds = snaps(0).df.select("id").distinct().as[Long]
+            .collect().toSet
+          val vecIds = snaps(1).df.select("id").as[Long].collect().toSet
+          assert(sigIds == vecIds,
+            s"torn group: sigs-only=${(sigIds -- vecIds).toSeq.sorted.take(5)} " +
+              s"vecs-only=${(vecIds -- sigIds).toSeq.sorted.take(5)}")
+          rounds += 1
+        } finally snaps.foreach(_.close())
+      } catch { case t: Throwable => readerErr = Some(t) }
+    }, "graft-embstore-reader")
+    admitter.start(); reader.start()
+    admitter.join(300000); reader.join(300000)
+    assert(!admitter.isAlive && !reader.isAlive)
+    admitErr.foreach(t => fail(s"admitter died: $t", t))
+    readerErr.foreach(t => fail(s"reader died: $t", t))
+    assert(rounds > 0, "reader never captured a snapshot round")
+    val want = (1L to 20L).toSet ++
+      (0 until 3).flatMap(b => (100L * b) to (100L * b + 9)).toSet
+    assert(sink.read("embdup_vecs").select("id").as[Long].collect().toSet
+      == want, "lost admissions in the vector table")
+  }
 }
