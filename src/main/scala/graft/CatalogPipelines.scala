@@ -503,6 +503,9 @@ private[graft] trait CatalogPipelines extends CatalogShared {
             percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90_price"),
             percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"),
             percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("med_qty"))
+          // 3 rows, but its PLAN is a corpus GK pass — checkpoint so the
+          // driver bootstrap and the final join both read it once
+          .localCheckpoint()
         val rows = ap.collect()
         // pass 2: audit GK's ACTUAL guarantee — the returned value's
         // RANK sits within accuracy of the target rank — as ONE
