@@ -195,7 +195,7 @@ object Catalog extends CatalogRelational with CatalogTextual
     with CatalogStores {
 
   /** Training-data analytics: the three analytics files in their
-    * original order (q36..q79, q80..q105, q106..q121).
+    * original order (q36..q79, q80..q105, q106..q122).
     */
   def analytics: Seq[QueryDef] = pipelines ++ serving ++ stores
 

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{MinHashFunctions, WinnowFunctions}
 import graft.ops.{BpeOps, ChatOps, ClassifierOps, GraphOps, MultimodalOps, RelOps, SampleOps, SelectOps, SimOps, TextOps, WebOps}
 
-/** Incremental stores + lifecycle capstones (q106-q121). */
+/** Incremental stores + lifecycle capstones (q106-q122). */
 private[graft] trait CatalogStores extends CatalogShared {
 
   // ---------------------------------------------------------------------
@@ -922,6 +922,48 @@ private[graft] trait CatalogStores extends CatalogShared {
           .withColumn("nlist_after", lit(after))
           .withColumn("rebuilt", lit(if (d.rebuilt) 1 else 0))
           .orderBy("query_id", "rank")
+      }),
+
+    QueryDef("q122_store_erasure",
+      "RIGHT-TO-ERASURE over the incremental near-dup store, under an " +
+        "EXACT oracle: build the archive's MinHash band+shingle store " +
+        "(q109), ERASE a subject set (archive ids divisible by 5) " +
+        "through ONE group delete — both member tables under a single " +
+        "writer lease, touched buckets only (the merge cost model in " +
+        "the delete direction: O(erasure batch + touched buckets), " +
+        "never O(store)), no torn group for concurrent snapshotMany " +
+        "readers — then probe the daily batch. The oracle is q109's " +
+        "exhaustive archive x batch Jaccard MINUS the erased subjects: " +
+        "an erased document can never resurface as a candidate, and " +
+        "every bystander pair survives byte-for-byte. " +
+        "StoreRetractSpec pins the op; UpsertSinkSpec pins deleteMany's " +
+        "group semantics incl. the live-deleter snapshot race.",
+      Some("""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') w
+             |  FROM documents),
+             |sh AS (SELECT doc_id, CASE WHEN len(w) < 3
+             |    THEN [array_to_string(w, ' ')]
+             |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |                        for i in range(1, len(w) - 1)]) END AS s
+             |  FROM toks),
+             |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |      / len(list_distinct(list_concat(a.s, b.s))) AS j
+             |  FROM sh a JOIN sh b
+             |    ON a.doc_id % 3 <> 0 AND a.doc_id % 5 <> 0
+             |   AND b.doc_id % 3 = 0)
+             |SELECT a_id, b_id, round(j, 4) AS jac FROM p
+             |WHERE j >= 0.5 ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.freshSink(s, "erasure", dir)
+        val archive = docs.filter(col("doc_id") % 3 =!= 0)
+        TextOps.minhashStoreBuild(archive, "doc_id", "text", sink)
+        TextOps.minhashStoreRetract(
+          archive.filter(col("doc_id") % 5 === 0).select("doc_id"),
+          "doc_id", sink)
+        TextOps.minhashStoreProbe(docs.filter(col("doc_id") % 3 === 0),
+            "doc_id", "text", sink, threshold = 0.5)
+          .orderBy("a_id", "b_id")
       }),
 
     QueryDef("q121_sharded_ann",

@@ -1461,6 +1461,27 @@ object SimOps {
       .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** ERASE vectors from the persisted embedding near-dup state —
+    * the embedding analog of [[graft.ops.TextOps.minhashStoreRetract]]:
+    * one group delete removes the ids' LSH postings AND exact vectors
+    * under a single writer lease (no torn group for `snapshotMany`
+    * readers; erased vectors can never resurface as candidates). The
+    * postings table's merge key is (t, s, id) — full keys derive from
+    * one broadcast-filtered posting scan, eagerly checkpointed because
+    * that plan reads the files the delete rewrites.
+    */
+  def embLshStoreRetract(ids: DataFrame, idCol: String,
+                         sink: graft.sink.UpsertSink): Unit = {
+    val keys = broadcast(ids.select(col(idCol).cast("long").as("id"))
+      .distinct())
+    val sigKeys = sink.read(EmbSigs).join(keys, "id")
+      .select(col("t"), col("s"), col("id"))
+      .localCheckpoint(true)
+    sink.deleteMany(Seq(
+      graft.sink.TableDelete(EmbSigs, sigKeys, Seq("t", "s", "id")),
+      graft.sink.TableDelete(EmbVecs, keys.select(col("id")), Seq("id"))))
+  }
+
   /** Admission: probe, then fold the batch into the store (one
     * mergeMany round-trip over both tables) so later batches dedup
     * against this one too. Returns the pre-admission pairs.

@@ -291,6 +291,31 @@ object TextOps {
       .select(col("a_id"), col("b_id"), round(col("j"), 4).as("jac"))
   }
 
+  /** ERASE documents from the persisted near-dup state (retention /
+    * right-to-erasure over the store, not just the corpus): removes
+    * the ids' band postings AND shingle sets in ONE
+    * [[graft.sink.UpsertSink.deleteMany]] group delete under a single
+    * writer lease — a concurrent `snapshotMany` reader never captures
+    * a posting whose shingle row is already gone, and later probes
+    * can never surface an erased document as a candidate. The bands
+    * table's merge key is (band, doc_id), so the full keys derive
+    * from one broadcast-filtered posting scan (map-only, erasure-
+    * batch-bounded) — eagerly checkpointed, because that plan reads
+    * the very files the delete rewrites.
+    */
+  def minhashStoreRetract(ids: DataFrame, idCol: String,
+                          sink: graft.sink.UpsertSink): Unit = {
+    val keys = broadcast(ids.select(col(idCol).cast("long").as("doc_id"))
+      .distinct())
+    val bandKeys = sink.read(NearDupBands).join(keys, "doc_id")
+      .select(col("band"), col("doc_id"))
+      .localCheckpoint(true)
+    sink.deleteMany(Seq(
+      graft.sink.TableDelete(NearDupBands, bandKeys, Seq("band", "doc_id")),
+      graft.sink.TableDelete(NearDupShingles,
+        keys.select(col("doc_id")), Seq("doc_id"))))
+  }
+
   /** Admission step: probe the batch against the archive state, then
     * fold the batch INTO the state (one `mergeMany` round-trip, both
     * tables' touched buckets learned in one job) so the next batch

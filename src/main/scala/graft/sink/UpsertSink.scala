@@ -67,6 +67,15 @@ final case class TableMerge(table: String, updates: DataFrame,
 final case class TableWrite(table: String, df: DataFrame,
                             pk: Seq[String] = Seq.empty)
 
+/** One table's payload for [[UpsertSink.deleteMany]] — the per-table
+  * arguments of [[UpsertSink.delete]] as data. `pk` must be the
+  * table's FULL merge key (bucket routing hashes it; a partial key
+  * would route to the wrong buckets and silently delete nothing —
+  * derive full keys from the table first, see the store retract ops).
+  */
+final case class TableDelete(table: String, keys: DataFrame,
+                             pk: Seq[String])
+
 final class UpsertSink(spark: SparkSession, root: String,
                        numBuckets: Int = 64,
                        writerWaitMs: Long = 60000L) {
@@ -1396,6 +1405,80 @@ final class UpsertSink(spark: SparkSession, root: String,
           removeEmptied = true)
       }
     } finally keyed.unpersist()
+    }
+  }
+
+  /** GROUP PK delete — [[delete]] across a table GROUP under ONE
+    * writer lease covering every member (the [[mergeMany]] discipline,
+    * for the erasure direction): the per-table bucket swaps run
+    * concurrently on disjoint dirs, so a [[snapshotMany]] reader
+    * racing the group sees the writer windows overlap and re-captures
+    * around them — a store whose state spans tables (LSH postings +
+    * vectors, bands + shingle sets) erases a subject from ALL of them
+    * without ever exposing a posting whose payload row is already
+    * gone. Per-table swaps are atomic; like mergeMany, the BATCH is
+    * not atomic under a crash (recovery converges each table
+    * independently; re-run the delete to converge the group — deletes
+    * are idempotent). Every `pk` must be its table's FULL merge key
+    * (see [[TableDelete]]).
+    */
+  def deleteMany(deletes: Seq[TableDelete]): Unit = {
+    require(deletes.nonEmpty, "deleteMany needs at least one table")
+    require(deletes.map(_.table).distinct.size == deletes.size,
+      s"one delete per table: ${deletes.map(_.table).mkString(", ")}")
+    deletes.foreach(d =>
+      require(d.pk.nonEmpty, s"delete from ${d.table} needs a primary key"))
+    withWriterLease(deletes.map(_.table)) {
+    deletes.foreach(d => recover(d.table))
+    deletes.foreach(d => require(exists(d.table),
+      s"cannot delete from missing table ${d.table}"))
+    // flat-layout members migrate to the bucketed layout first (the
+    // rare legacy path, same one-time rewrite as the single-table form)
+    deletes.filter(d => hasDataFiles(d.table) && !isBucketed(d.table))
+      .foreach { d =>
+        val buckets = numBuckets
+        val df = read(d.table)
+        swapInShadow(d.table) { shadow =>
+          bucketAligned(withBucket(df, d.pk, buckets), buckets)
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy(BucketCol).parquet(shadow.toString)
+          Files.write(bucketMarker(shadow), buckets.toString.getBytes("UTF-8"))
+        }
+      }
+    val prepped = deletes.filter(d => hasDataFiles(d.table)).map { d =>
+      val buckets = storedBuckets(d.table).getOrElse(numBuckets)
+      val stored = read(d.table).schema
+      val typedKeys = d.pk.map { c =>
+        val f = stored.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"delete from ${d.table}: key column $c not in stored schema " +
+              s"[${stored.map(_.name).mkString(", ")}]"))
+        col(c).cast(f.dataType).as(c)
+      }
+      val keyed = withBucket(d.keys.select(typedKeys: _*).distinct(),
+        d.pk, buckets)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (d, buckets, keyed)
+    }
+    try {
+      val tasks = prepped.flatMap { case (d, buckets, keyed) =>
+        val dir = tableDir(d.table)
+        val touched = keyed.select(BucketCol).distinct()
+          .collect().map(_.getInt(0)).sorted // bounded by numBuckets
+          .filter(b => Files.exists(dir.resolve(s"$BucketCol=$b")))
+        if (touched.isEmpty) None
+        else Some { () =>
+          val cur = spark.read.option("basePath", dir.toString)
+            .parquet(touched.map(b =>
+              dir.resolve(s"$BucketCol=$b").toString).toIndexedSeq: _*)
+          val kept = cur.join(keyed.select(d.pk.map(col): _*), d.pk,
+            "left_anti")
+          writeAndSwapBuckets(d.table, kept, touched, buckets,
+            removeEmptied = true)
+        }
+      }
+      runConcurrently(tasks)
+    } finally prepped.foreach(_._3.unpersist())
     }
   }
 

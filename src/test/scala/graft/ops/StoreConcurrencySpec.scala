@@ -31,8 +31,14 @@ class StoreConcurrencySpec extends SparkSpec {
   private def docsDF(rows: Seq[(Long, String)]): DataFrame =
     rows.toDF("doc_id", "text")
 
+  // digits tokenize OUT under the [a-z]+ tokenizer — encode the seed
+  // as letters so every doc gets a genuinely distinct token stream
+  // (with digit seeds every text collapsed to "w x w x ..." and the
+  // pair assertions held trivially)
+  private def letters(n: Long): String =
+    n.toString.map(c => ('a' + (c - '0')).toChar).mkString
   private def uniqueText(seed: Long): String =
-    (0 until 12).map(i => s"w${seed}x$i").mkString(" ")
+    (0 until 12).map(i => s"w${letters(seed)}${letters(i)}").mkString(" ")
 
   test("admit thread vs snapshotMany reader: no torn group, no lost admission") {
     val sink = new UpsertSink(spark,
@@ -41,16 +47,20 @@ class StoreConcurrencySpec extends SparkSpec {
     TextOps.minhashStoreBuild(archive, "doc_id", "text", sink,
       n = 3, k = 32, bands = 8)
 
-    // 3 batches; batch b's ids live in [100b, 100b+9]. Each batch
-    // carries one exact dup of an ARCHIVE doc and — from batch 1 on —
-    // one exact dup of the PREVIOUS batch's first novel doc, so the
-    // probe output proves the previous admission landed.
+    // 3 batches; batch b's ids live in [100(b+1), 100(b+1)+9] —
+    // DISJOINT from the archive's 1..30 (an id collision would PK-merge
+    // over an archive doc's shingle set and silently change what the
+    // probe verifies). Each batch carries one exact dup of an ARCHIVE
+    // doc and — from batch 1 on — one exact dup of the PREVIOUS batch's
+    // first novel doc, so the probe output proves the previous
+    // admission landed.
     def batch(b: Long): DataFrame = {
-      val novel = (0L until 8L).map(i => (100 * b + i, uniqueText(1000 + 10 * b + i)))
-      val archDup = (100 * b + 8, uniqueText(b + 1)) // dup of archive doc b+1
+      val base = 100 * (b + 1)
+      val novel = (0L until 8L).map(i => (base + i, uniqueText(1000 + 10 * b + i)))
+      val archDup = (base + 8, uniqueText(b + 1)) // dup of archive doc b+1
       val prevDup =
-        if (b == 0) (100 * b + 9, uniqueText(5000 + b)) // novel for batch 0
-        else (100 * b + 9, uniqueText(1000 + 10 * (b - 1))) // dup of batch b-1's first novel
+        if (b == 0) (base + 9, uniqueText(5000 + b)) // novel for batch 0
+        else (base + 9, uniqueText(1000 + 10 * (b - 1))) // dup of batch b-1's first novel
       docsDF(novel :+ archDup :+ prevDup)
     }
 
@@ -102,20 +112,20 @@ class StoreConcurrencySpec extends SparkSpec {
 
     // no lost admissions, part 1: every batch's ARCHIVE dup surfaced
     (0L until 3L).foreach { b =>
-      assert(pairsByBatch.get(b).contains((b + 1, 100 * b + 8)),
+      assert(pairsByBatch.get(b).contains((b + 1, 100 * (b + 1) + 8)),
         s"batch $b: archive dup not screened: ${pairsByBatch.get(b)}")
     }
     // part 2: batch b's dup of batch b-1's doc surfaced — the PREVIOUS
     // admission was live in the store when batch b probed
     (1L until 3L).foreach { b =>
-      assert(pairsByBatch.get(b).contains((100 * (b - 1), 100 * b + 9)),
+      assert(pairsByBatch.get(b).contains((100 * b, 100 * (b + 1) + 9)),
         s"batch $b: previous batch's admission invisible to the probe: " +
           s"${pairsByBatch.get(b)}")
     }
     // part 3: the final store holds archive + all three batches, both
     // tables agreeing doc-for-doc
     val want = (1L to 30L).toSet ++
-      (0L until 3L).flatMap(b => (100 * b) to (100 * b + 9)).toSet
+      (0L until 3L).flatMap(b => (100 * (b + 1)) to (100 * (b + 1) + 9)).toSet
     val bandDocs = sink.read("neardup_bands").select("doc_id")
       .distinct().as[Long].collect().toSet
     val shingleDocs = sink.read("neardup_shingles").select("doc_id")

@@ -1034,6 +1034,84 @@ class UpsertSinkSpec extends SparkSpec {
       == Seq((1L, "new")))
   }
 
+  test("deleteMany: group PK delete across tables, absent keys no-op, contract loud") {
+    val sink = freshSink()
+    sink.merge("a", (1L to 40L).map(i => (i, s"a$i")).toDF("id", "v"), Seq("id"))
+    sink.merge("b", (1L to 40L).map(i => (i, i * 2)).toDF("id", "n"), Seq("id"))
+    // erase ids 1..10 from BOTH tables in one group delete; 99 is absent
+    val keys = ((1L to 10L) :+ 99L).toDF("id")
+    sink.deleteMany(Seq(
+      TableDelete("a", keys, Seq("id")),
+      TableDelete("b", keys, Seq("id"))))
+    assert(sink.read("a").select("id").as[Long].collect().sorted.toSeq
+      == (11L to 40L))
+    assert(sink.read("b").select("id").as[Long].collect().sorted.toSeq
+      == (11L to 40L))
+    // idempotent re-delete
+    sink.deleteMany(Seq(TableDelete("a", keys, Seq("id")),
+      TableDelete("b", keys, Seq("id"))))
+    assert(sink.read("a").count() == 30 && sink.read("b").count() == 30)
+    // contract: missing table, duplicate member, empty pk all loud
+    intercept[IllegalArgumentException] {
+      sink.deleteMany(Seq(TableDelete("missing", keys, Seq("id"))))
+    }
+    intercept[IllegalArgumentException] {
+      sink.deleteMany(Seq(TableDelete("a", keys, Seq("id")),
+        TableDelete("a", keys, Seq("id"))))
+    }
+    intercept[IllegalArgumentException] {
+      sink.deleteMany(Seq(TableDelete("a", keys, Seq.empty)))
+    }
+  }
+
+  test("snapshotMany vs a LIVE group-DELETER thread: never a half-erased capture") {
+    val sink = freshSink()
+    // both tables always carry the SAME id set; the deleter erases one
+    // descending block per round — a capture must never see an id in
+    // one table and not the other
+    val all = (1L to 200L)
+    sink.merge("x", all.map(i => (i, s"x$i")).toDF("id", "v"), Seq("id"))
+    sink.merge("y", all.map(i => (i, i * 3)).toDF("id", "n"), Seq("id"))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var delErr: Option[Throwable] = None
+    val deleter = new Thread(() => {
+      try {
+        var hi = 200L
+        while (!stop.get() && hi > 40L) {
+          val keys = ((hi - 19) to hi).toDF("id")
+          sink.deleteMany(Seq(TableDelete("x", keys, Seq("id")),
+            TableDelete("y", keys, Seq("id"))))
+          hi -= 20
+          Thread.sleep(100L)
+        }
+      } catch { case t: Throwable => delErr = Some(t) }
+      finally stop.set(true)
+    }, "graft-groupdelete-churn")
+    deleter.start()
+    try {
+      var rounds = 0
+      while (!stop.get() && rounds < 12) {
+        val snaps = sink.snapshotMany(Seq("x", "y"))
+        try {
+          val xs = snaps(0).df.select("id").as[Long].collect().toSet
+          val ys = snaps(1).df.select("id").as[Long].collect().toSet
+          assert(xs == ys,
+            s"half-erased capture: x-only=${(xs -- ys).toSeq.sorted.take(5)} " +
+              s"y-only=${(ys -- xs).toSeq.sorted.take(5)}")
+          rounds += 1
+        } finally snaps.foreach(_.close())
+      }
+      assert(rounds > 0)
+    } finally {
+      stop.set(true)
+      deleter.join(60000)
+    }
+    assert(!deleter.isAlive)
+    delErr.foreach(t => fail(s"group deleter died: $t", t))
+    assert(sink.read("x").select("id").as[Long].collect().toSet
+      == sink.read("y").select("id").as[Long].collect().toSet)
+  }
+
   test("snapshotMany vs a LIVE group-writer thread: never a cross-table generation mix") {
     val sink = freshSink()
     def gen(t: String, g: Int) =
