@@ -1219,21 +1219,33 @@ object SimOps {
       s"shard count must be in [1, 4096]: $shards")
     val spark = corpus.sparkSession
     import spark.implicits._
-    sink.overwrite(ShardMeta, Seq(shards).toDF("shards"), Seq("shards"))
-    shardSinks(spark, sink, shards).zipWithIndex.foreach { case (ss, s) =>
-      val slice = corpus.filter(shardOf(idCol, shards) === s)
-      val n = slice.count()
-      // an EMPTY hash range builds no index (a high shard count over a
-      // small corpus leaves gaps) — probe/maintenance skip it, which is
-      // the correct semantics: an empty shard holds no neighbors
-      if (n > 0) {
-        val useNlist =
-          if (!scaleNlist) nlist
-          else math.max(nlist, nlistForCorpus(n, nlist))
-        buildIvfPqIndex(slice, idCol, vecCol, ss, nlist = useNlist, m = m,
-          ksub = ksub, coarseIters = coarseIters, storeSq8 = storeSq8)
-      }
-    }
+    val builtCount = shardSinks(spark, sink, shards).zipWithIndex.map {
+      case (ss, s) =>
+        val slice = corpus.filter(shardOf(idCol, shards) === s)
+        val n = slice.count()
+        // an EMPTY hash range builds no index (a high shard count over a
+        // small corpus leaves gaps) — probe/maintenance skip it, which is
+        // the correct semantics: an empty shard holds no neighbors
+        if (n > 0) {
+          val useNlist =
+            if (!scaleNlist) nlist
+            else math.max(nlist, nlistForCorpus(n, nlist))
+          buildIvfPqIndex(slice, idCol, vecCol, ss, nlist = useNlist, m = m,
+            ksub = ksub, coarseIters = coarseIters, storeSq8 = storeSq8)
+          1
+        } else 0
+    }.sum
+    // the meta row is the COMMIT POINT, written only after every shard
+    // built: a crash mid-build leaves no meta and the probe fails
+    // loudly with "no sharded index" instead of silently serving a
+    // partial corpus (each per-shard build is itself atomic via the
+    // sink's group swap, so torn shards cannot exist — only missing
+    // ones). `built` pins how many non-empty shards this generation
+    // holds; the probe re-counts on every call and refuses to serve if
+    // any built shard has vanished (a partially-deleted index tree is
+    // the one remaining way to lose a shard silently).
+    sink.overwrite(ShardMeta,
+      Seq((shards, builtCount)).toDF("shards", "built"), Seq("shards"))
   }
 
   /** True iff a sharded index exists: the meta row plus at least one
@@ -1242,8 +1254,10 @@ object SimOps {
   def shardedIndexExists(spark: org.apache.spark.sql.SparkSession,
                          sink: graft.sink.UpsertSink): Boolean =
     sink.exists(ShardMeta) && {
-      val n = sink.read(ShardMeta).collect()(0).getInt(0)
-      shardSinks(spark, sink, n).exists(ivfPqIndexExists)
+      val meta = sink.read(ShardMeta).collect()(0)
+      val n = meta.getAs[Int]("shards")
+      shardSinks(spark, sink, n).count(ivfPqIndexExists) ==
+        meta.getAs[Int]("built") && meta.getAs[Int]("built") > 0
     }
 
   /** Probe a SHARDED index: every shard probes independently (each the
@@ -1268,8 +1282,16 @@ object SimOps {
     val spark = corpus.sparkSession
     require(sink.exists(ShardMeta),
       s"no sharded index under ${sink.rootPath} — run buildShardedIvfPqIndex")
-    val shards = sink.read(ShardMeta).collect()(0).getInt(0)
+    val meta = sink.read(ShardMeta).collect()(0)
+    val shards = meta.getAs[Int]("shards")
     val built = shardSinks(spark, sink, shards).filter(ivfPqIndexExists)
+    // every non-empty shard of the committed generation must be present:
+    // serving a subset would be indistinguishable from legitimately
+    // empty hash ranges (silent partial-corpus results)
+    require(built.size == meta.getAs[Int]("built"),
+      s"sharded index under ${sink.rootPath} has ${built.size} built " +
+        s"shards but its meta commit recorded ${meta.getAs[Int]("built")} " +
+        "— torn or partially deleted index; rebuild it")
     require(built.nonEmpty,
       s"sharded index under ${sink.rootPath} has no built shards")
     val perShard = built.map { ss =>
@@ -1277,7 +1299,7 @@ object SimOps {
         refine, candidateFilter = candidateFilter,
         broadcastQueries = broadcastQueries, refineFromSq8 = refineFromSq8)
     }
-    val union = perShard.reduce(_.unionByName(_))
+    val union = unionBalanced(perShard)
     union
       .groupBy("query_id")
       .agg(graft.functions.TopKAggregate.top(
@@ -1289,6 +1311,28 @@ object SimOps {
           .otherwise(col("__e._2")).as("cosine"),
         (col("__i") + 1).cast("int").as("rank"))
   }
+
+  /** Balanced-tree union: a left-fold `reduce(_.unionByName(_))` nests
+    * the plan `dfs.size` deep and analyzer passes over a deeply skewed
+    * tree degrade super-linearly; pairing halves the depth to
+    * O(log n) so a wide sharded probe stays analyzable. (Catalyst
+    * flattens adjacent Unions in the optimizer either way — this is
+    * about ANALYSIS cost, which runs on the raw tree.)
+    *
+    * Practical shard-count envelope for [[shardedProbeIndex]]: each
+    * built shard still contributes one per-shard probe subplan (a scan
+    * + ADC shortlist + refine join), constructed SEQUENTIALLY on the
+    * driver, and each shard's index metadata is read serially at plan
+    * time — at the 4096-shard bound that is thousands of driver-side
+    * metadata reads and a union of thousands of subplans in one job.
+    * Sharding earns its keep up to O(tens) of shards per probe; past
+    * that, route each QUERY BATCH to its shard subset upstream (the
+    * hash route is deterministic) or probe shards as separate jobs and
+    * merge top-k downstream.
+    */
+  private def unionBalanced(dfs: Seq[DataFrame]): DataFrame =
+    if (dfs.size == 1) dfs.head
+    else unionBalanced(dfs.grouped(2).map(_.reduce(_.unionByName(_))).toSeq)
 
   /** Per-shard drift decisions for one fresh batch. */
   final case class ShardDrift(shard: Int, decision: DriftDecision)
@@ -1312,7 +1356,7 @@ object SimOps {
     val spark = corpus.sparkSession
     require(sink.exists(ShardMeta),
       s"no sharded index under ${sink.rootPath} — run buildShardedIvfPqIndex")
-    val shards = sink.read(ShardMeta).collect()(0).getInt(0)
+    val shards = sink.read(ShardMeta).collect()(0).getAs[Int]("shards")
     shardSinks(spark, sink, shards).zipWithIndex.flatMap { case (ss, s) =>
       val slice = batch.filter(shardOf(idCol, shards) === s)
         .dropDuplicates(idCol).filter(col(vecCol).isNotNull)
@@ -1472,14 +1516,21 @@ object SimOps {
     */
   def embLshStoreRetract(ids: DataFrame, idCol: String,
                          sink: graft.sink.UpsertSink): Unit = {
-    val keys = broadcast(ids.select(col(idCol).cast("long").as("id"))
-      .distinct())
-    val sigKeys = sink.read(EmbSigs).join(keys, "id")
-      .select(col("t"), col("s"), col("id"))
-      .localCheckpoint(true)
-    sink.deleteMany(Seq(
-      graft.sink.TableDelete(EmbSigs, sigKeys, Seq("t", "s", "id")),
-      graft.sink.TableDelete(EmbVecs, keys.select(col("id")), Seq("id"))))
+    val keys = ids.select(col(idCol).cast("long").as("id")).distinct()
+    // keys derive INSIDE the deleteMany lease (thunk overload): a
+    // concurrent admit can never slip signature postings in between
+    // the key scan and the delete. The broadcast hint scopes to the
+    // posting-scan join only — the TableDelete key frames execute
+    // join-free in deleteMany.
+    sink.deleteMany(Seq(EmbSigs, EmbVecs)) {
+      val sigKeys = sink.read(EmbSigs).join(broadcast(keys), "id")
+        .select(col("t"), col("s"), col("id"))
+        .localCheckpoint(true)
+      Seq(
+        graft.sink.TableDelete(EmbSigs, sigKeys, Seq("t", "s", "id")),
+        graft.sink.TableDelete(EmbVecs, keys.select(col("id")),
+          Seq("id")))
+    }
   }
 
   /** Admission: probe, then fold the batch into the store (one

@@ -299,21 +299,29 @@ object TextOps {
     * a posting whose shingle row is already gone, and later probes
     * can never surface an erased document as a candidate. The bands
     * table's merge key is (band, doc_id), so the full keys derive
-    * from one broadcast-filtered posting scan (map-only, erasure-
-    * batch-bounded) — eagerly checkpointed, because that plan reads
-    * the very files the delete rewrites.
+    * from one filtered posting scan (map-only, erasure-batch-bounded;
+    * the erased-id frame broadcast-joins against the postings) —
+    * eagerly checkpointed, because that plan reads the very files the
+    * delete rewrites. Key derivation runs INSIDE the deleteMany lease
+    * (the thunk overload), so a concurrent admit can never slip
+    * postings in between the key scan and the delete: the erasure
+    * contract holds under concurrent writers, not just single-writer
+    * callers.
     */
   def minhashStoreRetract(ids: DataFrame, idCol: String,
                           sink: graft.sink.UpsertSink): Unit = {
-    val keys = broadcast(ids.select(col(idCol).cast("long").as("doc_id"))
-      .distinct())
-    val bandKeys = sink.read(NearDupBands).join(keys, "doc_id")
-      .select(col("band"), col("doc_id"))
-      .localCheckpoint(true)
-    sink.deleteMany(Seq(
-      graft.sink.TableDelete(NearDupBands, bandKeys, Seq("band", "doc_id")),
-      graft.sink.TableDelete(NearDupShingles,
-        keys.select(col("doc_id")), Seq("doc_id"))))
+    val keys = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+    sink.deleteMany(Seq(NearDupBands, NearDupShingles)) {
+      val bandKeys = sink.read(NearDupBands)
+        .join(broadcast(keys), "doc_id")
+        .select(col("band"), col("doc_id"))
+        .localCheckpoint(true)
+      Seq(
+        graft.sink.TableDelete(NearDupBands, bandKeys,
+          Seq("band", "doc_id")),
+        graft.sink.TableDelete(NearDupShingles,
+          keys.select(col("doc_id")), Seq("doc_id")))
+    }
   }
 
   /** Admission step: probe the batch against the archive state, then

@@ -131,14 +131,21 @@ final class UpsertSink(spark: SparkSession, root: String,
     * folds into the hash, so cache coherence never depends on part-file
     * naming or clock resolution.
     */
-  def version(table: String): Long = {
+  def version(table: String): Long = retryVanishedWalk("version", table) {
     recover(table)
     val dir = tableDir(table)
-    if (!Files.exists(dir)) return 0L
+    if (!Files.exists(dir)) 0L
+    else {
     val stream = Files.walk(dir)
     try {
       stream.sorted().iterator().asScala
-        .filter(Files.isRegularFile(_))
+        .filter(p => Files.isRegularFile(p) &&
+          // dot-prefixed entries (.bkup_N backups, .gswap__ journals)
+          // are recovery transients, not content: recovery's stale-
+          // backup cleanup may remove them without any data change, and
+          // hashing them would both churn the fingerprint and widen the
+          // stat-a-vanishing-file race this walk retries around
+          !dir.relativize(p).toString.split('/').exists(_.startsWith(".")))
         .foldLeft(1125899906842597L) { (h, p) =>
           val s =
             if (p.getFileName.toString == GenMarker)
@@ -148,6 +155,36 @@ final class UpsertSink(spark: SparkSession, root: String,
           s.foldLeft(h)((a, c) => a * 31 + c)
         }
     } finally stream.close()
+    }
+  }
+
+  /** Bounded restart for metadata walks racing a live writer/deleter.
+    * [[version]] and [[hasDataFiles]] walk the table dir WITHOUT taking
+    * a lease (they are reader-path), so a concurrent [[deleteMany]] can
+    * remove a `.bkup_N` backup or a whole emptied-bucket dir between
+    * the walk's listing and its stat — surfacing as
+    * UncheckedIOException(NoSuchFileException) out of FileTreeIterator
+    * (or a raw NoSuchFileException from a follow-up stat). That is the
+    * same transient the snapshot link walk already restarts around
+    * ([[isVanishedFile]]); these walks get the identical discipline: a
+    * vanished file means "a writer moved something mid-walk — re-walk",
+    * bounded so a pathological continuous rewriter fails loudly instead
+    * of looping.
+    */
+  private def retryVanishedWalk[T](what: String, table: String)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return body
+      catch {
+        case e if isVanishedFile(e) =>
+          if (attempt >= 10) throw new IllegalStateException(
+            s"$what of $table lost the walk race $attempt times — " +
+              "is a writer continuously rewriting the table?", e)
+          Thread.sleep(5L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Per-write generation marker (underscore prefix = invisible to
@@ -598,15 +635,18 @@ final class UpsertSink(spark: SparkSession, root: String,
     * throw UNABLE_TO_INFER_SCHEMA. Underscore/dot prefixes are the
     * parquet-invisible convention, same as the markers themselves.
     */
-  private def hasDataFiles(table: String): Boolean = {
-    val dir = tableDir(table)
-    if (!Files.exists(dir)) return false
-    val stream = Files.walk(dir)
-    try stream.iterator().asScala.exists { p =>
-      val n = p.getFileName.toString
-      Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
-    } finally stream.close()
-  }
+  private def hasDataFiles(table: String): Boolean =
+    retryVanishedWalk("hasDataFiles", table) {
+      val dir = tableDir(table)
+      if (!Files.exists(dir)) false
+      else {
+        val stream = Files.walk(dir)
+        try stream.iterator().asScala.exists { p =>
+          val n = p.getFileName.toString
+          Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+        } finally stream.close()
+      }
+    }
 
   /** The bucket modulus a table was WRITTEN with, recorded in a
     * `_graft_buckets` marker (underscore prefix = invisible to parquet
@@ -1424,11 +1464,46 @@ final class UpsertSink(spark: SparkSession, root: String,
     */
   def deleteMany(deletes: Seq[TableDelete]): Unit = {
     require(deletes.nonEmpty, "deleteMany needs at least one table")
+    withWriterLease(deletes.map(_.table)) {
+      deleteManyLeased(deletes)
+    }
+  }
+
+  /** [[deleteMany]] with the delete keys DERIVED INSIDE the writer
+    * lease. An erasure whose full merge keys come from scanning the
+    * store itself (the LSH retract pattern: band postings for the
+    * erased ids) has a race in the eager form — a concurrent admit
+    * landing between the caller's key scan and `deleteMany`'s lease
+    * acquisition adds postings the scan never saw, leaving dangling
+    * rows for "erased" ids. Declaring the member `tables` up front
+    * (the lease needs its scope before any work) and evaluating
+    * `derive` only after the lease is held closes that window: the key
+    * scan observes a store no concurrent writer can be mutating, so
+    * erased ids can NEVER resurface, even against concurrent admits.
+    * `derive` must only delete from the declared tables (enforced),
+    * and — as with any plan reading files the delete will rewrite —
+    * should eagerly checkpoint store-scanning key frames.
+    */
+  def deleteMany(tables: Seq[String])(derive: => Seq[TableDelete]): Unit = {
+    require(tables.nonEmpty, "deleteMany needs at least one table")
+    require(tables.distinct.size == tables.size,
+      s"duplicate tables in lease scope: ${tables.mkString(", ")}")
+    withWriterLease(tables) {
+      val deletes = derive
+      require(deletes.nonEmpty, "deleteMany needs at least one table")
+      val outside = deletes.map(_.table).filterNot(tables.contains)
+      require(outside.isEmpty,
+        s"derived deletes target tables outside the lease scope: " +
+          s"${outside.mkString(", ")} (declared: ${tables.mkString(", ")})")
+      deleteManyLeased(deletes)
+    }
+  }
+
+  private def deleteManyLeased(deletes: Seq[TableDelete]): Unit = {
     require(deletes.map(_.table).distinct.size == deletes.size,
       s"one delete per table: ${deletes.map(_.table).mkString(", ")}")
     deletes.foreach(d =>
       require(d.pk.nonEmpty, s"delete from ${d.table} needs a primary key"))
-    withWriterLease(deletes.map(_.table)) {
     deletes.foreach(d => recover(d.table))
     deletes.foreach(d => require(exists(d.table),
       s"cannot delete from missing table ${d.table}"))
@@ -1479,7 +1554,6 @@ final class UpsertSink(spark: SparkSession, root: String,
       }
       runConcurrently(tasks)
     } finally prepped.foreach(_._3.unpersist())
-    }
   }
 
   /** BUCKET-LAYOUT EVOLUTION — the maintenance half of an incremental
