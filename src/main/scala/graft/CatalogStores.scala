@@ -5,9 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{MinHashFunctions, WinnowFunctions}
-import graft.ops.{BpeOps, ChatOps, ClassifierOps, GraphOps, MultimodalOps, RelOps, SampleOps, SelectOps, SimOps, TextOps, WebOps}
+import graft.ops.{BpeOps, ChatOps, ClassifierOps, EraseOps, GraphOps, MultimodalOps, RelOps, SampleOps, SelectOps, SimOps, TextOps, WebOps}
 
-/** Incremental stores + lifecycle capstones (q106-q122). */
+/** Incremental stores + lifecycle capstones (q106-q124). */
 private[graft] trait CatalogStores extends CatalogShared {
 
   // ---------------------------------------------------------------------
@@ -994,6 +994,260 @@ private[graft] trait CatalogStores extends CatalogShared {
             SimOps.shardedProbeIndex(q, e, "vec_id", "embedding", sink, 5),
             SimOps.bruteForceTopK(q, e, "vec_id", "embedding", 5), 5)
           .orderBy("query_id", "rank")
+      }),
+
+    QueryDef("q123_erasure_sweep",
+      "The ERASURE capstone closing what q122 started: right-to-" +
+        "erasure over the FULL q117 store composition — fingerprint " +
+        "counts, segment inventory, MinHash band+shingle postings, " +
+        "substring-window inventory, DSIR policy histograms, embedding " +
+        "LSH postings+vectors — in ONE EraseOps sweep: all eight " +
+        "member tables under a single writer lease (a concurrent " +
+        "snapshotMany can never capture the subject gone from one " +
+        "gate but flagged by another), every key/decrement derived " +
+        "INSIDE the lease, count stores retracted by subtracting the " +
+        "subjects' re-derived additive contribution (zero rows " +
+        "physically removed; the policy histogram stays dense at " +
+        "zero), posting stores by touched-bucket PK delete — " +
+        "O(subjects + touched buckets), never O(store). The oracle is " +
+        "q117's full admission screen with the archive REPLACED by " +
+        "archive-minus-subjects: erased documents never resurface " +
+        "through ANY gate, and every bystander signal is " +
+        "byte-identical to a world that never admitted them.",
+      Some {
+        val (hitExprs, maxExpr, nWin, firstWin) = sqlLangPieces
+        s"""WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+           |a AS (SELECT doc_id, text FROM documents
+           |      WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0),
+           |h AS (SELECT doc_id, $sqlQualityMil AS quality_mil,
+           |  $hitExprs FROM b),
+           |m AS (SELECT *, $maxExpr AS mx FROM h),
+           |lg AS (SELECT doc_id, quality_mil, CASE WHEN mx = 0 OR ($nWin) > 1
+           |    THEN 'und' ELSE ($firstWin) END AS lang FROM m),
+           |afp AS (SELECT DISTINCT
+           |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+           |  FROM a),
+           |ex AS (SELECT doc_id, CASE WHEN
+           |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           |      IN (SELECT fp FROM afp) THEN 1 ELSE 0 END AS dup_exact
+           |  FROM b),
+           |toksall AS (SELECT doc_id,
+           |    regexp_extract_all(lower(text), '[a-z]+') w FROM documents),
+           |segl AS (SELECT doc_id,
+           |    [{'i': i, 's': array_to_string(w[(i*25+1):(i*25+25)], ' ')}
+           |     for i in range(0, CAST(ceil(len(w)/25.0) AS INTEGER))] AS ss
+           |  FROM toksall),
+           |seg AS (SELECT doc_id, u.i AS seg_idx, u.s AS s
+           |  FROM (SELECT doc_id, unnest(ss) AS u FROM segl)),
+           |archs AS (SELECT DISTINCT md5(s) AS hsh FROM seg
+           |  WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0),
+           |batk AS (SELECT doc_id, count(*) FILTER (
+           |      WHERE md5(s) NOT IN (SELECT hsh FROM archs)) AS kept
+           |  FROM seg WHERE doc_id % 3 = 0 GROUP BY doc_id),
+           |segk AS (SELECT t.doc_id,
+           |    CAST(COALESCE(ceil(len(w)/25.0), 0) AS INTEGER) AS n_segs,
+           |    CAST(COALESCE(batk.kept, 0) AS INTEGER) AS n_kept
+           |  FROM toksall t LEFT JOIN batk USING (doc_id)
+           |  WHERE t.doc_id % 3 = 0),
+           |sh AS (SELECT doc_id, CASE WHEN len(w) < 3
+           |    THEN [array_to_string(w, ' ')]
+           |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+           |                        for i in range(1, len(w) - 1)]) END AS sss
+           |  FROM toksall),
+           |ndh AS (SELECT DISTINCT bsh.doc_id FROM sh ash JOIN sh bsh
+           |  ON ash.doc_id % 3 <> 0 AND ash.doc_id % 5 <> 0
+           |  AND bsh.doc_id % 3 = 0
+           |  AND CAST(len(list_intersect(ash.sss, bsh.sss)) AS DOUBLE)
+           |      / len(list_distinct(list_concat(ash.sss, bsh.sss))) >= 0.5),
+           |emb AS (SELECT vec_id, embedding FROM embeddings),
+           |edh AS (SELECT DISTINCT eb.vec_id AS doc_id
+           |  FROM emb ea JOIN emb eb
+           |  ON ea.vec_id % 3 <> 0 AND ea.vec_id % 5 <> 0
+           |  AND eb.vec_id % 3 = 0
+           |  AND round(${sqlCosine("ea.embedding", "eb.embedding")}, 6)
+           |      >= 0.45),
+           |swa AS (SELECT DISTINCT u AS hh FROM (
+           |  SELECT unnest([md5(array_to_string(w[(i+1):(i+20)], ' '))
+           |                 for i in range(0, len(w) - 19)]) AS u
+           |  FROM toksall WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0)),
+           |sex AS (SELECT doc_id, u.i AS pos, u.h AS hh FROM (
+           |  SELECT doc_id, unnest([{'i': i,
+           |      'h': CASE WHEN i <= len(w) - 20
+           |        THEN md5(array_to_string(w[(i+1):(i+20)], ' ')) END}
+           |    for i in range(0, len(w))]) u
+           |  FROM toksall WHERE doc_id % 3 = 0)),
+           |smk AS (SELECT doc_id, pos, CASE WHEN hh IS NOT NULL
+           |      AND hh IN (SELECT hh FROM swa) THEN 1 ELSE 0 END AS ds
+           |  FROM sex),
+           |scov AS (SELECT doc_id,
+           |    sum(ds) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) > 0 AS covered
+           |  FROM smk),
+           |sk AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+           |    CAST(count(*) FILTER (WHERE covered) AS INTEGER)
+           |      AS n_span_removed
+           |  FROM scov GROUP BY doc_id),
+           |dgr AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 3 = 0 THEN 'bat'
+           |         WHEN doc_id % 5 = 0 THEN 'gone'
+           |         WHEN doc_id % 11 = 0 THEN 'tgt'
+           |         ELSE 'raw' END AS part,
+           |    w || CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+           |      ELSE [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+           |    END AS grams
+           |  FROM toksall),
+           |docc AS (SELECT doc_id, part,
+           |    CAST(concat('0x', substr(md5(unnest(grams)), 1, 15))
+           |      AS BIGINT) % 512 AS bk
+           |  FROM dgr),
+           |dht AS (SELECT bk, COUNT(*) AS ct FROM docc WHERE part = 'tgt'
+           |  GROUP BY bk),
+           |dhr AS (SELECT bk, COUNT(*) AS cr FROM docc WHERE part = 'raw'
+           |  GROUP BY bk),
+           |daff AS (SELECT doc_id,
+           |    (1000 * (COALESCE(ct, 0) + 1))
+           |      // (COALESCE(ct, 0) + COALESCE(cr, 0) + 2) AS aa
+           |  FROM docc LEFT JOIN dht USING (bk) LEFT JOIN dhr USING (bk)
+           |  WHERE part = 'bat'),
+           |dsc AS (SELECT doc_id, COUNT(*) AS n, SUM(aa) AS sa
+           |  FROM daff GROUP BY doc_id)
+           |SELECT lg.doc_id, lg.quality_mil, lg.lang, ex.dup_exact,
+           |  segk.n_segs, segk.n_kept,
+           |  CASE WHEN ndh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS neardup_hit,
+           |  CASE WHEN edh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS embdup_hit,
+           |  COALESCE(sk.n_tokens, 0) AS n_tokens,
+           |  COALESCE(sk.n_span_removed, 0) AS n_span_removed,
+           |  CAST(dsc.sa // dsc.n AS BIGINT) AS dsir_mil,
+           |  CAST(CASE WHEN dsc.sa // dsc.n >= 101 THEN 1 ELSE 0 END
+           |    AS INTEGER) AS sel_admit,
+           |  CASE WHEN lg.quality_mil >= 500 AND lg.lang = 'en'
+           |       AND ex.dup_exact = 0 AND ndh.doc_id IS NULL
+           |       AND edh.doc_id IS NULL
+           |       AND COALESCE(sk.n_span_removed, 0) * 5
+           |           <= COALESCE(sk.n_tokens, 0)
+           |       AND COALESCE(dsc.sa // dsc.n >= 101, FALSE)
+           |       THEN 1 ELSE 0 END AS admitted
+           |FROM lg JOIN ex USING (doc_id) JOIN segk USING (doc_id)
+           |  LEFT JOIN ndh USING (doc_id) LEFT JOIN edh USING (doc_id)
+           |  LEFT JOIN sk USING (doc_id) LEFT JOIN dsc USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      },
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val e = t(s, dir, "embeddings")
+        val sink = tempStore.freshSink(s, "erasesweep", dir)
+        val archive = docs.filter(col("doc_id") % 3 =!= 0)
+        TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink)
+        TextOps.segmentStoreBuild(archive, "doc_id", "text", sink)
+        TextOps.minhashStoreBuild(archive, "doc_id", "text", sink)
+        TextOps.substrStoreBuild(archive, "doc_id", "text", sink)
+        SelectOps.selectionStoreBuild(archive,
+          archive.filter(col("doc_id") % 11 === 0),
+          "doc_id", "text", sink, buckets = 512)
+        SimOps.embLshStoreBuild(e.filter(col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", sink)
+        // THE ERASURE: archive subjects (ids divisible by 5) leave every
+        // store in one group-atomic sweep
+        val subjects = archive.filter(col("doc_id") % 5 === 0)
+        EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
+          fromTarget = Some(subjects.filter(col("doc_id") % 11 === 0)),
+          fromRaw = Some(subjects.filter(col("doc_id") % 11 =!= 0)),
+          vecIds = Some(e.filter(col("vec_id") % 3 =!= 0 &&
+            col("vec_id") % 5 === 0).select("vec_id")))
+        // q117's probe block, unchanged: the screen must behave as if
+        // the subjects were never admitted
+        val batch = docs.filter(col("doc_id") % 3 === 0)
+        val txt = TextOps.admissionScreen(batch, "doc_id", "text", sink)
+          .drop("admitted")
+        val sub = TextOps.substrStoreProbe(batch, "doc_id", "text", sink)
+          .select(col("doc_id"), col("n_tokens"),
+            col("n_removed").as("n_span_removed"))
+        val sel = SelectOps.selectionStoreScore(batch, "doc_id", "text",
+            sink, minMil = 101L)
+          .select(col("doc_id"), col("dsir_mil"),
+            col("admitted").as("sel_admit"))
+        val embHits = SimOps.embLshStoreProbe(
+            e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+            sink, threshold = 0.45)
+          .select(col("b_id").as("doc_id")).distinct()
+          .withColumn("__ed", lit(1))
+        txt.join(broadcast(embHits), Seq("doc_id"), "left")
+          .join(broadcast(sub), Seq("doc_id"), "left")
+          .join(broadcast(sel), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("quality_mil"), col("lang"),
+            col("dup_exact"), col("n_segs"), col("n_kept"),
+            col("neardup_hit"),
+            coalesce(col("__ed"), lit(0)).as("embdup_hit"),
+            col("n_tokens"), col("n_span_removed"), col("dsir_mil"),
+            col("sel_admit"))
+          .withColumn("admitted",
+            (col("quality_mil") >= 500 && col("lang") === "en" &&
+              col("dup_exact") === 0 && col("neardup_hit") === 0 &&
+              col("embdup_hit") === 0 &&
+              col("n_span_removed") * 5 <= col("n_tokens") &&
+              col("sel_admit") === 1).cast("int"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q124_sharded_maintenance",
+      "The sharded index's OPERATIONAL payoff, driver-visible (q121 " +
+        "builds+probes; this is the maintenance arc): a STABLE " +
+        "in-distribution batch measures drift per shard and rebuilds " +
+        "NOTHING — every shard's content version byte-pinned unchanged " +
+        "via the sink fingerprint — then a mode-collapsed batch " +
+        "hash-routed entirely into ONE shard fires that shard's drift " +
+        "gate ALONE: 1/shards of the fleet re-trains, the other " +
+        "shards' versions stay byte-identical, and the post-swap " +
+        "sharded probe serves the grown corpus (recall_mil vs exact " +
+        "brute force rides every row). Per-shard decisions and " +
+        "version-moved flags are the audit columns; k-means inside -> " +
+        "rows-only; CatalogSpec pins the no-rebuild/one-rebuild/" +
+        "byte-pin contract and the recall floor.",
+      None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val sink = tempStore.freshSink(s, "shardmaint", dir)
+        // coarseIters=1: the arc under test is the maintenance contract
+        // (who rebuilds, whose bytes move), not quantizer quality — the
+        // recall floor is still enforced on the served result
+        SimOps.buildShardedIvfPqIndex(e, "vec_id", "embedding", sink,
+          shards = 4, nlist = 8, coarseIters = 1)
+        val v0 = SimOps.shardedIndexVersions(s, sink)
+        // stable batch: a self-sample (the q105 convention — same ids,
+        // same vectors, so each slice routes to its own shard and the
+        // measured distribution IS the trained one) — nothing rebuilds
+        val stable = e.filter(col("vec_id") % 3 === 0)
+        val c1 = e
+        val d1 = SimOps.maintainShardedIndex(stable, c1, "vec_id",
+          "embedding", sink, nlist = 8)
+        val v1 = SimOps.shardedIndexVersions(s, sink)
+        // drift batch: mode-collapsed vectors, hash-routed into shard 0
+        // ONLY — exactly one shard re-trains
+        val collapsed = e.filter(col("vec_id") % 3 === 1)
+          .select((col("vec_id") + lit(40000000L)).as("vec_id"),
+            transform(col("embedding"), x => x * lit(0.0f) + lit(0.41f))
+              .as("embedding"))
+          .filter(SimOps.shardOf("vec_id", 4) === 0)
+        val c2 = c1.unionByName(collapsed)
+        val d2 = SimOps.maintainShardedIndex(collapsed, c2, "vec_id",
+          "embedding", sink, nlist = 8)
+        val v2 = SimOps.shardedIndexVersions(s, sink)
+        val q = e.filter(col("vec_id") % 200 === 0)
+        // bounded: one scalar aggregate over the audited probe
+        val recall = SimOps.withRecallAudit(
+            SimOps.shardedProbeIndex(q, c2, "vec_id", "embedding", sink, 5),
+            SimOps.bruteForceTopK(q, c2, "vec_id", "embedding", 5), 5)
+          .agg(avg(col("recall_mil")).cast("long")).collect()(0).getLong(0)
+        import s.implicits._
+        def decision(ds: Seq[SimOps.ShardDrift], sh: Int): Int =
+          ds.find(_.shard == sh).map(x => if (x.decision.rebuilt) 1 else 0)
+            .getOrElse(-1) // -1 = empty batch slice, nothing measured
+        (0 until 4).map { sh =>
+          (sh, decision(d1, sh), if (v1(sh) != v0(sh)) 1 else 0,
+            decision(d2, sh), if (v2(sh) != v1(sh)) 1 else 0, recall)
+        }.toDF("shard", "stable_rebuilt", "stable_ver_changed",
+          "drift_rebuilt", "drift_ver_changed", "recall_mil")
+          .orderBy("shard")
       })
   )
 }

@@ -181,29 +181,44 @@ object SelectOps {
 
   // --- incremental selection: persisted DSIR affinity policy -------------
 
-  private val AffStore = "dsir_affinity"
+  private[ops] val AffStore = "dsir_affinity"
 
-  /** Persist a SELECTION POLICY: the dense per-bucket DSIR affinity
-    * table fit on an archive (target sample vs [[rawPool]]), `buckets`
-    * rows of (bucket int, aff_mil long). This is the missing
-    * incremental-store modality next to dedup ([[graft.ops.TextOps]]
-    * stores) — at 100 TB the policy is fit ONCE per archive/target
-    * refresh (two bounded histograms over the archive), and every
-    * daily batch after that is scored WITHOUT touching the archive at
-    * all: the store is ≤ `buckets` rows, the probe one map-only scan.
+  /** Persist a SELECTION POLICY: the dense per-bucket DSIR gram
+    * histograms fit on an archive — `buckets` rows of (bucket int,
+    * ct long, cr long): the TARGET sample's and the [[rawPool]]'s raw
+    * gram counts per hash bucket. This is the missing incremental-store
+    * modality next to dedup ([[graft.ops.TextOps]] stores) — at 100 TB
+    * the policy is fit ONCE per archive/target refresh (two bounded
+    * histograms over the archive), and every daily batch after that is
+    * scored WITHOUT touching the archive at all: the store is ≤
+    * `buckets` rows, the probe one map-only scan.
+    *
+    * RAW COUNTS, not the derived aff_mil ratio, are what persist: the
+    * affinity derives at score time (same integer arithmetic as
+    * [[affinityTableMil]], bit-identical scores), and counts are
+    * additive — which is what makes the policy ERASABLE
+    * ([[selectionStoreRetract]]): a subject's gram contribution
+    * subtracts exactly, where a stored ratio is irreversible.
     */
   def selectionStoreBuild(archive: DataFrame, target: DataFrame,
                           idCol: String, textCol: String,
                           sink: graft.sink.UpsertSink,
                           buckets: Int = 512): Unit = {
-    val aff = affinityTableMil(target, rawPool(archive, target, idCol),
-      textCol, buckets)
     val s = archive.sparkSession
-    import s.implicits._
-    sink.overwrite(AffStore,
-      aff.toSeq.zipWithIndex.map { case (a, b) => (b, a) }
-        .toDF("bucket", "aff_mil"),
-      Seq("bucket"))
+    val ht = bucketHist(target, textCol, buckets)
+      .withColumnRenamed("cnt", "ct")
+    val hr = bucketHist(rawPool(archive, target, idCol), textCol, buckets)
+      .withColumnRenamed("cnt", "cr")
+    // dense 0..buckets-1: every bucket present (zeros included), so the
+    // score-time read can verify density and a retraction at zero keeps
+    // the row (a zero bucket scores the neutral prior — structural)
+    val dense = s.range(buckets).select(col("id").cast("int").as("bucket"))
+      .join(ht, Seq("bucket"), "left")
+      .join(hr, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    sink.overwrite(AffStore, dense, Seq("bucket"))
   }
 
   /** Score a NEW batch against the persisted policy, map-only:
@@ -211,7 +226,9 @@ object SelectOps {
     * gram-less docs score null and are not admitted). The store read
     * is bounded (= `buckets` rows) and verified DENSE — a torn or
     * truncated policy table fails loudly rather than silently scoring
-    * against a shifted bucket mapping.
+    * against a shifted bucket mapping. The per-bucket affinity derives
+    * from the stored (ct, cr) with [[affinityTableMil]]'s exact
+    * integer arithmetic: `(1000 * (ct + 1)) / (ct + cr + 2)`.
     */
   def selectionStoreScore(batch: DataFrame, idCol: String,
                           textCol: String, sink: graft.sink.UpsertSink,
@@ -227,11 +244,43 @@ object SelectOps {
         s"selection store is torn: bucket $b not in a dense " +
           s"0..${buckets - 1} layout")
       seen(b) = true
-      aff(b) = r.getAs[Long]("aff_mil")
+      val ct = r.getAs[Long]("ct"); val cr = r.getAs[Long]("cr")
+      aff(b) = (1000L * (ct + 1)) / (ct + cr + 2)
     }
     scoreAffinityMil(batch, idCol, textCol, aff)
       .withColumn("admitted",
         when(col("dsir_mil") >= minMil, lit(1)).otherwise(lit(0)))
+  }
+
+  /** ERASE documents from the selection policy: subtract the erased
+    * docs' per-bucket gram counts — target-sample members from `ct`,
+    * raw-pool members from `cr` (the caller splits, since membership
+    * was the caller's convention at build time; [[rawPool]] means the
+    * two sets are disjoint). Post-retract the policy is bit-identical
+    * to one fit WITHOUT the subjects. Rows are never dropped
+    * (`dropAtZero = false`): the histogram is structurally dense, and
+    * a both-zero bucket scores the neutral prior 500 — exactly a
+    * never-seen bucket. Same caller contract as the count stores:
+    * text exactly as admitted, each doc's contribution present once.
+    */
+  def selectionStoreRetract(fromTarget: DataFrame, fromRaw: DataFrame,
+                            textCol: String,
+                            sink: graft.sink.UpsertSink): Unit =
+    sink.eraseMany(Seq(AffStore)) {
+      selectionRetractPlan(fromTarget, fromRaw, textCol, sink)
+    }
+
+  private[ops] def selectionRetractPlan(
+      fromTarget: DataFrame, fromRaw: DataFrame, textCol: String,
+      sink: graft.sink.UpsertSink): Seq[graft.sink.TableErase] = {
+    val buckets = sink.read(AffStore).count().toInt
+    require(buckets > 0, "selection store is empty — build the policy first")
+    val dt = bucketHist(fromTarget, textCol, buckets)
+      .select(col("bucket"), col("cnt").as("ct"), lit(0L).as("cr"))
+    val dr = bucketHist(fromRaw, textCol, buckets)
+      .select(col("bucket"), lit(0L).as("ct"), col("cnt").as("cr"))
+    Seq(graft.sink.TableCountRetract(AffStore, dt.unionByName(dr),
+      Seq("bucket"), Seq("ct", "cr"), dropAtZero = false))
   }
 
   /** True-to-the-paper DSIR log importance weights:

@@ -1191,8 +1191,28 @@ object SimOps {
     * moves. ids partition across shards, so a neighbor exists in
     * EXACTLY ONE shard and the probe union can never duplicate it.
     */
-  private def shardOf(idCol: String, shards: Int): Column =
+  private[graft] def shardOf(idCol: String, shards: Int): Column =
     pmod(xxhash64(col(idCol)), lit(shards.toLong))
+
+  /** Per-shard content versions of a sharded index — the byte-pin a
+    * maintenance lifecycle audits: a stable batch must move NO shard's
+    * version, and a drifted-shard-only rebuild must move ONLY the
+    * drifted shard's. Folds the three index tables' sink fingerprints
+    * per built shard (empty hash ranges don't appear).
+    */
+  def shardedIndexVersions(spark: org.apache.spark.sql.SparkSession,
+                           sink: graft.sink.UpsertSink): Map[Int, Long] = {
+    require(sink.exists(ShardMeta),
+      s"no sharded index under ${sink.rootPath} — run buildShardedIvfPqIndex")
+    val shards = sink.read(ShardMeta).collect()(0).getAs[Int]("shards")
+    shardSinks(spark, sink, shards).zipWithIndex
+      .filter { case (ss, _) => ivfPqIndexExists(ss) }
+      .map { case (ss, s) =>
+        s -> Seq(IdxCentroids, IdxCodebooks, IdxCodes)
+          .map(ss.version)
+          .foldLeft(1125899906842597L)((h, v) => h * 31 + v)
+      }.toMap
+  }
 
   /** Build a SHARDED IVF-PQ index: the corpus splits into `shards`
     * hash-routed slices, each trained and encoded as an independent
@@ -1443,8 +1463,8 @@ object SimOps {
 
   // ---- incremental embedding near-dup: persisted LSH store -------------
 
-  private val EmbSigs = "embdup_sigs"
-  private val EmbVecs = "embdup_vecs"
+  private[ops] val EmbSigs = "embdup_sigs"
+  private[ops] val EmbVecs = "embdup_vecs"
 
   /** Persist an archive's embedding near-dup state: LSH bucket postings
     * ((t, s, id) per signature table) plus exact vectors + norms for
@@ -1515,22 +1535,28 @@ object SimOps {
     * that plan reads the files the delete rewrites.
     */
   def embLshStoreRetract(ids: DataFrame, idCol: String,
-                         sink: graft.sink.UpsertSink): Unit = {
-    val keys = ids.select(col(idCol).cast("long").as("id")).distinct()
-    // keys derive INSIDE the deleteMany lease (thunk overload): a
+                         sink: graft.sink.UpsertSink): Unit =
+    // keys derive INSIDE the eraseMany lease (thunk overload): a
     // concurrent admit can never slip signature postings in between
     // the key scan and the delete. The broadcast hint scopes to the
     // posting-scan join only — the TableDelete key frames execute
-    // join-free in deleteMany.
-    sink.deleteMany(Seq(EmbSigs, EmbVecs)) {
-      val sigKeys = sink.read(EmbSigs).join(broadcast(keys), "id")
-        .select(col("t"), col("s"), col("id"))
-        .localCheckpoint(true)
-      Seq(
-        graft.sink.TableDelete(EmbSigs, sigKeys, Seq("t", "s", "id")),
-        graft.sink.TableDelete(EmbVecs, keys.select(col("id")),
-          Seq("id")))
+    // join-free in the delete.
+    sink.eraseMany(embLshRetractTables) {
+      embLshRetractPlan(ids, idCol, sink)
     }
+
+  private[ops] def embLshRetractTables: Seq[String] = Seq(EmbSigs, EmbVecs)
+
+  private[ops] def embLshRetractPlan(
+      ids: DataFrame, idCol: String,
+      sink: graft.sink.UpsertSink): Seq[graft.sink.TableErase] = {
+    val keys = ids.select(col(idCol).cast("long").as("id")).distinct()
+    val sigKeys = sink.read(EmbSigs).join(broadcast(keys), "id")
+      .select(col("t"), col("s"), col("id"))
+      .localCheckpoint(true)
+    Seq(
+      graft.sink.TableDelete(EmbSigs, sigKeys, Seq("t", "s", "id")),
+      graft.sink.TableDelete(EmbVecs, keys.select(col("id")), Seq("id")))
   }
 
   /** Admission: probe, then fold the batch into the store (one

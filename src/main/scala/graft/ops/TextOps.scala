@@ -213,8 +213,8 @@ object TextOps {
 
   // ---- incremental near-dup: persisted MinHash store --------------------
 
-  private val NearDupBands = "neardup_bands"
-  private val NearDupShingles = "neardup_shingles"
+  private[ops] val NearDupBands = "neardup_bands"
+  private[ops] val NearDupShingles = "neardup_shingles"
 
   /** Build the PERSISTED near-dup state for an archive: LSH band
     * postings (band, doc_id) plus each document's distinct shingle set,
@@ -309,19 +309,32 @@ object TextOps {
     * callers.
     */
   def minhashStoreRetract(ids: DataFrame, idCol: String,
-                          sink: graft.sink.UpsertSink): Unit = {
-    val keys = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
-    sink.deleteMany(Seq(NearDupBands, NearDupShingles)) {
-      val bandKeys = sink.read(NearDupBands)
-        .join(broadcast(keys), "doc_id")
-        .select(col("band"), col("doc_id"))
-        .localCheckpoint(true)
-      Seq(
-        graft.sink.TableDelete(NearDupBands, bandKeys,
-          Seq("band", "doc_id")),
-        graft.sink.TableDelete(NearDupShingles,
-          keys.select(col("doc_id")), Seq("doc_id")))
+                          sink: graft.sink.UpsertSink): Unit =
+    sink.eraseMany(minhashRetractTables) {
+      minhashRetractPlan(ids, idCol, sink)
     }
+
+  private[ops] def minhashRetractTables: Seq[String] =
+    Seq(NearDupBands, NearDupShingles)
+
+  /** The MinHash store's erasure payloads — derivation MUST run inside
+    * an [[graft.sink.UpsertSink.eraseMany]] lease over
+    * [[minhashRetractTables]] (the band-key scan reads the store a
+    * concurrent admit would otherwise be mutating).
+    */
+  private[ops] def minhashRetractPlan(
+      ids: DataFrame, idCol: String,
+      sink: graft.sink.UpsertSink): Seq[graft.sink.TableErase] = {
+    val keys = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+    val bandKeys = sink.read(NearDupBands)
+      .join(broadcast(keys), "doc_id")
+      .select(col("band"), col("doc_id"))
+      .localCheckpoint(true)
+    Seq(
+      graft.sink.TableDelete(NearDupBands, bandKeys,
+        Seq("band", "doc_id")),
+      graft.sink.TableDelete(NearDupShingles,
+        keys.select(col("doc_id")), Seq("doc_id")))
   }
 
   /** Admission step: probe the batch against the archive state, then
@@ -939,7 +952,7 @@ object TextOps {
 
   // ---- incremental segment dedup: persisted segment-hash store ---------
 
-  private val SegStore = "segdedup_segs"
+  private[ops] val SegStore = "segdedup_segs"
 
   /** The per-document segment rows every segment-store operation shares:
     * (id, seg_idx, __seg, __h) — one tokenize+chunk pass, md5 content
@@ -1013,16 +1026,23 @@ object TextOps {
 
   // ---- incremental exact dedup: persisted fingerprint store ------------
 
-  private val FpStore = "fingerprint_store"
+  private[ops] val FpStore = "fingerprint_store"
 
-  /** Persist an archive's exact-dup state: the distinct content
-    * [[fingerprint]]s, 16 bytes per distinct document — the smallest
-    * possible summary a new batch needs to exact-dedup against 100 TB.
+  /** Persist an archive's exact-dup state: (fp, cnt) — one row per
+    * distinct content [[fingerprint]], counting the archive documents
+    * that carry it. 16 bytes + a count per distinct document — still
+    * the smallest summary a new batch needs to exact-dedup against
+    * 100 TB, and the count is what makes the store ERASABLE without
+    * provenance ([[fingerprintStoreRetract]]): a distinct-fp-only
+    * layout cannot tell "last holder erased — remove the row" from
+    * "other documents still carry this fp — keep it".
     */
   def fingerprintStoreBuild(df: DataFrame, idCol: String, textCol: String,
                             sink: graft.sink.UpsertSink): Unit =
     sink.overwrite(FpStore,
-      df.select(fingerprint(col(textCol)).as("fp")).distinct(), Seq("fp"))
+      df.select(fingerprint(col(textCol)).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("cnt")),
+      Seq("fp"))
 
   /** (id, dup_exact: 0/1) for a new batch — dup_exact = 1 iff the
     * document's content fingerprint already exists in the archive
@@ -1043,6 +1063,29 @@ object TextOps {
     fps.join(bc(hit), Seq("fp"), "left")
       .select(col(idCol), coalesce(col("__hit"), lit(0)).as("dup_exact"))
   }
+
+  /** ERASE documents from the fingerprint store: each erased doc
+    * contributed exactly 1 to its fp's count at build time, so the
+    * decrement is one map-only fingerprint pass over the erased docs'
+    * text; fps whose count reaches zero — the subject was the LAST
+    * (or only) holder — are physically removed, while fps shared with
+    * surviving documents stay and keep flagging exact dups. Same
+    * caller contract as [[segmentStoreRetract]].
+    */
+  def fingerprintStoreRetract(docs: DataFrame, idCol: String,
+                              textCol: String,
+                              sink: graft.sink.UpsertSink): Unit =
+    sink.eraseMany(Seq(FpStore)) {
+      fingerprintRetractPlan(docs, idCol, textCol)
+    }
+
+  private[ops] def fingerprintRetractPlan(
+      docs: DataFrame, idCol: String,
+      textCol: String): Seq[graft.sink.TableErase] = Seq(
+    graft.sink.TableCountRetract(FpStore,
+      docs.select(fingerprint(col(textCol)).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("cnt")),
+      Seq("fp"), Seq("cnt")))
 
   /** The COMPOSED incremental admission screen — every per-document
     * gate a daily-crawl admission runs against a persisted archive, in
@@ -1141,6 +1184,36 @@ object TextOps {
     out
   }
 
+  /** ERASE documents from the segment inventory (right-to-erasure for
+    * the COUNT-store modality): re-derive the erased docs' segment
+    * counts from their text — the exact contribution
+    * [[segmentStoreBuild]]/[[segmentStoreAdmit]] folded in, counts
+    * being additive — and subtract them through one
+    * [[graft.sink.UpsertSink.eraseMany]] count retraction; rows whose
+    * count reaches zero are physically removed (a seg_hash derived
+    * solely from the subject's content leaves no trace). Post-retract,
+    * the inventory is bit-identical to one built on the archive WITHOUT
+    * the subject. Caller contract: `docs` carries the text EXACTLY as
+    * admitted, with the same `segWords`, and each doc was folded in
+    * exactly once (the admit contract); like the additive admit fold,
+    * retraction is at-least-once under crash-replay.
+    */
+  def segmentStoreRetract(docs: DataFrame, idCol: String, textCol: String,
+                          sink: graft.sink.UpsertSink,
+                          segWords: Int = 25): Unit =
+    sink.eraseMany(Seq(SegStore)) {
+      segmentRetractPlan(docs, idCol, textCol, segWords)
+    }
+
+  private[ops] def segmentRetractPlan(
+      docs: DataFrame, idCol: String, textCol: String,
+      segWords: Int): Seq[graft.sink.TableErase] = Seq(
+    graft.sink.TableCountRetract(SegStore,
+      segRows(docs, idCol, textCol, segWords)
+        .groupBy(col("__h").as("seg_hash"))
+        .agg(count(lit(1)).as("cnt")),
+      Seq("seg_hash"), Seq("cnt")))
+
   /** Arbitrary-offset repeated-substring deduplication (the ExactSubstr
     * move of Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better"): remove every token covered by a `minTokens`-token
@@ -1227,7 +1300,7 @@ object TextOps {
 
   // ---- incremental substring dedup: persisted window-digest store ------
 
-  private val SubstrStore = "substr_windows"
+  private[ops] val SubstrStore = "substr_windows"
 
   /** (id, pos, __gh) — one 16-byte md5 digest per full minTokens-token
     * window, computed map-only off the token array
@@ -1353,9 +1426,34 @@ object TextOps {
     out
   }
 
+  /** ERASE documents from the substring-window inventory — the
+    * [[segmentStoreRetract]] move for the offset-invariant store:
+    * re-derive the erased docs' window counts (their exact additive
+    * contribution) and subtract; zero rows are physically removed.
+    * Same caller contract: text exactly as admitted, same `minTokens`,
+    * folded in exactly once; at-least-once under crash-replay (the
+    * delta layout, [[substrDeltaRetractBatches]], is the exactly-once
+    * answer in both directions).
+    */
+  def substrStoreRetract(docs: DataFrame, idCol: String, textCol: String,
+                         sink: graft.sink.UpsertSink,
+                         minTokens: Int = 20): Unit =
+    sink.eraseMany(Seq(SubstrStore)) {
+      substrRetractPlan(docs, idCol, textCol, minTokens)
+    }
+
+  private[ops] def substrRetractPlan(
+      docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int): Seq[graft.sink.TableErase] = Seq(
+    graft.sink.TableCountRetract(SubstrStore,
+      windowRows(docs, idCol, textCol, minTokens)
+        .groupBy(col("__gh").as("win_hash"))
+        .agg(count(lit(1)).as("cnt")),
+      Seq("win_hash"), Seq("cnt")))
+
   // ---- exactly-once substring admission: per-batch delta layout --------
 
-  private val SubstrDelta = "substr_windows_delta"
+  private[ops] val SubstrDelta = "substr_windows_delta"
 
   /** Per-(window, BATCH) delta rows for one batch: (win_hash, batch_id,
     * cnt) — the layout that makes count folding IDEMPOTENT: the fold
@@ -1467,6 +1565,39 @@ object TextOps {
       settled.unionByName(live.select("win_hash", "cnt", "batch_id")),
       Seq("win_hash", "batch_id"))
     (before, sink.read(SubstrDelta).count())
+  }
+
+  /** BATCH-granularity erasure for the delta store: physically delete
+    * every (win_hash, batch_id) row of the given batches — EXACTLY
+    * their admitted contribution, because the delta layout keeps each
+    * batch's counts in its own rows (this is the same property that
+    * makes the fold idempotent). Unlike the count-store retractions,
+    * this is idempotent in the erase direction too: re-running deletes
+    * nothing further. The granularity is the batch, not the document —
+    * the per-batch counts aggregate across the batch's documents;
+    * subject-level erasure in this modality means erasing the batches
+    * that carried the subject (or re-admitting them minus the
+    * subject). Batches already folded into the archive row by
+    * [[substrDeltaCompact]] (batch id 0) have lost their identity and
+    * cannot be erased this way — retract before compacting, exactly
+    * like the re-delivery horizon. Keys derive inside the delete
+    * lease; the store scan is map-only and the key set is bounded by
+    * the batches' distinct windows.
+    */
+  def substrDeltaRetractBatches(sink: graft.sink.UpsertSink,
+                                batchIds: Seq[Long]): Unit = {
+    require(batchIds.nonEmpty, "need at least one batch id to retract")
+    require(!batchIds.contains(0L),
+      "batch id 0 is the compacted archive row — it aggregates settled " +
+        "batches and cannot be retracted at batch granularity")
+    sink.deleteMany(Seq(SubstrDelta)) {
+      val keys = sink.read(SubstrDelta)
+        .filter(col("batch_id").isin(batchIds: _*))
+        .select(col("win_hash"), col("batch_id"))
+        .localCheckpoint(true)
+      Seq(graft.sink.TableDelete(SubstrDelta, keys,
+        Seq("win_hash", "batch_id")))
+    }
   }
 
   /** Language-ID heuristic: per-language stopword hit counts; argmax with

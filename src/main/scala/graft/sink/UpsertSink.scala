@@ -5,7 +5,7 @@ import java.util.Comparator
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -67,6 +67,17 @@ final case class TableMerge(table: String, updates: DataFrame,
 final case class TableWrite(table: String, df: DataFrame,
                             pk: Seq[String] = Seq.empty)
 
+/** One member of an [[UpsertSink.eraseMany]] group — either a PK
+  * delete ([[TableDelete]]) or a count decrement
+  * ([[TableCountRetract]]), the two erasure shapes an incremental
+  * store family needs: posting/payload tables erase by key, count
+  * inventories erase by subtracting the subject's contribution.
+  */
+sealed trait TableErase {
+  def table: String
+  def pk: Seq[String]
+}
+
 /** One table's payload for [[UpsertSink.deleteMany]] — the per-table
   * arguments of [[UpsertSink.delete]] as data. `pk` must be the
   * table's FULL merge key (bucket routing hashes it; a partial key
@@ -74,7 +85,36 @@ final case class TableWrite(table: String, df: DataFrame,
   * derive full keys from the table first, see the store retract ops).
   */
 final case class TableDelete(table: String, keys: DataFrame,
-                             pk: Seq[String])
+                             pk: Seq[String]) extends TableErase
+
+/** COUNT-DECREMENT erasure for an aggregated inventory table (rows =
+  * pk + one or more count columns, e.g. the segment store's
+  * (seg_hash, cnt)): subtract `decrements`' per-pk sums from the
+  * stored counts — the exact inverse of an additive admit fold, so a
+  * subject whose contribution was folded in exactly once retracts to
+  * precisely the state the store would hold had the subject never been
+  * admitted (counts are additive and commutative; no provenance
+  * column is needed). Rows whose counts all reach zero are physically
+  * removed when `dropAtZero` (the count-store shape); `dropAtZero =
+  * false` keeps them at zero for tables whose row SET is structural
+  * (a dense policy histogram — a zero row means "seen by neither
+  * side", which scores the neutral prior).
+  *
+  * Counts clamp at zero: a decrement can never drive a stored count
+  * negative. The caller contract is "retract exactly what was
+  * admitted, once" — like the additive admit folds, count retraction
+  * is AT-LEAST-ONCE under crash-replay (re-running subtracts again);
+  * batch-keyed delta layouts are the exactly-once answer in both
+  * directions.
+  */
+final case class TableCountRetract(table: String, decrements: DataFrame,
+                                   pk: Seq[String], cntCols: Seq[String],
+                                   dropAtZero: Boolean = true)
+    extends TableErase {
+  require(cntCols.nonEmpty, s"$table: count retract needs count columns")
+  require(cntCols.intersect(pk).isEmpty,
+    s"$table: count columns ${cntCols.mkString(", ")} overlap the pk")
+}
 
 final class UpsertSink(spark: SparkSession, root: String,
                        numBuckets: Int = 64,
@@ -1462,12 +1502,7 @@ final class UpsertSink(spark: SparkSession, root: String,
     * are idempotent). Every `pk` must be its table's FULL merge key
     * (see [[TableDelete]]).
     */
-  def deleteMany(deletes: Seq[TableDelete]): Unit = {
-    require(deletes.nonEmpty, "deleteMany needs at least one table")
-    withWriterLease(deletes.map(_.table)) {
-      deleteManyLeased(deletes)
-    }
-  }
+  def deleteMany(deletes: Seq[TableDelete]): Unit = eraseMany(deletes)
 
   /** [[deleteMany]] with the delete keys DERIVED INSIDE the writer
     * lease. An erasure whose full merge keys come from scanning the
@@ -1484,32 +1519,61 @@ final class UpsertSink(spark: SparkSession, root: String,
     * and — as with any plan reading files the delete will rewrite —
     * should eagerly checkpoint store-scanning key frames.
     */
-  def deleteMany(tables: Seq[String])(derive: => Seq[TableDelete]): Unit = {
-    require(tables.nonEmpty, "deleteMany needs at least one table")
-    require(tables.distinct.size == tables.size,
-      s"duplicate tables in lease scope: ${tables.mkString(", ")}")
-    withWriterLease(tables) {
-      val deletes = derive
-      require(deletes.nonEmpty, "deleteMany needs at least one table")
-      val outside = deletes.map(_.table).filterNot(tables.contains)
-      require(outside.isEmpty,
-        s"derived deletes target tables outside the lease scope: " +
-          s"${outside.mkString(", ")} (declared: ${tables.mkString(", ")})")
-      deleteManyLeased(deletes)
+  def deleteMany(tables: Seq[String])(derive: => Seq[TableDelete]): Unit =
+    eraseMany(tables)(derive)
+
+  /** GROUP erasure across heterogeneous store shapes: PK deletes
+    * ([[TableDelete]]) and count decrements ([[TableCountRetract]])
+    * under ONE writer lease covering every member — the full-store-
+    * family form of [[deleteMany]]: a subject erases from posting
+    * tables, payload tables, count inventories, and policy histograms
+    * in one group, and a [[snapshotMany]] reader racing it never
+    * captures a half-erased state across any of them. Per-table swaps
+    * are atomic and touch only the subject's buckets; like
+    * [[mergeMany]], the BATCH is not atomic under a crash (recovery
+    * converges each table independently — PK deletes re-run
+    * idempotently; count retractions are at-least-once, see
+    * [[TableCountRetract]]).
+    */
+  def eraseMany(erases: Seq[TableErase]): Unit = {
+    require(erases.nonEmpty, "eraseMany needs at least one table")
+    withWriterLease(erases.map(_.table)) {
+      eraseManyLeased(erases)
     }
   }
 
-  private def deleteManyLeased(deletes: Seq[TableDelete]): Unit = {
-    require(deletes.map(_.table).distinct.size == deletes.size,
-      s"one delete per table: ${deletes.map(_.table).mkString(", ")}")
-    deletes.foreach(d =>
-      require(d.pk.nonEmpty, s"delete from ${d.table} needs a primary key"))
-    deletes.foreach(d => recover(d.table))
-    deletes.foreach(d => require(exists(d.table),
-      s"cannot delete from missing table ${d.table}"))
+  /** [[eraseMany]] with the per-table payloads DERIVED INSIDE the
+    * writer lease (see the [[deleteMany]] thunk form for why: key
+    * scans against the store itself must not race a concurrent
+    * admit). `derive` must only target the declared `tables`
+    * (enforced) and should eagerly checkpoint store-scanning frames.
+    */
+  def eraseMany(tables: Seq[String])(derive: => Seq[TableErase]): Unit = {
+    require(tables.nonEmpty, "eraseMany needs at least one table")
+    require(tables.distinct.size == tables.size,
+      s"duplicate tables in lease scope: ${tables.mkString(", ")}")
+    withWriterLease(tables) {
+      val erases = derive
+      require(erases.nonEmpty, "eraseMany needs at least one table")
+      val outside = erases.map(_.table).filterNot(tables.contains)
+      require(outside.isEmpty,
+        s"derived erases target tables outside the lease scope: " +
+          s"${outside.mkString(", ")} (declared: ${tables.mkString(", ")})")
+      eraseManyLeased(erases)
+    }
+  }
+
+  private def eraseManyLeased(erases: Seq[TableErase]): Unit = {
+    require(erases.map(_.table).distinct.size == erases.size,
+      s"one erase per table: ${erases.map(_.table).mkString(", ")}")
+    erases.foreach(d =>
+      require(d.pk.nonEmpty, s"erase from ${d.table} needs a primary key"))
+    erases.foreach(d => recover(d.table))
+    erases.foreach(d => require(exists(d.table),
+      s"cannot erase from missing table ${d.table}"))
     // flat-layout members migrate to the bucketed layout first (the
     // rare legacy path, same one-time rewrite as the single-table form)
-    deletes.filter(d => hasDataFiles(d.table) && !isBucketed(d.table))
+    erases.filter(d => hasDataFiles(d.table) && !isBucketed(d.table))
       .foreach { d =>
         val buckets = numBuckets
         val df = read(d.table)
@@ -1520,19 +1584,39 @@ final class UpsertSink(spark: SparkSession, root: String,
           Files.write(bucketMarker(shadow), buckets.toString.getBytes("UTF-8"))
         }
       }
-    val prepped = deletes.filter(d => hasDataFiles(d.table)).map { d =>
+    val prepped = erases.filter(d => hasDataFiles(d.table)).map { d =>
       val buckets = storedBuckets(d.table).getOrElse(numBuckets)
       val stored = read(d.table).schema
-      val typedKeys = d.pk.map { c =>
+      def typed(frame: DataFrame, what: String): Seq[Column] = d.pk.map { c =>
         val f = stored.find(_.name == c).getOrElse(
           throw new IllegalArgumentException(
-            s"delete from ${d.table}: key column $c not in stored schema " +
+            s"$what ${d.table}: key column $c not in stored schema " +
               s"[${stored.map(_.name).mkString(", ")}]"))
-        col(c).cast(f.dataType).as(c)
+        frame(c).cast(f.dataType).as(c)
       }
-      val keyed = withBucket(d.keys.select(typedKeys: _*).distinct(),
-        d.pk, buckets)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val keyed = (d match {
+        case TableDelete(_, keys, pk) =>
+          withBucket(keys.select(typed(keys, "delete from"): _*).distinct(),
+            pk, buckets)
+        case TableCountRetract(t, decrements, pk, cntCols, _) =>
+          // one decrement row per pk: sum the caller's rows, cast each
+          // count to its STORED type (the subtraction below must not
+          // promote the column type under a rewrite)
+          cntCols.foreach { c =>
+            require(stored.exists(_.name == c),
+              s"count retract $t: count column $c not in stored schema " +
+                s"[${stored.map(_.name).mkString(", ")}]")
+            require(decrements.columns.contains(c),
+              s"count retract $t: decrements frame lacks count column $c")
+          }
+          val aggs = cntCols.map { c =>
+            val tpe = stored.find(_.name == c).get.dataType
+            sum(col(c).cast(tpe)).cast(tpe).as(s"__dec_$c")
+          }
+          withBucket(decrements
+            .groupBy(typed(decrements, "count retract"): _*)
+            .agg(aggs.head, aggs.tail: _*), pk, buckets)
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (d, buckets, keyed)
     }
     try {
@@ -1546,8 +1630,30 @@ final class UpsertSink(spark: SparkSession, root: String,
           val cur = spark.read.option("basePath", dir.toString)
             .parquet(touched.map(b =>
               dir.resolve(s"$BucketCol=$b").toString).toIndexedSeq: _*)
-          val kept = cur.join(keyed.select(d.pk.map(col): _*), d.pk,
-            "left_anti")
+          val kept = d match {
+            case td: TableDelete =>
+              cur.join(keyed.select(td.pk.map(col): _*), td.pk, "left_anti")
+            case cr: TableCountRetract =>
+              // decrement in place: stored counts minus the subject's
+              // sums, clamped at zero; un-decremented rows pass through
+              // the left join unchanged
+              val stored = cur.schema
+              val updated = cur.join(
+                keyed.select((cr.pk ++ cr.cntCols.map(c => s"__dec_$c"))
+                  .map(col): _*),
+                cr.pk, "left")
+              val outCols = cur.columns.toSeq.map { c =>
+                if (cr.cntCols.contains(c)) {
+                  val tpe = stored(c).dataType
+                  greatest(col(c) - coalesce(col(s"__dec_$c"),
+                    lit(0).cast(tpe)), lit(0).cast(tpe)).cast(tpe).as(c)
+                } else col(c)
+              }
+              val dec = updated.select(outCols: _*)
+              if (cr.dropAtZero)
+                dec.filter(cr.cntCols.map(col(_) > 0).reduce(_ || _))
+              else dec
+          }
           writeAndSwapBuckets(d.table, kept, touched, buckets,
             removeEmptied = true)
         }

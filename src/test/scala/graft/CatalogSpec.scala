@@ -99,6 +99,33 @@ class CatalogSpec extends SparkSpec {
       "collapsed-batch total variation under the default threshold")
   }
 
+  test("q124 sharded maintenance: stable no-op byte-pinned, drifted shard rebuilds ALONE") {
+    val out = Catalog.byName("q124_sharded_maintenance").fn(spark, sf)
+      .collect()
+    assert(out.length == 4, s"expected one row per shard: ${out.length}")
+    // stable batch: nothing rebuilds, no shard's version moves
+    assert(out.forall(_.getAs[Int]("stable_rebuilt") <= 0),
+      "an in-distribution batch fired a shard rebuild")
+    assert(out.forall(_.getAs[Int]("stable_ver_changed") == 0),
+      "a stable maintenance pass moved a shard's content version")
+    // drift batch (hash-routed into one shard): exactly one shard
+    // rebuilds and ONLY that shard's version moves
+    val rebuilt = out.filter(_.getAs[Int]("drift_rebuilt") == 1)
+    assert(rebuilt.length == 1,
+      s"expected exactly one drifted-shard rebuild: ${rebuilt.length}")
+    val sh = rebuilt.head.getAs[Int]("shard")
+    out.foreach { r =>
+      val want = if (r.getAs[Int]("shard") == sh) 1 else 0
+      assert(r.getAs[Int]("drift_ver_changed") == want,
+        s"shard ${r.getAs[Int]("shard")}: version moved=" +
+          s"${r.getAs[Int]("drift_ver_changed")}, expected $want")
+    }
+    // the post-swap sharded probe still serves with honest recall
+    assert(out.forall(_.getAs[Long]("recall_mil") >= 650L),
+      s"post-maintenance recall below floor: " +
+        out.head.getAs[Long]("recall_mil"))
+  }
+
   test("ANN family: in-query recall_mil audit columns meet the operator bounds") {
     // Round-10 verdict #2: the approximate family's recall now rides
     // the output as recall_mil (the q105 audit-column pattern), so the

@@ -709,6 +709,23 @@ class PlanShapeSpec extends SparkSpec {
       s"native gate expressions missing from the plan:\n$plan")
   }
 
+  test("q123: post-erasure admission — same shape contract as q117") {
+    // the sweep must not change the SERVING plan: probes against the
+    // erased stores compose exactly like q117's (window-free, store
+    // scans never shuffled, every gate broadcast, native expressions)
+    val plan = planOf("q123_erasure_sweep")
+    assert(!plan.contains("Window"),
+      s"post-erasure screen has a window:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a store shuffled inside the screen:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"a gate fell onto a UDF:\n$plan")
+    assert(plan.toLowerCase.contains("cutspans") &&
+      plan.toLowerCase.contains("dsirsumaffmil"),
+      s"native gate expressions missing from the plan:\n$plan")
+  }
+
   test("q118: exact profile = two pruned scans, hash aggregation, NO Expand") {
     val plan = planOf("q118_table_profile")
     assert(plan.split("Scan parquet").length - 1 == 2,

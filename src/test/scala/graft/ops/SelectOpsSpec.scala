@@ -165,14 +165,17 @@ class SelectOpsSpec extends SparkSpec {
     val target = archive.filter($"id" <= 20)
     SelectOps.selectionStoreBuild(archive, target, "id", "text", sink,
       buckets = 64)
-    // round-trip: the persisted dense table IS affinityTableMil's output
+    // round-trip: the persisted dense (ct, cr) histograms derive exactly
+    // affinityTableMil's output under the shared integer arithmetic
     val expected = SelectOps.affinityTableMil(
       target, archive.join(broadcast(target.select($"id")), Seq("id"),
         "left_anti"), "text", 64)
     val stored = sink.read("dsir_affinity")
-      .as[(Int, Long)].collect().sortBy(_._1)
-    assert(stored.map(_._1).toSeq == (0 until 64) &&
-      stored.map(_._2).toSeq == expected.toSeq,
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(stored.map(_._1).toSeq == (0 until 64),
+      "persisted policy is not dense")
+    assert(stored.map { case (_, ct, cr) =>
+      (1000L * (ct + 1)) / (ct + cr + 2) }.toSeq == expected.toSeq,
       "persisted policy drifted from the in-memory fit")
     // batch scoring: medical-leaning docs admitted, finance not; the
     // scores must be exactly what scoring against `expected` yields
@@ -199,7 +202,8 @@ class SelectOpsSpec extends SparkSpec {
     // bucket ids 0,2 with a hole at 1: collect() sees 2 rows and a
     // bucket id outside the dense 0..1 range
     sink.overwrite("dsir_affinity",
-      Seq((0, 500L), (2, 700L)).toDF("bucket", "aff_mil"), Seq("bucket"))
+      Seq((0, 5L, 5L), (2, 7L, 3L)).toDF("bucket", "ct", "cr"),
+      Seq("bucket"))
     val ex = intercept[IllegalArgumentException] {
       SelectOps.selectionStoreScore(
         Seq((1L, "a b")).toDF("id", "text"), "id", "text", sink)

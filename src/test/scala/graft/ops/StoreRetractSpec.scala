@@ -76,4 +76,218 @@ class StoreRetractSpec extends SparkSpec {
     assert(after == Set((7L, 102L)), s"retract broke the probe: $after")
     assert(sink.read("embdup_vecs").count() == 19)
   }
+
+  // ---- count-store modalities: retract == fresh build on survivors ----
+
+  private def freshSink(tag: String): UpsertSink = new UpsertSink(spark,
+    Files.createTempDirectory(s"graft_retract_$tag").toString, numBuckets = 4)
+
+  // binary columns (md5 window hashes, fingerprints) must compare by
+  // CONTENT — Array[Byte] equality is by reference inside a Row.toSeq —
+  // and columns compare NAME-SORTED: stores are name-addressed, and a
+  // bucket rewrite may reorder the physical column layout
+  private def rows(sink: UpsertSink, table: String): Set[Seq[Any]] = {
+    val df = sink.read(table)
+    df.select(df.columns.sorted.map(org.apache.spark.sql.functions.col): _*)
+      .collect().map(_.toSeq.map {
+        case a: Array[Byte] => a.toSeq
+        case x => x
+      }).toSet
+  }
+
+  // segWords=4 fixture: every doc = one shared boilerplate segment + one
+  // unique segment, so retraction exercises both the decrement-survive
+  // and the drop-at-zero path in one store
+  private val boiler = "alpha beta gamma delta"
+  private def segText(seed: Long): String =
+    s"$boiler u${letters(seed)}a u${letters(seed)}b u${letters(seed)}c u${letters(seed)}d"
+
+  test("segmentStoreRetract: store equals a fresh build on the survivors") {
+    val sink = freshSink("seg")
+    val archive = (1L to 10L).map(i => (i, segText(i))).toDF("doc_id", "text")
+    TextOps.segmentStoreBuild(archive, "doc_id", "text", sink, segWords = 4)
+    // the erased doc's unique segment is a dup BEFORE erasure
+    val batch = Seq((101L, segText(3))).toDF("doc_id", "text")
+    val pre = TextOps.segmentStoreProbe(batch, "doc_id", "text", sink,
+      segWords = 4).select("n_segs", "n_kept").as[(Int, Int)].head()
+    assert(pre == ((2, 0)), s"fixture broken: both segments should dup: $pre")
+    TextOps.segmentStoreRetract(
+      archive.filter($"doc_id" === 3L), "doc_id", "text", sink, segWords = 4)
+    // boilerplate decremented but survives; unique seg row physically gone
+    val expected = freshSink("seg_expect")
+    TextOps.segmentStoreBuild(archive.filter($"doc_id" =!= 3L),
+      "doc_id", "text", expected, segWords = 4)
+    assert(rows(sink, "segdedup_segs") == rows(expected, "segdedup_segs"),
+      "retracted inventory != fresh build on survivors")
+    val post = TextOps.segmentStoreProbe(batch, "doc_id", "text", sink,
+      segWords = 4).select("n_segs", "n_kept").as[(Int, Int)].head()
+    assert(post == ((2, 1)),
+      s"unique segment must stop dup-ing after erasure (boiler still dups): $post")
+  }
+
+  test("substrStoreRetract: store equals a fresh build on the survivors") {
+    val sink = freshSink("sub")
+    // 8 tokens/doc, minTokens=5: shared 5-token prefix window + unique tail
+    def subText(seed: Long): String =
+      s"one two three four five t${letters(seed)}a t${letters(seed)}b t${letters(seed)}c"
+    val archive = (1L to 10L).map(i => (i, subText(i))).toDF("doc_id", "text")
+    TextOps.substrStoreBuild(archive, "doc_id", "text", sink, minTokens = 5)
+    TextOps.substrStoreRetract(
+      archive.filter($"doc_id" === 3L), "doc_id", "text", sink, minTokens = 5)
+    val expected = freshSink("sub_expect")
+    TextOps.substrStoreBuild(archive.filter($"doc_id" =!= 3L),
+      "doc_id", "text", expected, minTokens = 5)
+    assert(rows(sink, "substr_windows") == rows(expected, "substr_windows"),
+      "retracted window inventory != fresh build on survivors")
+    // doc 3's unique windows no longer dup; the shared prefix still does
+    val post = TextOps.substrStoreProbe(
+        Seq((101L, subText(3))).toDF("doc_id", "text"),
+        "doc_id", "text", sink, minTokens = 5)
+      .select("n_tokens", "n_removed").as[(Int, Int)].head()
+    assert(post._1 == 8 && post._2 < 8 && post._2 > 0,
+      s"expected partial (shared-prefix-only) removal after erasure: $post")
+  }
+
+  test("fingerprintStoreRetract: last holder removes the fp, shared fp survives") {
+    val sink = freshSink("fp")
+    // docs 1 and 2 share identical content; doc 3 unique
+    val archive = Seq((1L, "same same text"), (2L, "same same text"),
+      (3L, "other unique text")).toDF("doc_id", "text")
+    TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink)
+    assert(sink.read("fingerprint_store").count() == 2)
+    // erase doc 1: the shared fp survives (doc 2 still holds it)
+    TextOps.fingerprintStoreRetract(archive.filter($"doc_id" === 1L),
+      "doc_id", "text", sink)
+    val probe1 = TextOps.fingerprintStoreProbe(
+        Seq((101L, "same same text"), (102L, "other unique text"))
+          .toDF("doc_id", "text"), "doc_id", "text", sink)
+      .as[(Long, Int)].collect().toMap
+    assert(probe1 == Map(101L -> 1, 102L -> 1), s"shared fp lost: $probe1")
+    // erase docs 2 and 3: both fps reach zero and are physically
+    // removed — the store is TRUNCATEd (fileless; direct read fails by
+    // the documented delete-all contract)
+    TextOps.fingerprintStoreRetract(archive.filter($"doc_id" > 1L),
+      "doc_id", "text", sink)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      sink.read("fingerprint_store").collect()
+    }
+    // cross-check the survivor state after a single-doc erasure
+    val sink2 = freshSink("fp2")
+    TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink2)
+    TextOps.fingerprintStoreRetract(archive.filter($"doc_id" === 1L),
+      "doc_id", "text", sink2)
+    val expected2 = freshSink("fp2_expect")
+    TextOps.fingerprintStoreBuild(archive.filter($"doc_id" =!= 1L),
+      "doc_id", "text", expected2)
+    assert(rows(sink2, "fingerprint_store") ==
+      rows(expected2, "fingerprint_store"))
+  }
+
+  test("substrDeltaRetractBatches: a batch's contribution erases exactly and idempotently") {
+    val sink = freshSink("delta")
+    def subText(seed: Long): String =
+      s"one two three four five t${letters(seed)}a t${letters(seed)}b t${letters(seed)}c"
+    val archive = (1L to 6L).map(i => (i, subText(i))).toDF("doc_id", "text")
+    TextOps.substrDeltaBuild(archive, "doc_id", "text", sink, minTokens = 5)
+    val b1 = Seq((101L, subText(101L))).toDF("doc_id", "text")
+    val b2 = Seq((102L, subText(102L))).toDF("doc_id", "text")
+    TextOps.substrDeltaAdmit(b1, "doc_id", "text", sink, batchId = 1L,
+      minTokens = 5)
+    TextOps.substrDeltaAdmit(b2, "doc_id", "text", sink, batchId = 2L,
+      minTokens = 5)
+    TextOps.substrDeltaRetractBatches(sink, Seq(1L))
+    val expected = freshSink("delta_expect")
+    TextOps.substrDeltaBuild(archive, "doc_id", "text", expected,
+      minTokens = 5)
+    TextOps.substrDeltaAdmit(b2, "doc_id", "text", expected, batchId = 2L,
+      minTokens = 5)
+    assert(rows(sink, "substr_windows_delta") ==
+      rows(expected, "substr_windows_delta"),
+      "delta store after batch retraction != archive + surviving batch")
+    // idempotent in the erase direction
+    TextOps.substrDeltaRetractBatches(sink, Seq(1L))
+    assert(rows(sink, "substr_windows_delta") ==
+      rows(expected, "substr_windows_delta"))
+    // the compacted archive row is not batch-retractable
+    intercept[IllegalArgumentException] {
+      TextOps.substrDeltaRetractBatches(sink, Seq(0L))
+    }
+  }
+
+  test("selectionStoreRetract: policy equals a fresh fit without the subjects") {
+    val sink = freshSink("sel")
+    val archive = (1L to 20L).map(i => (i, segText(i))).toDF("doc_id", "text")
+    val target = archive.filter($"doc_id" % 5 === 0)
+    SelectOps.selectionStoreBuild(archive, target, "doc_id", "text", sink,
+      buckets = 32)
+    // subjects: doc 5 (target member) and doc 3 (raw pool)
+    SelectOps.selectionStoreRetract(
+      archive.filter($"doc_id" === 5L), archive.filter($"doc_id" === 3L),
+      "text", sink)
+    val expected = freshSink("sel_expect")
+    SelectOps.selectionStoreBuild(
+      archive.filter($"doc_id" =!= 5L && $"doc_id" =!= 3L),
+      target.filter($"doc_id" =!= 5L), "doc_id", "text", expected,
+      buckets = 32)
+    assert(rows(sink, "dsir_affinity") == rows(expected, "dsir_affinity"),
+      "retracted policy != fresh fit without the subjects")
+    // and the derived scores agree bit-for-bit
+    val batch = (201L to 205L).map(i => (i, segText(i))).toDF("doc_id", "text")
+    val got = SelectOps.selectionStoreScore(batch, "doc_id", "text", sink)
+      .collect().map(_.toSeq).toSet
+    val want = SelectOps.selectionStoreScore(batch, "doc_id", "text",
+      expected).collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
+  test("EraseOps.eraseSubjects: one sweep erases every modality, exactly") {
+    val sink = freshSink("sweep")
+    val archive = (1L to 20L).map(i => (i, segText(i))).toDF("doc_id", "text")
+    val target = archive.filter($"doc_id" % 5 === 0)
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(16)(i =>
+        ((((seed * 31L + i) * 2654435761L) % 1000L) / 1000.0f) - 0.5f)
+    val vecs = (1 to 20).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink)
+    TextOps.segmentStoreBuild(archive, "doc_id", "text", sink, segWords = 4)
+    TextOps.minhashStoreBuild(archive, "doc_id", "text", sink,
+      n = 3, k = 32, bands = 8)
+    TextOps.substrStoreBuild(archive, "doc_id", "text", sink, minTokens = 5)
+    SelectOps.selectionStoreBuild(archive, target, "doc_id", "text", sink,
+      buckets = 32)
+    SimOps.embLshStoreBuild(vecs, "vec_id", "embedding", sink,
+      planes = 4, tables = 8, dim = 16)
+    // subjects: 5 (target member) and 3 (raw pool)
+    val subjects = archive.filter($"doc_id" === 5L || $"doc_id" === 3L)
+    val erased = EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
+      fromTarget = Some(subjects.filter($"doc_id" % 5 === 0)),
+      fromRaw = Some(subjects.filter($"doc_id" % 5 =!= 0)),
+      vecIds = Some(subjects.select($"doc_id".as("vec_id"))),
+      segWords = 4, minTokens = 5)
+    assert(erased.toSet == Set("fingerprint_store", "segdedup_segs",
+      "neardup_bands", "neardup_shingles", "substr_windows",
+      "dsir_affinity", "embdup_sigs", "embdup_vecs"))
+    // every store equals a fresh build on the survivors
+    val expected = freshSink("sweep_expect")
+    val survivors = archive.filter($"doc_id" =!= 5L && $"doc_id" =!= 3L)
+    TextOps.fingerprintStoreBuild(survivors, "doc_id", "text", expected)
+    TextOps.segmentStoreBuild(survivors, "doc_id", "text", expected,
+      segWords = 4)
+    TextOps.minhashStoreBuild(survivors, "doc_id", "text", expected,
+      n = 3, k = 32, bands = 8)
+    TextOps.substrStoreBuild(survivors, "doc_id", "text", expected,
+      minTokens = 5)
+    SelectOps.selectionStoreBuild(survivors, target.filter($"doc_id" =!= 5L),
+      "doc_id", "text", expected, buckets = 32)
+    SimOps.embLshStoreBuild(
+      vecs.filter($"vec_id" =!= 5L && $"vec_id" =!= 3L),
+      "vec_id", "embedding", expected, planes = 4, tables = 8, dim = 16)
+    for (tbl <- erased)
+      assert(rows(sink, tbl) == rows(expected, tbl),
+        s"$tbl after sweep != fresh build on survivors")
+    // a sweep over an empty sink is a no-op
+    assert(EraseOps.eraseSubjects(subjects, "doc_id", "text",
+      freshSink("sweep_empty")).isEmpty)
+  }
 }

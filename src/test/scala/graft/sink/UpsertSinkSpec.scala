@@ -1064,6 +1064,77 @@ class UpsertSinkSpec extends SparkSpec {
     }
   }
 
+  test("eraseMany count retract: decrement, clamp at zero, drop-at-zero vs keep") {
+    val sink = freshSink()
+    sink.merge("inv",
+      Seq(("a", 5L), ("b", 2L), ("c", 1L)).toDF("k", "cnt"), Seq("k"))
+    // a: partial decrement; b: OVER-retract (clamps to 0 -> dropped);
+    // c: untouched; x: absent key no-ops. Decrements arrive unaggregated
+    // (two rows for a) — the sink sums per pk.
+    sink.eraseMany(Seq(TableCountRetract("inv",
+      Seq(("a", 1L), ("a", 1L), ("b", 7L), ("x", 3L)).toDF("k", "cnt"),
+      Seq("k"), Seq("cnt"))))
+    assert(sink.read("inv").as[(String, Long)].collect().toSet ==
+      Set(("a", 3L), ("c", 1L)))
+    // dropAtZero = false keeps the zero row (dense-histogram shape)
+    val sink2 = freshSink()
+    sink2.merge("hist",
+      Seq((0, 4L, 1L), (1, 0L, 2L)).toDF("bucket", "ct", "cr"),
+      Seq("bucket"))
+    sink2.eraseMany(Seq(TableCountRetract("hist",
+      Seq((0, 4L, 0L), (1, 0L, 2L)).toDF("bucket", "ct", "cr"),
+      Seq("bucket"), Seq("ct", "cr"), dropAtZero = false)))
+    assert(sink2.read("hist").as[(Int, Long, Long)].collect().toSet ==
+      Set((0, 0L, 1L), (1, 0L, 0L)))
+    // multi-count drop: removed only when EVERY count reaches zero
+    val sink3 = freshSink()
+    sink3.merge("multi",
+      Seq(("a", 2L, 0L), ("b", 1L, 1L)).toDF("k", "x", "y"), Seq("k"))
+    sink3.eraseMany(Seq(TableCountRetract("multi",
+      Seq(("a", 2L, 0L), ("b", 1L, 0L)).toDF("k", "x", "y"),
+      Seq("k"), Seq("x", "y"))))
+    assert(sink3.read("multi").as[(String, Long, Long)].collect().toSet ==
+      Set(("b", 0L, 1L)))
+    // contract: unknown count column, count column missing from the
+    // decrements frame, cnt overlapping pk — all loud
+    intercept[IllegalArgumentException] {
+      sink.eraseMany(Seq(TableCountRetract("inv",
+        Seq(("a", 1L)).toDF("k", "nope"), Seq("k"), Seq("nope"))))
+    }
+    intercept[IllegalArgumentException] {
+      sink.eraseMany(Seq(TableCountRetract("inv",
+        Seq(("a", 1L)).toDF("k", "other"), Seq("k"), Seq("cnt"))))
+    }
+    intercept[IllegalArgumentException] {
+      TableCountRetract("inv", Seq(("a", 1L)).toDF("k", "cnt"),
+        Seq("k", "cnt"), Seq("cnt"))
+    }
+  }
+
+  test("eraseMany thunk: derivation runs inside the lease, scope enforced") {
+    val sink = freshSink()
+    sink.merge("a", (1L to 10L).map(i => (i, i)).toDF("id", "n"), Seq("id"))
+    sink.merge("b", (1L to 10L).map(i => (i, i)).toDF("id", "n"), Seq("id"))
+    // mixed delete + count retract derived in one thunk
+    sink.eraseMany(Seq("a", "b")) {
+      Seq(
+        TableDelete("a", Seq(1L, 2L).toDF("id"), Seq("id")),
+        TableCountRetract("b", Seq((3L, 3L)).toDF("id", "n"),
+          Seq("id"), Seq("n")))
+    }
+    assert(sink.read("a").count() == 8)
+    assert(sink.read("b").filter($"id" === 3L).isEmpty)
+    assert(sink.read("b").count() == 9)
+    // a derived erase outside the declared lease scope is rejected
+    intercept[IllegalArgumentException] {
+      sink.eraseMany(Seq("a")) {
+        Seq(TableDelete("b", Seq(5L).toDF("id"), Seq("id")))
+      }
+    }
+    // ...and the rejection happened BEFORE any table was touched
+    assert(sink.read("b").count() == 9)
+  }
+
   test("snapshotMany vs a LIVE group-DELETER thread: never a half-erased capture") {
     val sink = freshSink()
     // both tables always carry the SAME id set; the deleter erases one
