@@ -255,13 +255,15 @@ object Bench {
           }
         case None => Nil
       }
-    val storeWarn = storeRows.count(r => r.warn || r.admitWarn)
-    storeRows.filter(r => r.warn || r.admitWarn).foreach(r =>
+    val storeWarn =
+      storeRows.count(r => r.warn || r.admitWarn || r.eraseWarn)
+    storeRows.filter(r => r.warn || r.admitWarn || r.eraseWarn).foreach(r =>
       System.err.println(
-        f"bench: WARN store '${r.name}' probe/admit grew " +
-          f"${r.ratio}%.2fx/${r.admitRatio.getOrElse(0.0)}%.2fx across " +
+        f"bench: WARN store '${r.name}' probe/admit/erase grew " +
+          f"${r.ratio}%.2fx/${r.admitRatio.getOrElse(0.0)}%.2fx/" +
+          f"${r.eraseRatio.getOrElse(0.0)}%.2fx across " +
           f"a 10x ARCHIVE decade (probe ${r.tSmall}%.2fs -> ${r.tBig}%.2fs, " +
-          f"same batch) — archive-rescan term suspected"))
+          f"same batch/subjects) — archive-scaled term suspected"))
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -333,7 +335,11 @@ object Bench {
                         ar <- r.admitRatio) yield
         f""","t_admit_small":$s%.3f,"t_admit_big":$b%.3f,"admit_ratio":$ar%.2f,"admit_warn":${r.admitWarn}""")
         .getOrElse("")
-      "\"" + r.name + f"""\":{"t_small":${r.tSmall}%.3f,"t_big":${r.tBig}%.3f,"ratio":${r.ratio}%.2f,"warn":${r.warn}$admit}"""
+      val erase = (for (s <- r.tEraseSmall; b <- r.tEraseBig;
+                        er <- r.eraseRatio) yield
+        f""","t_erase_small":$s%.3f,"t_erase_big":$b%.3f,"erase_ratio":$er%.2f,"erase_warn":${r.eraseWarn}""")
+        .getOrElse("")
+      "\"" + r.name + f"""\":{"t_small":${r.tSmall}%.3f,"t_big":${r.tBig}%.3f,"ratio":${r.ratio}%.2f,"warn":${r.warn}$admit$erase}"""
     }.mkString("{", ",", "}")
     val total = results.map(_.min).sum
     val nBand = results.count(_.bandExceeded.isDefined)

@@ -55,7 +55,8 @@ object StoreSlope {
   final case class Modality(name: String,
       build: (SparkSession, String, graft.sink.UpsertSink) => Unit,
       probe: (SparkSession, String, graft.sink.UpsertSink) => DataFrame,
-      admit: Option[(DataFrame, graft.sink.UpsertSink) => Unit] = None)
+      admit: Option[(DataFrame, graft.sink.UpsertSink) => Unit] = None,
+      erase: Option[(DataFrame, graft.sink.UpsertSink) => Unit] = None)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -66,7 +67,13 @@ object StoreSlope {
   private def bat(df: DataFrame, idCol: String): DataFrame =
     df.filter(col(idCol) % 3 === 0)
 
-  /** The six persisted-store modalities, catalog-parameter-exact. */
+  /** The six persisted-store modalities, catalog-parameter-exact. Every
+    * modality now also ships its ERASE leg (round-12 verdict: the
+    * deleteMany/eraseMany cost-model claim — O(erasure batch + touched
+    * buckets), never O(store) — is exactly the kind of claim this audit
+    * measures): erase a FIXED small-archive subject slice from the
+    * store, both scales.
+    */
   val modalities: Seq[Modality] = Seq(
     Modality("minhash",
       (s, d, k) => TextOps.minhashStoreBuild(
@@ -76,7 +83,9 @@ object StoreSlope {
       Some((b, k) => {
         TextOps.minhashStoreAdmit(b, "doc_id", "text", k, threshold = 0.5)
         ()
-      })),
+      }),
+      Some((subj, k) => TextOps.minhashStoreRetract(
+        subj.select(col("doc_id")), "doc_id", k))),
     Modality("segment",
       (s, d, k) => TextOps.segmentStoreBuild(
         arch(docs(s, d), "doc_id"), "doc_id", "text", k),
@@ -85,12 +94,17 @@ object StoreSlope {
       Some((b, k) => {
         TextOps.segmentStoreAdmit(b, "doc_id", "text", k)
         ()
-      })),
+      }),
+      Some((subj, k) =>
+        TextOps.segmentStoreRetract(subj, "doc_id", "text", k))),
     Modality("fingerprint",
       (s, d, k) => TextOps.fingerprintStoreBuild(
         arch(docs(s, d), "doc_id"), "doc_id", "text", k),
       (s, d, k) => TextOps.fingerprintStoreProbe(
-        bat(docs(s, d), "doc_id"), "doc_id", "text", k)),
+        bat(docs(s, d), "doc_id"), "doc_id", "text", k),
+      None,
+      Some((subj, k) =>
+        TextOps.fingerprintStoreRetract(subj, "doc_id", "text", k))),
     Modality("substr",
       (s, d, k) => TextOps.substrStoreBuild(
         arch(docs(s, d), "doc_id"), "doc_id", "text", k),
@@ -99,7 +113,9 @@ object StoreSlope {
       Some((b, k) => {
         TextOps.substrStoreAdmit(b, "doc_id", "text", k)
         ()
-      })),
+      }),
+      Some((subj, k) =>
+        TextOps.substrStoreRetract(subj, "doc_id", "text", k))),
     Modality("emblsh",
       (s, d, k) => SimOps.embLshStoreBuild(
         arch(emb(s, d), "vec_id"), "vec_id", "embedding", k),
@@ -110,7 +126,9 @@ object StoreSlope {
         SimOps.embLshStoreAdmit(b, "vec_id", "embedding", k,
           threshold = 0.45)
         ()
-      })),
+      }),
+      Some((subj, k) => SimOps.embLshStoreRetract(
+        subj.select(col("vec_id")), "vec_id", k))),
     Modality("selection",
       (s, d, k) => {
         val a = arch(docs(s, d), "doc_id")
@@ -119,7 +137,12 @@ object StoreSlope {
           buckets = 512)
       },
       (s, d, k) => SelectOps.selectionStoreScore(
-        bat(docs(s, d), "doc_id"), "doc_id", "text", k, minMil = 101L)))
+        bat(docs(s, d), "doc_id"), "doc_id", "text", k, minMil = 101L),
+      None,
+      // the %11==1/2 subject slices are never target members (%11==0),
+      // so the whole decrement lands on the raw-pool histogram
+      Some((subj, k) => SelectOps.selectionStoreRetract(
+        subj.limit(0), subj, "text", k))))
 
   /** The batch frame an [[Modality.admit]] folds: half the batch slice
     * (`id % 2 = h`), so one built store affords TWO disjoint timed
@@ -135,6 +158,23 @@ object StoreSlope {
     bat(df, idCol).filter(col(idCol) % 2 === h)
   }
 
+  /** The subject slice an [[Modality.erase]] retracts: archive rows of
+    * the SMALL dir with `id % 11 == 1 + h` — FIXED across the decade
+    * (small-dir ids are a prefix of big-dir ids, so the subjects exist
+    * in both stores; an archive-proportional subject set would conflate
+    * the erasure batch with the archive under audit), disjoint between
+    * the two halves (erases mutate — min-of-2 needs fresh subjects),
+    * never a selection-target member (`% 11 == 0`), and disjoint from
+    * the admitted batch halves (`% 3 == 0`).
+    */
+  def eraseHalf(spark: SparkSession, m: Modality, smallDir: String,
+                h: Int): DataFrame = {
+    val (df, idCol) =
+      if (m.name == "emblsh") (emb(spark, smallDir), "vec_id")
+      else (docs(spark, smallDir), "doc_id")
+    arch(df, idCol).filter(col(idCol) % 11 === (1 + h))
+  }
+
   /** One modality's measurement: probe (and, where shipped, admit)
     * walls against the small and big archives (same batch), the growth
     * ratios, and the flags. Admit fields are None for probe-only
@@ -144,7 +184,11 @@ object StoreSlope {
                           ratio: Double, warn: Boolean,
                           tAdmitSmall: Option[Double],
                           tAdmitBig: Option[Double],
-                          admitRatio: Option[Double], admitWarn: Boolean)
+                          admitRatio: Option[Double], admitWarn: Boolean,
+                          tEraseSmall: Option[Double] = None,
+                          tEraseBig: Option[Double] = None,
+                          eraseRatio: Option[Double] = None,
+                          eraseWarn: Boolean = false)
 
   def judge(tSmall: Double, tBig: Double): (Double, Boolean) = {
     val ratio = tBig / math.max(tSmall, MinDenomSec)
@@ -163,7 +207,8 @@ object StoreSlope {
     * claim is about the per-batch path.
     */
   def batchSeconds(spark: SparkSession, m: Modality, archiveDir: String,
-                   batchDir: String): (Double, Option[Double]) = {
+                   batchDir: String)
+      : (Double, Option[Double], Option[Double]) = {
     val root = java.nio.file.Files.createTempDirectory(
       s"graft_storeslope_${m.name}")
     try {
@@ -187,27 +232,43 @@ object StoreSlope {
         }
         math.min(admitOnce(0), admitOnce(1))
       }
-      (probeSec, admitSec)
+      // erase LAST: it mutates the store the probe/admit legs measure.
+      // The subject set is always the small-dir slice (fixed across the
+      // decade), so the only term that can grow is the touched-bucket
+      // rewrite + the posting/decrement scan — the claim under audit.
+      val eraseSec = m.erase.map { er =>
+        def eraseOnce(h: Int): Double = {
+          val subj = eraseHalf(spark, m, batchDir, h)
+          val t0 = System.nanoTime()
+          er(subj, sink)
+          (System.nanoTime() - t0) / 1e9
+        }
+        math.min(eraseOnce(0), eraseOnce(1))
+      }
+      (probeSec, admitSec, eraseSec)
     } finally graft.sink.Fs.deleteRecursively(root)
   }
 
   /** [[batchSeconds]]'s probe leg alone — kept as the spec-facing name. */
   def probeSeconds(spark: SparkSession, m: Modality, archiveDir: String,
                    batchDir: String): Double =
-    batchSeconds(spark, m.copy(admit = None), archiveDir, batchDir)._1
+    batchSeconds(spark, m.copy(admit = None, erase = None),
+      archiveDir, batchDir)._1
 
-  /** The full audit: per modality, probe (and admit) the SAME
-    * `smallDir` batch against a `smallDir`-archive store and a
-    * `bigDir`-archive store (one 10x decade apart).
+  /** The full audit: per modality, probe (and admit, and erase) the
+    * SAME `smallDir` batch/subjects against a `smallDir`-archive store
+    * and a `bigDir`-archive store (one 10x decade apart).
     */
   def measure(spark: SparkSession, smallDir: String,
               bigDir: String): Seq[Result] =
     modalities.map { m =>
-      val (tS, aS) = batchSeconds(spark, m, smallDir, smallDir)
-      val (tB, aB) = batchSeconds(spark, m, bigDir, smallDir)
+      val (tS, aS, eS) = batchSeconds(spark, m, smallDir, smallDir)
+      val (tB, aB, eB) = batchSeconds(spark, m, bigDir, smallDir)
       val (ratio, warn) = judge(tS, tB)
       val admitJudged = for (s <- aS; b <- aB) yield judge(s, b)
+      val eraseJudged = for (s <- eS; b <- eB) yield judge(s, b)
       Result(m.name, tS, tB, ratio, warn,
-        aS, aB, admitJudged.map(_._1), admitJudged.exists(_._2))
+        aS, aB, admitJudged.map(_._1), admitJudged.exists(_._2),
+        eS, eB, eraseJudged.map(_._1), eraseJudged.exists(_._2))
     }
 }

@@ -21,9 +21,12 @@ object StoreSlopeAudit {
       val admit = (for (s <- r.tAdmitSmall; b <- r.tAdmitBig;
                         ar <- r.admitRatio) yield
         f"   admit $s%5.2f -> $b%5.2f s ratio $ar%5.2f").getOrElse("")
+      val erase = (for (s <- r.tEraseSmall; b <- r.tEraseBig;
+                        er <- r.eraseRatio) yield
+        f"   erase $s%5.2f -> $b%5.2f s ratio $er%5.2f").getOrElse("")
       println(f"[store-slope] ${r.name}%-12s probe ${r.tSmall}%5.2f -> " +
-        f"${r.tBig}%5.2f s ratio ${r.ratio}%5.2f$admit   " +
-        (if (r.warn || r.admitWarn) "WARN" else "ok"))
+        f"${r.tBig}%5.2f s ratio ${r.ratio}%5.2f$admit$erase   " +
+        (if (r.warn || r.admitWarn || r.eraseWarn) "WARN" else "ok"))
     }
     spark.stop()
   }

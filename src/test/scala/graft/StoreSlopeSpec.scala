@@ -41,9 +41,9 @@ class StoreSlopeSpec extends SparkSpec {
     // additionally asserts the ABSOLUTE small-scale walls stay in the
     // overhead regime (< 10 s) — a rescan term that big would show.
     StoreSlope.modalities.foreach { m =>
-      val (tSmall, aSmall) = StoreSlope.batchSeconds(spark, m,
+      val (tSmall, aSmall, eSmall) = StoreSlope.batchSeconds(spark, m,
         "/root/testdata/sf0.001", "/root/testdata/sf0.001")
-      val (tBig, aBig) = StoreSlope.batchSeconds(spark, m,
+      val (tBig, aBig, eBig) = StoreSlope.batchSeconds(spark, m,
         "/root/testdata/sf0.01", "/root/testdata/sf0.001")
       val (ratio, _) = StoreSlope.judge(tSmall, tBig)
       assert(ratio <= 2 * StoreSlope.MaxRatio,
@@ -65,6 +65,22 @@ class StoreSlopeSpec extends SparkSpec {
             "the overhead regime for this scale")
       }
       assert(m.admit.isDefined == (aSmall.isDefined && aBig.isDefined))
+      // the erase leg (round-12 verdict: measure deleteMany's cost
+      // model) — O(subjects + touched buckets), never O(store): the
+      // subject set is FIXED across the decade, so the wall must not
+      // track the archive either
+      for (s <- eSmall; b <- eBig) {
+        val (er, _) = StoreSlope.judge(s, b)
+        assert(er <= 2 * StoreSlope.MaxRatio,
+          f"${m.name}: erase grew $er%.1fx across a 10x archive decade " +
+            f"($s%.2fs -> $b%.2fs, same subject halves)")
+        assert(b < 15.0,
+          f"${m.name}: erase wall $b%.1fs at sf0.01 archive is outside " +
+            "the overhead regime for this scale")
+      }
+      // every modality ships an erase leg since round 13
+      assert(m.erase.isDefined && eSmall.isDefined && eBig.isDefined,
+        s"${m.name}: missing the erase leg")
     }
   }
 }
