@@ -1058,12 +1058,26 @@ private[graft] trait CatalogPipelines extends CatalogShared {
         "Clustering is k-means -> no SQL oracle (driver " +
         "rows-only check); SimOpsSpec pins the semantics: planted dups " +
         "die (including a boundary-straddling pair), kills are a subset " +
-        "of the exhaustive q33 kill set, partition-invariant.",
+        "of the exhaustive q33 kill set, partition-invariant. " +
+        "kill_recall_mil rides every row (r12 verdict #7, the " +
+        "recall_mil pattern): semDedup's kill count vs the EXHAUSTIVE " +
+        "same-threshold kill set (kills are provably a subset, so the " +
+        "count ratio IS recall) — the exhaustive pass is the AUDIT " +
+        "harness over the fixed-size vector table, q33's exempt class; " +
+        "at 100 TB run the operator alone.",
       None,
-      (s, dir) =>
-        SimOps.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val out = SimOps.semDedup(e, "vec_id", "embedding",
             nlist = 16, threshold = 0.45, probes = 2)
-          .orderBy("vec_id")),
+          .localCheckpoint(true) // survivors feed the count AND the rows
+        val exKills = SimOps.cosineNearDupPairs(e, "vec_id", "embedding",
+          0.45).select(col("b_id")).distinct().count()
+        val semKills = e.count() - out.count()
+        val recall =
+          if (exKills == 0) 1000L else semKills * 1000L / exKills
+        out.withColumn("kill_recall_mil", lit(recall)).orderBy("vec_id")
+      }),
 
     QueryDef("q76_url_screen",
       "Web-crawl URL admission screen (the stage before any text is " +

@@ -772,10 +772,16 @@ private[graft] trait CatalogServing extends CatalogShared {
         "parallelism: seed = min id, ties to the smaller id. k-means " +
         "inside -> rows-only; SimOpsSpec pins diversity-beats-" +
         "redundancy on planted geometry, per-cluster sizes, and " +
-        "partition invariance.",
+        "partition invariance. mindist_sel_mil / mindist_rnd_mil ride " +
+        "every row (r12 verdict #7): the selected set's min pairwise " +
+        "cosine distance vs a seeded same-size random subset of the " +
+        "same cluster — farthest-first maximizes exactly that " +
+        "objective, so selected >= random per cluster is the checkable " +
+        "form of the diversity claim (computed inside the same " +
+        "per-cluster pass, no extra shuffle).",
       None,
       (s, dir) =>
-        SimOps.diverseSelect(t(s, dir, "embeddings"), "vec_id",
+        SimOps.diverseSelectAudited(t(s, dir, "embeddings"), "vec_id",
             "embedding", k = 5, nlist = 8)
           .orderBy("cluster", "rank")),
 

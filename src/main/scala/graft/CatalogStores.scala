@@ -25,14 +25,19 @@ private[graft] trait CatalogStores extends CatalogShared {
         "reproducible given (seed, corpus) yet statistically correct. " +
         "Float log-weights inside -> rows-only; SelectOpsSpec pins " +
         "seeded determinism and weight-monotone inclusion (in-domain " +
-        "docs dominate across seeds). Plan: two bounded histograms " +
-        "driver-side, then ONE map-only scoring scan + " +
-        "TakeOrderedAndProject — resampling 100 TB never sorts " +
-        "globally.",
+        "docs dominate across seeds). topk_overlap_mil rides every row " +
+        "(r12 verdict #7): the Gumbel draws' overlap with the exact " +
+        "top-k by pure weight — uniform sampling reads ~k/corpus, " +
+        "deterministic arg-top-k reads 1000, a correct importance " +
+        "sampler sits between, CatalogSpec-bounded. Plan: two bounded " +
+        "histograms driver-side, then ONE map-only scoring scan + two " +
+        "TakeOrderedAndProject over the same scored frame — resampling " +
+        "100 TB never sorts globally.",
       None,
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        SelectOps.dsirResample(docs, docs.filter(col("doc_id") % 11 === 0),
+        SelectOps.dsirResampleAudited(docs,
+          docs.filter(col("doc_id") % 11 === 0),
           "doc_id", "text", k = 50, seed = 42L, buckets = 512)
       }),
 

@@ -352,6 +352,35 @@ object SelectOps {
       .limit(k)
   }
 
+  /** [[dsirResample]] with the weight-rank agreement as a DRIVER-CHECKED
+    * audit column (round-12 verdict #7): `topk_overlap_mil` — how many
+    * of the k Gumbel draws also sit in the exact top-k by pure
+    * `log_w`, in mil. This is the checkable middle of the resampler's
+    * contract: a uniform sampler ignoring the weights reads near
+    * k/corpus; a deterministic arg-top-k (no exploration — not
+    * importance SAMPLING) reads 1000; a correct Gumbel top-k sits in
+    * between, concentrated on heavy weights but diversified by the
+    * noise. Deterministic given (seed, corpus). One weight fit feeds
+    * both rankings (two TakeOrderedAndProject over the same scored
+    * frame — no global sort, no second histogram pass); the overlap
+    * is a bounded k-row aggregate.
+    */
+  def dsirResampleAudited(corpus: DataFrame, target: DataFrame,
+                          idCol: String, textCol: String, k: Int,
+                          seed: Long, buckets: Int = 1024): DataFrame = {
+    val w = dsirLogWeights(corpus, target, idCol, textCol, buckets)
+    val sel = w.select(col(idCol), col("log_w"),
+        (col("log_w") + gumbelNoise(col(idCol), lit(seed))).as("sel_key"))
+      .orderBy(col("sel_key").desc, col(idCol))
+      .limit(k)
+      .localCheckpoint(true) // k rows; feeds the overlap agg AND the output
+    val topW = w.orderBy(col("log_w").desc, col(idCol)).limit(k)
+      .select(col(idCol), lit(1L).as("__top"))
+    val overlap = sel.join(broadcast(topW), Seq(idCol), "left")
+      .agg(sum(coalesce(col("__top"), lit(0L)))).collect()(0).getLong(0)
+    sel.withColumn("topk_overlap_mil", lit(overlap * 1000L / math.max(k, 1)))
+  }
+
   // --- CCNet perplexity bucketing ----------------------------------------
 
   /** The ONE language-model pass the whole perplexity family shares:

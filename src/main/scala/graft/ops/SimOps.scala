@@ -1664,7 +1664,27 @@ object SimOps {
     * selection order (rank 1 = seed, rank 2 = farthest from seed, ...).
     */
   def diverseSelect(vecs: DataFrame, idCol: String, vecCol: String,
-                    k: Int, nlist: Int, iters: Int = 2): DataFrame = {
+                    k: Int, nlist: Int, iters: Int = 2): DataFrame =
+    diverseSelectAudited(vecs, idCol, vecCol, k, nlist, iters)
+      .select(col("cluster"), col(idCol), col("rank"))
+
+  /** [[diverseSelect]] with the diversity claim as DRIVER-CHECKED audit
+    * columns (round-12 verdict #7 — the recall_mil pattern for the
+    * k-center family): per cluster, `mindist_sel_mil` — the minimum
+    * pairwise cosine distance among the SELECTED representatives, in
+    * mil — against `mindist_rnd_mil`, the same statistic for a SEEDED
+    * pseudo-random subset of the same size from the same cluster
+    * (members with the k smallest splitmix64(id) values — deterministic,
+    * id-derived, independent of the geometry). Farthest-first greedy
+    * maximizes exactly this min-distance objective, so selected >=
+    * random on every cluster is the checkable form of
+    * "diversity-beats-redundancy"; a cluster with fewer than 2 selected
+    * members has no pairs and reports 1000/1000 (vacuous). Computed
+    * inside the same per-cluster greedy pass — no extra shuffle, no
+    * second clustering.
+    */
+  def diverseSelectAudited(vecs: DataFrame, idCol: String, vecCol: String,
+                           k: Int, nlist: Int, iters: Int = 2): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = vecs.sparkSession
     import spark.implicits._
@@ -1738,11 +1758,40 @@ object SimOps {
           }
           }
         }
+        // audit: min pairwise distance of the selected set vs a seeded
+        // pseudo-random same-size subset (k smallest splitmix64(id))
+        def minPairMil(ixs: Seq[Int]): Long =
+          if (ixs.length < 2) 1000L
+          else {
+            var m = Double.MaxValue
+            var x = 0
+            while (x < ixs.length) {
+              var y = x + 1
+              while (y < ixs.length) {
+                val d = cosDist(members(ixs(x))._2, members(ixs(y))._2)
+                if (d < m) m = d
+                y += 1
+              }
+              x += 1
+            }
+            math.floor(m * 1000).toLong
+          }
+        def mix64(v: Long): Long = {
+          var z = v + 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^ (z >>> 31)
+        }
+        val rnd = members.indices
+          .sortBy(j => (mix64(members(j)._1), members(j)._1))
+          .take(selected.length)
+        val selMil = minPairMil(selected.toSeq)
+        val rndMil = minPairMil(rnd)
         selected.iterator.zipWithIndex.map { case (ix, r) =>
-          (cl, members(ix)._1, r + 1)
+          (cl, members(ix)._1, r + 1, selMil, rndMil)
         }
       }
-      .toDF("cluster", idCol, "rank")
+      .toDF("cluster", idCol, "rank", "mindist_sel_mil", "mindist_rnd_mil")
   }
 
   /** Chunk -> document embedding pooling: the element-wise mean of every

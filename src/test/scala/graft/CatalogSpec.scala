@@ -99,6 +99,43 @@ class CatalogSpec extends SparkSpec {
       "collapsed-batch total variation under the default threshold")
   }
 
+  test("r13 audit columns: semdedup kill-recall, coreset diversity, resample weight-rank") {
+    // q75: semDedup kills are a proven subset of the exhaustive
+    // same-threshold kill set, so the in-query count ratio IS recall.
+    // The embeddings table is 500 rows at EVERY SF (same audit cost);
+    // the pin runs at sf0.01 where the generated geometry has clustered
+    // dup pairs (1000 measured) — sf0.001's draw is weak-similarity
+    // scatter (cos ~0.45 cross-cluster pairs, the documented SemDeDup
+    // blind spot; 428 measured there, honestly reported by the column)
+    val q75 = Catalog.byName("q75_semdedup")
+      .fn(spark, "/root/testdata/sf0.01").collect()
+    val kr = q75.map(_.getAs[Long]("kill_recall_mil")).distinct
+    assert(kr.length == 1, s"kill_recall_mil not constant: ${kr.toSeq}")
+    assert(kr.head >= 900 && kr.head <= 1000,
+      s"semdedup kill recall ${kr.head} outside [900, 1000]")
+    // q98: farthest-first maximizes the min pairwise distance — the
+    // selected set must beat the seeded random same-size subset on
+    // every cluster (equal when the cluster has <= k members)
+    val q98 = Catalog.byName("q98_diverse_select").fn(spark, sf).collect()
+    assert(q98.nonEmpty)
+    q98.foreach { r =>
+      val s0 = r.getAs[Long]("mindist_sel_mil")
+      val r0 = r.getAs[Long]("mindist_rnd_mil")
+      assert(s0 >= r0,
+        s"cluster ${r.getAs[Int]("cluster")}: selected min-dist $s0 " +
+          s"below the random baseline $r0 — diversity claim broken")
+    }
+    // q106: Gumbel top-k concentrates on heavy weights without
+    // collapsing to arg-top-k — overlap sits between uniform (~k/N)
+    // and deterministic (1000); 780 measured at sf0.01, 1000 when
+    // k >= corpus (the sf0.001 degenerate case)
+    val q106 = Catalog.byName("q106_dsir_resample").fn(spark, sf).collect()
+    val ov = q106.map(_.getAs[Long]("topk_overlap_mil")).distinct
+    assert(ov.length == 1, s"topk_overlap_mil not constant: ${ov.toSeq}")
+    assert(ov.head >= 300 && ov.head <= 1000,
+      s"resample weight-rank overlap ${ov.head} outside [300, 1000]")
+  }
+
   test("q124 sharded maintenance: stable no-op byte-pinned, drifted shard rebuilds ALONE") {
     val out = Catalog.byName("q124_sharded_maintenance").fn(spark, sf)
       .collect()
