@@ -1253,6 +1253,40 @@ private[graft] trait CatalogStores extends CatalogShared {
         }.toDF("shard", "stable_rebuilt", "stable_ver_changed",
           "drift_rebuilt", "drift_ver_changed", "recall_mil")
           .orderBy("shard")
+      }),
+
+    QueryDef("q125_incremental_exactdedup",
+      "CUMULATIVE exact-dedup admission — the fingerprint store's " +
+        "write path (q109's arc for the exact modality, closing the " +
+        "store family: every modality now ships build/probe/admit/" +
+        "erase): archive fps persisted as (fp, cnt), day-1 batch " +
+        "ADMITTED (probe, then fold its fp counts in — touched fps " +
+        "only, map-only broadcast joins), day-2 batch probed against " +
+        "the CUMULATIVE store — a day-2 document duplicating a day-1 " +
+        "admission is flagged without ever re-reading archive or " +
+        "day-1 text. Exact oracle: dup_exact vs the fingerprints of " +
+        "archive UNION day-1.",
+      Some("""WITH nf AS (SELECT doc_id,
+             |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+             |  FROM documents),
+             |known AS (SELECT DISTINCT fp FROM nf
+             |  WHERE doc_id % 3 <> 0 OR doc_id % 2 = 0)
+             |SELECT doc_id, CASE WHEN fp IN (SELECT fp FROM known)
+             |  THEN 1 ELSE 0 END AS dup_exact
+             |FROM nf WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.freshSink(s, "fpadmit", dir)
+        TextOps.fingerprintStoreBuild(docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", sink)
+        TextOps.fingerprintStoreAdmit(
+          docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0),
+          "doc_id", "text", sink)
+        TextOps.fingerprintStoreProbe(
+            docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 1),
+            "doc_id", "text", sink)
+          .orderBy("doc_id")
       })
   )
 }

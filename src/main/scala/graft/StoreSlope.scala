@@ -102,7 +102,10 @@ object StoreSlope {
         arch(docs(s, d), "doc_id"), "doc_id", "text", k),
       (s, d, k) => TextOps.fingerprintStoreProbe(
         bat(docs(s, d), "doc_id"), "doc_id", "text", k),
-      None,
+      Some((b, k) => {
+        TextOps.fingerprintStoreAdmit(b, "doc_id", "text", k)
+        ()
+      }),
       Some((subj, k) =>
         TextOps.fingerprintStoreRetract(subj, "doc_id", "text", k))),
     Modality("substr",
@@ -138,7 +141,10 @@ object StoreSlope {
       },
       (s, d, k) => SelectOps.selectionStoreScore(
         bat(docs(s, d), "doc_id"), "doc_id", "text", k, minMil = 101L),
-      None,
+      // the admit direction: fold the batch half into the RAW-pool
+      // histogram (the policy's incremental write path; batch rows are
+      // %3==0, disjoint from the archive's %11==0 target sample)
+      Some((b, k) => SelectOps.selectionStoreAdmitRaw(b, "text", k)),
       // the %11==1/2 subject slices are never target members (%11==0),
       // so the whole decrement lands on the raw-pool histogram
       Some((subj, k) => SelectOps.selectionStoreRetract(

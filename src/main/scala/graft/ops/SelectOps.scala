@@ -252,6 +252,29 @@ object SelectOps {
         when(col("dsir_mil") >= minMil, lit(1)).otherwise(lit(0)))
   }
 
+  /** Admission for the selection policy: fold a day's ADMITTED batch
+    * into the RAW-pool histogram — the policy's incremental write path
+    * (the raw side is "the data being selected FROM", which grows with
+    * every admitted batch; the target sample refreshes by refit, not
+    * by fold). Post-fold the policy is bit-identical to a fresh fit on
+    * (archive ∪ batch, same target), provided batch ids are disjoint
+    * from the target's (the [[rawPool]] convention). O(buckets + one
+    * batch gram scan); additive ⇒ at-least-once under crash-replay.
+    */
+  def selectionStoreAdmitRaw(batch: DataFrame, textCol: String,
+                             sink: graft.sink.UpsertSink): Unit = {
+    val buckets = sink.read(AffStore).count().toInt
+    require(buckets > 0, "selection store is empty — build the policy first")
+    val dh = bucketHist(batch, textCol, buckets)
+      .select(col("bucket").cast("int").as("bucket"), col("cnt"))
+    val updated = sink.read(AffStore)
+      .join(broadcast(dh), Seq("bucket"), "left")
+      .select(col("bucket"), col("ct"),
+        (col("cr") + coalesce(col("cnt"), lit(0L))).as("cr"))
+      .localCheckpoint(true) // reads the store files the merge rewrites
+    sink.merge(AffStore, updated, Seq("bucket"), pkUnique = true)
+  }
+
   /** ERASE documents from the selection policy: subtract the erased
     * docs' per-bucket gram counts — target-sample members from `ct`,
     * raw-pool members from `cr` (the caller splits, since membership

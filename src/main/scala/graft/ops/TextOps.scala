@@ -1064,6 +1064,36 @@ object TextOps {
       .select(col(idCol), coalesce(col("__hit"), lit(0)).as("dup_exact"))
   }
 
+  /** Admission for the exact-dup store: probe the batch against the
+    * archive fingerprints, then fold the batch's fp counts IN (touched
+    * fps only — the [[segmentStoreAdmit]] discipline), so the next
+    * batch exact-dedups against this one too. Returns the probe result
+    * (dup flags vs the PRE-admission archive). Additive fold ⇒
+    * AT-LEAST-ONCE under crash-replay, like every count admit.
+    */
+  def fingerprintStoreAdmit(batch: DataFrame, idCol: String,
+                            textCol: String,
+                            sink: graft.sink.UpsertSink): DataFrame = {
+    // eager localCheckpoint: the probe plan reads store files the merge
+    // below rewrites
+    val out = fingerprintStoreProbe(batch, idCol, textCol, sink)
+      .localCheckpoint(true)
+    val batchCounts = batch.select(fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("__bcnt"))
+    // broadcast-legal orientation (the segmentStoreAdmit lesson): store
+    // scan inner-joins the broadcast batch fps (map-only), then the
+    // batch-bounded existing counts broadcast back
+    val existing = sink.read(FpStore)
+      .join(broadcast(batchCounts.select(col("fp"))), "fp")
+    val summed = batchCounts
+      .join(broadcast(existing), Seq("fp"), "left")
+      .select(col("fp"),
+        (coalesce(col("cnt"), lit(0L)) + col("__bcnt")).as("cnt"))
+      .localCheckpoint(true) // reads the store files the merge rewrites
+    sink.merge(FpStore, summed, Seq("fp"), pkUnique = true)
+    out
+  }
+
   /** ERASE documents from the fingerprint store: each erased doc
     * contributed exactly 1 to its fp's count at build time, so the
     * decrement is one map-only fingerprint pass over the erased docs'

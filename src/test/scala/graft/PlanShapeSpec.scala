@@ -11,6 +11,9 @@ class PlanShapeSpec extends SparkSpec {
   private def planOf(name: String): String =
     Catalog.byName(name).fn(spark, sf).queryExecution.executedPlan.toString
 
+  private def explained(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
   test("q01: filters and projection reach the parquet scan") {
     val plan = planOf("q01_pruned_scan")
     assert(plan.contains("PushedFilters:") && plan.contains("l_shipdate"),
@@ -610,7 +613,14 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q106: Gumbel resampling is one map-only scan into TakeOrdered") {
-    val plan = planOf("q106_dsir_resample")
+    // the audited catalog form checkpoints the k selected rows (they
+    // feed the overlap aggregate AND the output), so its FINAL plan is
+    // a bounded ExistingRDD scan + the literal audit column — the
+    // resampling shape under test lives in the UNDERLYING op
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val plan = explained(graft.ops.SelectOps.dsirResample(docs,
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 11 === 0),
+      "doc_id", "text", k = 50, seed = 42L, buckets = 512))
     assert(plan.contains("TakeOrderedAndProject"),
       s"resample planned as a global sort:\n$plan")
     assert(!plan.contains("ScalaUDF"), s"scoring fell onto a UDF:\n$plan")
@@ -619,6 +629,13 @@ class PlanShapeSpec extends SparkSpec {
       s"resample plan scans more than the corpus:\n${scans.mkString("\n")}")
     assert(plan.split("Exchange hashpartitioning").length - 1 == 0,
       s"shuffle in the map-only resample scan:\n$plan")
+    // and the audited catalog form's served plan is the bounded
+    // checkpoint — no rescans, no shuffle, the audit as a literal
+    val audited = planOf("q106_dsir_resample")
+    assert(audited.contains("topk_overlap_mil") &&
+      !audited.contains("Scan parquet") &&
+      !audited.contains("Exchange hashpartitioning"),
+      s"audited resample re-reads or shuffles:\n$audited")
   }
 
   test("q109: incremental near-dup probe never shuffles the archive store") {
@@ -656,6 +673,20 @@ class PlanShapeSpec extends SparkSpec {
       s"store shuffled for the screen join:\n$plan")
     assert(plan.split("BroadcastHashJoin").length - 1 >= 2,
       s"hash/dup joins not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+  }
+
+  test("q125: cumulative exact-dedup probe — store map-only, joins broadcast, no window") {
+    // the probe after an ADMIT fold must keep the incremental family's
+    // shape: the (fp, cnt) store scan semi-joins the broadcast batch
+    // fps, the matched set broadcasts back; no shuffle, no window
+    val plan = planOf("q125_incremental_exactdedup")
+    assert(!plan.contains("Window"), s"exact-dedup probe has a window:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"store shuffled for the probe join:\n$plan")
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2,
+      s"fp joins not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
   }

@@ -240,6 +240,53 @@ class StoreRetractSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("fingerprintStoreAdmit: cumulative exact-dedup, admit-then-retract round-trips") {
+    val sink = freshSink("fpadm")
+    val archive = (1L to 10L).map(i => (i, segText(i))).toDF("doc_id", "text")
+    TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink)
+    val b1 = Seq((101L, segText(101L)), (102L, segText(3L)))
+      .toDF("doc_id", "text")
+    val probe1 = TextOps.fingerprintStoreAdmit(b1, "doc_id", "text", sink)
+      .as[(Long, Int)].collect().toMap
+    // the probe is PRE-admission: 102 dups archive doc 3, 101 is new
+    assert(probe1 == Map(101L -> 0, 102L -> 1), s"pre-admit flags: $probe1")
+    // day 2: a dup of day-1's NEW doc is now flagged — cumulative
+    val probe2 = TextOps.fingerprintStoreProbe(
+        Seq((201L, segText(101L))).toDF("doc_id", "text"),
+        "doc_id", "text", sink)
+      .as[(Long, Int)].collect().toMap
+    assert(probe2 == Map(201L -> 1), s"cumulative admission lost day 1: $probe2")
+    // admit-then-retract returns the store to the archive-only state
+    TextOps.fingerprintStoreRetract(b1, "doc_id", "text", sink)
+    val expected = freshSink("fpadm_expect")
+    TextOps.fingerprintStoreBuild(archive, "doc_id", "text", expected)
+    assert(rows(sink, "fingerprint_store") ==
+      rows(expected, "fingerprint_store"),
+      "admit-then-retract is not the identity on the store")
+  }
+
+  test("selectionStoreAdmitRaw: folded policy equals a fresh fit on the grown pool") {
+    val sink = freshSink("seladm")
+    val archive = (1L to 20L).map(i => (i, segText(i))).toDF("doc_id", "text")
+    val target = archive.filter($"doc_id" % 5 === 0)
+    SelectOps.selectionStoreBuild(archive, target, "doc_id", "text", sink,
+      buckets = 32)
+    val batch = (201L to 210L).map(i => (i, segText(i))).toDF("doc_id", "text")
+    SelectOps.selectionStoreAdmitRaw(batch, "text", sink)
+    val expected = freshSink("seladm_expect")
+    SelectOps.selectionStoreBuild(archive.unionByName(batch), target,
+      "doc_id", "text", expected, buckets = 32)
+    assert(rows(sink, "dsir_affinity") == rows(expected, "dsir_affinity"),
+      "folded policy != fresh fit on archive UNION batch")
+    // and scoring agrees bit-for-bit through the fold
+    val probeB = (301L to 303L).map(i => (i, segText(i))).toDF("doc_id", "text")
+    assert(
+      SelectOps.selectionStoreScore(probeB, "doc_id", "text", sink)
+        .collect().map(_.toSeq).toSet ==
+      SelectOps.selectionStoreScore(probeB, "doc_id", "text", expected)
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("EraseOps.eraseSubjects: one sweep erases every modality, exactly") {
     val sink = freshSink("sweep")
     val archive = (1L to 20L).map(i => (i, segText(i))).toDF("doc_id", "text")
