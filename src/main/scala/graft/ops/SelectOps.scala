@@ -262,18 +262,23 @@ object SelectOps {
     * batch gram scan); additive ⇒ at-least-once under crash-replay.
     */
   def selectionStoreAdmitRaw(batch: DataFrame, textCol: String,
-                             sink: graft.sink.UpsertSink): Unit = {
-    val buckets = sink.read(AffStore).count().toInt
-    require(buckets > 0, "selection store is empty — build the policy first")
-    val dh = bucketHist(batch, textCol, buckets)
-      .select(col("bucket").cast("int").as("bucket"), col("cnt"))
-    val updated = sink.read(AffStore)
-      .join(broadcast(dh), Seq("bucket"), "left")
-      .select(col("bucket"), col("ct"),
-        (col("cr") + coalesce(col("cnt"), lit(0L))).as("cr"))
-      .localCheckpoint(true) // reads the store files the merge rewrites
-    sink.merge(AffStore, updated, Seq("bucket"), pkUnique = true)
-  }
+                             sink: graft.sink.UpsertSink): Unit =
+    // whole fold under the writer lease (reentrant into merge): the
+    // bucket-count read and the updated-histogram derivation serialize
+    // against a concurrent retract
+    sink.writerLocked(Seq(AffStore)) {
+      val buckets = sink.read(AffStore).count().toInt
+      require(buckets > 0,
+        "selection store is empty — build the policy first")
+      val dh = bucketHist(batch, textCol, buckets)
+        .select(col("bucket").cast("int").as("bucket"), col("cnt"))
+      val updated = sink.read(AffStore)
+        .join(broadcast(dh), Seq("bucket"), "left")
+        .select(col("bucket"), col("ct"),
+          (col("cr") + coalesce(col("cnt"), lit(0L))).as("cr"))
+        .localCheckpoint(true) // reads the store files the merge rewrites
+      sink.merge(AffStore, updated, Seq("bucket"), pkUnique = true)
+    }
 
   /** ERASE documents from the selection policy: subtract the erased
     * docs' per-bucket gram counts — target-sample members from `ct`,

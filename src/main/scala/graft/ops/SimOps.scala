@@ -1566,7 +1566,10 @@ object SimOps {
   def embLshStoreAdmit(batch: DataFrame, idCol: String, vecCol: String,
                        sink: graft.sink.UpsertSink, threshold: Double,
                        planes: Int = 4, tables: Int = 48,
-                       dim: Int = 64): DataFrame = {
+                       dim: Int = 64): DataFrame =
+    // whole admission under the writer lease (reentrant into mergeMany):
+    // the probe reads store files a concurrent eraser could swap away
+    sink.writerLocked(Seq(EmbSigs, EmbVecs)) {
     // eager localCheckpoint: the probe plan reads the store files the
     // merge below rewrites
     val out = embLshStoreProbe(batch, idCol, vecCol, sink, threshold,
@@ -1583,7 +1586,7 @@ object SimOps {
           norm(col(vecCol)).as("n")),
         Seq("id"), pkUnique = true)))
     out
-  }
+    }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dedup
     * scoped to trained k-means clusters — the scale answer to exhaustive

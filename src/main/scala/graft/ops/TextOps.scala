@@ -346,7 +346,11 @@ object TextOps {
   def minhashStoreAdmit(batch: DataFrame, idCol: String, textCol: String,
                         sink: graft.sink.UpsertSink,
                         threshold: Double = 0.5, n: Int = 3,
-                        k: Int = 128, bands: Int = 32): DataFrame = {
+                        k: Int = 128, bands: Int = 32): DataFrame =
+    // whole admission under the writer lease (reentrant into mergeMany):
+    // the probe reads store files a CONCURRENT writer (an eraser) could
+    // otherwise swap away mid-plan — read-modify-write serializes
+    sink.writerLocked(Seq(NearDupBands, NearDupShingles)) {
     // eager localCheckpoint: the probe result is candidate-bounded but
     // its PLAN reads the store files the merge below is about to
     // rewrite — materialize it first or the returned frame dangles on
@@ -364,7 +368,7 @@ object TextOps {
         batch.select(col(idCol).as("doc_id"), sh.as("sh")),
         Seq("doc_id"), pkUnique = true)))
     out
-  }
+    }
 
   /** Column-level SimHash vote for one bit of a word hash. */
   private def bitVote(hv: Column, cnt: Column, bit: Int): Column =
@@ -1073,7 +1077,10 @@ object TextOps {
     */
   def fingerprintStoreAdmit(batch: DataFrame, idCol: String,
                             textCol: String,
-                            sink: graft.sink.UpsertSink): DataFrame = {
+                            sink: graft.sink.UpsertSink): DataFrame =
+    // whole admission under the writer lease (reentrant into merge):
+    // probe and existing-count reads serialize against erasers
+    sink.writerLocked(Seq(FpStore)) {
     // eager localCheckpoint: the probe plan reads store files the merge
     // below rewrites
     val out = fingerprintStoreProbe(batch, idCol, textCol, sink)
@@ -1092,7 +1099,7 @@ object TextOps {
       .localCheckpoint(true) // reads the store files the merge rewrites
     sink.merge(FpStore, summed, Seq("fp"), pkUnique = true)
     out
-  }
+    }
 
   /** ERASE documents from the fingerprint store: each erased doc
     * contributed exactly 1 to its fp's count at build time, so the
@@ -1175,12 +1182,14 @@ object TextOps {
   def segmentStoreCompact(sink: graft.sink.UpsertSink,
                           minCount: Long): (Long, Long) = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val store = sink.read(SegStore)
-    val total = store.count()
-    val kept = store.filter(col("cnt") >= minCount)
-    sink.overwrite(SegStore, kept, Seq("seg_hash"))
-    val k = sink.read(SegStore).count()
-    (k, total - k)
+    sink.writerLocked(Seq(SegStore)) {
+      val store = sink.read(SegStore)
+      val total = store.count()
+      val kept = store.filter(col("cnt") >= minCount)
+      sink.overwrite(SegStore, kept, Seq("seg_hash"))
+      val k = sink.read(SegStore).count()
+      (k, total - k)
+    }
   }
 
   /** Admission: screen the batch, then fold its segment counts into the
@@ -1190,7 +1199,11 @@ object TextOps {
     */
   def segmentStoreAdmit(batch: DataFrame, idCol: String, textCol: String,
                         sink: graft.sink.UpsertSink, segWords: Int = 25,
-                        minArchiveCount: Long = 1): DataFrame = {
+                        minArchiveCount: Long = 1): DataFrame =
+    // whole admission under the writer lease (reentrant into merge):
+    // probe AND the existing-count read consult store files a
+    // concurrent eraser could swap away mid-plan
+    sink.writerLocked(Seq(SegStore)) {
     // eager localCheckpoint: the probe plan reads store files the merge
     // below rewrites (same hazard as minhashStoreAdmit)
     val out = segmentStoreProbe(batch, idCol, textCol, sink, segWords,
@@ -1210,9 +1223,13 @@ object TextOps {
       .join(broadcast(existing), Seq("seg_hash"), "left")
       .select(col("seg_hash"),
         (coalesce(col("cnt"), lit(0L)) + col("__bcnt")).as("cnt"))
+      // eager checkpoint (batch-bounded): the plan reads the store
+      // files the merge below rewrites — an executor loss mid-merge
+      // would otherwise recompute from post-swap files
+      .localCheckpoint(true)
     sink.merge(SegStore, summed, Seq("seg_hash"), pkUnique = true)
     out
-  }
+    }
 
   /** ERASE documents from the segment inventory (right-to-erasure for
     * the COUNT-store modality): re-derive the erased docs' segment
@@ -1423,7 +1440,10 @@ object TextOps {
     */
   def substrStoreAdmit(batch: DataFrame, idCol: String, textCol: String,
                        sink: graft.sink.UpsertSink, minTokens: Int = 20,
-                       minArchiveCount: Long = 1): DataFrame = {
+                       minArchiveCount: Long = 1): DataFrame =
+    // whole admission under the writer lease (reentrant into merge):
+    // probe and existing-count reads serialize against erasers
+    sink.writerLocked(Seq(SubstrStore)) {
     // window rows checkpointed ONCE: the probe and the count fold both
     // consume them, and the tokenize + per-position digest scan is the
     // dominant map cost of an admission
@@ -1454,7 +1474,7 @@ object TextOps {
       .localCheckpoint(true)
     sink.merge(SubstrStore, summed, Seq("win_hash"), pkUnique = true)
     out
-  }
+    }
 
   /** ERASE documents from the substring-window inventory — the
     * [[segmentStoreRetract]] move for the offset-invariant store:
@@ -1561,18 +1581,20 @@ object TextOps {
                        minTokens: Int = 20,
                        minArchiveCount: Long = 1): DataFrame = {
     require(batchId > 0, s"batchId must be > 0 (0 is the archive), got $batchId")
-    val rows = windowRows(batch, idCol, textCol, minTokens)
-      .localCheckpoint(true)
-    val out = substrDeltaProbeFromRows(batch, rows, idCol, textCol, sink,
-      minTokens, minArchiveCount, broadcastBatch = true)
-      .localCheckpoint(true)
-    val deltas = rows
-      .groupBy(col("__gh").as("win_hash"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("batch_id", lit(batchId))
-    sink.merge(SubstrDelta, deltas, Seq("win_hash", "batch_id"),
-      pkUnique = true)
-    out
+    sink.writerLocked(Seq(SubstrDelta)) {
+      val rows = windowRows(batch, idCol, textCol, minTokens)
+        .localCheckpoint(true)
+      val out = substrDeltaProbeFromRows(batch, rows, idCol, textCol, sink,
+        minTokens, minArchiveCount, broadcastBatch = true)
+        .localCheckpoint(true)
+      val deltas = rows
+        .groupBy(col("__gh").as("win_hash"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("batch_id", lit(batchId))
+      sink.merge(SubstrDelta, deltas, Seq("win_hash", "batch_id"),
+        pkUnique = true)
+      out
+    }
   }
 
   /** Retention for the delta store: fold every batch with
@@ -1584,18 +1606,19 @@ object TextOps {
     * Returns (rows_before, rows_after).
     */
   def substrDeltaCompact(sink: graft.sink.UpsertSink,
-                         settledBefore: Long): (Long, Long) = {
-    val store = sink.read(SubstrDelta)
-    val before = store.count()
-    val settled = store.filter(col("batch_id") <= settledBefore)
-      .groupBy("win_hash").agg(sum(col("cnt")).as("cnt"))
-      .withColumn("batch_id", lit(0L))
-    val live = store.filter(col("batch_id") > settledBefore)
-    sink.overwrite(SubstrDelta,
-      settled.unionByName(live.select("win_hash", "cnt", "batch_id")),
-      Seq("win_hash", "batch_id"))
-    (before, sink.read(SubstrDelta).count())
-  }
+                         settledBefore: Long): (Long, Long) =
+    sink.writerLocked(Seq(SubstrDelta)) {
+      val store = sink.read(SubstrDelta)
+      val before = store.count()
+      val settled = store.filter(col("batch_id") <= settledBefore)
+        .groupBy("win_hash").agg(sum(col("cnt")).as("cnt"))
+        .withColumn("batch_id", lit(0L))
+      val live = store.filter(col("batch_id") > settledBefore)
+      sink.overwrite(SubstrDelta,
+        settled.unionByName(live.select("win_hash", "cnt", "batch_id")),
+        Seq("win_hash", "batch_id"))
+      (before, sink.read(SubstrDelta).count())
+    }
 
   /** BATCH-granularity erasure for the delta store: physically delete
     * every (win_hash, batch_id) row of the given batches — EXACTLY

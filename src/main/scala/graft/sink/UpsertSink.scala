@@ -549,6 +549,21 @@ final class UpsertSink(spark: SparkSession, root: String,
     * lock-free — the lease is writer-vs-writer only; reader-vs-writer
     * safety remains the write-intent fence's job.
     */
+  /** Run `body` holding this sink's writer lease over `tables` — the
+    * public critical-section primitive for COMPOUND read-modify-write
+    * operations (an admit that reads existing counts and then merges
+    * the sums back; a compact that reads and overwrites). Without it,
+    * the derivation reads run un-leased and a concurrent writer (an
+    * eraser's bucket swap) can invalidate their captured file listings
+    * mid-plan — the reader crashes on FILE_NOT_EXIST instead of
+    * serializing. Reentrant per thread ([[withWriterLease]]'s
+    * heldLeases), so `body` may freely call this sink's mutators on
+    * the same tables; multi-table acquisition orders by name, so
+    * overlapping scopes never deadlock.
+    */
+  def writerLocked[T](tables: Seq[String])(body: => T): T =
+    withWriterLease(tables)(body)
+
   private def withWriterLease[T](tables: Seq[String])(body: => T): T = {
     // name contract FIRST: the lease path is derived from the name, so
     // a malicious name must die as the same IllegalArgumentException

@@ -188,4 +188,148 @@ class StoreConcurrencySpec extends SparkSpec {
     assert(sink.read("embdup_vecs").select("id").as[Long].collect().toSet
       == want, "lost admissions in the vector table")
   }
+
+  test("admitter vs ERASER vs snapshotMany reader: the r13 triangle — no torn group, no resurfaced subject, no lost admission") {
+    // the erasure-concurrency contract end to end: an ADMITTER folds
+    // batches while an ERASER retracts archive subjects through the
+    // lease-scoped thunk (key derivation INSIDE the lease — the ADVICE
+    // race) and a snapshotMany reader hammers both tables. Writers
+    // serialize on the group lease; the reader must never see a torn
+    // group; erased subjects must never resurface; every admission must
+    // land.
+    val sink = new UpsertSink(spark,
+      Files.createTempDirectory("graft_store_tri").toString, numBuckets = 4)
+    val archive = docsDF((1L to 30L).map(i => (i, uniqueText(i))))
+    TextOps.minhashStoreBuild(archive, "doc_id", "text", sink,
+      n = 3, k = 32, bands = 8)
+
+    val writersDone = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var admitErr: Option[Throwable] = None
+    val admitter = new Thread(() => {
+      try (0L until 3L).foreach { b =>
+        val base = 100 * (b + 1)
+        val batch = docsDF((0L until 10L).map(i =>
+          (base + i, uniqueText(1000 + 10 * b + i))))
+        TextOps.minhashStoreAdmit(batch, "doc_id", "text", sink,
+          threshold = 0.9, n = 3, k = 32, bands = 8)
+      } catch { case t: Throwable => admitErr = Some(t) }
+      finally writersDone.incrementAndGet()
+    }, "graft-tri-admitter")
+
+    @volatile var eraseErr: Option[Throwable] = None
+    val eraser = new Thread(() => {
+      // three erasure waves over disjoint archive subjects — each wave
+      // derives its band keys inside the deleteMany lease, racing the
+      // admitter's mergeMany leases on the SAME two tables
+      try (0L until 3L).foreach { w =>
+        val subjects = ((w * 5 + 1) to (w * 5 + 5)).toDF("doc_id")
+        TextOps.minhashStoreRetract(subjects, "doc_id", sink)
+      } catch { case t: Throwable => eraseErr = Some(t) }
+      finally writersDone.incrementAndGet()
+    }, "graft-tri-eraser")
+
+    @volatile var readerErr: Option[Throwable] = None
+    var rounds = 0
+    val reader = new Thread(() => {
+      try while (writersDone.get() < 2) {
+        val snaps = sink.snapshotMany(Seq("neardup_bands", "neardup_shingles"))
+        try {
+          val bandDocs = snaps(0).df.select("doc_id").as[Long]
+            .collect().toSet
+          val shingleDocs = snaps(1).df.select("doc_id").as[Long]
+            .collect().toSet
+          assert(bandDocs == shingleDocs,
+            s"torn group under admit+erase: " +
+              s"bands-only=${(bandDocs -- shingleDocs).toSeq.sorted.take(5)} " +
+              s"shingles-only=${(shingleDocs -- bandDocs).toSeq.sorted.take(5)}")
+          rounds += 1
+        } finally snaps.foreach(_.close())
+      } catch { case t: Throwable => readerErr = Some(t) }
+    }, "graft-tri-reader")
+
+    admitter.start(); eraser.start(); reader.start()
+    admitter.join(300000); eraser.join(300000); reader.join(300000)
+    assert(!admitter.isAlive && !eraser.isAlive && !reader.isAlive,
+      "threads failed to finish")
+    admitErr.foreach(t => fail(s"admitter died: $t", t))
+    eraseErr.foreach(t => fail(s"eraser died: $t", t))
+    readerErr.foreach(t => fail(s"reader died: $t", t))
+    assert(rounds > 0, "reader never captured a snapshot round")
+
+    // final state: archive minus the 15 erased subjects, plus all 30
+    // admitted docs — whatever the interleaving (erased ids are
+    // disjoint from admitted ids, so admits and erases commute)
+    val want = (16L to 30L).toSet ++
+      (0L until 3L).flatMap(b => (100 * (b + 1)) to (100 * (b + 1) + 9)).toSet
+    val bandDocs = sink.read("neardup_bands").select("doc_id")
+      .distinct().as[Long].collect().toSet
+    val shingleDocs = sink.read("neardup_shingles").select("doc_id")
+      .as[Long].collect().toSet
+    assert(bandDocs == want,
+      s"bands: missing=${(want -- bandDocs).toSeq.sorted.take(5)} " +
+        s"resurfaced=${(bandDocs -- want).toSeq.sorted.take(5)}")
+    assert(shingleDocs == want,
+      s"shingles: missing=${(want -- shingleDocs).toSeq.sorted.take(5)} " +
+        s"resurfaced=${(shingleDocs -- want).toSeq.sorted.take(5)}")
+    // and erased subjects never probe back as candidates
+    val probe = TextOps.minhashStoreProbe(
+        docsDF(Seq((901L, uniqueText(3L)))), "doc_id", "text", sink,
+        threshold = 0.9, n = 3, k = 32, bands = 8)
+      .select("a_id").as[Long].collect().toSet
+    assert(!probe.contains(3L), s"erased subject resurfaced: $probe")
+  }
+
+  test("count store: concurrent admits and retracts COMMUTE — final inventory equals the sequential result") {
+    // the count-retract shape under concurrency: counts are additive
+    // and the subjects are disjoint from the batches, so whatever the
+    // lease-serialized interleaving, the final segment inventory must
+    // equal a fresh build on (archive - subjects) followed by the
+    // admits — the count analog of the posting-group triangle above
+    val sink = new UpsertSink(spark,
+      Files.createTempDirectory("graft_count_conc").toString, numBuckets = 4)
+    val boiler = "alpha beta gamma delta"
+    def segText(seed: Long): String =
+      s"$boiler u${letters(seed)}a u${letters(seed)}b u${letters(seed)}c u${letters(seed)}d"
+    val archive = docsDF((1L to 20L).map(i => (i, segText(i))))
+    TextOps.segmentStoreBuild(archive, "doc_id", "text", sink, segWords = 4)
+
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var errs = List.empty[Throwable]
+    def batch(b: Long): DataFrame =
+      docsDF((0L until 5L).map(i => (100 * (b + 1) + i, segText(500 + 10 * b + i))))
+    val admitter = new Thread(() => {
+      try (0L until 3L).foreach { b =>
+        TextOps.segmentStoreAdmit(batch(b), "doc_id", "text", sink,
+          segWords = 4)
+      } catch { case t: Throwable => errs ::= t }
+      finally done.incrementAndGet()
+    }, "graft-count-admitter")
+    val eraser = new Thread(() => {
+      try (0L until 3L).foreach { w =>
+        TextOps.segmentStoreRetract(
+          archive.filter(col("doc_id").between(w * 3 + 1, w * 3 + 3)),
+          "doc_id", "text", sink, segWords = 4)
+      } catch { case t: Throwable => errs ::= t }
+      finally done.incrementAndGet()
+    }, "graft-count-eraser")
+    admitter.start(); eraser.start()
+    admitter.join(300000); eraser.join(300000)
+    assert(!admitter.isAlive && !eraser.isAlive)
+    errs.foreach(t => fail(s"writer died: $t", t))
+
+    val expected = new UpsertSink(spark,
+      Files.createTempDirectory("graft_count_expect").toString,
+      numBuckets = 4)
+    TextOps.segmentStoreBuild(archive.filter(col("doc_id") > 9L),
+      "doc_id", "text", expected, segWords = 4)
+    (0L until 3L).foreach { b =>
+      TextOps.segmentStoreAdmit(batch(b), "doc_id", "text", expected,
+        segWords = 4)
+    }
+    def inv(k: UpsertSink): Set[(String, Long)] =
+      k.read("segdedup_segs").select("seg_hash", "cnt")
+        .as[(String, Long)].collect().toSet
+    assert(inv(sink) == inv(expected),
+      "concurrent admit+retract diverged from the sequential inventory")
+  }
 }
