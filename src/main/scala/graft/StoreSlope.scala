@@ -181,10 +181,12 @@ object StoreSlope {
     arch(df, idCol).filter(col(idCol) % 11 === (1 + h))
   }
 
-  /** One modality's measurement: probe (and, where shipped, admit)
-    * walls against the small and big archives (same batch), the growth
-    * ratios, and the flags. Admit fields are None for probe-only
-    * modalities (fingerprint, selection).
+  /** One modality's measurement: probe, admit, and erase walls against
+    * the small and big archives (same batch/subjects), the growth
+    * ratios, and the flags. Since round 13 every modality ships all
+    * three legs (build/probe/admit/erase — the inventory test pins
+    * this), so the admit/erase Options are None only when a caller
+    * explicitly strips a leg (e.g. [[probeSeconds]]).
     */
   final case class Result(name: String, tSmall: Double, tBig: Double,
                           ratio: Double, warn: Boolean,

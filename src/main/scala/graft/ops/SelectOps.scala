@@ -301,6 +301,10 @@ object SelectOps {
   private[ops] def selectionRetractPlan(
       fromTarget: DataFrame, fromRaw: DataFrame, textCol: String,
       sink: graft.sink.UpsertSink): Seq[graft.sink.TableErase] = {
+    // the policy histogram never drops rows (dropAtZero = false), but a
+    // direct delete() can still TRUNCATE it to fileless — derive no
+    // retraction then instead of crashing on a schema-less read
+    if (!sink.hasData(AffStore)) return Nil
     val buckets = sink.read(AffStore).count().toInt
     require(buckets > 0, "selection store is empty — build the policy first")
     val dt = bucketHist(fromTarget, textCol, buckets)

@@ -1268,6 +1268,18 @@ object SimOps {
       Seq((shards, builtCount)).toDF("shards", "built"), Seq("shards"))
   }
 
+  /** The meta row's committed built-shard count, tolerating the
+    * pre-`built` LEGACY layout (a sharded index persisted before the
+    * commit-point column existed carries only `shards`): a legacy meta
+    * cannot pin its generation's count, so fall back to the old
+    * semantics — trust the shards actually built on disk. Rebuilding
+    * ([[buildShardedIvfPqIndex]]) upgrades the meta in place.
+    */
+  private def metaBuiltCount(meta: org.apache.spark.sql.Row,
+                             builtOnDisk: => Int): Int =
+    if (meta.schema.fieldNames.contains("built")) meta.getAs[Int]("built")
+    else builtOnDisk
+
   /** True iff a sharded index exists: the meta row plus at least one
     * built shard (empty hash ranges legitimately build none).
     */
@@ -1276,8 +1288,8 @@ object SimOps {
     sink.exists(ShardMeta) && {
       val meta = sink.read(ShardMeta).collect()(0)
       val n = meta.getAs[Int]("shards")
-      shardSinks(spark, sink, n).count(ivfPqIndexExists) ==
-        meta.getAs[Int]("built") && meta.getAs[Int]("built") > 0
+      val builtOnDisk = shardSinks(spark, sink, n).count(ivfPqIndexExists)
+      builtOnDisk == metaBuiltCount(meta, builtOnDisk) && builtOnDisk > 0
     }
 
   /** Probe a SHARDED index: every shard probes independently (each the
@@ -1307,10 +1319,12 @@ object SimOps {
     val built = shardSinks(spark, sink, shards).filter(ivfPqIndexExists)
     // every non-empty shard of the committed generation must be present:
     // serving a subset would be indistinguishable from legitimately
-    // empty hash ranges (silent partial-corpus results)
-    require(built.size == meta.getAs[Int]("built"),
+    // empty hash ranges (silent partial-corpus results). A LEGACY meta
+    // (no `built` column) cannot make this check — old semantics apply
+    val expectedBuilt = metaBuiltCount(meta, built.size)
+    require(built.size == expectedBuilt,
       s"sharded index under ${sink.rootPath} has ${built.size} built " +
-        s"shards but its meta commit recorded ${meta.getAs[Int]("built")} " +
+        s"shards but its meta commit recorded $expectedBuilt " +
         "— torn or partially deleted index; rebuild it")
     require(built.nonEmpty,
       s"sharded index under ${sink.rootPath} has no built shards")
@@ -1551,12 +1565,19 @@ object SimOps {
       ids: DataFrame, idCol: String,
       sink: graft.sink.UpsertSink): Seq[graft.sink.TableErase] = {
     val keys = ids.select(col(idCol).cast("long").as("id")).distinct()
-    val sigKeys = sink.read(EmbSigs).join(broadcast(keys), "id")
-      .select(col("t"), col("s"), col("id"))
-      .localCheckpoint(true)
-    Seq(
-      graft.sink.TableDelete(EmbSigs, sigKeys, Seq("t", "s", "id")),
-      graft.sink.TableDelete(EmbVecs, keys.select(col("id")), Seq("id")))
+    // a previously fully-erased (fileless) postings table has nothing
+    // to scan for keys — and nothing to delete; the vector delete's
+    // keys derive from `ids` alone, so it survives regardless
+    val sigErase =
+      if (!sink.hasData(EmbSigs)) Nil
+      else {
+        val sigKeys = sink.read(EmbSigs).join(broadcast(keys), "id")
+          .select(col("t"), col("s"), col("id"))
+          .localCheckpoint(true)
+        Seq(graft.sink.TableDelete(EmbSigs, sigKeys, Seq("t", "s", "id")))
+      }
+    sigErase :+
+      graft.sink.TableDelete(EmbVecs, keys.select(col("id")), Seq("id"))
   }
 
   /** Admission: probe, then fold the batch into the store (one

@@ -326,15 +326,22 @@ object TextOps {
       ids: DataFrame, idCol: String,
       sink: graft.sink.UpsertSink): Seq[graft.sink.TableErase] = {
     val keys = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
-    val bandKeys = sink.read(NearDupBands)
-      .join(broadcast(keys), "doc_id")
-      .select(col("band"), col("doc_id"))
-      .localCheckpoint(true)
-    Seq(
-      graft.sink.TableDelete(NearDupBands, bandKeys,
-        Seq("band", "doc_id")),
-      graft.sink.TableDelete(NearDupShingles,
-        keys.select(col("doc_id")), Seq("doc_id")))
+    // a previously fully-erased (fileless) bands table has no postings
+    // to scan for keys — and nothing to delete from; the shingle
+    // delete's keys derive from `ids` alone, so it survives regardless
+    // (eraseMany skips fileless members at application time)
+    val bandErase =
+      if (!sink.hasData(NearDupBands)) Nil
+      else {
+        val bandKeys = sink.read(NearDupBands)
+          .join(broadcast(keys), "doc_id")
+          .select(col("band"), col("doc_id"))
+          .localCheckpoint(true)
+        Seq(graft.sink.TableDelete(NearDupBands, bandKeys,
+          Seq("band", "doc_id")))
+      }
+    bandErase :+ graft.sink.TableDelete(NearDupShingles,
+      keys.select(col("doc_id")), Seq("doc_id"))
   }
 
   /** Admission step: probe the batch against the archive state, then

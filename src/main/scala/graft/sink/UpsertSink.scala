@@ -690,6 +690,20 @@ final class UpsertSink(spark: SparkSession, root: String,
     * throw UNABLE_TO_INFER_SCHEMA. Underscore/dot prefixes are the
     * parquet-invisible convention, same as the markers themselves.
     */
+  /** Public emptiness probe: whether the table holds any data rows to
+    * read. A table every row of which was [[delete]]d still `exists()`
+    * (its dir and markers survive — the TRUNCATE contract) but has no
+    * schema to serve: a direct [[read]] fails. Store retract plans
+    * that derive their keys by SCANNING the store use this to no-op on
+    * a previously fully-erased store instead of crashing — run it
+    * inside the erasure lease (the thunk overloads) so a concurrent
+    * truncation cannot invalidate the answer before the scan.
+    */
+  def hasData(table: String): Boolean = {
+    recover(table)
+    hasDataFiles(table)
+  }
+
   private def hasDataFiles(table: String): Boolean =
     retryVanishedWalk("hasDataFiles", table) {
       val dir = tableDir(table)
@@ -1569,12 +1583,17 @@ final class UpsertSink(spark: SparkSession, root: String,
       s"duplicate tables in lease scope: ${tables.mkString(", ")}")
     withWriterLease(tables) {
       val erases = derive
-      require(erases.nonEmpty, "eraseMany needs at least one table")
-      val outside = erases.map(_.table).filterNot(tables.contains)
-      require(outside.isEmpty,
-        s"derived erases target tables outside the lease scope: " +
-          s"${outside.mkString(", ")} (declared: ${tables.mkString(", ")})")
-      eraseManyLeased(erases)
+      // an EMPTY derivation is a no-op, not an error: a plan that scans
+      // the store for its keys legitimately derives nothing when the
+      // store was previously fully erased (fileless — the TRUNCATE
+      // contract), and it can only learn that inside the lease
+      if (erases.nonEmpty) {
+        val outside = erases.map(_.table).filterNot(tables.contains)
+        require(outside.isEmpty,
+          s"derived erases target tables outside the lease scope: " +
+            s"${outside.mkString(", ")} (declared: ${tables.mkString(", ")})")
+        eraseManyLeased(erases)
+      }
     }
   }
 

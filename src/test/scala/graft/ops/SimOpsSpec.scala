@@ -707,6 +707,30 @@ class SimOpsSpec extends SparkSpec {
     assert(decisions.nonEmpty || true) // must simply not throw
   }
 
+  test("sharded index tolerates a legacy meta row without the 'built' column") {
+    // an index persisted before the commit-point column existed carries
+    // a single-column meta: exists/probe must fall back to the old
+    // count-the-built-shards semantics, not throw field-not-found
+    val root = java.nio.file.Files.createTempDirectory("graft_annshardlegacy")
+    val sink = new graft.sink.UpsertSink(spark, root.toString)
+    val e = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    SimOps.buildShardedIvfPqIndex(e, "vec_id", "embedding", sink,
+      shards = 2, nlist = 8)
+    val modern = SimOps.shardedProbeIndex(e.limit(3), e, "vec_id",
+      "embedding", sink, k = 2).collect().map(_.toSeq).toSet
+    // simulate the legacy layout: meta row with only `shards`
+    sink.overwrite("ann_shard_meta", Seq(2).toDF("shards"), Seq("shards"))
+    assert(SimOps.shardedIndexExists(spark, sink),
+      "legacy meta broke shardedIndexExists")
+    val legacy = SimOps.shardedProbeIndex(e.limit(3), e, "vec_id",
+      "embedding", sink, k = 2).collect().map(_.toSeq).toSet
+    assert(legacy == modern, "legacy meta changed the served result")
+    // and a rebuild upgrades the meta in place
+    SimOps.buildShardedIvfPqIndex(e, "vec_id", "embedding", sink,
+      shards = 2, nlist = 8)
+    assert(sink.read("ann_shard_meta").columns.contains("built"))
+  }
+
   test("sharded build with scaleNlist sizes each shard's quantizer to its slice") {
     val root = java.nio.file.Files.createTempDirectory("graft_annshardscale")
     val sink = new graft.sink.UpsertSink(spark, root.toString)

@@ -287,6 +287,45 @@ class StoreRetractSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("retract on a fully-erased (fileless) store no-ops instead of crashing") {
+    // erasing EVERY row TRUNCATEs a table (fileless dir, no schema to
+    // read) — a second sweep/retract must no-op, not crash deriving
+    // keys from a schema-less scan (round-13 advice #3)
+    val sink = new UpsertSink(spark,
+      Files.createTempDirectory("graft_retract_refileless").toString,
+      numBuckets = 4)
+    val archive = (1L to 5L).map(i => (i, text(i))).toDF("doc_id", "text")
+    TextOps.minhashStoreBuild(archive, "doc_id", "text", sink,
+      n = 3, k = 32, bands = 8)
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(16)(i =>
+        ((((seed * 31L + i) * 2654435761L) % 1000L) / 1000.0f) - 0.5f)
+    val vecs = (1 to 5).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    SimOps.embLshStoreBuild(vecs, "vec_id", "embedding", sink,
+      planes = 4, tables = 8, dim = 16)
+    val all = (1L to 5L).toDF("doc_id")
+    TextOps.minhashStoreRetract(all, "doc_id", sink)
+    SimOps.embLshStoreRetract(all.select($"doc_id".as("vec_id")),
+      "vec_id", sink)
+    // every member table is now fileless; the stores still exist()
+    for (t <- Seq("neardup_bands", "neardup_shingles",
+        "embdup_sigs", "embdup_vecs")) {
+      assert(sink.exists(t) && !sink.hasData(t), s"$t not TRUNCATEd")
+    }
+    // the second retract: derives nothing, deletes nothing, throws nothing
+    TextOps.minhashStoreRetract(all, "doc_id", sink)
+    SimOps.embLshStoreRetract(all.select($"doc_id".as("vec_id")),
+      "vec_id", sink)
+    // selection store: TRUNCATE it directly (delete every bucket row),
+    // then retract — same no-op contract
+    SelectOps.selectionStoreBuild(archive, archive.filter($"doc_id" === 1L),
+      "doc_id", "text", sink, buckets = 16)
+    sink.delete("dsir_affinity",
+      spark.range(16).select($"id".cast("int").as("bucket")), Seq("bucket"))
+    assert(sink.exists("dsir_affinity") && !sink.hasData("dsir_affinity"))
+    SelectOps.selectionStoreRetract(archive.limit(0), archive, "text", sink)
+  }
+
   test("EraseOps.eraseSubjects: one sweep erases every modality, exactly") {
     val sink = freshSink("sweep")
     val archive = (1L to 20L).map(i => (i, segText(i))).toDF("doc_id", "text")
