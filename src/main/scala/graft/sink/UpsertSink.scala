@@ -102,10 +102,12 @@ final case class TableDelete(table: String, keys: DataFrame,
   *
   * Counts clamp at zero: a decrement can never drive a stored count
   * negative. The caller contract is "retract exactly what was
-  * admitted, once" — like the additive admit folds, count retraction
-  * is AT-LEAST-ONCE under crash-replay (re-running subtracts again);
-  * batch-keyed delta layouts are the exactly-once answer in both
-  * directions.
+  * admitted, once". Under crash-replay the guarantee depends on the
+  * [[UpsertSink.eraseMany]] overload: WITHOUT an erasure id the
+  * retraction is at-least-once (re-running subtracts again — and a
+  * double-decrement can clamp/drop rows surviving documents still
+  * hold); WITH an erasure id the journal + per-bucket markers make
+  * replay IDEMPOTENT — bit-identical to a single uncrashed run.
   */
 final case class TableCountRetract(table: String, decrements: DataFrame,
                                    pk: Seq[String], cntCols: Seq[String],
@@ -1393,12 +1395,23 @@ final class UpsertSink(spark: SparkSession, root: String,
     */
   private def writeAndSwapBuckets(table: String, merged: DataFrame,
                                   touched: Array[Int], buckets: Int,
-                                  removeEmptied: Boolean = false): Unit = {
+                                  removeEmptied: Boolean = false,
+                                  eraseMarker: Option[String] = None): Unit = {
     val dir = tableDir(table)
     val shadow = Paths.get(root, s".${table}__shadow")
     deleteRecursively(shadow)
     bucketAligned(merged, buckets).write.mode(SaveMode.Overwrite)
       .partitionBy(BucketCol).parquet(shadow.toString)
+    // the erasure replay fence rides INSIDE each shadow bucket, so the
+    // marker and the rewritten data land in one atomic rename (a bucket
+    // emptied outright needs none: its dir is removed, and a missing
+    // bucket is already skipped on replay)
+    eraseMarker.foreach { mk =>
+      touched.foreach { b =>
+        val sb = shadow.resolve(s"$BucketCol=$b")
+        if (Files.exists(sb)) Files.write(sb.resolve(mk), Array.emptyByteArray)
+      }
+    }
     withWriteIntent(table) {
       touched.foreach { b =>
         // re-stamp per bucket: the backup deletes below are real I/O
@@ -1561,13 +1574,52 @@ final class UpsertSink(spark: SparkSession, root: String,
     * are atomic and touch only the subject's buckets; like
     * [[mergeMany]], the BATCH is not atomic under a crash (recovery
     * converges each table independently — PK deletes re-run
-    * idempotently; count retractions are at-least-once, see
-    * [[TableCountRetract]]).
+    * idempotently; count retractions are at-least-once UNLESS the
+    * caller supplies an erasure id, which makes replay exactly-once —
+    * see the erasureId overload and [[TableCountRetract]]).
     */
   def eraseMany(erases: Seq[TableErase]): Unit = {
     require(erases.nonEmpty, "eraseMany needs at least one table")
     withWriterLease(erases.map(_.table)) {
-      eraseManyLeased(erases)
+      eraseManyLeased(erases, None)
+    }
+  }
+
+  /** [[eraseMany]] with an EXACTLY-ONCE guarantee under crash-replay,
+    * keyed by a caller-chosen `erasureId` (unique per logical erasure —
+    * a sweep id, a ticket number). Without an id, count retraction is
+    * at-least-once: replaying a crashed erasure subtracts again, and
+    * because counts clamp at zero and `dropAtZero` removes rows, a
+    * double-decrement can delete inventory rows that SURVIVING
+    * documents still hold — silently re-admitting true duplicates
+    * afterwards. The id closes that at both granularities:
+    *
+    *  - per TABLE, a committed erasure is journaled
+    *    (`_graft_erasures`, one id per line, written atomically after
+    *    the table's last bucket swap) — a replayed id skips the table;
+    *  - per BUCKET, each swapped-in bucket dir carries a
+    *    `_gerase_<id>` marker (atomic with the swap itself) — a replay
+    *    of a crash BETWEEN bucket swaps re-applies only the buckets
+    *    the crashed run never reached.
+    *
+    * So any replay interleaving converges to exactly one application
+    * per bucket, bit-identical to a single uncrashed run — the same
+    * discipline the batch-keyed delta layout ships for the admit
+    * direction. Two caller contracts: (1) the replay must re-derive
+    * the SAME payloads (retract exactly what was admitted — already
+    * the count-retract contract), and (2) a crashed erasure must be
+    * replayed BEFORE other writers mutate the member tables (a later
+    * merge/compact rewrites bucket dirs without their markers; the
+    * recovery protocol is "re-run in-flight erasures first", exactly
+    * like replaying a crashed streaming batch before admitting the
+    * next). Ids are never garbage-collected — one journal line per
+    * erasure per table, bytes per sweep.
+    */
+  def eraseMany(erases: Seq[TableErase], erasureId: Option[String]): Unit = {
+    require(erases.nonEmpty, "eraseMany needs at least one table")
+    erasureId.foreach(requireValidErasureId)
+    withWriterLease(erases.map(_.table)) {
+      eraseManyLeased(erases, erasureId)
     }
   }
 
@@ -1577,10 +1629,19 @@ final class UpsertSink(spark: SparkSession, root: String,
     * admit). `derive` must only target the declared `tables`
     * (enforced) and should eagerly checkpoint store-scanning frames.
     */
-  def eraseMany(tables: Seq[String])(derive: => Seq[TableErase]): Unit = {
+  def eraseMany(tables: Seq[String])(derive: => Seq[TableErase]): Unit =
+    eraseMany(tables, None)(derive)
+
+  /** The thunk form of the exactly-once overload — see
+    * [[eraseMany(erases:Seq[graft\.sink\.TableErase],erasureId:Option[String])*]]
+    * for the id contract.
+    */
+  def eraseMany(tables: Seq[String], erasureId: Option[String])(
+      derive: => Seq[TableErase]): Unit = {
     require(tables.nonEmpty, "eraseMany needs at least one table")
     require(tables.distinct.size == tables.size,
       s"duplicate tables in lease scope: ${tables.mkString(", ")}")
+    erasureId.foreach(requireValidErasureId)
     withWriterLease(tables) {
       val erases = derive
       // an EMPTY derivation is a no-op, not an error: a plan that scans
@@ -1592,12 +1653,56 @@ final class UpsertSink(spark: SparkSession, root: String,
         require(outside.isEmpty,
           s"derived erases target tables outside the lease scope: " +
             s"${outside.mkString(", ")} (declared: ${tables.mkString(", ")})")
-        eraseManyLeased(erases)
+        eraseManyLeased(erases, erasureId)
       }
     }
   }
 
-  private def eraseManyLeased(erases: Seq[TableErase]): Unit = {
+  /** Erasure-id grammar: filesystem-safe (the id names per-bucket
+    * marker files), bounded length.
+    */
+  private def requireValidErasureId(id: String): Unit =
+    require(id.nonEmpty && id.length <= 128 &&
+        id.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"invalid erasure id '$id': need 1-128 chars of [A-Za-z0-9._-]")
+
+  /** The per-table erasure journal: committed erasure ids, one per
+    * line, rewritten atomically (temp + move) after the table's last
+    * bucket swap. Underscore prefix = invisible to parquet readers but
+    * part of the [[version]] fingerprint (a journaled commit IS a
+    * content change).
+    */
+  private def erasureJournalFile(table: String): Path =
+    tableDir(table).resolve("_graft_erasures")
+
+  private def journalCommitted(table: String, id: String): Boolean = {
+    val f = erasureJournalFile(table)
+    Files.exists(f) && new String(Files.readAllBytes(f), "UTF-8")
+      .linesIterator.contains(id)
+  }
+
+  private def journalCommit(table: String, id: String): Unit = {
+    if (journalCommitted(table, id)) return
+    val f = erasureJournalFile(table)
+    val prior =
+      if (Files.exists(f)) new String(Files.readAllBytes(f), "UTF-8") else ""
+    // dot-prefixed temp: excluded from the version fingerprint and from
+    // hasDataFiles, so a crash mid-commit leaves no observable residue
+    val tmp = tableDir(table).resolve("._graft_erasures.tmp")
+    Files.write(tmp, (prior + id + "\n").getBytes("UTF-8"))
+    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The bucket-level replay fence: a bucket dir swapped in by erasure
+    * `id` carries this marker file (underscore = parquet-invisible;
+    * written into the shadow bucket BEFORE the atomic move, so marker
+    * and rewritten data land in one rename).
+    */
+  private def eraseMarkerName(id: String): String = s"_gerase_$id"
+
+  private def eraseManyLeased(erases: Seq[TableErase],
+                              erasureId: Option[String]): Unit = {
     require(erases.map(_.table).distinct.size == erases.size,
       s"one erase per table: ${erases.map(_.table).mkString(", ")}")
     erases.foreach(d =>
@@ -1605,9 +1710,16 @@ final class UpsertSink(spark: SparkSession, root: String,
     erases.foreach(d => recover(d.table))
     erases.foreach(d => require(exists(d.table),
       s"cannot erase from missing table ${d.table}"))
+    // table-level replay fence: an id journaled for a table means that
+    // table's erasure fully committed in a prior run — skip it whole
+    val replayed = erasureId match {
+      case Some(id) => erases.filter(d => journalCommitted(d.table, id))
+      case None => Seq.empty
+    }
+    val live = erases.filterNot(replayed.contains)
     // flat-layout members migrate to the bucketed layout first (the
     // rare legacy path, same one-time rewrite as the single-table form)
-    erases.filter(d => hasDataFiles(d.table) && !isBucketed(d.table))
+    live.filter(d => hasDataFiles(d.table) && !isBucketed(d.table))
       .foreach { d =>
         val buckets = numBuckets
         val df = read(d.table)
@@ -1618,7 +1730,12 @@ final class UpsertSink(spark: SparkSession, root: String,
           Files.write(bucketMarker(shadow), buckets.toString.getBytes("UTF-8"))
         }
       }
-    val prepped = erases.filter(d => hasDataFiles(d.table)).map { d =>
+    // a fileless (TRUNCATEd) member has nothing to apply — but the id
+    // still commits, so a replay converges identically
+    erasureId.foreach(id =>
+      live.filter(d => !hasDataFiles(d.table))
+        .foreach(d => journalCommit(d.table, id)))
+    val prepped = live.filter(d => hasDataFiles(d.table)).map { d =>
       val buckets = storedBuckets(d.table).getOrElse(numBuckets)
       val stored = read(d.table).schema
       def typed(frame: DataFrame, what: String): Seq[Column] = d.pk.map { c =>
@@ -1654,12 +1771,20 @@ final class UpsertSink(spark: SparkSession, root: String,
       (d, buckets, keyed)
     }
     try {
+      val marker = erasureId.map(eraseMarkerName)
       val tasks = prepped.flatMap { case (d, buckets, keyed) =>
         val dir = tableDir(d.table)
         val touched = keyed.select(BucketCol).distinct()
           .collect().map(_.getInt(0)).sorted // bounded by numBuckets
           .filter(b => Files.exists(dir.resolve(s"$BucketCol=$b")))
-        if (touched.isEmpty) None
+          // bucket-level replay fence: a bucket already swapped by this
+          // erasure id (crash between bucket swaps) is not re-applied
+          .filter(b => !marker.exists(mk =>
+            Files.exists(dir.resolve(s"$BucketCol=$b").resolve(mk))))
+        if (touched.isEmpty) {
+          erasureId.foreach(id => journalCommit(d.table, id))
+          None
+        }
         else Some { () =>
           val cur = spark.read.option("basePath", dir.toString)
             .parquet(touched.map(b =>
@@ -1689,7 +1814,10 @@ final class UpsertSink(spark: SparkSession, root: String,
               else dec
           }
           writeAndSwapBuckets(d.table, kept, touched, buckets,
-            removeEmptied = true)
+            removeEmptied = true, eraseMarker = marker)
+          // the table-level commit point: past here a replay skips the
+          // whole table; short of here the per-bucket markers carry it
+          erasureId.foreach(id => journalCommit(d.table, id))
         }
       }
       runConcurrently(tasks)

@@ -1173,6 +1173,103 @@ class UpsertSinkSpec extends SparkSpec {
     assert(sink.read("b").count() == 9)
   }
 
+  test("eraseMany with an erasure id: double-erase == single-erase, bit-exact") {
+    // the exactly-once contract (round-13 verdict #3): WITHOUT an id a
+    // replayed count retraction double-decrements — clamping and
+    // dropAtZero then remove inventory rows SURVIVING documents still
+    // hold; WITH an id the journal makes the full replay a no-op
+    def seed(s: UpsertSink): Unit = {
+      s.merge("inv", Seq(("a", 5L), ("b", 2L), ("c", 1L), ("d", 3L))
+        .toDF("k", "cnt"), Seq("k"))
+      s.merge("post", (1L to 10L).map(i => (i, s"p$i")).toDF("id", "v"),
+        Seq("id"))
+    }
+    val once = freshSink(); seed(once)
+    val real = freshSink(); seed(real)
+    def erase(s: UpsertSink, id: Option[String]): Unit =
+      s.eraseMany(Seq("inv", "post"), id) {
+        Seq(
+          TableCountRetract("inv",
+            Seq(("a", 2L), ("b", 2L), ("x", 9L)).toDF("k", "cnt"),
+            Seq("k"), Seq("cnt")),
+          TableDelete("post", Seq(1L, 2L).toDF("id"), Seq("id")))
+      }
+    erase(once, None)
+    erase(real, Some("sweep-001"))
+    erase(real, Some("sweep-001")) // the crash-replay: must be a no-op
+    for (t <- Seq("inv", "post"))
+      assert(real.read(t).collect().map(_.toSeq).toSet ==
+        once.read(t).collect().map(_.toSeq).toSet,
+        s"$t: replayed erasure diverged from a single run")
+    // "a" survives at 3 — an unjournaled replay would leave 1
+    assert(real.read("inv").filter($"k" === "a").as[(String, Long)]
+      .collect().toSeq == Seq(("a", 3L)))
+    // a DIFFERENT id applies again (it is a new logical erasure)
+    erase(real, Some("sweep-002"))
+    assert(real.read("inv").filter($"k" === "a").as[(String, Long)]
+      .collect().toSeq == Seq(("a", 1L)))
+    // id grammar is enforced before any lease is taken
+    intercept[IllegalArgumentException] { erase(real, Some("bad/id")) }
+    intercept[IllegalArgumentException] { erase(real, Some("")) }
+  }
+
+  test("erasure-id replay after a partial crash converges per BUCKET, bit-exact") {
+    import java.nio.file.{Files => JF, Path, StandardCopyOption}
+    def copyTree(from: Path, to: Path): Unit = {
+      val s = JF.walk(from)
+      try s.iterator().asScala.foreach { p =>
+        val dst = to.resolve(from.relativize(p).toString)
+        if (JF.isDirectory(p)) JF.createDirectories(dst)
+        else JF.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
+      } finally s.close()
+    }
+    // counts spread across all 4 buckets so the erasure swaps several
+    val rows = (1L to 40L).map(i => (i, 5L))
+    val ref = new UpsertSink(spark,
+      JF.createTempDirectory("graft_sink_eref").toString, numBuckets = 4)
+    ref.merge("inv", rows.toDF("k", "cnt"), Seq("k"))
+    val realRoot = JF.createTempDirectory("graft_sink_ecrash")
+    val real = new UpsertSink(spark, realRoot.toString, numBuckets = 4)
+    real.merge("inv", rows.toDF("k", "cnt"), Seq("k"))
+    val dec = (1L to 40L).filter(_ % 2 == 0).map((_, 2L)).toDF("k", "cnt")
+    ref.eraseMany(Seq(TableCountRetract("inv", dec, Seq("k"), Seq("cnt"))),
+      None)
+    val want = ref.read("inv").collect().map(_.toSeq).toSet
+    // take a pre-erase copy of one bucket, then erase with an id
+    val invDir = realRoot.resolve("inv")
+    val bucketDirs = { val s = JF.list(invDir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("__bucket=")).toSeq.sorted finally s.close() }
+    assert(bucketDirs.size >= 3, s"fixture spread too thin: $bucketDirs")
+    val victim = bucketDirs.head
+    val parked = JF.createTempDirectory("graft_sink_park").resolve(victim)
+    copyTree(invDir.resolve(victim), parked)
+    real.eraseMany(Seq("inv"), Some("sweep-xyz")) {
+      Seq(TableCountRetract("inv", dec, Seq("k"), Seq("cnt")))
+    }
+    assert(real.read("inv").collect().map(_.toSeq).toSet == want)
+    // SIMULATED CRASH between bucket swaps and the journal commit: the
+    // journal line vanishes, and ONE bucket reverts to its pre-erase
+    // content (its swap "never happened" — no marker inside)
+    JF.delete(invDir.resolve("_graft_erasures"))
+    graft.sink.Fs.deleteRecursively(invDir.resolve(victim))
+    copyTree(parked, invDir.resolve(victim))
+    // the replay: marker-carrying buckets are skipped, the reverted
+    // bucket re-applies once — bit-exact convergence
+    real.eraseMany(Seq("inv"), Some("sweep-xyz")) {
+      Seq(TableCountRetract("inv", dec, Seq("k"), Seq("cnt")))
+    }
+    assert(real.read("inv").collect().map(_.toSeq).toSet == want,
+      "partial-crash replay diverged from a single uncrashed erasure")
+    // and the worst window — ALL buckets swapped, journal missing —
+    // replays to a no-op too (every bucket carries the marker)
+    JF.delete(invDir.resolve("_graft_erasures"))
+    real.eraseMany(Seq("inv"), Some("sweep-xyz")) {
+      Seq(TableCountRetract("inv", dec, Seq("k"), Seq("cnt")))
+    }
+    assert(real.read("inv").collect().map(_.toSeq).toSet == want)
+  }
+
   test("snapshotMany vs a LIVE group-DELETER thread: never a half-erased capture") {
     val sink = freshSink()
     // both tables always carry the SAME id set; the deleter erases one
