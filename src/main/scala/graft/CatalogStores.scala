@@ -1155,6 +1155,7 @@ private[graft] trait CatalogStores extends CatalogShared {
         // store in one group-atomic sweep
         val subjects = archive.filter(col("doc_id") % 5 === 0)
         EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
+          sweepId = "q123_sweep",
           fromTarget = Some(subjects.filter(col("doc_id") % 11 === 0)),
           fromRaw = Some(subjects.filter(col("doc_id") % 11 =!= 0)),
           vecIds = Some(e.filter(col("vec_id") % 3 =!= 0 &&

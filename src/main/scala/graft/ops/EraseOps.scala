@@ -1,8 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
-import graft.sink.{TableErase, UpsertSink}
+import graft.sink.{TableCountRetract, TableDelete, TableErase, UpsertSink}
 
 /** Right-to-erasure SWEEP over a full admission-store group — the GDPR
   * direction of the incremental-store family: one call erases a
@@ -23,32 +24,99 @@ import graft.sink.{TableErase, UpsertSink}
   * the subject's hash routes. Measured flat by the store-slope erase
   * leg in the bench artifact.
   *
+  * The sweep REFUSES silent partial erasure: when the selection policy
+  * store is present the caller MUST pass the subjects' target/raw
+  * membership split (the membership convention was the caller's at
+  * build time — guessing is worse than failing), and when the
+  * embedding store is present the caller MUST pass the subjects'
+  * vector ids (an id-mapping convention the sweep cannot know). A
+  * member table the sweep deliberately does NOT retract — today only
+  * the batch-granularity substring DELTA store — is returned under
+  * [[EraseReport.excluded]] with the reason AND the resolved
+  * containing-batch ids, never listed as erased.
+  *
+  * Crash-replay: `sweepId` rides into the sink's erasure journal
+  * ([[graft.sink.UpsertSink.eraseMany]]'s exactly-once overload), so
+  * replaying a crashed sweep with the SAME id and subjects converges
+  * bit-identically to a single uncrashed run — replay it before other
+  * writers mutate the member tables (the journal's documented recovery
+  * protocol).
+  *
   * Caller contract per modality (see the per-store retract ops):
   * `docs` carries the subjects' text EXACTLY as admitted, with the
   * same shaping parameters (`segWords`, `minTokens`), each subject
   * folded in exactly once; `fromTarget`/`fromRaw` split the subjects
-  * by DSIR target-sample membership (pass empty frames when the
-  * selection store is absent); `vecIds` are the subjects' embedding
-  * ids. Stores absent from the sink are skipped — the sweep erases
-  * from whatever subset of the family the pipeline actually runs.
-  * The substring DELTA store (batch-keyed) is deliberately NOT part
-  * of the sweep: its erasure granularity is the batch
-  * ([[TextOps.substrDeltaRetractBatches]]), not the document.
+  * by DSIR target-sample membership; `vecIds` are the subjects'
+  * embedding ids. Stores absent from the sink are skipped — the sweep
+  * erases from whatever subset of the family the pipeline actually
+  * runs.
   */
 object EraseOps {
 
+  /** The durable per-sweep receipt ([[eraseSubjects]] writes one row
+    * per member table): the compliance-audit record that an erasure
+    * HAPPENED, queryable after the fact. Columns: sweep_id,
+    * member_table, action ('erased' | 'excluded'), subjects (distinct subject ids in
+    * the sweep), removed (rows deleted / total count decremented in
+    * that table), ver_before/ver_after (the sink's content-version
+    * fingerprints bracketing the sweep — `ver_before != ver_after`
+    * proves bytes moved). First-write-wins per (sweep_id, member_table): a
+    * crash-REPLAY of a sweep whose ledger row already landed leaves
+    * the original receipt untouched (the replay converges data, the
+    * receipt already recorded the logical erasure).
+    */
+  val LedgerTable = "erasure_ledger"
+
+  /** What a sweep did, per member table — the in-memory half of the
+    * receipt (the durable half is [[LedgerTable]]).
+    *
+    * @param erased       member tables actually retracted (a fileless
+    *                     member retracts vacuously — nothing stored)
+    * @param excluded     member tables present but NOT retracted, with
+    *                     why — a caller that sees its table here and
+    *                     ignores it is making a documented choice, not
+    *                     suffering a silent gap
+    * @param deltaBatches the substring delta store's containing-batch
+    *                     ids for these subjects (empty when the store
+    *                     is absent) — feed to
+    *                     [[TextOps.substrDeltaRetractBatches]] after
+    *                     deciding how to handle bystander contributions
+    */
+  final case class EraseReport(sweepId: String, subjects: Long,
+                               erased: Seq[String],
+                               excluded: Map[String, String],
+                               deltaBatches: Seq[Long])
+
   /** Erase `docs` (and `vecIds`, for the embedding store) from every
-    * store present in `sink`. Returns the member tables actually
-    * erased (empty when no store exists — a no-op sweep).
+    * store present in `sink`, journal the sweep under `sweepId`
+    * (exactly-once under crash-replay), and write the per-table ledger
+    * receipt (disable with `ledger = false` for fire-and-forget
+    * retractions that keep their own records).
     */
   def eraseSubjects(docs: DataFrame, idCol: String, textCol: String,
-                    sink: UpsertSink,
+                    sink: UpsertSink, sweepId: String,
                     fromTarget: Option[DataFrame] = None,
                     fromRaw: Option[DataFrame] = None,
                     vecIds: Option[DataFrame] = None,
                     vecIdCol: String = "vec_id",
                     segWords: Int = 25,
-                    minTokens: Int = 20): Seq[String] = {
+                    minTokens: Int = 20,
+                    ledger: Boolean = true): EraseReport = {
+    // refuse silent partial erasure BEFORE touching anything: a sweep
+    // that reports success while leaving the subjects' counts in one
+    // member is the one failure mode a compliance API cannot have
+    require(!sink.exists(SelectOps.AffStore) ||
+        (fromTarget.isDefined && fromRaw.isDefined),
+      s"the selection policy store (${SelectOps.AffStore}) is present: " +
+        "pass fromTarget/fromRaw (the subjects split by target-sample " +
+        "membership — the caller's convention at build time; pass an " +
+        "empty frame for a side with no members)")
+    require(!sink.exists(SimOps.EmbSigs) || vecIds.isDefined,
+      s"the embedding near-dup store (${SimOps.EmbSigs}) is present: " +
+        "pass vecIds (the subjects' vector ids — the id mapping is the " +
+        "caller's convention; pass an empty frame for subjects with no " +
+        "vectors)")
+
     val members = Seq.newBuilder[String]
     val plans = Seq.newBuilder[() => Seq[TableErase]]
 
@@ -71,22 +139,77 @@ object EraseOps {
         TextOps.substrRetractPlan(docs, idCol, textCol, minTokens))
     }
     if (sink.exists(SelectOps.AffStore)) {
-      val ft = fromTarget.getOrElse(docs.limit(0))
-      val fr = fromRaw.getOrElse(docs.limit(0))
       members += SelectOps.AffStore
-      plans += (() => SelectOps.selectionRetractPlan(ft, fr, textCol, sink))
+      plans += (() => SelectOps.selectionRetractPlan(fromTarget.get,
+        fromRaw.get, textCol, sink))
     }
     if (sink.exists(SimOps.EmbSigs)) {
-      val (ids, idc) = vecIds.map((_, vecIdCol))
-        .getOrElse((docs.select(docs(idCol)), idCol))
       members ++= SimOps.embLshRetractTables
-      plans += (() => SimOps.embLshRetractPlan(ids, idc, sink))
+      plans += (() => SimOps.embLshRetractPlan(vecIds.get, vecIdCol, sink))
     }
+
+    // the delta store is a MEMBER the sweep cannot retract at document
+    // granularity — surface it loudly with the resolved batch ids
+    val excluded = Map.newBuilder[String, String]
+    val deltaBatches: Seq[Long] =
+      if (!sink.exists(TextOps.SubstrDelta)) Seq.empty
+      else {
+        val b = TextOps.substrDeltaContainingBatches(docs, idCol, textCol,
+          sink, minTokens)
+        excluded += TextOps.SubstrDelta ->
+          ("batch-granularity store: NOT retracted by this sweep; the " +
+            s"subjects' windows appear in batches [${b.mkString(", ")}] — " +
+            "erase whole batches via substrDeltaRetractBatches (removes " +
+            "bystander contributions of those batches too; re-admit " +
+            "survivors) or rebuild")
+        b
+      }
 
     val tables = members.result()
     val derivations = plans.result()
+    val excludedMap = excluded.result()
+    val subjects = docs.select(col(idCol)).distinct().count()
+    val ledgerTables = tables ++ excludedMap.keys.toSeq
+    val verBefore =
+      if (ledger) ledgerTables.map(t => t -> sink.version(t)).toMap
+      else Map.empty[String, Long]
+    val removed = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
     if (tables.nonEmpty)
-      sink.eraseMany(tables) { derivations.flatMap(_()) }
-    tables
+      sink.eraseMany(tables, Some(sweepId)) {
+        val erases = derivations.flatMap(_())
+        if (!ledger) erases
+        else erases.map {
+          // checkpoint each payload once so the receipt's totals and
+          // the retraction itself share one materialization
+          case TableDelete(t, keys, pk) =>
+            val k = keys.localCheckpoint(true)
+            removed(t) += k.count()
+            TableDelete(t, k, pk)
+          case TableCountRetract(t, dec, pk, cntCols, drop) =>
+            val d = dec.localCheckpoint(true)
+            val s = d.agg(cntCols.map(c => sum(col(c)))
+              .reduce(_ + _).as("__s")).collect()(0)
+            removed(t) += (if (s.isNullAt(0)) 0L else s.getLong(0))
+            TableCountRetract(t, d, pk, cntCols, drop)
+        }
+      }
+    if (ledger && ledgerTables.nonEmpty) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val already = sink.exists(LedgerTable) && sink.hasData(LedgerTable) &&
+        !sink.read(LedgerTable).filter(col("sweep_id") === sweepId).isEmpty
+      if (!already) {
+        val rows = ledgerTables.map { t =>
+          val action = if (excludedMap.contains(t)) "excluded" else "erased"
+          (sweepId, t, action, subjects, removed(t), verBefore(t),
+            sink.version(t))
+        }.toDF("sweep_id", "member_table", "action", "subjects", "removed",
+          "ver_before", "ver_after")
+        sink.merge(LedgerTable, rows, Seq("sweep_id", "member_table"),
+          pkUnique = true)
+      }
+    }
+    EraseReport(sweepId, subjects, tables, excludedMap, deltaBatches)
   }
 }

@@ -1627,6 +1627,34 @@ object TextOps {
       (before, sink.read(SubstrDelta).count())
     }
 
+  /** The subjects→containing-batches resolution for the delta store: the
+    * batch ids whose delta rows intersect the subjects' window set —
+    * i.e. every batch that could carry a subject's contribution. A
+    * SUPERSET by construction: a (win_hash, batch_id) row aggregates
+    * across the batch's documents, so a window shared between a subject
+    * and a bystander maps to batches that may hold only the bystander's
+    * copies — the safe direction for a compliance sweep (erase the
+    * batches via [[substrDeltaRetractBatches]] and re-admit survivors,
+    * or audit them by hand). Batch id 0 (the compacted archive row) is
+    * reported too when it matches — those windows' batch identity is
+    * gone ([[substrDeltaCompact]]) and only a rebuild can erase them.
+    * Bounded driver result: one id per admitted batch at most. The scan
+    * is the probe shape (broadcast subject windows against the
+    * column-pruned store scan), map-only.
+    */
+  def substrDeltaContainingBatches(docs: DataFrame, idCol: String,
+                                   textCol: String,
+                                   sink: graft.sink.UpsertSink,
+                                   minTokens: Int = 20): Seq[Long] = {
+    if (!sink.hasData(SubstrDelta)) return Seq.empty
+    val subjWins = windowRows(docs, idCol, textCol, minTokens)
+      .select(col("__gh").as("win_hash")).distinct()
+    sink.read(SubstrDelta)
+      .join(broadcast(subjWins), "win_hash")
+      .select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+  }
+
   /** BATCH-granularity erasure for the delta store: physically delete
     * every (win_hash, batch_id) row of the given batches — EXACTLY
     * their admitted contribution, because the delta layout keeps each

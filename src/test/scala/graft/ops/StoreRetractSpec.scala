@@ -346,14 +346,18 @@ class StoreRetractSpec extends SparkSpec {
       planes = 4, tables = 8, dim = 16)
     // subjects: 5 (target member) and 3 (raw pool)
     val subjects = archive.filter($"doc_id" === 5L || $"doc_id" === 3L)
-    val erased = EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
+    val report = EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
+      sweepId = "sweep-a",
       fromTarget = Some(subjects.filter($"doc_id" % 5 === 0)),
       fromRaw = Some(subjects.filter($"doc_id" % 5 =!= 0)),
       vecIds = Some(subjects.select($"doc_id".as("vec_id"))),
       segWords = 4, minTokens = 5)
+    val erased = report.erased
     assert(erased.toSet == Set("fingerprint_store", "segdedup_segs",
       "neardup_bands", "neardup_shingles", "substr_windows",
       "dsir_affinity", "embdup_sigs", "embdup_vecs"))
+    assert(report.excluded.isEmpty && report.deltaBatches.isEmpty &&
+      report.subjects == 2L)
     // every store equals a fresh build on the survivors
     val expected = freshSink("sweep_expect")
     val survivors = archive.filter($"doc_id" =!= 5L && $"doc_id" =!= 3L)
@@ -374,6 +378,89 @@ class StoreRetractSpec extends SparkSpec {
         s"$tbl after sweep != fresh build on survivors")
     // a sweep over an empty sink is a no-op
     assert(EraseOps.eraseSubjects(subjects, "doc_id", "text",
-      freshSink("sweep_empty")).isEmpty)
+      freshSink("sweep_empty"), sweepId = "sweep-b").erased.isEmpty)
+  }
+
+  test("eraseSubjects refuses silent partial erasure and surfaces exclusions") {
+    // round-13 verdict #1: when the selection store exists, omitted
+    // fromTarget/fromRaw used to default to limit(0) — the policy
+    // histogram retracted NOTHING while the sweep reported the table
+    // swept. Now: fail loudly before touching anything.
+    val sink = freshSink("sweep_refuse")
+    val archive = (1L to 10L).map(i => (i, segText(i))).toDF("doc_id", "text")
+    SelectOps.selectionStoreBuild(archive, archive.filter($"doc_id" === 1L),
+      "doc_id", "text", sink, buckets = 16)
+    val subjects = archive.filter($"doc_id" === 3L)
+    val before = rows(sink, "dsir_affinity")
+    val ex = intercept[IllegalArgumentException] {
+      EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
+        sweepId = "sweep-r1")
+    }
+    assert(ex.getMessage.contains("dsir_affinity"))
+    assert(rows(sink, "dsir_affinity") == before, "refusal touched the store")
+    // the embedding store demands vecIds the same way (round-13 advice:
+    // the vec_id == doc_id fallback silently deleted nothing — or the
+    // wrong vectors — under any other id mapping)
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(i =>
+        ((((seed * 31L + i) * 2654435761L) % 1000L) / 1000.0f) - 0.5f)
+    SimOps.embLshStoreBuild(
+      (1 to 10).map(i => (i.toLong + 7000L, vec(i))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", sink, planes = 4, tables = 8, dim = 8)
+    val ex2 = intercept[IllegalArgumentException] {
+      EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
+        sweepId = "sweep-r2",
+        fromTarget = Some(subjects.limit(0)), fromRaw = Some(subjects))
+    }
+    assert(ex2.getMessage.contains("embdup_sigs"))
+    // the delta store is present-but-excluded: reported with resolved
+    // containing batches, never listed as erased
+    TextOps.substrDeltaBuild(archive.filter($"doc_id" <= 5L), "doc_id",
+      "text", sink, minTokens = 5)
+    TextOps.substrDeltaAdmit(archive.filter($"doc_id" > 5L), "doc_id",
+      "text", sink, batchId = 7L, minTokens = 5)
+    val report = EraseOps.eraseSubjects(
+      archive.filter($"doc_id" === 6L), "doc_id", "text", sink,
+      sweepId = "sweep-r3",
+      fromTarget = Some(subjects.limit(0)),
+      fromRaw = Some(archive.filter($"doc_id" === 6L)),
+      vecIds = Some(subjects.limit(0).select($"doc_id".as("vec_id"))),
+      minTokens = 5)
+    assert(report.excluded.keySet == Set("substr_windows_delta"))
+    assert(!report.erased.contains("substr_windows_delta"))
+    assert(report.deltaBatches == Seq(7L),
+      s"doc 6 was admitted in batch 7: ${report.deltaBatches}")
+    assert(report.excluded("substr_windows_delta").contains("7"))
+  }
+
+  test("eraseSubjects writes the ledger receipt; replay leaves it untouched") {
+    val sink = freshSink("sweep_ledger")
+    val archive = (1L to 12L).map(i => (i, segText(i))).toDF("doc_id", "text")
+    TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink)
+    TextOps.segmentStoreBuild(archive, "doc_id", "text", sink, segWords = 4)
+    val subjects = archive.filter($"doc_id" <= 2L)
+    val report = EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
+      sweepId = "sweep-l1", segWords = 4)
+    assert(sink.exists(EraseOps.LedgerTable))
+    val led = sink.read(EraseOps.LedgerTable)
+      .as[(String, String, String, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(led.keySet == Set("fingerprint_store", "segdedup_segs"))
+    led.values.foreach { case (sw, t, action, subj, removed, vb, va) =>
+      assert(sw == "sweep-l1" && action == "erased" && subj == 2L)
+      assert(removed > 0L, s"$t: receipt shows nothing removed")
+      assert(vb != va, s"$t: version fingerprint did not move")
+    }
+    // a replay of the same sweep: data converges via the erasure journal
+    // (no double decrement), and the ORIGINAL receipt stands
+    val before = rows(sink, "fingerprint_store")
+    val ledBefore = rows(sink, EraseOps.LedgerTable)
+    EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
+      sweepId = "sweep-l1", segWords = 4)
+    assert(rows(sink, "fingerprint_store") == before,
+      "replayed sweep double-decremented the fingerprint store")
+    assert(rows(sink, EraseOps.LedgerTable) == ledBefore,
+      "replayed sweep rewrote the ledger receipt")
+    assert(report.erased.toSet == Set("fingerprint_store", "segdedup_segs"))
   }
 }
