@@ -1288,6 +1288,66 @@ private[graft] trait CatalogStores extends CatalogShared {
             docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 1),
             "doc_id", "text", sink)
           .orderBy("doc_id")
+      }),
+
+    QueryDef("q126_erasure_ledger",
+      "The DURABLE record that an erasure HAPPENED — the compliance " +
+        "officer's receipt (q123 proves the sweep erases exactly; this " +
+        "proves it leaves an auditable trail): an eraseSubjects sweep " +
+        "over a fingerprint + segment store group (plus the " +
+        "batch-keyed substring DELTA store as the documented " +
+        "present-but-excluded member, its containing batches resolved) " +
+        "writes one erasure_ledger row per member table — action, " +
+        "subject count, rows removed / counts decremented, and the " +
+        "sink content-version fingerprints bracketing the sweep " +
+        "(ver_changed=1 pins that bytes moved). The sweep is then " +
+        "REPLAYED under the SAME sweep id — the crashed-sweep recovery " +
+        "path: the erasure journal converges the data without a double " +
+        "decrement (replay_ver_moved=0 on every member) and " +
+        "first-write-wins keeps the original receipt " +
+        "(receipt_stable=1). Version fingerprints hash file metadata " +
+        "-> rows-only; CatalogSpec pins the receipt shape and the " +
+        "replay invariants.",
+      None,
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.freshSink(s, "eraseledger", dir)
+        val archive = docs.filter(col("doc_id") % 3 =!= 0)
+        TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink)
+        TextOps.segmentStoreBuild(archive, "doc_id", "text", sink)
+        TextOps.substrDeltaBuild(archive, "doc_id", "text", sink)
+        TextOps.substrDeltaAdmit(docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", sink, batchId = 1L)
+        val subjects = archive.filter(col("doc_id") % 5 === 0)
+        val r1 = EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
+          sweepId = "q126_sweep")
+        // bounded driver state: one version per member table, one
+        // ledger row per member table
+        val vers1 = r1.erased.map(tn => tn -> sink.version(tn)).toMap
+        val led1 = sink.read(EraseOps.LedgerTable)
+          .collect().map(_.toSeq).toSet
+        // THE REPLAY (same sweep id — the crash-recovery protocol): the
+        // journal skips every member, the receipt stands
+        EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
+          sweepId = "q126_sweep")
+        val led2 = sink.read(EraseOps.LedgerTable)
+          .collect().map(_.toSeq).toSet
+        val receiptStable = if (led1 == led2) 1 else 0
+        import s.implicits._
+        val aud = r1.erased
+          .map(tn => tn -> (if (sink.version(tn) != vers1(tn)) 1 else 0))
+          .toDF("member_table", "replay_ver_moved")
+        sink.read(EraseOps.LedgerTable)
+          .select(col("member_table"), col("action"), col("subjects"),
+            col("removed"),
+            (col("ver_before") =!= col("ver_after")).cast("int")
+              .as("ver_changed"))
+          .join(broadcast(aud), Seq("member_table"), "left")
+          .select(col("member_table"), col("action"), col("subjects"),
+            col("removed"), col("ver_changed"),
+            coalesce(col("replay_ver_moved"), lit(0)).as("replay_ver_moved"),
+            lit(receiptStable).as("receipt_stable"))
+          .orderBy("member_table")
       })
   )
 }

@@ -163,6 +163,29 @@ class CatalogSpec extends SparkSpec {
         out.head.getAs[Long]("recall_mil"))
   }
 
+  test("q126 erasure ledger: receipt shape, bytes moved, replay invariants") {
+    val out = Catalog.byName("q126_erasure_ledger").fn(spark, sf).collect()
+    assert(out.map(_.getAs[String]("member_table")).toSet ==
+      Set("fingerprint_store", "segdedup_segs", "substr_windows_delta"),
+      s"ledger membership: ${out.mkString(", ")}")
+    out.foreach { r =>
+      val t = r.getAs[String]("member_table")
+      val erased = t != "substr_windows_delta"
+      assert(r.getAs[String]("action") ==
+        (if (erased) "erased" else "excluded"), s"$t action")
+      assert(r.getAs[Long]("subjects") > 0, s"$t subjects")
+      // the receipt proves WORK: erased members removed something and
+      // their bytes moved; the excluded member is untouched
+      assert((r.getAs[Long]("removed") > 0) == erased, s"$t removed")
+      assert(r.getAs[Int]("ver_changed") == (if (erased) 1 else 0),
+        s"$t ver_changed")
+      // the replay (same sweep id): journal converges without moving
+      // bytes, first-write-wins keeps the receipt
+      assert(r.getAs[Int]("replay_ver_moved") == 0, s"$t replay moved bytes")
+      assert(r.getAs[Int]("receipt_stable") == 1, s"$t receipt rewritten")
+    }
+  }
+
   test("ANN family: in-query recall_mil audit columns meet the operator bounds") {
     // Round-10 verdict #2: the approximate family's recall now rides
     // the output as recall_mil (the q105 audit-column pattern), so the

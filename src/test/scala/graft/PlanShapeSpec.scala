@@ -691,6 +691,20 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
   }
 
+  test("q126: erasure ledger read — bounded receipt join, no shuffle") {
+    // the served frame is the ledger scan joined to the bounded
+    // replay-audit frame: broadcast, never a shuffle or a window (the
+    // sweep/replay lifecycle runs eagerly before this plan)
+    val plan = planOf("q126_erasure_ledger")
+    assert(!plan.contains("Window"), s"ledger read has a window:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"ledger receipt join shuffled:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"replay-audit join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+  }
+
   test("q111: composed admission screen — archive only via stores, every join broadcast") {
     val plan = planOf("q111_incremental_admission")
     assert(!plan.contains("Window"),
