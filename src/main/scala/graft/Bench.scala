@@ -330,7 +330,9 @@ object Bench {
       .map { case (n, why) => s"${jstr(n)}:${jstr(why)}" }
       .mkString("{", ",", "}")
     val slopeWarnJson = slopeWarnNames.map(jstr).mkString("[", ",", "]")
-    val storeSlopeJson = storeRows.map { r =>
+    // one result's field body — reused for the adjudicated draw and,
+    // when a warn triggered the in-run retry, the recorded first draw
+    def storeFields(r: StoreSlope.Result): String = {
       val admit = (for (s <- r.tAdmitSmall; b <- r.tAdmitBig;
                         ar <- r.admitRatio) yield
         f""","t_admit_small":$s%.3f,"t_admit_big":$b%.3f,"admit_ratio":$ar%.2f,"admit_warn":${r.admitWarn}""")
@@ -339,7 +341,13 @@ object Bench {
                         er <- r.eraseRatio) yield
         f""","t_erase_small":$s%.3f,"t_erase_big":$b%.3f,"erase_ratio":$er%.2f,"erase_warn":${r.eraseWarn}""")
         .getOrElse("")
-      "\"" + r.name + f"""\":{"t_small":${r.tSmall}%.3f,"t_big":${r.tBig}%.3f,"ratio":${r.ratio}%.2f,"warn":${r.warn}$admit$erase}"""
+      f""""t_small":${r.tSmall}%.3f,"t_big":${r.tBig}%.3f,"ratio":${r.ratio}%.2f,"warn":${r.warn}$admit$erase"""
+    }
+    val storeSlopeJson = storeRows.map { r =>
+      val retry = r.first.map(f =>
+        s""","retried":true,"first_draw":{${storeFields(f)}}""")
+        .getOrElse(if (r.retried) ""","retried":true""" else "")
+      "\"" + r.name + s"""\":{${storeFields(r)}$retry}"""
     }.mkString("{", ",", "}")
     val total = results.map(_.min).sum
     val nBand = results.count(_.bandExceeded.isDefined)

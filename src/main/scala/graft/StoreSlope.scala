@@ -39,9 +39,18 @@ object StoreSlope {
   val MaxRatio = 3.0
 
   /** Denominator floor: below this the small-archive probe is timer +
-    * session overhead and a ratio against it would flag noise.
+    * session overhead and a ratio against it would flag noise. Raised
+    * 0.15 → 0.30 after round 13's false flag: the audit tail runs
+    * after 125 queries × 3 passes in the same JVM, where a 0.2 s
+    * denominator under end-of-bench load drew a 4.77× ratio that an
+    * isolated re-measurement read as 1.21× flat — 0.30 is the observed
+    * overhead floor of the cheapest probe leg in isolation, so a
+    * sub-floor denominator now needs a >0.9 s big-archive wall (a real
+    * archive-scaled term, not scheduler noise) to flag. Belt and
+    * braces with the in-run retry ([[measure]] re-draws a flagged
+    * modality once and keeps a warn only if BOTH draws flag it).
     */
-  val MinDenomSec = 0.15
+  val MinDenomSec = 0.30
 
   /** One store modality: `build` persists the archive slice of
     * `archiveDir` into the sink; `probe` screens the batch slice of
@@ -196,7 +205,9 @@ object StoreSlope {
                           tEraseSmall: Option[Double] = None,
                           tEraseBig: Option[Double] = None,
                           eraseRatio: Option[Double] = None,
-                          eraseWarn: Boolean = false)
+                          eraseWarn: Boolean = false,
+                          retried: Boolean = false,
+                          first: Option[Result] = None)
 
   def judge(tSmall: Double, tBig: Double): (Double, Boolean) = {
     val ratio = tBig / math.max(tSmall, MinDenomSec)
@@ -263,20 +274,50 @@ object StoreSlope {
     batchSeconds(spark, m.copy(admit = None, erase = None),
       archiveDir, batchDir)._1
 
+  /** One full draw (probe + admit + erase legs, both decades) for one
+    * modality.
+    */
+  def measureOne(spark: SparkSession, m: Modality, smallDir: String,
+                 bigDir: String): Result = {
+    val (tS, aS, eS) = batchSeconds(spark, m, smallDir, smallDir)
+    val (tB, aB, eB) = batchSeconds(spark, m, bigDir, smallDir)
+    val (ratio, warn) = judge(tS, tB)
+    val admitJudged = for (s <- aS; b <- aB) yield judge(s, b)
+    val eraseJudged = for (s <- eS; b <- eB) yield judge(s, b)
+    Result(m.name, tS, tB, ratio, warn,
+      aS, aB, admitJudged.map(_._1), admitJudged.exists(_._2),
+      eS, eB, eraseJudged.map(_._1), eraseJudged.exists(_._2))
+  }
+
+  /** WARN adjudication (round-13 hardening): a flagged first draw gets
+    * ONE fresh re-measurement of its whole decade, and a leg stays
+    * flagged only when BOTH draws flag it — a transiently loaded box
+    * (the audit tail runs after the full bench in the same JVM) draws
+    * a 5x ratio on a 0.2 s denominator easily, but not twice in a row
+    * on a term that is genuinely flat; a real archive-scaled term
+    * flags every draw by construction. The adjudicated Result keeps
+    * the SECOND draw's walls and records the first
+    * ([[Result.first]]) so the artifact shows both.
+    */
+  def adjudicate(first: Result, second: Result): Result =
+    second.copy(warn = first.warn && second.warn,
+      admitWarn = first.admitWarn && second.admitWarn,
+      eraseWarn = first.eraseWarn && second.eraseWarn,
+      retried = true, first = Some(first))
+
+  private def flagged(r: Result): Boolean =
+    r.warn || r.admitWarn || r.eraseWarn
+
   /** The full audit: per modality, probe (and admit, and erase) the
     * SAME `smallDir` batch/subjects against a `smallDir`-archive store
-    * and a `bigDir`-archive store (one 10x decade apart).
+    * and a `bigDir`-archive store (one 10x decade apart); flagged
+    * modalities re-draw once and adjudicate ([[adjudicate]]).
     */
   def measure(spark: SparkSession, smallDir: String,
               bigDir: String): Seq[Result] =
     modalities.map { m =>
-      val (tS, aS, eS) = batchSeconds(spark, m, smallDir, smallDir)
-      val (tB, aB, eB) = batchSeconds(spark, m, bigDir, smallDir)
-      val (ratio, warn) = judge(tS, tB)
-      val admitJudged = for (s <- aS; b <- aB) yield judge(s, b)
-      val eraseJudged = for (s <- eS; b <- eB) yield judge(s, b)
-      Result(m.name, tS, tB, ratio, warn,
-        aS, aB, admitJudged.map(_._1), admitJudged.exists(_._2),
-        eS, eB, eraseJudged.map(_._1), eraseJudged.exists(_._2))
+      val d1 = measureOne(spark, m, smallDir, bigDir)
+      if (!flagged(d1)) d1
+      else adjudicate(d1, measureOne(spark, m, smallDir, bigDir))
     }
 }

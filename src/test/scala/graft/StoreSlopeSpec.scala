@@ -23,10 +23,36 @@ class StoreSlopeSpec extends SparkSpec {
     assert(!StoreSlope.judge(1.0, 1.2)._2)
     // archive-rescanning probe: tracks the decade at ~10x — flagged
     assert(StoreSlope.judge(0.5, 5.0)._2)
-    // the floor: a small-archive probe in the overhead regime cannot
-    // flag anything cheaper than MaxRatio x MinDenomSec at bench scale
-    assert(!StoreSlope.judge(0.01, 0.4)._2)
-    assert(StoreSlope.judge(0.01, 0.6)._2)
+    // the floor (0.30 since round 14 — the round-13 false flag drew
+    // 4.77x on a 0.21 s denominator under end-of-bench load): a
+    // small-archive probe in the overhead regime cannot flag anything
+    // cheaper than MaxRatio x MinDenomSec at bench scale
+    assert(!StoreSlope.judge(0.01, 0.85)._2)
+    assert(StoreSlope.judge(0.01, 0.95)._2)
+    // the round-13 artifact's exact draw (0.21 s -> 1.02 s, "4.77x")
+    // no longer flags on its own: 1.02 / 0.30 = 3.4 still would — but
+    // see the retry adjudication below, which re-draws it
+    assert(StoreSlope.judge(0.21, 1.02)._1 < 4.0)
+  }
+
+  test("warn adjudication: a flag must survive a fresh re-draw; both draws land in the artifact") {
+    def draw(probeWarn: Boolean, eraseWarn: Boolean) = StoreSlope.Result(
+      "fingerprint", 0.21, if (probeWarn) 1.02 else 0.37,
+      if (probeWarn) 4.77 else 1.21, probeWarn,
+      Some(0.5), Some(0.6), Some(1.2), admitWarn = false,
+      Some(0.3), Some(0.35), Some(1.17), eraseWarn = eraseWarn)
+    // the round-13 case: loaded first draw flags, isolated-style
+    // second draw is flat -> adjudicated CLEAN, both draws recorded
+    val cleared = StoreSlope.adjudicate(draw(true, false), draw(false, false))
+    assert(!cleared.warn && !cleared.admitWarn && !cleared.eraseWarn)
+    assert(cleared.retried && cleared.first.exists(_.warn))
+    assert(cleared.tBig == 0.37, "adjudication must keep the re-draw's walls")
+    // a REAL archive-scaled term flags every draw -> warn survives
+    val confirmed = StoreSlope.adjudicate(draw(true, false), draw(true, false))
+    assert(confirmed.warn && confirmed.retried)
+    // legs adjudicate independently: probe clears, erase confirms
+    val mixed = StoreSlope.adjudicate(draw(true, true), draw(false, true))
+    assert(!mixed.warn && mixed.eraseWarn)
   }
 
   test("live archive-growth bound: every store's probe stays ~flat across a real 10x archive decade") {
