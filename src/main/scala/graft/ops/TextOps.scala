@@ -1250,7 +1250,10 @@ object TextOps {
     * the subject. Caller contract: `docs` carries the text EXACTLY as
     * admitted, with the same `segWords`, and each doc was folded in
     * exactly once (the admit contract); like the additive admit fold,
-    * retraction is at-least-once under crash-replay.
+    * retraction is at-least-once under crash-replay — use the
+    * erasure-id [[graft.sink.UpsertSink.eraseMany]] overload (or
+    * [[graft.ops.EraseOps.eraseSubjects]], which journals its sweep
+    * id) for exactly-once.
     */
   def segmentStoreRetract(docs: DataFrame, idCol: String, textCol: String,
                           sink: graft.sink.UpsertSink,
@@ -1488,9 +1491,11 @@ object TextOps {
     * re-derive the erased docs' window counts (their exact additive
     * contribution) and subtract; zero rows are physically removed.
     * Same caller contract: text exactly as admitted, same `minTokens`,
-    * folded in exactly once; at-least-once under crash-replay (the
-    * delta layout, [[substrDeltaRetractBatches]], is the exactly-once
-    * answer in both directions).
+    * folded in exactly once; at-least-once under crash-replay — the
+    * erasure-id [[graft.sink.UpsertSink.eraseMany]] overload makes it
+    * exactly-once, and the delta layout
+    * ([[substrDeltaRetractBatches]]) is idempotent in both directions
+    * by construction.
     */
   def substrStoreRetract(docs: DataFrame, idCol: String, textCol: String,
                          sink: graft.sink.UpsertSink,
