@@ -1348,6 +1348,73 @@ private[graft] trait CatalogStores extends CatalogShared {
             coalesce(col("replay_ver_moved"), lit(0)).as("replay_ver_moved"),
             lit(receiptStable).as("receipt_stable"))
           .orderBy("member_table")
+      }),
+
+    QueryDef("q127_exactly_once_admit",
+      "Exactly-once ADMISSION under crash-replay, pinned by an EXACT " +
+        "oracle through the one observable that exposes a double " +
+        "fold: COUNT-correct erasure. The day-1 batch is admitted " +
+        "into the fingerprint store TWICE under one admit id (the " +
+        "crashed-admit recovery path — the _graft_admits journal + " +
+        "per-bucket markers make the replay a no-op), a day-1 subset " +
+        "is then ERASED, and day-2 — day-1's texts re-keyed under " +
+        "fresh ids, the constructed-duplicates convention (q124's " +
+        "re-key trick), so discrimination never depends on the SF's " +
+        "natural dup draw — probes the store. A replayed fold that " +
+        "double-counted leaves every erased document's fingerprint " +
+        "alive at cnt=1: its day-2 duplicate would flag as a dup of " +
+        "text the store no longer holds, and holder_cnt (the STORED " +
+        "post-erasure count riding every row, which the oracle " +
+        "recomputes as the surviving world's per-fp holder count) " +
+        "inflates on EVERY day-1 fp. Hash-exact only if the fold ran " +
+        "exactly once AND the retraction subtracted exactly what one " +
+        "admission added.",
+      Some("""WITH nf AS (SELECT doc_id,
+             |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+             |  FROM documents),
+             |cnts AS (SELECT fp, COUNT(*) AS holder_cnt FROM nf
+             |  WHERE doc_id % 3 <> 0 OR doc_id % 2 = 1
+             |  GROUP BY fp)
+             |SELECT nf.doc_id + 10000000 AS doc_id,
+             |  CASE WHEN cnts.fp IS NOT NULL THEN 1 ELSE 0 END AS dup_exact,
+             |  COALESCE(cnts.holder_cnt, 0) AS holder_cnt
+             |FROM nf LEFT JOIN cnts ON nf.fp = cnts.fp
+             |WHERE nf.doc_id % 3 = 0
+             |ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.freshSink(s, "onceadmit", dir)
+        val day1 = docs.filter(col("doc_id") % 3 === 0)
+        TextOps.fingerprintStoreBuild(docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", sink)
+        TextOps.fingerprintStoreAdmit(day1, "doc_id", "text", sink,
+          admitId = Some("q127_day1"))
+        // THE REPLAY: same batch, same admit id — the journal must make
+        // this a no-op, or the counts below inflate and the erasure
+        // under-retracts
+        TextOps.fingerprintStoreAdmit(day1, "doc_id", "text", sink,
+          admitId = Some("q127_day1"))
+        TextOps.fingerprintStoreRetract(
+          day1.filter(col("doc_id") % 2 === 0), "doc_id", "text", sink)
+        // day-2: day-1's texts under fresh ids — every probe document
+        // duplicates a known day-1 admission by construction
+        val day2 = day1.select(
+          (col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+        val flags = TextOps.fingerprintStoreProbe(day2, "doc_id", "text",
+          sink)
+        // the count-exact audit column: the store's post-erasure per-fp
+        // count, fetched with the probe's own shape (batch fps
+        // broadcast against the column-pruned store scan, the bounded
+        // match set broadcast back onto the batch)
+        val day2fps = day2.select(col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp"))
+        val counts = day2fps
+          .join(broadcast(sink.read("fingerprint_store")
+            .join(broadcast(day2fps.select(col("fp")).distinct()), "fp")),
+            Seq("fp"), "left")
+          .select(col("doc_id"), coalesce(col("cnt"), lit(0L)).as("holder_cnt"))
+        flags.join(broadcast(counts), Seq("doc_id"))
+          .orderBy("doc_id")
       })
   )
 }

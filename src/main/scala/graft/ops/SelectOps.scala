@@ -262,7 +262,8 @@ object SelectOps {
     * batch gram scan); additive ⇒ at-least-once under crash-replay.
     */
   def selectionStoreAdmitRaw(batch: DataFrame, textCol: String,
-                             sink: graft.sink.UpsertSink): Unit =
+                             sink: graft.sink.UpsertSink,
+                             admitId: Option[String] = None): Unit =
     // whole fold under the writer lease (reentrant into merge): the
     // bucket-count read and the updated-histogram derivation serialize
     // against a concurrent retract
@@ -277,7 +278,8 @@ object SelectOps {
         .select(col("bucket"), col("ct"),
           (col("cr") + coalesce(col("cnt"), lit(0L))).as("cr"))
         .localCheckpoint(true) // reads the store files the merge rewrites
-      sink.merge(AffStore, updated, Seq("bucket"), pkUnique = true)
+      sink.merge(AffStore, updated, Seq("bucket"), None,
+        pkUnique = true, opId = admitId)
     }
 
   /** ERASE documents from the selection policy: subtract the erased

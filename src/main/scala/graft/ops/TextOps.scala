@@ -1084,7 +1084,8 @@ object TextOps {
     */
   def fingerprintStoreAdmit(batch: DataFrame, idCol: String,
                             textCol: String,
-                            sink: graft.sink.UpsertSink): DataFrame =
+                            sink: graft.sink.UpsertSink,
+                            admitId: Option[String] = None): DataFrame =
     // whole admission under the writer lease (reentrant into merge):
     // probe and existing-count reads serialize against erasers
     sink.writerLocked(Seq(FpStore)) {
@@ -1104,7 +1105,8 @@ object TextOps {
       .select(col("fp"),
         (coalesce(col("cnt"), lit(0L)) + col("__bcnt")).as("cnt"))
       .localCheckpoint(true) // reads the store files the merge rewrites
-    sink.merge(FpStore, summed, Seq("fp"), pkUnique = true)
+    sink.merge(FpStore, summed, Seq("fp"), None, pkUnique = true,
+      opId = admitId)
     out
     }
 
@@ -1206,7 +1208,8 @@ object TextOps {
     */
   def segmentStoreAdmit(batch: DataFrame, idCol: String, textCol: String,
                         sink: graft.sink.UpsertSink, segWords: Int = 25,
-                        minArchiveCount: Long = 1): DataFrame =
+                        minArchiveCount: Long = 1,
+                        admitId: Option[String] = None): DataFrame =
     // whole admission under the writer lease (reentrant into merge):
     // probe AND the existing-count read consult store files a
     // concurrent eraser could swap away mid-plan
@@ -1234,7 +1237,8 @@ object TextOps {
       // files the merge below rewrites — an executor loss mid-merge
       // would otherwise recompute from post-swap files
       .localCheckpoint(true)
-    sink.merge(SegStore, summed, Seq("seg_hash"), pkUnique = true)
+    sink.merge(SegStore, summed, Seq("seg_hash"), None,
+      pkUnique = true, opId = admitId)
     out
     }
 
@@ -1450,7 +1454,8 @@ object TextOps {
     */
   def substrStoreAdmit(batch: DataFrame, idCol: String, textCol: String,
                        sink: graft.sink.UpsertSink, minTokens: Int = 20,
-                       minArchiveCount: Long = 1): DataFrame =
+                       minArchiveCount: Long = 1,
+                       admitId: Option[String] = None): DataFrame =
     // whole admission under the writer lease (reentrant into merge):
     // probe and existing-count reads serialize against erasers
     sink.writerLocked(Seq(SubstrStore)) {
@@ -1482,7 +1487,8 @@ object TextOps {
       .select(col("win_hash"),
         (coalesce(col("cnt"), lit(0L)) + col("__bcnt")).as("cnt"))
       .localCheckpoint(true)
-    sink.merge(SubstrStore, summed, Seq("win_hash"), pkUnique = true)
+    sink.merge(SubstrStore, summed, Seq("win_hash"), None,
+      pkUnique = true, opId = admitId)
     out
     }
 

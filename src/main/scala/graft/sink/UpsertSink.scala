@@ -1187,15 +1187,49 @@ final class UpsertSink(spark: SparkSession, root: String,
     */
   def merge(table: String, updates: DataFrame, pk: Seq[String],
             versionCol: Option[String] = None,
-            pkUnique: Boolean = false): Unit = {
+            pkUnique: Boolean = false): Unit =
+    merge(table, updates, pk, versionCol, pkUnique, None)
+
+  /** [[merge]] with an EXACTLY-ONCE guarantee under crash-replay, keyed
+    * by a caller-chosen `opId` — the ADMIT-direction sibling of
+    * [[eraseMany]]'s erasure journal, for merges that are NOT naturally
+    * idempotent: an additive count fold (the fingerprint / segment /
+    * substring / selection store admits read existing counts and write
+    * sums), replayed after a crash, double-counts — a false "duplicate"
+    * flag for every future probe of the affected keys. A pk-unique
+    * posting merge needs none of this (rewriting identical rows
+    * converges by itself).
+    *
+    * Same two-level discipline as the erasure journal: a
+    * `_graft_admits` line commits the table (full replay = no-op), and
+    * a `_gadmit_<id>` marker inside each swapped-in bucket fences a
+    * replay of a crash BETWEEN bucket swaps to exactly the buckets the
+    * crashed run never reached. Correctness rests on the fold being
+    * PER-KEY LOCAL (each updated row's value derives from that key's
+    * own stored row + the batch — true for all the count folds): a
+    * replay re-derives values from the mixed store, but the re-derived
+    * rows for already-swapped buckets never land (their buckets are
+    * fenced), and rows for unswapped buckets derive from their
+    * pre-crash state. Same caller contracts as the erasure id: replay
+    * with the SAME updates derivation, and replay a crashed admit
+    * BEFORE other writers mutate the table. The first-write path
+    * (missing/TRUNCATEd/flat table) is a whole-table atomic swap —
+    * table-level journal alone covers it.
+    */
+  def merge(table: String, updates: DataFrame, pk: Seq[String],
+            versionCol: Option[String], pkUnique: Boolean,
+            opId: Option[String]): Unit = {
     require(pk.nonEmpty, s"merge into $table needs a primary key")
     // same contract TableMerge enforces: silently skipping the version
     // resolution a caller explicitly asked for would write every
     // version as a duplicate-pk row
     require(!(pkUnique && versionCol.isDefined),
       s"$table: pkUnique promises one row per pk — versionCol is meaningless")
+    opId.foreach(requireValidErasureId)
     withWriterLease(Seq(table)) {
     recover(table)
+    if (opId.exists(id => journalCommitted(table, AdmitJournal, id)))
+      return // table-level replay fence: this admit fully committed
     val aligned =
       if (exists(table) && hasDataFiles(table)) alignToStored(table, updates)
       else updates
@@ -1226,10 +1260,19 @@ final class UpsertSink(spark: SparkSession, root: String,
       overwrite(table, merged, pk)
     } else {
       // incremental path: only buckets holding updated keys are rewritten
+      val marker = opId.map(admitMarkerName)
+      val dir = tableDir(table)
       val touched = latest.select(BucketCol).distinct()
         .collect().map(_.getInt(0)).sorted // bounded by numBuckets
-      incrementalSwap(table, latest, pk, touched, buckets)
+        // bucket-level replay fence (opId merges): a bucket this admit
+        // already swapped in is not re-applied — its rows in `latest`
+        // re-derived against the post-fold store and must never land
+        .filter(b => !marker.exists(mk =>
+          Files.exists(dir.resolve(s"$BucketCol=$b").resolve(mk))))
+      if (touched.nonEmpty)
+        incrementalSwap(table, latest, pk, touched, buckets, marker)
     }
+    opId.foreach(id => journalCommit(table, AdmitJournal, id))
     } finally latest.unpersist()
     }
   }
@@ -1360,7 +1403,8 @@ final class UpsertSink(spark: SparkSession, root: String,
     */
   private def incrementalSwap(table: String, latest: DataFrame,
                               pk: Seq[String], touched: Array[Int],
-                              buckets: Int): Unit = {
+                              buckets: Int,
+                              onceMarker: Option[String] = None): Unit = {
     val dir = tableDir(table)
     val touchedWithData = touched.filter(b =>
       Files.exists(dir.resolve(s"$BucketCol=$b")))
@@ -1376,7 +1420,8 @@ final class UpsertSink(spark: SparkSession, root: String,
         .join(latest.select(pk.map(col): _*), pk, "left_anti")
         .unionByName(latest)
     }
-    writeAndSwapBuckets(table, merged, touched, buckets)
+    writeAndSwapBuckets(table, merged, touched, buckets,
+      onceMarker = onceMarker)
   }
 
   /** Shared bucket-rewrite tail of [[incrementalSwap]] and [[delete]]:
@@ -1396,17 +1441,17 @@ final class UpsertSink(spark: SparkSession, root: String,
   private def writeAndSwapBuckets(table: String, merged: DataFrame,
                                   touched: Array[Int], buckets: Int,
                                   removeEmptied: Boolean = false,
-                                  eraseMarker: Option[String] = None): Unit = {
+                                  onceMarker: Option[String] = None): Unit = {
     val dir = tableDir(table)
     val shadow = Paths.get(root, s".${table}__shadow")
     deleteRecursively(shadow)
     bucketAligned(merged, buckets).write.mode(SaveMode.Overwrite)
       .partitionBy(BucketCol).parquet(shadow.toString)
-    // the erasure replay fence rides INSIDE each shadow bucket, so the
-    // marker and the rewritten data land in one atomic rename (a bucket
-    // emptied outright needs none: its dir is removed, and a missing
-    // bucket is already skipped on replay)
-    eraseMarker.foreach { mk =>
+    // the replay fence (erasure id / merge opId) rides INSIDE each
+    // shadow bucket, so the marker and the rewritten data land in one
+    // atomic rename (a bucket emptied outright needs none: its dir is
+    // removed, and a missing bucket is already skipped on replay)
+    onceMarker.foreach { mk =>
       touched.foreach { b =>
         val sb = shadow.resolve(s"$BucketCol=$b")
         if (Files.exists(sb)) Files.write(sb.resolve(mk), Array.emptyByteArray)
@@ -1666,40 +1711,47 @@ final class UpsertSink(spark: SparkSession, root: String,
         id.forall(c => c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
       s"invalid erasure id '$id': need 1-128 chars of [A-Za-z0-9._-]")
 
-  /** The per-table erasure journal: committed erasure ids, one per
-    * line, rewritten atomically (temp + move) after the table's last
-    * bucket swap. Underscore prefix = invisible to parquet readers but
-    * part of the [[version]] fingerprint (a journaled commit IS a
-    * content change).
+  /** The per-table op journals: committed operation ids, one per line,
+    * rewritten atomically (temp + move) after the table's last bucket
+    * swap. Two directions, two namespaces: `_graft_erasures` for
+    * [[eraseMany]]'s exactly-once erasure and `_graft_admits` for
+    * [[merge]]'s exactly-once additive fold (opId) — an admit and an
+    * erasure may legitimately share an id string without colliding.
+    * Underscore prefix = invisible to parquet readers but part of the
+    * [[version]] fingerprint (a journaled commit IS a content change).
     */
-  private def erasureJournalFile(table: String): Path =
-    tableDir(table).resolve("_graft_erasures")
+  private val EraseJournal = "_graft_erasures"
+  private val AdmitJournal = "_graft_admits"
 
-  private def journalCommitted(table: String, id: String): Boolean = {
-    val f = erasureJournalFile(table)
+  private def journalCommitted(table: String, journal: String,
+                               id: String): Boolean = {
+    val f = tableDir(table).resolve(journal)
     Files.exists(f) && new String(Files.readAllBytes(f), "UTF-8")
       .linesIterator.contains(id)
   }
 
-  private def journalCommit(table: String, id: String): Unit = {
-    if (journalCommitted(table, id)) return
-    val f = erasureJournalFile(table)
+  private def journalCommit(table: String, journal: String,
+                            id: String): Unit = {
+    if (journalCommitted(table, journal, id)) return
+    val f = tableDir(table).resolve(journal)
     val prior =
       if (Files.exists(f)) new String(Files.readAllBytes(f), "UTF-8") else ""
     // dot-prefixed temp: excluded from the version fingerprint and from
     // hasDataFiles, so a crash mid-commit leaves no observable residue
-    val tmp = tableDir(table).resolve("._graft_erasures.tmp")
+    val tmp = tableDir(table).resolve(s".$journal.tmp")
     Files.write(tmp, (prior + id + "\n").getBytes("UTF-8"))
     Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** The bucket-level replay fence: a bucket dir swapped in by erasure
-    * `id` carries this marker file (underscore = parquet-invisible;
-    * written into the shadow bucket BEFORE the atomic move, so marker
-    * and rewritten data land in one rename).
+  /** The bucket-level replay fences: a bucket dir swapped in by erasure
+    * (or opId-journaled merge) `id` carries this marker file
+    * (underscore = parquet-invisible; written into the shadow bucket
+    * BEFORE the atomic move, so marker and rewritten data land in one
+    * rename).
     */
   private def eraseMarkerName(id: String): String = s"_gerase_$id"
+  private def admitMarkerName(id: String): String = s"_gadmit_$id"
 
   private def eraseManyLeased(erases: Seq[TableErase],
                               erasureId: Option[String]): Unit = {
@@ -1713,7 +1765,7 @@ final class UpsertSink(spark: SparkSession, root: String,
     // table-level replay fence: an id journaled for a table means that
     // table's erasure fully committed in a prior run — skip it whole
     val replayed = erasureId match {
-      case Some(id) => erases.filter(d => journalCommitted(d.table, id))
+      case Some(id) => erases.filter(d => journalCommitted(d.table, EraseJournal, id))
       case None => Seq.empty
     }
     val live = erases.filterNot(replayed.contains)
@@ -1734,7 +1786,7 @@ final class UpsertSink(spark: SparkSession, root: String,
     // still commits, so a replay converges identically
     erasureId.foreach(id =>
       live.filter(d => !hasDataFiles(d.table))
-        .foreach(d => journalCommit(d.table, id)))
+        .foreach(d => journalCommit(d.table, EraseJournal, id)))
     val prepped = live.filter(d => hasDataFiles(d.table)).map { d =>
       val buckets = storedBuckets(d.table).getOrElse(numBuckets)
       val stored = read(d.table).schema
@@ -1782,7 +1834,7 @@ final class UpsertSink(spark: SparkSession, root: String,
           .filter(b => !marker.exists(mk =>
             Files.exists(dir.resolve(s"$BucketCol=$b").resolve(mk))))
         if (touched.isEmpty) {
-          erasureId.foreach(id => journalCommit(d.table, id))
+          erasureId.foreach(id => journalCommit(d.table, EraseJournal, id))
           None
         }
         else Some { () =>
@@ -1814,10 +1866,10 @@ final class UpsertSink(spark: SparkSession, root: String,
               else dec
           }
           writeAndSwapBuckets(d.table, kept, touched, buckets,
-            removeEmptied = true, eraseMarker = marker)
+            removeEmptied = true, onceMarker = marker)
           // the table-level commit point: past here a replay skips the
           // whole table; short of here the per-bucket markers carry it
-          erasureId.foreach(id => journalCommit(d.table, id))
+          erasureId.foreach(id => journalCommit(d.table, EraseJournal, id))
         }
       }
       runConcurrently(tasks)

@@ -705,6 +705,20 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
   }
 
+  test("q127: exactly-once admit probe — store map-only, joins broadcast, no window") {
+    // same shape contract as q125's probe: the (fp, cnt) store scan
+    // semi-joins broadcast batch fps, matches broadcast back — plus the
+    // holder_cnt audit join, also broadcast; never a shuffle
+    val plan = planOf("q127_exactly_once_admit")
+    assert(!plan.contains("Window"), s"probe has a window:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"store shuffled for the probe/count join:\n$plan")
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 3,
+      s"fp/count joins not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+  }
+
   test("q111: composed admission screen — archive only via stores, every join broadcast") {
     val plan = planOf("q111_incremental_admission")
     assert(!plan.contains("Window"),

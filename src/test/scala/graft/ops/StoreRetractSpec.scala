@@ -463,4 +463,38 @@ class StoreRetractSpec extends SparkSpec {
       "replayed sweep rewrote the ledger receipt")
     assert(report.erased.toSet == Set("fingerprint_store", "segdedup_segs"))
   }
+
+  test("count-store admits with an admitId: replayed admission == single admission") {
+    // the admit journal generalizes the delta layout's exactly-once
+    // discipline to the SUMMED count stores: a crashed daily admit
+    // replayed with its batch id cannot double-fold counts (which
+    // would flag future probes as duplicates of documents admitted
+    // once). All four count-fold modalities in one pass.
+    val real = freshSink("admitid")
+    val once = freshSink("admitid_once")
+    val archive = (1L to 12L).map(i => (i, segText(i))).toDF("doc_id", "text")
+    val batch = (101L to 104L).map(i => (i, segText(i))).toDF("doc_id", "text")
+    for (s <- Seq(real, once)) {
+      TextOps.fingerprintStoreBuild(archive, "doc_id", "text", s)
+      TextOps.segmentStoreBuild(archive, "doc_id", "text", s, segWords = 4)
+      TextOps.substrStoreBuild(archive, "doc_id", "text", s, minTokens = 5)
+      SelectOps.selectionStoreBuild(archive,
+        archive.filter($"doc_id" === 1L), "doc_id", "text", s, buckets = 16)
+    }
+    def admitAll(s: UpsertSink, id: Option[String]): Unit = {
+      TextOps.fingerprintStoreAdmit(batch, "doc_id", "text", s, admitId = id)
+      TextOps.segmentStoreAdmit(batch, "doc_id", "text", s, segWords = 4,
+        admitId = id)
+      TextOps.substrStoreAdmit(batch, "doc_id", "text", s, minTokens = 5,
+        admitId = id)
+      SelectOps.selectionStoreAdmitRaw(batch, "text", s, admitId = id)
+    }
+    admitAll(once, None)
+    admitAll(real, Some("day-001"))
+    admitAll(real, Some("day-001")) // the crash-replay: must be a no-op
+    for (t <- Seq("fingerprint_store", "segdedup_segs", "substr_windows",
+        "dsir_affinity"))
+      assert(rows(real, t) == rows(once, t),
+        s"$t: replayed admission diverged from a single admit")
+  }
 }

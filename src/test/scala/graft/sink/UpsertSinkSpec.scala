@@ -1270,6 +1270,101 @@ class UpsertSinkSpec extends SparkSpec {
     assert(real.read("inv").collect().map(_.toSeq).toSet == want)
   }
 
+  test("merge with an opId: replayed additive fold == single fold, bit-exact") {
+    // the ADMIT-direction sibling of the erasure id: an additive count
+    // fold (read existing counts, write sums) double-counts when a
+    // crashed admit replays — with an opId the admit journal makes the
+    // full replay a no-op
+    def seed(s: UpsertSink): Unit =
+      s.merge("inv", Seq(("a", 5L), ("b", 2L)).toDF("k", "cnt"), Seq("k"))
+    def fold(s: UpsertSink, id: Option[String]): Unit =
+      s.writerLocked(Seq("inv")) {
+        val delta = Seq(("a", 2L), ("z", 4L)).toDF("k", "cnt")
+        // the per-key-local derivation every count-store admit uses:
+        // existing count + batch count, checkpointed (reads the files
+        // the merge rewrites)
+        val summed = delta.join(
+            s.read("inv").withColumnRenamed("cnt", "__old"), Seq("k"), "left")
+          .select($"k", (org.apache.spark.sql.functions.coalesce($"__old",
+            org.apache.spark.sql.functions.lit(0L)) + $"cnt").as("cnt"))
+          .localCheckpoint(true)
+        s.merge("inv", summed, Seq("k"), None, pkUnique = true, opId = id)
+      }
+    val once = freshSink(); seed(once); fold(once, None)
+    val real = freshSink(); seed(real)
+    fold(real, Some("batch-01"))
+    fold(real, Some("batch-01")) // crash-replay: must be a no-op
+    assert(real.read("inv").collect().map(_.toSeq).toSet ==
+      once.read("inv").collect().map(_.toSeq).toSet,
+      "replayed admit diverged from a single fold")
+    assert(real.read("inv").filter($"k" === "a").as[(String, Long)]
+      .collect().toSeq == Seq(("a", 7L))) // an unjournaled replay: 9
+    // a NEW batch id folds again
+    fold(real, Some("batch-02"))
+    assert(real.read("inv").filter($"k" === "a").as[(String, Long)]
+      .collect().toSeq == Seq(("a", 9L)))
+    // a plain merge (no id) is untouched by the journal machinery
+    real.merge("inv", Seq(("b", 99L)).toDF("k", "cnt"), Seq("k"))
+    assert(real.read("inv").filter($"k" === "b").as[(String, Long)]
+      .collect().toSeq == Seq(("b", 99L)))
+  }
+
+  test("merge-opId replay after a partial crash converges per BUCKET, bit-exact") {
+    import java.nio.file.{Files => JF, Path, StandardCopyOption}
+    def copyTree(from: Path, to: Path): Unit = {
+      val s = JF.walk(from)
+      try s.iterator().asScala.foreach { p =>
+        val dst = to.resolve(from.relativize(p).toString)
+        if (JF.isDirectory(p)) JF.createDirectories(dst)
+        else JF.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
+      } finally s.close()
+    }
+    val rows = (1L to 40L).map(i => (i, 5L))
+    def fold(s: UpsertSink, id: Option[String]): Unit =
+      s.writerLocked(Seq("inv")) {
+        val delta = (1L to 40L).map(i => (i, 2L)).toDF("k", "cnt")
+        val summed = delta.join(
+            s.read("inv").withColumnRenamed("cnt", "__old"), Seq("k"), "left")
+          .select($"k", (org.apache.spark.sql.functions.coalesce($"__old",
+            org.apache.spark.sql.functions.lit(0L)) + $"cnt").as("cnt"))
+          .localCheckpoint(true)
+        s.merge("inv", summed, Seq("k"), None, pkUnique = true, opId = id)
+      }
+    val ref = new UpsertSink(spark,
+      JF.createTempDirectory("graft_sink_aref").toString, numBuckets = 4)
+    ref.merge("inv", rows.toDF("k", "cnt"), Seq("k"))
+    fold(ref, None)
+    val want = ref.read("inv").collect().map(_.toSeq).toSet
+    val realRoot = JF.createTempDirectory("graft_sink_acrash")
+    val real = new UpsertSink(spark, realRoot.toString, numBuckets = 4)
+    real.merge("inv", rows.toDF("k", "cnt"), Seq("k"))
+    val invDir = realRoot.resolve("inv")
+    val bucketDirs = { val s = JF.list(invDir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("__bucket=")).toSeq.sorted finally s.close() }
+    assert(bucketDirs.size >= 3, s"fixture spread too thin: $bucketDirs")
+    val victim = bucketDirs.head
+    val parked = JF.createTempDirectory("graft_sink_apark").resolve(victim)
+    copyTree(invDir.resolve(victim), parked)
+    fold(real, Some("batch-xyz"))
+    assert(real.read("inv").collect().map(_.toSeq).toSet == want)
+    // SIMULATED CRASH between bucket swaps and the journal commit: the
+    // journal line vanishes and ONE bucket reverts to its pre-fold
+    // content (its swap "never happened" — no marker inside). The
+    // replay RE-DERIVES sums from this MIXED store: fenced buckets'
+    // double values never land, the reverted bucket re-folds once.
+    JF.delete(invDir.resolve("_graft_admits"))
+    graft.sink.Fs.deleteRecursively(invDir.resolve(victim))
+    copyTree(parked, invDir.resolve(victim))
+    fold(real, Some("batch-xyz"))
+    assert(real.read("inv").collect().map(_.toSeq).toSet == want,
+      "partial-crash replay diverged from a single uncrashed fold")
+    // the worst window — all buckets swapped, journal missing
+    JF.delete(invDir.resolve("_graft_admits"))
+    fold(real, Some("batch-xyz"))
+    assert(real.read("inv").collect().map(_.toSeq).toSet == want)
+  }
+
   test("snapshotMany vs a LIVE group-DELETER thread: never a half-erased capture") {
     val sink = freshSink()
     // both tables always carry the SAME id set; the deleter erases one
