@@ -1415,6 +1415,68 @@ private[graft] trait CatalogStores extends CatalogShared {
           .select(col("doc_id"), coalesce(col("cnt"), lit(0L)).as("holder_cnt"))
         flags.join(broadcast(counts), Seq("doc_id"))
           .orderBy("doc_id")
+      }),
+
+    QueryDef("q128_ann_right_to_erasure",
+      "Right-to-erasure reaches the ANN SERVING layer (q123 erases " +
+        "the admission stores; without this the subjects' PQ codes — " +
+        "a reconstructible approximation of their embeddings — keep " +
+        "serving, and probes keep returning the erased ids as " +
+        "neighbors): a self-contained persisted IVF-PQ index (SQ8 " +
+        "refine stored) is built over the full embedding corpus, the " +
+        "subjects (vec_id % 5 = 0) are removed via ivfPqIndexRemove — " +
+        "FAISS remove_ids for this layout: ONE eraseMany group over " +
+        "ann_codes + ann_vecs8, keys derived from the ids alone, " +
+        "O(subjects + touched buckets), trained quantizers untouched " +
+        "— and the removal is REPLAYED under the same op id (the " +
+        "crashed-erasure recovery path; the journal makes it a " +
+        "no-op). Exact oracle: post-removal membership of every " +
+        "vec_id in the code lists AND in the SQ8 refine table equals " +
+        "the survivor set exactly, and leaked_hits — how often each " +
+        "ERASED id appears as a neighbor in a post-removal " +
+        "index-tables-only probe — is zero for every subject.",
+      Some("""SELECT vec_id,
+             |  CAST(CASE WHEN vec_id % 5 = 0 THEN 0 ELSE 1 END AS INTEGER)
+             |    AS in_codes,
+             |  CAST(CASE WHEN vec_id % 5 = 0 THEN 0 ELSE 1 END AS INTEGER)
+             |    AS in_sq8,
+             |  CAST(CASE WHEN vec_id % 5 = 0 THEN 0 ELSE -1 END AS BIGINT)
+             |    AS leaked_hits
+             |FROM embeddings ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val sink = tempStore.freshSink(s, "annerase", dir)
+        SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink,
+          nlist = 8, coarseIters = 1, storeSq8 = true)
+        val subjects = e.filter(col("vec_id") % 5 === 0).select("vec_id")
+        SimOps.ivfPqIndexRemove(subjects, "vec_id", sink,
+          opId = Some("q128_erase"))
+        // THE REPLAY: same ids, same op id — the erasure journal must
+        // make it a no-op (the crash-recovery protocol)
+        SimOps.ivfPqIndexRemove(subjects, "vec_id", sink,
+          opId = Some("q128_erase"))
+        // post-removal probe, self-contained (SQ8 refine — the serving
+        // box's shape: index tables only); erased queries are fair
+        // game — the query side is the caller's frame, not the index
+        val q = e.filter(col("vec_id") % 7 === 0)
+        val hits = SimOps.ivfPqProbeIndex(q, e, "vec_id", "embedding",
+            sink, k = 5, refineFromSq8 = true)
+          .groupBy(col("neighbor_id").as("vec_id"))
+          .agg(count(lit(1)).as("__hits"))
+        val inCodes = sink.read(SimOps.IdxCodes)
+          .select(col("id").as("vec_id")).withColumn("__ic", lit(1))
+        val inSq8 = sink.read(SimOps.IdxVecs8)
+          .select(col("id").as("vec_id")).withColumn("__i8", lit(1))
+        e.select(col("vec_id"))
+          .join(inCodes, Seq("vec_id"), "left")
+          .join(inSq8, Seq("vec_id"), "left")
+          .join(hits, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("__ic"), lit(0)).as("in_codes"),
+            coalesce(col("__i8"), lit(0)).as("in_sq8"),
+            when(col("vec_id") % 5 === 0, coalesce(col("__hits"), lit(0L)))
+              .otherwise(lit(-1L)).as("leaked_hits"))
+          .orderBy("vec_id")
       })
   )
 }

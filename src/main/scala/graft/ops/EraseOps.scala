@@ -10,8 +10,12 @@ import graft.sink.{TableCountRetract, TableDelete, TableErase, UpsertSink}
   * subject's documents from EVERY store modality present in the sink
   * (the q117-style composition: fingerprint counts, segment inventory,
   * MinHash band+shingle postings, substring-window inventory, DSIR
-  * policy histograms, embedding LSH postings+vectors), under ONE
-  * writer lease covering every member table — a concurrent
+  * policy histograms, embedding LSH postings+vectors — plus the ANN
+  * SERVING index when one is persisted under the same root: the
+  * subjects' PQ codes and SQ8 refine codes leave `ann_codes` /
+  * `ann_vecs8`, so probes stop returning them as neighbors and no
+  * reconstructible approximation of their embeddings keeps serving),
+  * under ONE writer lease covering every member table — a concurrent
   * `snapshotMany` reader can never capture a state where the subject
   * is gone from one gate but still flagged by another, and a
   * concurrent admit can never slip postings in behind the erasure
@@ -27,9 +31,11 @@ import graft.sink.{TableCountRetract, TableDelete, TableErase, UpsertSink}
   * The sweep REFUSES silent partial erasure: when the selection policy
   * store is present the caller MUST pass the subjects' target/raw
   * membership split (the membership convention was the caller's at
-  * build time — guessing is worse than failing), and when the
-  * embedding store is present the caller MUST pass the subjects'
-  * vector ids (an id-mapping convention the sweep cannot know). A
+  * build time — guessing is worse than failing), and when any
+  * embedding-keyed member is present (the LSH near-dup store, or a
+  * persisted ANN index — single or sharded) the caller MUST pass the
+  * subjects' vector ids (an id-mapping convention the sweep cannot
+  * know). A
   * member table the sweep deliberately does NOT retract — today only
   * the batch-granularity substring DELTA store — is returned under
   * [[EraseReport.excluded]] with the reason AND the resolved
@@ -111,11 +117,18 @@ object EraseOps {
         "pass fromTarget/fromRaw (the subjects split by target-sample " +
         "membership — the caller's convention at build time; pass an " +
         "empty frame for a side with no members)")
-    require(!sink.exists(SimOps.EmbSigs) || vecIds.isDefined,
-      s"the embedding near-dup store (${SimOps.EmbSigs}) is present: " +
-        "pass vecIds (the subjects' vector ids — the id mapping is the " +
-        "caller's convention; pass an empty frame for subjects with no " +
-        "vectors)")
+    val annSingle = SimOps.ivfPqIndexExists(sink)
+    val annSharded = sink.exists(SimOps.ShardMeta)
+    require(!(sink.exists(SimOps.EmbSigs) || annSingle || annSharded) ||
+        vecIds.isDefined,
+      "an embedding-keyed member is present (" +
+        Seq(if (sink.exists(SimOps.EmbSigs)) Some(SimOps.EmbSigs) else None,
+          if (annSingle) Some(SimOps.IdxCodes) else None,
+          if (annSharded) Some(SimOps.ShardMeta) else None)
+          .flatten.mkString(", ") +
+        "): pass vecIds (the subjects' vector ids — the id mapping is " +
+        "the caller's convention; pass an empty frame for subjects " +
+        "with no vectors)")
 
     val members = Seq.newBuilder[String]
     val plans = Seq.newBuilder[() => Seq[TableErase]]
@@ -146,6 +159,11 @@ object EraseOps {
     if (sink.exists(SimOps.EmbSigs)) {
       members ++= SimOps.embLshRetractTables
       plans += (() => SimOps.embLshRetractPlan(vecIds.get, vecIdCol, sink))
+    }
+    if (annSingle) {
+      members ++= SimOps.ivfPqRemoveTables(sink)
+      plans += (() =>
+        SimOps.ivfPqIndexRemovePlan(vecIds.get, vecIdCol, sink))
     }
 
     // the delta store is a MEMBER the sweep cannot retract at document
@@ -194,22 +212,48 @@ object EraseOps {
             TableCountRetract(t, d, pk, cntCols, drop)
         }
       }
-    if (ledger && ledgerTables.nonEmpty) {
+    // the SHARDED ANN index erases AFTER the main group — per-shard
+    // sub-sinks carry their own leases and erasure journals (see
+    // [[SimOps.shardedIndexRemove]] for why per-shard atomicity is the
+    // right contract for a serving artifact): a crash between the main
+    // group and the shard loop replays under the same sweep id and
+    // each side converges independently, exactly-once
+    val shardVersBefore: Map[Int, Long] =
+      if (annSharded && ledger)
+        SimOps.shardedIndexVersions(docs.sparkSession, sink)
+      else Map.empty
+    val shardRemoved: Map[Int, Long] =
+      if (annSharded)
+        SimOps.shardedIndexRemove(vecIds.get, vecIdCol, sink, Some(sweepId))
+      else Map.empty
+    val shardMember = (sh: Int) => f"ann_shard_$sh%04d"
+    if (ledger && (ledgerTables.nonEmpty || shardRemoved.nonEmpty)) {
       val spark = docs.sparkSession
       import spark.implicits._
       val already = sink.exists(LedgerTable) && sink.hasData(LedgerTable) &&
         !sink.read(LedgerTable).filter(col("sweep_id") === sweepId).isEmpty
       if (!already) {
+        val shardVersAfter: Map[Int, Long] =
+          if (shardRemoved.nonEmpty)
+            SimOps.shardedIndexVersions(spark, sink)
+          else Map.empty
         val rows = ledgerTables.map { t =>
           val action = if (excludedMap.contains(t)) "excluded" else "erased"
           (sweepId, t, action, subjects, removed(t), verBefore(t),
             sink.version(t))
-        }.toDF("sweep_id", "member_table", "action", "subjects", "removed",
-          "ver_before", "ver_after")
-        sink.merge(LedgerTable, rows, Seq("sweep_id", "member_table"),
+        } ++ shardRemoved.toSeq.sortBy(_._1).map { case (sh, n) =>
+          (sweepId, shardMember(sh), "erased", subjects, n,
+            shardVersBefore.getOrElse(sh, 0L),
+            shardVersAfter.getOrElse(sh, 0L))
+        }
+        val rowsDf = rows.toDF("sweep_id", "member_table", "action",
+          "subjects", "removed", "ver_before", "ver_after")
+        sink.merge(LedgerTable, rowsDf, Seq("sweep_id", "member_table"),
           pkUnique = true)
       }
     }
-    EraseReport(sweepId, subjects, tables, excludedMap, deltaBatches)
+    EraseReport(sweepId, subjects,
+      tables ++ shardRemoved.keys.toSeq.sorted.map(shardMember),
+      excludedMap, deltaBatches)
   }
 }

@@ -651,10 +651,10 @@ object SimOps {
   // -------------------------------------------------------------------
 
   /** Table names of a persisted IVF-PQ index under one sink root. */
-  private val IdxCentroids = "ann_centroids"
-  private val IdxCodebooks = "ann_codebooks"
-  private val IdxCodes = "ann_codes"
-  private val IdxVecs8 = "ann_vecs8"
+  private[graft] val IdxCentroids = "ann_centroids"
+  private[graft] val IdxCodebooks = "ann_codebooks"
+  private[graft] val IdxCodes = "ann_codes"
+  private[graft] val IdxVecs8 = "ann_vecs8"
 
   /** BUILD an IVF-PQ index and persist it: trains the coarse quantizer
     * and PQ codebooks exactly like [[ivfPqTopK]], encodes the corpus,
@@ -880,6 +880,16 @@ object SimOps {
     var attempt = 0
     while (true) {
       attempt += 1
+      // an EXISTING but fileless code list is the delete-all end state
+      // ([[ivfPqIndexRemove]] erased every vector): a real, stable
+      // condition — name it, instead of burning the transient-retry
+      // budget and reporting "kept changing". (Bucket-level delete
+      // swaps never leave a transiently fileless TABLE: only the
+      // delete-all truncation does.)
+      if (sink.exists(IdxCodes) && !sink.hasData(IdxCodes))
+        throw new IllegalStateException(
+          s"index under ${sink.rootPath} has an empty code list — every " +
+            "vector was removed; rebuild (buildIvfPqIndex) or drop it")
       val g0 = members.map(sink.groupId)
       try {
         val quantKey = (sink.rootPath,
@@ -1013,6 +1023,64 @@ object SimOps {
     else base :+ graft.sink.TableMerge(IdxVecs8,
       int8Quantize(vecs, idCol, vecCol).withColumnRenamed(idCol, "id"),
       Seq("id"), pkUnique = true)
+  }
+
+  /** ERASE vectors from a persisted index — the right-to-erasure arc
+    * for the ANN SERVING layer (FAISS `IndexIVF::remove_ids` is the
+    * same move): delete the ids' m-byte PQ codes from the code lists
+    * and, when the build stored them, their SQ8 refine codes — both
+    * under ONE [[graft.sink.UpsertSink.eraseMany]] group, so a probe
+    * can never see a state where an id is gone from the shortlist
+    * stage but its quantized vector still serves the re-rank. Without
+    * this, a GDPR sweep that erases the embedding near-dup store
+    * leaves the subjects' PQ codes (a reconstructible approximation
+    * of the embedding) SERVING in the index, and probes keep
+    * returning the erased ids as neighbors.
+    *
+    * Cost: O(ids + touched buckets) — the key frames derive from
+    * `ids` alone (no store scan), and only the ids' hash-routed
+    * buckets rewrite. Centroids and codebooks are untouched (removal
+    * never degrades the trained quantizers — unlike adds, there is no
+    * drift to monitor; the lists just thin out). `opId` threads the
+    * sink's erasure journal through: a crashed removal replayed under
+    * the same id converges exactly-once (PK deletes are naturally
+    * idempotent, but the journal keeps a replayed sweep from
+    * re-walking buckets and keeps the sweep's ledger semantics
+    * uniform across store shapes).
+    *
+    * Removing EVERY remaining vector truncates the code list; probes
+    * then refuse with a named "empty code list" error (an index with
+    * no population has nothing to serve) — rebuild or drop it.
+    */
+  def ivfPqIndexRemove(ids: DataFrame, idCol: String,
+                       sink: graft.sink.UpsertSink,
+                       opId: Option[String] = None): Unit = {
+    require(ivfPqIndexExists(sink),
+      s"no persisted index under ${sink.rootPath} — nothing to remove from")
+    sink.eraseMany(ivfPqRemoveTables(sink), opId) {
+      ivfPqIndexRemovePlan(ids, idCol, sink)
+    }
+  }
+
+  /** The index tables an erasure touches: always the code lists, plus
+    * the SQ8 refine codes when the build stored them.
+    */
+  private[graft] def ivfPqRemoveTables(
+      sink: graft.sink.UpsertSink): Seq[String] =
+    Seq(IdxCodes) ++ (if (sink.exists(IdxVecs8)) Seq(IdxVecs8) else Nil)
+
+  /** [[ivfPqIndexRemove]]'s per-table deletes as data, for callers
+    * composing the removal into a wider [[graft.sink.UpsertSink
+    * .eraseMany]] group (the [[graft.ops.EraseOps]] sweep). Key frames
+    * derive from `ids` alone — no store scan, so no checkpoint needed
+    * and a fileless (previously fully-erased) member no-ops.
+    */
+  private[graft] def ivfPqIndexRemovePlan(
+      ids: DataFrame, idCol: String,
+      sink: graft.sink.UpsertSink): Seq[graft.sink.TableErase] = {
+    val keys = ids.select(col(idCol).as("id")).distinct()
+    ivfPqRemoveTables(sink).map(t =>
+      graft.sink.TableDelete(t, keys, Seq("id")))
   }
 
   /** DISTRIBUTION-DRIFT statistic for a persisted index — the signal
@@ -1173,7 +1241,7 @@ object SimOps {
   // Sharded IVF-PQ: one index per corpus shard (the 100 TB envelope)
   // -------------------------------------------------------------------
 
-  private val ShardMeta = "ann_shard_meta"
+  private[graft] val ShardMeta = "ann_shard_meta"
 
   /** Per-shard sub-sinks under the parent root: each shard is a FULL
     * ordinary index (same tables, same metadata caches keyed on its
@@ -1403,6 +1471,94 @@ object SimOps {
         threshold, nlist = nlist, m = m, ksub = ksub,
         scaleNlist = scaleNlist)))
     }
+  }
+
+  /** INCREMENTALLY add vectors to a SHARDED index — [[ivfPqIndexAdd]]
+    * routed by the persisted shard modulus: each slice encodes against
+    * ITS OWN shard's trained quantizers and PK-merges into that
+    * shard's code lists (and SQ8 refine table when the shard stores
+    * one — the plural-merge contract rides through). Only the shards
+    * the batch hashes into open; returns (shard → ids added there).
+    * Completes the sharded family's lifecycle symmetry with
+    * the single index: build / probe / ADD / maintain / remove.
+    *
+    * Vectors routed to a NEVER-BUILT shard (an empty hash range at
+    * build time) have no quantizers to encode against — the call
+    * refuses UP FRONT, before touching any shard (silently dropping
+    * them would serve a partial corpus; absorbing them into a
+    * neighbor shard would break the deterministic route forever). The
+    * documented answer is a rebuild, which establishes the shard.
+    * Requires id-unique input ([[ivfPqIndexAdd]]'s pkUnique contract).
+    */
+  def shardedIndexAdd(vecs: DataFrame, idCol: String, vecCol: String,
+                      sink: graft.sink.UpsertSink,
+                      attrCols: Seq[String] = Nil): Map[Int, Long] = {
+    val spark = vecs.sparkSession
+    require(sink.exists(ShardMeta),
+      s"no sharded index under ${sink.rootPath} — run buildShardedIvfPqIndex")
+    val shards = sink.read(ShardMeta).collect()(0).getAs[Int]("shards")
+    // ONE aggregation pass learns every touched shard (bounded: at most
+    // `shards` rows), so the unbuilt-shard refusal happens BEFORE any
+    // merge — the add is then all-or-nothing at the routing level
+    val routed = vecs
+      .select(shardOf(idCol, shards).as("__s"))
+      .groupBy("__s").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val sinks = shardSinks(spark, sink, shards)
+    val unbuilt = routed.keys.filterNot(s => ivfPqIndexExists(sinks(s)))
+    require(unbuilt.isEmpty,
+      s"batch routes ${unbuilt.toSeq.sorted.map(routed).sum} vectors to " +
+        s"never-built shard(s) ${unbuilt.toSeq.sorted.mkString(", ")} " +
+        "(empty hash ranges at build time) — rebuild the sharded index " +
+        "to establish them; absorbing into another shard would break " +
+        "the deterministic route")
+    routed.toSeq.sortBy(_._1).foreach { case (s, _) =>
+      ivfPqIndexAdd(vecs.filter(shardOf(idCol, shards) === s), idCol,
+        vecCol, sinks(s), attrCols)
+    }
+    routed
+  }
+
+  /** ERASE vectors from a SHARDED index — [[ivfPqIndexRemove]] routed
+    * by the persisted shard modulus: each id's codes live in exactly
+    * one shard (the deterministic [[shardOf]] route), so the removal
+    * opens ONLY the shards the subjects hash into and every other
+    * shard's bytes stay pinned (the same 1/shards locality the
+    * maintenance arc exploits for rebuilds). Returns (shard →
+    * distinct ids routed there) for the touched shards — the sweep's
+    * ledger feeds on it.
+    *
+    * `opId` replays exactly-once PER SHARD (each shard is its own
+    * sub-sink with its own erasure journal): a crash between shard
+    * removals replayed under the same id re-applies only the shards
+    * the crashed run never reached. Shard leases are per-shard — the
+    * index is a serving artifact probed shard-independently, not a
+    * member of any cross-table snapshot composition, so there is no
+    * torn-group state a reader could observe across shards beyond
+    * what concurrent per-shard rebuilds already produce.
+    */
+  def shardedIndexRemove(ids: DataFrame, idCol: String,
+                         sink: graft.sink.UpsertSink,
+                         opId: Option[String] = None): Map[Int, Long] = {
+    val spark = ids.sparkSession
+    require(sink.exists(ShardMeta),
+      s"no sharded index under ${sink.rootPath} — nothing to remove from")
+    val shards = sink.read(ShardMeta).collect()(0).getAs[Int]("shards")
+    shardSinks(spark, sink, shards).zipWithIndex.flatMap { case (ss, s) =>
+      if (!ivfPqIndexExists(ss)) None
+      else {
+        // distinct count first: an empty slice must not touch the shard
+        // at all — even a journal commit would move its version pin
+        val n = ids.filter(shardOf(idCol, shards) === s)
+          .select(col(idCol)).distinct().count()
+        if (n == 0L) None
+        else {
+          ivfPqIndexRemove(ids.filter(shardOf(idCol, shards) === s),
+            idCol, ss, opId)
+          Some(s -> n)
+        }
+      }
+    }.toMap
   }
 
   /** Deterministic +/-1 hyperplane for (table, plane) — shared with the

@@ -870,4 +870,142 @@ class SimOpsSpec extends SparkSpec {
     assert(out(3L) == Seq(64, -127).map(_.toByte),
       s"sane vector mis-quantized: ${out(3L)}")
   }
+
+  test("ivfPqIndexRemove: codes+SQ8 leave, probes never return erased ids, replay no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annrm")
+    val sink = new graft.sink.UpsertSink(spark, root.toString)
+    val e = Tables.load(spark, sf, "embeddings")
+    // removal from a missing index fails loudly, not a silent no-op
+    intercept[IllegalArgumentException] {
+      SimOps.ivfPqIndexRemove(e.select("vec_id"), "vec_id", sink)
+    }
+    SimOps.buildIvfPqIndex(e, "vec_id", "embedding", sink,
+      storeSq8 = true).collect()
+    val centsV = sink.version("ann_centroids")
+    val booksV = sink.version("ann_codebooks")
+    val subjects = e.filter($"vec_id" % 5 === 0).select("vec_id")
+    val nSubjects = subjects.count()
+    val nAll = e.count()
+    SimOps.ivfPqIndexRemove(subjects, "vec_id", sink,
+      opId = Some("rm-spec-1"))
+    // membership: exactly the survivors, in BOTH tables of the group
+    for (tbl <- Seq("ann_codes", "ann_vecs8")) {
+      val t = sink.read(tbl)
+      assert(t.count() == nAll - nSubjects, s"$tbl: wrong survivor count")
+      assert(t.filter($"id" % 5 === 0).count() == 0,
+        s"$tbl: erased ids still stored")
+    }
+    // the trained quantizers are untouched (removal never retrains)
+    assert(sink.version("ann_centroids") == centsV &&
+      sink.version("ann_codebooks") == booksV,
+      "removal rewrote the trained quantizers")
+    // a post-removal probe (self-contained SQ8 refine) can never return
+    // an erased id — its codes are gone from both stages
+    val probed = SimOps.ivfPqProbeIndex(e.filter($"vec_id" % 7 === 0), e,
+      "vec_id", "embedding", sink, 5, refineFromSq8 = true)
+    assert(probed.filter($"neighbor_id" % 5 === 0).count() == 0,
+      "probe returned an erased id")
+    assert(probed.count() > 0, "probe returned nothing at all")
+    // replay under the same op id: the erasure journal skips every
+    // member — not one byte moves
+    val codesV = sink.version("ann_codes")
+    val sq8V = sink.version("ann_vecs8")
+    SimOps.ivfPqIndexRemove(subjects, "vec_id", sink,
+      opId = Some("rm-spec-1"))
+    assert(sink.version("ann_codes") == codesV &&
+      sink.version("ann_vecs8") == sq8V,
+      "replayed removal moved bytes")
+    // removing EVERY remaining vector truncates the code list: the
+    // erasure succeeds, and a later probe refuses with the NAMED
+    // empty-index error (not the transient-retry "kept changing")
+    SimOps.ivfPqIndexRemove(e.select("vec_id"), "vec_id", sink)
+    assert(!sink.hasData("ann_codes"))
+    val empty = intercept[IllegalStateException] {
+      SimOps.ivfPqProbeIndex(e.limit(3), e, "vec_id", "embedding", sink, 5)
+    }
+    assert(empty.getMessage.contains("empty code list"),
+      s"wrong empty-index error: ${empty.getMessage}")
+  }
+
+  test("shardedIndexAdd: routed shards only, added findable, unbuilt shard refused") {
+    val root = java.nio.file.Files.createTempDirectory("graft_shardadd")
+    val sink = new graft.sink.UpsertSink(spark, root.toString)
+    val e = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    SimOps.buildShardedIvfPqIndex(e, "vec_id", "embedding", sink,
+      shards = 4, nlist = 8, coarseIters = 1)
+    val v0 = SimOps.shardedIndexVersions(spark, sink)
+    // a batch hash-routed into ONE shard: only that shard's bytes move
+    val batch = e.filter($"vec_id" % 5 === 1)
+      .select(($"vec_id" + lit(50000000L)).as("vec_id"), $"embedding")
+      .filter(SimOps.shardOf("vec_id", 4) === 1)
+      .localCheckpoint()
+    val n = batch.count()
+    assert(n > 0, "test needs at least one routed vector")
+    val added = SimOps.shardedIndexAdd(batch, "vec_id", "embedding", sink)
+    assert(added == Map(1 -> n), s"routing went wrong: $added")
+    val v1 = SimOps.shardedIndexVersions(spark, sink)
+    for (s <- Seq(0, 2, 3))
+      assert(v1(s) == v0(s), s"unrouted shard $s's bytes moved on add")
+    assert(v1(1) != v0(1), "routed shard's bytes did not move")
+    // an added vector is findable: probe with its own embedding — the
+    // exact-cosine refine puts the identical vector at rank 1
+    val one = batch.limit(1).localCheckpoint()
+    val oneId = one.select("vec_id").as[Long].head()
+    val hit = SimOps.shardedProbeIndex(
+        one.select(($"vec_id" + 1L).as("vec_id"), $"embedding"),
+        e.unionByName(batch), "vec_id", "embedding", sink, 3)
+      .filter($"neighbor_id" === oneId).count()
+    assert(hit == 1, "added vector not served by the sharded probe")
+    // vectors routed to a never-built shard refuse UP FRONT — and
+    // nothing is merged anywhere (the all-or-nothing routing gate)
+    val sparse = new graft.sink.UpsertSink(spark,
+      java.nio.file.Files.createTempDirectory("graft_shardadd_sparse")
+        .toString)
+    val tiny = e.limit(5).localCheckpoint()
+    SimOps.buildShardedIvfPqIndex(tiny, "vec_id", "embedding", sparse,
+      shards = 64, nlist = 2)
+    val vs0 = SimOps.shardedIndexVersions(spark, sparse)
+    val ex = intercept[IllegalArgumentException] {
+      SimOps.shardedIndexAdd(e.limit(200), "vec_id", "embedding", sparse)
+    }
+    assert(ex.getMessage.contains("never-built"),
+      s"wrong refusal: ${ex.getMessage}")
+    assert(SimOps.shardedIndexVersions(spark, sparse) == vs0,
+      "refused add still moved bytes")
+  }
+
+  test("shardedIndexRemove: routed shards only, others byte-pinned, probe clean") {
+    val root = java.nio.file.Files.createTempDirectory("graft_shardrm")
+    val sink = new graft.sink.UpsertSink(spark, root.toString)
+    val e = Tables.load(spark, sf, "embeddings")
+    SimOps.buildShardedIvfPqIndex(e, "vec_id", "embedding", sink,
+      shards = 4, nlist = 8, coarseIters = 1)
+    // subjects hash-routed into ONE shard: only that shard's bytes move
+    val home = 2
+    val subjects = e.filter(SimOps.shardOf("vec_id", 4) === home &&
+      $"vec_id" % 3 === 0).select("vec_id")
+    assert(subjects.count() > 0, "test needs at least one routed subject")
+    val v0 = SimOps.shardedIndexVersions(spark, sink)
+    val removed = SimOps.shardedIndexRemove(subjects, "vec_id", sink,
+      opId = Some("shrm-1"))
+    assert(removed.keySet == Set(home),
+      s"removal touched shards ${removed.keySet}, expected {$home}")
+    assert(removed(home) == subjects.count())
+    val v1 = SimOps.shardedIndexVersions(spark, sink)
+    for (s <- Seq(0, 1, 3))
+      assert(v1(s) == v0(s), s"unrouted shard $s's bytes moved")
+    assert(v1(home) != v0(home), "routed shard's bytes did not move")
+    // the sharded probe serves survivors only
+    val probed = SimOps.shardedProbeIndex(e.filter($"vec_id" % 11 === 0),
+      e, "vec_id", "embedding", sink, 5)
+    val gone = probed.join(subjects.withColumnRenamed("vec_id",
+      "neighbor_id"), Seq("neighbor_id")).count()
+    assert(gone == 0, "sharded probe returned an erased id")
+    // replay: per-shard journals make it a per-shard no-op
+    val again = SimOps.shardedIndexRemove(subjects, "vec_id", sink,
+      opId = Some("shrm-1"))
+    assert(again.keySet == Set(home))
+    val v2 = SimOps.shardedIndexVersions(spark, sink)
+    assert(v2 == v1, "replayed sharded removal moved bytes")
+  }
 }

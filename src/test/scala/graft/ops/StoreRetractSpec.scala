@@ -497,4 +497,71 @@ class StoreRetractSpec extends SparkSpec {
       assert(rows(real, t) == rows(once, t),
         s"$t: replayed admission diverged from a single admit")
   }
+
+  test("eraseSubjects reaches the ANN serving layer: single + sharded index") {
+    val sink = freshSink("sweep_ann")
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(16)(i =>
+        ((((seed * 31L + i) * 2654435761L) % 1000L) / 1000.0f) - 0.5f)
+    val vecs = (1 to 24).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    SimOps.buildIvfPqIndex(vecs, "vec_id", "embedding", sink,
+      nlist = 2, m = 4, ksub = 4, coarseIters = 1, storeSq8 = true).collect()
+    SimOps.buildShardedIvfPqIndex(vecs, "vec_id", "embedding", sink,
+      shards = 2, nlist = 2, m = 4, ksub = 4, coarseIters = 1)
+    val docs = (1 to 24).map(i => (i.toLong, segText(i)))
+      .toDF("doc_id", "text")
+    val subjects = docs.filter($"doc_id" === 4L || $"doc_id" === 9L)
+    // vecIds is REQUIRED the moment an ANN index is present — a sweep
+    // that erases the near-dup stores but leaves the subjects' PQ
+    // codes serving is the silent partial erasure this API refuses
+    val ex = intercept[IllegalArgumentException] {
+      EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
+        sweepId = "ann-s0")
+    }
+    assert(ex.getMessage.contains("ann_codes"))
+    val subjectVecs = subjects.select($"doc_id".as("vec_id"))
+    val homes = subjectVecs
+      .select(SimOps.shardOf("vec_id", 2).as("s")).as[Long].collect().toSet
+    val v0 = SimOps.shardedIndexVersions(spark, sink)
+    val report = EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
+      sweepId = "ann-s1", vecIds = Some(subjectVecs))
+    val shardMembers = homes.map(h => f"ann_shard_$h%04d")
+    assert(report.erased.toSet ==
+      Set("ann_codes", "ann_vecs8") ++ shardMembers)
+    // membership: gone from the single index's both tables
+    for (tbl <- Seq("ann_codes", "ann_vecs8"))
+      assert(sink.read(tbl).filter($"id" === 4L || $"id" === 9L)
+        .count() == 0, s"$tbl still holds an erased id")
+    // the sharded probe serves survivors only; unrouted shards byte-pin
+    val probed = SimOps.shardedProbeIndex(vecs, vecs, "vec_id",
+      "embedding", sink, 3)
+    assert(probed.filter($"neighbor_id" === 4L || $"neighbor_id" === 9L)
+      .count() == 0, "sharded probe returned an erased id")
+    val v1 = SimOps.shardedIndexVersions(spark, sink)
+    for (s <- v0.keySet if !homes.contains(s.toLong))
+      assert(v1(s) == v0(s), s"unrouted shard $s's bytes moved")
+    // ledger receipts for every ANN member, versions bracketing the move
+    val led = sink.read(EraseOps.LedgerTable)
+      .filter($"sweep_id" === "ann-s1")
+      .as[(String, String, String, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(led.keySet == Set("ann_codes", "ann_vecs8") ++ shardMembers)
+    led.values.foreach { case (_, t, action, subj, removed, vb, va) =>
+      assert(action == "erased" && subj == 2L && removed > 0L, s"$t receipt")
+      assert(vb != va, s"$t: version fingerprint did not move")
+    }
+    // replay of the whole sweep: parent journal + per-shard journals
+    // make it byte-free, and the receipt stands
+    val ledBefore = rows(sink, EraseOps.LedgerTable)
+    val codesV = sink.version("ann_codes")
+    EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
+      sweepId = "ann-s1", vecIds = Some(subjectVecs))
+    assert(sink.version("ann_codes") == codesV,
+      "replayed sweep moved the single index's bytes")
+    assert(SimOps.shardedIndexVersions(spark, sink) == v1,
+      "replayed sweep moved a shard's bytes")
+    assert(rows(sink, EraseOps.LedgerTable) == ledBefore,
+      "replayed sweep rewrote the ledger")
+  }
 }
