@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{MinHashFunctions, WinnowFunctions}
-import graft.ops.{BpeOps, ChatOps, ClassifierOps, EraseOps, GraphOps, MultimodalOps, RelOps, SampleOps, SelectOps, SimOps, TextOps, WebOps}
+import graft.ops.{BpeOps, ChatOps, ClassifierOps, EraseOps, GraphOps, MultimodalOps, RelOps, SampleOps, SearchOps, SelectOps, SimOps, TextOps, WebOps}
 
 /** Incremental stores + lifecycle capstones (q106-q124). */
 private[graft] trait CatalogStores extends CatalogShared {
@@ -1477,6 +1477,70 @@ private[graft] trait CatalogStores extends CatalogShared {
             when(col("vec_id") % 5 === 0, coalesce(col("__hits"), lit(0L)))
               .otherwise(lit(-1L)).as("leaked_hits"))
           .orderBy("vec_id")
+      }),
+
+    QueryDef("q129_search_index_lifecycle",
+      "The keyword-search SERVING layer joins the store family — a " +
+        "persisted BM25 inverted index (bm25_postings + bm25_doclens " +
+        "+ the additively-maintained bm25_stats row, one atomic " +
+        "group) through its full lifecycle: built from the archive " +
+        "(tokenize ONCE — q87 re-tokenizes the corpus on every query, " +
+        "the wrong amortization for serving), a day-1 batch ADMITTED " +
+        "(PK-merged postings + lengths, touched buckets only; the " +
+        "(count, token-sum) stats fold rides the admit journal), " +
+        "subjects ERASED (posting keys re-derived from their text — " +
+        "no store scan — plus their length rows plus the exact stats " +
+        "decrement, one erasure group: a search can never see a doc " +
+        "gone from postings but still inflating N/avgdl), the erasure " +
+        "REPLAYED under the same op id (journaled no-op), then " +
+        "SEARCHED from index tables alone — the query-term isin " +
+        "filter reaches the posting scan as a pushed parquet " +
+        "predicate, df aggregates terms-sized, (N, avgdl) is the " +
+        "1-row stats read (never a corpus-sized aggregate at query " +
+        "time). Exact oracle: the served scores equal q87's direct " +
+        "BM25 over the surviving world (archive minus subjects, plus " +
+        "day-1), rounded 6 dp.",
+      Some("""WITH corpus AS (SELECT doc_id, text FROM documents
+             |  WHERE doc_id % 3 = 0 OR doc_id % 5 <> 0),
+             |lens AS (SELECT doc_id,
+             |    len(regexp_extract_all(lower(text), '[a-z]+')) AS dl
+             |  FROM corpus),
+             |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |    AVG(dl) AS avgdl FROM lens),
+             |tok AS (SELECT doc_id,
+             |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             |  FROM corpus),
+             |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+             |  WHERE w IN ('vector', 'merge', 'stream') GROUP BY doc_id, w),
+             |dfr AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df
+             |  FROM tf GROUP BY w)
+             |SELECT tf.doc_id,
+             |  ROUND(SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |    * (tf * (1.2 + 1.0)
+             |       / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))), 6)
+             |    AS score
+             |FROM tf JOIN dfr USING (w) CROSS JOIN stats
+             |  JOIN lens ON tf.doc_id = lens.doc_id
+             |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.freshSink(s, "searchidx", dir)
+        val archive = docs.filter(col("doc_id") % 3 =!= 0)
+        SearchOps.invertedIndexBuild(archive, "doc_id", "text", sink)
+        SearchOps.invertedIndexAdmit(docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", sink, admitId = Some("q129_admit"))
+        val subjects = archive.filter(col("doc_id") % 5 === 0)
+        SearchOps.invertedIndexRetract(subjects, "doc_id", "text", sink,
+          opId = Some("q129_erase"))
+        // THE REPLAY (crash-recovery protocol): the erasure journal
+        // makes it a no-op — double deletion of posting keys would be
+        // harmless, but the replay fence is the family contract
+        SearchOps.invertedIndexRetract(subjects, "doc_id", "text", sink,
+          opId = Some("q129_erase"))
+        SearchOps.invertedIndexSearch(Seq("vector", "merge", "stream"),
+            sink)
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
+          .orderBy("doc_id")
       })
   )
 }

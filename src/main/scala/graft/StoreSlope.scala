@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{SelectOps, SimOps, TextOps}
+import graft.ops.{SearchOps, SelectOps, SimOps, TextOps}
 
 /** Archive-growth audit for the incremental-store family (round-11
   * verdict #1): convert the family's headline claim — "probe/admit cost
@@ -76,7 +76,7 @@ object StoreSlope {
   private def bat(df: DataFrame, idCol: String): DataFrame =
     df.filter(col(idCol) % 3 === 0)
 
-  /** The six persisted-store modalities, catalog-parameter-exact. Every
+  /** The seven persisted-store modalities, catalog-parameter-exact. Every
     * modality now also ships its ERASE leg (round-12 verdict: the
     * deleteMany/eraseMany cost-model claim — O(erasure batch + touched
     * buckets), never O(store) — is exactly the kind of claim this audit
@@ -157,7 +157,19 @@ object StoreSlope {
       // the %11==1/2 subject slices are never target members (%11==0),
       // so the whole decrement lands on the raw-pool histogram
       Some((subj, k) => SelectOps.selectionStoreRetract(
-        subj.limit(0), subj, "text", k))))
+        subj.limit(0), subj, "text", k))),
+    // the search SERVING layer (r14): the probe is terms-driven, not
+    // batch-driven — the leg measures the per-query serving cost
+    // (pushed-predicate posting scan + 1-row stats read) against the
+    // archive decade, exactly the term that must stay flat
+    Modality("search",
+      (s, d, k) => SearchOps.invertedIndexBuild(
+        arch(docs(s, d), "doc_id"), "doc_id", "text", k),
+      (s, d, k) => SearchOps.invertedIndexSearch(
+        Seq("vector", "merge", "stream"), k),
+      Some((b, k) => SearchOps.invertedIndexAdmit(b, "doc_id", "text", k)),
+      Some((subj, k) =>
+        SearchOps.invertedIndexRetract(subj, "doc_id", "text", k))))
 
   /** The batch frame an [[Modality.admit]] folds: half the batch slice
     * (`id % 2 = h`), so one built store affords TWO disjoint timed

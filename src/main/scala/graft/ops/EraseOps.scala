@@ -10,11 +10,14 @@ import graft.sink.{TableCountRetract, TableDelete, TableErase, UpsertSink}
   * subject's documents from EVERY store modality present in the sink
   * (the q117-style composition: fingerprint counts, segment inventory,
   * MinHash band+shingle postings, substring-window inventory, DSIR
-  * policy histograms, embedding LSH postings+vectors — plus the ANN
-  * SERVING index when one is persisted under the same root: the
-  * subjects' PQ codes and SQ8 refine codes leave `ann_codes` /
+  * policy histograms, embedding LSH postings+vectors — plus the
+  * SERVING layers when persisted under the same root: the ANN index
+  * (the subjects' PQ codes and SQ8 refine codes leave `ann_codes` /
   * `ann_vecs8`, so probes stop returning them as neighbors and no
-  * reconstructible approximation of their embeddings keeps serving),
+  * reconstructible approximation of their embeddings keeps serving)
+  * and the BM25 inverted index (the subjects' posting and length rows
+  * leave `bm25_postings` / `bm25_doclens`, so searches stop ranking
+  * them and their token mass stops inflating the corpus statistics)),
   * under ONE writer lease covering every member table — a concurrent
   * `snapshotMany` reader can never capture a state where the subject
   * is gone from one gate but still flagged by another, and a
@@ -150,6 +153,11 @@ object EraseOps {
       members += TextOps.SubstrStore
       plans += (() =>
         TextOps.substrRetractPlan(docs, idCol, textCol, minTokens))
+    }
+    if (SearchOps.invertedIndexExists(sink)) {
+      members ++= SearchOps.invertedRetractTables
+      plans += (() =>
+        SearchOps.invertedRetractPlan(docs, idCol, textCol))
     }
     if (sink.exists(SelectOps.AffStore)) {
       members += SelectOps.AffStore

@@ -1,0 +1,212 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sink.{TableDelete, TableErase, TableMerge, TableWrite, UpsertSink}
+
+/** PERSISTED INVERTED INDEX — the keyword-search serving layer joins
+  * the incremental-store family (build / probe / admit / erase), the
+  * same move [[SimOps]] made for the ANN layer: [[TextOps.bm25Scores]]
+  * re-tokenizes the corpus on every query (honest single-shot cost,
+  * wrong amortization for a serving path); a real retrieval deployment
+  * tokenizes ONCE into posting lists and serves every query from them.
+  *
+  * Three tables, landed as one atomic group:
+  *  - `bm25_postings` (w, doc_id, tf): one row per distinct
+  *    (term, document) — the classic posting list, linear in the
+  *    corpus token mass;
+  *  - `bm25_doclens` (doc_id, dl): per-document token length — the
+  *    BM25 length-normalization side (a document with NO query-term
+  *    match still counts toward the corpus statistics);
+  *  - `bm25_stats` (k=0, n, sum_dl): the EXACT corpus statistics
+  *    behind (N, avgdl), maintained ADDITIVELY — admit adds the
+  *    batch's (count, token sum), erasure subtracts the subjects' —
+  *    so a search never pays a corpus-sized aggregate for two
+  *    scalars (at 10⁹ documents that is an 8 GB column scan per
+  *    query batch, for a number the admit already knew). Integer
+  *    counts ⇒ the maintained row is bit-equal to a fresh
+  *    recomputation, not an approximation.
+  *
+  * Search reads ONLY index tables: the query-term `isin` filter
+  * reaches the posting scan as a pushed parquet predicate, per-term
+  * document frequencies aggregate from the already-filtered rows
+  * (terms-sized), (N, avgdl) is the 1-row stats read, and the
+  * length join is co-keyed on the doc id. Scores are the EXACT
+  * [[TextOps.bm25Scores]] values — same formula, same float
+  * association (avgdl = sum_dl/n differs from a running AVG by at
+  * most an ulp, invisible at the 6-dp oracle boundary) — so the
+  * served ranking oracle-checks against a direct corpus-side
+  * recomputation (q129).
+  *
+  * 100 TB posture: the posting table buckets by its (w, doc_id) merge
+  * key — admits and erasures touch only the batch's hash routes, and
+  * a probe is one pushed-predicate column-pruned scan of the postings
+  * (the fingerprint-store posture, measured flat by the store-slope
+  * discipline). At serving scale the same layout partitions by a term
+  * hash so the probe prunes files, not just row groups — the bucket
+  * modulus is the sink's to grow ([[UpsertSink.rebucket]]).
+  *
+  * Update semantics: admit is for NEW document ids (the family's
+  * append convention). The posting/length merges are naturally
+  * idempotent for an UNCHANGED re-delivery (identical rows PK-merge
+  * onto themselves), but the stats fold is additive — pass `admitId`
+  * and a replayed admission converges exactly-once through the admit
+  * journal (the count-store family contract). Admitting a MODIFIED
+  * text under an existing id would leave stale postings for terms the
+  * new text no longer contains — erase first, then admit.
+  */
+object SearchOps {
+
+  private[graft] val Postings = "bm25_postings"
+  private[graft] val DocLens = "bm25_doclens"
+  private[graft] val Stats = "bm25_stats"
+
+  private def postingRows(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("tf"))
+      .select(col("w"), col("doc_id"), col("tf"))
+
+  private def lenRows(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("dl"))
+
+  private def statRows(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    lenRows(docs, idCol, textCol)
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .select(lit(0).as("k"), col("n"), col("sum_dl"))
+
+  /** Tokenize `docs` ONCE into the persisted posting + length + stats
+    * tables — one atomic group write (a searcher can never pair one
+    * generation's postings with another's lengths or statistics).
+    */
+  def invertedIndexBuild(docs: DataFrame, idCol: String, textCol: String,
+                         sink: UpsertSink): Unit =
+    sink.overwriteMany(Seq(
+      TableWrite(Postings, postingRows(docs, idCol, textCol),
+        Seq("w", "doc_id")),
+      TableWrite(DocLens, lenRows(docs, idCol, textCol), Seq("doc_id")),
+      TableWrite(Stats, statRows(docs, idCol, textCol), Seq("k"))))
+
+  /** True iff a complete index exists under the sink root. */
+  def invertedIndexExists(sink: UpsertSink): Boolean =
+    sink.exists(Postings) && sink.exists(DocLens) && sink.exists(Stats)
+
+  /** BM25 scores for `terms` served from the PERSISTED index — no
+    * corpus read, no re-tokenization: the stored tf/dl are exact, so
+    * the scores are bit-the-same as [[TextOps.bm25Scores]] over the
+    * indexed corpus (same formula, same float association — spec- and
+    * oracle-pinned). Output (doc_id, score double) for every document
+    * matching ≥ 1 term; ranking/limit stays the caller's (the
+    * bm25Scores convention — a top-k at a rounding boundary would make
+    * the selected SET float-sensitive).
+    */
+  def invertedIndexSearch(terms: Seq[String], sink: UpsertSink,
+                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(invertedIndexExists(sink),
+      s"no inverted index under ${sink.rootPath} — run invertedIndexBuild")
+    // an EXISTING but fileless posting table is the delete-all end
+    // state (every document erased) — name it, like the ANN family
+    if (!sink.hasData(Postings))
+      throw new IllegalStateException(
+        s"inverted index under ${sink.rootPath} has an empty posting " +
+          "list — every document was erased; rebuild or drop it")
+    val lens = sink.read(DocLens).select(col("doc_id"), col("dl").as("__dl"))
+    // (N, avgdl) from the maintained 1-row stats table — never a
+    // corpus-sized aggregate at query time
+    val stats = sink.read(Stats).select(
+      col("n").cast("double").as("__n"),
+      (col("sum_dl").cast("double") / col("n").cast("double"))
+        .as("__avgdl"))
+    // the isin filter reaches the posting scan as a pushed parquet
+    // predicate (PlanShapeSpec-pinned): only term-matching rows leave
+    // the scan
+    val tf = sink.read(Postings).filter(col("w").isInCollection(terms))
+      .select(col("w").as("__w"), col("doc_id"), col("tf").as("__tf"))
+    val dfreq = tf.groupBy("__w")
+      .agg(count(lit(1)).cast("double").as("__df"))
+    // formula and parenthesization mirror TextOps.bm25Scores TERM FOR
+    // TERM — float association differences would surface at the 6-dp
+    // rounding edge the oracle compares at
+    val idf = log((col("__n") - col("__df") + lit(0.5))
+      / (col("__df") + lit(0.5)) + lit(1.0))
+    val norm = col("__tf") * lit(k1 + 1.0) /
+      (col("__tf") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * (col("__dl") / col("__avgdl"))))
+    tf.join(broadcast(dfreq), "__w")
+      .crossJoin(broadcast(stats))
+      .join(lens, "doc_id")
+      .groupBy("doc_id")
+      .agg(sum(idf * norm).as("score"))
+  }
+
+  /** ADMIT a batch of NEW documents: PK-merge their postings and
+    * lengths (touched buckets only, never a rebuild) and FOLD the
+    * batch's (count, token sum) into the stats row — the whole
+    * admission under the writer lease so a concurrent eraser cannot
+    * interleave (the store-family convention). The posting/length
+    * merges converge on identical re-delivery by themselves; the
+    * additive stats fold rides the admit journal when `admitId` is
+    * given (exactly-once under crash-replay — the count-store family
+    * contract; without an id it is at-least-once like every count
+    * admit). Stats fold LAST: a crash between the merges replays into
+    * idempotent posting/length merges plus one journaled fold.
+    */
+  def invertedIndexAdmit(batch: DataFrame, idCol: String, textCol: String,
+                         sink: UpsertSink,
+                         admitId: Option[String] = None): Unit =
+    sink.writerLocked(Seq(Postings, DocLens, Stats)) {
+      sink.mergeMany(Seq(
+        TableMerge(Postings, postingRows(batch, idCol, textCol),
+          Seq("w", "doc_id"), pkUnique = true),
+        TableMerge(DocLens, lenRows(batch, idCol, textCol),
+          Seq("doc_id"), pkUnique = true)))
+      val folded = sink.read(Stats)
+        .crossJoin(statRows(batch, idCol, textCol)
+          .select(col("n").as("__bn"), col("sum_dl").as("__bs")))
+        .select(col("k"), (col("n") + col("__bn")).as("n"),
+          (col("sum_dl") + col("__bs")).as("sum_dl"))
+        .localCheckpoint(true) // reads the store file the merge rewrites
+      sink.merge(Stats, folded, Seq("k"), None, pkUnique = true,
+        opId = admitId)
+    }
+
+  /** ERASE documents from the index: their posting keys RE-DERIVE from
+    * the subjects' text (the family contract — retract exactly what
+    * was admitted; one map pass, NO store scan), their length rows
+    * delete by id, and their (count, token sum) SUBTRACTS from the
+    * stats row — all under one [[UpsertSink.eraseMany]] group. A
+    * search can never see a document gone from the postings but still
+    * inflating (N, avgdl) — or vice versa. `opId` rides the erasure
+    * journal: the count decrement replays exactly-once.
+    */
+  def invertedIndexRetract(docs: DataFrame, idCol: String, textCol: String,
+                           sink: UpsertSink,
+                           opId: Option[String] = None): Unit =
+    sink.eraseMany(invertedRetractTables, opId) {
+      invertedRetractPlan(docs, idCol, textCol)
+    }
+
+  private[graft] def invertedRetractTables: Seq[String] =
+    Seq(Postings, DocLens, Stats)
+
+  private[graft] def invertedRetractPlan(
+      docs: DataFrame, idCol: String, textCol: String): Seq[TableErase] =
+    Seq(
+      TableDelete(Postings,
+        postingRows(docs, idCol, textCol).select(col("w"), col("doc_id")),
+        Seq("w", "doc_id")),
+      TableDelete(DocLens,
+        docs.select(col(idCol).as("doc_id")).distinct(), Seq("doc_id")),
+      // per-doc decrement rows — the sink sums them per pk; the stats
+      // row is STRUCTURAL (a zero row means "empty corpus", which the
+      // search guard names), so it never drops
+      graft.sink.TableCountRetract(Stats,
+        lenRows(docs, idCol, textCol).select(lit(0).as("k"),
+          lit(1L).as("n"), col("dl").as("sum_dl")),
+        Seq("k"), Seq("n", "sum_dl"), dropAtZero = false))
+}

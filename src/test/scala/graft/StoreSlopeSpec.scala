@@ -2,7 +2,7 @@ package graft
 
 /** The store-slope audit's machinery pinned deterministically, plus a
   * live archive-growth measurement at spec-affordable scale. The
-  * authoritative audit runs inside every full Bench invocation (six
+  * authoritative audit runs inside every full Bench invocation (seven
   * modalities, sf/10-archive vs bench-archive, same batch) and lands
   * in the bench artifact's `store_slope` section — this spec
   * guarantees the modality inventory and the judge cannot rot, and
@@ -12,10 +12,10 @@ package graft
   */
 class StoreSlopeSpec extends SparkSpec {
 
-  test("the modality inventory covers all six persisted-store families") {
+  test("the modality inventory covers all seven persisted-store families") {
     assert(StoreSlope.modalities.map(_.name) ==
       Seq("minhash", "segment", "fingerprint", "substr", "emblsh",
-        "selection"))
+        "selection", "search"))
   }
 
   test("judge: flat passes, archive-tracking flags, the floor protects overhead-regime probes") {

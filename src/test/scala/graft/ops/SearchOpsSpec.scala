@@ -1,0 +1,144 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.sink.UpsertSink
+
+/** Persisted BM25 inverted index: served scores must equal the direct
+  * corpus-side scorer exactly, and the lifecycle (build/admit/erase)
+  * must keep the index equal to a fresh build on the same world.
+  */
+class SearchOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val Terms = Seq("vector", "merge", "stream")
+
+  private def freshSink(tag: String): UpsertSink = new UpsertSink(spark,
+    Files.createTempDirectory(s"graft_search_$tag").toString,
+    numBuckets = 8)
+
+  private def rows(sink: UpsertSink, table: String): Set[Seq[Any]] =
+    sink.read(table)
+      .select(sink.read(table).columns.sorted.toIndexedSeq.map(col): _*)
+      .collect().map(_.toSeq).toSet
+
+  private def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    df.select(col("doc_id"), round(col("score"), 6).as("s"))
+      .as[(Long, Double)].collect().toMap
+
+  test("served scores equal the direct BM25 scorer exactly") {
+    val docs = Tables.load(spark, sf, "documents")
+    val sink = freshSink("parity")
+    SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink)
+    val served = scores(SearchOps.invertedIndexSearch(Terms, sink))
+    val direct = scores(TextOps.bm25Scores(docs, "doc_id", "text", Terms))
+    assert(served.nonEmpty && served == direct,
+      s"served != direct: ${(served.toSet diff direct.toSet).take(3)} / " +
+        s"${(direct.toSet diff served.toSet).take(3)}")
+    // the serving plan never touches the corpus, and the query-term
+    // filter reaches the posting scan as a pushed parquet predicate
+    val plan = SearchOps.invertedIndexSearch(Terms, sink)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("Scan parquet")).toSeq
+    assert(scans.forall(l => l.contains("bm25_postings") ||
+      l.contains("bm25_doclens") || l.contains("bm25_stats")),
+      s"search read beyond the index tables:\n${scans.mkString("\n")}")
+    assert(plan.contains("In(w"),
+      s"term filter not pushed into the posting scan:\n$plan")
+    // search on a missing index fails loudly
+    intercept[IllegalArgumentException] {
+      SearchOps.invertedIndexSearch(Terms, freshSink("missing"))
+    }
+  }
+
+  test("admit: index equals a fresh build on the union; replayed admit converges") {
+    val docs = Tables.load(spark, sf, "documents")
+    val archive = docs.filter($"doc_id" % 3 =!= 0)
+    val batch = docs.filter($"doc_id" % 3 === 0)
+    val sink = freshSink("admit")
+    SearchOps.invertedIndexBuild(archive, "doc_id", "text", sink)
+    SearchOps.invertedIndexAdmit(batch, "doc_id", "text", sink,
+      admitId = Some("sa-1"))
+    val expected = freshSink("admit_expect")
+    SearchOps.invertedIndexBuild(docs, "doc_id", "text", expected)
+    val tables = Seq(SearchOps.Postings, SearchOps.DocLens, SearchOps.Stats)
+    for (t <- tables)
+      assert(rows(sink, t) == rows(expected, t),
+        s"$t after admit != fresh build on the union")
+    // THE REPLAY (crashed-admit recovery): posting/length merges
+    // converge by themselves, the additive stats fold through the
+    // admit journal — all three tables bit-equal to a single admit
+    SearchOps.invertedIndexAdmit(batch, "doc_id", "text", sink,
+      admitId = Some("sa-1"))
+    for (t <- tables)
+      assert(rows(sink, t) == rows(expected, t),
+        s"$t diverged on a replayed admit")
+  }
+
+  test("retract: index equals a fresh build on survivors; replay byte-free") {
+    val docs = Tables.load(spark, sf, "documents")
+    val subjects = docs.filter($"doc_id" % 5 === 0)
+    val sink = freshSink("retract")
+    SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink)
+    SearchOps.invertedIndexRetract(subjects, "doc_id", "text", sink,
+      opId = Some("sr-1"))
+    val expected = freshSink("retract_expect")
+    SearchOps.invertedIndexBuild(docs.filter($"doc_id" % 5 =!= 0),
+      "doc_id", "text", expected)
+    for (t <- Seq(SearchOps.Postings, SearchOps.DocLens, SearchOps.Stats))
+      assert(rows(sink, t) == rows(expected, t),
+        s"$t after retract != fresh build on survivors")
+    // erased docs can never be served again (their postings AND their
+    // contribution to N/avgdl are gone)
+    val served = scores(SearchOps.invertedIndexSearch(Terms, sink))
+    assert(served.keySet.forall(_ % 5 != 0), "search served an erased doc")
+    assert(served == scores(TextOps.bm25Scores(
+      docs.filter($"doc_id" % 5 =!= 0), "doc_id", "text", Terms)),
+      "post-erasure scores != direct scorer on survivors")
+    // replay under the same op id: the journal skips both tables
+    val pv = sink.version(SearchOps.Postings)
+    val lv = sink.version(SearchOps.DocLens)
+    SearchOps.invertedIndexRetract(subjects, "doc_id", "text", sink,
+      opId = Some("sr-1"))
+    assert(sink.version(SearchOps.Postings) == pv &&
+      sink.version(SearchOps.DocLens) == lv, "replayed retract moved bytes")
+    // erasing EVERY remaining document truncates the postings: the
+    // erasure succeeds, and a later search refuses with the NAMED
+    // empty-index error (the stats row survives structurally at zero)
+    SearchOps.invertedIndexRetract(docs.filter($"doc_id" % 5 =!= 0),
+      "doc_id", "text", sink)
+    assert(!sink.hasData(SearchOps.Postings))
+    assert(rows(sink, SearchOps.Stats) == Set(Seq(0, 0L, 0L)),
+      s"stats row not zeroed: ${rows(sink, SearchOps.Stats)}")
+    val empty = intercept[IllegalStateException] {
+      SearchOps.invertedIndexSearch(Terms, sink)
+    }
+    assert(empty.getMessage.contains("empty posting list"),
+      s"wrong empty-index error: ${empty.getMessage}")
+  }
+
+  test("eraseSubjects sweeps the inverted index with ledger receipts") {
+    val docs = Tables.load(spark, sf, "documents").limit(60)
+      .localCheckpoint()
+    val sink = freshSink("sweep")
+    TextOps.fingerprintStoreBuild(docs, "doc_id", "text", sink)
+    SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink)
+    val subjects = docs.filter($"doc_id" % 7 === 2)
+    val report = EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
+      sweepId = "search-sweep-1")
+    assert(report.erased.toSet == Set("fingerprint_store",
+      SearchOps.Postings, SearchOps.DocLens, SearchOps.Stats))
+    assert(sink.read(SearchOps.DocLens)
+      .join(subjects.select("doc_id"), "doc_id").count() == 0,
+      "sweep left a subject's length row")
+    val led = sink.read(EraseOps.LedgerTable)
+      .filter($"sweep_id" === "search-sweep-1")
+      .select("member_table").as[String].collect().toSet
+    assert(led == Set("fingerprint_store", SearchOps.Postings,
+      SearchOps.DocLens, SearchOps.Stats))
+  }
+}
