@@ -1541,6 +1541,97 @@ private[graft] trait CatalogStores extends CatalogShared {
             sink)
           .select(col("doc_id"), round(col("score"), 6).as("score"))
           .orderBy("doc_id")
+      }),
+
+    QueryDef("q130_hybrid_serving_erasure",
+      "The serving-layer capstone: HYBRID retrieval (lexical BM25 + " +
+        "dense cosine, fused by RRF — the q88 composition) served " +
+        "ENTIRELY from persisted stores, after ONE GDPR sweep erased " +
+        "the subjects from both serving layers. Both indexes are " +
+        "built over the full corpus (the inverted index; the " +
+        "embedding store with exact vectors), one eraseSubjects call " +
+        "removes the subjects (doc/vec % 5 = 0) from postings, " +
+        "lengths, stats, LSH postings AND vectors with ledger " +
+        "receipts, and the hybrid query then runs store-only: BM25 " +
+        "from the inverted index (pushed term filter, 1-row stats), " +
+        "the dense side an exact cosine of every STORED vector " +
+        "against a surviving query document's stored embedding, both " +
+        "6-dp-rounded before ranking (rank selection cannot flip on " +
+        "float ulps), RRF-fused at k0=60 over each side's top-100. " +
+        "An erased subject can appear in NEITHER ranking — its " +
+        "postings are gone, its vector is gone, and its mass is out " +
+        "of (N, avgdl). Exact oracle: the full hybrid ranking vs " +
+        "DuckDB over the surviving world.",
+      Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents
+             |  WHERE doc_id % 5 <> 0),
+             |lens AS (SELECT doc_id,
+             |    len(regexp_extract_all(lower(text), '[a-z]+')) AS dl
+             |  FROM corpus),
+             |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |    AVG(dl) AS avgdl FROM lens),
+             |tok AS (SELECT doc_id,
+             |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             |  FROM corpus),
+             |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+             |  WHERE w IN ('vector', 'merge', 'stream') GROUP BY doc_id, w),
+             |dfr AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df
+             |  FROM tf GROUP BY w),
+             |bm AS (SELECT tf.doc_id,
+             |    ROUND(SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |      * (tf * (1.2 + 1.0)
+             |         / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))), 6)
+             |      AS score
+             |  FROM tf JOIN dfr USING (w) CROSS JOIN stats
+             |    JOIN lens ON tf.doc_id = lens.doc_id
+             |  GROUP BY tf.doc_id),
+             |emb AS (SELECT vec_id, embedding FROM embeddings
+             |  WHERE vec_id % 5 <> 0),
+             |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 1),
+             |dn AS (SELECT vec_id AS doc_id,
+             |    ROUND(${sqlCosine("embedding", "q")}, 6) AS score
+             |  FROM emb CROSS JOIN qv WHERE vec_id <> 1),
+             |ra AS (SELECT doc_id, CAST(row_number() OVER (
+             |      ORDER BY score DESC, doc_id) AS INTEGER) AS rank_a
+             |  FROM (SELECT * FROM bm ORDER BY score DESC, doc_id LIMIT 100)),
+             |rb AS (SELECT doc_id, CAST(row_number() OVER (
+             |      ORDER BY score DESC, doc_id) AS INTEGER) AS rank_b
+             |  FROM (SELECT * FROM dn ORDER BY score DESC, doc_id LIMIT 100))
+             |SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+             |  rank_a, rank_b,
+             |  ROUND(COALESCE(1.0 / (60 + rank_a), 0.0)
+             |      + COALESCE(1.0 / (60 + rank_b), 0.0), 6) AS rrf
+             |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val e = t(s, dir, "embeddings")
+        val sink = tempStore.freshSink(s, "hybrid", dir)
+        SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink)
+        SimOps.embLshStoreBuild(e, "vec_id", "embedding", sink)
+        // ONE sweep erases the subjects from BOTH serving layers, with
+        // ledger receipts — the compliance arc the stores exist for
+        EraseOps.eraseSubjects(docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", sink, sweepId = "q130_sweep",
+          vecIds = Some(e.filter(col("vec_id") % 5 === 0)
+            .select("vec_id")))
+        // lexical side: served BM25, 6-dp rounded BEFORE ranking (the
+        // q88 convention — rank selection never rides a float ulp)
+        val bm = SearchOps.invertedIndexSearch(
+            Seq("vector", "merge", "stream"), sink)
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
+        // dense side: exact cosine of every STORED vector against a
+        // SURVIVING query document's stored embedding — store-only,
+        // so erased vectors cannot score
+        val vecs = sink.read("embdup_vecs")
+        val qv = vecs.filter(col("id") === 1L).select(col("v").as("__qv"))
+        val dense = vecs.crossJoin(broadcast(qv))
+          .filter(col("id") =!= 1L)
+          .select(col("id").as("doc_id"),
+            round(SimOps.cosine(col("v"), col("__qv")), 6).as("score"))
+        TextOps.rrfFuse(bm, dense, "doc_id")
+          .select(col("doc_id"), col("rank_a"), col("rank_b"),
+            round(col("rrf"), 6).as("rrf"))
+          .orderBy("doc_id")
       })
   )
 }
