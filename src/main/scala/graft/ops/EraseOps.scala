@@ -16,8 +16,9 @@ import graft.sink.{TableCountRetract, TableDelete, TableErase, UpsertSink}
   * `ann_vecs8`, so probes stop returning them as neighbors and no
   * reconstructible approximation of their embeddings keeps serving)
   * and the BM25 inverted index (the subjects' posting and length rows
-  * leave `bm25_postings` / `bm25_doclens`, so searches stop ranking
-  * them and their token mass stops inflating the corpus statistics)),
+  * leave `bm25_postings` / `bm25_doclens` and their (count, token-sum)
+  * mass subtracts from `bm25_stats`, so searches stop ranking them
+  * and their mass stops inflating (N, avgdl))),
   * under ONE writer lease covering every member table — a concurrent
   * `snapshotMany` reader can never capture a state where the subject
   * is gone from one gate but still flagged by another, and a
@@ -96,8 +97,8 @@ object EraseOps {
                                excluded: Map[String, String],
                                deltaBatches: Seq[Long])
 
-  /** Erase `docs` (and `vecIds`, for the embedding store) from every
-    * store present in `sink`, journal the sweep under `sweepId`
+  /** Erase `docs` (and `vecIds`, for the embedding-keyed members) from
+    * every store present in `sink`, journal the sweep under `sweepId`
     * (exactly-once under crash-replay), and write the per-table ledger
     * receipt (disable with `ledger = false` for fire-and-forget
     * retractions that keep their own records).
