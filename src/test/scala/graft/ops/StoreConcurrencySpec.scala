@@ -332,4 +332,55 @@ class StoreConcurrencySpec extends SparkSpec {
     assert(inv(sink) == inv(expected),
       "concurrent admit+retract diverged from the sequential inventory")
   }
+
+  test("search index: concurrent admits and erasures converge to the sequential index, stats row included") {
+    // the r14 search-serving layer under the same discipline: admits
+    // writer-lock all three tables (postings + lengths + the additive
+    // stats fold), retracts lease the same set through eraseMany —
+    // whatever the lease-serialized interleaving, disjoint doc sets
+    // must converge to the sequential index BIT-EXACTLY, including the
+    // (n, sum_dl) statistics row every future BM25 score derives from
+    val sink = new UpsertSink(spark,
+      Files.createTempDirectory("graft_search_conc").toString,
+      numBuckets = 4)
+    val archive = docsDF((1L to 20L).map(i => (i, uniqueText(i))))
+    SearchOps.invertedIndexBuild(archive, "doc_id", "text", sink)
+
+    @volatile var errs = List.empty[Throwable]
+    def batch(b: Long): DataFrame =
+      docsDF((0L until 5L).map(i =>
+        (100 * (b + 1) + i, uniqueText(500 + 10 * b + i))))
+    val admitter = new Thread(() => {
+      try (0L until 3L).foreach { b =>
+        SearchOps.invertedIndexAdmit(batch(b), "doc_id", "text", sink)
+      } catch { case t: Throwable => errs ::= t }
+    }, "graft-search-admitter")
+    val eraser = new Thread(() => {
+      try (0L until 3L).foreach { w =>
+        SearchOps.invertedIndexRetract(
+          archive.filter(col("doc_id").between(w * 3 + 1, w * 3 + 3)),
+          "doc_id", "text", sink)
+      } catch { case t: Throwable => errs ::= t }
+    }, "graft-search-eraser")
+    admitter.start(); eraser.start()
+    admitter.join(300000); eraser.join(300000)
+    assert(!admitter.isAlive && !eraser.isAlive)
+    errs.foreach(t => fail(s"writer died: $t", t))
+
+    val expected = new UpsertSink(spark,
+      Files.createTempDirectory("graft_search_expect").toString,
+      numBuckets = 4)
+    SearchOps.invertedIndexBuild(archive.filter(col("doc_id") > 9L),
+      "doc_id", "text", expected)
+    (0L until 3L).foreach { b =>
+      SearchOps.invertedIndexAdmit(batch(b), "doc_id", "text", expected)
+    }
+    def rows(k: UpsertSink, table: String): Set[Seq[Any]] =
+      k.read(table)
+        .select(k.read(table).columns.sorted.toIndexedSeq.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    for (t <- Seq(SearchOps.Postings, SearchOps.DocLens, SearchOps.Stats))
+      assert(rows(sink, t) == rows(expected, t),
+        s"$t: concurrent admit+erase diverged from the sequential index")
+  }
 }
