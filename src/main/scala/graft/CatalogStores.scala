@@ -1622,7 +1622,7 @@ private[graft] trait CatalogStores extends CatalogShared {
         // dense side: exact cosine of every STORED vector against a
         // SURVIVING query document's stored embedding — store-only,
         // so erased vectors cannot score
-        val vecs = sink.read("embdup_vecs")
+        val vecs = sink.read(SimOps.EmbVecs)
         val qv = vecs.filter(col("id") === 1L).select(col("v").as("__qv"))
         val dense = vecs.crossJoin(broadcast(qv))
           .filter(col("id") =!= 1L)

@@ -23,7 +23,14 @@ import graft.sink.{TableCountRetract, TableDelete, TableErase, UpsertSink}
   * `snapshotMany` reader can never capture a state where the subject
   * is gone from one gate but still flagged by another, and a
   * concurrent admit can never slip postings in behind the erasure
-  * (all key/decrement derivation runs inside the lease).
+  * (all key/decrement derivation runs inside the lease). ONE
+  * exception: a SHARDED ANN index's shards are independent sub-sinks
+  * with their own leases, erased in a second phase AFTER the main
+  * group — between the phases (and between shards) a reader can
+  * observe subjects gone from every admission gate yet still served
+  * as neighbors by their home shard; the sharded index is a serving
+  * artifact outside any snapshot composition, and per-shard atomicity
+  * is its documented contract ([[SimOps.shardedIndexRemove]]).
   *
   * Cost model: O(subject docs + touched buckets), never O(store) — the
   * count decrements re-derive the subject's additive contribution from
@@ -235,7 +242,9 @@ object EraseOps {
       if (annSharded)
         SimOps.shardedIndexRemove(vecIds.get, vecIdCol, sink, Some(sweepId))
       else Map.empty
-    val shardMember = (sh: Int) => f"ann_shard_$sh%04d"
+    // the member name comes from the ONE owner of the shard naming
+    // scheme, so receipts can always join back to on-disk shard paths
+    val shardMember = (sh: Int) => SimOps.shardMemberName(sh)
     if (ledger && (ledgerTables.nonEmpty || shardRemoved.nonEmpty)) {
       val spark = docs.sparkSession
       import spark.implicits._

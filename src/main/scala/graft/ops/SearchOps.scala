@@ -158,22 +158,34 @@ object SearchOps {
     */
   def invertedIndexAdmit(batch: DataFrame, idCol: String, textCol: String,
                          sink: UpsertSink,
-                         admitId: Option[String] = None): Unit =
+                         admitId: Option[String] = None): Unit = {
+    // fail loudly BEFORE the first merge: the first-write path would
+    // otherwise half-create the index (postings + lengths) and then
+    // crash on the missing stats table — every sibling op guards the
+    // same way (ivfPqIndexRemove, invertedIndexSearch)
+    require(invertedIndexExists(sink),
+      s"no inverted index under ${sink.rootPath} — run invertedIndexBuild")
     sink.writerLocked(Seq(Postings, DocLens, Stats)) {
       sink.mergeMany(Seq(
         TableMerge(Postings, postingRows(batch, idCol, textCol),
           Seq("w", "doc_id"), pkUnique = true),
         TableMerge(DocLens, lenRows(batch, idCol, textCol),
           Seq("doc_id"), pkUnique = true)))
-      val folded = sink.read(Stats)
-        .crossJoin(statRows(batch, idCol, textCol)
-          .select(col("n").as("__bn"), col("sum_dl").as("__bs")))
-        .select(col("k"), (col("n") + col("__bn")).as("n"),
-          (col("sum_dl") + col("__bs")).as("sum_dl"))
-        .localCheckpoint(true) // reads the store file the merge rewrites
-      sink.merge(Stats, folded, Seq("k"), None, pkUnique = true,
-        opId = admitId)
+      // a replayed admit skips the fold's derivation up front (the
+      // journal probe) — merge's table-level fence would discard it
+      // anyway, but not before the localCheckpoint materialized it
+      if (!admitId.exists(id => sink.admitCommitted(Stats, id))) {
+        val folded = sink.read(Stats)
+          .crossJoin(statRows(batch, idCol, textCol)
+            .select(col("n").as("__bn"), col("sum_dl").as("__bs")))
+          .select(col("k"), (col("n") + col("__bn")).as("n"),
+            (col("sum_dl") + col("__bs")).as("sum_dl"))
+          .localCheckpoint(true) // reads the store file the merge rewrites
+        sink.merge(Stats, folded, Seq("k"), None, pkUnique = true,
+          opId = admitId)
+      }
     }
+  }
 
   /** ERASE documents from the index: their posting keys RE-DERIVE from
     * the subjects' text (the family contract — retract exactly what

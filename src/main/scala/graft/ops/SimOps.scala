@@ -1243,6 +1243,13 @@ object SimOps {
 
   private[graft] val ShardMeta = "ann_shard_meta"
 
+  /** The ONE owner of the shard directory/member naming scheme — the
+    * sub-sink layout below and the sweep's ledger receipts
+    * ([[graft.ops.EraseOps]]) both derive from it, so a format change
+    * cannot silently desynchronize receipts from on-disk paths.
+    */
+  private[graft] def shardMemberName(s: Int): String = f"ann_shard_$s%04d"
+
   /** Per-shard sub-sinks under the parent root: each shard is a FULL
     * ordinary index (same tables, same metadata caches keyed on its
     * own root), so build/probe/add/rebuild machinery reuses verbatim.
@@ -1251,7 +1258,7 @@ object SimOps {
                          sink: graft.sink.UpsertSink,
                          shards: Int): Seq[graft.sink.UpsertSink] =
     (0 until shards).map(s => new graft.sink.UpsertSink(spark,
-      java.nio.file.Paths.get(sink.rootPath, f"ann_shard_$s%04d").toString,
+      java.nio.file.Paths.get(sink.rootPath, shardMemberName(s)).toString,
       numBuckets = 8))
 
   /** Deterministic shard route: pmod(xxhash64(id), shards) — the same
@@ -1544,19 +1551,22 @@ object SimOps {
     require(sink.exists(ShardMeta),
       s"no sharded index under ${sink.rootPath} — nothing to remove from")
     val shards = sink.read(ShardMeta).collect()(0).getAs[Int]("shards")
-    shardSinks(spark, sink, shards).zipWithIndex.flatMap { case (ss, s) =>
-      if (!ivfPqIndexExists(ss)) None
+    // ONE routing aggregation learns every touched shard (the
+    // shardedIndexAdd discipline — bounded: ≤ `shards` rows), instead
+    // of an O(shards) loop of filter+count jobs over the ids frame; an
+    // untouched shard is then never opened at all (even a journal
+    // commit would move its version pin)
+    val routed = ids.select(shardOf(idCol, shards).as("__s"), col(idCol))
+      .distinct()
+      .groupBy("__s").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val sinks = shardSinks(spark, sink, shards)
+    routed.toSeq.sortBy(_._1).flatMap { case (s, n) =>
+      if (!ivfPqIndexExists(sinks(s))) None
       else {
-        // distinct count first: an empty slice must not touch the shard
-        // at all — even a journal commit would move its version pin
-        val n = ids.filter(shardOf(idCol, shards) === s)
-          .select(col(idCol)).distinct().count()
-        if (n == 0L) None
-        else {
-          ivfPqIndexRemove(ids.filter(shardOf(idCol, shards) === s),
-            idCol, ss, opId)
-          Some(s -> n)
-        }
+        ivfPqIndexRemove(ids.filter(shardOf(idCol, shards) === s),
+          idCol, sinks(s), opId)
+        Some(s -> n)
       }
     }.toMap
   }
@@ -1633,8 +1643,8 @@ object SimOps {
 
   // ---- incremental embedding near-dup: persisted LSH store -------------
 
-  private[ops] val EmbSigs = "embdup_sigs"
-  private[ops] val EmbVecs = "embdup_vecs"
+  private[graft] val EmbSigs = "embdup_sigs"
+  private[graft] val EmbVecs = "embdup_vecs"
 
   /** Persist an archive's embedding near-dup state: LSH bucket postings
     * ((t, s, id) per signature table) plus exact vectors + norms for

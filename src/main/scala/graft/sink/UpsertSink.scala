@@ -1723,6 +1723,16 @@ final class UpsertSink(spark: SparkSession, root: String,
   private val EraseJournal = "_graft_erasures"
   private val AdmitJournal = "_graft_admits"
 
+  /** True iff admit `id` has fully committed for `table` — the public
+    * probe of the `_graft_admits` journal, for operators whose admit
+    * DERIVES an additive fold before calling [[merge]]'s opId overload:
+    * a replay can skip the derivation (and its materialization) up
+    * front instead of building a frame the merge's table-level fence
+    * would discard anyway.
+    */
+  def admitCommitted(table: String, id: String): Boolean =
+    journalCommitted(table, AdmitJournal, id)
+
   private def journalCommitted(table: String, journal: String,
                                id: String): Boolean = {
     val f = tableDir(table).resolve(journal)

@@ -59,6 +59,15 @@ class SearchOpsSpec extends SparkSpec {
     val docs = Tables.load(spark, sf, "documents")
     val archive = docs.filter($"doc_id" % 3 =!= 0)
     val batch = docs.filter($"doc_id" % 3 === 0)
+    // admitting before build fails loudly and creates NOTHING — the
+    // first-write path would otherwise half-create the index and then
+    // crash on the missing stats table
+    val virgin = freshSink("admit_virgin")
+    intercept[IllegalArgumentException] {
+      SearchOps.invertedIndexAdmit(batch, "doc_id", "text", virgin)
+    }
+    assert(!virgin.exists(SearchOps.Postings),
+      "refused admit still half-created the index")
     val sink = freshSink("admit")
     SearchOps.invertedIndexBuild(archive, "doc_id", "text", sink)
     SearchOps.invertedIndexAdmit(batch, "doc_id", "text", sink,
