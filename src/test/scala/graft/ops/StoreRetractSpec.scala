@@ -564,4 +564,68 @@ class StoreRetractSpec extends SparkSpec {
     assert(rows(sink, EraseOps.LedgerTable) == ledBefore,
       "replayed sweep rewrote the ledger")
   }
+
+  test("the GRAND sweep: every modality and serving layer erases in one call") {
+    // the full family under one roof: six admission stores, the delta
+    // store (excluded, batch-granularity), both ANN forms, and the
+    // search index — one eraseSubjects call, one ledger receipt per
+    // member, subjects gone from every layer
+    val sink = freshSink("grand")
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(16)(i =>
+        ((((seed * 31L + i) * 2654435761L) % 1000L) / 1000.0f) - 0.5f)
+    val docs = (1L to 24L).map(i => (i, segText(i))).toDF("doc_id", "text")
+    val vecs = (1 to 24).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val target = docs.filter($"doc_id" % 11 === 0)
+    TextOps.fingerprintStoreBuild(docs, "doc_id", "text", sink)
+    TextOps.segmentStoreBuild(docs, "doc_id", "text", sink, segWords = 4)
+    TextOps.minhashStoreBuild(docs, "doc_id", "text", sink,
+      n = 3, k = 32, bands = 8)
+    TextOps.substrStoreBuild(docs, "doc_id", "text", sink, minTokens = 5)
+    TextOps.substrDeltaBuild(docs, "doc_id", "text", sink, minTokens = 5)
+    SelectOps.selectionStoreBuild(docs, target, "doc_id", "text", sink,
+      buckets = 16)
+    SimOps.embLshStoreBuild(vecs, "vec_id", "embedding", sink,
+      planes = 4, tables = 8, dim = 16)
+    SimOps.buildIvfPqIndex(vecs, "vec_id", "embedding", sink,
+      nlist = 2, m = 4, ksub = 4, coarseIters = 1, storeSq8 = true).collect()
+    SimOps.buildShardedIvfPqIndex(vecs, "vec_id", "embedding", sink,
+      shards = 2, nlist = 2, m = 4, ksub = 4, coarseIters = 1)
+    SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink)
+    // subjects: 11 (a selection-target member) and 4 (raw pool)
+    val subjects = docs.filter($"doc_id" === 4L || $"doc_id" === 11L)
+    val subjectVecs = subjects.select($"doc_id".as("vec_id"))
+    val homes = subjectVecs
+      .select(SimOps.shardOf("vec_id", 2).as("s")).as[Long].collect().toSet
+    val report = EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
+      sweepId = "grand-1",
+      fromTarget = Some(subjects.filter($"doc_id" % 11 === 0)),
+      fromRaw = Some(subjects.filter($"doc_id" % 11 =!= 0)),
+      vecIds = Some(subjectVecs),
+      segWords = 4, minTokens = 5)
+    val parents = Set("fingerprint_store", "segdedup_segs",
+      "neardup_bands", "neardup_shingles", "substr_windows",
+      "bm25_postings", "bm25_doclens", "bm25_stats", "dsir_affinity",
+      "embdup_sigs", "embdup_vecs", "ann_codes", "ann_vecs8")
+    assert(report.erased.toSet ==
+      parents ++ homes.map(h => f"ann_shard_$h%04d"),
+      s"grand sweep member set: ${report.erased.sorted}")
+    assert(report.excluded.keySet == Set("substr_windows_delta"))
+    assert(report.subjects == 2L)
+    // one durable receipt per member, erased AND excluded
+    val led = sink.read(EraseOps.LedgerTable)
+      .filter($"sweep_id" === "grand-1")
+      .select("member_table").as[String].collect().toSet
+    assert(led == report.erased.toSet + "substr_windows_delta")
+    // subjects gone from a representative table of every layer class
+    assert(sink.read("bm25_doclens")
+      .filter($"doc_id" === 4L || $"doc_id" === 11L).count() == 0)
+    assert(sink.read("ann_codes")
+      .filter($"id" === 4L || $"id" === 11L).count() == 0)
+    assert(sink.read("embdup_vecs")
+      .filter($"id" === 4L || $"id" === 11L).count() == 0)
+    assert(sink.read("segdedup_segs").count() > 0,
+      "bystander inventory vanished with the subjects")
+  }
 }
