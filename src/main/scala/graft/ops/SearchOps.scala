@@ -48,13 +48,15 @@ import graft.sink.{TableDelete, TableErase, TableMerge, TableWrite, UpsertSink}
   * modulus is the sink's to grow ([[UpsertSink.rebucket]]).
   *
   * Update semantics: admit is for NEW document ids (the family's
-  * append convention). The posting/length merges are naturally
-  * idempotent for an UNCHANGED re-delivery (identical rows PK-merge
-  * onto themselves), but the stats fold is additive — pass `admitId`
-  * and a replayed admission converges exactly-once through the admit
-  * journal (the count-store family contract). Admitting a MODIFIED
-  * text under an existing id would leave stale postings for terms the
-  * new text no longer contains — erase first, then admit.
+  * append convention), and [[invertedIndexAdmit]] ENFORCES it — a
+  * batch carrying an already-indexed id is refused before anything
+  * mutates (re-folding an indexed id's (1, dl) would silently corrupt
+  * the maintained (N, avgdl); and admitting a MODIFIED text under an
+  * existing id would leave stale postings for terms the new text no
+  * longer contains). Erase first, then admit. The stats fold is
+  * additive — pass `admitId` and a replayed admission converges
+  * exactly-once through the admit journal (the count-store family
+  * contract).
   */
 object SearchOps {
 
@@ -104,6 +106,16 @@ object SearchOps {
     * matching ≥ 1 term; ranking/limit stays the caller's (the
     * bm25Scores convention — a top-k at a rounding boundary would make
     * the selected SET float-sensitive).
+    *
+    * Consistency scope: the three index tables are read through three
+    * independent live scans, so the one-generation pairing of
+    * (postings, lengths, stats) holds for readers that do NOT race a
+    * concurrent admit/erase (writers mutate all three under one lease,
+    * but a lock-free reader's three captures can still straddle a
+    * swap). A reader that must be crash-consistent against live
+    * writers uses [[invertedIndexSearchSnapshot]], which captures all
+    * three tables as one point-in-time [[UpsertSink.snapshotMany]]
+    * group.
     */
   def invertedIndexSearch(terms: Seq[String], sink: UpsertSink,
                           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -115,17 +127,52 @@ object SearchOps {
       throw new IllegalStateException(
         s"inverted index under ${sink.rootPath} has an empty posting " +
           "list — every document was erased; rebuild or drop it")
-    val lens = sink.read(DocLens).select(col("doc_id"), col("dl").as("__dl"))
+    scoreFromTables(terms, sink.read(Postings), sink.read(DocLens),
+      sink.read(Stats), k1, b)
+  }
+
+  /** [[invertedIndexSearch]] over ONE point-in-time capture of all
+    * three index tables ([[UpsertSink.snapshotMany]]): `use` receives
+    * the scored frame and whatever it computes is returned after the
+    * snapshot links are released — so even a search racing a live
+    * admit/erase can never pair one generation's postings with another
+    * generation's lengths or statistics (the atomicity the module doc
+    * claims, made true for LOCK-FREE readers; the plain overload's
+    * claim is scoped to non-racing readers). The snapshot's lifetime
+    * is the `use` body: materialize (collect/write) inside it.
+    */
+  def invertedIndexSearchSnapshot[T](terms: Seq[String], sink: UpsertSink,
+                                     k1: Double = 1.2, b: Double = 0.75)(
+      use: DataFrame => T): T = {
+    require(invertedIndexExists(sink),
+      s"no inverted index under ${sink.rootPath} — run invertedIndexBuild")
+    if (!sink.hasData(Postings))
+      throw new IllegalStateException(
+        s"inverted index under ${sink.rootPath} has an empty posting " +
+          "list — every document was erased; rebuild or drop it")
+    val snaps = sink.snapshotMany(Seq(Postings, DocLens, Stats))
+    try use(scoreFromTables(terms, snaps(0).df, snaps(1).df, snaps(2).df,
+      k1, b))
+    finally snaps.foreach(_.close())
+  }
+
+  /** The one scoring plan both search entry points share: frames must
+    * be (postings, doclens, stats) of ONE index generation.
+    */
+  private def scoreFromTables(terms: Seq[String], postings: DataFrame,
+                              doclens: DataFrame, statsTbl: DataFrame,
+                              k1: Double, b: Double): DataFrame = {
+    val lens = doclens.select(col("doc_id"), col("dl").as("__dl"))
     // (N, avgdl) from the maintained 1-row stats table — never a
     // corpus-sized aggregate at query time
-    val stats = sink.read(Stats).select(
+    val stats = statsTbl.select(
       col("n").cast("double").as("__n"),
       (col("sum_dl").cast("double") / col("n").cast("double"))
         .as("__avgdl"))
     // the isin filter reaches the posting scan as a pushed parquet
     // predicate (PlanShapeSpec-pinned): only term-matching rows leave
     // the scan
-    val tf = sink.read(Postings).filter(col("w").isInCollection(terms))
+    val tf = postings.filter(col("w").isInCollection(terms))
       .select(col("w").as("__w"), col("doc_id"), col("tf").as("__tf"))
     val dfreq = tf.groupBy("__w")
       .agg(count(lit(1)).cast("double").as("__df"))
@@ -148,13 +195,28 @@ object SearchOps {
     * lengths (touched buckets only, never a rebuild) and FOLD the
     * batch's (count, token sum) into the stats row — the whole
     * admission under the writer lease so a concurrent eraser cannot
-    * interleave (the store-family convention). The posting/length
-    * merges converge on identical re-delivery by themselves; the
-    * additive stats fold rides the admit journal when `admitId` is
-    * given (exactly-once under crash-replay — the count-store family
-    * contract; without an id it is at-least-once like every count
-    * admit). Stats fold LAST: a crash between the merges replays into
-    * idempotent posting/length merges plus one journaled fold.
+    * interleave (the store-family convention).
+    *
+    * The NEW-ids contract is ENFORCED (r14 advice): re-admitting an id
+    * the index already holds would PK-merge its postings/lengths onto
+    * themselves (harmless) but fold its (1, dl) into the stats row
+    * AGAIN — silently corrupting (N, avgdl) for every future score, at
+    * odds with the family's refuse-loudly posture. The guard checks
+    * the batch's ids against `bm25_doclens` inside the lease (one
+    * column-pruned scan of the id-count-sized length table, batch ids
+    * broadcast) and refuses on any overlap — erase first, then admit.
+    *
+    * Replay interplay — stats fold FIRST, journaled, then the
+    * idempotent merges: a replayed admission (same `admitId`) whose
+    * fold already committed skips BOTH the guard and the fold up front
+    * (the `_graft_admits` probe — its own earlier doclens merge would
+    * otherwise trip the guard) and re-runs only the self-converging
+    * posting/length merges; a replay that crashed BEFORE the fold
+    * committed sees doclens untouched, passes the guard, and folds
+    * exactly once through the journal. Without an `admitId` the fold
+    * is at-least-once AND a replay of a crash that landed the merges
+    * can be refused by the guard — pass an id for crash-replayable
+    * admission (the count-store family contract).
     */
   def invertedIndexAdmit(batch: DataFrame, idCol: String, textCol: String,
                          sink: UpsertSink,
@@ -166,15 +228,20 @@ object SearchOps {
     require(invertedIndexExists(sink),
       s"no inverted index under ${sink.rootPath} — run invertedIndexBuild")
     sink.writerLocked(Seq(Postings, DocLens, Stats)) {
-      sink.mergeMany(Seq(
-        TableMerge(Postings, postingRows(batch, idCol, textCol),
-          Seq("w", "doc_id"), pkUnique = true),
-        TableMerge(DocLens, lenRows(batch, idCol, textCol),
-          Seq("doc_id"), pkUnique = true)))
-      // a replayed admit skips the fold's derivation up front (the
-      // journal probe) — merge's table-level fence would discard it
-      // anyway, but not before the localCheckpoint materialized it
+      // a replayed admit whose fold committed skips guard + fold up
+      // front (the journal probe) — merge's table-level fence would
+      // discard the fold anyway, but not before the localCheckpoint
+      // materialized it, and the guard would misread the replay's own
+      // committed doclens merge as a duplicate admission
       if (!admitId.exists(id => sink.admitCommitted(Stats, id))) {
+        val already = sink.read(DocLens).select("doc_id")
+          .join(broadcast(batch.select(col(idCol).as("doc_id")).distinct()),
+            Seq("doc_id"), "left_semi").count()
+        require(already == 0L,
+          s"invertedIndexAdmit: $already of the batch's ids are already " +
+            s"indexed under ${sink.rootPath} — admit is for NEW document " +
+            "ids (re-folding an indexed id corrupts the maintained " +
+            "(N, avgdl)); erase first, then admit")
         val folded = sink.read(Stats)
           .crossJoin(statRows(batch, idCol, textCol)
             .select(col("n").as("__bn"), col("sum_dl").as("__bs")))
@@ -184,6 +251,11 @@ object SearchOps {
         sink.merge(Stats, folded, Seq("k"), None, pkUnique = true,
           opId = admitId)
       }
+      sink.mergeMany(Seq(
+        TableMerge(Postings, postingRows(batch, idCol, textCol),
+          Seq("w", "doc_id"), pkUnique = true),
+        TableMerge(DocLens, lenRows(batch, idCol, textCol),
+          Seq("doc_id"), pkUnique = true)))
     }
   }
 

@@ -130,6 +130,113 @@ class SearchOpsSpec extends SparkSpec {
       s"wrong empty-index error: ${empty.getMessage}")
   }
 
+  test("admit refuses already-indexed ids; journaled replay still converges") {
+    val docs = Tables.load(spark, sf, "documents").limit(60).localCheckpoint()
+    val sink = freshSink("readmit")
+    val archive = docs.filter($"doc_id" % 3 =!= 0)
+    val batch = docs.filter($"doc_id" % 3 === 0)
+    SearchOps.invertedIndexBuild(archive, "doc_id", "text", sink)
+    val statsBefore = rows(sink, SearchOps.Stats)
+    // re-admitting ARCHIVE ids (already indexed) under a fresh admit id
+    // is the user error the guard exists for: refused loudly, and the
+    // stats row — the corruption target — is untouched
+    val err = intercept[IllegalArgumentException] {
+      SearchOps.invertedIndexAdmit(archive.limit(5), "doc_id", "text",
+        sink, admitId = Some("readmit-bad"))
+    }
+    assert(err.getMessage.contains("already"),
+      s"wrong refusal message: ${err.getMessage}")
+    assert(rows(sink, SearchOps.Stats) == statsBefore,
+      "refused admit still mutated the stats row")
+    // a mixed batch (one old id among new) is refused whole — no
+    // partial admission
+    val mixed = batch.limit(4).unionByName(archive.limit(1))
+    intercept[IllegalArgumentException] {
+      SearchOps.invertedIndexAdmit(mixed, "doc_id", "text", sink)
+    }
+    // the guard must NOT break crash-replay: simulate a crash AFTER the
+    // journaled stats fold but BEFORE the posting/length merges (the
+    // fold-first ordering's one window) by folding through the same
+    // admit id directly, then replaying the full admit — the replay
+    // skips guard + fold via the journal and lands the merges
+    import graft.sink.UpsertSink
+    def statRowsOf(b: org.apache.spark.sql.DataFrame) = b
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .select(lit(0).as("k"), col("n"), col("sum_dl"))
+    val folded = sink.read(SearchOps.Stats)
+      .crossJoin(statRowsOf(batch)
+        .select(col("n").as("__bn"), col("sum_dl").as("__bs")))
+      .select(col("k"), (col("n") + col("__bn")).as("n"),
+        (col("sum_dl") + col("__bs")).as("sum_dl"))
+      .localCheckpoint(true)
+    sink.merge(SearchOps.Stats, folded, Seq("k"), None, pkUnique = true,
+      opId = Some("readmit-crash"))
+    SearchOps.invertedIndexAdmit(batch, "doc_id", "text", sink,
+      admitId = Some("readmit-crash"))
+    val expected = freshSink("readmit_expect")
+    SearchOps.invertedIndexBuild(docs, "doc_id", "text", expected)
+    for (t <- Seq(SearchOps.Postings, SearchOps.DocLens, SearchOps.Stats))
+      assert(rows(sink, t) == rows(expected, t),
+        s"$t: crash-window replay diverged from a fresh build")
+  }
+
+  test("snapshot search: same scores, torn-free capture, links released") {
+    val docs = Tables.load(spark, sf, "documents").limit(80).localCheckpoint()
+    val sink = freshSink("snapsearch")
+    SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink)
+    val plain = scores(SearchOps.invertedIndexSearch(Terms, sink))
+    val snapped = SearchOps.invertedIndexSearchSnapshot(Terms, sink) { df =>
+      scores(df)
+    }
+    assert(snapped == plain, "snapshot search diverged from plain search")
+    // the snapshot links are released when `use` returns
+    val snapRoot = java.nio.file.Paths.get(sink.rootPath, ".snapshots")
+    val leftover =
+      if (!Files.exists(snapRoot)) 0
+      else { val s = Files.list(snapRoot)
+        try s.count() finally s.close() }
+    assert(leftover == 0, s"$leftover snapshot dirs leaked")
+    // missing-index and erased-empty guards match the plain overload
+    intercept[IllegalArgumentException] {
+      SearchOps.invertedIndexSearchSnapshot(Terms, freshSink("snapmiss")) {
+        _.count()
+      }
+    }
+  }
+
+  test("rebucket under serving: search byte-identical, admit routes by the new modulus") {
+    // the 100 TB posture line ("the bucket modulus is the sink's to
+    // grow") exercised on the serving table it was written about: a
+    // posting table rebucketed 8 -> 16 must serve byte-identical
+    // scores, and a subsequent admit must route by the NEW stored
+    // modulus (merges honor the stored marker, never the instance
+    // default) — proven by bit-equality with a fresh build on the
+    // union
+    val docs = Tables.load(spark, sf, "documents").limit(90).localCheckpoint()
+    val archive = docs.filter($"doc_id" % 3 =!= 0)
+    val batch = docs.filter($"doc_id" % 3 === 0)
+    val sink = freshSink("rebucket")
+    SearchOps.invertedIndexBuild(archive, "doc_id", "text", sink)
+    val before = scores(SearchOps.invertedIndexSearch(Terms, sink))
+    sink.rebucket(SearchOps.Postings, Seq("w", "doc_id"), 16)
+    sink.rebucket(SearchOps.DocLens, Seq("doc_id"), 16)
+    assert(scores(SearchOps.invertedIndexSearch(Terms, sink)) == before,
+      "rebucket changed served scores")
+    SearchOps.invertedIndexAdmit(batch, "doc_id", "text", sink,
+      admitId = Some("rebucket-admit"))
+    val expected = freshSink("rebucket_expect")
+    SearchOps.invertedIndexBuild(docs, "doc_id", "text", expected)
+    for (t <- Seq(SearchOps.Postings, SearchOps.DocLens, SearchOps.Stats))
+      assert(rows(sink, t) == rows(expected, t),
+        s"$t after rebucket+admit != fresh build on the union")
+    assert(scores(SearchOps.invertedIndexSearch(Terms, sink)) ==
+      scores(SearchOps.invertedIndexSearch(Terms, expected)),
+      "post-rebucket admit served different scores")
+  }
+
   test("eraseSubjects sweeps the inverted index with ledger receipts") {
     val docs = Tables.load(spark, sf, "documents").limit(60)
       .localCheckpoint()
