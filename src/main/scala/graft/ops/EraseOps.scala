@@ -73,16 +73,50 @@ object EraseOps {
   /** The durable per-sweep receipt ([[eraseSubjects]] writes one row
     * per member table): the compliance-audit record that an erasure
     * HAPPENED, queryable after the fact. Columns: sweep_id,
-    * member_table, action ('erased' | 'excluded'), subjects (distinct subject ids in
-    * the sweep), removed (rows deleted / total count decremented in
-    * that table), ver_before/ver_after (the sink's content-version
+    * member_table, action ('erased' | 'excluded' | the transient
+    * 'pending'), subjects (distinct subject ids in the sweep),
+    * removed, ver_before/ver_after (the sink's content-version
     * fingerprints bracketing the sweep — `ver_before != ver_after`
-    * proves bytes moved). First-write-wins per (sweep_id, member_table): a
-    * crash-REPLAY of a sweep whose ledger row already landed leaves
-    * the original receipt untouched (the replay converges data, the
-    * receipt already recorded the logical erasure).
+    * proves bytes moved).
+    *
+    * `removed` semantics, per member shape (r14 verdict #3 — the
+    * receipt's one quantitative column must not overstate):
+    *  - PK-delete members (posting/payload tables, ANN code lists):
+    *    rows ACTUALLY PRESENT pre-sweep and deleted — a column-pruned
+    *    semi-join of the derived keys against the member's pk columns
+    *    inside the writer lease, so a subject whose keys re-derive
+    *    against drifted shaping params (or was never admitted) cannot
+    *    inflate the figure;
+    *  - count-decrement members (fingerprint/segment/policy
+    *    inventories): the total count decremented as REQUESTED (the
+    *    subjects' re-derived additive contribution; stored counts
+    *    clamp at zero, so the physical subtraction can be smaller
+    *    when the caller contract — retract exactly what was admitted,
+    *    once — was violated upstream);
+    *  - sharded-ANN members: distinct subject ids actually present in
+    *    that shard's code list pre-sweep (NOT merely routed there).
+    *
+    * Crash-proof bracketing (r14 verdict #2): the sweep writes a
+    * PENDING row per member — carrying the pre-sweep version and the
+    * pre-counted `removed` — BEFORE the data commit; the final
+    * 'erased'/'excluded' rows overwrite them (same pk) after the data
+    * phases. A sweep replayed after ANY crash recovers `ver_before` /
+    * `removed` from its pending rows instead of re-reading the
+    * already-erased store, so a receipt written on the recovery path
+    * still proves bytes moved (ver_changed = 1). Per (sweep_id,
+    * member_table) the FINAL receipt wins exactly once: a replay of a
+    * sweep whose final row already landed leaves it untouched (the
+    * replay converges data, the receipt already recorded the logical
+    * erasure).
     */
   val LedgerTable = "erasure_ledger"
+
+  /** The transient action value of a pre-commit ledger row — visible
+    * to auditors only in the window between a sweep's pending write
+    * and its final receipt (or after a crash inside that window, until
+    * the sweep is replayed per the recovery protocol).
+    */
+  val LedgerPending = "pending"
 
   /** What a sweep did, per member table — the in-memory half of the
     * receipt (the durable half is [[LedgerTable]]).
@@ -204,71 +238,149 @@ object EraseOps {
     val excludedMap = excluded.result()
     val subjects = docs.select(col(idCol)).distinct().count()
     val ledgerTables = tables ++ excludedMap.keys.toSeq
-    val verBefore =
-      if (ledger) ledgerTables.map(t => t -> sink.version(t)).toMap
-      else Map.empty[String, Long]
+    // the member name comes from the ONE owner of the shard naming
+    // scheme, so receipts can always join back to on-disk shard paths
+    val shardMember = (sh: Int) => SimOps.shardMemberName(sh)
+    val spark = docs.sparkSession
+
+    // ---- ledger state probe (the pending/final protocol): bounded —
+    // one row per member table per sweep
+    val priorRows: Seq[org.apache.spark.sql.Row] =
+      if (!ledger || !(sink.exists(LedgerTable) && sink.hasData(LedgerTable)))
+        Seq.empty
+      else sink.read(LedgerTable).filter(col("sweep_id") === sweepId)
+        .collect().toSeq
+    // a FINAL receipt wins exactly once: its presence means the whole
+    // sweep (data + receipt) completed — the data phases below still
+    // replay (journaled no-ops), the receipt is never rewritten
+    val already = priorRows.exists(_.getAs[String]("action") != LedgerPending)
+    // pending rows carry the pre-sweep bracketing evidence a replay
+    // cannot re-derive (the store is already erased); recover them.
+    // A PARTIAL pending set means the crash hit the pending write
+    // itself — then the data phases never ran, and fresh computation
+    // below is still exact for the missing members
+    val pend: Map[String, (Long, Long, Long)] =
+      if (already) Map.empty
+      else priorRows.filter(_.getAs[String]("action") == LedgerPending)
+        .map(r => r.getAs[String]("member_table") ->
+          ((r.getAs[Long]("subjects"), r.getAs[Long]("removed"),
+            r.getAs[Long]("ver_before")))).toMap
+    val subjectsLedger = pend.values.headOption.map(_._1).getOrElse(subjects)
+
     val removed = scala.collection.mutable.Map.empty[String, Long]
       .withDefaultValue(0L)
-    if (tables.nonEmpty)
-      sink.eraseMany(tables, Some(sweepId)) {
-        val erases = derivations.flatMap(_())
-        if (!ledger) erases
-        else erases.map {
-          // checkpoint each payload once so the receipt's totals and
-          // the retraction itself share one materialization
+    val verBefore = scala.collection.mutable.Map.empty[String, Long]
+    var shardVersBefore: Map[Int, Long] = Map.empty
+    var shardPresent: Map[Int, Long] = Map.empty
+    val writeLedger = ledger && !already
+
+    // the ledger's pre-commit phase and the main erase group share ONE
+    // writer lease (reentrant), so the derived payloads, the matched
+    // counts, the captured versions, the pending write, and the
+    // retraction itself all see a single un-interleaved store state
+    def leased[T](body: => T): T =
+      if (writeLedger) sink.writerLocked(tables :+ LedgerTable)(body)
+      else body
+    leased {
+      if (writeLedger) {
+        // derive ONCE, checkpoint each payload so the receipt's totals
+        // and the retraction share one materialization
+        val erases = derivations.flatMap(_()).map {
           case TableDelete(t, keys, pk) =>
-            val k = keys.localCheckpoint(true)
-            removed(t) += k.count()
-            TableDelete(t, k, pk)
+            TableDelete(t, keys.localCheckpoint(true), pk)
           case TableCountRetract(t, dec, pk, cntCols, drop) =>
-            val d = dec.localCheckpoint(true)
-            val s = d.agg(cntCols.map(c => sum(col(c)))
-              .reduce(_ + _).as("__s")).collect()(0)
-            removed(t) += (if (s.isNullAt(0)) 0L else s.getLong(0))
-            TableCountRetract(t, d, pk, cntCols, drop)
+            TableCountRetract(t, dec.localCheckpoint(true), pk, cntCols,
+              drop)
         }
-      }
+        erases.foreach {
+          case TableDelete(t, keys, pk) => removed(t) +=
+            pend.get(t).map(_._2).getOrElse {
+              // matched rows, not presented keys: one column-pruned
+              // pass over the member's pk columns, derived keys on the
+              // build side
+              if (!sink.hasData(t)) 0L
+              else sink.read(t).select(pk.map(col): _*)
+                .join(keys.select(pk.map(col): _*), pk, "left_semi")
+                .count()
+            }
+          case TableCountRetract(t, dec, pk, cntCols, _) => removed(t) +=
+            pend.get(t).map(_._2).getOrElse {
+              val s = dec.agg(cntCols.map(c => sum(col(c)))
+                .reduce(_ + _).as("__s")).collect()(0)
+              if (s.isNullAt(0)) 0L else s.getLong(0)
+            }
+        }
+        ledgerTables.foreach(t => verBefore(t) =
+          pend.get(t).map(_._3).getOrElse(sink.version(t)))
+        if (annSharded) {
+          // always draw fresh, then let pending rows OVERLAY: the only
+          // crash window leaving a PARTIAL pending set is mid-pending-
+          // write, where nothing was erased yet and the fresh draw is
+          // exact; in every post-erase window the pending set is
+          // complete and wins wholesale
+          val fresh = SimOps.shardedIndexMatchedCounts(vecIds.get,
+            vecIdCol, sink)
+          val freshVers = SimOps.shardedIndexVersions(spark, sink)
+          val pendShards = pend.collect {
+            case (name, (_, rem, vb)) if name.startsWith("ann_shard_") =>
+              name.stripPrefix("ann_shard_").toInt -> ((rem, vb))
+          }
+          shardPresent = fresh ++ pendShards.map { case (s, (r, _)) =>
+            s -> r
+          }
+          shardVersBefore = freshVers ++ pendShards.map { case (s, (_, v)) =>
+            s -> v
+          }
+        }
+        // the PENDING receipt — the pre-sweep bracketing evidence,
+        // durable BEFORE the first byte moves (r14 verdict #2)
+        if (ledgerTables.nonEmpty || shardPresent.nonEmpty) {
+          import spark.implicits._
+          val rows = ledgerTables.map(t => (sweepId, t, LedgerPending,
+            subjectsLedger, removed(t), verBefore(t), 0L)) ++
+            shardPresent.toSeq.sortBy(_._1).map { case (sh, n) =>
+              (sweepId, shardMember(sh), LedgerPending, subjectsLedger, n,
+                shardVersBefore.getOrElse(sh, 0L), 0L)
+            }
+          sink.merge(LedgerTable,
+            rows.toDF("sweep_id", "member_table", "action", "subjects",
+              "removed", "ver_before", "ver_after"),
+            Seq("sweep_id", "member_table"), pkUnique = true)
+        }
+        if (erases.nonEmpty) sink.eraseMany(erases, Some(sweepId))
+      } else if (tables.nonEmpty)
+        sink.eraseMany(tables, Some(sweepId)) {
+          derivations.flatMap(_())
+        }
+    }
     // the SHARDED ANN index erases AFTER the main group — per-shard
     // sub-sinks carry their own leases and erasure journals (see
     // [[SimOps.shardedIndexRemove]] for why per-shard atomicity is the
     // right contract for a serving artifact): a crash between the main
     // group and the shard loop replays under the same sweep id and
     // each side converges independently, exactly-once
-    val shardVersBefore: Map[Int, Long] =
-      if (annSharded && ledger)
-        SimOps.shardedIndexVersions(docs.sparkSession, sink)
-      else Map.empty
     val shardRemoved: Map[Int, Long] =
       if (annSharded)
         SimOps.shardedIndexRemove(vecIds.get, vecIdCol, sink, Some(sweepId))
       else Map.empty
-    // the member name comes from the ONE owner of the shard naming
-    // scheme, so receipts can always join back to on-disk shard paths
-    val shardMember = (sh: Int) => SimOps.shardMemberName(sh)
-    if (ledger && (ledgerTables.nonEmpty || shardRemoved.nonEmpty)) {
-      val spark = docs.sparkSession
+    if (writeLedger && (ledgerTables.nonEmpty || shardPresent.nonEmpty)) {
       import spark.implicits._
-      val already = sink.exists(LedgerTable) && sink.hasData(LedgerTable) &&
-        !sink.read(LedgerTable).filter(col("sweep_id") === sweepId).isEmpty
-      if (!already) {
-        val shardVersAfter: Map[Int, Long] =
-          if (shardRemoved.nonEmpty)
-            SimOps.shardedIndexVersions(spark, sink)
-          else Map.empty
-        val rows = ledgerTables.map { t =>
-          val action = if (excludedMap.contains(t)) "excluded" else "erased"
-          (sweepId, t, action, subjects, removed(t), verBefore(t),
-            sink.version(t))
-        } ++ shardRemoved.toSeq.sortBy(_._1).map { case (sh, n) =>
-          (sweepId, shardMember(sh), "erased", subjects, n,
-            shardVersBefore.getOrElse(sh, 0L),
-            shardVersAfter.getOrElse(sh, 0L))
-        }
-        val rowsDf = rows.toDF("sweep_id", "member_table", "action",
-          "subjects", "removed", "ver_before", "ver_after")
-        sink.merge(LedgerTable, rowsDf, Seq("sweep_id", "member_table"),
-          pkUnique = true)
+      val shardVersAfter: Map[Int, Long] =
+        if (shardPresent.nonEmpty) SimOps.shardedIndexVersions(spark, sink)
+        else Map.empty
+      val rows = ledgerTables.map { t =>
+        val action = if (excludedMap.contains(t)) "excluded" else "erased"
+        (sweepId, t, action, subjectsLedger, removed(t), verBefore(t),
+          sink.version(t))
+      } ++ shardPresent.toSeq.sortBy(_._1).map { case (sh, n) =>
+        (sweepId, shardMember(sh), "erased", subjectsLedger, n,
+          shardVersBefore.getOrElse(sh, 0L),
+          shardVersAfter.getOrElse(sh, 0L))
       }
+      val rowsDf = rows.toDF("sweep_id", "member_table", "action",
+        "subjects", "removed", "ver_before", "ver_after")
+      sink.merge(LedgerTable, rowsDf, Seq("sweep_id", "member_table"),
+        pkUnique = true)
     }
     EraseReport(sweepId, subjects,
       tables ++ shardRemoved.keys.toSeq.sorted.map(shardMember),

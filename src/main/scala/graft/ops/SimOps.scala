@@ -1571,6 +1571,33 @@ object SimOps {
     }.toMap
   }
 
+  /** Distinct subject ids ACTUALLY present in each touched built
+    * shard's code list — the pre-sweep `removed` figure the erasure
+    * ledger records ([[graft.ops.EraseOps]]): [[shardedIndexRemove]]'s
+    * own return counts ids ROUTED per shard (presented keys), which
+    * overstates when a subject was never indexed there. Same key set
+    * as the removal's return (routed ∩ built); one column-pruned
+    * semi-join of each touched shard's id column against the subject
+    * frame — only subject shards open, untouched shards stay closed.
+    */
+  private[graft] def shardedIndexMatchedCounts(
+      ids: DataFrame, idCol: String,
+      sink: graft.sink.UpsertSink): Map[Int, Long] = {
+    val spark = ids.sparkSession
+    require(sink.exists(ShardMeta),
+      s"no sharded index under ${sink.rootPath} — nothing to count against")
+    val shards = sink.read(ShardMeta).collect()(0).getAs[Int]("shards")
+    val routed = ids.select(shardOf(idCol, shards).as("__s"))
+      .distinct().collect().map(_.getLong(0).toInt).sorted
+    val sinks = shardSinks(spark, sink, shards)
+    routed.iterator.filter(s => ivfPqIndexExists(sinks(s))).map { s =>
+      s -> sinks(s).read(IdxCodes).select("id")
+        .join(ids.select(col(idCol).as("id")).distinct(),
+          Seq("id"), "left_semi")
+        .count()
+    }.toMap
+  }
+
   /** Deterministic +/-1 hyperplane for (table, plane) — shared with the
     * batched [[graft.functions.LshSignatures]] expression so buckets are
     * identical however the signature is computed.

@@ -628,4 +628,90 @@ class StoreRetractSpec extends SparkSpec {
     assert(sink.read("segdedup_segs").count() > 0,
       "bystander inventory vanished with the subjects")
   }
+
+  test("the erasure receipt survives the crash-recovery window (pending rows)") {
+    // r14 verdict #2: a crash AFTER the data commit but BEFORE the
+    // final ledger merge used to make the replayed receipt read
+    // ver_before == ver_after (the replay could only see the already-
+    // erased store) — the pending/final protocol persists the
+    // pre-sweep bracketing evidence FIRST, so the recovery-path
+    // receipt still proves bytes moved. Simulated by reconstructing
+    // the exact crash state on disk: data erased + journal committed
+    // + pending rows only (the final rows rolled back to their
+    // pending form), then replaying the sweep.
+    val sink = freshSink("crashwin")
+    val archive = (1L to 12L).map(i => (i, segText(i))).toDF("doc_id", "text")
+    TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink)
+    TextOps.segmentStoreBuild(archive, "doc_id", "text", sink, segWords = 4)
+    val subjects = archive.filter($"doc_id" <= 3L)
+    EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
+      sweepId = "cw-1", segWords = 4)
+    val finals = rows(sink, EraseOps.LedgerTable)
+    assert(finals.nonEmpty)
+    // roll the receipt back to its pending form: action -> 'pending',
+    // ver_after -> 0, everything else (the pre-sweep evidence) intact —
+    // byte-for-byte the state a crash between eraseMany and the final
+    // merge leaves behind
+    val pending = sink.read(EraseOps.LedgerTable)
+      .filter($"sweep_id" === "cw-1")
+      .withColumn("action", lit(EraseOps.LedgerPending))
+      .withColumn("ver_after", lit(0L))
+      .localCheckpoint(true)
+    sink.merge(EraseOps.LedgerTable, pending,
+      Seq("sweep_id", "member_table"), pkUnique = true)
+    assert(rows(sink, EraseOps.LedgerTable) != finals, "fixture inert")
+    // the replay (the documented recovery protocol): data converges as
+    // journaled no-ops, and the receipt REBUILDS from the pending rows
+    // — bit-identical to the uncrashed receipt, ver_changed included
+    EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
+      sweepId = "cw-1", segWords = 4)
+    assert(rows(sink, EraseOps.LedgerTable) == finals,
+      "recovery-path receipt differs from the uncrashed receipt")
+    sink.read(EraseOps.LedgerTable).filter($"action" === "erased")
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("ver_before") != r.getAs[Long]("ver_after"),
+          s"${r.getAs[String]("member_table")}: recovery receipt lost " +
+            "its version bracket")
+      }
+  }
+
+  test("ledger `removed` counts matched rows for delete members, not presented keys") {
+    // r14 verdict #3: a subject re-derived with drifted shaping params
+    // (or never admitted at all) must not inflate the receipt's one
+    // quantitative column. PK-delete members count rows actually
+    // present pre-sweep; count-decrement members record the requested
+    // decrement (documented — clamping can make the physical
+    // subtraction smaller)
+    val sink = freshSink("matched")
+    val docs = (1L to 10L).map(i => (i, segText(i))).toDF("doc_id", "text")
+    TextOps.fingerprintStoreBuild(docs, "doc_id", "text", sink)
+    SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink)
+    // subjects: two real docs + one PHANTOM the stores never admitted
+    val subjects = docs.filter($"doc_id" <= 2L)
+      .unionByName(Seq((99L, segText(99L))).toDF("doc_id", "text"))
+    EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
+      sweepId = "match-1", segWords = 4)
+    val led = sink.read(EraseOps.LedgerTable)
+      .filter($"sweep_id" === "match-1").collect()
+      .map(r => r.getAs[String]("member_table") ->
+        r.getAs[Long]("removed")).toMap
+    // doclens: one row per REAL subject — the phantom's key matched
+    // nothing and must not count
+    assert(led("bm25_doclens") == 2L,
+      s"doclens removed=${led("bm25_doclens")}, want 2 (phantom excluded)")
+    // postings: the real subjects' (w, doc_id) keys only — the build
+    // indexed every real pair, so matched == the real subjects'
+    // distinct (w, doc_id) count; an inflated figure would add the
+    // phantom's distinct terms on top
+    val realPairs = docs.filter($"doc_id" <= 2L)
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("w"))
+      .distinct().count()
+    assert(led("bm25_postings") == realPairs,
+      s"postings removed=${led("bm25_postings")}, want $realPairs " +
+        "(phantom's terms excluded)")
+    // the count member records the REQUESTED decrement incl. the
+    // phantom's fingerprint (documented semantics for count shapes)
+    assert(led("fingerprint_store") == 3L,
+      s"fingerprint removed=${led("fingerprint_store")}, want 3 requested")
+  }
 }
