@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{MinHashFunctions, WinnowFunctions}
 import graft.ops.{BpeOps, ChatOps, ClassifierOps, EraseOps, GraphOps, MultimodalOps, RelOps, SampleOps, SearchOps, SelectOps, SimOps, TextOps, WebOps}
 
-/** Incremental stores + lifecycle capstones (q106-q124). */
+/** Incremental stores + lifecycle capstones (q106-q131). */
 private[graft] trait CatalogStores extends CatalogShared {
 
   // ---------------------------------------------------------------------
@@ -1631,6 +1631,88 @@ private[graft] trait CatalogStores extends CatalogShared {
         TextOps.rrfFuse(bm, dense, "doc_id")
           .select(col("doc_id"), col("rank_a"), col("rank_b"),
             round(col("rrf"), 6).as("rrf"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q131_ann_hybrid_serving",
+      "q130 with the LAST corpus-sized serving term removed (r14 " +
+        "verdict #1): the dense side of hybrid retrieval served from " +
+        "the SHARDED ANN index instead of an exact cosine over every " +
+        "stored vector — the 100 TB query path. Both serving layers " +
+        "build over the full corpus (the BM25 inverted index; the " +
+        "sharded IVF-PQ index with SQ8 refine codes), ONE eraseSubjects " +
+        "sweep removes the subjects (doc/vec % 5 = 0) from postings, " +
+        "lengths, stats AND every subject shard's code+refine lists " +
+        "(q128's erasure arc, ledger receipts included), and the " +
+        "hybrid query then runs index-only: BM25 from the posting " +
+        "scan's pushed term filter + 1-row stats read, the dense side " +
+        "a sharded probe (per-shard list-bounded ADC shortlist, SQ8 " +
+        "refine — index tables only, the q93 self-contained shape) " +
+        "re-ranked to the global top-k by one bounded TopKAggregate, " +
+        "RRF-fused at k0=60. An erased subject can appear in NEITHER " +
+        "ranking: its postings are gone, its mass is out of (N, " +
+        "avgdl), and its codes left every shard (leaked = 0 per row, " +
+        "CatalogSpec-pinned). ANN inside -> rows-only; recall_mil " +
+        "rides every row — the served dense ranking vs the EXACT " +
+        "surviving-world top-k (q130's ground truth, one bounded " +
+        "audit-only brute pass that never runs on the serving path; " +
+        "PlanShapeSpec pins the serving plan corpus-scan-free).",
+      None,
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        // build ONCE per process (the q121/q81 amortization — index
+        // construction is the offline job, serving+erasure the steady
+        // state); each invocation then runs the full sweep -> serve ->
+        // RE-ADMIT round trip, restoring the store bit-exactly for the
+        // next pass: the re-encoded codes are deterministic under the
+        // unchanged quantizers and the stats fold adds back exactly
+        // the (count, token-sum) the sweep subtracted
+        val sink = tempStore.sink(s, "annhybrid", dir)
+        if (!SearchOps.invertedIndexExists(sink))
+          SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink)
+        if (!SimOps.shardedIndexExists(s, sink))
+          SimOps.buildShardedIvfPqIndex(e, "vec_id", "embedding", sink,
+            shards = 2, nlist = 16, m = 8, ksub = 16, coarseIters = 1,
+            storeSq8 = true)
+        val pass = java.util.UUID.randomUUID().toString.take(8)
+        val subjects = docs.filter(col("doc_id") % 5 === 0)
+        val subjectVecs = e.filter(col("vec_id") % 5 === 0)
+        EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
+          sweepId = s"q131_sweep_$pass",
+          vecIds = Some(subjectVecs.select("vec_id")))
+        // lexical side: served BM25, 6-dp rounded BEFORE ranking (the
+        // q88/q130 convention)
+        val bm = SearchOps.invertedIndexSearch(
+            Seq("vector", "merge", "stream"), sink)
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
+          .localCheckpoint(true)
+        // dense side: the sharded ANN probe, index tables only — the
+        // query vector is a bounded pushed-filter read, never a corpus
+        // scan (probe cosines are already 6-dp rounded)
+        val q = e.filter(col("vec_id") === 1L)
+        val probed = SimOps.shardedProbeIndex(q, e, "vec_id", "embedding",
+            sink, k = 100, nprobe = 12, refineFromSq8 = true)
+          .localCheckpoint(true)
+        // materialized above BEFORE the restore below: the returned
+        // frame must capture the post-sweep serving state, not the
+        // re-admitted one
+        SearchOps.invertedIndexAdmit(subjects, "doc_id", "text", sink,
+          admitId = Some(s"q131_readmit_$pass"))
+        SimOps.shardedIndexAdd(subjectVecs, "vec_id", "embedding", sink)
+        // AUDIT ONLY: the exact surviving-world top-k (q130's dense
+        // ranking) — the one brute pass, off the serving path
+        val exact = SimOps.bruteForceTopK(q,
+          e.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", 100)
+        val recall = SimOps.withRecallAudit(probed, exact, 100)
+          .agg(max(col("recall_mil")).as("recall_mil"))
+        val dense = probed
+          .select(col("neighbor_id").as("doc_id"), col("cosine").as("score"))
+        TextOps.rrfFuse(bm, dense, "doc_id")
+          .select(col("doc_id"), col("rank_a"), col("rank_b"),
+            round(col("rrf"), 6).as("rrf"),
+            (col("doc_id") % 5 === 0).cast("int").as("leaked"))
+          .crossJoin(broadcast(recall))
           .orderBy("doc_id")
       })
   )

@@ -211,6 +211,33 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("q131 ANN-served hybrid: zero leaked subjects, honest recall, fused ranks") {
+    // the serving-layer scale capstone (r15): after the sweep, an
+    // erased subject can appear in NEITHER ranking, and the dense side
+    // — served from the sharded index, not a stored-vector scan — must
+    // still rank honestly against q130's exact surviving-world top-k
+    val out = Catalog.byName("q131_ann_hybrid_serving").fn(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Int]("leaked") == 0),
+      "an erased subject surfaced in the served hybrid ranking")
+    out.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("recall_mil")) &&
+        r.getAs[Int]("recall_mil") >= 700,
+        s"served dense recall ${r.getAs[Int]("recall_mil")} below 700")
+      val ra = Option(r.getAs[Integer]("rank_a")).map(_.toInt)
+      val rb = Option(r.getAs[Integer]("rank_b")).map(_.toInt)
+      assert(ra.isDefined || rb.isDefined, "row in neither ranking")
+      assert(ra.forall(v => v >= 1 && v <= 100) &&
+        rb.forall(v => v >= 1 && v <= 100), "rank outside top-100")
+      val want = BigDecimal(ra.map(v => 1.0 / (60 + v)).getOrElse(0.0) +
+          rb.map(v => 1.0 / (60 + v)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("rrf") - want) < 2e-6,
+        s"rrf ${r.getAs[Double]("rrf")} != $want for ranks $ra/$rb")
+    }
+  }
+
   test("q107 scale-path tiers agree with q103's exact form on the corpus") {
     // the sketch-cutoff path and the ntile oracle form may only differ
     // at tier boundaries (approx percentile vs exact rank) and inside

@@ -885,4 +885,44 @@ class PlanShapeSpec extends SparkSpec {
     val nlj = plan.split("BroadcastNestedLoopJoin").length - 1
     assert(nlj <= 1, s"unexpected extra nested-loop joins ($nlj):\n$plan")
   }
+
+  test("q131 serving path: no corpus-sized scan — index tables plus one pushed query-vector read") {
+    // the r14 verdict's last scale-killer: q130's dense side scanned
+    // every stored vector per query. q131 serves it from the sharded
+    // ANN index; this pin proves the SERVING composition (the catalog
+    // row minus its audit subtree, which deliberately pays one exact
+    // brute pass as ground truth) reads nothing corpus-sized: the
+    // documents table never appears, and the only embeddings read is
+    // the query vector's pushed-predicate point lookup
+    import org.apache.spark.sql.functions._
+    import graft.ops.{SearchOps, SimOps}
+    val docs = Tables.load(spark, sf, "documents")
+    val e = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    val sink = new graft.sink.UpsertSink(spark,
+      java.nio.file.Files.createTempDirectory("graft_plan_q131").toString,
+      numBuckets = 8)
+    SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink)
+    SimOps.buildShardedIvfPqIndex(e, "vec_id", "embedding", sink,
+      shards = 2, nlist = 4, m = 4, ksub = 8, coarseIters = 1,
+      storeSq8 = true)
+    val bm = SearchOps.invertedIndexSearch(
+        Seq("vector", "merge", "stream"), sink)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+    val q = e.filter(col("vec_id") === 1L)
+    val dense = SimOps.shardedProbeIndex(q, e, "vec_id", "embedding",
+        sink, k = 100, refineFromSq8 = true)
+      .select(col("neighbor_id").as("doc_id"), col("cosine").as("score"))
+    val plan = explained(graft.ops.TextOps.rrfFuse(bm, dense, "doc_id"))
+    val scans = plan.linesIterator.filter(_.contains("Scan parquet")).toSeq
+    assert(scans.nonEmpty)
+    scans.filter(_.contains("documents")).foreach(l =>
+      fail(s"serving plan read the documents corpus:\n$l"))
+    scans.filter(l => l.contains("embeddings")).foreach(l =>
+      assert(l.contains("EqualTo(vec_id,1)"),
+        s"embeddings read without the pushed query-vector predicate " +
+          s"(a corpus-sized scan on the serving path):\n$l"))
+    // the lexical side's term filter still reaches the posting scan
+    assert(plan.contains("In(w"),
+      s"term filter not pushed into the posting scan:\n$plan")
+  }
 }
