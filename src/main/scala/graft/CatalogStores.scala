@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{MinHashFunctions, WinnowFunctions}
 import graft.ops.{BpeOps, ChatOps, ClassifierOps, EraseOps, GraphOps, MultimodalOps, RelOps, SampleOps, SearchOps, SelectOps, SimOps, TextOps, WebOps}
 
-/** Incremental stores + lifecycle capstones (q106-q131). */
+/** Incremental stores + lifecycle capstones (q106-q132). */
 private[graft] trait CatalogStores extends CatalogShared {
 
   // ---------------------------------------------------------------------
@@ -1713,6 +1713,65 @@ private[graft] trait CatalogStores extends CatalogShared {
             round(col("rrf"), 6).as("rrf"),
             (col("doc_id") % 5 === 0).cast("int").as("leaked"))
           .crossJoin(broadcast(recall))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef("q132_search_stream_admit",
+      "STREAMING admission into the search serving layer, batch-replay " +
+        "form (the q64 convention — the catalog runs the EXACT " +
+        "foreachBatch core of DedupPipeline.searchIndexAdmitStream, " +
+        "per-batch ids derived exactly as the stream derives them from " +
+        "its checkpoint-stable batchId): the archive builds the BM25 " +
+        "inverted index, two micro-batches of new documents admit " +
+        "under journaled ids <prefix>-b0/-b1 (touched-bucket posting/" +
+        "length merges + the 1-row stats fold riding the admit " +
+        "journal), and batch 0 is then RE-DELIVERED under its own id — " +
+        "the kill/restart recovery path: the journal must make the " +
+        "replayed fold a no-op, or (N, avgdl) inflates and every " +
+        "served score below drifts. Exact oracle: the post-stream " +
+        "search equals DuckDB's direct BM25 over the full world — " +
+        "hash-exact only if each batch's mass folded exactly once.",
+      Some("""WITH lens AS (SELECT doc_id,
+             |    len(regexp_extract_all(lower(text), '[a-z]+')) AS dl
+             |  FROM documents),
+             |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |    AVG(dl) AS avgdl FROM lens),
+             |tok AS (SELECT doc_id,
+             |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             |  FROM documents),
+             |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+             |  WHERE w IN ('vector', 'merge', 'stream') GROUP BY doc_id, w),
+             |dfr AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df
+             |  FROM tf GROUP BY w)
+             |SELECT tf.doc_id,
+             |  ROUND(SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |    * (tf * (1.2 + 1.0)
+             |       / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))), 6)
+             |    AS score
+             |FROM tf JOIN dfr USING (w) CROSS JOIN stats
+             |  JOIN lens ON tf.doc_id = lens.doc_id
+             |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.freshSink(s, "searchstream", dir)
+        SearchOps.invertedIndexBuild(docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", sink)
+        // two micro-batches, ids exactly as searchIndexAdmitStream
+        // derives them from its checkpoint-stable batchId
+        val prefix = "q132si"
+        Seq(0, 1).foreach { b =>
+          SearchOps.invertedIndexAdmit(
+            docs.filter(col("doc_id") % 6 === b * 3L), "doc_id", "text",
+            sink, admitId = Some(s"$prefix-b$b"))
+        }
+        // THE RE-DELIVERY (kill/restart): batch 0 under its own id —
+        // the journal fences the fold, the merges converge by PK
+        SearchOps.invertedIndexAdmit(
+          docs.filter(col("doc_id") % 6 === 0), "doc_id", "text",
+          sink, admitId = Some(s"$prefix-b0"))
+        SearchOps.invertedIndexSearch(Seq("vector", "merge", "stream"),
+            sink)
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
           .orderBy("doc_id")
       })
   )

@@ -300,4 +300,46 @@ object DedupPipeline {
       } finally cached.foreach(_.unpersist())
     }
   }
+
+  /** Streaming ADMISSION into the persisted BM25 inverted index — the
+    * search serving layer's ingest arc: micro-batches of NEW documents
+    * run [[graft.ops.SearchOps.invertedIndexAdmit]] under a PER-BATCH
+    * journaled admit id, `"<admitIdPrefix>-b<batchId>"`. This is the
+    * admit journal's natural habitat: the stats fold is ADDITIVE, so a
+    * micro-batch re-delivered after a kill/restart would double-count
+    * (N, sum_dl) — corrupting every future BM25 score — unless the
+    * replayed batch carries the SAME id as the crashed attempt. Spark's
+    * checkpoint makes `batchId` exactly that: stable across restarts
+    * for re-delivered data, fresh for new data. `admitIdPrefix` must
+    * therefore be checkpoint-stable too (a logical stream name — NOT a
+    * run id or a timestamp), and per the journal's recovery protocol a
+    * crashed stream should be restarted before other writers mutate
+    * the index tables.
+    *
+    * Per-batch cost: the batch's own tokenize + two touched-bucket
+    * merges + the 1-row stats fold + the NEW-ids guard's column-pruned
+    * doclens check — nothing scales with the accumulated index (the
+    * store-slope artifact measures the admit leg flat each round). The
+    * NEW-ids contract is the stream's contract as well: route only
+    * first-seen document ids here (compose behind [[exactDedupStream]]
+    * or the q64 admission screen); a batch carrying an already-indexed
+    * id fails the micro-batch loudly rather than corrupting the stats
+    * row.
+    */
+  def searchIndexAdmitStream(spark: SparkSession, sourceDir: String,
+                             schema: StructType, sink: UpsertSink,
+                             checkpoint: String, admitIdPrefix: String,
+                             idCol: String = "doc_id",
+                             textCol: String = "text",
+                             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.SearchOps.invertedIndexAdmit(batch, idCol, textCol,
+            sink, admitId = Some(s"$admitIdPrefix-b$batchId"))
+      }
+      .start()
 }
