@@ -12,14 +12,25 @@ object BenchBands {
 
   val ResourcePath = "/graft/bench_bands.properties"
 
+  /** Rolling per-query ISOLATED floor (seconds) — the best clean
+    * minimum each query has demonstrated, consumed by [[Bench]]'s
+    * end-of-suite floor adjudication (round-15). Same format, same
+    * loud-failure parsing, same CatalogSpec sync guard as the bands.
+    */
+  val FloorsResourcePath = "/graft/bench_floors.properties"
+
+  def loadFloors(): Map[String, Double] = loadFrom(FloorsResourcePath)
+
   /** name -> seconds; empty map when the resource is missing. Lines
     * are `query_name=seconds`; blank lines and `#` comments skipped; a
     * malformed line fails LOUDLY (a silently dropped entry would opt
     * that query out of degraded-JVM detection — the exact hole the
     * band-sync spec exists to close).
     */
-  def load(): Map[String, Double] = {
-    val in = Option(getClass.getResourceAsStream(ResourcePath))
+  def load(): Map[String, Double] = loadFrom(ResourcePath)
+
+  private def loadFrom(path: String): Map[String, Double] = {
+    val in = Option(getClass.getResourceAsStream(path))
     in.map { s =>
       try scala.io.Source.fromInputStream(s, "UTF-8").getLines()
         .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
@@ -30,10 +41,10 @@ object BenchBands {
               catch {
                 case _: NumberFormatException =>
                   throw new IllegalArgumentException(
-                    s"$ResourcePath: malformed band value in line '$l'")
+                    s"$path: malformed value in line '$l'")
               }
             case _ => throw new IllegalArgumentException(
-              s"$ResourcePath: malformed line '$l' (want name=seconds)")
+              s"$path: malformed line '$l' (want name=seconds)")
           }
         }.toMap
       finally s.close()

@@ -60,6 +60,24 @@ class CatalogSpec extends SparkSpec {
         "add a max(3 x best-known min, 2.0) entry to bench_bands.properties")
     assert((bands -- queries).isEmpty,
       s"stale band entries: ${(bands -- queries).toSeq.sorted.mkString(", ")}")
+    // same guard for the rolling isolated floors (round-15): a query
+    // without a floor silently opts out of the end-of-suite redraw
+    // adjudication, and a stale floor is a dead record
+    val floors = BenchBands.loadFloors()
+    assert(floors.nonEmpty, "bench_floors.properties missing or empty")
+    assert((queries -- floors.keySet).isEmpty,
+      s"queries without an isolated floor: ${(queries -- floors.keySet).toSeq.sorted.mkString(", ")} — " +
+        "add an isolated min-of-3 entry to bench_floors.properties")
+    assert((floors.keySet -- queries).isEmpty,
+      s"stale floor entries: ${(floors.keySet -- queries).toSeq.sorted.mkString(", ")}")
+    // a floor above its band would make the redraw threshold
+    // unreachable — the two records must stay ordered
+    val inverted = queries.filter(q =>
+      floors.get(q).zip(BenchBands.load().get(q)).exists {
+        case (f, b) => f > b
+      })
+    assert(inverted.isEmpty,
+      s"floor above band for: ${inverted.toSeq.sorted.mkString(", ")}")
   }
 
   test("q99 serves the SAME outputs the in-query trainers produce") {
