@@ -82,11 +82,13 @@ object EraseOps {
     * `removed` semantics, per member shape (r14 verdict #3 — the
     * receipt's one quantitative column must not overstate):
     *  - PK-delete members (posting/payload tables, ANN code lists):
-    *    rows ACTUALLY PRESENT pre-sweep and deleted — a column-pruned
-    *    semi-join of the derived keys against the member's pk columns
-    *    inside the writer lease, so a subject whose keys re-derive
-    *    against drifted shaping params (or was never admitted) cannot
-    *    inflate the figure;
+    *    rows ACTUALLY PRESENT pre-sweep and deleted — a semi-join of
+    *    the derived keys against the member's pk columns inside the
+    *    writer lease, opening only the keys' hash-routed buckets
+    *    ([[graft.sink.UpsertSink.readKeyBuckets]] — the delete's own
+    *    cost model), so a subject whose keys re-derive against
+    *    drifted shaping params (or was never admitted) cannot inflate
+    *    the figure;
     *  - count-decrement members (fingerprint/segment/policy
     *    inventories): the total count decremented as REQUESTED (the
     *    subjects' re-derived additive contribution; stored counts
@@ -295,11 +297,13 @@ object EraseOps {
         erases.foreach {
           case TableDelete(t, keys, pk) => removed(t) +=
             pend.get(t).map(_._2).getOrElse {
-              // matched rows, not presented keys: one column-pruned
-              // pass over the member's pk columns, derived keys on the
-              // build side
+              // matched rows, not presented keys — and only the keys'
+              // hash-routed buckets open (readKeyBuckets), so the
+              // count inherits the delete's own touched-bucket cost
+              // model instead of paying a store scan
               if (!sink.hasData(t)) 0L
-              else sink.read(t).select(pk.map(col): _*)
+              else sink.readKeyBuckets(t, keys, pk)
+                .select(pk.map(col): _*)
                 .join(keys.select(pk.map(col): _*), pk, "left_semi")
                 .count()
             }

@@ -202,9 +202,12 @@ object SearchOps {
     * themselves (harmless) but fold its (1, dl) into the stats row
     * AGAIN — silently corrupting (N, avgdl) for every future score, at
     * odds with the family's refuse-loudly posture. The guard checks
-    * the batch's ids against `bm25_doclens` inside the lease (one
-    * column-pruned scan of the id-count-sized length table, batch ids
-    * broadcast) and refuses on any overlap — erase first, then admit.
+    * the batch's ids against `bm25_doclens` inside the lease and
+    * refuses on any overlap — erase first, then admit. Cost rides the
+    * admit's own bucket discipline ([[graft.sink.UpsertSink
+    * .readKeyBuckets]]): only the length buckets the batch's ids hash
+    * into are opened, never the whole id inventory — the guard stays
+    * batch-sized at any archive size, like the merges it protects.
     *
     * Replay interplay — stats fold FIRST, journaled, then the
     * idempotent merges: a replayed admission (same `admitId`) whose
@@ -234,9 +237,14 @@ object SearchOps {
       // materialized it, and the guard would misread the replay's own
       // committed doclens merge as a duplicate admission
       if (!admitId.exists(id => sink.admitCommitted(Stats, id))) {
-        val already = sink.read(DocLens).select("doc_id")
-          .join(broadcast(batch.select(col(idCol).as("doc_id")).distinct()),
-            Seq("doc_id"), "left_semi").count()
+        // checkpointed once: the ids drive BOTH the bucket routing and
+        // the membership join — a nondeterministic upstream recomputed
+        // between the two could route to the wrong buckets
+        val ids = batch.select(col(idCol).as("doc_id")).distinct()
+          .localCheckpoint(true)
+        val already = sink.readKeyBuckets(DocLens, ids, Seq("doc_id"))
+          .select("doc_id")
+          .join(broadcast(ids), Seq("doc_id"), "left_semi").count()
         require(already == 0L,
           s"invertedIndexAdmit: $already of the batch's ids are already " +
             s"indexed under ${sink.rootPath} — admit is for NEW document " +

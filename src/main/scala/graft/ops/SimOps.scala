@@ -1576,9 +1576,10 @@ object SimOps {
     * ledger records ([[graft.ops.EraseOps]]): [[shardedIndexRemove]]'s
     * own return counts ids ROUTED per shard (presented keys), which
     * overstates when a subject was never indexed there. Same key set
-    * as the removal's return (routed ∩ built); one column-pruned
-    * semi-join of each touched shard's id column against the subject
-    * frame — only subject shards open, untouched shards stay closed.
+    * as the removal's return (routed ∩ built); within each touched
+    * shard only the subjects' hash-routed code buckets open
+    * ([[graft.sink.UpsertSink.readKeyBuckets]]) — untouched shards
+    * and untouched buckets stay closed, the removal's own locality.
     */
   private[graft] def shardedIndexMatchedCounts(
       ids: DataFrame, idCol: String,
@@ -1590,10 +1591,13 @@ object SimOps {
     val routed = ids.select(shardOf(idCol, shards).as("__s"))
       .distinct().collect().map(_.getLong(0).toInt).sorted
     val sinks = shardSinks(spark, sink, shards)
+    val keys = ids.select(col(idCol).as("id")).distinct()
+      .localCheckpoint(true) // one materialization drives every shard's
+                             // bucket routing AND membership join
     routed.iterator.filter(s => ivfPqIndexExists(sinks(s))).map { s =>
-      s -> sinks(s).read(IdxCodes).select("id")
-        .join(ids.select(col(idCol).as("id")).distinct(),
-          Seq("id"), "left_semi")
+      s -> sinks(s).readKeyBuckets(IdxCodes, keys, Seq("id"))
+        .select("id")
+        .join(keys, Seq("id"), "left_semi")
         .count()
     }.toMap
   }

@@ -749,6 +749,52 @@ final class UpsertSink(spark: SparkSession, root: String,
     if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
   }
 
+  /** Rows of `table` from ONLY the buckets `keys` hash into — the
+    * READ-side sibling of the merge/erase touched-bucket discipline,
+    * for guards and receipts that check a bounded key set against a
+    * large table without paying a full scan (the search admit's
+    * NEW-ids guard, the erasure ledger's matched-row counts): the
+    * key frame's hash routes name the only bucket dirs a matching row
+    * can live in, so untouched buckets are never opened. `pk` must be
+    * the table's merge key (the layout is the hash of it; key columns
+    * are cast to the STORED types first — the same contract the
+    * merge/erase paths enforce, since a type-skewed hash would prune
+    * the WRONG buckets and silently miss every match). Same cost
+    * model as an incremental merge: bounded by the keys' touched
+    * buckets, degrading to the plain read only when the keys span
+    * every bucket — and [[rebucket]] grows the modulus exactly so
+    * that they don't. Flat-layout and fileless tables fall back to
+    * the plain read (nothing to prune). Like [[read]], per-file
+    * consistent only — run under the writer lease (or a snapshot)
+    * when racing writers matter.
+    */
+  private[graft] def readKeyBuckets(table: String, keys: DataFrame,
+                                    pk: Seq[String]): DataFrame = {
+    require(pk.nonEmpty, s"readKeyBuckets on $table needs the merge key")
+    recover(table)
+    if (!exists(table) || !hasDataFiles(table) || !isBucketed(table))
+      return read(table)
+    val stored = read(table).schema
+    val typed = pk.map { c =>
+      val f = stored.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"readKeyBuckets $table: key column $c not in stored schema " +
+            s"[${stored.map(_.name).mkString(", ")}]"))
+      keys(c).cast(f.dataType).as(c)
+    }
+    val buckets = storedBuckets(table).getOrElse(numBuckets)
+    val dir = tableDir(table)
+    val touched = withBucket(keys.select(typed: _*).distinct(), pk, buckets)
+      .select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by numBuckets
+      .filter(b => Files.exists(dir.resolve(s"$BucketCol=$b")))
+    if (touched.isEmpty) read(table).limit(0)
+    else spark.read.option("basePath", dir.toString)
+      .parquet(touched.map(b =>
+        dir.resolve(s"$BucketCol=$b").toString).toIndexedSeq: _*)
+      .drop(BucketCol)
+  }
+
   private def withBucket(df: DataFrame, pk: Seq[String],
                          buckets: Int): DataFrame =
     df.withColumn(BucketCol, pmod(hash(pk.map(col): _*), lit(buckets)))
