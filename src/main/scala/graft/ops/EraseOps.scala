@@ -294,26 +294,32 @@ object EraseOps {
             TableCountRetract(t, dec.localCheckpoint(true), pk, cntCols,
               drop)
         }
-        erases.foreach {
-          case TableDelete(t, keys, pk) => removed(t) +=
-            pend.get(t).map(_._2).getOrElse {
-              // matched rows, not presented keys — and only the keys'
-              // hash-routed buckets open (readKeyBuckets), so the
-              // count inherits the delete's own touched-bucket cost
-              // model instead of paying a store scan
-              if (!sink.hasData(t)) 0L
-              else sink.readKeyBuckets(t, keys, pk)
+        // every receipt figure in ONE action: the per-member bounded
+        // aggregates union into a single (member, count) frame, so a
+        // six-member sweep pays one collect's scheduling overhead
+        // instead of six serialized driver round-trips. Matched rows
+        // (not presented keys) for deletes — and only the keys'
+        // hash-routed buckets open (readKeyBuckets), so each leg
+        // inherits the retraction's own touched-bucket cost model
+        erases.filter(e => pend.contains(e.table))
+          .foreach(e => removed(e.table) += pend(e.table)._2)
+        val countFrames = erases.filterNot(e => pend.contains(e.table))
+          .flatMap {
+            case TableDelete(t, keys, pk) =>
+              if (!sink.hasData(t)) None
+              else Some(sink.readKeyBuckets(t, keys, pk)
                 .select(pk.map(col): _*)
                 .join(keys.select(pk.map(col): _*), pk, "left_semi")
-                .count()
-            }
-          case TableCountRetract(t, dec, pk, cntCols, _) => removed(t) +=
-            pend.get(t).map(_._2).getOrElse {
-              val s = dec.agg(cntCols.map(c => sum(col(c)))
-                .reduce(_ + _).as("__s")).collect()(0)
-              if (s.isNullAt(0)) 0L else s.getLong(0)
-            }
-        }
+                .agg(count(lit(1)).cast("long").as("__c"))
+                .select(lit(t).as("__t"), col("__c")))
+            case TableCountRetract(t, dec, _, cntCols, _) =>
+              Some(dec.agg(coalesce(cntCols.map(c => sum(col(c)))
+                  .reduce(_ + _), lit(0)).cast("long").as("__c"))
+                .select(lit(t).as("__t"), col("__c")))
+          }
+        if (countFrames.nonEmpty)
+          countFrames.reduce(_.unionByName(_)).collect() // ≤ one row per member
+            .foreach(r => removed(r.getString(0)) += r.getLong(1))
         ledgerTables.foreach(t => verBefore(t) =
           pend.get(t).map(_._3).getOrElse(sink.version(t)))
         if (annSharded) {

@@ -1594,12 +1594,18 @@ object SimOps {
     val keys = ids.select(col(idCol).as("id")).distinct()
       .localCheckpoint(true) // one materialization drives every shard's
                              // bucket routing AND membership join
-    routed.iterator.filter(s => ivfPqIndexExists(sinks(s))).map { s =>
-      s -> sinks(s).readKeyBuckets(IdxCodes, keys, Seq("id"))
+    val frames = routed.filter(s => ivfPqIndexExists(sinks(s))).map { s =>
+      sinks(s).readKeyBuckets(IdxCodes, keys, Seq("id"))
         .select("id")
         .join(keys, Seq("id"), "left_semi")
-        .count()
-    }.toMap
+        .agg(count(lit(1)).as("__c"))
+        .select(lit(s).as("__s"), col("__c"))
+    }
+    if (frames.isEmpty) Map.empty
+    // one action for every touched shard's count (≤ shards rows), not
+    // a serialized per-shard collect loop
+    else frames.reduce(_.unionByName(_)).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
   }
 
   /** Deterministic +/-1 hyperplane for (table, plane) — shared with the

@@ -1482,4 +1482,47 @@ class UpsertSinkSpec extends SparkSpec {
     assert(calls == 4)
     assert(e.getMessage == "fail4")
   }
+
+  test("readKeyBuckets: prunes to the keys' hash routes without losing a match") {
+    import org.apache.spark.sql.functions._
+    val sink = new UpsertSink(spark,
+      Files.createTempDirectory("graft_sink_rkb").toString, numBuckets = 4)
+    val rows = (1L to 40L).map(i => (i, s"v$i"))
+    sink.merge("t", rows.toDF("id", "v"), Seq("id"))
+    // SOUNDNESS first (the guard/receipt contract): for any key set,
+    // the semi-join over the pruned read equals the semi-join over the
+    // full read — a pruned-away matching row would silently corrupt
+    // every count built on this
+    for (keySet <- Seq(Seq(7L), Seq(1L, 2L, 3L), (1L to 40L).toSeq,
+        Seq(999L))) {
+      val keys = keySet.toDF("id")
+      val pruned = sink.readKeyBuckets("t", keys, Seq("id"))
+        .join(keys, Seq("id"), "left_semi").as[(Long, String)]
+        .collect().toSet
+      val full = sink.read("t")
+        .join(keys, Seq("id"), "left_semi").as[(Long, String)]
+        .collect().toSet
+      assert(pruned == full, s"keys $keySet: pruned semi-join diverged")
+    }
+    // PRUNING actually happens: one key opens one bucket's rows, a
+    // strict subset of the table (4 buckets, 40 rows spread)
+    val one = sink.readKeyBuckets("t", Seq(7L).toDF("id"), Seq("id")).count()
+    assert(one < 40L && one > 0L, s"single-key read returned $one rows")
+    // the TYPE contract: an int-typed key frame against the long-typed
+    // stored pk must hash to the SAME buckets (keys are cast to stored
+    // types before routing — a type-skewed hash would prune the wrong
+    // buckets and miss every match)
+    val intKeys = Seq(7, 8, 9).toDF("id") // int, stored pk is long
+    assert(sink.readKeyBuckets("t", intKeys, Seq("id"))
+      .filter($"id".isin(7L, 8L, 9L)).count() == 3L,
+      "int-typed keys missed their long-typed rows")
+    // fileless / missing key column fail the same way read paths do
+    intercept[IllegalArgumentException] {
+      sink.readKeyBuckets("t", Seq(1L).toDF("wrong"), Seq("wrong"))
+    }
+    // keys hashing only to empty dirs return an empty, SCHEMA-CORRECT
+    // frame (never a path error)
+    val none = sink.readKeyBuckets("t", Seq.empty[Long].toDF("id"), Seq("id"))
+    assert(none.columns.toSeq == Seq("id", "v") && none.count() == 0L)
+  }
 }
