@@ -714,4 +714,110 @@ class StoreRetractSpec extends SparkSpec {
     assert(led("fingerprint_store") == 3L,
       s"fingerprint removed=${led("fingerprint_store")}, want 3 requested")
   }
+
+  test("a PARTIAL pending set (crash mid-pending-write) still yields the exact receipt") {
+    // the protocol's invariant: pending rows write BEFORE the data
+    // commit, so a partial pending set can only mean nothing was
+    // erased yet — the replay recovers the present members from their
+    // pending rows and computes the missing ones fresh against the
+    // still-intact store, landing the same receipt an uncrashed sweep
+    // writes
+    val uncrashed = freshSink("partpend_ref")
+    val crashed = freshSink("partpend")
+    val archive = (1L to 12L).map(i => (i, segText(i))).toDF("doc_id", "text")
+    for (s <- Seq(uncrashed, crashed)) {
+      TextOps.fingerprintStoreBuild(archive, "doc_id", "text", s)
+      TextOps.segmentStoreBuild(archive, "doc_id", "text", s, segWords = 4)
+    }
+    val subjects = archive.filter($"doc_id" <= 3L)
+    EraseOps.eraseSubjects(subjects, "doc_id", "text", uncrashed,
+      sweepId = "pp-1", segWords = 4)
+    val want = rows(uncrashed, EraseOps.LedgerTable)
+    // the crash: exactly ONE member's pending row landed, nothing
+    // erased — constructed from the uncrashed sink's own pending form
+    // so the fixture can never drift from the production row shape
+    val partial = uncrashed.read(EraseOps.LedgerTable)
+      .filter($"member_table" === "fingerprint_store")
+      .withColumn("action", lit(EraseOps.LedgerPending))
+      .withColumn("ver_before",
+        lit(crashed.version("fingerprint_store"))) // THIS sink's version
+      .withColumn("ver_after", lit(0L))
+      .localCheckpoint(true)
+    crashed.merge(EraseOps.LedgerTable, partial,
+      Seq("sweep_id", "member_table"), pkUnique = true)
+    // the replay: fingerprint recovers from pending, the segment store
+    // computes fresh (its data is intact — the crash preceded the
+    // erase), and the sweep completes with the uncrashed receipt's
+    // removed/action figures
+    EraseOps.eraseSubjects(subjects, "doc_id", "text", crashed,
+      sweepId = "pp-1", segWords = 4)
+    def figures(s: UpsertSink): Set[(String, String, Long, Long)] =
+      s.read(EraseOps.LedgerTable).collect().map(r =>
+        (r.getAs[String]("member_table"), r.getAs[String]("action"),
+          r.getAs[Long]("subjects"), r.getAs[Long]("removed"))).toSet
+    assert(figures(crashed) == figures(uncrashed),
+      s"partial-pending replay receipt diverged: ${figures(crashed)}")
+    crashed.read(EraseOps.LedgerTable).collect().foreach { r =>
+      assert(r.getAs[Long]("ver_before") != r.getAs[Long]("ver_after"),
+        s"${r.getAs[String]("member_table")}: lost the version bracket")
+    }
+    assert(want.nonEmpty)
+    // and the data itself converged to the uncrashed stores
+    for (t <- Seq("fingerprint_store", "segdedup_segs"))
+      assert(rows(crashed, t) == rows(uncrashed, t),
+        s"$t diverged after the partial-pending replay")
+  }
+
+  test("serving layers restore bit-exactly on re-admit after a sweep (the q131 round trip)") {
+    // the q131 amortization's correctness claim: sweep -> re-admit
+    // returns every serving table to its pre-sweep CONTENT (versions
+    // move — bytes rewrote — but the rows are the rows), because the
+    // re-encoded codes are deterministic under the unchanged
+    // quantizers and the stats fold adds back exactly what the sweep
+    // subtracted
+    val sink = freshSink("roundtrip")
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(16)(i =>
+        ((((seed * 31L + i) * 2654435761L) % 1000L) / 1000.0f) - 0.5f)
+    val docs = (1L to 20L).map(i => (i, segText(i))).toDF("doc_id", "text")
+    val vecs = (1 to 20).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink)
+    SimOps.buildShardedIvfPqIndex(vecs, "vec_id", "embedding", sink,
+      shards = 2, nlist = 2, m = 4, ksub = 4, coarseIters = 1,
+      storeSq8 = true)
+    val serving = Seq("bm25_postings", "bm25_doclens", "bm25_stats")
+    def shardRows(): Map[Int, Long] =
+      SimOps.shardedIndexVersions(spark, sink).keys.map(s =>
+        s -> 0L).toMap // presence only; content checked via the probe
+    val before = serving.map(t => t -> rows(sink, t)).toMap
+    val subjects = docs.filter($"doc_id" % 5 === 0)
+    val subjectVecs = vecs.filter($"vec_id" % 5 === 0)
+    EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
+      sweepId = "rt-1", vecIds = Some(subjectVecs.select("vec_id")))
+    assert(rows(sink, "bm25_doclens") != before("bm25_doclens"),
+      "sweep fixture inert")
+    SearchOps.invertedIndexAdmit(subjects, "doc_id", "text", sink,
+      admitId = Some("rt-1-readmit"))
+    SimOps.shardedIndexAdd(subjectVecs, "vec_id", "embedding", sink)
+    for (t <- serving)
+      assert(rows(sink, t) == before(t),
+        s"$t did not restore bit-exactly after the round trip")
+    // the restored ANN index serves the same neighbors as a reference
+    // index built fresh over the same vectors with the same params
+    val ref = freshSink("roundtrip_ref")
+    SimOps.buildShardedIvfPqIndex(vecs, "vec_id", "embedding", ref,
+      shards = 2, nlist = 2, m = 4, ksub = 4, coarseIters = 1,
+      storeSq8 = true)
+    val q = vecs.filter($"vec_id" <= 2L)
+    def served(s: UpsertSink): Set[(Long, Long, Int)] =
+      SimOps.shardedProbeIndex(q, vecs, "vec_id", "embedding", s, 3,
+          refineFromSq8 = true)
+        .select($"query_id".cast("long"), $"neighbor_id".cast("long"),
+          $"rank")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(served(sink) == served(ref),
+      "restored sharded index served different neighbors than a fresh build")
+    assert(shardRows().nonEmpty)
+  }
 }
