@@ -242,9 +242,17 @@ object SearchOps {
         // between the two could route to the wrong buckets
         val ids = batch.select(col(idCol).as("doc_id")).distinct()
           .localCheckpoint(true)
-        val already = sink.readKeyBuckets(DocLens, ids, Seq("doc_id"))
-          .select("doc_id")
-          .join(broadcast(ids), Seq("doc_id"), "left_semi").count()
+        // a FILELESS doclens table is the erase-everything end state
+        // (the stats row survives structurally at zero): no id can be
+        // indexed, so the guard is vacuously clean — and readKeyBuckets'
+        // fileless fallback is a plain read, whose own contract says it
+        // fails on a dir with no data files (the EraseOps countFrames
+        // discipline, applied to this caller)
+        val already =
+          if (!sink.hasData(DocLens)) 0L
+          else sink.readKeyBuckets(DocLens, ids, Seq("doc_id"))
+            .select("doc_id")
+            .join(broadcast(ids), Seq("doc_id"), "left_semi").count()
         require(already == 0L,
           s"invertedIndexAdmit: $already of the batch's ids are already " +
             s"indexed under ${sink.rootPath} — admit is for NEW document " +

@@ -130,6 +130,31 @@ class SearchOpsSpec extends SparkSpec {
       s"wrong empty-index error: ${empty.getMessage}")
   }
 
+  test("admit into a fully-erased index re-populates it (fileless NEW-ids guard)") {
+    val docs = Tables.load(spark, sf, "documents").limit(40).localCheckpoint()
+    val sink = freshSink("revive")
+    SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink)
+    SearchOps.invertedIndexRetract(docs, "doc_id", "text", sink)
+    assert(!sink.hasData(SearchOps.Postings) &&
+      !sink.hasData(SearchOps.DocLens), "full retract left data files")
+    // the NEW-ids guard must read the FILELESS doclens table as
+    // "nothing indexed" (vacuously clean) — not fall through to a plain
+    // read that dies on schema inference (r15 advice): the erase-
+    // everything end state is a legitimate store to admit back into
+    val batch = docs.filter($"doc_id" % 2 === 0)
+    SearchOps.invertedIndexAdmit(batch, "doc_id", "text", sink,
+      admitId = Some("rv-1"))
+    val expected = freshSink("revive_expect")
+    SearchOps.invertedIndexBuild(batch, "doc_id", "text", expected)
+    for (t <- Seq(SearchOps.Postings, SearchOps.DocLens, SearchOps.Stats))
+      assert(rows(sink, t) == rows(expected, t),
+        s"$t after admit-into-erased != fresh build on the batch")
+    // and the revived index serves
+    assert(scores(SearchOps.invertedIndexSearch(Terms, sink)) ==
+      scores(TextOps.bm25Scores(batch, "doc_id", "text", Terms)),
+      "revived index served wrong scores")
+  }
+
   test("admit refuses already-indexed ids; journaled replay still converges") {
     val docs = Tables.load(spark, sf, "documents").limit(60).localCheckpoint()
     val sink = freshSink("readmit")

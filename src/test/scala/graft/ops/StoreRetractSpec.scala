@@ -820,4 +820,61 @@ class StoreRetractSpec extends SparkSpec {
       "restored sharded index served different neighbors than a fresh build")
     assert(shardRows().nonEmpty)
   }
+
+  test("pendingRemovedOverlay applies once per table, even for multi-payload plans") {
+    // r15 verdict #2 (What's wrong): the replay path's recovered
+    // `removed` silently assumed one TableErase per member table — a
+    // future plan emitting TWO payloads for one table would have
+    // doubled the recovered figure on exactly the path the pending
+    // protocol makes trustworthy. The overlay keys by DISTINCT table
+    val pend = Map("t" -> ((3L, 42L, 7L)), "u" -> ((3L, 5L, 8L)))
+    // the synthetic two-payloads-one-table plan shape
+    assert(EraseOps.pendingRemovedOverlay(Seq("t", "t", "v"), pend)
+      == Map("t" -> 42L),
+      "two erase payloads for one table must recover its pending figure ONCE")
+    assert(EraseOps.pendingRemovedOverlay(Seq("t", "u"), pend)
+      == Map("t" -> 42L, "u" -> 5L))
+    assert(EraseOps.pendingRemovedOverlay(Seq("v"), pend).isEmpty)
+  }
+
+  test("pendingSweeps surfaces stuck sweeps; finalized and replayed sweeps vanish") {
+    val sink = freshSink("pendaudit")
+    // missing ledger = no stuck sweeps, schema-stable empty frame
+    // (auditors union across sinks)
+    assert(EraseOps.pendingSweeps(sink).columns.toSeq ==
+      Seq("sweep_id", "member_table", "subjects", "removed", "ver_before"))
+    assert(EraseOps.pendingSweeps(sink).count() == 0)
+    val archive = (1L to 12L).map(i => (i, segText(i))).toDF("doc_id", "text")
+    TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink)
+    TextOps.segmentStoreBuild(archive, "doc_id", "text", sink, segWords = 4)
+    val subjects = archive.filter($"doc_id" <= 3L)
+    EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
+      sweepId = "pa-1", segWords = 4)
+    // a FINALIZED sweep is not stuck
+    assert(EraseOps.pendingSweeps(sink).count() == 0,
+      "a completed sweep's receipt read as stuck")
+    // reconstruct the crash state on disk (the crash-window test's
+    // convention): finals rolled back to their pending form = a sweep
+    // that declared intent and died before its final receipt merge
+    val pending = sink.read(EraseOps.LedgerTable)
+      .filter($"sweep_id" === "pa-1")
+      .withColumn("action", lit(EraseOps.LedgerPending))
+      .withColumn("ver_after", lit(0L))
+      .localCheckpoint(true)
+    sink.merge(EraseOps.LedgerTable, pending,
+      Seq("sweep_id", "member_table"), pkUnique = true)
+    val stuck = EraseOps.pendingSweeps(sink)
+      .select($"sweep_id", $"member_table", $"removed")
+      .as[(String, String, Long)].collect().toSet
+    assert(stuck.map(_._1) == Set("pa-1"), s"wrong stuck sweeps: $stuck")
+    assert(stuck.map(_._2) == Set("fingerprint_store", "segdedup_segs"),
+      s"stuck members wrong: $stuck")
+    // the pending rows carry the pre-counted evidence, not zeros
+    assert(stuck.forall(_._3 > 0L), s"stuck rows lost their figures: $stuck")
+    // the documented remedy — replay under the same sweep id — clears it
+    EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
+      sweepId = "pa-1", segWords = 4)
+    assert(EraseOps.pendingSweeps(sink).count() == 0,
+      "replayed sweep still reads as stuck")
+  }
 }
