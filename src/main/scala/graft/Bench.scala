@@ -74,6 +74,31 @@ object Bench {
     def force(name: String, dir: String = sfDir): Unit =
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
+    // ---- calibration probe (round-16, r15 verdict "What's wrong #1"):
+    // a FIXED deterministic CPU+shuffle microbench, catalog-external,
+    // timed at suite start, at suite end, and alongside every floor
+    // redraw — so an above-threshold redraw can be adjudicated FROM THE
+    // ARTIFACT (redraw slow + calibration slow = the box, not the
+    // plan; redraw slow + calibration at its start-of-suite reading =
+    // regression suspected). 24M xxhash64 rows through one 512-way
+    // hash aggregate: big enough to exercise codegen, shuffle write/
+    // read, and all 32 slots (~1 s clean); no data dependence, no
+    // caching effects (nothing to cache), bit-identical work each call.
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0L, 24000000L, 1L, 32)
+        .select(pmod(xxhash64(col("id")), lit(512L)).as("k"),
+          // modular before summing: an ANSI sum of 24M raw 64-bit
+          // hashes overflows Long
+          pmod(xxhash64(col("id") + lit(1L)), lit(1000000007L)).as("h"))
+        .groupBy("k").agg(sum(col("h")).as("s"), count(lit(1)).as("c"))
+        .agg(sum(col("s")), sum(col("c")))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // untimed: codegen + first-shuffle setup
+    val calStart = math.min(calibrate(), calibrate())
     // SPARK_GRAFT_BENCH_ONLY=q64_stream_admit,q65_salted_skew_join
     // restricts the run for iterating on one query's cost — the official
     // artifact never sets it. Names must match EXACTLY (a prefix like
@@ -203,36 +228,50 @@ object Bench {
     val floors: Map[String, Double] = BenchBands.loadFloors()
     def floorThreshold(f: Double): Double = math.max(1.5 * f, f + 0.5)
     case class RedrawRec(floor: Double, firstMin: Double,
-                         redraw: Option[Double])
+                         redraw: Option[Double], cal: Double)
     val floorRedraws =
       scala.collection.mutable.LinkedHashMap.empty[String, RedrawRec]
     val adjudicated = results.map { r =>
-      floors.get(r.name).filter(f => r.min > floorThreshold(f)) match {
-        case Some(f) =>
-          val t0 = System.nanoTime()
-          val ok = try { force(r.name); true }
-            catch { case _: Throwable => false }
-          val t = (System.nanoTime() - t0) / 1e9
-          if (!ok) {
-            // a redraw failure must not convert a measured query into
-            // an error — the nominal passes stand, the hole is visible
-            // in the artifact (redraw: null)
-            floorRedraws(r.name) = RedrawRec(f, r.min, None)
-            r
-          } else {
-            floorRedraws(r.name) = RedrawRec(f, r.min, Some(t))
-            val newMin = r.min.min(t)
-            if (t > floorThreshold(f))
-              System.err.println(
-                f"bench: WARN ${r.name} end-of-suite re-draw $t%.2fs still " +
-                  f"exceeds 1.5x its isolated floor $f%.2fs (first draw " +
-                  f"${r.min}%.2fs) — regression suspected, not contention")
-            r.copy(min = newMin, times = r.times :+ t,
-              bandExceeded = bands.get(r.name).filter(newMin > _))
-          }
-        case None => r
+      // the redraw triggers on EITHER record (round-16, r15 advice):
+      // the floor threshold, or the band — an override band can sit
+      // BELOW the floor threshold (q89: band 17.0, threshold 20.98),
+      // and an in-band-but-flagged min deserves the same end-of-suite
+      // adjudication the floor regime promises
+      val f = floors.getOrElse(r.name, Double.MaxValue)
+      val flagged = (floors.contains(r.name) && r.min > floorThreshold(f)) ||
+        r.bandExceeded.isDefined
+      if (!flagged) r
+      else {
+        // the calibration reading RIDES the redraw record: a consumer
+        // can normalize this exact moment's box state (cal >> calStart
+        // = contention; cal ~ calStart = the redraw is trustworthy)
+        val cal = calibrate()
+        val t0 = System.nanoTime()
+        val ok = try { force(r.name); true }
+          catch { case _: Throwable => false }
+        val t = (System.nanoTime() - t0) / 1e9
+        if (!ok) {
+          // a redraw failure must not convert a measured query into
+          // an error — the nominal passes stand, the hole is visible
+          // in the artifact (redraw: null)
+          floorRedraws(r.name) = RedrawRec(f, r.min, None, cal)
+          r
+        } else {
+          floorRedraws(r.name) = RedrawRec(f, r.min, Some(t), cal)
+          val newMin = r.min.min(t)
+          if (floors.contains(r.name) && t > floorThreshold(f))
+            System.err.println(
+              f"bench: WARN ${r.name} end-of-suite re-draw $t%.2fs still " +
+                f"exceeds 1.5x its isolated floor $f%.2fs (first draw " +
+                f"${r.min}%.2fs, calibration $cal%.2fs vs $calStart%.2fs " +
+                "at suite start) — regression suspected if the " +
+                "calibration held steady")
+          r.copy(min = newMin, times = r.times :+ t,
+            bandExceeded = bands.get(r.name).filter(newMin > _))
+        }
       }
     }
+    val calEnd = calibrate()
 
     // ---- scale-slope audit (round-10 verdict #1): re-time the TopN
     // most expensive queries at the two smaller sibling SFs (10x data
@@ -370,8 +409,12 @@ object Bench {
     // headline min is min(all draws)
     val floorRedrawJson = floorRedraws.map { case (n, rr) =>
       val rd = rr.redraw.map(t => f"$t%.3f").getOrElse("null")
-      "\"" + n + f"""\":{"floor":${rr.floor}%.3f,"first_min":${rr.firstMin}%.3f,"redraw":$rd}"""
+      "\"" + n + f"""\":{"floor":${rr.floor}%.3f,"first_min":${rr.firstMin}%.3f,"redraw":$rd,"cal":${rr.cal}%.3f}"""
     }.mkString("{", ",", "}")
+    // the calibration record: suite-start (min-of-2, post-warmup),
+    // suite-end, and the per-redraw readings above — the box-state
+    // evidence that lets a consumer adjudicate drift FROM the artifact
+    val calJson = f"""{"start":$calStart%.3f,"end":$calEnd%.3f}"""
     // stdout-line error map: short keys, 40-char messages — a failing
     // build must not push the line back over the capture window
     val errsShort = errors.map { case (k, v) =>
@@ -416,8 +459,8 @@ object Bench {
     // rides the line as a single integer: a nonzero value says "this
     // run's environment degraded N queries past their known-good bands —
     // read the file artifact before trusting the total".
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errsShort,"band_warn":$nBand,"floor_redraw":${floorRedraws.size},"slope_warn":${slopeWarnNames.size},"store_warn":$storeWarn,"passes":$passes,"n_queries":${adjudicated.size},"sf":"$sfDir","artifact":${jstr(outPath)}}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"times":$allTimes,"gc_ms":$gcs,"jit_ms":$jits,"code_cache_mb":$ccs,"code_cache_max_mb":$codeCacheMaxMb,"band_exceeded":$bandsExceeded,"band_retry_passes":$extras,"spread_retry_passes":$spreads,"floor_redraw":$floorRedrawJson,"errors":$errs,"scale":$scaleJson,"slope_warn":${slopeWarnNames.size},"slope_warn_queries":$slopeWarnJson,"slope_exempt":$exemptJson,"store_slope":$storeSlopeJson,"store_warn":$storeWarn,"passes":$passes,"n_queries":${adjudicated.size},"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errsShort,"band_warn":$nBand,"floor_redraw":${floorRedraws.size},"cal":[$calStart%.2f,$calEnd%.2f],"slope_warn":${slopeWarnNames.size},"store_warn":$storeWarn,"passes":$passes,"n_queries":${adjudicated.size},"sf":"$sfDir","artifact":${jstr(outPath)}}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"times":$allTimes,"gc_ms":$gcs,"jit_ms":$jits,"code_cache_mb":$ccs,"code_cache_max_mb":$codeCacheMaxMb,"band_exceeded":$bandsExceeded,"band_retry_passes":$extras,"spread_retry_passes":$spreads,"floor_redraw":$floorRedrawJson,"calibration":$calJson,"errors":$errs,"scale":$scaleJson,"slope_warn":${slopeWarnNames.size},"slope_warn_queries":$slopeWarnJson,"slope_exempt":$exemptJson,"store_slope":$storeSlopeJson,"store_warn":$storeWarn,"passes":$passes,"n_queries":${adjudicated.size},"sf":"$sfDir"}"""
     // stdout FIRST: a failed file write (read-only target dir) must not
     // destroy both artifacts after a multi-minute run
     println(line)

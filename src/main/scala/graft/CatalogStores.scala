@@ -1669,12 +1669,25 @@ private[graft] trait CatalogStores extends CatalogShared {
         // unchanged quantizers and the stats fold adds back exactly
         // the (count, token-sum) the sweep subtracted
         val sink = tempStore.sink(s, "annhybrid", dir)
-        if (!SearchOps.invertedIndexExists(sink))
+        // DEFENSIVE restore detection (r15 advice): the process-wide
+        // sink relies on every pass completing its sweep -> serve ->
+        // re-admit round trip — a pass killed inside it leaves both
+        // layers short one cohort, and the NEXT pass's sweep would
+        // decrement already-retracted mass out of (N, avgdl) forever
+        // (clamping only applies at zero). An on-disk marker brackets
+        // the mutation window: present at pass start = a prior pass
+        // died inside its round trip -> rebuild both layers (atomic
+        // overwrites) before sweeping. O(1) file probes, no Spark jobs
+        val openMarker = java.nio.file.Paths.get(sink.rootPath)
+          .resolve("_graft_roundtrip_open")
+        val crashed = java.nio.file.Files.exists(openMarker)
+        if (crashed || !SearchOps.invertedIndexExists(sink))
           SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink)
-        if (!SimOps.shardedIndexExists(s, sink))
+        if (crashed || !SimOps.shardedIndexExists(s, sink))
           SimOps.buildShardedIvfPqIndex(e, "vec_id", "embedding", sink,
             shards = 2, nlist = 16, m = 8, ksub = 16, coarseIters = 1,
             storeSq8 = true)
+        java.nio.file.Files.write(openMarker, Array.emptyByteArray)
         val pass = java.util.UUID.randomUUID().toString.take(8)
         val subjects = docs.filter(col("doc_id") % 5 === 0)
         val subjectVecs = e.filter(col("vec_id") % 5 === 0)
@@ -1700,6 +1713,10 @@ private[graft] trait CatalogStores extends CatalogShared {
         SearchOps.invertedIndexAdmit(subjects, "doc_id", "text", sink,
           admitId = Some(s"q131_readmit_$pass"))
         SimOps.shardedIndexAdd(subjectVecs, "vec_id", "embedding", sink)
+        // round trip complete — the stores hold the full world again
+        // (the serving reads above are checkpointed, so everything
+        // after this line consumes materialized frames)
+        java.nio.file.Files.deleteIfExists(openMarker)
         // AUDIT ONLY: the exact surviving-world top-k (q130's dense
         // ranking) — the one brute pass, off the serving path
         val exact = SimOps.bruteForceTopK(q,
@@ -1773,6 +1790,236 @@ private[graft] trait CatalogStores extends CatalogShared {
             sink)
           .select(col("doc_id"), round(col("score"), 6).as("score"))
           .orderBy("doc_id")
+      }),
+
+    QueryDef("q133_ann_stream_admit",
+      "STREAMING admission into the sharded ANN serving layer, batch-" +
+        "replay form (the q132 convention — the catalog runs the EXACT " +
+        "foreachBatch core of DedupPipeline.annIndexAdmitStream, " +
+        "per-batch ids derived exactly as the stream derives them from " +
+        "its checkpoint-stable batchId), closing the two serving " +
+        "layers' lifecycle symmetry (r15 verdict #1). The sharded " +
+        "IVF-PQ index is built ONCE per process over the full corpus " +
+        "(the q131 amortization); each pass then runs the ingest round " +
+        "trip: shardedIndexRemove evicts two vector cohorts, two " +
+        "micro-batches stream them back under journaled ids " +
+        "<prefix>-b0/-b1 (touched-bucket code+SQ8 merges in each " +
+        "batch's home shards only), and batch 0 is RE-DELIVERED under " +
+        "its own id — the kill/restart recovery path. The audit " +
+        "columns make the replay's byte-freedom and the serving " +
+        "quality measurable per row: replay_moved = shards whose " +
+        "content-version pin moved on the re-delivery (must be 0 — " +
+        "the journal fences every bucket the first delivery swapped), " +
+        "recall_mil = the served top-k vs the exact full-world brute " +
+        "ranking (ANN inside -> rows-only; CatalogSpec pins both).",
+      None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val sink = tempStore.sink(s, "annstream", dir)
+        // amortized build + the q131 marker protocol: a pass killed
+        // inside its evict -> stream-back round trip leaves cohorts
+        // out of the index — the marker detects it at O(1) file-probe
+        // cost and the next pass rebuilds before serving short
+        val openMarker = java.nio.file.Paths.get(sink.rootPath)
+          .resolve("_graft_roundtrip_open")
+        if (java.nio.file.Files.exists(openMarker) ||
+            !SimOps.shardedIndexExists(s, sink))
+          SimOps.buildShardedIvfPqIndex(e, "vec_id", "embedding", sink,
+            shards = 2, nlist = 16, m = 8, ksub = 16, coarseIters = 1,
+            storeSq8 = true)
+        java.nio.file.Files.write(openMarker, Array.emptyByteArray)
+        val pass = java.util.UUID.randomUUID().toString.take(8)
+        val b0 = e.filter(col("vec_id") % 6 === 0)
+        val b1 = e.filter(col("vec_id") % 6 === 3)
+        // evict the two cohorts, then stream them back in
+        SimOps.shardedIndexRemove(
+          b0.unionByName(b1).select("vec_id"), "vec_id", sink,
+          opId = Some(s"q133rm_$pass"))
+        Seq(0 -> b0, 1 -> b1).foreach { case (b, batch) =>
+          SimOps.shardedIndexAdd(batch, "vec_id", "embedding", sink,
+            opId = Some(s"q133ai_$pass-b$b"))
+        }
+        // THE RE-DELIVERY (kill/restart): batch 0 under its own id —
+        // every bucket the first delivery swapped is fenced, so the
+        // replay is byte-free and no shard's version pin moves
+        val versBefore = SimOps.shardedIndexVersions(s, sink)
+        SimOps.shardedIndexAdd(b0, "vec_id", "embedding", sink,
+          opId = Some(s"q133ai_$pass-b0"))
+        val versAfter = SimOps.shardedIndexVersions(s, sink)
+        val moved = versBefore.count { case (sh, v) =>
+          versAfter.get(sh).forall(_ != v)
+        }
+        // ingest round trip complete: every cohort is back in its shard
+        java.nio.file.Files.deleteIfExists(openMarker)
+        // serve from the restored index; exact full-world ranking is
+        // the AUDIT ONLY (the q131 pattern — never on the serving path)
+        val q = e.filter(col("vec_id") === 1L)
+        val probed = SimOps.shardedProbeIndex(q, e, "vec_id", "embedding",
+          sink, k = 100, nprobe = 12, refineFromSq8 = true)
+        val exact = SimOps.bruteForceTopK(q, e, "vec_id", "embedding", 100)
+        val recall = SimOps.withRecallAudit(probed, exact, 100)
+          .agg(max(col("recall_mil")).as("recall_mil"))
+        probed
+          .select(col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+            col("rank"))
+          .withColumn("replay_moved", lit(moved))
+          .crossJoin(broadcast(recall))
+          .orderBy("rank", "neighbor_id")
+      }),
+
+    QueryDef("q134_ledger_audit",
+      "AUDIT surface over the erasure ledger (r15 verdict, Missing #2): " +
+        "EraseOps.pendingSweeps answers the compliance reader's first " +
+        "question — which sweeps are STUCK (pending receipt rows whose " +
+        "final receipt never landed, i.e. a sweep that durably declared " +
+        "intent and crashed before finalizing)? Fixture: the BM25 index " +
+        "+ the fingerprint store build over the corpus; one sweep " +
+        "COMPLETES (its finalized receipts must not surface); a second " +
+        "sweep runs and its receipts are rolled back to their pending " +
+        "form on disk — byte-for-byte the state a crash between the " +
+        "data commit and the final receipt merge leaves behind (the " +
+        "StoreRetractSpec crash-reconstruction convention), so the " +
+        "stuck rows carry REAL pre-counted receipt figures. Exact " +
+        "oracle: DuckDB re-derives every figure from the corpus — " +
+        "subjects (distinct stuck ids), matched doclens rows, matched " +
+        "(term, doc) posting keys, the stats (count + token-sum) " +
+        "decrement. Fixture corpus = the doc_id%3=0 slice: the claim " +
+        "under test is the AUDIT OP's semantics, not sweep cost (q123 " +
+        "prices sweeps) — the slice keeps the two fixture sweeps cheap.",
+      Some("""WITH corp AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+             |surv AS (SELECT * FROM corp WHERE doc_id % 5 <> 0),
+             |stuck AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z]+') AS toks
+             |  FROM surv WHERE doc_id % 7 = 1),
+             |lens AS (SELECT doc_id, len(toks) AS dl FROM stuck),
+             |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS w FROM stuck)
+             |SELECT * FROM (
+             |  SELECT 'q134_stuck' AS sweep_id,
+             |    'bm25_doclens' AS member_table,
+             |    (SELECT COUNT(*) FROM stuck) AS subjects,
+             |    (SELECT COUNT(*) FROM lens) AS removed
+             |  UNION ALL
+             |  SELECT 'q134_stuck', 'bm25_postings',
+             |    (SELECT COUNT(*) FROM stuck),
+             |    (SELECT COUNT(*) FROM tok)
+             |  UNION ALL
+             |  SELECT 'q134_stuck', 'bm25_stats',
+             |    (SELECT COUNT(*) FROM stuck),
+             |    (SELECT CAST(COUNT(*) + SUM(dl) AS BIGINT) FROM lens)
+             |) ORDER BY member_table""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+        val sink = tempStore.freshSink(s, "ledgeraudit", dir)
+        SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink)
+        // a COMPLETED sweep: finalized receipts must NOT surface
+        EraseOps.eraseSubjects(docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", sink, sweepId = "q134_done")
+        // THE CRASH STATE, reconstructed on disk: run the second sweep
+        // for real, then roll its final receipts back to their pending
+        // form — byte-for-byte the state a crash between the data
+        // commit and the final receipt merge leaves behind, with the
+        // REAL pre-counted figures intact
+        val stuck = docs.filter(col("doc_id") % 5 =!= 0 &&
+          col("doc_id") % 7 === 1)
+        EraseOps.eraseSubjects(stuck, "doc_id", "text", sink,
+          sweepId = "q134_stuck")
+        val pending = sink.read(EraseOps.LedgerTable)
+          .filter(col("sweep_id") === "q134_stuck")
+          .withColumn("action", lit(EraseOps.LedgerPending))
+          .withColumn("ver_after", lit(0L))
+          .localCheckpoint(true)
+        sink.merge(EraseOps.LedgerTable, pending,
+          Seq("sweep_id", "member_table"), pkUnique = true)
+        EraseOps.pendingSweeps(sink)
+          .select(col("sweep_id"), col("member_table"), col("subjects"),
+            col("removed"))
+          .orderBy("member_table")
+      }),
+
+    QueryDef("q135_ann_hybrid_batch",
+      "q131's index-only hybrid serving composition driven by a QUERY " +
+        "BATCH (r15 verdict #7): the 100x posture claim is PER-QUERY " +
+        "cost, so N query vectors ride ONE plan through the same " +
+        "serving path — the sharded ANN probe broadcasts the whole " +
+        "query batch into every shard's list-bounded ADC shortlist + " +
+        "SQ8 refine (broadcastQueries — per-shard work is one " +
+        "broadcast-hash-join pass regardless of N), the per-shard " +
+        "top-k unions re-rank per query_id through one bounded " +
+        "TopKAggregate, and each query's dense ranking RRF-fuses with " +
+        "the shared served-BM25 lexical ranking. Serves the FULL " +
+        "corpus (build amortized with q133's sink; no sweep — the " +
+        "erasure arc is q131's claim), so the per-pass cost IS the " +
+        "batch serving cost. ANN inside -> rows-only; recall_mil " +
+        "rides every row as the MINIMUM per-query recall vs the exact " +
+        "brute top-k of the same batch (one audit-only pass off the " +
+        "serving path); PlanShapeSpec pins the batch composition " +
+        "corpus-scan-free, exactly like q131's single-query pin.",
+      None,
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val sink = tempStore.sink(s, "annstream", dir)
+        // shares q133's sink and marker: a q133 pass killed mid-round-
+        // trip left cohorts out — rebuild to the full world and clear
+        // the marker (no mutation is in flight; the catalog is
+        // single-threaded). The BM25 layer here never mutates after
+        // its build, so existence is its whole consistency check
+        val openMarker = java.nio.file.Paths.get(sink.rootPath)
+          .resolve("_graft_roundtrip_open")
+        if (java.nio.file.Files.exists(openMarker) ||
+            !SimOps.shardedIndexExists(s, sink)) {
+          SimOps.buildShardedIvfPqIndex(e, "vec_id", "embedding", sink,
+            shards = 2, nlist = 16, m = 8, ksub = 16, coarseIters = 1,
+            storeSq8 = true)
+          java.nio.file.Files.deleteIfExists(openMarker)
+        }
+        if (!SearchOps.invertedIndexExists(sink))
+          SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink)
+        // the query BATCH: a deterministic cohort, broadcast once into
+        // every shard's probe
+        val qs = e.filter(col("vec_id") % 97 === 1)
+        val probed = SimOps.shardedProbeIndex(qs, e, "vec_id", "embedding",
+            sink, k = 50, nprobe = 12, refineFromSq8 = true)
+          .localCheckpoint(true)
+        // lexical side: ONE served-BM25 ranking shared by every query
+        // (terms are the request's; the dense side is what the batch
+        // varies) — the q131 scoring path, 6-dp rounded before ranking
+        val bm = SearchOps.invertedIndexSearch(
+            Seq("vector", "merge", "stream"), sink)
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
+          .localCheckpoint(true)
+        // AUDIT ONLY: exact brute top-k for the same batch; the audit
+        // column is the batch's WORST per-query recall
+        val exact = SimOps.bruteForceTopK(qs, e, "vec_id", "embedding", 50)
+        val recall = SimOps.withRecallAudit(probed, exact, 50)
+          .agg(min(col("recall_mil")).as("recall_mil"))
+        // per-query RRF, the rrfFuse convention applied per query_id:
+        // both window inputs are BOUNDED (the probe's k-per-query
+        // output; the lexical top-100), never the corpus
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))
+        val wl = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))
+        val dense = probed
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("cosine").as("score"))
+          .withColumn("rank_b", row_number().over(wq))
+          .select(col("query_id"), col("doc_id"), col("rank_b"))
+        val lex = bm.orderBy(col("score").desc, col("doc_id")).limit(100)
+          .withColumn("rank_a", row_number().over(wl))
+          .select(col("doc_id"), col("rank_a"))
+        // every query fuses against the ONE shared lexical ranking
+        val lexPerQ = dense.select("query_id").distinct()
+          .crossJoin(broadcast(lex))
+        dense.join(lexPerQ, Seq("query_id", "doc_id"), "full_outer")
+          .select(col("query_id"), col("doc_id"), col("rank_a"),
+            col("rank_b"),
+            round(coalesce(lit(1.0) / (lit(60) + col("rank_a")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("rank_b")), lit(0.0)),
+              6).as("rrf"))
+          .crossJoin(broadcast(recall))
+          .orderBy("query_id", "doc_id")
       })
   )
 }

@@ -169,7 +169,29 @@ object StoreSlope {
         Seq("vector", "merge", "stream"), k),
       Some((b, k) => SearchOps.invertedIndexAdmit(b, "doc_id", "text", k)),
       Some((subj, k) =>
-        SearchOps.invertedIndexRetract(subj, "doc_id", "text", k))))
+        SearchOps.invertedIndexRetract(subj, "doc_id", "text", k))),
+    // the dense SERVING layer (r15 brief #1): probe = the q131/q133
+    // batch-broadcast sharded ADC+SQ8 path (per-query serving cost vs
+    // the archive decade), admit = the streaming ingest leg
+    // (shardedIndexAdd — touched shards' touched buckets only), erase =
+    // shardedIndexRemove (the q128 arc). Catalog-parameter-exact
+    // (q131/q133: shards=2, nlist=16, m=8, ksub=16, SQ8 stored)
+    Modality("annshard",
+      (s, d, k) => SimOps.buildShardedIvfPqIndex(
+        arch(emb(s, d), "vec_id"), "vec_id", "embedding", k,
+        shards = 2, nlist = 16, m = 8, ksub = 16, coarseIters = 1,
+        storeSq8 = true),
+      (s, d, k) => SimOps.shardedProbeIndex(
+        bat(emb(s, d), "vec_id"), emb(s, d), "vec_id", "embedding", k,
+        10, nprobe = 12, refineFromSq8 = true),
+      Some((b, k) => {
+        SimOps.shardedIndexAdd(b, "vec_id", "embedding", k)
+        ()
+      }),
+      Some((subj, k) => {
+        SimOps.shardedIndexRemove(subj.select(col("vec_id")), "vec_id", k)
+        ()
+      })))
 
   /** The batch frame an [[Modality.admit]] folds: half the batch slice
     * (`id % 2 = h`), so one built store affords TWO disjoint timed
@@ -177,10 +199,16 @@ object StoreSlope {
     * second admit's store is bigger by half a batch, a negligible
     * skew vs the 10x archive decade under audit).
     */
+  /** The embedding-keyed modalities (their batch/subject frames come
+    * from the embeddings table, keyed vec_id).
+    */
+  private def vectorKeyed(m: Modality): Boolean =
+    m.name == "emblsh" || m.name == "annshard"
+
   def admitHalf(spark: SparkSession, m: Modality, batchDir: String,
                 h: Int): DataFrame = {
     val (df, idCol) =
-      if (m.name == "emblsh") (emb(spark, batchDir), "vec_id")
+      if (vectorKeyed(m)) (emb(spark, batchDir), "vec_id")
       else (docs(spark, batchDir), "doc_id")
     bat(df, idCol).filter(col(idCol) % 2 === h)
   }
@@ -197,7 +225,7 @@ object StoreSlope {
   def eraseHalf(spark: SparkSession, m: Modality, smallDir: String,
                 h: Int): DataFrame = {
     val (df, idCol) =
-      if (m.name == "emblsh") (emb(spark, smallDir), "vec_id")
+      if (vectorKeyed(m)) (emb(spark, smallDir), "vec_id")
       else (docs(spark, smallDir), "doc_id")
     arch(df, idCol).filter(col(idCol) % 11 === (1 + h))
   }

@@ -937,8 +937,11 @@ object SimOps {
     throw new IllegalStateException("unreachable")
   }
 
-  private def readCentroids(sink: graft.sink.UpsertSink): Array[Array[Float]] = {
-    val rows = sink.read(IdxCentroids).collect()
+  private def readCentroids(sink: graft.sink.UpsertSink): Array[Array[Float]] =
+    decodeCentroids(sink.read(IdxCentroids))
+
+  private def decodeCentroids(df: DataFrame): Array[Array[Float]] = {
+    val rows = df.collect()
     require(rows.nonEmpty, s"$IdxCentroids is empty — build the index first")
     val nlist = rows.iterator.map(_.getInt(0)).max + 1
     val dim = rows.iterator.map(_.getInt(1)).max + 1
@@ -947,8 +950,11 @@ object SimOps {
     cents
   }
 
-  private def readCodebooks(sink: graft.sink.UpsertSink): Array[Array[Array[Float]]] = {
-    val rows = sink.read(IdxCodebooks).collect()
+  private def readCodebooks(sink: graft.sink.UpsertSink): Array[Array[Array[Float]]] =
+    decodeCodebooks(sink.read(IdxCodebooks))
+
+  private def decodeCodebooks(df: DataFrame): Array[Array[Array[Float]]] = {
+    val rows = df.collect()
     require(rows.nonEmpty, s"$IdxCodebooks is empty — build the index first")
     val m = rows.iterator.map(_.getInt(0)).max + 1
     val ksub = rows.iterator.map(_.getInt(1)).max + 1
@@ -1408,7 +1414,15 @@ object SimOps {
         refine, candidateFilter = candidateFilter,
         broadcastQueries = broadcastQueries, refineFromSq8 = refineFromSq8)
     }
-    val union = unionBalanced(perShard)
+    globalRerank(unionBalanced(perShard), k)
+  }
+
+  /** The distributed-top-k re-rank both sharded probe entry points
+    * share: per-shard local top-k unions -> ONE bounded TopKAggregate
+    * pass -> the exact global top-k per query (relative to the
+    * per-shard results).
+    */
+  private def globalRerank(union: DataFrame, k: Int): DataFrame =
     union
       .groupBy("query_id")
       .agg(graft.functions.TopKAggregate.top(
@@ -1419,6 +1433,66 @@ object SimOps {
         when(col("__e._2") === lit(Double.NegativeInfinity), lit(null))
           .otherwise(col("__e._2")).as("cosine"),
         (col("__i") + 1).cast("int").as("rank"))
+
+  /** [[shardedProbeIndex]] over ONE point-in-time capture of every
+    * built shard's index tables ([[graft.sink.UpsertSink
+    * .snapshotMany]] per shard) — the probe-side sibling of
+    * [[graft.ops.SearchOps.invertedIndexSearchSnapshot]] (r15 brief
+    * #6): the plain probe's per-shard reads are generation-coherent at
+    * PLAN time (readIndexMeta's group-id check), but its code/refine
+    * scans execute later, so a probe racing [[maintainShardedIndex]]'s
+    * one-shard rebuild could still score one generation's codes
+    * against another's quantizers — or die on a swapped-away file.
+    * Here every shard's centroids, codebooks, code lists (and SQ8
+    * refine codes, when probed) pin as hard-linked snapshots for the
+    * whole `use` window: a rebuild landing mid-probe is simply not
+    * visible. Requires `refineFromSq8` (a snapshot cannot pin the
+    * caller's corpus table; the exact-refine variant reads it) —
+    * which is also the self-contained q93/q131 serving shape. The
+    * snapshot's lifetime is the `use` body: materialize inside it.
+    */
+  def shardedProbeIndexSnapshot[T](queries: DataFrame, idCol: String,
+                                   vecCol: String,
+                                   sink: graft.sink.UpsertSink, k: Int,
+                                   nprobe: Int = 10, refine: Int = 8,
+                                   candidateFilter: Option[Column] = None,
+                                   broadcastQueries: Boolean = true)(
+      use: DataFrame => T): T = {
+    val spark = queries.sparkSession
+    VectorFunctions.register(spark)
+    PqFunctions.register(spark)
+    require(sink.exists(ShardMeta),
+      s"no sharded index under ${sink.rootPath} — run buildShardedIvfPqIndex")
+    val meta = sink.read(ShardMeta).collect()(0)
+    val shards = meta.getAs[Int]("shards")
+    val built = shardSinks(spark, sink, shards).filter(ivfPqIndexExists)
+    val expectedBuilt = metaBuiltCount(meta, built.size)
+    require(built.size == expectedBuilt,
+      s"sharded index under ${sink.rootPath} has ${built.size} built " +
+        s"shards but its meta commit recorded $expectedBuilt " +
+        "— torn or partially deleted index; rebuild it")
+    require(built.nonEmpty,
+      s"sharded index under ${sink.rootPath} has no built shards")
+    built.foreach(ss => require(ss.exists(IdxVecs8),
+      s"snapshot probe refines from SQ8: no $IdxVecs8 under " +
+        s"${ss.rootPath} — rebuild the sharded index with storeSq8 = true"))
+    val snaps = built.map(ss =>
+      ss.snapshotMany(Seq(IdxCentroids, IdxCodebooks, IdxCodes, IdxVecs8)))
+    try {
+      val perShard = snaps.map { sn =>
+        val cents = decodeCentroids(sn(0).df)
+        val books = decodeCodebooks(sn(1).df)
+        val lists0 = sn(2).df.withColumnRenamed("id", "neighbor_id")
+          .withColumnRenamed("list", "__list")
+          .withColumnRenamed("codes", "__codes")
+        val lists = candidateFilter.fold(lists0)(lists0.filter)
+        val v8 = sn(3).df
+          .select(col("id").as("neighbor_id"), col("q").as("__c8"))
+        ivfPqProbeWith(queries, lists, queries, idCol, vecCol, cents,
+          books, k, nprobe, refine, broadcastQueries, Some(v8))
+      }
+      use(globalRerank(unionBalanced(perShard), k))
+    } finally snaps.flatten.foreach(_.close())
   }
 
   /** Balanced-tree union: a left-fold `reduce(_.unionByName(_))` nests
@@ -1496,10 +1570,26 @@ object SimOps {
     * neighbor shard would break the deterministic route forever). The
     * documented answer is a rebuild, which establishes the shard.
     * Requires id-unique input ([[ivfPqIndexAdd]]'s pkUnique contract).
+    *
+    * `opId` rides each touched shard's ADMIT journal (per-shard
+    * sub-sinks journal independently, like their erasure journals in
+    * [[shardedIndexRemove]]). The code/refine merges converge by PK
+    * with or without it — re-encoding is deterministic under the
+    * unchanged quantizers — so unlike the BM25 admit there is no
+    * additive state a replay could corrupt; what the journal buys a
+    * crash-replayed or RE-DELIVERED batch is being byte-FREE: fenced
+    * buckets never rewrite, so no shard's content-version pin moves
+    * (the pin [[shardedIndexVersions]] audits and the maintenance
+    * lifecycle relies on). A crash BETWEEN shards replayed under the
+    * same id re-applies only the shards the crashed run never
+    * committed. The streaming ingest arc ([[graft.streaming
+    * .DedupPipeline.annIndexAdmitStream]]) derives the id from its
+    * checkpoint-stable batchId.
     */
   def shardedIndexAdd(vecs: DataFrame, idCol: String, vecCol: String,
                       sink: graft.sink.UpsertSink,
-                      attrCols: Seq[String] = Nil): Map[Int, Long] = {
+                      attrCols: Seq[String] = Nil,
+                      opId: Option[String] = None): Map[Int, Long] = {
     val spark = vecs.sparkSession
     require(sink.exists(ShardMeta),
       s"no sharded index under ${sink.rootPath} — run buildShardedIvfPqIndex")
@@ -1520,10 +1610,38 @@ object SimOps {
         "to establish them; absorbing into another shard would break " +
         "the deterministic route")
     routed.toSeq.sortBy(_._1).foreach { case (s, _) =>
-      ivfPqIndexAdd(vecs.filter(shardOf(idCol, shards) === s), idCol,
-        vecCol, sinks(s), attrCols)
+      val slice = vecs.filter(shardOf(idCol, shards) === s)
+      opId match {
+        case None => ivfPqIndexAdd(slice, idCol, vecCol, sinks(s), attrCols)
+        case Some(id) =>
+          // the journaled form runs per-table merges (the opId overload;
+          // mergeMany carries no journal): a fully-committed shard skips
+          // at the table fence, a crash between a shard's two merges
+          // replays only the uncommitted one
+          ivfPqIndexAddMerges(slice, idCol, vecCol, sinks(s), attrCols)
+            .foreach(m => sinks(s).merge(m.table, m.updates, m.pk,
+              m.versionCol, m.pkUnique, Some(id)))
+      }
     }
     routed
+  }
+
+  /** Total vectors indexed across every built shard — one
+    * column-pruned count per shard, the population a lifecycle owner
+    * compares against the corpus to DETECT an incomplete
+    * erase/re-admit round trip (a prior crashed pass) before
+    * serving from, or re-sweeping, a partial index (r15 advice: the
+    * PK merges make a repeated add safe, but a sweep over an
+    * already-swept index serves short until the re-admit lands).
+    */
+  def shardedIndexPopulation(spark: org.apache.spark.sql.SparkSession,
+                             sink: graft.sink.UpsertSink): Long = {
+    require(sink.exists(ShardMeta),
+      s"no sharded index under ${sink.rootPath} — run buildShardedIvfPqIndex")
+    val shards = sink.read(ShardMeta).collect()(0).getAs[Int]("shards")
+    shardSinks(spark, sink, shards).filter(ivfPqIndexExists)
+      .map(ss => if (!ss.hasData(IdxCodes)) 0L
+        else ss.read(IdxCodes).select("id").count()).sum
   }
 
   /** ERASE vectors from a SHARDED index — [[ivfPqIndexRemove]] routed

@@ -46,22 +46,15 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
-  test("every catalog query has a bench band; every band names a query") {
-    // the band check (Bench.scala) only fires for queries listed in the
-    // resource — a new query without a band silently opts out of the
-    // degraded-JVM detection (q99 shipped that way for half a round).
-    // Same loader as Bench, so this guard checks what Bench actually
+  test("every catalog query has a floor-derived bench band; overrides earn their place") {
+    // ONE maintained number per query (round-16, r15 verdict #3): the
+    // floors file is the source, bands derive as max(3 x floor, 2.0),
+    // bench_bands.properties holds only explicit overrides. Same
+    // loaders as Bench, so this guard checks what Bench actually
     // consumes, not a re-implementation of the format.
-    val bands = BenchBands.load().keySet
-    assert(bands.nonEmpty, "bench_bands.properties missing or empty")
     val queries = Catalog.all.map(_.name).toSet
-    assert((queries -- bands).isEmpty,
-      s"queries without a bench band: ${(queries -- bands).toSeq.sorted.mkString(", ")} — " +
-        "add a max(3 x best-known min, 2.0) entry to bench_bands.properties")
-    assert((bands -- queries).isEmpty,
-      s"stale band entries: ${(bands -- queries).toSeq.sorted.mkString(", ")}")
-    // same guard for the rolling isolated floors (round-15): a query
-    // without a floor silently opts out of the end-of-suite redraw
+    // the rolling isolated floors: a query without a floor silently
+    // opts out of BOTH the derived band and the end-of-suite redraw
     // adjudication, and a stale floor is a dead record
     val floors = BenchBands.loadFloors()
     assert(floors.nonEmpty, "bench_floors.properties missing or empty")
@@ -70,12 +63,31 @@ class CatalogSpec extends SparkSpec {
         "add an isolated min-of-3 entry to bench_floors.properties")
     assert((floors.keySet -- queries).isEmpty,
       s"stale floor entries: ${(floors.keySet -- queries).toSeq.sorted.mkString(", ")}")
+    // the effective bands cover exactly the catalog (they inherit the
+    // floors' key set, so this follows — pinned anyway, since Bench
+    // consumes load() and a loader regression here is the exact hole
+    // the guard exists to close)
+    val bands = BenchBands.load()
+    assert(bands.keySet == queries,
+      s"effective bands != catalog: missing=${(queries -- bands.keySet).toSeq.sorted.take(5)} " +
+        s"stale=${(bands.keySet -- queries).toSeq.sorted.take(5)}")
+    // every explicit override names a query AND is strictly TIGHTER
+    // than its derived band — a looser-or-equal override is dead
+    // weight that will drift from the floor it shadows (the r15
+    // two-thresholds finding); delete it and let the derivation rule
+    val overrides = BenchBands.loadOverrides()
+    assert((overrides.keySet -- queries).isEmpty,
+      s"stale band overrides: ${(overrides.keySet -- queries).toSeq.sorted.mkString(", ")}")
+    val deadWeight = overrides.filter { case (q, b) =>
+      floors.get(q).exists(f => b >= BenchBands.derivedBand(f))
+    }
+    assert(deadWeight.isEmpty,
+      s"band overrides at-or-above their derived band (delete them): " +
+        deadWeight.keys.toSeq.sorted.mkString(", "))
     // a floor above its band would make the redraw threshold
     // unreachable — the two records must stay ordered
     val inverted = queries.filter(q =>
-      floors.get(q).zip(BenchBands.load().get(q)).exists {
-        case (f, b) => f > b
-      })
+      floors.get(q).zip(bands.get(q)).exists { case (f, b) => f > b })
     assert(inverted.isEmpty,
       s"floor above band for: ${inverted.toSeq.sorted.mkString(", ")}")
   }
@@ -253,6 +265,56 @@ class CatalogSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(math.abs(r.getAs[Double]("rrf") - want) < 2e-6,
         s"rrf ${r.getAs[Double]("rrf")} != $want for ranks $ra/$rb")
+    }
+  }
+
+  test("q133 streaming ANN admission: byte-free replay, honest recall, sane ranks") {
+    // the dense serving layer's ingest arc (r15 brief #1): the
+    // re-delivered batch must move NO shard's version pin (the journal
+    // fences every bucket the first delivery swapped), and the served
+    // ranking after the round trip must stay honest against the exact
+    // full-world top-k
+    val out = Catalog.byName("q133_ann_stream_admit").fn(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Int]("replay_moved") == 0),
+      "the re-delivered micro-batch moved a shard's content-version pin")
+    assert(out.forall(_.getAs[Int]("recall_mil") >= 700),
+      s"served recall after the streaming round trip below 700: " +
+        out.map(_.getAs[Int]("recall_mil")).min)
+    val ranks = out.map(_.getAs[Int]("rank")).sorted.toList
+    assert(ranks == (1 to ranks.length).toList,
+      s"served ranks not dense 1..k: ${ranks.take(5)}..")
+  }
+
+  test("q135 hybrid batch serving: every query fused, worst-case recall rides the rows") {
+    val out = Catalog.byName("q135_ann_hybrid_batch").fn(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size > 1, "the batch row served only one query")
+    // recall_mil is the batch's WORST per-query recall — constant
+    // across rows and above the serving floor
+    val rec = out.map(_.getAs[Int]("recall_mil")).distinct
+    assert(rec.length == 1, s"recall_mil not constant: $rec")
+    assert(rec.head >= 700, s"worst per-query recall ${rec.head} < 700")
+    byQuery.foreach { case (q, rows) =>
+      // every query carries the full shared lexical ranking (rank_a
+      // side) plus its own dense ranks; RRF arithmetic re-derived
+      rows.foreach { r =>
+        val ra = Option(r.getAs[Integer]("rank_a")).map(_.toInt)
+        val rb = Option(r.getAs[Integer]("rank_b")).map(_.toInt)
+        assert(ra.isDefined || rb.isDefined, s"query $q: row in neither ranking")
+        val want = BigDecimal(ra.map(v => 1.0 / (60 + v)).getOrElse(0.0) +
+            rb.map(v => 1.0 / (60 + v)).getOrElse(0.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getAs[Double]("rrf") - want) < 2e-6,
+          s"query $q: rrf ${r.getAs[Double]("rrf")} != $want ($ra/$rb)")
+      }
+      val denseRanks = rows.flatMap(r =>
+        Option(r.getAs[Integer]("rank_b")).map(_.toInt)).sorted.toList
+      assert(denseRanks == (1 to denseRanks.length).toList,
+        s"query $q: dense ranks not dense 1..k")
     }
   }
 

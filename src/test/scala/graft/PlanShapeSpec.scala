@@ -925,4 +925,61 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("In(w"),
       s"term filter not pushed into the posting scan:\n$plan")
   }
+
+  test("q135 batch serving: N query vectors ride ONE index-only plan — no corpus table at all") {
+    // the q131 pin widened to a query BATCH (r15 brief #7): the 100x
+    // posture claim is PER-QUERY cost, so N vectors must flow through
+    // the same serving composition with the query side arriving as its
+    // own bounded frame (the request payload at serving time). With
+    // the queries literal, the plan may read NOTHING but index tables:
+    // no documents, no embeddings — the dense shortlist comes from
+    // ann_codes, the refine from ann_vecs8, the lexical side from the
+    // pushed-term posting scan
+    import org.apache.spark.sql.functions._
+    import graft.ops.{SearchOps, SimOps}
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val e = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    val sink = new graft.sink.UpsertSink(spark,
+      java.nio.file.Files.createTempDirectory("graft_plan_q135").toString,
+      numBuckets = 8)
+    SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink)
+    SimOps.buildShardedIvfPqIndex(e, "vec_id", "embedding", sink,
+      shards = 2, nlist = 4, m = 4, ksub = 8, coarseIters = 1,
+      storeSq8 = true)
+    val qbatch = e.filter(col("vec_id") % 97 === 1)
+      .as[(Long, Array[Float])].collect().toSeq
+      .toDF("vec_id", "embedding")
+    assert(qbatch.count() > 1, "the pin needs an actual BATCH of queries")
+    val probed = SimOps.shardedProbeIndex(qbatch, qbatch, "vec_id",
+      "embedding", sink, k = 50, nprobe = 4, refineFromSq8 = true)
+    val bm = SearchOps.invertedIndexSearch(
+        Seq("vector", "merge", "stream"), sink)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+    // the q135 fusion: per-query dense ranks, one shared lexical top-n
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val dense = probed.select(col("query_id"),
+        col("neighbor_id").as("doc_id"), col("cosine").as("score"))
+      .withColumn("rank_b", row_number().over(wq))
+      .select(col("query_id"), col("doc_id"), col("rank_b"))
+    val lex = bm.orderBy(col("score").desc, col("doc_id")).limit(100)
+      .withColumn("rank_a", row_number().over(wl))
+      .select(col("doc_id"), col("rank_a"))
+    val fused = dense.join(
+      dense.select("query_id").distinct().crossJoin(broadcast(lex)),
+      Seq("query_id", "doc_id"), "full_outer")
+    val plan = explained(fused)
+    val scans = plan.linesIterator.filter(_.contains("Scan parquet")).toSeq
+    assert(scans.nonEmpty)
+    scans.filter(l => l.contains("documents") || l.contains("embeddings"))
+      .foreach(l => fail(s"batch serving plan read a corpus table:\n$l"))
+    assert(scans.exists(_.contains("ann_codes")) &&
+      scans.exists(_.contains("ann_vecs8")),
+      s"dense side not served from the index tables:\n${scans.mkString("\n")}")
+    assert(plan.contains("In(w"),
+      s"term filter not pushed into the posting scan:\n$plan")
+  }
 }

@@ -12,10 +12,10 @@ package graft
   */
 class StoreSlopeSpec extends SparkSpec {
 
-  test("the modality inventory covers all seven persisted-store families") {
+  test("the modality inventory covers all eight persisted-store families") {
     assert(StoreSlope.modalities.map(_.name) ==
       Seq("minhash", "segment", "fingerprint", "substr", "emblsh",
-        "selection", "search"))
+        "selection", "search", "annshard"))
   }
 
   test("judge: flat passes, archive-tracking flags, the floor protects overhead-regime probes") {

@@ -383,4 +383,77 @@ class StoreConcurrencySpec extends SparkSpec {
       assert(rows(sink, t) == rows(expected, t),
         s"$t: concurrent admit+erase diverged from the sequential index")
   }
+
+  test("sharded probe under snapshot racing a one-shard rebuild never mixes generations") {
+    // r15 brief #6: the plain sharded probe's per-shard reads are
+    // generation-coherent at plan time, but its code/refine scans
+    // execute later — racing maintainShardedIndex's one-shard rebuild
+    // they could score one generation's codes against another's
+    // quantizers (lost candidates when the stale quantizer is
+    // narrower) or die on a swapped-away file.
+    // shardedProbeIndexSnapshot pins every shard's four tables as one
+    // hard-linked capture, so a rebuild landing mid-probe is simply
+    // not visible: under a continuous shard-0 rebuild storm the probe
+    // must return the STABLE result every round (both generations are
+    // content-equivalent by construction — same vectors, same PQ
+    // params, only nlist alternates, and nprobe >= nlist probes every
+    // list — so any deviation IS a torn read).
+    def vec(seed: Long): Array[Float] = Array.tabulate(16)(i =>
+      ((((seed * 31L + i) * 2654435761L) % 1000L) / 1000.0f) - 0.5f)
+    val sink = new UpsertSink(spark,
+      Files.createTempDirectory("graft_shard_race").toString, numBuckets = 4)
+    val vecs = (1L to 24L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    SimOps.buildShardedIvfPqIndex(vecs, "vec_id", "embedding", sink,
+      shards = 2, nlist = 2, m = 4, ksub = 4, coarseIters = 1,
+      storeSq8 = true)
+    val shard0 = new UpsertSink(spark, java.nio.file.Paths.get(
+      sink.rootPath, SimOps.shardMemberName(0)).toString, numBuckets = 8)
+    val slice0 = vecs.filter(SimOps.shardOf("vec_id", 2) === 0)
+      .localCheckpoint()
+    val queries = Seq((9001L, vec(3L)), (9002L, vec(17L)))
+      .toDF("vec_id", "embedding")
+    def probeOnce(): Set[(Long, Long, Int)] =
+      SimOps.shardedProbeIndexSnapshot(queries, "vec_id", "embedding",
+          sink, k = 3, nprobe = 10, refine = 8) {
+        _.select($"query_id".cast("long"), $"neighbor_id".cast("long"),
+          $"rank").as[(Long, Long, Int)].collect().toSet
+      }
+    val expected = probeOnce()
+    assert(expected.nonEmpty)
+
+    val rebuilderDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var rebuildErr: Option[Throwable] = None
+    val rebuilder = new Thread(() => {
+      try (0 until 6).foreach { i =>
+        // alternate the coarse quantizer width: generations differ in
+        // bytes (centroids AND list routes) while staying result-
+        // equivalent under an all-lists probe
+        graft.ops.SimOps.buildIvfPqIndex(slice0, "vec_id", "embedding",
+          shard0, nlist = if (i % 2 == 0) 4 else 2, m = 4, ksub = 4,
+          coarseIters = 1, storeSq8 = true)
+      } catch { case t: Throwable => rebuildErr = Some(t) }
+      finally rebuilderDone.set(true)
+    }, "graft-shard-rebuilder")
+
+    @volatile var probeErr: Option[Throwable] = None
+    var rounds = 0
+    val prober = new Thread(() => {
+      try while (!rebuilderDone.get()) {
+        val got = probeOnce()
+        assert(got == expected,
+          s"probe under rebuild storm deviated from the stable result: " +
+            s"extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+        rounds += 1
+      } catch { case t: Throwable => probeErr = Some(t) }
+    }, "graft-shard-prober")
+
+    rebuilder.start(); prober.start()
+    rebuilder.join(300000); prober.join(300000)
+    assert(!rebuilder.isAlive && !prober.isAlive, "threads failed to finish")
+    rebuildErr.foreach(t => fail(s"rebuilder died: $t", t))
+    probeErr.foreach(t => fail(s"prober died: $t", t))
+    assert(rounds > 0, "the prober never completed a round under the storm")
+    // and the post-storm stable probe still serves the same answer
+    assert(probeOnce() == expected)
+  }
 }

@@ -272,4 +272,91 @@ class DedupPipelineSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(served == direct, "served scores diverged after the restart")
   }
+
+  test("streaming ANN admission: kill/restart converges to the single-delivery index; replay moves no shard version") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.SimOps
+    val root = Files.createTempDirectory("graft_sann")
+    val src = root.resolve("vecs"); Files.createDirectories(src)
+    val sink = new UpsertSink(spark, root.resolve("sink").toString,
+      numBuckets = 4)
+    val checkpoint = root.resolve("chk").toString
+    def vec(seed: Long): Array[Float] = Array.tabulate(16)(i =>
+      ((((seed * 31L + i) * 2654435761L) % 1000L) / 1000.0f) - 0.5f)
+    val vecSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def write(ids: Seq[Long]): Unit =
+      ids.map(i => (i, vec(i))).toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("append").parquet(src.toString)
+
+    val archive = (1L to 24L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    SimOps.buildShardedIvfPqIndex(archive, "vec_id", "embedding", sink,
+      shards = 2, nlist = 2, m = 4, ksub = 4, coarseIters = 1,
+      storeSq8 = true)
+
+    // micro-batch 0 streams in under "ann-ingest-b0"
+    write(101L to 104L)
+    DedupPipeline.annIndexAdmitStream(spark, src.toString, vecSchema,
+      sink, checkpoint, "ann-ingest").awaitTermination(60000)
+    assert(SimOps.shardedIndexPopulation(spark, sink) == 28L,
+      "batch 0 not admitted")
+
+    // THE KILL: batch 1's attempt reaches ONE of its shards and dies —
+    // simulated by running the add for only the shard-0 slice under the
+    // id the restarted stream will derive for the re-delivered batch
+    // (checkpoint-stable batchId 1)
+    val batch1Ids = 201L to 206L
+    val batch1 = batch1Ids.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    write(batch1Ids)
+    SimOps.shardedIndexAdd(
+      batch1.filter(SimOps.shardOf("vec_id", 2) === 0),
+      "vec_id", "embedding", sink, opId = Some("ann-ingest-b1"))
+
+    // THE RESTART: the checkpoint re-delivers batch 1 under batchId 1
+    // -> same opId -> shard 0's fenced buckets never rewrite, shard 1's
+    // merges land
+    val versBeforeRestart = SimOps.shardedIndexVersions(spark, sink)
+    DedupPipeline.annIndexAdmitStream(spark, src.toString, vecSchema,
+      sink, checkpoint, "ann-ingest").awaitTermination(60000)
+    val versAfterRestart = SimOps.shardedIndexVersions(spark, sink)
+    assert(versBeforeRestart(0) == versAfterRestart(0),
+      "replaying the crashed batch moved the committed shard's version pin")
+
+    // the converged index == build(archive) + ONE uncrashed delivery of
+    // both batches (add-after-train: the quantizers are the archive's,
+    // deterministically, so codes/refine rows must match row-for-row)
+    val expected = new UpsertSink(spark,
+      root.resolve("expected").toString, numBuckets = 4)
+    SimOps.buildShardedIvfPqIndex(archive, "vec_id", "embedding", expected,
+      shards = 2, nlist = 2, m = 4, ksub = 4, coarseIters = 1,
+      storeSq8 = true)
+    SimOps.shardedIndexAdd(
+      ((101L to 104L) ++ batch1Ids).map(i => (i, vec(i)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding", expected)
+    def shardRows(k: UpsertSink, shard: Int, t: String): Set[Seq[Any]] = {
+      val ss = new UpsertSink(spark, java.nio.file.Paths.get(
+        k.rootPath, SimOps.shardMemberName(shard)).toString, numBuckets = 8)
+      ss.read(t).collect().map(_.toSeq).toSet
+    }
+    for (sh <- 0 to 1; t <- Seq("ann_codes", "ann_vecs8"))
+      assert(shardRows(sink, sh, t) == shardRows(expected, sh, t),
+        s"shard $sh $t after kill/restart != single-delivery build")
+
+    // a FULL re-delivery (both tables journaled) is byte-free across
+    // every shard — no version pin moves
+    val versBefore = SimOps.shardedIndexVersions(spark, sink)
+    SimOps.shardedIndexAdd(batch1, "vec_id", "embedding", sink,
+      opId = Some("ann-ingest-b1"))
+    assert(SimOps.shardedIndexVersions(spark, sink) == versBefore,
+      "a fully-journaled re-delivery still moved a shard version pin")
+
+    // and the converged index SERVES: the added vectors are findable
+    // (query under a FRESH id — the probe excludes self-matches by id)
+    val q = Seq((9999L, vec(203L))).toDF("vec_id", "embedding")
+    val top = SimOps.shardedProbeIndex(q, archive, "vec_id", "embedding",
+        sink, k = 1, nprobe = 2, refine = 30, refineFromSq8 = true)
+      .select($"neighbor_id".cast("long")).as[Long].collect().toSet
+    assert(top == Set(203L),
+      s"probe did not serve the streamed vector as its own neighbor: $top")
+  }
 }
