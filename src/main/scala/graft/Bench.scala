@@ -97,8 +97,12 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    calibrate() // untimed: codegen + first-shuffle setup
-    val calStart = math.min(calibrate(), calibrate())
+    // two untimed warmups: the first full-catalog runs showed a single
+    // warmup leaves the start reading ~1.8x the probe's settled value
+    // (JIT still compiling the aggregate paths) — a polluted baseline
+    // would make every later contention ratio read low
+    calibrate(); calibrate()
+    val calStart = Seq(calibrate(), calibrate(), calibrate()).min
     // SPARK_GRAFT_BENCH_ONLY=q64_stream_admit,q65_salted_skew_join
     // restricts the run for iterating on one query's cost — the official
     // artifact never sets it. Names must match EXACTLY (a prefix like
