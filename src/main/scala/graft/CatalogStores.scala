@@ -1867,6 +1867,75 @@ private[graft] trait CatalogStores extends CatalogShared {
           .orderBy("rank", "neighbor_id")
       }),
 
+    QueryDef("q136_erasure_stream",
+      "STREAMING right-to-erasure, batch-replay form (the q132/q133 " +
+        "convention — the catalog runs the EXACT foreachBatch core of " +
+        "DedupPipeline.erasureSweepStream, sweep ids derived exactly " +
+        "as the stream derives them from its checkpoint-stable " +
+        "batchId): the GDPR request queue is a stream in production, " +
+        "and this arc is its terminal. The archive builds the BM25 " +
+        "index + the fingerprint store; two micro-batches of erasure " +
+        "requests sweep the subjects out under ledger-receipted ids " +
+        "<prefix>-b0/-b1 (pending/final receipts, matched-row counts, " +
+        "erasure-journaled data phases); batch 0 is then RE-DELIVERED " +
+        "under its own id — the kill/restart recovery path: the " +
+        "journal must make the replayed decrements byte-free no-ops " +
+        "and the finalized receipts must survive untouched, or " +
+        "(N, avgdl) deflates and every served score below drifts. " +
+        "Exact oracle: the post-stream search equals DuckDB's direct " +
+        "BM25 over the SURVIVING world — hash-exact only if each " +
+        "batch's mass left exactly once.",
+      Some("""WITH surv AS (SELECT * FROM documents
+             |  WHERE doc_id % 2 = 0 AND doc_id % 6 <> 0),
+             |lens AS (SELECT doc_id,
+             |    len(regexp_extract_all(lower(text), '[a-z]+')) AS dl
+             |  FROM surv),
+             |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |    AVG(dl) AS avgdl FROM lens),
+             |tok AS (SELECT doc_id,
+             |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             |  FROM surv),
+             |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+             |  WHERE w IN ('vector', 'merge', 'stream') GROUP BY doc_id, w),
+             |dfr AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df
+             |  FROM tf GROUP BY w)
+             |SELECT tf.doc_id,
+             |  ROUND(SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |    * (tf * (1.2 + 1.0)
+             |       / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))), 6)
+             |    AS score
+             |FROM tf JOIN dfr USING (w) CROSS JOIN stats
+             |  JOIN lens ON tf.doc_id = lens.doc_id
+             |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin),
+      (s, dir) => {
+        // fixture corpus = the even slice: the claim under test is the
+        // STREAM core's exactly-once sweep replay, not sweep cost at
+        // corpus scale (q123 prices that) — the slice keeps the three
+        // fixture sweeps cheap while the oracle stays hash-exact
+        val docs = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+        val sink = tempStore.freshSink(s, "erasestream", dir)
+        // one serving-layer member keeps the fixture lean (q123 prices
+        // the wide sweep; DedupPipelineSpec's kill/restart covers the
+        // fingerprint member through the same stream core)
+        SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink)
+        // two erasure-request micro-batches, sweep ids exactly as
+        // erasureSweepStream derives them from its batchId
+        val prefix = "q136er"
+        Seq(0, 1).foreach { b =>
+          EraseOps.eraseSubjects(docs.filter(col("doc_id") % 12 === b * 6L),
+            "doc_id", "text", sink, sweepId = s"$prefix-b$b")
+        }
+        // THE RE-DELIVERY (kill/restart): batch 0 under its own sweep
+        // id — the erasure journal fences the data phases, the
+        // finalized receipt wins exactly once
+        EraseOps.eraseSubjects(docs.filter(col("doc_id") % 12 === 0),
+          "doc_id", "text", sink, sweepId = s"$prefix-b0")
+        SearchOps.invertedIndexSearch(Seq("vector", "merge", "stream"),
+            sink)
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef("q134_ledger_audit",
       "AUDIT surface over the erasure ledger (r15 verdict, Missing #2): " +
         "EraseOps.pendingSweeps answers the compliance reader's first " +

@@ -372,6 +372,58 @@ object DedupPipeline {
     * shardedIndexAdd refusal) rather than silently serving a partial
     * corpus.
     */
+  /** Streaming RIGHT-TO-ERASURE — the erase-direction sibling of the
+    * two admission arcs ([[searchIndexAdmitStream]],
+    * [[annIndexAdmitStream]]), completing the serving layers' streaming
+    * lifecycle in BOTH directions: micro-batches of erasure requests
+    * (the subjects' documents, text exactly as admitted — the
+    * [[graft.ops.EraseOps.eraseSubjects]] caller contract) sweep every
+    * store present under the sink, one ledger-receipted sweep per
+    * batch, under the checkpoint-stable sweep id
+    * `"<sweepIdPrefix>-b<batchId>"`.
+    *
+    * Exactly-once is the sweep's own machinery, engaged per batch: a
+    * batch RE-DELIVERED after a kill/restart replays under the same
+    * sweep id, so the erasure journal makes the data phases byte-free
+    * no-ops, count decrements never double-subtract, and the
+    * pending/final receipt protocol recovers the pre-sweep bracketing
+    * evidence — the replayed batch's receipts are bit-identical to the
+    * uncrashed run's (StoreRetractSpec pins exactly this window).
+    * A GDPR request queue is a stream in production; this arc is that
+    * queue's terminal.
+    *
+    * `vecIds` derives the subjects' vector ids from a batch (the
+    * embedding-keyed members' caller convention, per-batch); leave
+    * None when no embedding-keyed member is present — the sweep
+    * refuses loudly rather than guessing (its documented posture).
+    * Per-batch cost: the sweep's own O(subject docs + touched
+    * buckets) — nothing scales with the archive (the store-slope
+    * erase legs measure it flat each round).
+    */
+  def erasureSweepStream(spark: SparkSession, sourceDir: String,
+                         schema: StructType, sink: UpsertSink,
+                         checkpoint: String, sweepIdPrefix: String,
+                         idCol: String = "doc_id",
+                         textCol: String = "text",
+                         vecIds: Option[DataFrame => DataFrame] = None,
+                         segWords: Int = 25, minTokens: Int = 20,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.EraseOps.eraseSubjects(
+            batch.dropDuplicates(idCol), idCol, textCol, sink,
+            sweepId = s"$sweepIdPrefix-b$batchId",
+            vecIds = vecIds.map(_(batch)),
+            segWords = segWords, minTokens = minTokens)
+          ()
+        }
+      }
+      .start()
+
   def annIndexAdmitStream(spark: SparkSession, sourceDir: String,
                           schema: StructType, sink: UpsertSink,
                           checkpoint: String, admitIdPrefix: String,

@@ -273,6 +273,90 @@ class DedupPipelineSpec extends SparkSpec {
     assert(served == direct, "served scores diverged after the restart")
   }
 
+  test("streaming erasure: per-batch sweep ids survive kill/restart — receipts and data converge") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{EraseOps, SearchOps, TextOps}
+    val root = Files.createTempDirectory("graft_serase")
+    val src = root.resolve("requests"); Files.createDirectories(src)
+    val sink = new UpsertSink(spark, root.resolve("sink").toString,
+      numBuckets = 4)
+    val checkpoint = root.resolve("chk").toString
+    def doc(i: Long): (Long, String) =
+      (i, s"stream vector merge w$i x$i y$i z$i")
+    def write(ids: Seq[Long]): Unit =
+      ids.map(doc).toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(src.toString)
+    def rows(k: UpsertSink, t: String): Set[Seq[Any]] =
+      k.read(t).select(k.read(t).columns.sorted.toIndexedSeq.map(col): _*)
+        .collect().map(_.toSeq).toSet
+
+    val archive = (1L to 12L).map(doc).toDF("doc_id", "text")
+    TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink)
+    SearchOps.invertedIndexBuild(archive, "doc_id", "text", sink)
+
+    // erasure-request batch 0 (subjects 1-3) through the REAL stream
+    write(1L to 3L)
+    DedupPipeline.erasureSweepStream(spark, src.toString, schema,
+      sink, checkpoint, "er-ingest").awaitTermination(60000)
+    assert(sink.read(SearchOps.DocLens).count() == 9,
+      "batch 0's sweep did not land")
+    assert(sink.read(EraseOps.LedgerTable)
+      .filter($"sweep_id" === "er-ingest-b0").count() > 0,
+      "batch 0's sweep left no ledger receipt")
+
+    // THE KILL: batch 1's sweep (subjects 4-6) completes its DATA
+    // phases and dies before the final receipt merge — simulated by
+    // running the sweep under the id the restarted stream will derive
+    // (checkpoint-stable batchId 1), then rolling its finalized
+    // receipts back to their pending form on disk
+    write(4L to 6L)
+    val batch1 = (4L to 6L).map(doc).toDF("doc_id", "text")
+    EraseOps.eraseSubjects(batch1, "doc_id", "text", sink,
+      sweepId = "er-ingest-b1")
+    val finals = rows(sink, EraseOps.LedgerTable)
+    val pending = sink.read(EraseOps.LedgerTable)
+      .filter($"sweep_id" === "er-ingest-b1")
+      .withColumn("action", lit(EraseOps.LedgerPending))
+      .withColumn("ver_after", lit(0L))
+      .localCheckpoint(true)
+    sink.merge(EraseOps.LedgerTable, pending,
+      Seq("sweep_id", "member_table"), pkUnique = true)
+    assert(EraseOps.pendingSweeps(sink).count() > 0, "fixture inert")
+
+    // THE RESTART: the checkpoint re-delivers batch 1 under batchId 1
+    // -> same sweep id -> the erasure journal no-ops the data phases
+    // (no double-decrement of (N, sum_dl) or fingerprint counts), and
+    // the receipts REBUILD from their pending rows — bit-identical to
+    // the uncrashed run, version brackets included
+    DedupPipeline.erasureSweepStream(spark, src.toString, schema,
+      sink, checkpoint, "er-ingest").awaitTermination(60000)
+    assert(rows(sink, EraseOps.LedgerTable) == finals,
+      "recovery-path receipts differ from the uncrashed sweep's")
+    assert(EraseOps.pendingSweeps(sink).count() == 0,
+      "replayed sweep still reads as stuck")
+
+    // the stores equal a fresh build on the survivors (7-12)
+    val expected = new UpsertSink(spark,
+      root.resolve("expected").toString, numBuckets = 4)
+    val survivors = (7L to 12L).map(doc).toDF("doc_id", "text")
+    TextOps.fingerprintStoreBuild(survivors, "doc_id", "text", expected)
+    SearchOps.invertedIndexBuild(survivors, "doc_id", "text", expected)
+    for (t <- Seq(SearchOps.Postings, SearchOps.DocLens, SearchOps.Stats,
+        "fingerprint_store"))
+      assert(rows(sink, t) == rows(expected, t),
+        s"$t after streaming erasure + kill/restart != fresh build on survivors")
+    // and the served scores agree with the direct scorer on survivors
+    val served = SearchOps.invertedIndexSearch(
+        Seq("vector", "merge", "stream"), sink)
+      .select($"doc_id", round($"score", 6).as("s"))
+      .as[(Long, Double)].collect().toMap
+    val direct = TextOps.bm25Scores(survivors, "doc_id", "text",
+        Seq("vector", "merge", "stream"))
+      .select($"doc_id", round($"score", 6).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(served == direct, "served scores diverged after the recovery")
+  }
+
   test("streaming ANN admission: kill/restart converges to the single-delivery index; replay moves no shard version") {
     import org.apache.spark.sql.functions._
     import graft.ops.SimOps
