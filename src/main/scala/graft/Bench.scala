@@ -415,9 +415,10 @@ object Bench {
       val rd = rr.redraw.map(t => f"$t%.3f").getOrElse("null")
       "\"" + n + f"""\":{"floor":${rr.floor}%.3f,"first_min":${rr.firstMin}%.3f,"redraw":$rd,"cal":${rr.cal}%.3f}"""
     }.mkString("{", ",", "}")
-    // the calibration record: suite-start (min-of-2, post-warmup),
-    // suite-end, and the per-redraw readings above — the box-state
-    // evidence that lets a consumer adjudicate drift FROM the artifact
+    // the calibration record: suite-start (min-of-3 after two untimed
+    // warmups), suite-end, and the per-redraw readings above — the
+    // box-state evidence that lets a consumer adjudicate drift FROM
+    // the artifact
     val calJson = f"""{"start":$calStart%.3f,"end":$calEnd%.3f}"""
     // stdout-line error map: short keys, 40-char messages — a failing
     // build must not push the line back over the capture window

@@ -1852,10 +1852,13 @@ private[graft] trait CatalogStores extends CatalogShared {
         // ingest round trip complete: every cohort is back in its shard
         java.nio.file.Files.deleteIfExists(openMarker)
         // serve from the restored index; exact full-world ranking is
-        // the AUDIT ONLY (the q131 pattern — never on the serving path)
+        // the AUDIT ONLY (the q131 pattern — never on the serving path).
+        // Checkpointed: one probe materialization feeds BOTH the recall
+        // audit and the output rows
         val q = e.filter(col("vec_id") === 1L)
         val probed = SimOps.shardedProbeIndex(q, e, "vec_id", "embedding",
-          sink, k = 100, nprobe = 12, refineFromSq8 = true)
+            sink, k = 100, nprobe = 12, refineFromSq8 = true)
+          .localCheckpoint(true)
         val exact = SimOps.bruteForceTopK(q, e, "vec_id", "embedding", 100)
         val recall = SimOps.withRecallAudit(probed, exact, 100)
           .agg(max(col("recall_mil")).as("recall_mil"))
@@ -1873,8 +1876,8 @@ private[graft] trait CatalogStores extends CatalogShared {
         "DedupPipeline.erasureSweepStream, sweep ids derived exactly " +
         "as the stream derives them from its checkpoint-stable " +
         "batchId): the GDPR request queue is a stream in production, " +
-        "and this arc is its terminal. The archive builds the BM25 " +
-        "index + the fingerprint store; two micro-batches of erasure " +
+        "and this arc is its terminal. The archive (the even fixture " +
+        "slice) builds the BM25 index; two micro-batches of erasure " +
         "requests sweep the subjects out under ledger-receipted ids " +
         "<prefix>-b0/-b1 (pending/final receipts, matched-row counts, " +
         "erasure-journaled data phases); batch 0 is then RE-DELIVERED " +
@@ -1942,7 +1945,7 @@ private[graft] trait CatalogStores extends CatalogShared {
         "question — which sweeps are STUCK (pending receipt rows whose " +
         "final receipt never landed, i.e. a sweep that durably declared " +
         "intent and crashed before finalizing)? Fixture: the BM25 index " +
-        "+ the fingerprint store build over the corpus; one sweep " +
+        "builds over the doc_id%3=0 corpus slice; one sweep " +
         "COMPLETES (its finalized receipts must not surface); a second " +
         "sweep runs and its receipts are rolled back to their pending " +
         "form on disk — byte-for-byte the state a crash between the " +
@@ -2062,31 +2065,15 @@ private[graft] trait CatalogStores extends CatalogShared {
         val exact = SimOps.bruteForceTopK(qs, e, "vec_id", "embedding", 50)
         val recall = SimOps.withRecallAudit(probed, exact, 50)
           .agg(min(col("recall_mil")).as("recall_mil"))
-        // per-query RRF, the rrfFuse convention applied per query_id:
-        // both window inputs are BOUNDED (the probe's k-per-query
-        // output; the lexical top-100), never the corpus
-        val wq = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("doc_id"))
-        val wl = org.apache.spark.sql.expressions.Window
-          .orderBy(col("score").desc, col("doc_id"))
-        val dense = probed
-          .select(col("query_id"), col("neighbor_id").as("doc_id"),
-            col("cosine").as("score"))
-          .withColumn("rank_b", row_number().over(wq))
-          .select(col("query_id"), col("doc_id"), col("rank_b"))
-        val lex = bm.orderBy(col("score").desc, col("doc_id")).limit(100)
-          .withColumn("rank_a", row_number().over(wl))
-          .select(col("doc_id"), col("rank_a"))
-        // every query fuses against the ONE shared lexical ranking
-        val lexPerQ = dense.select("query_id").distinct()
-          .crossJoin(broadcast(lex))
-        dense.join(lexPerQ, Seq("query_id", "doc_id"), "full_outer")
+        // per-query RRF against the ONE shared lexical ranking — the
+        // rrfFuse convention's batch form (one implementation, shared
+        // with the PlanShapeSpec pin)
+        TextOps.rrfFuseBatch(bm,
+            probed.select(col("query_id"),
+              col("neighbor_id").as("doc_id"), col("cosine").as("score")),
+            "doc_id", "query_id")
           .select(col("query_id"), col("doc_id"), col("rank_a"),
-            col("rank_b"),
-            round(coalesce(lit(1.0) / (lit(60) + col("rank_a")), lit(0.0))
-              + coalesce(lit(1.0) / (lit(60) + col("rank_b")), lit(0.0)),
-              6).as("rrf"))
+            col("rank_b"), round(col("rrf"), 6).as("rrf"))
           .crossJoin(broadcast(recall))
           .orderBy("query_id", "doc_id")
       })

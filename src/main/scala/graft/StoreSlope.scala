@@ -193,18 +193,18 @@ object StoreSlope {
         ()
       })))
 
-  /** The batch frame an [[Modality.admit]] folds: half the batch slice
-    * (`id % 2 = h`), so one built store affords TWO disjoint timed
-    * admissions (admits mutate — min-of-2 needs disjoint halves; the
-    * second admit's store is bigger by half a batch, a negligible
-    * skew vs the 10x archive decade under audit).
-    */
   /** The embedding-keyed modalities (their batch/subject frames come
     * from the embeddings table, keyed vec_id).
     */
   private def vectorKeyed(m: Modality): Boolean =
     m.name == "emblsh" || m.name == "annshard"
 
+  /** The batch frame an [[Modality.admit]] folds: half the batch slice
+    * (`id % 2 = h`), so one built store affords TWO disjoint timed
+    * admissions (admits mutate — min-of-2 needs disjoint halves; the
+    * second admit's store is bigger by half a batch, a negligible
+    * skew vs the 10x archive decade under audit).
+    */
   def admitHalf(spark: SparkSession, m: Modality, batchDir: String,
                 h: Int): DataFrame = {
     val (df, idCol) =

@@ -1473,9 +1473,18 @@ object SimOps {
         "— torn or partially deleted index; rebuild it")
     require(built.nonEmpty,
       s"sharded index under ${sink.rootPath} has no built shards")
-    built.foreach(ss => require(ss.exists(IdxVecs8),
-      s"snapshot probe refines from SQ8: no $IdxVecs8 under " +
-        s"${ss.rootPath} — rebuild the sharded index with storeSq8 = true"))
+    built.foreach { ss =>
+      require(ss.exists(IdxVecs8),
+        s"snapshot probe refines from SQ8: no $IdxVecs8 under " +
+          s"${ss.rootPath} — rebuild the sharded index with storeSq8 = true")
+      // the delete-all end state gets its NAMED error (the plain
+      // probe's readIndexMeta diagnosis), not snapshotMany's generic
+      // empty-table refusal
+      if (!ss.hasData(IdxCodes))
+        throw new IllegalStateException(
+          s"index under ${ss.rootPath} has an empty code list — every " +
+            "vector was removed; rebuild (buildIvfPqIndex) or drop it")
+    }
     val snaps = built.map(ss =>
       ss.snapshotMany(Seq(IdxCentroids, IdxCodebooks, IdxCodes, IdxVecs8)))
     try {

@@ -814,9 +814,46 @@ object TextOps {
         .select(col(idCol), col(rankAs))
     }
     ranked(a, "rank_a").join(ranked(b, "rank_b"), Seq(idCol), "full_outer")
-      .withColumn("rrf",
-        coalesce(lit(1.0) / (lit(k0) + col("rank_a")), lit(0.0))
-          + coalesce(lit(1.0) / (lit(k0) + col("rank_b")), lit(0.0)))
+      .withColumn("rrf", rrfScore(k0))
+  }
+
+  /** The ONE RRF arithmetic both fusion entry points share — a missing
+    * side contributes zero.
+    */
+  private def rrfScore(k0: Int): Column =
+    coalesce(lit(1.0) / (lit(k0) + col("rank_a")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(k0) + col("rank_b")), lit(0.0))
+
+  /** [[rrfFuse]] for a query BATCH against ONE shared ranking — the
+    * batch-serving composition (q135): `shared` (idCol, score) ranks
+    * once (its top-`n`, the rank_a side), `perQuery` (queryCol, idCol,
+    * score) ranks WITHIN each query (rank_b, capped at `n`), and every
+    * query fuses against the one shared ranking. Window inputs stay
+    * BOUNDED — the shared top-n and the per-query frame (k rows per
+    * query by construction at the probe), never the corpus — and the
+    * shared side broadcasts into the per-query join. Same ranking and
+    * arithmetic conventions as [[rrfFuse]] (score desc, id tiebreak;
+    * missing side contributes zero).
+    *
+    * Output: (queryCol, idCol, rank_a, rank_b, rrf double) for every
+    * (query, doc) in either ranking.
+    */
+  def rrfFuseBatch(shared: DataFrame, perQuery: DataFrame, idCol: String,
+                   queryCol: String, n: Int = 100,
+                   k0: Int = 60): DataFrame = {
+    val wq = Window.partitionBy(col(queryCol))
+      .orderBy(col("score").desc, col(idCol))
+    val perQ = perQuery.withColumn("rank_b", row_number().over(wq))
+      .filter(col("rank_b") <= n)
+      .select(col(queryCol), col(idCol), col("rank_b"))
+    val sharedTop = shared.orderBy(col("score").desc, col(idCol)).limit(n)
+      .withColumn("rank_a", row_number().over(
+        Window.orderBy(col("score").desc, col(idCol))))
+      .select(col(idCol), col("rank_a"))
+    val sharedPerQ = perQ.select(queryCol).distinct()
+      .crossJoin(broadcast(sharedTop))
+    perQ.join(sharedPerQ, Seq(queryCol, idCol), "full_outer")
+      .withColumn("rrf", rrfScore(k0))
   }
 
   /** Heavy hitters (top-`k` 2-grams) via bounded-memory sketches end to

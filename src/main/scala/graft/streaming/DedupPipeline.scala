@@ -343,35 +343,6 @@ object DedupPipeline {
       }
       .start()
 
-  /** Streaming ADMISSION into the sharded ANN serving layer — the dense
-    * sibling of [[searchIndexAdmitStream]], completing the two serving
-    * layers' lifecycle symmetry (r15 verdict #1): micro-batches of new
-    * vectors run [[graft.ops.SimOps.shardedIndexAdd]] under a PER-BATCH
-    * journaled id, `"<admitIdPrefix>-b<batchId>"` (checkpoint-stable:
-    * the same id for a RE-DELIVERED batch, a fresh one for new data —
-    * so `admitIdPrefix` must be a logical stream name, not a run id).
-    *
-    * The contract is gentler than BM25's: each vector's codes PK-merge
-    * into exactly one shard's lists and re-encoding is deterministic
-    * under the unchanged quantizers, so a re-delivered batch CONVERGES
-    * with or without the journal — there is no additive stats state to
-    * corrupt and no NEW-ids guard to trip. What the journal makes true
-    * is that the re-delivery is byte-FREE: fenced buckets never
-    * rewrite, so no shard's content-version pin moves on the recovery
-    * path (the pin the maintenance lifecycle audits —
-    * [[graft.ops.SimOps.shardedIndexVersions]]). Batches are deduped
-    * by id up front ([[graft.ops.SimOps.ivfPqIndexAdd]]'s pkUnique
-    * contract; a source file re-listing the same vector twice must not
-    * land duplicate-pk rows).
-    *
-    * Per-batch cost: one bounded shard-routing aggregate plus the
-    * batch's touched-bucket merges in its home shards — nothing scales
-    * with the accumulated index (the store-slope `annshard` modality
-    * measures the admit leg flat each round). Vectors routed to a
-    * never-built shard fail the micro-batch loudly (the documented
-    * shardedIndexAdd refusal) rather than silently serving a partial
-    * corpus.
-    */
   /** Streaming RIGHT-TO-ERASURE — the erase-direction sibling of the
     * two admission arcs ([[searchIndexAdmitStream]],
     * [[annIndexAdmitStream]]), completing the serving layers' streaming
@@ -424,6 +395,35 @@ object DedupPipeline {
       }
       .start()
 
+  /** Streaming ADMISSION into the sharded ANN serving layer — the dense
+    * sibling of [[searchIndexAdmitStream]], completing the two serving
+    * layers' lifecycle symmetry (r15 verdict #1): micro-batches of new
+    * vectors run [[graft.ops.SimOps.shardedIndexAdd]] under a PER-BATCH
+    * journaled id, `"<admitIdPrefix>-b<batchId>"` (checkpoint-stable:
+    * the same id for a RE-DELIVERED batch, a fresh one for new data —
+    * so `admitIdPrefix` must be a logical stream name, not a run id).
+    *
+    * The contract is gentler than BM25's: each vector's codes PK-merge
+    * into exactly one shard's lists and re-encoding is deterministic
+    * under the unchanged quantizers, so a re-delivered batch CONVERGES
+    * with or without the journal — there is no additive stats state to
+    * corrupt and no NEW-ids guard to trip. What the journal makes true
+    * is that the re-delivery is byte-FREE: fenced buckets never
+    * rewrite, so no shard's content-version pin moves on the recovery
+    * path (the pin the maintenance lifecycle audits —
+    * [[graft.ops.SimOps.shardedIndexVersions]]). Batches are deduped
+    * by id up front ([[graft.ops.SimOps.ivfPqIndexAdd]]'s pkUnique
+    * contract; a source file re-listing the same vector twice must not
+    * land duplicate-pk rows).
+    *
+    * Per-batch cost: one bounded shard-routing aggregate plus the
+    * batch's touched-bucket merges in its home shards — nothing scales
+    * with the accumulated index (the store-slope `annshard` modality
+    * measures the admit leg flat each round). Vectors routed to a
+    * never-built shard fail the micro-batch loudly (the documented
+    * shardedIndexAdd refusal) rather than silently serving a partial
+    * corpus.
+    */
   def annIndexAdmitStream(spark: SparkSession, sourceDir: String,
                           schema: StructType, sink: UpsertSink,
                           checkpoint: String, admitIdPrefix: String,

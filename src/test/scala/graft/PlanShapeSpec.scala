@@ -956,21 +956,12 @@ class PlanShapeSpec extends SparkSpec {
     val bm = SearchOps.invertedIndexSearch(
         Seq("vector", "merge", "stream"), sink)
       .select(col("doc_id"), round(col("score"), 6).as("score"))
-    // the q135 fusion: per-query dense ranks, one shared lexical top-n
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
-    val wl = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc, col("doc_id"))
-    val dense = probed.select(col("query_id"),
-        col("neighbor_id").as("doc_id"), col("cosine").as("score"))
-      .withColumn("rank_b", row_number().over(wq))
-      .select(col("query_id"), col("doc_id"), col("rank_b"))
-    val lex = bm.orderBy(col("score").desc, col("doc_id")).limit(100)
-      .withColumn("rank_a", row_number().over(wl))
-      .select(col("doc_id"), col("rank_a"))
-    val fused = dense.join(
-      dense.select("query_id").distinct().crossJoin(broadcast(lex)),
-      Seq("query_id", "doc_id"), "full_outer")
+    // the q135 fusion — the SAME rrfFuseBatch call the catalog row
+    // makes, so the pin can never drift from the shipped composition
+    val fused = graft.ops.TextOps.rrfFuseBatch(bm,
+      probed.select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("cosine").as("score")),
+      "doc_id", "query_id")
     val plan = explained(fused)
     val scans = plan.linesIterator.filter(_.contains("Scan parquet")).toSeq
     assert(scans.nonEmpty)
