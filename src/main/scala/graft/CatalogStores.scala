@@ -1537,10 +1537,14 @@ private[graft] trait CatalogStores extends CatalogShared {
         // harmless, but the replay fence is the family contract
         SearchOps.invertedIndexRetract(subjects, "doc_id", "text", sink,
           opId = Some("q129_erase"))
-        SearchOps.invertedIndexSearch(Seq("vector", "merge", "stream"),
-            sink)
-          .select(col("doc_id"), round(col("score"), 6).as("score"))
-          .orderBy("doc_id")
+        // snapshot-consistent serving read — the r16 verdict's default
+        // for every serving composition (materialize inside `use`)
+        SearchOps.invertedIndexSearchSnapshot(
+            Seq("vector", "merge", "stream"), sink) { served =>
+          served.select(col("doc_id"), round(col("score"), 6).as("score"))
+            .orderBy("doc_id")
+            .localCheckpoint(true)
+        }
       }),
 
     QueryDef("q130_hybrid_serving_erasure",
@@ -1615,10 +1619,13 @@ private[graft] trait CatalogStores extends CatalogShared {
           vecIds = Some(e.filter(col("vec_id") % 5 === 0)
             .select("vec_id")))
         // lexical side: served BM25, 6-dp rounded BEFORE ranking (the
-        // q88 convention — rank selection never rides a float ulp)
-        val bm = SearchOps.invertedIndexSearch(
-            Seq("vector", "merge", "stream"), sink)
-          .select(col("doc_id"), round(col("score"), 6).as("score"))
+        // q88 convention — rank selection never rides a float ulp);
+        // snapshot-consistent read, the serving default (r16 verdict)
+        val bm = SearchOps.invertedIndexSearchSnapshot(
+            Seq("vector", "merge", "stream"), sink) { served =>
+          served.select(col("doc_id"), round(col("score"), 6).as("score"))
+            .localCheckpoint(true)
+        }
         // dense side: exact cosine of every STORED vector against a
         // SURVIVING query document's stored embedding — store-only,
         // so erased vectors cannot score
@@ -1652,7 +1659,11 @@ private[graft] trait CatalogStores extends CatalogShared {
         "RRF-fused at k0=60. An erased subject can appear in NEITHER " +
         "ranking: its postings are gone, its mass is out of (N, " +
         "avgdl), and its codes left every shard (leaked = 0 per row, " +
-        "CatalogSpec-pinned). ANN inside -> rows-only; recall_mil " +
+        "CatalogSpec-pinned). Both serving reads are SNAPSHOT-" +
+        "consistent (r16 verdict #1 — the shipped default: a probe " +
+        "racing a one-shard rebuild can never pair torn generations; " +
+        "StoreConcurrencySpec proves the tear real for the plain " +
+        "reads). ANN inside -> rows-only; recall_mil " +
         "rides every row — the served dense ranking vs the EXACT " +
         "surviving-world top-k (q130's ground truth, one bounded " +
         "audit-only brute pass that never runs on the serving path; " +
@@ -1695,18 +1706,23 @@ private[graft] trait CatalogStores extends CatalogShared {
           sweepId = s"q131_sweep_$pass",
           vecIds = Some(subjectVecs.select("vec_id")))
         // lexical side: served BM25, 6-dp rounded BEFORE ranking (the
-        // q88/q130 convention)
-        val bm = SearchOps.invertedIndexSearch(
-            Seq("vector", "merge", "stream"), sink)
-          .select(col("doc_id"), round(col("score"), 6).as("score"))
-          .localCheckpoint(true)
+        // q88/q130 convention); SNAPSHOT-consistent read — the serving
+        // default (r16 verdict #1): even a search racing a live
+        // admit/erase can never pair torn index generations
+        val bm = SearchOps.invertedIndexSearchSnapshot(
+            Seq("vector", "merge", "stream"), sink) { served =>
+          served.select(col("doc_id"), round(col("score"), 6).as("score"))
+            .localCheckpoint(true)
+        }
         // dense side: the sharded ANN probe, index tables only — the
-        // query vector is a bounded pushed-filter read, never a corpus
-        // scan (probe cosines are already 6-dp rounded)
+        // snapshot form pins every shard's generation for the probe
+        // window (its SQ8 refine is exactly this row's serving shape);
+        // probe cosines are already 6-dp rounded
         val q = e.filter(col("vec_id") === 1L)
-        val probed = SimOps.shardedProbeIndex(q, e, "vec_id", "embedding",
-            sink, k = 100, nprobe = 12, refineFromSq8 = true)
-          .localCheckpoint(true)
+        val probed = SimOps.shardedProbeIndexSnapshot(q, "vec_id",
+            "embedding", sink, k = 100, nprobe = 12) {
+          _.localCheckpoint(true)
+        }
         // materialized above BEFORE the restore below: the returned
         // frame must capture the post-sweep serving state, not the
         // re-admitted one
@@ -1786,10 +1802,13 @@ private[graft] trait CatalogStores extends CatalogShared {
         SearchOps.invertedIndexAdmit(
           docs.filter(col("doc_id") % 6 === 0), "doc_id", "text",
           sink, admitId = Some(s"$prefix-b0"))
-        SearchOps.invertedIndexSearch(Seq("vector", "merge", "stream"),
-            sink)
-          .select(col("doc_id"), round(col("score"), 6).as("score"))
-          .orderBy("doc_id")
+        // snapshot-consistent serving read (the r16-verdict default)
+        SearchOps.invertedIndexSearchSnapshot(
+            Seq("vector", "merge", "stream"), sink) { served =>
+          served.select(col("doc_id"), round(col("score"), 6).as("score"))
+            .orderBy("doc_id")
+            .localCheckpoint(true)
+        }
       }),
 
     QueryDef("q133_ann_stream_admit",
@@ -1856,9 +1875,10 @@ private[graft] trait CatalogStores extends CatalogShared {
         // Checkpointed: one probe materialization feeds BOTH the recall
         // audit and the output rows
         val q = e.filter(col("vec_id") === 1L)
-        val probed = SimOps.shardedProbeIndex(q, e, "vec_id", "embedding",
-            sink, k = 100, nprobe = 12, refineFromSq8 = true)
-          .localCheckpoint(true)
+        val probed = SimOps.shardedProbeIndexSnapshot(q, "vec_id",
+            "embedding", sink, k = 100, nprobe = 12) {
+          _.localCheckpoint(true)
+        }
         val exact = SimOps.bruteForceTopK(q, e, "vec_id", "embedding", 100)
         val recall = SimOps.withRecallAudit(probed, exact, 100)
           .agg(max(col("recall_mil")).as("recall_mil"))
@@ -1933,10 +1953,13 @@ private[graft] trait CatalogStores extends CatalogShared {
         // finalized receipt wins exactly once
         EraseOps.eraseSubjects(docs.filter(col("doc_id") % 12 === 0),
           "doc_id", "text", sink, sweepId = s"$prefix-b0")
-        SearchOps.invertedIndexSearch(Seq("vector", "merge", "stream"),
-            sink)
-          .select(col("doc_id"), round(col("score"), 6).as("score"))
-          .orderBy("doc_id")
+        // snapshot-consistent serving read (the r16-verdict default)
+        SearchOps.invertedIndexSearchSnapshot(
+            Seq("vector", "merge", "stream"), sink) { served =>
+          served.select(col("doc_id"), round(col("score"), 6).as("score"))
+            .orderBy("doc_id")
+            .localCheckpoint(true)
+        }
       }),
 
     QueryDef("q134_ledger_audit",
@@ -2021,7 +2044,9 @@ private[graft] trait CatalogStores extends CatalogShared {
         "the shared served-BM25 lexical ranking. Serves the FULL " +
         "corpus (build amortized with q133's sink; no sweep — the " +
         "erasure arc is q131's claim), so the per-pass cost IS the " +
-        "batch serving cost. ANN inside -> rows-only; recall_mil " +
+        "batch serving cost; both serving reads are snapshot-" +
+        "consistent (the r16-verdict default). ANN inside -> " +
+        "rows-only; recall_mil " +
         "rides every row as the MINIMUM per-query recall vs the exact " +
         "brute top-k of the same batch (one audit-only pass off the " +
         "serving path); PlanShapeSpec pins the batch composition " +
@@ -2050,16 +2075,19 @@ private[graft] trait CatalogStores extends CatalogShared {
         // the query BATCH: a deterministic cohort, broadcast once into
         // every shard's probe
         val qs = e.filter(col("vec_id") % 97 === 1)
-        val probed = SimOps.shardedProbeIndex(qs, e, "vec_id", "embedding",
-            sink, k = 50, nprobe = 12, refineFromSq8 = true)
-          .localCheckpoint(true)
+        val probed = SimOps.shardedProbeIndexSnapshot(qs, "vec_id",
+            "embedding", sink, k = 50, nprobe = 12) {
+          _.localCheckpoint(true)
+        }
         // lexical side: ONE served-BM25 ranking shared by every query
         // (terms are the request's; the dense side is what the batch
-        // varies) — the q131 scoring path, 6-dp rounded before ranking
-        val bm = SearchOps.invertedIndexSearch(
-            Seq("vector", "merge", "stream"), sink)
-          .select(col("doc_id"), round(col("score"), 6).as("score"))
-          .localCheckpoint(true)
+        // varies — q138 is the per-query-terms form) — the q131
+        // scoring path, 6-dp rounded before ranking, snapshot read
+        val bm = SearchOps.invertedIndexSearchSnapshot(
+            Seq("vector", "merge", "stream"), sink) { served =>
+          served.select(col("doc_id"), round(col("score"), 6).as("score"))
+            .localCheckpoint(true)
+        }
         // AUDIT ONLY: exact brute top-k for the same batch; the audit
         // column is the batch's WORST per-query recall
         val exact = SimOps.bruteForceTopK(qs, e, "vec_id", "embedding", 50)
@@ -2076,6 +2104,215 @@ private[graft] trait CatalogStores extends CatalogShared {
             col("rank_b"), round(col("rrf"), 6).as("rrf"))
           .crossJoin(broadcast(recall))
           .orderBy("query_id", "doc_id")
+      }),
+
+    QueryDef("q137_bm25_batch",
+      "PER-QUERY-TERMS batch lexical serving (r16 verdict \"What's " +
+        "wrong #1\" closed): N queries, each with ITS OWN term set, " +
+        "score through ONE postings scan — the union of every query's " +
+        "terms pushes into the scan as one parquet In predicate, " +
+        "per-term document frequencies aggregate once (df is corpus-" +
+        "global), and one broadcast (query, term) join replicates " +
+        "each matching posting to exactly the queries that asked — " +
+        "never N looped single-query plans (PlanShapeSpec pins ONE " +
+        "bm25_postings scan for the whole batch). Served through the " +
+        "snapshot-consistent read (the shipped default). Exact " +
+        "oracle: per-query scores equal DuckDB's direct BM25 over " +
+        "the same corpus restricted to each query's term set — the " +
+        "q87/q129 parity, now per query.",
+      Some("""WITH req(query_id, w) AS (VALUES
+             |    (CAST(0 AS BIGINT), 'vector'), (0, 'merge'),
+             |    (1, 'stream'), (1, 'join'),
+             |    (2, 'hash'), (2, 'scan'), (2, 'filter'),
+             |    (3, 'vector'), (3, 'stream')),
+             |lens AS (SELECT doc_id,
+             |    len(regexp_extract_all(lower(text), '[a-z]+')) AS dl
+             |  FROM documents),
+             |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |    AVG(dl) AS avgdl FROM lens),
+             |tok AS (SELECT doc_id,
+             |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             |  FROM documents),
+             |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+             |  WHERE w IN (SELECT DISTINCT w FROM req) GROUP BY doc_id, w),
+             |dfr AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df
+             |  FROM tf GROUP BY w)
+             |SELECT req.query_id, tf.doc_id,
+             |  ROUND(SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |    * (tf * (1.2 + 1.0)
+             |       / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))), 6)
+             |    AS score
+             |FROM tf JOIN dfr USING (w) JOIN req USING (w)
+             |  CROSS JOIN stats JOIN lens ON tf.doc_id = lens.doc_id
+             |GROUP BY req.query_id, tf.doc_id
+             |ORDER BY req.query_id, tf.doc_id""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        // build amortized: the index never mutates here (lifecycle
+        // costs are q129/q132/q136's claims — this row prices the
+        // BATCH SERVING read alone)
+        val sink = tempStore.sink(s, "searchbatch", dir)
+        if (!SearchOps.invertedIndexExists(sink))
+          SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink)
+        // the request payload: per-query term sets, one row per
+        // (query, term) — exactly the serving API's input shape
+        val req = Seq(
+          0L -> "vector", 0L -> "merge",
+          1L -> "stream", 1L -> "join",
+          2L -> "hash", 2L -> "scan", 2L -> "filter",
+          3L -> "vector", 3L -> "stream").toDF("query_id", "w")
+        SearchOps.invertedIndexSearchBatchSnapshot(req, sink) { served =>
+          served.select(col("query_id"), col("doc_id"),
+              round(col("score"), 6).as("score"))
+            .orderBy("query_id", "doc_id")
+            .localCheckpoint(true)
+        }
+      }),
+
+    QueryDef("q138_hybrid_batch_paired",
+      "FULL-DUPLEX batch hybrid serving — the q135 composition with " +
+        "the lexical side now per-query too (r16 verdict \"What's " +
+        "wrong #1\"): N (terms, vector) request pairs ride ONE plan " +
+        "per side — the dense rankings through the sharded snapshot " +
+        "probe (whole batch broadcast into every shard's list-bounded " +
+        "ADC + SQ8 refine), the lexical rankings through " +
+        "invertedIndexSearchBatch's single pushed-predicate postings " +
+        "scan (q137's op), and each query's two rankings RRF-fuse " +
+        "per (query, doc) via rrfFusePerQuery. Serves the full " +
+        "corpus from q133's amortized sink; per-query term sets " +
+        "derive deterministically from the query id (three fixed " +
+        "variants). ANN inside -> rows-only; recall_mil = the " +
+        "batch's WORST per-query dense recall vs the exact brute " +
+        "top-k (audit-only pass, off the serving path); PlanShapeSpec " +
+        "pins the whole fused composition corpus-scan-free with ONE " +
+        "postings scan.",
+      None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val docs = t(s, dir, "documents")
+        // q133/q135's sink and marker discipline (amortized builds)
+        val sink = tempStore.sink(s, "annstream", dir)
+        val openMarker = java.nio.file.Paths.get(sink.rootPath)
+          .resolve("_graft_roundtrip_open")
+        if (java.nio.file.Files.exists(openMarker) ||
+            !SimOps.shardedIndexExists(s, sink)) {
+          SimOps.buildShardedIvfPqIndex(e, "vec_id", "embedding", sink,
+            shards = 2, nlist = 16, m = 8, ksub = 16, coarseIters = 1,
+            storeSq8 = true)
+          java.nio.file.Files.deleteIfExists(openMarker)
+        }
+        if (!SearchOps.invertedIndexExists(sink))
+          SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink)
+        val qs = e.filter(col("vec_id") % 97 === 1)
+        // per-query term sets, derived deterministically from the id:
+        // the request payload a real batch endpoint would carry
+        val termsOf = when(col("vec_id") % 3 === 0,
+            array(lit("vector"), lit("merge")))
+          .when(col("vec_id") % 3 === 1, array(lit("stream"), lit("join")))
+          .otherwise(array(lit("hash"), lit("scan"), lit("filter")))
+        val req = qs.select(col("vec_id").as("query_id"),
+          explode(termsOf).as("w"))
+        val probed = SimOps.shardedProbeIndexSnapshot(qs, "vec_id",
+            "embedding", sink, k = 50, nprobe = 12) {
+          _.localCheckpoint(true)
+        }
+        val bm = SearchOps.invertedIndexSearchBatchSnapshot(req, sink) {
+          served => served.select(col("query_id"), col("doc_id"),
+              round(col("score"), 6).as("score"))
+            .localCheckpoint(true)
+        }
+        // AUDIT ONLY: worst per-query dense recall (q135 convention)
+        val exact = SimOps.bruteForceTopK(qs, e, "vec_id", "embedding", 50)
+        val recall = SimOps.withRecallAudit(probed, exact, 50)
+          .agg(min(col("recall_mil")).as("recall_mil"))
+        TextOps.rrfFusePerQuery(bm,
+            probed.select(col("query_id"),
+              col("neighbor_id").as("doc_id"), col("cosine").as("score")),
+            "doc_id", "query_id")
+          .select(col("query_id"), col("doc_id"), col("rank_a"),
+            col("rank_b"), round(col("rrf"), 6).as("rrf"))
+          .crossJoin(broadcast(recall))
+          .orderBy("query_id", "doc_id")
+      }),
+
+    QueryDef("q139_erasure_stream_ann",
+      "STREAMING right-to-erasure with an EMBEDDING-KEYED member in " +
+        "the sweep (r16 verdict, Missing #2 — the one streaming " +
+        "contract with zero coverage): the q136 batch-replay form " +
+        "over a sink holding BOTH serving layers (the BM25 inverted " +
+        "index and the sharded IVF-PQ ANN index), so every per-batch " +
+        "sweep must derive the subjects' vector ids from the raw " +
+        "batch exactly as erasureSweepStream's vecIds hook does " +
+        "(batch in, ids out). Two erasure micro-batches sweep under " +
+        "checkpoint-stable ids <prefix>-b0/-b1 (ledger receipts, " +
+        "per-shard erasure journals), then batch 0 RE-DELIVERS under " +
+        "its own id — replayed decrements must be byte-free no-ops " +
+        "in BOTH layers. ANN inside -> rows-only with the audit " +
+        "columns carrying the compliance claim: the post-stream " +
+        "snapshot probe's neighbors with leaked = served-an-erased-" +
+        "subject (must be 0 on every row), stuck = pendingSweeps " +
+        "rows after the stream (must be 0 — every sweep finalized), " +
+        "recall_mil vs the exact brute top-k over the SURVIVING " +
+        "vectors (CatalogSpec pins all three).",
+      None,
+      (s, dir) => {
+        import s.implicits._
+        // the even fixture slice (the q136 convention: the claim is
+        // the stream core's exactly-once sweep over both layers, not
+        // sweep cost at corpus scale — q123 prices that)
+        val docs = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+        val e = t(s, dir, "embeddings")
+          .filter(col("vec_id") % 2 === 0).select("vec_id", "embedding")
+        val sink = tempStore.freshSink(s, "erasestreamann", dir)
+        SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink)
+        SimOps.buildShardedIvfPqIndex(e, "vec_id", "embedding", sink,
+          shards = 2, nlist = 8, m = 8, ksub = 16, coarseIters = 1,
+          storeSq8 = true)
+        // two erasure-request micro-batches; the vecIds derivation is
+        // the stream hook's contract — raw batch in, vector ids out
+        // (id-keyed convention: a subject's vector shares its id; a
+        // subject with no vector routes to an absent key, which the
+        // removal counts as matched-nothing)
+        val prefix = "q139er"
+        def vecIdsOf(batch: DataFrame): DataFrame =
+          batch.select(col("doc_id").as("vec_id"))
+        Seq(0, 1).foreach { b =>
+          val batch = docs.filter(col("doc_id") % 12 === b * 6L)
+          EraseOps.eraseSubjects(batch, "doc_id", "text", sink,
+            sweepId = s"$prefix-b$b", vecIds = Some(vecIdsOf(batch)))
+        }
+        // THE RE-DELIVERY (kill/restart): batch 0 under its own sweep
+        // id — the erasure journal fences the data phases in BOTH
+        // layers (per-shard journals on the ANN side), the finalized
+        // receipts win exactly once
+        val b0 = docs.filter(col("doc_id") % 12 === 0)
+        EraseOps.eraseSubjects(b0, "doc_id", "text", sink,
+          sweepId = s"$prefix-b0", vecIds = Some(vecIdsOf(b0)))
+        val stuck = EraseOps.pendingSweeps(sink).count()
+        // serve from the swept index (snapshot probe — the serving
+        // default); a surviving query vector, fresh id (self-match
+        // exclusion convention)
+        val qVec = e.filter(col("vec_id") === 2L)
+          .select(col("embedding")).as[Array[Float]].head()
+        val q = Seq((999999999L, qVec)).toDF("vec_id", "embedding")
+        val probed = SimOps.shardedProbeIndexSnapshot(q, "vec_id",
+            "embedding", sink, k = 20, nprobe = 12) {
+          _.localCheckpoint(true)
+        }
+        val survivors = e.filter(col("vec_id") % 6 =!= 0)
+        val exact = SimOps.bruteForceTopK(q, survivors, "vec_id",
+          "embedding", 20)
+        val recall = SimOps.withRecallAudit(probed, exact, 20)
+          .agg(max(col("recall_mil")).as("recall_mil"))
+        probed
+          .select(col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+            col("rank"))
+          .withColumn("leaked",
+            (col("neighbor_id") % 6 === 0).cast("int"))
+          .withColumn("stuck", lit(stuck))
+          .crossJoin(broadcast(recall))
+          .orderBy("rank", "neighbor_id")
       })
   )
 }

@@ -156,6 +156,88 @@ object SearchOps {
     finally snaps.foreach(_.close())
   }
 
+  /** BM25 scores for a BATCH of queries, each with ITS OWN term set,
+    * through ONE postings scan (r16 verdict "What's wrong #1" — the
+    * lexical side of batch serving must not loop N single-query plans):
+    * `termSets` is the request payload, (`queryCol`, `termCol`) rows —
+    * one row per (query, term). The UNION of every query's terms pushes
+    * into the posting scan as one `isin` parquet predicate (the scan
+    * runs once for the whole batch), per-term document frequencies
+    * aggregate from the already-filtered rows (they are corpus-global —
+    * a term's df does not depend on which query asked), and one
+    * broadcast join against the (query, term) pairs replicates each
+    * matching posting to exactly the queries that requested its term
+    * before the per-(query, doc) sum. Scores are the EXACT single-query
+    * [[invertedIndexSearch]] values restricted to each query's term set
+    * (same formula, same per-posting arithmetic — q137's oracle pins
+    * the parity against DuckDB per query).
+    *
+    * Scale shape: the request is BOUNDED (a serving payload, not data),
+    * so the driver-side collect of its distinct terms and the broadcast
+    * of its (query, term) pairs are bounded too; everything corpus-
+    * sized stays in the one pushed-predicate postings scan. Output:
+    * (`queryCol`, doc_id, score) for every (query, doc) sharing ≥ 1
+    * term. Duplicate (query, term) request rows are deduped up front —
+    * a term listed twice must not score twice.
+    *
+    * Same consistency scope as the plain [[invertedIndexSearch]]: three
+    * live table reads, safe for readers not racing a live writer; the
+    * crash-consistent form is [[invertedIndexSearchBatchSnapshot]].
+    */
+  def invertedIndexSearchBatch(termSets: DataFrame, sink: UpsertSink,
+                               queryCol: String = "query_id",
+                               termCol: String = "w",
+                               k1: Double = 1.2,
+                               b: Double = 0.75): DataFrame = {
+    require(invertedIndexExists(sink),
+      s"no inverted index under ${sink.rootPath} — run invertedIndexBuild")
+    if (!sink.hasData(Postings))
+      throw new IllegalStateException(
+        s"inverted index under ${sink.rootPath} has an empty posting " +
+          "list — every document was erased; rebuild or drop it")
+    scoreFromTablesBatch(termSets, queryCol, termCol, sink.read(Postings),
+      sink.read(DocLens), sink.read(Stats), k1, b)
+  }
+
+  /** [[invertedIndexSearchBatch]] over ONE point-in-time capture of all
+    * three index tables — the batch sibling of
+    * [[invertedIndexSearchSnapshot]], same `use`-scoped lifetime.
+    */
+  def invertedIndexSearchBatchSnapshot[T](termSets: DataFrame,
+                                          sink: UpsertSink,
+                                          queryCol: String = "query_id",
+                                          termCol: String = "w",
+                                          k1: Double = 1.2,
+                                          b: Double = 0.75)(
+      use: DataFrame => T): T = {
+    require(invertedIndexExists(sink),
+      s"no inverted index under ${sink.rootPath} — run invertedIndexBuild")
+    if (!sink.hasData(Postings))
+      throw new IllegalStateException(
+        s"inverted index under ${sink.rootPath} has an empty posting " +
+          "list — every document was erased; rebuild or drop it")
+    val snaps = sink.snapshotMany(Seq(Postings, DocLens, Stats))
+    try use(scoreFromTablesBatch(termSets, queryCol, termCol, snaps(0).df,
+      snaps(1).df, snaps(2).df, k1, b))
+    finally snaps.foreach(_.close())
+  }
+
+  /** The BM25 idf term over (__n, __df) — shared by the single-query
+    * and batch scorers so the arithmetic can never drift between them.
+    * Parenthesization mirrors TextOps.bm25Scores TERM FOR TERM — float
+    * association differences would surface at the 6-dp rounding edge
+    * the oracles compare at.
+    */
+  private def bm25Idf: Column =
+    log((col("__n") - col("__df") + lit(0.5))
+      / (col("__df") + lit(0.5)) + lit(1.0))
+
+  /** The BM25 tf-normalization term over (__tf, __dl, __avgdl). */
+  private def bm25Norm(k1: Double, b: Double): Column =
+    col("__tf") * lit(k1 + 1.0) /
+      (col("__tf") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * (col("__dl") / col("__avgdl"))))
+
   /** The one scoring plan both search entry points share: frames must
     * be (postings, doclens, stats) of ONE index generation.
     */
@@ -176,19 +258,48 @@ object SearchOps {
       .select(col("w").as("__w"), col("doc_id"), col("tf").as("__tf"))
     val dfreq = tf.groupBy("__w")
       .agg(count(lit(1)).cast("double").as("__df"))
-    // formula and parenthesization mirror TextOps.bm25Scores TERM FOR
-    // TERM — float association differences would surface at the 6-dp
-    // rounding edge the oracle compares at
-    val idf = log((col("__n") - col("__df") + lit(0.5))
-      / (col("__df") + lit(0.5)) + lit(1.0))
-    val norm = col("__tf") * lit(k1 + 1.0) /
-      (col("__tf") + lit(k1) *
-        (lit(1.0 - b) + lit(b) * (col("__dl") / col("__avgdl"))))
     tf.join(broadcast(dfreq), "__w")
       .crossJoin(broadcast(stats))
       .join(lens, "doc_id")
       .groupBy("doc_id")
-      .agg(sum(idf * norm).as("score"))
+      .agg(sum(bm25Idf * bm25Norm(k1, b)).as("score"))
+  }
+
+  /** The batch scoring plan both batch entry points share: one pushed-
+    * predicate postings scan for the UNION of the request's terms, one
+    * broadcast (query, term) replication, one per-(query, doc) sum.
+    */
+  private def scoreFromTablesBatch(termSets: DataFrame, queryCol: String,
+                                   termCol: String, postings: DataFrame,
+                                   doclens: DataFrame, statsTbl: DataFrame,
+                                   k1: Double, b: Double): DataFrame = {
+    // the request payload is bounded by contract — dedupe (a term
+    // listed twice must not score twice), then collect the term union
+    // for the ONE pushed posting predicate
+    val pairs = termSets
+      .select(col(queryCol).as("__q"), col(termCol).as("__w")).distinct()
+      .localCheckpoint(true) // collected AND joined below — one derivation
+    val terms = pairs.select("__w").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val lens = doclens.select(col("doc_id"), col("dl").as("__dl"))
+    val stats = statsTbl.select(
+      col("n").cast("double").as("__n"),
+      (col("sum_dl").cast("double") / col("n").cast("double"))
+        .as("__avgdl"))
+    val tf = postings.filter(col("w").isInCollection(terms))
+      .select(col("w").as("__w"), col("doc_id"), col("tf").as("__tf"))
+    // df is CORPUS-GLOBAL (a term's document frequency does not depend
+    // on which query asked) — aggregate once from the filtered scan,
+    // before any per-query replication
+    val dfreq = tf.groupBy("__w")
+      .agg(count(lit(1)).cast("double").as("__df"))
+    tf.join(broadcast(dfreq), "__w")
+      .join(broadcast(pairs), "__w") // replicate to requesting queries
+      .crossJoin(broadcast(stats))
+      .join(lens, "doc_id")
+      .groupBy(col("__q"), col("doc_id"))
+      .agg(sum(bm25Idf * bm25Norm(k1, b)).as("score"))
+      .withColumnRenamed("__q", queryCol)
   }
 
   /** ADMIT a batch of NEW documents: PK-merge their postings and

@@ -1488,9 +1488,17 @@ object SimOps {
     val snaps = built.map(ss =>
       ss.snapshotMany(Seq(IdxCentroids, IdxCodebooks, IdxCodes, IdxVecs8)))
     try {
-      val perShard = snaps.map { sn =>
-        val cents = decodeCentroids(sn(0).df)
-        val books = decodeCodebooks(sn(1).df)
+      val perShard = built.zip(snaps).map { case (ss, sn) =>
+        // the decoded quantizers are version-keyed content — a snapshot
+        // at version v holds byte-identical centroids/codebooks to a
+        // live read at v, so both paths share ONE cache (sweeps/admits
+        // touch only codes/refine tables, leaving these versions — and
+        // so the cache hit — stable across a serving lifecycle's passes)
+        val quantKey = (ss.rootPath, sn(0).srcVersion, sn(1).srcVersion)
+        val (cents, books) = idxQuantCache.getOrElseUpdate(quantKey, {
+          if (idxQuantCache.size >= 64) idxQuantCache.clear()
+          (decodeCentroids(sn(0).df), decodeCodebooks(sn(1).df))
+        })
         val lists0 = sn(2).df.withColumnRenamed("id", "neighbor_id")
           .withColumnRenamed("list", "__list")
           .withColumnRenamed("codes", "__codes")

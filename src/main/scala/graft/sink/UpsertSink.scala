@@ -915,7 +915,7 @@ final class UpsertSink(spark: SparkSession, root: String,
           val df0 = spark.read.parquet(dir.toString)
           return new TableSnapshot(
             if (df0.columns.contains(BucketCol)) df0.drop(BucketCol) else df0,
-            dir)
+            dir, v0)
         }
       } catch {
         // a concurrent swap moved a file between walk and link: the
@@ -2004,7 +2004,16 @@ object UpsertSink {
   * read window, not the DataFrame's.
   */
 final class TableSnapshot private[sink] (val df: DataFrame,
-                                         private[sink] val dir: Path)
+                                         private[sink] val dir: Path,
+                                         /** The source table's content
+                                           * version AT CAPTURE (verified
+                                           * unchanged across the link
+                                           * walk) — lets snapshot readers
+                                           * share version-keyed decoded-
+                                           * state caches with live
+                                           * readers: same version, same
+                                           * bytes. */
+                                         val srcVersion: Long)
     extends AutoCloseable {
   override def close(): Unit = Fs.deleteRecursively(dir)
 }

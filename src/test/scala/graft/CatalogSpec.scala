@@ -318,6 +318,69 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("q138 paired batch hybrid: per-query lexical AND dense sides, re-derived RRF, worst-case recall") {
+    // the r16 verdict's batch-serving symmetry closed: both sides are
+    // per-query now, so rank_a (lexical) may DIFFER across queries —
+    // each query's own term set ranked — and rank_b stays its dense
+    // ranking; the fused arithmetic re-derives per row
+    val out = Catalog.byName("q138_hybrid_batch_paired").fn(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size > 1, "the batch row served only one query")
+    val rec = out.map(_.getAs[Int]("recall_mil")).distinct
+    assert(rec.length == 1, s"recall_mil not constant: $rec")
+    assert(rec.head >= 700, s"worst per-query recall ${rec.head} < 700")
+    byQuery.foreach { case (q, rows) =>
+      rows.foreach { r =>
+        val ra = Option(r.getAs[Integer]("rank_a")).map(_.toInt)
+        val rb = Option(r.getAs[Integer]("rank_b")).map(_.toInt)
+        assert(ra.isDefined || rb.isDefined, s"query $q: row in neither ranking")
+        val want = BigDecimal(ra.map(v => 1.0 / (60 + v)).getOrElse(0.0) +
+            rb.map(v => 1.0 / (60 + v)).getOrElse(0.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getAs[Double]("rrf") - want) < 2e-6,
+          s"query $q: rrf ${r.getAs[Double]("rrf")} != $want ($ra/$rb)")
+      }
+      // per-query rankings are DENSE within each side (1..n with no
+      // holes — a hole would mean the window ranked rows this query
+      // never requested)
+      Seq("rank_a", "rank_b").foreach { side =>
+        val ranks = rows.flatMap(r =>
+          Option(r.getAs[Integer](side)).map(_.toInt)).sorted.toList
+        assert(ranks == (1 to ranks.length).toList,
+          s"query $q: $side not dense 1..n: ${ranks.take(5)}..")
+      }
+    }
+    // the lexical side is genuinely PER QUERY: two queries with
+    // different term sets must not share an identical rank_a list
+    // (the q135 shared-ranking shape this row supersedes)
+    val lexOf = byQuery.map { case (q, rows) =>
+      q -> rows.flatMap(r => Option(r.getAs[Integer]("rank_a"))
+        .map(v => r.getAs[Long]("doc_id") -> v.toInt)).toMap
+    }
+    val distinctLex = lexOf.values.toSeq.distinct
+    assert(distinctLex.size > 1,
+      "every query's lexical ranking is identical — the per-query term " +
+        "sets did not reach the scorer")
+  }
+
+  test("q139 streaming erasure with the ANN member: nothing leaks, nothing sticks, honest recall") {
+    val out = Catalog.byName("q139_erasure_stream_ann").fn(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Int]("leaked") == 0),
+      "the post-stream probe served an erased subject")
+    assert(out.forall(_.getAs[Long]("stuck") == 0L),
+      "a replayed sweep still reads as stuck in the ledger")
+    assert(out.forall(_.getAs[Int]("recall_mil") >= 700),
+      s"post-erasure recall below 700: " +
+        out.map(_.getAs[Int]("recall_mil")).min)
+    val ranks = out.map(_.getAs[Int]("rank")).sorted.toList
+    assert(ranks == (1 to ranks.length).toList,
+      s"served ranks not dense 1..k: ${ranks.take(5)}..")
+  }
+
   test("q107 scale-path tiers agree with q103's exact form on the corpus") {
     // the sketch-cutoff path and the ntile oracle form may only differ
     // at tier boundaries (approx percentile vs exact rank) and inside

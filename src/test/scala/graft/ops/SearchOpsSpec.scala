@@ -55,6 +55,51 @@ class SearchOpsSpec extends SparkSpec {
     }
   }
 
+  test("batch search: per-query scores equal the looped single-query scorer exactly") {
+    // the r16-verdict batch-lexical op: N term sets through one pushed
+    // postings scan must return, per query, EXACTLY what that query's
+    // single-query search returns over its own term set — same formula,
+    // same float association, so the maps compare raw (6-dp rounded
+    // only to match the scores() helper's convention)
+    val docs = Tables.load(spark, sf, "documents")
+    val sink = freshSink("batch")
+    SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink)
+    val sets = Map(
+      0L -> Seq("vector", "merge"),
+      1L -> Seq("stream", "join"),
+      2L -> Seq("hash", "vector", "scan"))
+    // a duplicate (query, term) request row must not double-score
+    val req = (sets.toSeq.flatMap { case (q, ts) => ts.map(q -> _) } :+
+      (0L -> "vector")).toDF("query_id", "w")
+    val batch = SearchOps.invertedIndexSearchBatch(req, sink)
+      .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("s"))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.map(r => r._2 -> r._3).toMap
+      }
+    assert(batch.keySet == sets.keySet, s"queries served: ${batch.keySet}")
+    sets.foreach { case (q, ts) =>
+      val single = scores(SearchOps.invertedIndexSearch(ts, sink))
+      assert(batch(q) == single,
+        s"query $q: batch != single-query over ${ts.mkString(",")}: " +
+          s"${(batch(q).toSet diff single.toSet).take(3)} / " +
+          s"${(single.toSet diff batch(q).toSet).take(3)}")
+    }
+    // the snapshot form returns the same frame (materialized in use)
+    val snap = SearchOps.invertedIndexSearchBatchSnapshot(req, sink) {
+      df => df.select(col("query_id"), col("doc_id"),
+          round(col("score"), 6).as("s"))
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    assert(snap == batch.toSeq.flatMap { case (q, m) =>
+      m.map { case (d, s) => (q, d, s) } }.toSet,
+      "snapshot batch search diverged from the live read")
+    // fails loudly on a missing index, like every sibling entry point
+    intercept[IllegalArgumentException] {
+      SearchOps.invertedIndexSearchBatch(req, freshSink("batchmissing"))
+    }
+  }
+
   test("admit: index equals a fresh build on the union; replayed admit converges") {
     val docs = Tables.load(spark, sf, "documents")
     val archive = docs.filter($"doc_id" % 3 =!= 0)
