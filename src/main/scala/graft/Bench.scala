@@ -230,7 +230,20 @@ object Bench {
     // when a query demonstrates a faster clean min, never raised to
     // excuse a regression.
     val floors: Map[String, Double] = BenchBands.loadFloors()
-    def floorThreshold(f: Double): Double = math.max(1.5 * f, f + 0.5)
+    // CAL-NORMALIZED thresholds (round-17, r16 verdict "What's wrong
+    // #3"): the builder box reads a uniform 1.3-1.7x of the clean-box
+    // floors, so every full run paid 5-7 redraws whose WARNs always
+    // adjudicated environmental — a standing WARN trains readers to
+    // ignore WARNs. The calibration probe is catalog-external (a code
+    // regression cannot move it), so its suite-start reading over the
+    // checked-in clean value is exactly the box's uniform slowdown:
+    // scale the redraw threshold by it. A single-query regression
+    // still flags (its ratio to floor exceeds the box factor); the
+    // always-environmental flags stop. The normalization factor lands
+    // in the artifact (calibration.norm) so a consumer sees what the
+    // run excused.
+    def floorThreshold(f: Double): Double =
+      BenchBands.calNormalizedThreshold(f, calStart)
     case class RedrawRec(floor: Double, firstMin: Double,
                          redraw: Option[Double], cal: Double)
     val floorRedraws =
@@ -263,13 +276,17 @@ object Bench {
         } else {
           floorRedraws(r.name) = RedrawRec(f, r.min, Some(t), cal)
           val newMin = r.min.min(t)
-          if (floors.contains(r.name) && t > floorThreshold(f))
+          // the redraw's OWN cal reading normalizes its verdict: the
+          // box state at redraw time, not at suite start, is what the
+          // redraw measurement paid
+          if (floors.contains(r.name) &&
+              t > BenchBands.calNormalizedThreshold(f, cal))
             System.err.println(
               f"bench: WARN ${r.name} end-of-suite re-draw $t%.2fs still " +
-                f"exceeds 1.5x its isolated floor $f%.2fs (first draw " +
-                f"${r.min}%.2fs, calibration $cal%.2fs vs $calStart%.2fs " +
-                "at suite start) — regression suspected if the " +
-                "calibration held steady")
+                f"exceeds its cal-normalized floor threshold (floor " +
+                f"$f%.2fs, calibration $cal%.2fs vs clean " +
+                f"${BenchBands.CalCleanSec}%.2fs) — regression suspected: " +
+                "the calibration probe cannot be moved by a code change")
           r.copy(min = newMin, times = r.times :+ t,
             bandExceeded = bands.get(r.name).filter(newMin > _))
         }
@@ -419,7 +436,8 @@ object Bench {
     // warmups), suite-end, and the per-redraw readings above — the
     // box-state evidence that lets a consumer adjudicate drift FROM
     // the artifact
-    val calJson = f"""{"start":$calStart%.3f,"end":$calEnd%.3f}"""
+    val calJson =
+      f"""{"start":$calStart%.3f,"end":$calEnd%.3f,"clean":${BenchBands.CalCleanSec}%.3f,"norm":${math.max(1.0, calStart / BenchBands.CalCleanSec)}%.3f}"""
     // stdout-line error map: short keys, 40-char messages — a failing
     // build must not push the line back over the capture window
     val errsShort = errors.map { case (k, v) =>

@@ -39,6 +39,28 @@ object BenchBands {
   def derivedBand(floor: Double): Double =
     math.max(DerivedBandMult * floor, DerivedBandMinSec)
 
+  /** The best demonstrated SETTLED reading of [[Bench]]'s fixed
+    * CPU+shuffle calibration probe on a clean box (seconds) — the
+    * denominator of the round-17 cal-normalized floor thresholds (r16
+    * verdict "What's wrong #3"): a box whose suite-start calibration
+    * reads K x this value gets its floor-redraw thresholds scaled by
+    * K, so a UNIFORMLY slow box stops emitting always-environmental
+    * WARNs while a single-query regression (which cannot move the
+    * catalog-external probe) still flags. Clamped at 1.0 from below —
+    * a faster-than-clean box never TIGHTENS thresholds past the
+    * floors' own record.
+    */
+  val CalCleanSec = 0.31
+
+  /** The floor-adjudication threshold for one query, normalized by the
+    * box state `calReading` (suite-start for the in-suite flag, the
+    * per-redraw reading for the post-redraw verdict). Shared with
+    * BenchBandsSpec so the arithmetic is pinned.
+    */
+  def calNormalizedThreshold(floor: Double, calReading: Double): Double =
+    math.max(1.5 * floor, floor + 0.5) *
+      math.max(1.0, calReading / CalCleanSec)
+
   /** The explicit band overrides alone (the resource file's content). */
   def loadOverrides(): Map[String, Double] = loadFrom(ResourcePath)
 

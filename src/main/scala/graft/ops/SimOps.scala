@@ -1606,13 +1606,19 @@ object SimOps {
   def shardedIndexAdd(vecs: DataFrame, idCol: String, vecCol: String,
                       sink: graft.sink.UpsertSink,
                       attrCols: Seq[String] = Nil,
-                      opId: Option[String] = None): Map[Int, Long] = {
+                      opId: Option[String] = None,
+                      establishFrom: Option[DataFrame] = None): Map[Int, Long] = {
     val spark = vecs.sparkSession
     require(sink.exists(ShardMeta),
       s"no sharded index under ${sink.rootPath} — run buildShardedIvfPqIndex")
+    // the establish path repairs a stale meta commit FIRST (a prior
+    // establish crashed between its shard build and its meta bump —
+    // the one window that leaves probes refusing "torn" until replay);
+    // the plain path leaves the meta alone, exactly as before
+    if (establishFrom.isDefined) repairShardMeta(spark, sink)
     val shards = sink.read(ShardMeta).collect()(0).getAs[Int]("shards")
     // ONE aggregation pass learns every touched shard (bounded: at most
-    // `shards` rows), so the unbuilt-shard refusal happens BEFORE any
+    // `shards` rows), so the unbuilt-shard decision happens BEFORE any
     // merge — the add is then all-or-nothing at the routing level
     val routed = vecs
       .select(shardOf(idCol, shards).as("__s"))
@@ -1620,12 +1626,25 @@ object SimOps {
       .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
     val sinks = shardSinks(spark, sink, shards)
     val unbuilt = routed.keys.filterNot(s => ivfPqIndexExists(sinks(s)))
-    require(unbuilt.isEmpty,
-      s"batch routes ${unbuilt.toSeq.sorted.map(routed).sum} vectors to " +
-        s"never-built shard(s) ${unbuilt.toSeq.sorted.mkString(", ")} " +
-        "(empty hash ranges at build time) — rebuild the sharded index " +
-        "to establish them; absorbing into another shard would break " +
-        "the deterministic route")
+    establishFrom match {
+      case Some(extra) =>
+        // the ESTABLISH escape (r16 verdict "What's wrong #2"): a cohort
+        // hashing into an empty-at-build-time shard must not wedge a
+        // stream forever — train that shard's quantizers from the batch
+        // plus its corpus slice and swap it in; the journaled merge loop
+        // below then converges the batch's rows idempotently (and a
+        // RE-DELIVERED batch finds the shard built + its buckets fenced)
+        unbuilt.toSeq.sorted.foreach(s =>
+          establishShard(vecs, idCol, vecCol, sink, s, Some(extra)))
+      case None =>
+        require(unbuilt.isEmpty,
+          s"batch routes ${unbuilt.toSeq.sorted.map(routed).sum} vectors to " +
+            s"never-built shard(s) ${unbuilt.toSeq.sorted.mkString(", ")} " +
+            "(empty hash ranges at build time) — rebuild the sharded index " +
+            "to establish them, or pass establishFrom (the establish-on-" +
+            "first-batch escape); absorbing into another shard would " +
+            "break the deterministic route")
+    }
     routed.toSeq.sortBy(_._1).foreach { case (s, _) =>
       val slice = vecs.filter(shardOf(idCol, shards) === s)
       opId match {
@@ -1641,6 +1660,86 @@ object SimOps {
       }
     }
     routed
+  }
+
+  /** ESTABLISH a never-built shard of an existing sharded index (r16
+    * verdict "What's wrong #2"): an empty-at-build-time hash range has
+    * no quantizers, so the first vectors routing there would otherwise
+    * wedge a production ingest stream FOREVER (the micro-batch fails,
+    * the replay hits the same refusal). This op is the documented
+    * non-wedging escape: train the shard's OWN quantizers from the
+    * batch's slice plus the shard's corpus slice (`extraCorpus` — rows
+    * that accumulated outside the index; pass None when the batch is
+    * all there is), build the full per-shard index in one atomic group
+    * swap, then bump the meta commit's built count to the on-disk
+    * recount.
+    *
+    * The quantizer SHAPE derives from the first built sibling (nlist
+    * from its centroid rows, m/ksub from its codebook dims, SQ8
+    * presence from its refine table) — an established shard must probe
+    * like its fleet, and deriving from bytes on disk cannot drift from
+    * what the fleet actually serves. Refuses when no sibling is built
+    * (nothing to derive from — that fleet needs buildShardedIvfPqIndex).
+    *
+    * Idempotent under crash-replay: a call on an ALREADY-built shard
+    * only repairs the meta count (covering the crash window between a
+    * prior establish's build and its meta bump — probes refuse "torn"
+    * in that window until this replay lands, the same restart-first
+    * recovery protocol every journal in the family documents).
+    */
+  def establishShard(batch: DataFrame, idCol: String, vecCol: String,
+                     sink: graft.sink.UpsertSink, shard: Int,
+                     extraCorpus: Option[DataFrame] = None,
+                     coarseIters: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    require(sink.exists(ShardMeta),
+      s"no sharded index under ${sink.rootPath} — run buildShardedIvfPqIndex")
+    val shards = sink.read(ShardMeta).collect()(0).getAs[Int]("shards")
+    require(shard >= 0 && shard < shards,
+      s"shard $shard outside [0, $shards)")
+    val sinks = shardSinks(spark, sink, shards)
+    val ss = sinks(shard)
+    if (!ivfPqIndexExists(ss)) {
+      val sibling = sinks.find(ivfPqIndexExists).getOrElse(
+        throw new IllegalStateException(
+          s"sharded index under ${sink.rootPath} has NO built shard to " +
+            "derive the quantizer shape from — run buildShardedIvfPqIndex"))
+      val nlist = decodeCentroids(sibling.read(IdxCentroids)).length
+      val books = decodeCodebooks(sibling.read(IdxCodebooks))
+      val (m, ksub) = (books.length, books(0).length)
+      val storeSq8 = sibling.exists(IdxVecs8)
+      val slice = extraCorpus.fold(batch)(batch.unionByName(_))
+        .filter(shardOf(idCol, shards) === shard)
+        .dropDuplicates(idCol).filter(col(vecCol).isNotNull)
+      require(!slice.isEmpty,
+        s"establishShard($shard): no vectors route to this shard — " +
+          "nothing to train from")
+      // nlist may exceed the founding slice's population (the sibling
+      // trained on a full hash range) — the k-means seeder handles
+      // short corpora, and the shard re-sizes at its first drift
+      // rebuild like any other
+      buildIvfPqIndex(slice, idCol, vecCol, ss, nlist = nlist, m = m,
+        ksub = ksub, coarseIters = coarseIters, storeSq8 = storeSq8)
+    }
+    repairShardMeta(spark, sink)
+  }
+
+  /** Re-point the meta commit's built count at the on-disk truth —
+    * the establish path's recovery step (build landed, bump didn't; or
+    * bump landed, build didn't: both re-converge here on replay). A
+    * no-op when the commit already matches, so an untouched fleet's
+    * meta version never moves.
+    */
+  private def repairShardMeta(spark: org.apache.spark.sql.SparkSession,
+                              sink: graft.sink.UpsertSink): Unit = {
+    import spark.implicits._
+    val meta = sink.read(ShardMeta).collect()(0)
+    val shards = meta.getAs[Int]("shards")
+    val builtOnDisk = shardSinks(spark, sink, shards).count(ivfPqIndexExists)
+    if (metaBuiltCount(meta, builtOnDisk) != builtOnDisk)
+      sink.overwrite(ShardMeta,
+        Seq((shards, builtOnDisk)).toDF("shards", "built"), Seq("shards"))
   }
 
   /** Total vectors indexed across every built shard — one

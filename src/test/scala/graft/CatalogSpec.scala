@@ -318,6 +318,25 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("cal-normalized floor thresholds: clean boxes keep the raw record, slow boxes scale, never tighten") {
+    // the r17 normalization (r16 verdict "What's wrong #3"): the
+    // calibration probe is catalog-external, so its reading over the
+    // checked-in clean value is the box's uniform slowdown — the one
+    // factor a redraw threshold may excuse. Pinned: a clean reading
+    // reproduces the raw max(1.5 x floor, floor + 0.5) record exactly;
+    // a K-x-slow box scales by K; a faster-than-clean box NEVER
+    // tightens past the record (floors are the record, not the box)
+    val clean = BenchBands.CalCleanSec
+    def raw(f: Double): Double = math.max(1.5 * f, f + 0.5)
+    for (f <- Seq(0.2, 1.0, 10.0, 17.12)) {
+      assert(BenchBands.calNormalizedThreshold(f, clean) === raw(f))
+      assert(BenchBands.calNormalizedThreshold(f, clean / 2) === raw(f),
+        "a fast box tightened the threshold past the floors' record")
+      assert(math.abs(BenchBands.calNormalizedThreshold(f, clean * 1.6)
+        - raw(f) * 1.6) < 1e-9, "slow-box scaling off")
+    }
+  }
+
   test("q138 paired batch hybrid: per-query lexical AND dense sides, re-derived RRF, worst-case recall") {
     // the r16 verdict's batch-serving symmetry closed: both sides are
     // per-query now, so rank_a (lexical) may DIFFER across queries —

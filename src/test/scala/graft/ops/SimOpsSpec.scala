@@ -974,6 +974,74 @@ class SimOpsSpec extends SparkSpec {
       "refused add still moved bytes")
   }
 
+  test("establishShard: shape derived from siblings, crash orders repair, idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("graft_shardest")
+    val sink = new graft.sink.UpsertSink(spark, root.toString)
+    val e = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    // found the index from ONE hash range only: shard 1 never builds
+    val shard0 = e.filter(SimOps.shardOf("vec_id", 2) === 0)
+      .localCheckpoint()
+    val shard1 = e.filter(SimOps.shardOf("vec_id", 2) === 1)
+      .limit(12).localCheckpoint()
+    assert(shard1.count() >= 4, "fixture needs shard-1 vectors")
+    SimOps.buildShardedIvfPqIndex(shard0, "vec_id", "embedding", sink,
+      shards = 2, nlist = 4, m = 4, ksub = 8, coarseIters = 1,
+      storeSq8 = true)
+    val n0 = SimOps.shardedIndexPopulation(spark, sink)
+
+    // establish via the add escape: the shard's quantizer SHAPE must
+    // come from the built sibling — including SQ8 presence, or the
+    // fleet's self-contained probes would lose the new shard at refine
+    SimOps.shardedIndexAdd(shard1, "vec_id", "embedding", sink,
+      opId = Some("est-b0"), establishFrom = Some(shard0.limit(0)))
+    assert(SimOps.shardedIndexExists(spark, sink),
+      "establish left a torn meta commit")
+    assert(SimOps.shardedIndexPopulation(spark, sink) ==
+      n0 + shard1.count(), "established shard short")
+    val ss1 = new graft.sink.UpsertSink(spark, java.nio.file.Paths
+      .get(root.toString, SimOps.shardMemberName(1)).toString,
+      numBuckets = 8)
+    assert(ss1.exists("ann_vecs8"),
+      "established shard did not inherit the sibling's SQ8 refine table")
+
+    // idempotent on an already-built shard: only the meta can move
+    val v1 = SimOps.shardedIndexVersions(spark, sink)
+    SimOps.establishShard(shard1, "vec_id", "embedding", sink, 1,
+      Some(shard0))
+    assert(SimOps.shardedIndexVersions(spark, sink) == v1,
+      "re-establishing a built shard moved its bytes")
+
+    // CRASH ORDER (build landed, meta bump didn't), reconstructed on a
+    // fresh fleet: the torn window refuses probes, and the establish
+    // path's replay repairs the commit without rebuilding anything
+    val root2 = java.nio.file.Files.createTempDirectory("graft_shardest2")
+    val sink2 = new graft.sink.UpsertSink(spark, root2.toString)
+    SimOps.buildShardedIvfPqIndex(shard0, "vec_id", "embedding", sink2,
+      shards = 2, nlist = 4, m = 4, ksub = 8, coarseIters = 1,
+      storeSq8 = true)
+    val ss2 = new graft.sink.UpsertSink(spark, java.nio.file.Paths
+      .get(root2.toString, SimOps.shardMemberName(1)).toString,
+      numBuckets = 8)
+    SimOps.buildIvfPqIndex(shard1, "vec_id", "embedding", ss2,
+      nlist = 4, m = 4, ksub = 8, coarseIters = 1, storeSq8 = true)
+    assert(!SimOps.shardedIndexExists(spark, sink2),
+      "fixture did not reconstruct the torn window")
+    intercept[IllegalArgumentException] {
+      SimOps.shardedProbeIndex(shard1.limit(1), e, "vec_id", "embedding",
+        sink2, 3)
+    }
+    val vTorn = SimOps.shardedIndexVersions(spark, sink2)
+    SimOps.shardedIndexAdd(shard1, "vec_id", "embedding", sink2,
+      opId = Some("est2-b0"), establishFrom = Some(shard0.limit(0)))
+    assert(SimOps.shardedIndexExists(spark, sink2),
+      "replay did not repair the torn meta commit")
+    // repair touched the META only; the crashed build's shard bytes
+    // stand (quantizers + codes identical content, version pins fixed)
+    assert(SimOps.shardedIndexVersions(spark, sink2)
+      .view.filterKeys(_ == 0).toMap == vTorn.view.filterKeys(_ == 0).toMap,
+      "meta repair moved an untouched shard's bytes")
+  }
+
   test("shardedIndexRemove: routed shards only, others byte-pinned, probe clean") {
     val root = java.nio.file.Files.createTempDirectory("graft_shardrm")
     val sink = new graft.sink.UpsertSink(spark, root.toString)

@@ -357,6 +357,228 @@ class DedupPipelineSpec extends SparkSpec {
     assert(served == direct, "served scores diverged after the recovery")
   }
 
+  test("streaming erasure with an embedding-keyed member: vecIds derive per batch, kill/restart converges both layers") {
+    // the r16 verdict's Missing #2: erasureSweepStream's vecIds hook
+    // (raw batch in, vector ids out) was the one streaming contract
+    // with zero coverage. A sink holding BOTH serving layers (BM25 +
+    // sharded ANN) forces every per-batch sweep through the hook, and
+    // the kill/restart window must recover receipts bit-identically
+    // while the replayed decrements stay byte-free in BOTH layers.
+    import org.apache.spark.sql.functions._
+    import graft.ops.{EraseOps, SearchOps, SimOps}
+    val root = Files.createTempDirectory("graft_serase_ann")
+    val src = root.resolve("requests"); Files.createDirectories(src)
+    val sink = new UpsertSink(spark, root.resolve("sink").toString,
+      numBuckets = 4)
+    val checkpoint = root.resolve("chk").toString
+    def doc(i: Long): (Long, String) =
+      (i, s"stream vector merge w$i x$i y$i z$i")
+    def vec(seed: Long): Array[Float] = Array.tabulate(16)(i =>
+      ((((seed * 31L + i) * 2654435761L) % 1000L) / 1000.0f) - 0.5f)
+    def write(ids: Seq[Long]): Unit =
+      ids.map(doc).toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(src.toString)
+    def rows(k: UpsertSink, t: String): Set[Seq[Any]] =
+      k.read(t).select(k.read(t).columns.sorted.toIndexedSeq.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    def shardRows(k: UpsertSink, shard: Int, t: String): Set[Seq[Any]] = {
+      val ss = new UpsertSink(spark, java.nio.file.Paths.get(
+        k.rootPath, SimOps.shardMemberName(shard)).toString, numBuckets = 8)
+      if (!ss.exists(t) || !ss.hasData(t)) Set.empty
+      else ss.read(t).collect().map(_.toSeq).toSet
+    }
+
+    val archive = (1L to 12L).map(doc).toDF("doc_id", "text")
+    val archiveVecs = (1L to 12L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    SearchOps.invertedIndexBuild(archive, "doc_id", "text", sink)
+    SimOps.buildShardedIvfPqIndex(archiveVecs, "vec_id", "embedding",
+      sink, shards = 2, nlist = 2, m = 4, ksub = 4, coarseIters = 1,
+      storeSq8 = true)
+    // the hook under test: the subjects' vector ids derive from the
+    // RAW batch (id-keyed convention — a subject's vector shares its id)
+    val vecIdsOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      b => b.select(col("doc_id").as("vec_id"))
+
+    // batch 0 (subjects 1-3) through the REAL stream
+    write(1L to 3L)
+    DedupPipeline.erasureSweepStream(spark, src.toString, schema,
+      sink, checkpoint, "erann", vecIds = Some(vecIdsOf))
+      .awaitTermination(60000)
+    assert(sink.read(SearchOps.DocLens).count() == 9,
+      "batch 0's sweep did not land in the BM25 layer")
+    assert(SimOps.shardedIndexPopulation(spark, sink) == 9L,
+      "batch 0's sweep did not land in the ANN layer")
+
+    // THE KILL: batch 1's sweep (subjects 4-6) completes its data
+    // phases in BOTH layers and dies before the final receipt merge —
+    // the StoreRetractSpec reconstruction, with the ANN member's
+    // per-shard receipt rows rolled back too
+    write(4L to 6L)
+    val batch1 = (4L to 6L).map(doc).toDF("doc_id", "text")
+    EraseOps.eraseSubjects(batch1, "doc_id", "text", sink,
+      sweepId = "erann-b1", vecIds = Some(vecIdsOf(batch1)))
+    val finals = rows(sink, EraseOps.LedgerTable)
+    val pending = sink.read(EraseOps.LedgerTable)
+      .filter($"sweep_id" === "erann-b1")
+      .withColumn("action", lit(EraseOps.LedgerPending))
+      .withColumn("ver_after", lit(0L))
+      .localCheckpoint(true)
+    sink.merge(EraseOps.LedgerTable, pending,
+      Seq("sweep_id", "member_table"), pkUnique = true)
+    assert(EraseOps.pendingSweeps(sink)
+      .filter($"member_table".startsWith("ann_shard_")).count() > 0,
+      "fixture did not reconstruct the ANN member's pending rows")
+    val versKilled = SimOps.shardedIndexVersions(spark, sink)
+
+    // THE RESTART: batch 1 re-delivers under batchId 1 -> same sweep
+    // id -> data phases no-op in BOTH layers (no shard version moves),
+    // receipts rebuild bit-identically from their pending rows
+    DedupPipeline.erasureSweepStream(spark, src.toString, schema,
+      sink, checkpoint, "erann", vecIds = Some(vecIdsOf))
+      .awaitTermination(60000)
+    assert(rows(sink, EraseOps.LedgerTable) == finals,
+      "recovery-path receipts differ from the uncrashed sweep's")
+    assert(EraseOps.pendingSweeps(sink).count() == 0,
+      "replayed sweep still reads as stuck")
+    assert(SimOps.shardedIndexVersions(spark, sink) == versKilled,
+      "the replayed sweep moved a shard version pin (not byte-free)")
+
+    // both layers equal the sequential outcome: BM25 == fresh build on
+    // the survivors; ANN == archive build minus the erased ids (same
+    // quantizers — the training cache keys on content, so the codes
+    // must match row-for-row)
+    val survivors = (7L to 12L).map(doc).toDF("doc_id", "text")
+    val expected = new UpsertSink(spark,
+      root.resolve("expected").toString, numBuckets = 4)
+    SearchOps.invertedIndexBuild(survivors, "doc_id", "text", expected)
+    for (t <- Seq(SearchOps.Postings, SearchOps.DocLens, SearchOps.Stats))
+      assert(rows(sink, t) == rows(expected, t),
+        s"$t after streaming erasure != fresh build on survivors")
+    val expectedAnn = new UpsertSink(spark,
+      root.resolve("expected_ann").toString, numBuckets = 4)
+    SimOps.buildShardedIvfPqIndex(archiveVecs, "vec_id", "embedding",
+      expectedAnn, shards = 2, nlist = 2, m = 4, ksub = 4,
+      coarseIters = 1, storeSq8 = true)
+    SimOps.shardedIndexRemove((1L to 6L).toDF("vec_id"), "vec_id",
+      expectedAnn)
+    for (sh <- 0 to 1; t <- Seq("ann_codes", "ann_vecs8"))
+      assert(shardRows(sink, sh, t) == shardRows(expectedAnn, sh, t),
+        s"shard $sh $t after streaming erasure != sequential removal")
+
+    // and the probe serves NO erased subject (query = an erased
+    // subject's own vector under a fresh id — if its codes survived
+    // anywhere, this is the query that finds them)
+    val q = Seq((999999L, vec(4L))).toDF("vec_id", "embedding")
+    val served = SimOps.shardedProbeIndex(q, archiveVecs, "vec_id",
+        "embedding", sink, k = 6, nprobe = 2, refine = 30,
+        refineFromSq8 = true)
+      .select($"neighbor_id".cast("long")).as[Long].collect().toSet
+    assert(served.nonEmpty && served.forall(_ > 6L),
+      s"an erased subject's vector is still served: ${served.filter(_ <= 6L)}")
+  }
+
+  test("FULL-DUPLEX streaming: admit and erasure streams race ONE serving sink through kills and converge") {
+    // the r16 brief #3: the production topology is BOTH checkpointed
+    // streams against one sink — the ingest arc admitting new
+    // documents while the GDPR arc erases old ones. The ops' leases
+    // serialize each micro-batch; whatever interleaving lands, the
+    // index must converge to the sequential result BIT-EXACTLY (stats
+    // row included), and a kill in EACH stream's third batch must
+    // replay through both journals without double-counting.
+    import org.apache.spark.sql.functions._
+    import graft.ops.{EraseOps, SearchOps, TextOps}
+    val root = Files.createTempDirectory("graft_fdx")
+    val admitSrc = root.resolve("admits"); Files.createDirectories(admitSrc)
+    val eraseSrc = root.resolve("erasures"); Files.createDirectories(eraseSrc)
+    val sink = new UpsertSink(spark, root.resolve("sink").toString,
+      numBuckets = 4)
+    def doc(i: Long): (Long, String) =
+      (i, s"stream vector merge w$i x$i y$i z$i")
+    def writeTo(dir: java.nio.file.Path, ids: Seq[Long]): Unit =
+      ids.map(doc).toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(dir.toString)
+    def rows(k: UpsertSink, t: String): Set[Seq[Any]] =
+      k.read(t).select(k.read(t).columns.sorted.toIndexedSeq.map(col): _*)
+        .collect().map(_.toSeq).toSet
+
+    // archive 1-20; admits bring 101.., erasures take archive cohorts —
+    // DISJOINT sets, so the sequential result is interleaving-free
+    val archive = (1L to 20L).map(doc).toDF("doc_id", "text")
+    SearchOps.invertedIndexBuild(archive, "doc_id", "text", sink)
+    val admitBatches = Seq(101L to 105L, 111L to 115L, 121L to 125L)
+    val eraseBatches = Seq(1L to 3L, 4L to 6L, 7L to 9L)
+
+    def runBoth(): Unit = {
+      val admit = DedupPipeline.searchIndexAdmitStream(spark,
+        admitSrc.toString, schema, sink,
+        root.resolve("chk_admit").toString, "fdx-admit")
+      val erase = DedupPipeline.erasureSweepStream(spark,
+        eraseSrc.toString, schema, sink,
+        root.resolve("chk_erase").toString, "fdx-erase")
+      admit.awaitTermination(120000); erase.awaitTermination(120000)
+      assert(!admit.isActive && !erase.isActive, "a stream wedged")
+      Seq(admit, erase).foreach(q => assert(q.exception.isEmpty,
+        s"a stream died: ${q.exception}"))
+    }
+    // rounds 0 and 1: both arcs CONCURRENT against the one sink
+    writeTo(admitSrc, admitBatches(0)); writeTo(eraseSrc, eraseBatches(0))
+    runBoth()
+    writeTo(admitSrc, admitBatches(1)); writeTo(eraseSrc, eraseBatches(1))
+    runBoth()
+
+    // round 2 with a KILL in EACH arc: the admit dies after its
+    // journaled stats fold (the fold-first window), the erasure dies
+    // after its data phases with receipts rolled back to pending —
+    // both under the ids the restarted streams will derive (batchId 2)
+    val admit2 = admitBatches(2).map(doc).toDF("doc_id", "text")
+    val folded = sink.read(SearchOps.Stats)
+      .crossJoin(admit2
+        .select(size(TextOps.tokens($"text")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("__bn"),
+          coalesce(sum($"dl"), lit(0L)).as("__bs")))
+      .select($"k", ($"n" + $"__bn").as("n"),
+        ($"sum_dl" + $"__bs").as("sum_dl"))
+      .localCheckpoint(true)
+    sink.merge(SearchOps.Stats, folded, Seq("k"), None, pkUnique = true,
+      opId = Some("fdx-admit-b2"))
+    val erase2 = eraseBatches(2).map(doc).toDF("doc_id", "text")
+    EraseOps.eraseSubjects(erase2, "doc_id", "text", sink,
+      sweepId = "fdx-erase-b2")
+    val pending = sink.read(EraseOps.LedgerTable)
+      .filter($"sweep_id" === "fdx-erase-b2")
+      .withColumn("action", lit(EraseOps.LedgerPending))
+      .withColumn("ver_after", lit(0L))
+      .localCheckpoint(true)
+    sink.merge(EraseOps.LedgerTable, pending,
+      Seq("sweep_id", "member_table"), pkUnique = true)
+    writeTo(admitSrc, admitBatches(2)); writeTo(eraseSrc, eraseBatches(2))
+    runBoth()
+
+    // the sequential result: survivors (10-20) plus every admit batch
+    val expected = new UpsertSink(spark,
+      root.resolve("expected").toString, numBuckets = 4)
+    val world = (10L to 20L).map(doc) ++ admitBatches.flatMap(_.map(doc))
+    SearchOps.invertedIndexBuild(world.toDF("doc_id", "text"),
+      "doc_id", "text", expected)
+    for (t <- Seq(SearchOps.Postings, SearchOps.DocLens, SearchOps.Stats))
+      assert(rows(sink, t) == rows(expected, t),
+        s"$t after full-duplex streaming != the sequential index")
+    assert(EraseOps.pendingSweeps(sink).count() == 0,
+      "a sweep still reads as stuck after the duplex run")
+    // and the served ranking equals the direct scorer on that world
+    val served = SearchOps.invertedIndexSearch(
+        Seq("vector", "merge", "stream"), sink)
+      .select($"doc_id", round($"score", 6).as("s"))
+      .as[(Long, Double)].collect().toMap
+    val direct = TextOps.bm25Scores(world.toDF("doc_id", "text"),
+        "doc_id", "text", Seq("vector", "merge", "stream"))
+      .select($"doc_id", round($"score", 6).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(served == direct,
+      "served scores diverged from the direct scorer after the duplex run")
+  }
+
   test("streaming ANN admission: kill/restart converges to the single-delivery index; replay moves no shard version") {
     import org.apache.spark.sql.functions._
     import graft.ops.SimOps
@@ -442,5 +664,87 @@ class DedupPipelineSpec extends SparkSpec {
       .select($"neighbor_id".cast("long")).as[Long].collect().toSet
     assert(top == Set(203L),
       s"probe did not serve the streamed vector as its own neighbor: $top")
+  }
+
+  test("streaming ANN admission: first vectors into a never-built shard establish it instead of wedging the stream") {
+    // the r16 verdict's What's wrong #2: a cohort hashing into an
+    // empty-at-build-time shard fails the micro-batch, and the replay
+    // re-routes identically — without an escape the stream wedges
+    // FOREVER. establishFrom is that escape: the batch trains the
+    // shard's own quantizers (shape derived from the built siblings),
+    // the shard swaps in atomically, the meta commit repairs, and the
+    // journaled merges land — all inside the one micro-batch.
+    import org.apache.spark.sql.functions._
+    import graft.ops.SimOps
+    val root = Files.createTempDirectory("graft_sannest")
+    val sink = new UpsertSink(spark, root.resolve("sink").toString,
+      numBuckets = 4)
+    def vec(seed: Long): Array[Float] = Array.tabulate(16)(i =>
+      ((((seed * 31L + i) * 2654435761L) % 1000L) / 1000.0f) - 0.5f)
+    val vecSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    // split candidate ids by the REAL route: shard-0 ids found the
+    // index, shard-1 ids arrive only through the stream
+    val all = (1L to 120L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val shard0 = all.filter(SimOps.shardOf("vec_id", 2) === 0)
+      .as[(Long, Array[Float])].collect().toSeq
+    val shard1 = all.filter(SimOps.shardOf("vec_id", 2) === 1)
+      .as[(Long, Array[Float])].collect().toSeq
+    assert(shard0.size >= 8 && shard1.size >= 4, "fixture needs both routes")
+    val archive = shard0.toDF("vec_id", "embedding")
+    SimOps.buildShardedIvfPqIndex(archive, "vec_id", "embedding", sink,
+      shards = 2, nlist = 2, m = 4, ksub = 4, coarseIters = 1,
+      storeSq8 = true)
+    assert(SimOps.shardedIndexExists(spark, sink), "fixture index torn")
+
+    // the WEDGE, demonstrated: without the escape, the micro-batch
+    // fails loudly (and a restart would re-deliver into the same
+    // refusal — exactly the production failure the escape exists for)
+    val batch1 = shard1.take(4)
+    val srcW = root.resolve("vecs_wedge"); Files.createDirectories(srcW)
+    batch1.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(srcW.toString)
+    val wedged = DedupPipeline.annIndexAdmitStream(spark, srcW.toString,
+      vecSchema, sink, root.resolve("chk_wedge").toString, "ann-est")
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      wedged.awaitTermination(60000)
+    }
+    assert(SimOps.shardedIndexPopulation(spark, sink) == shard0.size.toLong,
+      "the refused batch mutated the index")
+
+    // the ESCAPE: same batch, establishFrom passed (the archive — its
+    // shard-1 slice is EMPTY, so the shard trains from the batch
+    // alone: the 'first vectors ever in this hash range' case)
+    val srcE = root.resolve("vecs_est"); Files.createDirectories(srcE)
+    batch1.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(srcE.toString)
+    DedupPipeline.annIndexAdmitStream(spark, srcE.toString, vecSchema,
+        sink, root.resolve("chk_est").toString, "ann-est",
+        establishFrom = Some(archive))
+      .awaitTermination(60000)
+    assert(SimOps.shardedIndexExists(spark, sink),
+      "establish left a torn meta commit")
+    assert(SimOps.shardedIndexPopulation(spark, sink) ==
+      (shard0.size + batch1.size).toLong,
+      "established shard did not admit the batch")
+
+    // a RE-DELIVERY of the established batch (kill/restart under the
+    // checkpoint-stable id) is byte-free: the shard exists now, every
+    // bucket the establish pass swapped is journal-fenced
+    val versBefore = SimOps.shardedIndexVersions(spark, sink)
+    SimOps.shardedIndexAdd(batch1.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", sink, opId = Some("ann-est-b0"),
+      establishFrom = Some(archive))
+    assert(SimOps.shardedIndexVersions(spark, sink) == versBefore,
+      "re-delivered establish batch moved a shard version pin")
+
+    // and the established shard SERVES its vectors
+    val probeId = batch1.head._1
+    val q = Seq((9999999L, vec(probeId))).toDF("vec_id", "embedding")
+    val top = SimOps.shardedProbeIndex(q, all, "vec_id", "embedding",
+        sink, k = 1, nprobe = 2, refine = 30, refineFromSq8 = true)
+      .select($"neighbor_id".cast("long")).as[Long].collect().toSet
+    assert(top == Set(probeId),
+      s"established shard did not serve its own vector: $top")
   }
 }
