@@ -39,18 +39,22 @@ object BenchBands {
   def derivedBand(floor: Double): Double =
     math.max(DerivedBandMult * floor, DerivedBandMinSec)
 
-  /** The best demonstrated SETTLED reading of [[Bench]]'s fixed
-    * CPU+shuffle calibration probe on a clean box (seconds) — the
-    * denominator of the round-17 cal-normalized floor thresholds (r16
-    * verdict "What's wrong #3"): a box whose suite-start calibration
-    * reads K x this value gets its floor-redraw thresholds scaled by
-    * K, so a UNIFORMLY slow box stops emitting always-environmental
-    * WARNs while a single-query regression (which cannot move the
-    * catalog-external probe) still flags. Clamped at 1.0 from below —
-    * a faster-than-clean box never TIGHTENS thresholds past the
-    * floors' own record.
+  /** The SUITE-START reading of [[Bench]]'s fixed CPU+shuffle
+    * calibration probe on a clean box (seconds; min-of-3 after two
+    * untimed warmups — the r16 driver artifact, which ran at floor
+    * parity, started at 0.40). NOT the mid-suite settled value
+    * (~0.31): the normalization divides the START reading, and using
+    * the settled value as the denominator would hand even a clean box
+    * a ~1.3x loosening. Denominator of the round-17 cal-normalized
+    * floor thresholds (r16 verdict "What's wrong #3"): a box whose
+    * suite-start calibration reads K x this value gets its
+    * floor-redraw thresholds scaled by K, so a UNIFORMLY slow box
+    * stops emitting always-environmental WARNs while a single-query
+    * regression (which cannot move the catalog-external probe) still
+    * flags. Clamped at 1.0 from below — a faster-than-clean box never
+    * TIGHTENS thresholds past the floors' own record.
     */
-  val CalCleanSec = 0.31
+  val CalCleanSec = 0.40
 
   /** The floor-adjudication threshold for one query, normalized by the
     * box state `calReading` (suite-start for the in-suite flag, the

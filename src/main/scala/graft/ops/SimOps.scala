@@ -1384,6 +1384,18 @@ object SimOps {
     * re-rank see the probe's 6-dp rounded cosine (documented output
     * convention) — an approximate operator's tie-break, same class as
     * the per-shard one.
+    *
+    * Consistency scope (the r16-verdict contract): this PLAIN probe is
+    * safe for readers that do NOT race a live writer — its per-shard
+    * reads are generation-coherent at PLAN time, but the code/refine
+    * scans execute later, so a probe racing [[maintainShardedIndex]]'s
+    * one-shard rebuild can still pair generations (the tear
+    * StoreConcurrencySpec demonstrates). Single-writer lifecycles (the
+    * catalog's audit fixtures, the store-slope bench legs) qualify;
+    * every SERVING composition ships on [[shardedProbeIndexSnapshot]]
+    * instead, which pins all four index tables per shard for the whole
+    * read (and therefore requires the SQ8 refine tables — the
+    * self-contained serving shape).
     */
   def shardedProbeIndex(queries: DataFrame, corpus: DataFrame,
                         idCol: String, vecCol: String,
