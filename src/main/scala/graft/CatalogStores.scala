@@ -2109,13 +2109,15 @@ private[graft] trait CatalogStores extends CatalogShared {
     QueryDef("q137_bm25_batch",
       "PER-QUERY-TERMS batch lexical serving (r16 verdict \"What's " +
         "wrong #1\" closed): N queries, each with ITS OWN term set, " +
-        "score through ONE postings scan — the union of every query's " +
-        "terms pushes into the scan as one parquet In predicate, " +
-        "per-term document frequencies aggregate once (df is corpus-" +
-        "global), and one broadcast (query, term) join replicates " +
-        "each matching posting to exactly the queries that asked — " +
-        "never N looped single-query plans (PlanShapeSpec pins ONE " +
-        "bm25_postings scan for the whole batch). Served through the " +
+        "score through one shared postings read — the union of every " +
+        "query's terms pushes into the scan as one parquet In " +
+        "predicate, per-term document frequencies aggregate once (df " +
+        "is corpus-global), and one broadcast (query, term) join " +
+        "replicates each matching posting to exactly the queries that " +
+        "asked — never N looped single-query plans (PlanShapeSpec " +
+        "pins the posting scan count at 2 — the tf side + the df " +
+        "aggregate, CONSTANT in N, where the loop would pay 2N). " +
+        "Served through the " +
         "snapshot-consistent read (the shipped default). Exact " +
         "oracle: per-query scores equal DuckDB's direct BM25 over " +
         "the same corpus restricted to each query's term set — the " +
@@ -2313,6 +2315,81 @@ private[graft] trait CatalogStores extends CatalogShared {
           .withColumn("stuck", lit(stuck))
           .crossJoin(broadcast(recall))
           .orderBy("rank", "neighbor_id")
+      }),
+
+    QueryDef("q140_duplex_replay",
+      "FULL-DUPLEX serving-sink lifecycle, batch-replay form (the " +
+        "q132/q136 convention — the catalog runs the EXACT foreachBatch " +
+        "cores of searchIndexAdmitStream AND erasureSweepStream, " +
+        "interleaved against ONE sink, ids derived exactly as each " +
+        "stream derives them from its checkpoint-stable batchId): the " +
+        "production topology is both arcs racing the same index — new " +
+        "documents admitting while GDPR requests erase old ones — and " +
+        "this row makes the convergence claim DRIVER-CHECKED every " +
+        "round. Sequence: admit b0, sweep b0, admit b1, RE-DELIVER " +
+        "admit b0 (its journal must skip the guard AND the additive " +
+        "stats fold — the admitted cohort's mass folds once), sweep " +
+        "b1, RE-DELIVER sweep b0 (its journal must no-op the data " +
+        "phases — the erased cohort's mass leaves once). Exact oracle: " +
+        "the post-duplex search equals DuckDB's direct BM25 over the " +
+        "sequential world (archive minus both erased cohorts, plus " +
+        "both admitted batches) — hash-exact only if every batch's " +
+        "mass moved exactly once through the interleaving.",
+      Some("""WITH world AS (SELECT * FROM documents
+             |  WHERE (doc_id % 3 <> 0 AND doc_id % 5 NOT IN (0, 1))
+             |     OR doc_id % 3 = 0),
+             |lens AS (SELECT doc_id,
+             |    len(regexp_extract_all(lower(text), '[a-z]+')) AS dl
+             |  FROM world),
+             |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |    AVG(dl) AS avgdl FROM lens),
+             |tok AS (SELECT doc_id,
+             |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             |  FROM world),
+             |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+             |  WHERE w IN ('vector', 'merge', 'stream') GROUP BY doc_id, w),
+             |dfr AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df
+             |  FROM tf GROUP BY w)
+             |SELECT tf.doc_id,
+             |  ROUND(SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |    * (tf * (1.2 + 1.0)
+             |       / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))), 6)
+             |    AS score
+             |FROM tf JOIN dfr USING (w) CROSS JOIN stats
+             |  JOIN lens ON tf.doc_id = lens.doc_id
+             |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sink = tempStore.freshSink(s, "duplex", dir)
+        // archive = the %3<>0 slice; admits bring the %3=0 ids (always
+        // disjoint from every erase cohort, so the sequential result is
+        // interleaving-free); erasures take archive cohorts
+        val archive = docs.filter(col("doc_id") % 3 =!= 0)
+        SearchOps.invertedIndexBuild(archive, "doc_id", "text", sink)
+        val admitB = Seq(0, 1).map(b =>
+          docs.filter(col("doc_id") % 6 === b * 3L))
+        val eraseB = Seq(0, 1).map(b =>
+          archive.filter(col("doc_id") % 5 === b.toLong))
+        def admit(b: Int): Unit =
+          SearchOps.invertedIndexAdmit(admitB(b), "doc_id", "text", sink,
+            admitId = Some(s"q140ad-b$b"))
+        def sweep(b: Int): Unit = {
+          EraseOps.eraseSubjects(eraseB(b), "doc_id", "text", sink,
+            sweepId = s"q140er-b$b")
+          ()
+        }
+        // the interleaving, both recovery paths exercised mid-stream
+        admit(0); sweep(0); admit(1)
+        admit(0) // RE-DELIVERY: the admit journal fences guard + fold
+        sweep(1)
+        sweep(0) // RE-DELIVERY: the erasure journal no-ops the phases
+        // snapshot-consistent serving read (the r16-verdict default)
+        SearchOps.invertedIndexSearchSnapshot(
+            Seq("vector", "merge", "stream"), sink) { served =>
+          served.select(col("doc_id"), round(col("score"), 6).as("score"))
+            .orderBy("doc_id")
+            .localCheckpoint(true)
+        }
       })
   )
 }

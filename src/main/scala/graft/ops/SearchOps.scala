@@ -157,12 +157,15 @@ object SearchOps {
   }
 
   /** BM25 scores for a BATCH of queries, each with ITS OWN term set,
-    * through ONE postings scan (r16 verdict "What's wrong #1" — the
-    * lexical side of batch serving must not loop N single-query plans):
-    * `termSets` is the request payload, (`queryCol`, `termCol`) rows —
-    * one row per (query, term). The UNION of every query's terms pushes
-    * into the posting scan as one `isin` parquet predicate (the scan
-    * runs once for the whole batch), per-term document frequencies
+    * through one shared postings read (r16 verdict "What's wrong #1" —
+    * the lexical side of batch serving must not loop N single-query
+    * plans): `termSets` is the request payload, (`queryCol`,
+    * `termCol`) rows — one row per (query, term). The UNION of every
+    * query's terms pushes into the posting scan as one `isin` parquet
+    * predicate — the physical plan reads the (pushed, term-filtered)
+    * postings exactly TWICE, for the tf side and the df aggregate,
+    * CONSTANT in the batch's query count (the looped alternative pays
+    * 2N; PlanShapeSpec pins the 2). Per-term document frequencies
     * aggregate from the already-filtered rows (they are corpus-global —
     * a term's df does not depend on which query asked), and one
     * broadcast join against the (query, term) pairs replicates each

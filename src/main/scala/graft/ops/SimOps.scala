@@ -1315,7 +1315,8 @@ object SimOps {
                              shards: Int = 4, nlist: Int = 16, m: Int = 16,
                              ksub: Int = 32, coarseIters: Int = 2,
                              scaleNlist: Boolean = false,
-                             storeSq8: Boolean = false): Unit = {
+                             storeSq8: Boolean = false,
+                             attrCols: Seq[String] = Nil): Unit = {
     require(shards >= 1 && shards <= 4096,
       s"shard count must be in [1, 4096]: $shards")
     val spark = corpus.sparkSession
@@ -1332,7 +1333,8 @@ object SimOps {
             if (!scaleNlist) nlist
             else math.max(nlist, nlistForCorpus(n, nlist))
           buildIvfPqIndex(slice, idCol, vecCol, ss, nlist = useNlist, m = m,
-            ksub = ksub, coarseIters = coarseIters, storeSq8 = storeSq8)
+            ksub = ksub, coarseIters = coarseIters, attrCols = attrCols,
+            storeSq8 = storeSq8)
           1
         } else 0
     }.sum
@@ -1623,12 +1625,22 @@ object SimOps {
     val spark = vecs.sparkSession
     require(sink.exists(ShardMeta),
       s"no sharded index under ${sink.rootPath} — run buildShardedIvfPqIndex")
-    // the establish path repairs a stale meta commit FIRST (a prior
+    // ONE meta read per batch (it feeds routing, the repair, AND the
+    // establishes — a hot ingest stream must not pay 3-4 collects of
+    // the same row per micro-batch)
+    val metaRow = sink.read(ShardMeta).collect()(0)
+    val shards = metaRow.getAs[Int]("shards")
+    val sinks = shardSinks(spark, sink, shards)
+    // the establish path reconciles a stale meta commit FIRST (a prior
     // establish crashed between its shard build and its meta bump —
     // the one window that leaves probes refusing "torn" until replay);
-    // the plain path leaves the meta alone, exactly as before
-    if (establishFrom.isDefined) repairShardMeta(spark, sink)
-    val shards = sink.read(ShardMeta).collect()(0).getAs[Int]("shards")
+    // O(shards) file probes, no Spark jobs. UPWARD only: disk < meta
+    // is a partially-DELETED fleet, which must stay a loud refusal
+    // (silently re-pointing the commit at the survivors would convert
+    // the probe's torn-index error into silent partial-corpus serving).
+    // The plain path leaves the meta alone, exactly as before.
+    if (establishFrom.isDefined)
+      reconcileShardMetaUpward(spark, sink, metaRow, sinks)
     // ONE aggregation pass learns every touched shard (bounded: at most
     // `shards` rows), so the unbuilt-shard decision happens BEFORE any
     // merge — the add is then all-or-nothing at the routing level
@@ -1636,7 +1648,6 @@ object SimOps {
       .select(shardOf(idCol, shards).as("__s"))
       .groupBy("__s").agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-    val sinks = shardSinks(spark, sink, shards)
     val unbuilt = routed.keys.filterNot(s => ivfPqIndexExists(sinks(s)))
     establishFrom match {
       case Some(extra) =>
@@ -1644,10 +1655,15 @@ object SimOps {
         // hashing into an empty-at-build-time shard must not wedge a
         // stream forever — train that shard's quantizers from the batch
         // plus its corpus slice and swap it in; the journaled merge loop
-        // below then converges the batch's rows idempotently (and a
-        // RE-DELIVERED batch finds the shard built + its buckets fenced)
+        // below then converges the batch's rows idempotently — ONE
+        // redundant touched-bucket rewrite at establish time (the build
+        // already holds the rows) buys the journal entry that makes a
+        // RE-DELIVERED batch byte-free. attrCols ride through: the
+        // established shard's code-list schema must match the batch
+        // merges below AND the fleet's filtered-probe contract
         unbuilt.toSeq.sorted.foreach(s =>
-          establishShard(vecs, idCol, vecCol, sink, s, Some(extra)))
+          establishShard(vecs, idCol, vecCol, sink, s, Some(extra),
+            attrCols = attrCols))
       case None =>
         require(unbuilt.isEmpty,
           s"batch routes ${unbuilt.toSeq.sorted.map(routed).sum} vectors to " +
@@ -1692,22 +1708,36 @@ object SimOps {
     * like its fleet, and deriving from bytes on disk cannot drift from
     * what the fleet actually serves. Refuses when no sibling is built
     * (nothing to derive from — that fleet needs buildShardedIvfPqIndex).
+    * `coarseIters` stays the caller's: training EFFORT is not
+    * recoverable from the stored artifact (only its shape is), and the
+    * shard re-trains at its first drift rebuild regardless.
     *
     * Idempotent under crash-replay: a call on an ALREADY-built shard
-    * only repairs the meta count (covering the crash window between a
-    * prior establish's build and its meta bump — probes refuse "torn"
-    * in that window until this replay lands, the same restart-first
-    * recovery protocol every journal in the family documents).
+    * only reconciles the meta count (covering the crash window between
+    * a prior establish's build and its meta bump — probes refuse
+    * "torn" in that window until this replay lands, the same
+    * restart-first recovery protocol every journal in the family
+    * documents). Reconciliation is UPWARD ONLY — establish builds
+    * first and bumps second, so a crash can only leave disk > meta;
+    * disk < meta is a partially-DELETED fleet, which stays the probe's
+    * loud torn-index refusal (silently re-pointing the commit at the
+    * survivors would serve a partial corpus with zero signal).
+    *
+    * `attrCols` must match the fleet's (the code-list schema is the
+    * index's contract — an established shard built without them would
+    * fail every subsequent merge's schema check AND lose the
+    * filtered-probe pushdown its siblings serve).
     */
   def establishShard(batch: DataFrame, idCol: String, vecCol: String,
                      sink: graft.sink.UpsertSink, shard: Int,
                      extraCorpus: Option[DataFrame] = None,
-                     coarseIters: Int = 2): Unit = {
+                     coarseIters: Int = 2,
+                     attrCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
-    import spark.implicits._
     require(sink.exists(ShardMeta),
       s"no sharded index under ${sink.rootPath} — run buildShardedIvfPqIndex")
-    val shards = sink.read(ShardMeta).collect()(0).getAs[Int]("shards")
+    val metaRow = sink.read(ShardMeta).collect()(0)
+    val shards = metaRow.getAs[Int]("shards")
     require(shard >= 0 && shard < shards,
       s"shard $shard outside [0, $shards)")
     val sinks = shardSinks(spark, sink, shards)
@@ -1721,6 +1751,13 @@ object SimOps {
       val books = decodeCodebooks(sibling.read(IdxCodebooks))
       val (m, ksub) = (books.length, books(0).length)
       val storeSq8 = sibling.exists(IdxVecs8)
+      // attr columns are part of the derived shape too (the
+      // storedAttrCols convention shape-preserving maintenance uses):
+      // an explicit attrCols wins, an empty one inherits the sibling's
+      // — so even a caller that forgot to thread them cannot establish
+      // a shard whose code-list schema diverges from its fleet
+      val keepAttrs =
+        if (attrCols.nonEmpty) attrCols else storedAttrCols(sibling)
       val slice = extraCorpus.fold(batch)(batch.unionByName(_))
         .filter(shardOf(idCol, shards) === shard)
         .dropDuplicates(idCol).filter(col(vecCol).isNotNull)
@@ -1732,26 +1769,39 @@ object SimOps {
       // short corpora, and the shard re-sizes at its first drift
       // rebuild like any other
       buildIvfPqIndex(slice, idCol, vecCol, ss, nlist = nlist, m = m,
-        ksub = ksub, coarseIters = coarseIters, storeSq8 = storeSq8)
+        ksub = ksub, coarseIters = coarseIters, attrCols = keepAttrs,
+        storeSq8 = storeSq8)
     }
-    repairShardMeta(spark, sink)
+    reconcileShardMetaUpward(spark, sink, metaRow, sinks)
   }
 
-  /** Re-point the meta commit's built count at the on-disk truth —
-    * the establish path's recovery step (build landed, bump didn't; or
-    * bump landed, build didn't: both re-converge here on replay). A
-    * no-op when the commit already matches, so an untouched fleet's
-    * meta version never moves.
+  /** Re-point the meta commit's built count at the on-disk truth when
+    * the disk holds MORE built shards than the commit recorded — the
+    * establish path's recovery step (build landed, bump didn't). A
+    * no-op when the commit matches, so an untouched fleet's meta
+    * version never moves. Disk holding FEWER than the commit is a
+    * partially-deleted fleet: refuse loudly with the probe's own
+    * diagnosis instead of legitimizing silent partial-corpus serving
+    * (rebuild is the only honest repair for lost shards). A legacy
+    * meta (no `built` column) has no commit to reconcile — left as is.
     */
-  private def repairShardMeta(spark: org.apache.spark.sql.SparkSession,
-                              sink: graft.sink.UpsertSink): Unit = {
+  private def reconcileShardMetaUpward(
+      spark: org.apache.spark.sql.SparkSession,
+      sink: graft.sink.UpsertSink, metaRow: org.apache.spark.sql.Row,
+      sinks: Seq[graft.sink.UpsertSink]): Unit = {
     import spark.implicits._
-    val meta = sink.read(ShardMeta).collect()(0)
-    val shards = meta.getAs[Int]("shards")
-    val builtOnDisk = shardSinks(spark, sink, shards).count(ivfPqIndexExists)
-    if (metaBuiltCount(meta, builtOnDisk) != builtOnDisk)
+    val shards = metaRow.getAs[Int]("shards")
+    val builtOnDisk = sinks.count(ivfPqIndexExists)
+    val committed = metaBuiltCount(metaRow, builtOnDisk)
+    if (builtOnDisk > committed)
       sink.overwrite(ShardMeta,
         Seq((shards, builtOnDisk)).toDF("shards", "built"), Seq("shards"))
+    else if (builtOnDisk < committed)
+      throw new IllegalStateException(
+        s"sharded index under ${sink.rootPath} has $builtOnDisk built " +
+          s"shards but its meta commit recorded $committed — torn or " +
+          "partially deleted index; rebuild it (establish only repairs " +
+          "the crashed build-then-bump order, never a lost shard)")
   }
 
   /** Total vectors indexed across every built shard — one

@@ -438,6 +438,7 @@ object DedupPipeline {
                           checkpoint: String, admitIdPrefix: String,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding",
+                          attrCols: Seq[String] = Nil,
                           establishFrom: Option[DataFrame] = None,
                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     spark.readStream.schema(schema).parquet(sourceDir)
@@ -448,6 +449,7 @@ object DedupPipeline {
         if (!batch.isEmpty) {
           graft.ops.SimOps.shardedIndexAdd(
             batch.dropDuplicates(idCol), idCol, vecCol, sink,
+            attrCols = attrCols,
             opId = Some(s"$admitIdPrefix-b$batchId"),
             establishFrom = establishFrom)
           ()

@@ -1040,6 +1040,48 @@ class SimOpsSpec extends SparkSpec {
     assert(SimOps.shardedIndexVersions(spark, sink2)
       .view.filterKeys(_ == 0).toMap == vTorn.view.filterKeys(_ == 0).toMap,
       "meta repair moved an untouched shard's bytes")
+
+    // the OTHER direction never self-repairs: a partially-DELETED
+    // fleet (disk < meta commit) is lost data, and the establish path
+    // must keep the probe's loud torn-index refusal instead of
+    // re-pointing the commit at the survivors (silent partial-corpus
+    // serving). Reconstructed: drop shard 1's directory from the
+    // now-consistent sink2 fleet (meta committed built=2)
+    graft.sink.Fs.deleteRecursively(java.nio.file.Paths
+      .get(root2.toString, SimOps.shardMemberName(1)))
+    val exDel = intercept[IllegalStateException] {
+      SimOps.shardedIndexAdd(shard1, "vec_id", "embedding", sink2,
+        opId = Some("est2-b1"), establishFrom = Some(shard0.limit(0)))
+    }
+    assert(exDel.getMessage.contains("partially deleted"),
+      s"wrong refusal for the lost-shard state: ${exDel.getMessage}")
+
+    // attrCols ride the establish: a fleet built WITH attribute
+    // columns must establish new shards carrying them, or the very
+    // next journaled merge dies on the sink's schema contract
+    val root3 = java.nio.file.Files.createTempDirectory("graft_shardest3")
+    val sink3 = new graft.sink.UpsertSink(spark, root3.toString)
+    val shard0a = shard0.withColumn("lang", lit("en"))
+    val shard1a = shard1.withColumn("lang", lit("de"))
+    SimOps.buildShardedIvfPqIndex(shard0a, "vec_id", "embedding", sink3,
+      shards = 2, nlist = 4, m = 4, ksub = 8, coarseIters = 1,
+      storeSq8 = true, attrCols = Seq("lang"))
+    SimOps.shardedIndexAdd(shard1a, "vec_id", "embedding", sink3,
+      attrCols = Seq("lang"), opId = Some("est3-b0"),
+      establishFrom = Some(shard0a.limit(0)))
+    val ss3 = new graft.sink.UpsertSink(spark, java.nio.file.Paths
+      .get(root3.toString, SimOps.shardMemberName(1)).toString,
+      numBuckets = 8)
+    assert(ss3.read("ann_codes").columns.contains("lang"),
+      "established shard dropped the fleet's attr columns")
+    // and the attr-filtered probe still serves the established shard
+    val hit = SimOps.shardedProbeIndex(
+        shard1a.limit(1).select(($"vec_id" + 1L).as("vec_id"), $"embedding"),
+        shard0a.unionByName(shard1a), "vec_id", "embedding", sink3, 1,
+        nprobe = 4, refine = 30,
+        candidateFilter = Some($"lang" === "de"), refineFromSq8 = true)
+      .count()
+    assert(hit == 1, "attr-filtered probe lost the established shard")
   }
 
   test("shardedIndexRemove: routed shards only, others byte-pinned, probe clean") {
