@@ -306,9 +306,11 @@ private[graft] trait CatalogStores extends CatalogShared {
         val docs = t(s, dir, "documents")
         val sink = tempStore.freshSink(s, "admit111", dir)
         val archive = docs.filter(col("doc_id") % 3 =!= 0)
-        TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink)
-        TextOps.segmentStoreBuild(archive, "doc_id", "text", sink)
-        TextOps.minhashStoreBuild(archive, "doc_id", "text", sink)
+        // independent store tables — overlapped builds (guide §2.6)
+        graft.ops.Par.run(Seq(
+          () => TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink),
+          () => TextOps.segmentStoreBuild(archive, "doc_id", "text", sink),
+          () => TextOps.minhashStoreBuild(archive, "doc_id", "text", sink)))
         TextOps.admissionScreen(docs.filter(col("doc_id") % 3 === 0),
             "doc_id", "text", sink)
           .orderBy("doc_id")
@@ -470,11 +472,13 @@ private[graft] trait CatalogStores extends CatalogShared {
         val e = t(s, dir, "embeddings")
         val sink = tempStore.freshSink(s, "admit114", dir)
         val archive = docs.filter(col("doc_id") % 3 =!= 0)
-        TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink)
-        TextOps.segmentStoreBuild(archive, "doc_id", "text", sink)
-        TextOps.minhashStoreBuild(archive, "doc_id", "text", sink)
-        SimOps.embLshStoreBuild(e.filter(col("vec_id") % 3 =!= 0),
-          "vec_id", "embedding", sink)
+        // independent store tables — overlapped builds (guide §2.6)
+        graft.ops.Par.run(Seq(
+          () => TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink),
+          () => TextOps.segmentStoreBuild(archive, "doc_id", "text", sink),
+          () => TextOps.minhashStoreBuild(archive, "doc_id", "text", sink),
+          () => SimOps.embLshStoreBuild(e.filter(col("vec_id") % 3 =!= 0),
+            "vec_id", "embedding", sink)))
         val txt = TextOps.admissionScreen(
           docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", sink)
         val embHits = SimOps.embLshStoreProbe(
@@ -745,15 +749,19 @@ private[graft] trait CatalogStores extends CatalogShared {
         val e = t(s, dir, "embeddings")
         val sink = tempStore.freshSink(s, "admit117", dir)
         val archive = docs.filter(col("doc_id") % 3 =!= 0)
-        TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink)
-        TextOps.segmentStoreBuild(archive, "doc_id", "text", sink)
-        TextOps.minhashStoreBuild(archive, "doc_id", "text", sink)
-        TextOps.substrStoreBuild(archive, "doc_id", "text", sink)
-        SelectOps.selectionStoreBuild(archive,
-          archive.filter(col("doc_id") % 11 === 0),
-          "doc_id", "text", sink, buckets = 512)
-        SimOps.embLshStoreBuild(e.filter(col("vec_id") % 3 =!= 0),
-          "vec_id", "embedding", sink)
+        // the six stores are INDEPENDENT tables under one root — build
+        // them overlapped (guide §2.6): content identical to the
+        // sequential build, the wall pays one store's fixed costs
+        graft.ops.Par.run(Seq(
+          () => TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink),
+          () => TextOps.segmentStoreBuild(archive, "doc_id", "text", sink),
+          () => TextOps.minhashStoreBuild(archive, "doc_id", "text", sink),
+          () => TextOps.substrStoreBuild(archive, "doc_id", "text", sink),
+          () => SelectOps.selectionStoreBuild(archive,
+            archive.filter(col("doc_id") % 11 === 0),
+            "doc_id", "text", sink, buckets = 512),
+          () => SimOps.embLshStoreBuild(e.filter(col("vec_id") % 3 =!= 0),
+            "vec_id", "embedding", sink)))
         val batch = docs.filter(col("doc_id") % 3 === 0)
         val txt = TextOps.admissionScreen(batch, "doc_id", "text", sink)
           .drop("admitted")
@@ -1142,15 +1150,18 @@ private[graft] trait CatalogStores extends CatalogShared {
         val e = t(s, dir, "embeddings")
         val sink = tempStore.freshSink(s, "erasesweep", dir)
         val archive = docs.filter(col("doc_id") % 3 =!= 0)
-        TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink)
-        TextOps.segmentStoreBuild(archive, "doc_id", "text", sink)
-        TextOps.minhashStoreBuild(archive, "doc_id", "text", sink)
-        TextOps.substrStoreBuild(archive, "doc_id", "text", sink)
-        SelectOps.selectionStoreBuild(archive,
-          archive.filter(col("doc_id") % 11 === 0),
-          "doc_id", "text", sink, buckets = 512)
-        SimOps.embLshStoreBuild(e.filter(col("vec_id") % 3 =!= 0),
-          "vec_id", "embedding", sink)
+        // independent store tables — overlapped builds (guide §2.6),
+        // content identical to the sequential build
+        graft.ops.Par.run(Seq(
+          () => TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink),
+          () => TextOps.segmentStoreBuild(archive, "doc_id", "text", sink),
+          () => TextOps.minhashStoreBuild(archive, "doc_id", "text", sink),
+          () => TextOps.substrStoreBuild(archive, "doc_id", "text", sink),
+          () => SelectOps.selectionStoreBuild(archive,
+            archive.filter(col("doc_id") % 11 === 0),
+            "doc_id", "text", sink, buckets = 512),
+          () => SimOps.embLshStoreBuild(e.filter(col("vec_id") % 3 =!= 0),
+            "vec_id", "embedding", sink)))
         // THE ERASURE: archive subjects (ids divisible by 5) leave every
         // store in one group-atomic sweep
         val subjects = archive.filter(col("doc_id") % 5 === 0)
@@ -1313,9 +1324,11 @@ private[graft] trait CatalogStores extends CatalogShared {
         val docs = t(s, dir, "documents")
         val sink = tempStore.freshSink(s, "eraseledger", dir)
         val archive = docs.filter(col("doc_id") % 3 =!= 0)
-        TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink)
-        TextOps.segmentStoreBuild(archive, "doc_id", "text", sink)
-        TextOps.substrDeltaBuild(archive, "doc_id", "text", sink)
+        // independent store tables — overlapped builds (guide §2.6)
+        graft.ops.Par.run(Seq(
+          () => TextOps.fingerprintStoreBuild(archive, "doc_id", "text", sink),
+          () => TextOps.segmentStoreBuild(archive, "doc_id", "text", sink),
+          () => TextOps.substrDeltaBuild(archive, "doc_id", "text", sink)))
         TextOps.substrDeltaAdmit(docs.filter(col("doc_id") % 3 === 0),
           "doc_id", "text", sink, batchId = 1L)
         val subjects = archive.filter(col("doc_id") % 5 === 0)
@@ -1610,8 +1623,10 @@ private[graft] trait CatalogStores extends CatalogShared {
         val docs = t(s, dir, "documents")
         val e = t(s, dir, "embeddings")
         val sink = tempStore.freshSink(s, "hybrid", dir)
-        SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink)
-        SimOps.embLshStoreBuild(e, "vec_id", "embedding", sink)
+        // independent serving layers — overlapped builds (guide §2.6)
+        graft.ops.Par.run(Seq(
+          () => SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink),
+          () => SimOps.embLshStoreBuild(e, "vec_id", "embedding", sink)))
         // ONE sweep erases the subjects from BOTH serving layers, with
         // ledger receipts — the compliance arc the stores exist for
         EraseOps.eraseSubjects(docs.filter(col("doc_id") % 5 === 0),
@@ -1692,12 +1707,14 @@ private[graft] trait CatalogStores extends CatalogShared {
         val openMarker = java.nio.file.Paths.get(sink.rootPath)
           .resolve("_graft_roundtrip_open")
         val crashed = java.nio.file.Files.exists(openMarker)
-        if (crashed || !SearchOps.invertedIndexExists(sink))
-          SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink)
-        if (crashed || !SimOps.shardedIndexExists(s, sink))
-          SimOps.buildShardedIvfPqIndex(e, "vec_id", "embedding", sink,
-            shards = 2, nlist = 16, m = 8, ksub = 16, coarseIters = 1,
-            storeSq8 = true)
+        // the two layers' (re)builds are independent — overlapped
+        graft.ops.Par.run(Seq(
+          () => if (crashed || !SearchOps.invertedIndexExists(sink))
+            SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink),
+          () => if (crashed || !SimOps.shardedIndexExists(s, sink))
+            SimOps.buildShardedIvfPqIndex(e, "vec_id", "embedding", sink,
+              shards = 2, nlist = 16, m = 8, ksub = 16, coarseIters = 1,
+              storeSq8 = true)))
         java.nio.file.Files.write(openMarker, Array.emptyByteArray)
         val pass = java.util.UUID.randomUUID().toString.take(8)
         val subjects = docs.filter(col("doc_id") % 5 === 0)
@@ -1705,30 +1722,38 @@ private[graft] trait CatalogStores extends CatalogShared {
         EraseOps.eraseSubjects(subjects, "doc_id", "text", sink,
           sweepId = s"q131_sweep_$pass",
           vecIds = Some(subjectVecs.select("vec_id")))
+        // the two serving reads are independent (disjoint table groups,
+        // both snapshot-pinned, no writer live between sweep and
+        // re-admit) — run them overlapped (guide §2.6):
         // lexical side: served BM25, 6-dp rounded BEFORE ranking (the
         // q88/q130 convention); SNAPSHOT-consistent read — the serving
         // default (r16 verdict #1): even a search racing a live
-        // admit/erase can never pair torn index generations
-        val bm = SearchOps.invertedIndexSearchSnapshot(
-            Seq("vector", "merge", "stream"), sink) { served =>
-          served.select(col("doc_id"), round(col("score"), 6).as("score"))
-            .localCheckpoint(true)
-        }
+        // admit/erase can never pair torn index generations.
         // dense side: the sharded ANN probe, index tables only — the
         // snapshot form pins every shard's generation for the probe
         // window (its SQ8 refine is exactly this row's serving shape);
         // probe cosines are already 6-dp rounded
         val q = e.filter(col("vec_id") === 1L)
-        val probed = SimOps.shardedProbeIndexSnapshot(q, "vec_id",
-            "embedding", sink, k = 100, nprobe = 12) {
-          _.localCheckpoint(true)
-        }
+        val serving = graft.ops.Par.map(Seq[() => DataFrame](
+          () => SearchOps.invertedIndexSearchSnapshot(
+              Seq("vector", "merge", "stream"), sink) { served =>
+            served.select(col("doc_id"), round(col("score"), 6).as("score"))
+              .localCheckpoint(true)
+          },
+          () => SimOps.shardedProbeIndexSnapshot(q, "vec_id",
+              "embedding", sink, k = 100, nprobe = 12) {
+            _.localCheckpoint(true)
+          }))(_())
+        val (bm, probed) = (serving(0), serving(1))
         // materialized above BEFORE the restore below: the returned
         // frame must capture the post-sweep serving state, not the
-        // re-admitted one
-        SearchOps.invertedIndexAdmit(subjects, "doc_id", "text", sink,
-          admitId = Some(s"q131_readmit_$pass"))
-        SimOps.shardedIndexAdd(subjectVecs, "vec_id", "embedding", sink)
+        // re-admitted one. The two re-admits write DISJOINT table
+        // groups (BM25 tables vs per-shard sub-sinks) — overlapped
+        graft.ops.Par.run(Seq(
+          () => SearchOps.invertedIndexAdmit(subjects, "doc_id", "text",
+            sink, admitId = Some(s"q131_readmit_$pass")),
+          () => { SimOps.shardedIndexAdd(subjectVecs, "vec_id",
+            "embedding", sink); () }))
         // round trip complete — the stores hold the full world again
         // (the serving reads above are checkpointed, so everything
         // after this line consumes materialized frames)
@@ -2075,19 +2100,24 @@ private[graft] trait CatalogStores extends CatalogShared {
         // the query BATCH: a deterministic cohort, broadcast once into
         // every shard's probe
         val qs = e.filter(col("vec_id") % 97 === 1)
-        val probed = SimOps.shardedProbeIndexSnapshot(qs, "vec_id",
-            "embedding", sink, k = 50, nprobe = 12) {
-          _.localCheckpoint(true)
-        }
-        // lexical side: ONE served-BM25 ranking shared by every query
-        // (terms are the request's; the dense side is what the batch
-        // varies — q138 is the per-query-terms form) — the q131
-        // scoring path, 6-dp rounded before ranking, snapshot read
-        val bm = SearchOps.invertedIndexSearchSnapshot(
-            Seq("vector", "merge", "stream"), sink) { served =>
-          served.select(col("doc_id"), round(col("score"), 6).as("score"))
-            .localCheckpoint(true)
-        }
+        // the two serving reads are independent (disjoint table groups,
+        // both snapshot-pinned, no live writer) — overlapped (§2.6):
+        // dense side the sharded snapshot probe; lexical side ONE
+        // served-BM25 ranking shared by every query (terms are the
+        // request's; the dense side is what the batch varies — q138 is
+        // the per-query-terms form) — the q131 scoring path, 6-dp
+        // rounded before ranking, snapshot read
+        val serving = graft.ops.Par.map(Seq[() => DataFrame](
+          () => SimOps.shardedProbeIndexSnapshot(qs, "vec_id",
+              "embedding", sink, k = 50, nprobe = 12) {
+            _.localCheckpoint(true)
+          },
+          () => SearchOps.invertedIndexSearchSnapshot(
+              Seq("vector", "merge", "stream"), sink) { served =>
+            served.select(col("doc_id"), round(col("score"), 6).as("score"))
+              .localCheckpoint(true)
+          }))(_())
+        val (probed, bm) = (serving(0), serving(1))
         // AUDIT ONLY: exact brute top-k for the same batch; the audit
         // column is the batch's WORST per-query recall
         val exact = SimOps.bruteForceTopK(qs, e, "vec_id", "embedding", 50)
@@ -2215,15 +2245,19 @@ private[graft] trait CatalogStores extends CatalogShared {
           .otherwise(array(lit("hash"), lit("scan"), lit("filter")))
         val req = qs.select(col("vec_id").as("query_id"),
           explode(termsOf).as("w"))
-        val probed = SimOps.shardedProbeIndexSnapshot(qs, "vec_id",
-            "embedding", sink, k = 50, nprobe = 12) {
-          _.localCheckpoint(true)
-        }
-        val bm = SearchOps.invertedIndexSearchBatchSnapshot(req, sink) {
-          served => served.select(col("query_id"), col("doc_id"),
-              round(col("score"), 6).as("score"))
-            .localCheckpoint(true)
-        }
+        // independent snapshot serving reads (disjoint table groups) —
+        // overlapped (guide §2.6)
+        val serving = graft.ops.Par.map(Seq[() => DataFrame](
+          () => SimOps.shardedProbeIndexSnapshot(qs, "vec_id",
+              "embedding", sink, k = 50, nprobe = 12) {
+            _.localCheckpoint(true)
+          },
+          () => SearchOps.invertedIndexSearchBatchSnapshot(req, sink) {
+            served => served.select(col("query_id"), col("doc_id"),
+                round(col("score"), 6).as("score"))
+              .localCheckpoint(true)
+          }))(_())
+        val (probed, bm) = (serving(0), serving(1))
         // AUDIT ONLY: worst per-query dense recall (q135 convention)
         val exact = SimOps.bruteForceTopK(qs, e, "vec_id", "embedding", 50)
         val recall = SimOps.withRecallAudit(probed, exact, 50)
@@ -2267,10 +2301,13 @@ private[graft] trait CatalogStores extends CatalogShared {
         val e = t(s, dir, "embeddings")
           .filter(col("vec_id") % 2 === 0).select("vec_id", "embedding")
         val sink = tempStore.freshSink(s, "erasestreamann", dir)
-        SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink)
-        SimOps.buildShardedIvfPqIndex(e, "vec_id", "embedding", sink,
-          shards = 2, nlist = 8, m = 8, ksub = 16, coarseIters = 1,
-          storeSq8 = true)
+        // the two serving layers are independent table groups — build
+        // them overlapped (guide §2.6)
+        graft.ops.Par.run(Seq(
+          () => SearchOps.invertedIndexBuild(docs, "doc_id", "text", sink),
+          () => SimOps.buildShardedIvfPqIndex(e, "vec_id", "embedding",
+            sink, shards = 2, nlist = 8, m = 8, ksub = 16, coarseIters = 1,
+            storeSq8 = true)))
         // two erasure-request micro-batches; the vecIds derivation is
         // the stream hook's contract — raw batch in, vector ids out
         // (id-keyed convention: a subject's vector shares its id; a

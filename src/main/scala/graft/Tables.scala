@@ -25,8 +25,26 @@ object Tables {
     * across regenerations — all three flavors normalize here, so no
     * downstream operator ever branches on flavor.
     */
+  /** Parquet SCHEMA cache for the read-only source tables: schema
+    * inference is a per-read 1-task Spark job + driver footer work
+    * (~20-50 ms) that every catalog query pays 1-3x per invocation —
+    * across a full bench run that is tens of seconds for metadata that
+    * never changes (the test data is immutable within a run; schemas
+    * are session-independent StructTypes). Data is NOT cached — every
+    * invocation still scans the parquet files.
+    */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val df = schemaCache.get(path) match {
+      case Some(s) => spark.read.schema(s).parquet(path)
+      case None =>
+        val d = spark.read.parquet(path)
+        schemaCache.put(path, d.schema)
+        d
+    }
     // events.ts as TIMESTAMP(NANOS) surfaces as a nanosecond long
     // (spark.sql.legacy.parquet.nanosAsLong). The data is microsecond-
     // resolution, so `div 1000` is lossless. Integer division: double

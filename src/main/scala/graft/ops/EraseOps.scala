@@ -334,8 +334,10 @@ object EraseOps {
     leased {
       if (writeLedger) {
         // derive ONCE, checkpoint each payload so the receipt's totals
-        // and the retraction share one materialization
-        val erases = derivations.flatMap(_()).map {
+        // and the retraction share one materialization; the
+        // checkpoints are independent per-member actions — overlap
+        // them (guide §2.6) instead of serializing 6-8 tiny jobs
+        val erases = Par.map(derivations.flatMap(_())) {
           case TableDelete(t, keys, pk) =>
             TableDelete(t, keys.localCheckpoint(true), pk)
           case TableCountRetract(t, dec, pk, cntCols, drop) =>

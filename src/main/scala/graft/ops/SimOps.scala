@@ -1321,23 +1321,34 @@ object SimOps {
       s"shard count must be in [1, 4096]: $shards")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val builtCount = shardSinks(spark, sink, shards).zipWithIndex.map {
-      case (ss, s) =>
-        val slice = corpus.filter(shardOf(idCol, shards) === s)
-        val n = slice.count()
-        // an EMPTY hash range builds no index (a high shard count over a
-        // small corpus leaves gaps) — probe/maintenance skip it, which is
-        // the correct semantics: an empty shard holds no neighbors
-        if (n > 0) {
-          val useNlist =
-            if (!scaleNlist) nlist
-            else math.max(nlist, nlistForCorpus(n, nlist))
-          buildIvfPqIndex(slice, idCol, vecCol, ss, nlist = useNlist, m = m,
-            ksub = ksub, coarseIters = coarseIters, attrCols = attrCols,
-            storeSq8 = storeSq8)
-          1
-        } else 0
-    }.sum
+    // ONE aggregation pass learns every shard's occupancy (the per-
+    // shard `slice.count()` loop paid `shards` full corpus scans for
+    // the same answer); an EMPTY hash range builds no index (a high
+    // shard count over a small corpus leaves gaps) — probe/maintenance
+    // skip it, which is the correct semantics: an empty shard holds no
+    // neighbors
+    val counts: Map[Int, Long] = corpus
+      .groupBy(shardOf(idCol, shards).cast("int").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val allSinks = shardSinks(spark, sink, shards)
+    val toBuild = (0 until shards).filter(s => counts.getOrElse(s, 0L) > 0)
+    // shard builds are INDEPENDENT jobs over independent sub-sinks
+    // (the scaladoc's own claim) — overlap them (guide §2.6) instead
+    // of serializing their fixed costs; per-shard content is
+    // byte-identical to a sequential build (each shard trains and
+    // encodes only its own slice)
+    Par.run(toBuild.map { s => () =>
+      val slice = corpus.filter(shardOf(idCol, shards) === s)
+      val useNlist =
+        if (!scaleNlist) nlist
+        else math.max(nlist, nlistForCorpus(counts(s), nlist))
+      buildIvfPqIndex(slice, idCol, vecCol, allSinks(s), nlist = useNlist,
+        m = m, ksub = ksub, coarseIters = coarseIters, attrCols = attrCols,
+        storeSq8 = storeSq8)
+      ()
+    })
+    val builtCount = toBuild.size
     // the meta row is the COMMIT POINT, written only after every shard
     // built: a crash mid-build leaves no meta and the probe fails
     // loudly with "no sharded index" instead of silently serving a
@@ -1499,7 +1510,10 @@ object SimOps {
           s"index under ${ss.rootPath} has an empty code list — every " +
             "vector was removed; rebuild (buildIvfPqIndex) or drop it")
     }
-    val snaps = built.map(ss =>
+    // per-shard captures are independent (each pins its OWN sub-sink's
+    // four tables) — overlap their fs walks + link walks (guide §2.6);
+    // Par.map preserves input order, so snaps(i) still pairs built(i)
+    val snaps = Par.map(built)(ss =>
       ss.snapshotMany(Seq(IdxCentroids, IdxCodebooks, IdxCodes, IdxVecs8)))
     try {
       val perShard = built.zip(snaps).map { case (ss, sn) =>
@@ -1571,7 +1585,10 @@ object SimOps {
     require(sink.exists(ShardMeta),
       s"no sharded index under ${sink.rootPath} — run buildShardedIvfPqIndex")
     val shards = sink.read(ShardMeta).collect()(0).getAs[Int]("shards")
-    shardSinks(spark, sink, shards).zipWithIndex.flatMap { case (ss, s) =>
+    // per-shard drift measurement (and any rebuild) is independent —
+    // each runs against its OWN sub-sink over its OWN slices; overlap
+    // them (guide §2.6). Par.map preserves shard order in the output.
+    Par.map(shardSinks(spark, sink, shards).zipWithIndex) { case (ss, s) =>
       val slice = batch.filter(shardOf(idCol, shards) === s)
         .dropDuplicates(idCol).filter(col(vecCol).isNotNull)
       // skip empty batch slices (nothing to measure) AND never-built
@@ -1582,7 +1599,7 @@ object SimOps {
         corpus.filter(shardOf(idCol, shards) === s), idCol, vecCol, ss,
         threshold, nlist = nlist, m = m, ksub = ksub,
         scaleNlist = scaleNlist)))
-    }
+    }.flatten
   }
 
   /** INCREMENTALLY add vectors to a SHARDED index — [[ivfPqIndexAdd]]

@@ -118,6 +118,33 @@ final case class TableCountRetract(table: String, decrements: DataFrame,
     s"$table: count columns ${cntCols.mkString(", ")} overlap the pk")
 }
 
+private[sink] object SchemaCache {
+  /** Version-keyed parquet SCHEMA cache, shared across sink instances
+    * (catalog fixtures rebuild the handle per call, so an instance
+    * field would never hit). Every `spark.read.parquet` without an
+    * explicit schema pays parquet schema inference — a 1-task Spark
+    * job (SchemaMergeUtils.mergeSchemasInParallel) plus driver footer
+    * work, ~20-100 ms — PER READ; a lifecycle arc reads its store
+    * tables dozens of times. The schema of a table is a pure function
+    * of its on-disk content, so caching it keyed by [[UpsertSink
+    * .version]] (the same content fingerprint the decoded-quantizer
+    * caches key on) is exactly as coherent as those caches: any write
+    * moves the version and the next read re-infers. Schemas are
+    * session-independent (plain StructType), so no session key is
+    * needed. Entries are (version, schema incl. the bucket partition
+    * column when the layout has one — inference appends partition
+    * columns last, and the explicit-schema path matches by name, so
+    * subset bucket reads and snapshot-dir reads share the entry).
+    *
+    * A FILELESS (truncated) table can never hit: a cache entry is only
+    * written after a successful inference, and the delete-all that
+    * empties a table moves its version — so the read-a-truncated-table
+    * error contract is unchanged.
+    */
+  private[sink] val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (Long, org.apache.spark.sql.types.StructType)]
+}
+
 final class UpsertSink(spark: SparkSession, root: String,
                        numBuckets: Int = 64,
                        writerWaitMs: Long = 60000L) {
@@ -745,8 +772,31 @@ final class UpsertSink(spark: SparkSession, root: String,
     */
   def read(table: String): DataFrame = {
     recover(table)
-    val df = spark.read.parquet(tableDir(table).toString)
+    val df = parquetCachedSchema(table, version(table), None,
+      Seq(tableDir(table).toString))
     if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
+  }
+
+  /** One parquet read through the version-keyed schema cache
+    * ([[SchemaCache.schemaCache]]): a hit supplies the schema explicitly
+    * (no inference job); a miss infers once and records it for every
+    * later read of the same content version — read(), subset bucket
+    * reads, and snapshot reads all share the entry (same content).
+    */
+  private def parquetCachedSchema(table: String, ver: Long,
+                                  basePath: Option[String],
+                                  paths: Seq[String]): DataFrame = {
+    val key = (root, table)
+    val reader0 = spark.read
+    val reader = basePath.fold(reader0)(bp => reader0.option("basePath", bp))
+    SchemaCache.schemaCache.get(key).filter(_._1 == ver).map(_._2) match {
+      case Some(sc) => reader.schema(sc).parquet(paths: _*)
+      case None =>
+        val df = reader.parquet(paths: _*)
+        if (SchemaCache.schemaCache.size >= 1024) SchemaCache.schemaCache.clear()
+        SchemaCache.schemaCache.put(key, (ver, df.schema))
+        df
+    }
   }
 
   /** Rows of `table` from ONLY the buckets `keys` hash into — the
@@ -789,9 +839,8 @@ final class UpsertSink(spark: SparkSession, root: String,
       .collect().map(_.getInt(0)).sorted // bounded by numBuckets
       .filter(b => Files.exists(dir.resolve(s"$BucketCol=$b")))
     if (touched.isEmpty) read(table).limit(0)
-    else spark.read.option("basePath", dir.toString)
-      .parquet(touched.map(b =>
-        dir.resolve(s"$BucketCol=$b").toString).toIndexedSeq: _*)
+    else parquetCachedSchema(table, version(table), Some(dir.toString),
+        touched.map(b => dir.resolve(s"$BucketCol=$b").toString).toIndexedSeq)
       .drop(BucketCol)
   }
 
@@ -912,7 +961,9 @@ final class UpsertSink(spark: SparkSession, root: String,
             s"snapshot of $table saw a concurrent write on all $attempt " +
               "attempts — is a writer continuously rewriting the table?")
         } else {
-          val df0 = spark.read.parquet(dir.toString)
+          // the snapshot's links ARE the live table's content at v0 —
+          // the schema cache entry for (table, v0) applies verbatim
+          val df0 = parquetCachedSchema(table, v0, None, Seq(dir.toString))
           return new TableSnapshot(
             if (df0.columns.contains(BucketCol)) df0.drop(BucketCol) else df0,
             dir, v0)
@@ -1110,11 +1161,19 @@ final class UpsertSink(spark: SparkSession, root: String,
     while (attempt < 20) {
       attempt += 1
       val v0 = tables.map(version)
-      // a later member's snapshot throwing (missing table, exhausted
-      // retries) must not leak the earlier members' pinned inode dirs
-      val snaps = scala.collection.mutable.Buffer.empty[TableSnapshot]
-      try tables.foreach(t => snaps += snapshot(t))
-      catch { case e: Throwable => snaps.foreach(_.close()); throw e }
+      // per-table captures are independent (each pins its own dir) —
+      // overlap their metadata walks + link walks (guide §2.6); the
+      // group validation below is what makes the READ all-or-nothing,
+      // and it is capture-order-independent. A member's snapshot
+      // throwing (missing table, exhausted retries) must not leak the
+      // other members' pinned inode dirs.
+      val attempts = graft.ops.Par.map(tables)(t =>
+        try Right(snapshot(t))
+        catch { case e: Throwable => Left(e) })
+      val snaps = attempts.collect { case Right(s) => s }
+      attempts.collectFirst { case Left(e) => e }.foreach { e =>
+        snaps.foreach(_.close()); throw e
+      }
       if (!tables.exists(writerInFlight) && tables.map(version) == v0)
         return snaps.toSeq
       snaps.foreach(_.close())
@@ -1456,10 +1515,9 @@ final class UpsertSink(spark: SparkSession, root: String,
       Files.exists(dir.resolve(s"$BucketCol=$b")))
     val currentTouched: Option[DataFrame] =
       if (touchedWithData.isEmpty) None
-      else Some(spark.read
-        .option("basePath", dir.toString)
-        .parquet(touchedWithData.map(b =>
-          dir.resolve(s"$BucketCol=$b").toString).toIndexedSeq: _*))
+      else Some(parquetCachedSchema(table, version(table), Some(dir.toString),
+        touchedWithData.map(b =>
+          dir.resolve(s"$BucketCol=$b").toString).toIndexedSeq))
     val merged = currentTouched match {
       case None => latest
       case Some(cur) => cur
@@ -1489,6 +1547,14 @@ final class UpsertSink(spark: SparkSession, root: String,
                                   removeEmptied: Boolean = false,
                                   onceMarker: Option[String] = None): Unit = {
     val dir = tableDir(table)
+    // every caller of this tail (merge's incremental swap, delete,
+    // eraseMany's rewrite) is SCHEMA-PRESERVING by construction
+    // (updates are aligned to the stored schema first), so the schema
+    // cache entry can carry forward across the version bump — guarded
+    // by the pre-write version so an entry left stale by an earlier
+    // schema-CHANGING overwrite can never be resurrected
+    val ver0 = SchemaCache.schemaCache.get((root, table))
+      .map(_ => version(table))
     val shadow = Paths.get(root, s".${table}__shadow")
     deleteRecursively(shadow)
     bucketAligned(merged, buckets).write.mode(SaveMode.Overwrite)
@@ -1529,6 +1595,12 @@ final class UpsertSink(spark: SparkSession, root: String,
       stampGeneration(dir)
     }
     deleteRecursively(shadow)
+    ver0.foreach { v0 =>
+      SchemaCache.schemaCache.get((root, table)).filter(_._1 == v0)
+        .foreach { case (_, sc) =>
+          SchemaCache.schemaCache.put((root, table), (version(table), sc))
+        }
+    }
   }
 
   /** Drop a table entirely (no-op when absent). Runs recovery first so
@@ -1880,10 +1952,21 @@ final class UpsertSink(spark: SparkSession, root: String,
     }
     try {
       val marker = erasureId.map(eraseMarkerName)
+      // ONE action over the union of (table, bucket) pairs — the
+      // mergeMany discipline applied to the erase side: every payload's
+      // dedupe/sum shuffle runs and persists here, and every member's
+      // touched set arrives in a single collect instead of one
+      // serialized driver round-trip per member
+      val touchedAll: Map[String, Array[Int]] =
+        if (prepped.isEmpty) Map.empty
+        else prepped.map { case (d, _, keyed) =>
+            keyed.select(lit(d.table).as("__t"), col(BucketCol)) }
+          .reduce(_ unionByName _).distinct().collect()
+          .groupBy(_.getString(0))
+          .map { case (t, rows) => t -> rows.map(_.getInt(1)).sorted }
       val tasks = prepped.flatMap { case (d, buckets, keyed) =>
         val dir = tableDir(d.table)
-        val touched = keyed.select(BucketCol).distinct()
-          .collect().map(_.getInt(0)).sorted // bounded by numBuckets
+        val touched = touchedAll.getOrElse(d.table, Array.empty[Int])
           .filter(b => Files.exists(dir.resolve(s"$BucketCol=$b")))
           // bucket-level replay fence: a bucket already swapped by this
           // erasure id (crash between bucket swaps) is not re-applied
@@ -1894,9 +1977,9 @@ final class UpsertSink(spark: SparkSession, root: String,
           None
         }
         else Some { () =>
-          val cur = spark.read.option("basePath", dir.toString)
-            .parquet(touched.map(b =>
-              dir.resolve(s"$BucketCol=$b").toString).toIndexedSeq: _*)
+          val cur = parquetCachedSchema(d.table, version(d.table),
+            Some(dir.toString), touched.map(b =>
+              dir.resolve(s"$BucketCol=$b").toString).toIndexedSeq)
           val kept = d match {
             case td: TableDelete =>
               cur.join(keyed.select(td.pk.map(col): _*), td.pk, "left_anti")
