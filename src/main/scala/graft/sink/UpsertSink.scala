@@ -538,6 +538,21 @@ final class UpsertSink(spark: SparkSession, root: String,
   private def writerLock(table: String): Path =
     Paths.get(root, s".${table}__writer")
 
+  /** Is another writer's lease on `table` credible right now? Reader-
+    * side probe (one stat — readers stay lock-free): fresh-mtime lease
+    * not held by THIS thread. A stale lease (crashed writer) is not
+    * live; [[snapshotMany]] uses this to avoid capturing between two
+    * members' swaps of one multi-table operation.
+    */
+  private def leaseLive(table: String): Boolean =
+    !heldLeases.get.contains(table) && {
+      val lock = writerLock(table)
+      try Files.exists(lock) &&
+        System.currentTimeMillis() -
+          Files.getLastModifiedTime(lock).toMillis <= WriterLeaseMs
+      catch { case _: java.io.IOException => false }
+    }
+
   /** Tables whose lease THIS thread already holds — public mutators
     * nest (merge → overwrite; mergeMany → merge on the migration
     * path), and a nested acquire on a held table must pass through,
@@ -1158,7 +1173,25 @@ final class UpsertSink(spark: SparkSession, root: String,
     require(tables.nonEmpty && tables.distinct.size == tables.size,
       s"snapshotMany needs distinct tables, got [${tables.mkString(", ")}]")
     var attempt = 0
+    var leaseWaitMs = 0L
     while (attempt < 20) {
+      // a live writer LEASE over any member means a MULTI-TABLE
+      // operation (mergeMany/eraseMany hold the group lease across
+      // every member's rewrite) may be between two members' swaps — a
+      // cross-table state the per-table guards cannot see: each
+      // member's version is stable and no intent marker is up while
+      // the writer runs member B's Spark job after member A's swap
+      // landed. Wait the lease out (time-bounded) instead of capturing
+      // a torn group; leases THIS thread holds are exempt (a writer
+      // snapshotting its own tables mid-lease must not self-deadlock).
+      if (tables.exists(leaseLive)) {
+        if (leaseWaitMs >= writerWaitMs) throw new IllegalStateException(
+          s"snapshotMany of [${tables.mkString(", ")}] found a writer " +
+            s"lease live for over $leaseWaitMs ms — is a writer " +
+            "continuously rewriting the group?")
+        Thread.sleep(15L)
+        leaseWaitMs += 15L
+      } else {
       attempt += 1
       val v0 = tables.map(version)
       // per-table captures are independent (each pins its own dir) —
@@ -1174,12 +1207,22 @@ final class UpsertSink(spark: SparkSession, root: String,
       attempts.collectFirst { case Left(e) => e }.foreach { e =>
         snaps.foreach(_.close()); throw e
       }
+      // validation: any swap that LANDED during the capture window
+      // moved a version (captures are complete here, so a later write
+      // cannot affect them); any op that was MID-FLIGHT at v0-read was
+      // excluded by the lease wait above (an op cannot acquire its
+      // lease and land a swap inside the µs between that check and
+      // v0 — its shadow writes are Spark jobs). A lease acquired AFTER
+      // v0 is harmless here: either its swaps landed before this
+      // re-check (version catches them) or they come after every
+      // capture completed.
       if (!tables.exists(writerInFlight) && tables.map(version) == v0)
         return snaps.toSeq
       snaps.foreach(_.close())
       // a swap landed inside the capture window; brief pause so the
       // retry isn't phase-locked to a periodic writer
       Thread.sleep(25L * attempt)
+      }
     }
     throw new IllegalStateException(
       s"snapshotMany of [${tables.mkString(", ")}] saw concurrent writes " +
@@ -1595,12 +1638,18 @@ final class UpsertSink(spark: SparkSession, root: String,
       stampGeneration(dir)
     }
     deleteRecursively(shadow)
-    ver0.foreach { v0 =>
+    // carry-forward must NOT survive a truncating rewrite (removeEmptied
+    // deleting every bucket): a FILELESS table has no schema to serve and
+    // the TRUNCATE read contract requires the next read to fail — evict
+    // instead, keeping the SchemaCache scaladoc claim true. Only a
+    // removeEmptied caller can delete buckets, so the merge path skips
+    // the extra walk.
+    if (!removeEmptied || hasDataFiles(table)) ver0.foreach { v0 =>
       SchemaCache.schemaCache.get((root, table)).filter(_._1 == v0)
         .foreach { case (_, sc) =>
           SchemaCache.schemaCache.put((root, table), (version(table), sc))
         }
-    }
+    } else SchemaCache.schemaCache.remove((root, table))
   }
 
   /** Drop a table entirely (no-op when absent). Runs recovery first so
