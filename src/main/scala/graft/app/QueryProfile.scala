@@ -25,6 +25,14 @@ object QueryProfile {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val passes = if (args.length > 2) args(2).toInt else 1
     val spark = GraftSession.create()
+    // dev experiment knob: SPARK_GRAFT_PROFILE_CONF="k=v;k=v" applies
+    // runtime-settable session confs before profiling (e.g. measuring
+    // a query with spark.sql.adaptive.enabled=false)
+    sys.env.get("SPARK_GRAFT_PROFILE_CONF").foreach(_.split(';')
+      .map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     val q = Catalog.byName(name)
 
     val jobStart = new ConcurrentHashMap[Int, (Long, String)]()
@@ -32,7 +40,12 @@ object QueryProfile {
     @volatile var activeJobs = 0
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
-        val site = e.stageInfos.headOption.map(_.name).getOrElse("?")
+        // prefer the op-level label (guide §1.5) over the call site —
+        // AQE stage-materialization jobs all share the same
+        // CompletableFuture submission frame, which attributes nothing
+        val site = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse(e.stageInfos.headOption.map(_.name).getOrElse("?"))
         activeJobs += 1
         jobStart.put(e.jobId, (e.time, site))
       }

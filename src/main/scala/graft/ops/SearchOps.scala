@@ -356,28 +356,44 @@ object SearchOps {
         // between the two could route to the wrong buckets
         val ids = batch.select(col(idCol).as("doc_id")).distinct()
           .localCheckpoint(true)
-        // a FILELESS doclens table is the erase-everything end state
-        // (the stats row survives structurally at zero): no id can be
-        // indexed, so the guard is vacuously clean — and readKeyBuckets'
-        // fileless fallback is a plain read, whose own contract says it
-        // fails on a dir with no data files (the EraseOps countFrames
-        // discipline, applied to this caller)
-        val already =
-          if (!sink.hasData(DocLens)) 0L
-          else sink.readKeyBuckets(DocLens, ids, Seq("doc_id"))
+        // ONE action answers the guard AND both sides of the stats fold
+        // (the EraseOps countFrames fusion applied here): the NEW-ids
+        // count, the batch's (n, sum_dl), and the stored 1-row stats
+        // union into a single 3-row collect instead of three serialized
+        // driver round-trips. A FILELESS doclens table is the
+        // erase-everything end state (the stats row survives
+        // structurally at zero): no id can be indexed, so the guard leg
+        // is vacuously clean and skipped — readKeyBuckets' fileless
+        // fallback would fail the plain-read contract anyway.
+        val guardLeg =
+          if (!sink.hasData(DocLens)) None
+          else Some(sink.readKeyBuckets(DocLens, ids, Seq("doc_id"))
             .select("doc_id")
-            .join(broadcast(ids), Seq("doc_id"), "left_semi").count()
+            .join(broadcast(ids), Seq("doc_id"), "left_semi")
+            .agg(count(lit(1)).as("a"), lit(0L).as("b"))
+            .select(lit("guard").as("__leg"), col("a"), col("b")))
+        val legs = Seq(
+          statRows(batch, idCol, textCol)
+            .select(lit("batch").as("__leg"), col("n").as("a"),
+              col("sum_dl").as("b")),
+          sink.read(Stats)
+            .select(lit("stored").as("__leg"), col("n").as("a"),
+              col("sum_dl").as("b"))) ++ guardLeg
+        val rows = legs.reduce(_ unionByName _).collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        val already = rows.get("guard").map(_._1).getOrElse(0L)
         require(already == 0L,
           s"invertedIndexAdmit: $already of the batch's ids are already " +
             s"indexed under ${sink.rootPath} — admit is for NEW document " +
             "ids (re-folding an indexed id corrupts the maintained " +
             "(N, avgdl)); erase first, then admit")
-        val folded = sink.read(Stats)
-          .crossJoin(statRows(batch, idCol, textCol)
-            .select(col("n").as("__bn"), col("sum_dl").as("__bs")))
-          .select(col("k"), (col("n") + col("__bn")).as("n"),
-            (col("sum_dl") + col("__bs")).as("sum_dl"))
-          .localCheckpoint(true) // reads the store file the merge rewrites
+        // the folded row is pure driver-side arithmetic over the
+        // collected legs — no frame reads the store file the merge
+        // rewrites, so no checkpoint is needed
+        val (bn, bs) = rows("batch")
+        val (sn, ss) = rows("stored")
+        import batch.sparkSession.implicits._
+        val folded = Seq((0, sn + bn, ss + bs)).toDF("k", "n", "sum_dl")
         sink.merge(Stats, folded, Seq("k"), None, pkUnique = true,
           opId = admitId)
       }

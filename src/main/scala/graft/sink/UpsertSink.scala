@@ -157,6 +157,20 @@ final class UpsertSink(spark: SparkSession, root: String,
 
   private val BucketCol = "__bucket"
 
+  /** Label every Spark job `body` submits from THIS thread (guide §1.5
+    * — label your jobs): descriptions are thread-local, so sink work
+    * submitted from [[runConcurrently]] pool threads labels correctly
+    * when set inside the task. The caller's own label is saved and
+    * restored, so composing ops keep their outer description.
+    */
+  private def labeled[T](desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body
+    finally sc.setJobDescription(prev)
+  }
+
   /** Every table path flows through here, so this is where the name
     * contract is enforced: no path separators (a name like `../x`
     * would aim [[drop]]'s recursive delete outside the sink root) and
@@ -807,7 +821,7 @@ final class UpsertSink(spark: SparkSession, root: String,
     SchemaCache.schemaCache.get(key).filter(_._1 == ver).map(_._2) match {
       case Some(sc) => reader.schema(sc).parquet(paths: _*)
       case None =>
-        val df = reader.parquet(paths: _*)
+        val df = labeled(s"sink:inferschema:$table")(reader.parquet(paths: _*))
         if (SchemaCache.schemaCache.size >= 1024) SchemaCache.schemaCache.clear()
         SchemaCache.schemaCache.put(key, (ver, df.schema))
         df
@@ -849,9 +863,13 @@ final class UpsertSink(spark: SparkSession, root: String,
     }
     val buckets = storedBuckets(table).getOrElse(numBuckets)
     val dir = tableDir(table)
-    val touched = withBucket(keys.select(typed: _*).distinct(), pk, buckets)
-      .select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).sorted // bounded by numBuckets
+    // no key-level distinct: the bucket set is a pure function of the
+    // key VALUES (duplicates fold in the map-side partial aggregate),
+    // so deduping keys first would only add an exchange to this plan
+    val touched = labeled(s"sink:keybuckets:$table")(
+        withBucket(keys.select(typed: _*), pk, buckets)
+          .select(BucketCol).distinct()
+          .collect()).map(_.getInt(0)).sorted // bounded by numBuckets
       .filter(b => Files.exists(dir.resolve(s"$BucketCol=$b")))
     if (touched.isEmpty) read(table).limit(0)
     else parquetCachedSchema(table, version(table), Some(dir.toString),
@@ -1055,12 +1073,14 @@ final class UpsertSink(spark: SparkSession, root: String,
 
   private def writeShadowData(shadow: Path, df: DataFrame,
                               pk: Seq[String]): Unit =
-    if (pk.nonEmpty) {
-      bucketAligned(withBucket(df, pk, numBuckets), numBuckets)
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy(BucketCol).parquet(shadow.toString)
-      Files.write(bucketMarker(shadow), numBuckets.toString.getBytes("UTF-8"))
-    } else df.write.mode(SaveMode.Overwrite).parquet(shadow.toString)
+    labeled(s"sink:overwrite:${shadow.getFileName}") {
+      if (pk.nonEmpty) {
+        bucketAligned(withBucket(df, pk, numBuckets), numBuckets)
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy(BucketCol).parquet(shadow.toString)
+        Files.write(bucketMarker(shadow), numBuckets.toString.getBytes("UTF-8"))
+      } else df.write.mode(SaveMode.Overwrite).parquet(shadow.toString)
+    }
 
   /** ATOMIC GROUP overwrite: replace (and/or drop) SEVERAL tables such
     * that no reader — live or recovering from this writer's crash —
@@ -1410,8 +1430,9 @@ final class UpsertSink(spark: SparkSession, root: String,
       // incremental path: only buckets holding updated keys are rewritten
       val marker = opId.map(admitMarkerName)
       val dir = tableDir(table)
-      val touched = latest.select(BucketCol).distinct()
-        .collect().map(_.getInt(0)).sorted // bounded by numBuckets
+      val touched = labeled(s"sink:merge:touched:$table")(
+        latest.select(BucketCol).distinct()
+          .collect()).map(_.getInt(0)).sorted // bounded by numBuckets
         // bucket-level replay fence (opId merges): a bucket this admit
         // already swapped in is not re-applied — its rows in `latest`
         // re-derived against the post-fold store and must never land
@@ -1483,9 +1504,11 @@ final class UpsertSink(spark: SparkSession, root: String,
       // one action over the union of (table, bucket) pairs: every
       // delta's dedupe shuffle runs and caches here, and every table's
       // touched set arrives in a single collect
-      val touchedAll = latests.map { case (m, _, _, latest) =>
-          latest.select(lit(m.table).as("__t"), col(BucketCol)) }
-        .reduce(_ unionByName _).distinct().collect()
+      val touchedAll = labeled(
+          s"sink:mergeMany:touched:${latests.map(_._1.table).mkString(",")}")(
+          latests.map { case (m, _, _, latest) =>
+            latest.select(lit(m.table).as("__t"), col(BucketCol)) }
+            .reduce(_ unionByName _).distinct().collect())
         .groupBy(_.getString(0))
         .map { case (t, rows) => t -> rows.map(_.getInt(1)).sorted }
       // a table whose delta deduped to nothing has no touched buckets —
@@ -1600,8 +1623,9 @@ final class UpsertSink(spark: SparkSession, root: String,
       .map(_ => version(table))
     val shadow = Paths.get(root, s".${table}__shadow")
     deleteRecursively(shadow)
-    bucketAligned(merged, buckets).write.mode(SaveMode.Overwrite)
-      .partitionBy(BucketCol).parquet(shadow.toString)
+    labeled(s"sink:swap:$table")(
+      bucketAligned(merged, buckets).write.mode(SaveMode.Overwrite)
+        .partitionBy(BucketCol).parquet(shadow.toString))
     // the replay fence (erasure id / merge opId) rides INSIDE each
     // shadow bucket, so the marker and the rewritten data land in one
     // atomic rename (a bucket emptied outright needs none: its dir is
@@ -2008,9 +2032,11 @@ final class UpsertSink(spark: SparkSession, root: String,
       // serialized driver round-trip per member
       val touchedAll: Map[String, Array[Int]] =
         if (prepped.isEmpty) Map.empty
-        else prepped.map { case (d, _, keyed) =>
-            keyed.select(lit(d.table).as("__t"), col(BucketCol)) }
-          .reduce(_ unionByName _).distinct().collect()
+        else labeled(
+            s"sink:erase:touched:${prepped.map(_._1.table).mkString(",")}")(
+            prepped.map { case (d, _, keyed) =>
+              keyed.select(lit(d.table).as("__t"), col(BucketCol)) }
+              .reduce(_ unionByName _).distinct().collect())
           .groupBy(_.getString(0))
           .map { case (t, rows) => t -> rows.map(_.getInt(1)).sorted }
       val tasks = prepped.flatMap { case (d, buckets, keyed) =>
